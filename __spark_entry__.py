@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``datalake_indexes_spark`` — a PySpark-native rebuild of
+LUH-DBS/datalake_indexes (MATE joinability search, COCOA correlation
+enrichment, XASH duplicate detection) plus training-data-pipeline
+operators.  See SURVEY.md §2 for the operator inventory each query
+key maps to (documented per query function in
+``datalake_indexes_spark/plans/queries.py``).
 """
 
 from __future__ import annotations
@@ -15,24 +21,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: MATE multi-attribute joinability search over the
+    sf0.001 lake — which lake tables join lineitem on (l_orderkey,
+    l_partkey)?"""
+    from datalake_indexes_spark.plans.queries import QUERIES
+
+    return QUERIES["mate_join_search_multi"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from datalake_indexes_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (see plans/oracle.py)."""
+    from datalake_indexes_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,129 @@
+"""XASH — the reference's 128-bit row-fingerprint hash, bit-exact.
+
+Semantics from ``maco/util.py:141-211`` (``generate_XASH``): the
+``number_of_ones`` least-frequent characters of the token (ties broken by
+character) each set one bit in a 37-character x ``segment_size`` grid (the
+segment is picked from the mean position of the character in the token);
+the feature bits are then rotated by a length-derived amount and one length
+bit is set at ``37*segment_size + len(token) % (hash_size - 37*segment_size)``.
+
+Spark has no 128-bit integer, so the engine carries the hash as two signed
+64-bit longs ``(hi, lo)``; bitwise OR/containment work unchanged on the pair
+(``maco/data_handler.py:280-303`` stores the same value as a BIT(128) string).
+
+The per-token computation is pure Python (it is not expressible as a native
+column expression), wrapped in an Arrow-batched pandas UDF with a per-worker
+memo cache — token distributions in a data lake are heavily repetitive, so
+the cache turns the UDF into a dictionary probe for the common case.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+_CHARS = " 0123456789abcdefghijklmnopqrstuvwxyz"
+_CHAR_INDEX = {c: i for i, c in enumerate(_CHARS)}
+_SEGMENT_SIZE = {64: 1, 128: 3, 256: 6, 512: 13}
+_EMPTY_TOKENS = frozenset(["", "None", " ", "''"])
+
+_MASK64 = (1 << 64) - 1
+
+
+def xash(
+    token: str,
+    hash_size: int = 128,
+    rotation: bool = True,
+    number_of_ones: int = 5,
+) -> int:
+    """128-bit (by default) XASH of ``token`` as a Python int."""
+    if token in _EMPTY_TOKENS:
+        return 0
+
+    seg = _SEGMENT_SIZE[hash_size]
+    length_bit_start = 37 * seg
+    length_slots = hash_size - length_bit_start
+
+    counts = Counter(token)
+    # least-frequent first, ties by character ascending; chars outside the
+    # alphabet are selected (consuming a slot) but then skipped, matching
+    # the reference.
+    selected = [c for c, _ in sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))[:number_of_ones]]
+
+    n = 0
+    token_size = len(token)
+    for c in selected:
+        idx = _CHAR_INDEX.get(c)
+        if idx is None:
+            continue
+        positions = [i for i, ch in enumerate(token) if ch == c]
+        mean_index = sum(positions) / len(positions)
+        for i in range(seg):
+            if mean_index <= ((i + 1) * token_size / seg):
+                n |= 1 << (idx * seg + i)
+                break
+
+    if rotation:
+        # rotate the feature bits within [0, length_bit_start)
+        d = int((length_bit_start * (token_size % length_slots)) / length_slots)
+        n = ((n << d) | (n >> (length_bit_start - d))) % (1 << length_bit_start)
+
+    return n | (1 << (length_bit_start + (token_size % length_slots)))
+
+
+def split128(value: int) -> tuple[int, int]:
+    """Split a 128-bit int into signed (hi, lo) int64 pair."""
+    lo = value & _MASK64
+    hi = (value >> 64) & _MASK64
+    if lo >= 1 << 63:
+        lo -= 1 << 64
+    if hi >= 1 << 63:
+        hi -= 1 << 64
+    return hi, lo
+
+
+def xash_hi_lo(token: str, **kwargs) -> tuple[int, int]:
+    return split128(xash(token, **kwargs))
+
+
+_XASH_SCHEMA = StructType(
+    [StructField("hi", LongType(), False), StructField("lo", LongType(), False)]
+)
+
+
+def xash_pandas_udf(hash_size: int = 128, rotation: bool = True, number_of_ones: int = 5):
+    """Arrow-batched pandas UDF: token string -> struct(hi long, lo long).
+
+    A per-worker memo cache amortizes repeated tokens (key/id columns in a
+    lake repeat across rows and tables).
+    """
+    cache: dict[str, tuple[int, int]] = {}
+
+    @F.pandas_udf(_XASH_SCHEMA)
+    def _udf(tokens: pd.Series) -> pd.DataFrame:
+        his = []
+        los = []
+        for t in tokens:
+            t = "" if t is None else t
+            pair = cache.get(t)
+            if pair is None:
+                pair = split128(
+                    xash(t, hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones)
+                )
+                if len(cache) < 4_000_000:
+                    cache[t] = pair
+            his.append(pair[0])
+            los.append(pair[1])
+        return pd.DataFrame({"hi": his, "lo": los})
+
+    return _udf
+
+
+def superkey_contains(q_hi: Column, q_lo: Column, r_hi: Column, r_lo: Column) -> Column:
+    """Bit-containment test: every bit of q is set in r (mate.py:390-394,
+    ``(input_superkey | row_superkey) == row_superkey``) on the 2-long split."""
+    return (q_hi.bitwiseOR(r_hi) == r_hi) & (q_lo.bitwiseOR(r_lo) == r_lo)

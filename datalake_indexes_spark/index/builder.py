@@ -1,0 +1,161 @@
+"""Cell-index build — one declarative job per lake (SURVEY.md §3.A).
+
+The reference builds its inverted index with a per-file Python loop that
+stringifies, tokenizes, hashes and COPYs row-by-row
+(``maco/data_handler.py:258-420``).  Here the whole build is a Spark
+pipeline: stringify + tokenize as native expressions, wide→long unpivot via
+``stack``, XASH via one Arrow-batched pandas UDF, and the per-row super key
+as a ``bit_or`` aggregation — no driver-side iteration, scales with
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.functions.text import tokenize_col
+from datalake_indexes_spark.functions.xash import xash_pandas_udf
+from datalake_indexes_spark.index.lake_index import LakeIndex
+from datalake_indexes_spark.sources.catalog import LakeTableSpec
+
+
+def with_global_row_number(df: DataFrame, order_by: list[str], out_col: str = "row_id") -> DataFrame:
+    """Deterministic 0-based global row number by a total order — distributed.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses to a single
+    partition; instead we range-partition on the order keys, rank within
+    each partition, and add per-partition offsets (a tiny driver-side
+    aggregate).  Global rank is independent of where Spark draws the range
+    boundaries, so the result is deterministic at any parallelism.
+    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = df.repartitionByRange(n_part, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.withColumn(
+        "__local_rn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by)),
+    )
+    # repartitionByRange samples its boundaries; pin the partitioning so the
+    # offsets computed below and the final join see the same assignment
+    ranged = ranged.cache()
+    counts = (
+        ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    return (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local_rn") - 1).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
+
+
+def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec) -> DataFrame:
+    """P7 — wide→long: one output row per cell, tokenized (P1-P3).
+
+    Tokenization runs as native expressions *before* the stack so every
+    column stays inside whole-stage codegen.
+    """
+    wide = with_global_row_number(
+        df.select(*dict.fromkeys([*spec.order_by, *spec.cols])), list(spec.order_by)
+    )
+    tokenized_cols = [
+        tokenize_col(F.col(c)).alias(f"__tok_{i}") for i, c in enumerate(spec.cols)
+    ]
+    wide = wide.select("row_id", *tokenized_cols)
+    stack_args = ", ".join(f"{i}, __tok_{i}" for i in range(len(spec.cols)))
+    return (
+        wide.selectExpr(
+            "row_id",
+            f"stack({len(spec.cols)}, {stack_args}) as (col_id, tokenized)",
+        )
+        .withColumn("table_id", F.lit(spec.table_id))
+        .select("table_id", "col_id", "row_id", "tokenized")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    specs: dict[str, LakeTableSpec],
+    with_super_keys: bool = True,
+    hash_size: int = 128,
+    rotation: bool = True,
+    number_of_ones: int = 5,
+) -> LakeIndex:
+    """Build the full LakeIndex from raw lake tables.
+
+    Mirrors ``DataHandler.update_index`` (data_handler.py:641-651) as one
+    declarative job: cells = union of per-table unpivots; super keys =
+    ``bit_or(xash(token))`` per row (data_handler.py:280-283); headers and
+    table_info as side aggregates.
+    """
+    cell_parts = []
+    header_rows = []
+    info_parts = []
+    for name, spec in specs.items():
+        if name not in tables:
+            continue
+        df = tables[name]
+        cells_t = unpivot_to_cells(df, spec)
+        cell_parts.append(cells_t)
+        for col_id, col in enumerate(spec.cols):
+            header_rows.append((spec.table_id, col_id, col))
+
+    cells = cell_parts[0]
+    for part in cell_parts[1:]:
+        cells = cells.unionByName(part)
+
+    headers = spark.createDataFrame(
+        header_rows, "table_id int, col_id int, header string"
+    ).withColumn("header_tokenized", tokenize_col(F.col("header")))
+
+    table_names = spark.createDataFrame(
+        [(spec.table_id, name) for name, spec in specs.items() if name in tables],
+        "table_id int, dataset_name string",
+    )
+    table_info = (
+        cells.groupBy("table_id")
+        .agg(
+            F.max("row_id").alias("max_row_id"),
+            F.max("col_id").cast("int").alias("max_col_id"),
+        )
+        .join(F.broadcast(table_names), "table_id")
+        .select("table_id", "dataset_name", "max_row_id", "max_col_id")
+    )
+
+    if with_super_keys:
+        xash_udf = xash_pandas_udf(
+            hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
+        )
+        cell_hashes = cells.withColumn("__h", xash_udf(F.col("tokenized")))
+        row_keys = (
+            cell_hashes.groupBy("table_id", "row_id")
+            .agg(
+                F.bit_or(F.col("__h.hi")).alias("super_key_hi"),
+                F.bit_or(F.col("__h.lo")).alias("super_key_lo"),
+            )
+        )
+    else:
+        row_keys = (
+            cells.groupBy("table_id", "row_id")
+            .agg(
+                F.lit(0).cast("long").alias("super_key_hi"),
+                F.lit(0).cast("long").alias("super_key_lo"),
+            )
+        )
+
+    return LakeIndex(
+        cells=cells,
+        row_keys=row_keys,
+        column_headers=headers,
+        table_info=table_info,
+    )

@@ -1,0 +1,274 @@
+"""COCOA — correlation-driven feature enrichment (SURVEY.md §2.4-2.5, §3.C).
+
+Reference: ``maco/cocoa.py`` (``enrich``, ``enrich_multicolumn``).  The
+reference walks a per-column linked-list order index in driver Python to
+obtain external ranks in O(n) per column; that structure is a single-node
+pointer-chasing optimization that does not distribute, so the engine keeps
+the *capability* (rank-based correlation without per-query Python loops) via
+sort-based window ranks over the cell index — every column of every
+candidate table is processed in one long-format job.
+
+Semantics implemented (intended semantics; the reference's rank-averaging
+machinery is partially dead code due to indentation/indexing defects —
+cocoa.py:225-254, 551 — documented in SURVEY.md):
+
+- target rank: pandas ``rank(na_option='bottom', method='average')``
+  (cocoa.py:46-60) == average of row numbers per tied value, nulls last,
+- numeric external column: Spearman = Pearson(target_rank, ext_rank) where
+  matched input rows carry the average-rank of their matched external value
+  (over matched external rows; an input row matched to several external
+  rows keeps the highest rank — the reference's traversal last-write), and
+  unmatched rows are pinned at ``ceil(n/2)``  (cocoa.py:199,465-523),
+- categorical external column: per-category one-hot Pearson closed form
+  ``(n*S - q*T) / (sigma_T * n * sqrt(q*(n-q)))``, score = max |r| over
+  categories with at least one matched row  (cocoa.py:259-285, 524-554),
+- undefined correlations (zero variance / no matches) are reported as 0.0
+  (the reference yields NaN, which its own sort cannot order meaningfully),
+- numeric-ness of a column follows the reference's float-parse rule with
+  ''/'nan' counting as numeric  (maco/util.py:58-101).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.index.lake_index import LakeIndex
+from datalake_indexes_spark.operators.mate import MateResult
+
+
+def average_rank(df: DataFrame, value_col, partition_cols: list[str] | None = None,
+                 out_col: str = "rank") -> DataFrame:
+    """W1 — pandas-style average rank (ties share the mean of their row
+    numbers; NULL/NaN rank last, tied together)."""
+    part = partition_cols or []
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    order = Window.partitionBy(*part).orderBy(v.asc_nulls_last())
+    ties = Window.partitionBy(*part, v)
+    rn = F.row_number().over(order)
+    return df.withColumn(out_col, F.avg(rn).over(ties))
+
+
+def _num_value(token_col) -> "F.Column":
+    """Numeric value of a token: ''/'nan' -> NULL (pandas NaN-at-bottom
+    semantics; Spark would otherwise order NaN before NULL separately)."""
+    v = token_col.try_cast("double")
+    return F.when(F.isnan(v) | token_col.isin("", "nan"), F.lit(None)).otherwise(v)
+
+
+def is_numeric_flags(cells: DataFrame) -> DataFrame:
+    """P6 — per (table_id, col_id) numeric-column detection
+    (maco/util.py:58-101: every value parses as float, ''/'nan' numeric)."""
+    ok = F.col("tokenized").isin("", "nan") | F.col("tokenized").try_cast("double").isNotNull()
+    return cells.groupBy("table_id", "col_id").agg(F.bool_and(ok).alias("is_numeric"))
+
+
+@dataclass
+class CocoaResult:
+    correlations: DataFrame  # table_col_id string, corr double, is_numeric boolean
+
+
+class COCOA:
+    def __init__(self, index: LakeIndex):
+        self.index = index
+
+    # ------------------------------------------------------------------
+    def joinable_columns(self, input_tokens: DataFrame, k_t: int) -> DataFrame:
+        """A1 — top-k_t lake columns by distinct-token overlap with the
+        query column (maco/data_handler.py:714-723).
+
+        ``input_tokens``: single-column DataFrame ``token``.
+        Returns (table_id, col_id, overlap).
+        """
+        toks = F.broadcast(input_tokens.select(F.col("token")).where(F.col("token").isNotNull()).distinct())
+        overlaps = (
+            self.index.cells.join(toks, self.index.cells["tokenized"] == toks["token"], "inner")
+            .groupBy("table_id", "col_id")
+            .agg(F.count_distinct("tokenized").alias("overlap"))
+        )
+        w = Window.orderBy(F.desc("overlap"), F.asc("table_id"), F.asc("col_id"))
+        return (
+            overlaps.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k_t)
+            .drop("__rk")
+        )
+
+    # ------------------------------------------------------------------
+    def column_correlations(
+        self,
+        pairs: DataFrame,
+        input_ranks: DataFrame,
+        exclude_cols: DataFrame,
+        k_c: int | None = None,
+    ) -> DataFrame:
+        """Correlation of every non-join column of the candidate tables with
+        the input target (the §3.C per-column loop as one job).
+
+        Parameters
+        ----------
+        pairs : (table_id, ext_row_id, input_row_id) join maps (J7)
+        input_ranks : (input_row_id, target_rank) for ALL n input rows
+        exclude_cols : (table_id, col_id) join columns to skip
+        """
+        cells = self.index.cells
+
+        # scalar target statistics (cocoa.py:369-372): n, T, population std
+        stats_row = input_ranks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("target_rank").alias("t_sum"),
+            F.stddev_pop("target_rank").alias("t_std"),
+        ).collect()[0]
+        n = stats_row["n"]
+        t_sum = float(stats_row["t_sum"]) if stats_row["t_sum"] is not None else 0.0
+        t_std = float(stats_row["t_std"]) if stats_row["t_std"] is not None else 0.0
+        mid_rank = float(math.ceil(n / 2))
+
+        cand_tables = pairs.select("table_id").distinct()
+        ext_cells = (
+            cells.join(F.broadcast(cand_tables), "table_id", "leftsemi")
+            .join(F.broadcast(exclude_cols), ["table_id", "col_id"], "left_anti")
+        )
+        numeric = is_numeric_flags(ext_cells)
+
+        matched = (
+            pairs.join(
+                ext_cells.withColumnRenamed("row_id", "ext_row_id"),
+                ["table_id", "ext_row_id"],
+                "inner",
+            )
+            .join(input_ranks, "input_row_id", "inner")
+            .join(numeric, ["table_id", "col_id"], "inner")
+        )
+
+        # ---------------- numeric path: Spearman via ranks ----------------
+        m_num = matched.filter(F.col("is_numeric")).withColumn(
+            "__val", _num_value(F.col("tokenized"))
+        )
+        m_num = average_rank(m_num, F.col("__val"), ["table_id", "col_id"], out_col="__ext_rank")
+        per_input = m_num.groupBy("table_id", "col_id", "input_row_id").agg(
+            F.max("__ext_rank").alias("__ext_rank")
+        )
+        # all n input rows per candidate numeric column; unmatched -> ceil(n/2)
+        num_cols = numeric.filter(F.col("is_numeric")).select("table_id", "col_id")
+        full = (
+            num_cols.crossJoin(input_ranks)
+            .join(per_input, ["table_id", "col_id", "input_row_id"], "left")
+            .withColumn("__ext_rank", F.coalesce(F.col("__ext_rank"), F.lit(mid_rank)))
+        )
+        num_corr = full.groupBy("table_id", "col_id").agg(
+            F.corr("target_rank", "__ext_rank").alias("corr")
+        )
+
+        # ------------- categorical path: one-hot Pearson closed form -------------
+        m_cat = matched.filter(~F.col("is_numeric"))
+        cat_groups = m_cat.groupBy("table_id", "col_id", "tokenized").agg(
+            F.count(F.lit(1)).alias("q"), F.sum("target_rank").alias("s")
+        )
+        r = (F.lit(float(n)) * F.col("s") - F.col("q") * F.lit(t_sum)) / (
+            F.lit(t_std) * F.lit(float(n)) * F.sqrt(F.col("q") * (F.lit(float(n)) - F.col("q")))
+        )
+        cat_groups = cat_groups.filter(F.col("q") < n).withColumn("__r", F.abs(r))
+        cat_corr = cat_groups.groupBy("table_id", "col_id").agg(F.max("__r").alias("corr"))
+        cat_cols = numeric.filter(~F.col("is_numeric")).select("table_id", "col_id")
+        cat_corr = cat_cols.join(cat_corr, ["table_id", "col_id"], "left")
+
+        out = num_corr.unionByName(cat_corr).join(numeric, ["table_id", "col_id"], "inner")
+        out = out.withColumn(
+            "corr",
+            F.when(F.col("corr").isNull() | F.isnan(F.col("corr")), F.lit(0.0)).otherwise(
+                F.col("corr")
+            ),
+        ).select(
+            F.concat_ws("_", F.col("table_id"), F.col("col_id")).alias("table_col_id"),
+            "corr",
+            "is_numeric",
+        )
+        out = out.orderBy(F.desc(F.abs(F.col("corr"))), F.asc("table_col_id"))
+        if k_c is not None:
+            out = out.limit(k_c)
+        return out
+
+    # ------------------------------------------------------------------
+    def target_ranks(self, input_df: DataFrame, target_column: str,
+                     id_col: str = "input_row_id") -> DataFrame:
+        """(input_row_id, target_rank) with W1 semantics."""
+        df = input_df.select(F.col(id_col).alias("input_row_id"),
+                             F.col(target_column).alias("__target"))
+        df = average_rank(df, F.col("__target"), out_col="target_rank")
+        return df.select("input_row_id", "target_rank")
+
+    # ------------------------------------------------------------------
+    def enrich_multicolumn(
+        self,
+        input_df: DataFrame,
+        mate_result: MateResult,
+        k_c: int,
+        target_column: str,
+        id_col: str = "mate_row_id",
+    ) -> DataFrame:
+        """cocoa.py:306-583 — correlations over MATE's top joinable tables.
+
+        ``input_df`` must carry the MATE row id (``mate_row_id``) so target
+        ranks align with the join maps.
+        """
+        ranks = self.target_ranks(input_df, target_column, id_col=id_col)
+        pairs = mate_result.join_pairs.select("table_id", "ext_row_id", "input_row_id")
+        # columns named in the winning combination are the join columns -> skip
+        exclude = (
+            mate_result.top_k.select(
+                "table_id",
+                F.explode(F.split("column_combination", "_")).alias("col_id"),
+            )
+            .withColumn("col_id", F.col("col_id").cast("int"))
+            .distinct()
+        )
+        return self.column_correlations(pairs, ranks, exclude, k_c=k_c)
+
+    # ------------------------------------------------------------------
+    def enrich(
+        self,
+        input_df: DataFrame,
+        k_c: int,
+        k_t: int,
+        query_column: str,
+        target_column: str,
+        id_col: str = "input_row_id",
+    ) -> DataFrame:
+        """cocoa.py:29-304 — single-query-column enrichment.
+
+        Joinable columns come from A1 overlap; each joinable column defines
+        a token -> last-external-row join map (cocoa.py:62-85: later rows
+        win), with later input rows winning on duplicate tokens.
+        """
+        from datalake_indexes_spark.functions.text import tokenize_col
+
+        inp = input_df.withColumn("__qtok", tokenize_col(F.col(query_column)))
+        ranks = self.target_ranks(inp, target_column, id_col=id_col)
+
+        joinable = self.joinable_columns(
+            inp.select(F.col("__qtok").alias("token")), k_t=k_t
+        )
+
+        # join maps for every joinable column at once: per (join col, token)
+        # keep the last external row; per token keep the last input row
+        jc_cells = self.index.cells.join(
+            F.broadcast(joinable.select("table_id", "col_id")), ["table_id", "col_id"], "leftsemi"
+        )
+        last_ext = jc_cells.groupBy("table_id", "col_id", "tokenized").agg(
+            F.max("row_id").alias("ext_row_id")
+        )
+        last_inp = inp.groupBy("__qtok").agg(F.max(F.col(id_col)).alias("input_row_id"))
+        pairs = last_ext.join(
+            last_inp, last_ext["tokenized"] == last_inp["__qtok"], "inner"
+        ).select("table_id", F.col("col_id").alias("join_col_id"), "ext_row_id", "input_row_id")
+
+        exclude = pairs.select("table_id", F.col("join_col_id").alias("col_id")).distinct()
+        return self.column_correlations(
+            pairs.select("table_id", "ext_row_id", "input_row_id").distinct(),
+            ranks,
+            exclude,
+            k_c=k_c,
+        )

@@ -1,0 +1,141 @@
+"""Duplicate detection — super-key row/table duplicates (SURVEY.md §2.3 J5/J6).
+
+Reference: ``maco/duplicate_detection.py``.  Its row probe walks the posting
+list sequentially and compares sorted row-value multisets (``fp_check``,
+duplicate_detection.py:9-30); its table pass nested-loops every table pair.
+Here both are joins:
+
+- row duplicates: self-join of per-row fingerprints on the XASH super key,
+  verified by sorted-value-array equality (the super key is a sound
+  prefilter: equal rows always hash equal, collisions are removed by the
+  value check),
+- duplicate table relations (get_relations, duplicate_detection.py:208-230):
+  for every table pair with equal column counts, the pair is a duplicate
+  relation when the number of verified equal-row pairs reaches
+  ``min(rows(t1), rows(t2))``  (duplicate_detection.py:195-206).
+
+Deviations (intended semantics, SURVEY.md J5): the reference's
+``get_duplicate_tables`` probes only the *first* input row
+(duplicate_detection.py:65 ``iloc[:1]``); we probe all rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.index.lake_index import LakeIndex
+
+
+def row_fingerprints(index: LakeIndex) -> DataFrame:
+    """Per-row fingerprint: sorted value multiset + super key + column count
+    (duplicate_detection.py:70: ``sorted(list(row.astype(str)))``)."""
+    values = (
+        index.cells.groupBy("table_id", "row_id")
+        .agg(
+            F.sort_array(F.collect_list("tokenized")).alias("row_values"),
+            F.count(F.lit(1)).alias("n_cols"),
+        )
+    )
+    return values.join(index.row_keys, ["table_id", "row_id"], "inner")
+
+
+class DuplicateDetection:
+    def __init__(self, index: LakeIndex):
+        self.index = index
+
+    def duplicate_rows(self, within_table: bool = False) -> DataFrame:
+        """J5 — verified duplicate row pairs across the lake.
+
+        Returns (table_id_1, row_id_1, table_id_2, row_id_2), each unordered
+        pair once.  Super-key equality prunes the self-join; sorted value
+        arrays verify (hash collisions drop out).
+        """
+        fp = row_fingerprints(self.index)
+        a = fp.alias("a")
+        b = fp.alias("b")
+        pair_order = (F.col("a.table_id") < F.col("b.table_id")) | (
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.row_id") < F.col("b.row_id"))
+        )
+        cond = (
+            (F.col("a.super_key_hi") == F.col("b.super_key_hi"))
+            & (F.col("a.super_key_lo") == F.col("b.super_key_lo"))
+            & pair_order
+        )
+        if within_table:
+            cond = cond & (F.col("a.table_id") == F.col("b.table_id"))
+        joined = a.join(b, cond, "inner").filter(
+            F.col("a.row_values") == F.col("b.row_values")
+        )
+        return joined.select(
+            F.col("a.table_id").alias("table_id_1"),
+            F.col("a.row_id").alias("row_id_1"),
+            F.col("b.table_id").alias("table_id_2"),
+            F.col("b.row_id").alias("row_id_2"),
+        )
+
+    def get_relations(self) -> DataFrame:
+        """J6 — duplicate table relations (duplicate_detection.py:208-230).
+
+        Returns (table_id_1, table_id_2) for pairs where the verified
+        equal-row pair count reaches min(rows(t1), rows(t2)); only pairs
+        with equal column counts compete (duplicate_detection.py:141).
+        """
+        sizes = self.index.table_info.select(
+            "table_id", (F.col("max_row_id") + 1).alias("n_rows"), (F.col("max_col_id") + 1).alias("n_cols")
+        )
+        dup = self.duplicate_rows(within_table=False).filter(
+            F.col("table_id_1") != F.col("table_id_2")
+        )
+        counts = dup.groupBy("table_id_1", "table_id_2").agg(
+            F.count(F.lit(1)).alias("dup_pairs")
+        )
+        s1 = sizes.select(
+            F.col("table_id").alias("table_id_1"),
+            F.col("n_rows").alias("rows_1"),
+            F.col("n_cols").alias("cols_1"),
+        )
+        s2 = sizes.select(
+            F.col("table_id").alias("table_id_2"),
+            F.col("n_rows").alias("rows_2"),
+            F.col("n_cols").alias("cols_2"),
+        )
+        return (
+            counts.join(F.broadcast(s1), "table_id_1")
+            .join(F.broadcast(s2), "table_id_2")
+            .filter(F.col("cols_1") == F.col("cols_2"))
+            .filter(F.col("dup_pairs") >= F.least("rows_1", "rows_2"))
+            .select("table_id_1", "table_id_2")
+        )
+
+    def duplicate_row_groups(self, table_id: int | None = None) -> DataFrame:
+        """Exact duplicate-row groups by full value multiset — the set-based
+        view of J5 (group size > 1), useful as a lake-hygiene query.
+
+        Returns (table_id, row_values, group_size, min_row_id).
+        """
+        # value-only grouping — no super keys needed
+        fp = (
+            self.index.cells.groupBy("table_id", "row_id")
+            .agg(F.sort_array(F.collect_list("tokenized")).alias("row_values"))
+        )
+        if table_id is not None:
+            fp = fp.filter(F.col("table_id") == table_id)
+        return (
+            fp.groupBy("table_id", "row_values")
+            .agg(F.count(F.lit(1)).alias("group_size"), F.min("row_id").alias("min_row_id"))
+            .filter(F.col("group_size") > 1)
+        )
+
+    @staticmethod
+    def remove_duplicate_tables(top_k: DataFrame, relations: DataFrame) -> DataFrame:
+        """D2 — drop all but one representative of each duplicate group from
+        a MATE top-k list (demo:397-421).  Groups are connected components
+        of the relation edges; with pairwise relations the lower table id
+        survives."""
+        # transitive closure via iterative min-label propagation would be
+        # needed for chains; relations from get_relations are pairwise and
+        # our representative rule keeps the global minimum of each group.
+        drop = relations.select(F.greatest("table_id_1", "table_id_2").alias("table_id")).distinct()
+        return top_k.join(drop, "table_id", "left_anti")

@@ -1,0 +1,257 @@
+"""MATE — multi-attribute joinability search (SURVEY.md §2.3 J1-J3, §3.B).
+
+Reference: ``maco/mate.py:125-540`` (``MATE.join_search``).  The reference
+interleaves one Postgres posting-list probe with driver-side Python loops
+(candidate bucketing, super-key filtering, row verification, heap top-k).
+Here the whole search is one declarative DataFrame pipeline:
+
+1. input prep — dedup on query columns, tokenize, null-drop, per-row super
+   key via XASH OR  (mate.py:182-222),
+2. posting fetch — broadcast join of distinct first-query-column tokens
+   against the cell index  (mate.py:251-256),
+3. candidate cap — top ``k_c`` tables by hit count  (mate.py:313-314),
+4. super-key containment prefilter  (mate.py:390-394),
+5. verification of the remaining query columns against the candidate rows,
+   extracting the matched-column combination  (mate.py:94-123, 443-455),
+6. score per (table, combination), best per table, global top-k
+   (mate.py:457-504; reported score is count-1, mate.py:522-525).
+
+Deviations from the reference (intended-semantics fixes, SURVEY.md §3.B.4):
+- the ``tableid``/``table_id`` loop-variable bug (mate.py:318-320) is fixed —
+  every candidate table is scored on its own posting list;
+- per-hit heap early-termination (mate.py:352-359) does not distribute; the
+  retained pruning is the ``k_c`` candidate cap, so we may scan more rows
+  than the reference but never return fewer;
+- ties (equal best-combination counts / equal scores at the k boundary) are
+  resolved deterministically: lexicographically smallest combination,
+  lowest table_id — the reference inherits dict/heap iteration order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.functions.text import null_canonicalize_col, tokenize_col
+from datalake_indexes_spark.functions.xash import superkey_contains, xash_pandas_udf
+from datalake_indexes_spark.index.builder import with_global_row_number
+from datalake_indexes_spark.index.lake_index import LakeIndex
+
+
+@dataclass
+class MateResult:
+    """Top-k result + join maps + the A12 stats surface (mate.py:527-535)."""
+
+    top_k: DataFrame          # score long, table_id int, column_combination string
+    join_pairs: DataFrame     # table_id, column_combination, ext_row_id, input_row_id
+    stats: dict = field(default_factory=dict)
+
+
+class MATE:
+    def __init__(
+        self,
+        index: LakeIndex,
+        hash_size: int = 128,
+        rotation: bool = True,
+        number_of_ones: int = 5,
+    ):
+        self.index = index
+        self._xash_udf = xash_pandas_udf(
+            hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
+        )
+
+    # ------------------------------------------------------------------
+    def prepare_input(
+        self,
+        input_df: DataFrame,
+        query_columns: list[str],
+        input_order_by: list[str] | None = None,
+        with_super_key: bool = True,
+    ) -> DataFrame:
+        """Input prep (mate.py:182-222).
+
+        Returns one row per surviving input row with columns
+        ``mate_row_id`` and ``__q{i}`` (tokenized query values), plus
+        ``__q_hi``/``__q_lo`` (query super key) when requested.
+        """
+        if "mate_row_id" in input_df.columns:
+            df = input_df
+        else:
+            order = input_order_by or query_columns
+            df = with_global_row_number(input_df, list(order), out_col="mate_row_id")
+
+        # drop_duplicates on raw query values keeping the first row
+        # (mate.py:183; pandas keeps lowest index — we keep lowest id)
+        w = Window.partitionBy(*[F.col(q) for q in query_columns]).orderBy("mate_row_id")
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+        for i, q in enumerate(query_columns):
+            df = df.withColumn(f"__q{i}", null_canonicalize_col(tokenize_col(F.col(q))))
+        qcols = [f"__q{i}" for i in range(len(query_columns))]
+        for qc in qcols:
+            df = df.filter(F.col(qc).isNotNull())
+
+        out = df.select("mate_row_id", *qcols)
+        if with_super_key:
+            for i, qc in enumerate(qcols):
+                out = out.withColumn(f"__h{i}", self._xash_udf(F.col(qc)))
+            hi = F.col("__h0.hi")
+            lo = F.col("__h0.lo")
+            for i in range(1, len(qcols)):
+                hi = hi.bitwiseOR(F.col(f"__h{i}.hi"))
+                lo = lo.bitwiseOR(F.col(f"__h{i}.lo"))
+            out = out.withColumn("__q_hi", hi).withColumn("__q_lo", lo)
+            out = out.drop(*[f"__h{i}" for i in range(len(qcols))])
+        return out
+
+    # ------------------------------------------------------------------
+    def join_search(
+        self,
+        input_df: DataFrame,
+        query_columns: list[str],
+        k: int = 10,
+        k_c: int = 500,
+        min_join_ratio: int = 0,
+        use_hash_optimization: bool = True,
+        input_order_by: list[str] | None = None,
+        stats: dict | None = None,
+    ) -> MateResult:
+        degree = len(query_columns)
+        cells = self.index.cells
+
+        inp = self.prepare_input(
+            input_df, query_columns, input_order_by, with_super_key=use_hash_optimization
+        )
+        # the probe side is tiny relative to the lake — broadcast it so the
+        # posting fetch is a map-side join against the cell index scan
+        inp = F.broadcast(inp)
+
+        # 2. posting fetch on first query column (mate.py:251-256)
+        hits = cells.join(inp, cells["tokenized"] == inp["__q0"], "inner")
+
+        # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
+        #    min_join_ratio drops small posting lists (mate.py:325-326)
+        table_hits = hits.groupBy(F.col("table_id").alias("__t")).count()
+        if min_join_ratio > 0:
+            table_hits = table_hits.filter(F.col("count") >= min_join_ratio)
+        cand_tables = (
+            table_hits.withColumn(
+                "__rk",
+                F.row_number().over(Window.orderBy(F.desc("count"), F.asc("__t"))),
+            )
+            .filter(F.col("__rk") <= k_c)
+            .select(F.col("__t").alias("table_id"))
+        )
+        hits = hits.join(F.broadcast(cand_tables), "table_id", "inner")
+
+        # 4. super-key containment prefilter (mate.py:390-394)
+        if use_hash_optimization:
+            rk = self.index.row_keys
+            hits = hits.join(rk, ["table_id", "row_id"], "inner")
+            hits = hits.filter(
+                superkey_contains(
+                    F.col("__q_hi"), F.col("__q_lo"),
+                    F.col("super_key_hi"), F.col("super_key_lo"),
+                )
+            )
+
+        pairs = hits.select(
+            "table_id",
+            F.col("row_id").alias("ext_row_id"),
+            F.col("col_id").alias("hit_col_id"),
+            "mate_row_id",
+            *[f"__q{i}" for i in range(degree)],
+        )
+
+        # 5. verification (mate.py:94-123 evaluate_rows, 443-455):
+        # every query column after the first must appear among the row's
+        # cells; matched col-ids are appended in ascending order.  The
+        # degree-1 quirk ([-0:] slices the whole array) re-verifies the
+        # single query column, so verification columns are [q0] for
+        # degree 1, else q1..qd-1.
+        verify_idx = [0] if degree == 1 else list(range(1, degree))
+
+        row_cells = cells.select(
+            "table_id",
+            F.col("row_id").alias("ext_row_id"),
+            F.col("col_id").alias("__cell_col"),
+            F.col("tokenized").alias("__cell_tok"),
+        )
+        joined = pairs.join(row_cells, ["table_id", "ext_row_id"], "inner")
+
+        agg_exprs = []
+        for i in verify_idx:
+            agg_exprs.append(
+                F.sort_array(
+                    F.collect_set(
+                        F.when(F.col("__cell_tok") == F.col(f"__q{i}"), F.col("__cell_col"))
+                    )
+                ).alias(f"__m{i}")
+            )
+        verified = joined.groupBy(
+            "table_id", "ext_row_id", "hit_col_id", "mate_row_id"
+        ).agg(*agg_exprs)
+
+        is_match = F.lit(True)
+        for i in verify_idx:
+            is_match = is_match & (F.size(F.col(f"__m{i}")) > 0)
+        verified = verified.withColumn("__match", is_match)
+
+        combo = F.concat_ws(
+            "_",
+            F.col("hit_col_id").cast("string"),
+            *[
+                F.array_join(F.transform(F.col(f"__m{i}"), lambda c: c.cast("string")), "_")
+                for i in verify_idx
+            ],
+        )
+        matches = verified.filter(F.col("__match")).withColumn("column_combination", combo)
+
+        # 6. scoring: count per (table, combination) (mate.py:457-470);
+        # best combination per table; reported score = count - 1
+        combo_counts = matches.groupBy("table_id", "column_combination").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        best = (
+            combo_counts.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("table_id").orderBy(
+                        F.desc("__cnt"), F.asc("column_combination")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+            .select(
+                (F.col("__cnt") - 1).cast("long").alias("score"),
+                "table_id",
+                "column_combination",
+            )
+        )
+        top_k = best.orderBy(F.desc("score"), F.asc("table_id")).limit(k)
+
+        # 7. join maps (mate.py:473-486): ext_row -> input_row for the best
+        # combination of each top table; last-write-wins in the reference —
+        # we keep the largest input row id (deterministic).
+        join_pairs = (
+            matches.join(
+                top_k.select("table_id", "column_combination"),
+                ["table_id", "column_combination"],
+                "inner",
+            )
+            .groupBy("table_id", "column_combination", "ext_row_id")
+            .agg(F.max("mate_row_id").alias("input_row_id"))
+        )
+
+        result = MateResult(top_k=top_k, join_pairs=join_pairs)
+        if stats is not None:
+            n_match = matches.count()
+            n_approved = verified.count()
+            stats["total_approved"] = n_approved
+            stats["matching_rows"] = n_match
+            stats["total_fp"] = n_approved - n_match
+            stats["precision"] = n_match / max(n_approved, 1)
+            result.stats = stats
+        return result

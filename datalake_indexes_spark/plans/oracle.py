@@ -1,0 +1,361 @@
+"""DuckDB oracle SQL emitters.
+
+Every engine operator exposed through ``__spark_entry__.queries()`` has an
+independently-written ANSI-SQL formulation here, generated from the same
+shared constants (lake spec, tokenizer patterns, null-ish token set) the
+Spark pipelines use — the *logic* is written twice (DataFrame vs SQL), the
+*constants* once, so the driver's DuckDB comparison is a real check of the
+engine's semantics rather than a tautology.
+
+All SQL is DuckDB dialect (regexp flags, ``list(... ORDER BY ...)``).
+"""
+
+from __future__ import annotations
+
+from datalake_indexes_spark.functions.text import NULLISH_TOKENS, tokenize_sql
+from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC, LakeTableSpec
+
+
+def _rowid_select(spec: LakeTableSpec) -> str:
+    order = ", ".join(spec.order_by)
+    cols = ", ".join(dict.fromkeys(list(spec.cols) + list(spec.order_by)))
+    return (
+        f"SELECT {cols}, row_number() OVER (ORDER BY {order}) - 1 AS row_id "
+        f"FROM {spec.name}"
+    )
+
+
+def cells_cte(specs: dict[str, LakeTableSpec] | None = None) -> str:
+    """The cell-index CTE: one row per (table_id, col_id, row_id, tokenized)."""
+    specs = specs or TESTDATA_LAKE_SPEC
+    table_ctes = []
+    cell_selects = []
+    for name, spec in specs.items():
+        table_ctes.append(f"__t_{name} AS ({_rowid_select(spec)})")
+        for col_id, col in enumerate(spec.cols):
+            cell_selects.append(
+                f"SELECT {spec.table_id} AS table_id, {col_id} AS col_id, row_id, "
+                f"{tokenize_sql(col, 'duckdb')} AS tokenized FROM __t_{name}"
+            )
+    ctes = ",\n".join(table_ctes)
+    cells = "\nUNION ALL\n".join(cell_selects)
+    return f"{ctes},\ncells AS (\n{cells}\n)"
+
+
+def index_cells_sql() -> str:
+    return f"WITH {cells_cte()} SELECT table_id, col_id, row_id, tokenized FROM cells"
+
+
+def table_info_sql() -> str:
+    names = ", ".join(
+        f"({s.table_id}, '{s.name}')" for s in TESTDATA_LAKE_SPEC.values()
+    )
+    return f"""
+WITH {cells_cte()},
+info AS (
+  SELECT table_id, max(row_id) AS max_row_id, CAST(max(col_id) AS INT) AS max_col_id
+  FROM cells GROUP BY table_id
+),
+names(table_id, dataset_name) AS (VALUES {names})
+SELECT i.table_id, n.dataset_name, i.max_row_id, i.max_col_id
+FROM info i JOIN names n USING (table_id)
+"""
+
+
+_NUMERIC_TOKEN = "(tokenized IN ('', 'nan') OR TRY_CAST(tokenized AS DOUBLE) IS NOT NULL)"
+
+
+def is_numeric_sql() -> str:
+    return f"""
+WITH {cells_cte()}
+SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+FROM cells GROUP BY table_id, col_id
+"""
+
+
+def _input_cte(
+    table: str,
+    query_columns: list[str],
+    order_by: list[str],
+    extra_cols: list[str] | None = None,
+    dedup: bool = True,
+) -> str:
+    """MATE input prep (mate.py:182-222): row ids in table order, dedup on
+    raw query values keeping the first row, tokenize, drop null-ish."""
+    nullish = ", ".join(f"'{t}'" for t in NULLISH_TOKENS[:3])
+    order = ", ".join(order_by)
+    extra = "".join(f", {c}" for c in (extra_cols or []))
+    qsel = ", ".join(query_columns)
+    toks = ", ".join(
+        f"{tokenize_sql(q, 'duckdb')} AS q{i}" for i, q in enumerate(query_columns)
+    )
+    tok_filter = " AND ".join(
+        f"(q{i} IS NOT NULL AND q{i} NOT IN ({nullish}))" for i in range(len(query_columns))
+    )
+    dedup_cte = (
+        f"""__input_dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY {qsel} ORDER BY mate_row_id) AS __rn
+    FROM __input_raw
+  ) WHERE __rn = 1
+)"""
+        if dedup
+        else "__input_dedup AS (SELECT * FROM __input_raw)"
+    )
+    return f"""__input_raw AS (
+  SELECT {qsel}{extra}, row_number() OVER (ORDER BY {order}) - 1 AS mate_row_id
+  FROM {table}
+),
+{dedup_cte},
+input_ok AS (
+  SELECT * FROM (SELECT mate_row_id{extra}, {toks} FROM __input_dedup)
+  WHERE {tok_filter}
+)"""
+
+
+def mate_join_search_sql(
+    input_table: str,
+    query_columns: list[str],
+    input_order_by: list[str],
+    k: int = 10,
+    k_c: int = 500,
+    min_join_ratio: int = 0,
+) -> str:
+    """J1/J2/J3 — the full joinability search (super-key filtering omitted:
+    it is a sound prefilter and cannot change the verified result)."""
+    degree = len(query_columns)
+    verify_idx = [0] if degree == 1 else list(range(1, degree))
+    m_selects = ", ".join(
+        f"list(c.col_id ORDER BY c.col_id) FILTER (WHERE c.tokenized = h.q{i}) AS m{i}"
+        for i in verify_idx
+    )
+    match_cond = " AND ".join(f"len(m{i}) > 0" for i in verify_idx)
+    combo = " || ".join(
+        ["CAST(hit_col_id AS VARCHAR)"]
+        + [f"'_' || array_to_string(m{i}, '_')" for i in verify_idx]
+    )
+    qcols = ", ".join(f"h.q{i}" for i in range(degree))
+    min_ratio_filter = f"HAVING count(*) >= {min_join_ratio}" if min_join_ratio > 0 else ""
+    return f"""
+WITH {cells_cte()},
+{_input_cte(input_table, query_columns, input_order_by)},
+hits AS (
+  SELECT c.table_id, c.row_id AS ext_row_id, c.col_id AS hit_col_id, i.mate_row_id,
+         {", ".join(f"i.q{i}" for i in range(degree))}
+  FROM cells c JOIN input_ok i ON c.tokenized = i.q0
+),
+cand AS (
+  SELECT table_id FROM (
+    SELECT table_id, row_number() OVER (ORDER BY count(*) DESC, table_id) AS rk
+    FROM hits GROUP BY table_id {min_ratio_filter}
+  ) WHERE rk <= {k_c}
+),
+verified AS (
+  SELECT h.table_id, h.ext_row_id, h.hit_col_id, h.mate_row_id, {qcols}, {m_selects}
+  FROM (SELECT hits.* FROM hits JOIN cand USING (table_id)) h
+  JOIN cells c ON c.table_id = h.table_id AND c.row_id = h.ext_row_id
+  GROUP BY ALL
+),
+matches AS (
+  SELECT *, {combo} AS column_combination FROM verified WHERE {match_cond}
+),
+combo_counts AS (
+  SELECT table_id, column_combination, count(*) AS cnt FROM matches GROUP BY ALL
+),
+best AS (
+  SELECT CAST(cnt - 1 AS BIGINT) AS score, table_id, column_combination FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY table_id ORDER BY cnt DESC, column_combination) AS rk
+    FROM combo_counts
+  ) WHERE rk = 1
+)
+SELECT score, table_id, column_combination FROM best
+ORDER BY score DESC, table_id LIMIT {k}
+"""
+
+
+def cocoa_enrich_sql(
+    input_table: str,
+    query_column: str,
+    target_column: str,
+    input_order_by: list[str],
+    k_t: int = 10,
+    k_c: int = 20,
+    round_digits: int = 4,
+) -> str:
+    """COCOA single-query-column enrichment (cocoa.py:29-304), intended
+    semantics — see operators/cocoa.py for the full semantics statement."""
+    qtok = tokenize_sql(query_column, "duckdb")
+    order = ", ".join(input_order_by)
+    return f"""
+WITH {cells_cte()},
+input AS (
+  SELECT row_number() OVER (ORDER BY {order}) - 1 AS rid,
+         {qtok} AS qtok, {target_column} AS target
+  FROM {input_table}
+),
+tr AS (
+  SELECT rid, qtok, avg(rn) OVER (PARTITION BY target) AS target_rank
+  FROM (SELECT *, row_number() OVER (ORDER BY target ASC NULLS LAST) AS rn FROM input)
+),
+stats AS (
+  SELECT count(*) AS n, sum(target_rank) AS t_sum, stddev_pop(target_rank) AS t_std,
+         CAST(ceil(count(*) / 2.0) AS DOUBLE) AS mid_rank
+  FROM tr
+),
+joinable AS (
+  SELECT table_id, col_id FROM (
+    SELECT c.table_id, c.col_id,
+           row_number() OVER (ORDER BY count(DISTINCT c.tokenized) DESC, c.table_id, c.col_id) AS rk
+    FROM cells c JOIN (SELECT DISTINCT qtok FROM input WHERE qtok IS NOT NULL) i
+      ON c.tokenized = i.qtok
+    GROUP BY c.table_id, c.col_id
+  ) WHERE rk <= {k_t}
+),
+last_ext AS (
+  SELECT c.table_id, c.col_id AS join_col, c.tokenized, max(c.row_id) AS ext_row
+  FROM cells c JOIN joinable j ON c.table_id = j.table_id AND c.col_id = j.col_id
+  GROUP BY ALL
+),
+last_inp AS (SELECT qtok, max(rid) AS rid FROM input GROUP BY qtok),
+matched_join AS (
+  SELECT e.table_id, e.join_col, e.ext_row, i.rid
+  FROM last_ext e JOIN last_inp i ON e.tokenized = i.qtok
+),
+pairs AS (SELECT DISTINCT table_id, ext_row, rid FROM matched_join),
+exclude AS (SELECT DISTINCT table_id, join_col AS col_id FROM matched_join),
+ext_cells AS (
+  SELECT c.* FROM cells c
+  JOIN (SELECT DISTINCT table_id FROM pairs) t USING (table_id)
+  ANTI JOIN exclude x ON c.table_id = x.table_id AND c.col_id = x.col_id
+),
+numeric AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM ext_cells GROUP BY table_id, col_id
+),
+matched AS (
+  SELECT p.rid, e.table_id, e.col_id, e.tokenized, t.target_rank, nm.is_numeric
+  FROM pairs p
+  JOIN ext_cells e ON e.table_id = p.table_id AND e.row_id = p.ext_row
+  JOIN tr t ON t.rid = p.rid
+  JOIN numeric nm ON nm.table_id = e.table_id AND nm.col_id = e.col_id
+),
+m_num AS (
+  SELECT *, CASE WHEN tokenized IN ('', 'nan') OR isnan(TRY_CAST(tokenized AS DOUBLE))
+                 THEN NULL ELSE TRY_CAST(tokenized AS DOUBLE) END AS val
+  FROM matched WHERE is_numeric
+),
+ranked AS (
+  SELECT *, avg(rn) OVER (PARTITION BY table_id, col_id, val) AS ext_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY table_id, col_id ORDER BY val ASC NULLS LAST) AS rn
+        FROM m_num)
+),
+per_input AS (
+  SELECT table_id, col_id, rid, max(ext_rank) AS er FROM ranked GROUP BY ALL
+),
+num_full AS (
+  SELECT nc.table_id, nc.col_id, t.rid, t.target_rank,
+         coalesce(pi.er, (SELECT mid_rank FROM stats)) AS er
+  FROM (SELECT table_id, col_id FROM numeric WHERE is_numeric) nc
+  CROSS JOIN tr t
+  LEFT JOIN per_input pi ON pi.table_id = nc.table_id AND pi.col_id = nc.col_id AND pi.rid = t.rid
+),
+num_corr AS (
+  SELECT table_id, col_id, corr(target_rank, er) AS corr FROM num_full GROUP BY ALL
+),
+cat_groups AS (
+  SELECT table_id, col_id, tokenized, count(*) AS q, sum(target_rank) AS s
+  FROM matched WHERE NOT is_numeric GROUP BY ALL
+),
+cat_r AS (
+  SELECT table_id, col_id,
+         abs((st.n * s - q * st.t_sum) / (st.t_std * st.n * sqrt(q * (st.n - q)))) AS r
+  FROM cat_groups, stats st WHERE q < st.n
+),
+cat_corr AS (
+  SELECT cc.table_id, cc.col_id, max(cr.r) AS corr
+  FROM (SELECT table_id, col_id FROM numeric WHERE NOT is_numeric) cc
+  LEFT JOIN cat_r cr ON cr.table_id = cc.table_id AND cr.col_id = cc.col_id
+  GROUP BY ALL
+),
+all_corr AS (
+  SELECT * FROM num_corr UNION ALL SELECT * FROM cat_corr
+)
+SELECT CAST(a.table_id AS VARCHAR) || '_' || CAST(a.col_id AS VARCHAR) AS table_col_id,
+       round(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END, {round_digits}) AS corr,
+       nm.is_numeric
+FROM all_corr a JOIN numeric nm ON nm.table_id = a.table_id AND nm.col_id = a.col_id
+ORDER BY abs(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END) DESC,
+         table_col_id
+LIMIT {k_c}
+"""
+
+
+def dup_row_groups_sql() -> str:
+    return f"""
+WITH {cells_cte()},
+fp AS (
+  SELECT table_id, row_id, list_sort(list(tokenized)) AS row_values
+  FROM cells GROUP BY table_id, row_id
+)
+SELECT table_id, array_to_string(row_values, '|') AS row_values,
+       count(*) AS group_size, min(row_id) AS min_row_id
+FROM fp GROUP BY table_id, row_values HAVING count(*) > 1
+"""
+
+
+def dup_table_relations_sql() -> str:
+    return f"""
+WITH {cells_cte()},
+fp AS (
+  SELECT table_id, row_id, list_sort(list(tokenized)) AS row_values, count(*) AS n_cols
+  FROM cells GROUP BY table_id, row_id
+),
+sizes AS (
+  SELECT table_id, max(row_id) + 1 AS n_rows, max(n_cols) AS n_cols
+  FROM fp GROUP BY table_id
+),
+dup AS (
+  SELECT a.table_id AS table_id_1, b.table_id AS table_id_2, count(*) AS dup_pairs
+  FROM fp a JOIN fp b
+    ON a.row_values = b.row_values AND a.table_id < b.table_id
+  GROUP BY ALL
+)
+SELECT d.table_id_1, d.table_id_2
+FROM dup d
+JOIN sizes s1 ON s1.table_id = d.table_id_1
+JOIN sizes s2 ON s2.table_id = d.table_id_2
+WHERE s1.n_cols = s2.n_cols AND d.dup_pairs >= least(s1.n_rows, s2.n_rows)
+"""
+
+
+def get_table_pivot_sql(table_name: str) -> str:
+    spec = TESTDATA_LAKE_SPEC[table_name]
+    cols = ", ".join(
+        f"max(CASE WHEN col_id = {i} THEN tokenized END) AS col_{i}"
+        for i in range(len(spec.cols))
+    )
+    return f"""
+WITH {cells_cte()}
+SELECT row_id, {cols}
+FROM cells WHERE table_id = {spec.table_id}
+GROUP BY row_id
+"""
+
+
+def add_external_features_sql() -> str:
+    """J4 — demo-style feature materialization: customer LEFT JOIN the
+    first-per-key orders row on the tokenized key (demo:516-587)."""
+    ctok = tokenize_sql("c_custkey", "duckdb")
+    otok = tokenize_sql("o_custkey", "duckdb")
+    return f"""
+WITH ext AS (
+  SELECT * FROM (
+    SELECT {otok} AS join_tok, o_totalprice, o_orderstatus,
+           row_number() OVER (PARTITION BY {otok} ORDER BY o_orderkey) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey, c.c_acctbal, e.o_totalprice, e.o_orderstatus
+FROM customer c LEFT JOIN ext e ON {ctok} = e.join_tok
+"""

@@ -1,0 +1,195 @@
+"""Query registry — the driver-facing (Spark pipeline, DuckDB oracle) pairs.
+
+Each entry maps a SURVEY.md §2 operator to (a) a DataFrame pipeline built on
+the engine API and (b) an independently-written DuckDB SQL oracle from
+``plans/oracle.py``.  Column names/aliases match on both sides (the driver
+hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.index.builder import build_index, with_global_row_number
+from datalake_indexes_spark.index.lake_index import LakeIndex
+from datalake_indexes_spark.operators.cocoa import COCOA, is_numeric_flags
+from datalake_indexes_spark.operators.duplicates import DuplicateDetection
+from datalake_indexes_spark.operators.mate import MATE
+from datalake_indexes_spark.plans import oracle
+from datalake_indexes_spark.functions.text import tokenize_col
+from datalake_indexes_spark.sources.catalog import ALL_TABLE_NAMES, TESTDATA_LAKE_SPEC
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    names = names or ALL_TABLE_NAMES
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+_INDEX_CACHE: dict[tuple[str, bool], LakeIndex] = {}
+
+
+def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = True) -> LakeIndex:
+    key = (os.path.abspath(sf_dir), with_super_keys)
+    if key not in _INDEX_CACHE:
+        idx = build_index(
+            spark, load_tables(spark, sf_dir), TESTDATA_LAKE_SPEC, with_super_keys=with_super_keys
+        )
+        _INDEX_CACHE[key] = idx.cache()
+    return _INDEX_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query functions: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7/P1-P4/P7 — the tokenized cell index itself."""
+    return testdata_index(spark, sf_dir, with_super_keys=False).cells
+
+
+def q_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — table metadata (max row/col ids)."""
+    return testdata_index(spark, sf_dir, with_super_keys=False).table_info
+
+
+def q_is_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — numeric-column detection."""
+    return is_numeric_flags(testdata_index(spark, sf_dir, with_super_keys=False).cells)
+
+
+def q_mate_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (degree 1) — top joinable tables for customer on c_custkey."""
+    idx = testdata_index(spark, sf_dir)
+    mate = MATE(idx)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return mate.join_search(
+        customer, ["c_custkey"], k=10, k_c=500, input_order_by=["c_custkey"]
+    ).top_k
+
+
+def q_mate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2+J3 (degree 2) — lineitem on (l_orderkey, l_partkey)."""
+    idx = testdata_index(spark, sf_dir)
+    mate = MATE(idx)
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return mate.join_search(
+        lineitem,
+        ["l_orderkey", "l_partkey"],
+        k=10,
+        k_c=500,
+        input_order_by=["l_orderkey", "l_linenumber"],
+    ).top_k
+
+
+def q_cocoa_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8-A11/W1/W5 — single-column COCOA enrichment:
+    customer.c_custkey -> correlations against c_acctbal."""
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    cocoa = COCOA(idx)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    inp = with_global_row_number(customer, ["c_custkey"], out_col="input_row_id")
+    out = cocoa.enrich(
+        inp, k_c=20, k_t=5, query_column="c_custkey", target_column="c_acctbal"
+    )
+    return out.select("table_col_id", F.round("corr", 4).alias("corr"), "is_numeric")
+
+
+def q_dup_row_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (set view) — exact duplicate-row groups across the lake."""
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    dd = DuplicateDetection(idx)
+    out = dd.duplicate_row_groups()
+    return out.select(
+        "table_id",
+        F.array_join("row_values", "|").alias("row_values"),
+        "group_size",
+        "min_row_id",
+    )
+
+
+def q_dup_table_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — duplicate table relations (super-key prefilter + verification)."""
+    idx = testdata_index(spark, sf_dir)
+    return DuplicateDetection(idx).get_relations()
+
+
+def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — reconstruct the nation table from the cell index."""
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    n_cols = len(spec.cols)
+    cells = idx.cells.filter(F.col("table_id") == spec.table_id)
+    return (
+        cells.groupBy("row_id")
+        .pivot("col_id", list(range(n_cols)))
+        .agg(F.first("tokenized"))
+        .select("row_id", *[F.col(str(i)).alias(f"col_{i}") for i in range(n_cols)])
+    )
+
+
+def q_add_external_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — feature materialization: customer LEFT JOIN first-per-key orders
+    row on the tokenized key (demo:516-587: dropDuplicates then left join)."""
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from pyspark.sql import Window
+
+    ext = (
+        orders.withColumn("join_tok", tokenize_col(F.col("o_custkey")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("join_tok").orderBy("o_orderkey")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("join_tok", "o_totalprice", "o_orderstatus")
+    )
+    return (
+        customer.withColumn("c_tok", tokenize_col(F.col("c_custkey")))
+        .join(F.broadcast(ext), F.col("c_tok") == F.col("join_tok"), "left")
+        .select("c_custkey", "c_acctbal", "o_totalprice", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "index_cells": q_index_cells,
+    "index_table_info": q_table_info,
+    "index_is_numeric": q_is_numeric,
+    "mate_join_search_single": q_mate_single,
+    "mate_join_search_multi": q_mate_multi,
+    "cocoa_enrich": q_cocoa_enrich,
+    "dup_row_groups": q_dup_row_groups,
+    "dup_table_relations": q_dup_table_relations,
+    "get_table_pivot": q_get_table_pivot,
+    "add_external_features": q_add_external_features,
+}
+
+ORACLES: dict[str, str] = {
+    "index_cells": oracle.index_cells_sql(),
+    "index_table_info": oracle.table_info_sql(),
+    "index_is_numeric": oracle.is_numeric_sql(),
+    "mate_join_search_single": oracle.mate_join_search_sql(
+        "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
+    ),
+    "mate_join_search_multi": oracle.mate_join_search_sql(
+        "lineitem",
+        ["l_orderkey", "l_partkey"],
+        ["l_orderkey", "l_linenumber"],
+        k=10,
+        k_c=500,
+    ),
+    "cocoa_enrich": oracle.cocoa_enrich_sql(
+        "customer", "c_custkey", "c_acctbal", ["c_custkey"], k_t=5, k_c=20
+    ),
+    "dup_row_groups": oracle.dup_row_groups_sql(),
+    "dup_table_relations": oracle.dup_table_relations_sql(),
+    "get_table_pivot": oracle.get_table_pivot_sql("nation"),
+    "add_external_features": oracle.add_external_features_sql(),
+}

@@ -1,0 +1,58 @@
+"""Lake catalog — which tables/columns form the indexed data lake.
+
+The reference ingests a folder of heterogeneous files and assigns integer
+table ids in ingestion order (``maco/data_handler.py:501-516,362-420``).  Our
+test lake is the fixed set of ``/root/testdata`` tables; the spec below pins
+the table-id assignment, the indexed columns (positional ``col_id``), and a
+total ordering that defines deterministic ``row_id`` values, so the engine
+and the DuckDB oracle agree cell-for-cell.
+
+Double/timestamp columns are excluded from the *tokenized cell index* by
+default: joining lake tables on stringified floating-point values is
+meaningless, and their string rendering is engine-dependent.  They remain
+fully available to COCOA/enrichment, which read the raw tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LakeTableSpec:
+    name: str
+    table_id: int
+    cols: tuple[str, ...]          # indexed columns; position = col_id
+    order_by: tuple[str, ...]      # unique total order defining row_id
+
+
+def _t(name: str, table_id: int, cols: list[str], order_by: list[str]) -> LakeTableSpec:
+    return LakeTableSpec(name, table_id, tuple(cols), tuple(order_by))
+
+
+# Table-id assignment is the canonical TESTDATA.md order.
+TESTDATA_LAKE_SPEC: dict[str, LakeTableSpec] = {
+    s.name: s
+    for s in [
+        _t("region", 0, ["r_regionkey", "r_name"], ["r_regionkey"]),
+        _t("nation", 1, ["n_nationkey", "n_name", "n_regionkey"], ["n_nationkey"]),
+        _t("customer", 2, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], ["c_custkey"]),
+        _t("supplier", 3, ["s_suppkey", "s_name", "s_nationkey"], ["s_suppkey"]),
+        _t("part", 4, ["p_partkey", "p_name", "p_brand", "p_type", "p_size"], ["p_partkey"]),
+        _t("orders", 5, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], ["o_orderkey"]),
+        _t(
+            "lineitem",
+            6,
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+            ["l_orderkey", "l_linenumber"],
+        ),
+        _t("events", 7, ["event_id", "user_id", "event_type"], ["event_id"]),
+        _t("documents", 8, ["doc_id", "lang", "source", "n_chars"], ["doc_id"]),
+        _t("embeddings", 9, ["vec_id", "label"], ["vec_id"]),
+    ]
+}
+
+ALL_TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]

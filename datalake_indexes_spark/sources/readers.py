@@ -1,0 +1,76 @@
+"""Lake file readers — format dispatch (SURVEY.md §2.1 S1-S6).
+
+The reference sniffs CSV dialects with ``csv.Sniffer`` and falls back to
+latin-1 (``maco/data_handler.py:567-624``); we sniff the delimiter from a
+one-line driver-side sample and hand the real read to Spark's vectorized
+CSV/JSON/Parquet sources so scans stay JVM-side with pushdown intact.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CSV_DELIMS = [",", ";", "\t", "|"]
+
+
+def _sniff_delimiter(spark: SparkSession, path: str) -> str:
+    """Pick the CSV delimiter from the first line (S1)."""
+    head = spark.read.text(path).limit(1).collect()
+    if not head:
+        return ","
+    line = head[0][0]
+    try:
+        return csv.Sniffer().sniff(line, delimiters="".join(_CSV_DELIMS)).delimiter
+    except csv.Error:
+        counts = {d: line.count(d) for d in _CSV_DELIMS}
+        return max(counts, key=counts.get)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read one lake file, dispatching on extension (S1-S5).
+
+    All columns are read as strings for CSV/TSV (the reference stringifies
+    everything anyway; native-typed sources keep their types and are
+    stringified at indexing time).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        return spark.read.parquet(path)
+    if ext == ".json":
+        return spark.read.json(path)
+    if ext in (".tsv",):
+        return spark.read.option("header", True).option("sep", "\t").csv(path)
+    if ext in (".csv", ".txt"):
+        sep = _sniff_delimiter(spark, path)
+        return (
+            spark.read.option("header", True)
+            .option("sep", sep)
+            .option("encoding", "UTF-8")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported lake file format: {path}")
+
+
+def read_lake_folder(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
+    """Enumerate a folder into {table_name: DataFrame} (S6).
+
+    Unreadable files are skipped and reported, mirroring the reference's
+    error counters (data_handler.py:387-401).
+    """
+    out: dict[str, DataFrame] = {}
+    errors: list[str] = []
+    for fname in sorted(os.listdir(folder)):
+        path = os.path.join(folder, fname)
+        if not os.path.isfile(path):
+            continue
+        name = os.path.splitext(fname)[0]
+        try:
+            out[name] = read_table(spark, path)
+        except Exception:  # noqa: BLE001 — quarantine bad files, keep going
+            errors.append(path)
+    if errors:
+        print(f"read_lake_folder: skipped {len(errors)} unreadable files: {errors[:5]}")
+    return out

@@ -1,0 +1,54 @@
+"""XASH bit-parity and property tests (SURVEY.md §5.1/§5.4).
+
+Golden values in ``tests/golden/xash_tokenizer_golden.json`` were produced by
+running the reference's pure functions (``maco/util.py:141-211`` generate_XASH,
+``util.py:11-31`` get_cleaned_text) on fixture tokens — no DB needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datalake_indexes_spark.functions.xash import split128, xash
+
+GOLDEN = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden", "xash_tokenizer_golden.json"))
+)
+
+
+def test_xash_golden_parity():
+    for case in GOLDEN["xash"]:
+        assert xash(case["token"]) == int(case["h128"]), case["token"]
+
+
+def test_split128_roundtrip():
+    for case in GOLDEN["xash"]:
+        v = int(case["h128"])
+        hi, lo = split128(v)
+        assert ((hi & ((1 << 64) - 1)) << 64 | (lo & ((1 << 64) - 1))) == v
+
+
+token_strategy = st.text(
+    alphabet=st.characters(codec="ascii", categories=("L", "N", "P", "Z")), max_size=40
+)
+
+
+@given(a=token_strategy, b=token_strategy)
+@settings(max_examples=200, deadline=None)
+def test_superkey_containment_soundness(a: str, b: str):
+    """A row super key (OR of cell hashes) always contains each cell hash —
+    the MATE prefilter (mate.py:390-394) can never drop a true match."""
+    ha, hb = xash(a), xash(b)
+    row_key = ha | hb
+    assert (ha | row_key) == row_key
+    assert (hb | row_key) == row_key
+
+
+@given(t=token_strategy)
+@settings(max_examples=200, deadline=None)
+def test_xash_fits_128_bits(t: str):
+    assert 0 <= xash(t) < (1 << 128)
