@@ -1,0 +1,311 @@
+"""Document deduplication — training-data-pipeline operators (beyond the
+reference surface; BASELINE.json north star).
+
+The reference's duplicate detection is table/row-level over the cell index
+(``maco/duplicate_detection.py``); a 100 TB text corpus needs *document*
+dedup.  Every operator here is a declarative DataFrame pipeline with no
+driver-side iteration and no O(n²) step:
+
+- exact:        hash-groupBy on the full text (one shuffle on the hash),
+- MinHash+LSH:  shingle → k min-hashes → band keys → bucket self-join →
+                verify exact Jaccard on the (few) candidates,
+- SimHash:      64-bit signature via per-word hash-bit voting; candidate
+                pairs from 16-bit band collisions, verified by Hamming
+                distance (banding ⇒ no all-pairs comparison),
+- n-gram Jaccard: shingle-inverted-index self-join (exact, for corpora
+                where shingle lists are selective),
+- embedding cosine: see operators/similarity.py (shares the pair machinery).
+
+Determinism: every hash is md5 over an explicit string, so results are
+reproducible across engines — the DuckDB oracles in ``plans/oracle.py``
+recompute the same signatures independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_K = 16          # number of min-hash functions
+MINHASH_BANDS = 4       # bands of k/bands rows each
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4       # 16-bit bands for candidate generation
+HEX = "0123456789abcdef"
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Native expressions only (split/sequence/transform/slice) — the explode
+    happens after dedup inside the array, keeping shuffle volume at
+    O(distinct shingles).
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(words, (i + 1).cast("int"), n)),
+    )
+    sh = F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct text with the surviving doc id.
+
+    (text_hash, keep_doc_id, group_size) — the retention table a pipeline
+    joins against to drop duplicates.  Single hash-shuffle; at 100 TB the
+    md5 gives uniform partitioning regardless of text skew.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k min-hash values per doc: min over shingles of md5("<j>:"+shingle).
+
+    The j-prefixed md5 family is a deterministic stand-in for k independent
+    permutations (lexicographic min over a uniform hash ≈ random min)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    (doc_id_1, doc_id_2, jaccard) with jaccard >= threshold, each unordered
+    pair once.  The self-join runs on band keys (each bucket holds only
+    colliding docs), so the candidate set — not the corpus — is quadratic;
+    verification joins shingles only for candidates.
+    """
+    rows = k // bands
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    mh = minhash_signatures(sh, k=k)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    bk = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the shingle inverted index.
+
+    Candidates are pairs sharing >= 1 shingle (the shingle self-join *is*
+    the intersection count — one shuffle on shingle).  Exact but
+    shingle-frequency-sensitive; at scale, cap the hottest shingles or use
+    :func:`minhash_lsh_pairs`.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.shingle") == F.col("s2.shingle"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_id_1"),
+            F.col("s2.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+                   .withColumnRenamed("__n", "__n1"), "doc_id_1")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+              .withColumnRenamed("__n", "__n2"), "doc_id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter") / (F.col("__n1") + F.col("__n2") - F.col("__inter")), 4
+            ),
+        )
+        .filter(
+            F.col("__inter") / (F.col("__n1") + F.col("__n2") - F.col("__inter"))
+            >= threshold
+        )
+    )
+    return jac.select("doc_id_1", "doc_id_2", "jaccard")
+
+
+def _verify_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs: intersect via shingle join, sizes
+    via per-doc counts."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    s1 = shingles.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    s2 = shingles.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, ["doc_id_2", "shingle"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("__n").alias("__n1")),
+            "doc_id_1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("__n").alias("__n2")),
+            "doc_id_2",
+        )
+        .withColumn(
+            "__j", F.col("__inter") / (F.col("__n1") + F.col("__n2") - F.col("__inter"))
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(
+            "doc_id_1", "doc_id_2", F.round(F.col("__j"), 4).alias("jaccard")
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _word_bit(md5_col, bit: int):
+    """Bit ``bit`` (0..63) of the first 16 hex chars of an md5 column."""
+    nibble = F.instr(F.lit(HEX), F.substring(md5_col, bit // 4 + 1, 1)) - 1
+    return F.shiftright(nibble, bit % 4).bitwiseAND(F.lit(1))
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """64-bit SimHash per document as a bit string (doc_id, simhash).
+
+    Classic tf-weighted SimHash: each word votes ±tf on every bit of its
+    md5; signature bit = 1 iff the vote sum is positive.  The 64 per-bit
+    sums are plain aggregate columns — one groupBy over (doc, word) rows,
+    no per-bit explode.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    md5w = F.md5(F.col("word"))
+    with_bits = tf.select(
+        "doc_id",
+        "tf",
+        *[
+            (_word_bit(md5w, i) * 2 - 1).alias(f"__s{i}")
+            for i in range(bits)
+        ],
+    )
+    sums = with_bits.groupBy("doc_id").agg(
+        *[F.sum(F.col(f"__s{i}") * F.col("tf")).alias(f"__v{i}") for i in range(bits)]
+    )
+    sig = F.concat(
+        *[F.when(F.col(f"__v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band collision candidates, verified by
+    Hamming distance <= max_hamming.
+
+    (doc_id_1, doc_id_2, hamming).  With 4 bands, any pair within Hamming
+    distance 3 is guaranteed caught (pigeonhole); distances up to
+    ``max_hamming`` are caught when some band happens to agree.
+    """
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    band_len = SIMHASH_BITS // SIMHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * band_len + 1, band_len).alias("key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bk = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    diff = F.zip_with(
+        F.split(F.col("__sa"), ""),
+        F.split(F.col("__sb"), ""),
+        lambda x, y: (x != y).cast("int"),
+    )
+    return (
+        cand.withColumn("hamming", F.aggregate(diff, F.lit(0), lambda acc, x: acc + x))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )

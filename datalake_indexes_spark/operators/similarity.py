@@ -1,0 +1,191 @@
+"""Embedding similarity search — ANN over an ``array<float>`` column
+(training-data-pipeline operator, beyond the reference surface).
+
+Patterns:
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, dot products as native higher-order functions
+  (``zip_with`` + ``aggregate`` — JVM codegen, no Python), window top-k.
+  The baseline every approximate method is judged against.
+- :func:`cosine_pairs` — all near-duplicate pairs above a cosine threshold,
+  blocked by random-hyperplane LSH signs so the self-join is per-bucket,
+  not all-pairs.
+- :func:`hyperplane_lsh_topk` — the scale path for top-k: probe only the
+  corpus bucket(s) matching each query's sign signature; recall < 1 by
+  construction, wall-clock O(bucket) instead of O(corpus).
+
+Hyperplanes are deterministic (md5-seeded pseudo-Gaussians), so results are
+reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(vec) -> "F.Column":
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "__unit") -> DataFrame:
+    """L2-normalize once up front; cosine becomes a plain dot product."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.when(n > 0, F.transform(v, lambda x: x / n)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query set is broadcast (it is small by definition); the corpus is
+    scanned once, fully parallel, no shuffle until the per-query top-k
+    window — which AQE keeps narrow because only k rows per query survive
+    the rank filter.  Self-matches are excluded.
+    """
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "simsearch") -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes via md5 counters (public
+    Box-Muller over md5-uniforms) — identical across engines and runs."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(0, dim, 2):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            u1 = (int(h[:8], 16) + 1) / (2**32 + 1)
+            u2 = (int(h[8:16], 16) + 1) / (2**32 + 1)
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                row.append(r * math.sin(2 * math.pi * u2))
+        planes.append(row[:dim])
+    return planes
+
+
+def sign_signature(vec_col, planes: list[list[float]]) -> "F.Column":
+    """Bit string of hyperplane signs for a vector column."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(w) for w in plane])
+        bits.append(F.when(_dot(vec_col, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine: (vec_id_1, vec_id_2, cosine).
+
+    ``exact=False`` (default, the scale path) blocks the self-join by LSH
+    sign signature: only same-bucket pairs are compared.  Recall for pairs
+    at cosine >= t is P[no plane separates] = (1 - arccos(t)/pi)^n_planes;
+    callers wanting exact results at small scale pass ``exact=True`` (plain
+    self-join, quadratic).
+    """
+    u = with_unit_vec(df, vec_col).select(F.col(id_col).alias("__id"), F.col("__unit"))
+    if not exact:
+        dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, n_planes)
+        u = u.withColumn("__sig", sign_signature(F.col("__unit"), planes))
+        join_cond = (F.col("a.__sig") == F.col("b.__sig")) & (
+            F.col("a.__id") < F.col("b.__id")
+        )
+    else:
+        join_cond = F.col("a.__id") < F.col("b.__id")
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(b, join_cond)
+        .withColumn("__cos", _dot(F.col("a.__unit"), F.col("b.__unit")))
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.col("a.__id").alias("vec_id_1"),
+            F.col("b.__id").alias("vec_id_2"),
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: compare each query only against its LSH bucket.
+
+    Same output shape as :func:`cosine_topk`; neighbors outside the query's
+    bucket are missed (that is the deal).  At 100 TB the corpus is written
+    bucketed by ``__sig`` so a query probes one partition.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__unit").alias("__cv"),
+        sign_signature(F.col("__unit"), planes).alias("__sig"),
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__unit").alias("__qv"),
+        sign_signature(F.col("__unit"), planes).alias("__sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 4).alias("cosine")
+        )
+    )

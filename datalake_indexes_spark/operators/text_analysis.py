@@ -1,0 +1,118 @@
+"""Text analysis — language ID, quality scoring, token counting, document
+fingerprinting (training-data-pipeline operators, beyond the reference
+surface).
+
+All operators are pure native-expression pipelines over the ``documents``
+table: no UDFs, fully inside whole-stage codegen, one groupBy where an
+aggregate is needed.  Constants (stopword list, language markers, token
+regex) are shared with the DuckDB oracles so both engines derive from one
+definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.functions.text import STOPWORDS
+
+# BPE-ish word/number/punct tokenizer (public GPT-2-style shape, simplified
+# to what both regex engines support identically).
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Marker-word profiles for the n-gram/keyword language heuristic.  The
+# `und` (undetermined) fallback wins when no profile scores.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with", "for"],
+    "de": ["der", "die", "und", "ist", "mit", "von"],
+    "fr": ["le", "la", "et", "est", "avec", "pour"],
+    "es": ["el", "la", "y", "es", "con", "para"],
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_re_tokens, n_chars_seen) — whitespace tokens,
+    BPE-ish regex tokens, and observed character count."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).alias("n_re_tokens"),
+        F.length(t).alias("n_chars_seen"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, avg_word_len, stopword_ratio, distinct_ratio,
+    quality_score) — cheap heuristics a pretraining filter thresholds on.
+
+    quality_score is a fixed linear blend (higher = better), rounded for
+    cross-engine comparability.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(words))
+    avg_len = (F.length(t) - (n_words - 1)) / n_words  # chars sans separators
+    stop_ratio = n_stop / n_words
+    distinct_ratio = n_distinct / n_words
+    score = (
+        F.lit(0.5) * distinct_ratio
+        + F.lit(0.3) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - stop_ratio)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(avg_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, marker_hits) — keyword-profile language ID.
+
+    Counts marker-word occurrences per language profile; highest count wins
+    (ties broken by language code; zero hits → 'und').  One pass, no
+    shuffle: the per-language counts are filter-size expressions over the
+    word array.
+    """
+    words = F.split(F.col(text_col), " ")
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(marr, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max over (hits, inverted-lang) — ties prefer lexicographically
+    # smallest code; array_max picks the struct with greatest hits then
+    # greatest lang string, so order langs descending for the tie.
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bag_fingerprint, n_distinct_words) — order-insensitive
+    document fingerprint: md5 of the sorted distinct word list.
+
+    Robust to word reordering (the rolling-hash analog for shingle order
+    sensitivity is :func:`...dedup.simhash_signatures`); two docs with the
+    same bag collide exactly.
+    """
+    words = F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(words, " ")).alias("bag_fingerprint"),
+        F.size(words).alias("n_distinct_words"),
+    )

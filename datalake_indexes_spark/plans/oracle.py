@@ -343,6 +343,277 @@ GROUP BY row_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operator oracles (dedup / similarity / text /
+# multimodal / events) — same shared-constants discipline: thresholds, hash
+# families, marker lists come from the operator modules.
+# ---------------------------------------------------------------------------
+
+def _shingle_cte(n: int = 3) -> str:
+    """Distinct word n-gram shingles per document (twin of
+    operators/dedup.py word_shingles)."""
+    gram = " || ' ' || ".join(f"w[CAST(i+{j+1} AS INT)]" for j in range(n))
+    return f"""__words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM __words, UNNEST(range(greatest(len(w)-{n - 1}, 0))) AS t(i)
+)"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _jaccard_tail(threshold: float) -> str:
+    return f"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_1, c.doc_id_2, count(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id_1
+  JOIN sh s2 ON s2.doc_id = c.doc_id_2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+       round(i.i * 1.0 / (n1.n + n2.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+WHERE i.i * 1.0 / (n1.n + n2.n - i.i) >= {threshold}"""
+
+
+def dedup_minhash_lsh_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    rows = k // bands
+    mins = ", ".join(f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k))
+    band_sel = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM mh".format(
+            b=b, key=" || ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte()},
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+{_jaccard_tail(threshold)}
+"""
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.7) -> str:
+    return f"""
+WITH {_shingle_cte()},
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+  FROM sh s1 JOIN sh s2
+    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+),
+{_jaccard_tail(threshold)}
+"""
+
+
+def _simhash_cte(bits: int = 64) -> str:
+    sums = ", ".join(
+        f"sum(tf * (2 * (((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1 "
+        f">> {i % 4}) & 1)) - 1)) AS v{i}"
+        for i in range(bits)
+    )
+    bit_concat = " || ".join(
+        f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return f"""__tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1, 2
+),
+__wb AS (SELECT doc_id, tf, md5(word) AS h FROM __tf),
+__sums AS (SELECT doc_id, {sums} FROM __wb GROUP BY doc_id),
+sig AS (SELECT doc_id, {bit_concat} AS simhash FROM __sums)"""
+
+
+def text_simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sig"
+
+
+def dedup_simhash_sql(max_hamming: int = 8, bands: int = 4) -> str:
+    band_len = 64 // bands
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, substr(simhash, {b * band_len + 1}, {band_len}) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_simhash_cte()},
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       CAST(bit_count(xor(sa::BIT, sb::BIT)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa::BIT, sb::BIT)) <= {max_hamming}
+"""
+
+
+def dedup_embedding_cosine_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
+    """Oracle for the LSH-blocked cosine dedup.  Replicates the *same*
+    hyperplane blocking (identical md5-seeded planes inlined as literals),
+    so Spark and DuckDB agree pair-for-pair on the approximate result —
+    the approximation itself is the operator's contract, not a looseness
+    in the check."""
+    from datalake_indexes_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes)
+    sig_bits = " || ".join(
+        "(CASE WHEN list_dot_product(e::DOUBLE[], {arr}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)".format(
+            arr="[" + ", ".join(repr(w) for w in plane) + "]"
+        )
+        for plane in planes
+    )
+    return f"""
+WITH u AS (SELECT vec_id, embedding AS e, {sig_bits} AS sig FROM embeddings)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round(list_cosine_similarity(a.e::DOUBLE[], b.e::DOUBLE[]), 4) AS cosine
+FROM u a JOIN u b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e::DOUBLE[], b.e::DOUBLE[]) >= {threshold}
+"""
+
+
+def ann_cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def text_token_counts_sql() -> str:
+    from datalake_indexes_spark.operators.text_analysis import TOKEN_REGEX
+
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_re_tokens,
+       length(text) AS n_chars_seen
+FROM documents
+"""
+
+
+def text_quality_sql() -> str:
+    from datalake_indexes_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         (nc - (len(w) - 1)) * 1.0 / len(w) AS avg_len,
+         len(list_filter(w, x -> list_contains([{stops}], x))) * 1.0 / len(w) AS stop_ratio,
+         len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(avg_len, 4) AS avg_word_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(0.5 * distinct_ratio + 0.3 * least(avg_len / 8.0, 1.0)
+             + 0.2 * (1.0 - stop_ratio), 4) AS quality_score
+FROM m
+"""
+
+
+def text_langid_sql() -> str:
+    from datalake_indexes_spark.operators.text_analysis import LANG_MARKERS
+
+    lang_rows = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, len(list_filter(w, x -> list_contains([{m}], x))) AS hits FROM base".format(
+            lang=lang, m=", ".join(f"'{w}'" for w in markers)
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+scores AS ({lang_rows}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+       hits AS marker_hits
+FROM best WHERE rk = 1
+"""
+
+
+def text_fingerprint_sql() -> str:
+    return """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+FROM documents
+"""
+
+
+def multimodal_features_sql() -> str:
+    from datalake_indexes_spark.operators.multimodal import MODALITIES
+
+    arr = "[" + ", ".join(f"'{m}'" for m in MODALITIES) + "]"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         {arr}[CAST(doc_id % {len(MODALITIES)} + 1 AS INT)] AS modality,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         sha256(text) AS sha256
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes, sha256,
+       CAST(CASE WHEN modality = 'audio' THEN 16000
+            ELSE 64 + n_bytes % 577 END AS INT) AS dim_1,
+       CAST(CASE WHEN modality = 'audio' THEN (n_bytes * 251) % 99991
+            ELSE 64 + (n_bytes * 31) % 577 END AS INT) AS dim_2
+FROM p
+"""
+
+
+def events_window_agg_sql() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_json_extract_sql() -> str:
+    return """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+
 def add_external_features_sql() -> str:
     """J4 — demo-style feature materialization: customer LEFT JOIN the
     first-per-key orders row on the tokenized key (demo:516-587)."""

@@ -155,6 +155,131 @@ def q_add_external_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data-pipeline operators (beyond the reference surface)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(_embeddings(spark, sf_dir), threshold=0.4, n_planes=4)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate scale path — rows-only check (recall < 1 by design)."""
+    from datalake_indexes_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.text_analysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.text_analysis import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.text_analysis import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.text_analysis import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    return extract_features(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation over events (streaming-shaped agg on
+    the batch table; the same plan runs under Structured Streaming)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+        hour_sec = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long") * 3600
+        window_start = F.from_unixtime(hour_sec, "yyyy-MM-dd HH:mm:ss")
+    else:
+        window_start = F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        )
+    return ev.groupBy(
+        window_start.alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -169,6 +294,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_table_relations": q_dup_table_relations,
     "get_table_pivot": q_get_table_pivot,
     "add_external_features": q_add_external_features,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_simhash": q_text_simhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "events_window_agg": q_events_window_agg,
+    "events_json_extract": q_events_json_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -192,4 +332,19 @@ ORACLES: dict[str, str] = {
     "dup_table_relations": oracle.dup_table_relations_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "add_external_features": oracle.add_external_features_sql(),
+    "dedup_exact": oracle.dedup_exact_sql(),
+    "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
+    "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
+    "text_simhash": oracle.text_simhash_sql(),
+    "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
+    "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
+    "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
+    # ann_lsh_topk: intentionally no oracle (approximate, rows-only check)
+    "text_token_counts": oracle.text_token_counts_sql(),
+    "text_quality": oracle.text_quality_sql(),
+    "text_langid": oracle.text_langid_sql(),
+    "text_fingerprint": oracle.text_fingerprint_sql(),
+    "multimodal_features": oracle.multimodal_features_sql(),
+    "events_window_agg": oracle.events_window_agg_sql(),
+    "events_json_extract": oracle.events_json_extract_sql(),
 }
