@@ -82,6 +82,20 @@ def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec) -> DataFrame:
     )
 
 
+def row_keys_for(cells: DataFrame, hash_udf) -> DataFrame:
+    """Per-row super keys from any (hi, lo) hash UDF: OR-fold over the
+    row's cell hashes (data_handler.py:280-283) — supports the reference's
+    pluggable ``hash_function`` knob (data_handler.py:89,109)."""
+    return (
+        cells.withColumn("__h", hash_udf(F.col("tokenized")))
+        .groupBy("table_id", "row_id")
+        .agg(
+            F.bit_or(F.col("__h.hi")).alias("super_key_hi"),
+            F.bit_or(F.col("__h.lo")).alias("super_key_lo"),
+        )
+    )
+
+
 def build_index(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -90,6 +104,7 @@ def build_index(
     hash_size: int = 128,
     rotation: bool = True,
     number_of_ones: int = 5,
+    hash_function=None,
 ) -> LakeIndex:
     """Build the full LakeIndex from raw lake tables.
 
@@ -133,17 +148,15 @@ def build_index(
     )
 
     if with_super_keys:
-        xash_udf = xash_pandas_udf(
-            hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
-        )
-        cell_hashes = cells.withColumn("__h", xash_udf(F.col("tokenized")))
-        row_keys = (
-            cell_hashes.groupBy("table_id", "row_id")
-            .agg(
-                F.bit_or(F.col("__h.hi")).alias("super_key_hi"),
-                F.bit_or(F.col("__h.lo")).alias("super_key_lo"),
+        if hash_function is not None:
+            from datalake_indexes_spark.functions.hashes import hash_pandas_udf
+
+            hash_udf = hash_pandas_udf(hash_function)
+        else:
+            hash_udf = xash_pandas_udf(
+                hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
             )
-        )
+        row_keys = row_keys_for(cells, hash_udf)
     else:
         row_keys = (
             cells.groupBy("table_id", "row_id")

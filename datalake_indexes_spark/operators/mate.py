@@ -56,11 +56,22 @@ class MATE:
         hash_size: int = 128,
         rotation: bool = True,
         number_of_ones: int = 5,
+        hash_function=None,
     ):
+        """``hash_function``: optional ``str -> int128`` callable replacing
+        XASH (the reference's pluggable knob, data_handler.py:89,109) — must
+        match the family the index's row_keys were built with.  Containment-
+        monotone families (XASH, bloom128) keep the prefilter sound; for
+        others pass ``use_hash_optimization=False`` to join_search."""
         self.index = index
-        self._xash_udf = xash_pandas_udf(
-            hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
-        )
+        if hash_function is not None:
+            from datalake_indexes_spark.functions.hashes import hash_pandas_udf
+
+            self._xash_udf = hash_pandas_udf(hash_function)
+        else:
+            self._xash_udf = xash_pandas_udf(
+                hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
+            )
 
     # ------------------------------------------------------------------
     def prepare_input(

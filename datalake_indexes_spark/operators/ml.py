@@ -1,0 +1,108 @@
+"""ML hooks — the demo's model-fit / feature-importance surface on MLlib
+(``maco/machine_learning.py:9-51`` uses AutoGluon TabularPredictor; the
+engine substitutes Spark MLlib so the capability — "did enrichment improve
+RMSE, which feature mattered" — survives without the AutoML dependency.
+Optional module: not part of the oracle-checked engine core).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_and_evaluate(
+    df: DataFrame,
+    target_column: str,
+    feature_columns: list[str],
+    test_fraction: float = 0.2,
+    seed: int = 42,
+) -> dict:
+    """Train a regressor on the (possibly enriched) dataset and report test
+    RMSE (machine_learning.py:20-41: train/test split + MSE printout).
+
+    Numeric features are imputed with the column mean (demo:576
+    ``fillna(df.mean())``); returns {"rmse", "n_train", "n_test", "model"}.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    casted = df.select(
+        F.col(target_column).cast("double").alias("__label"),
+        *[F.col(c).cast("double").alias(c) for c in feature_columns],
+    ).filter(F.col("__label").isNotNull())
+    means = casted.select(
+        *[F.avg(c).alias(c) for c in feature_columns]
+    ).collect()[0]
+    filled = casted.select(
+        "__label",
+        *[F.coalesce(F.col(c), F.lit(means[c] or 0.0)).alias(c) for c in feature_columns],
+    )
+    train, test = filled.randomSplit([1 - test_fraction, test_fraction], seed=seed)
+    assembler = VectorAssembler(inputCols=feature_columns, outputCol="__features")
+    model = GBTRegressor(
+        featuresCol="__features", labelCol="__label", maxIter=20, seed=seed
+    ).fit(assembler.transform(train))
+    preds = model.transform(assembler.transform(test))
+    rmse = RegressionEvaluator(
+        labelCol="__label", predictionCol="prediction", metricName="rmse"
+    ).evaluate(preds)
+    return {
+        "rmse": rmse,
+        "n_train": train.count(),
+        "n_test": test.count(),
+        "model": model,
+    }
+
+
+def permutation_importance(
+    df: DataFrame,
+    target_column: str,
+    feature_columns: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Permutation feature importance (machine_learning.py:43-51): RMSE
+    degradation when one feature column is shuffled (via ``rand()`` sort —
+    distributed shuffle, no driver materialization).
+
+    Returns (feature, base_rmse, permuted_rmse, importance).
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    fit = fit_and_evaluate(df, target_column, feature_columns, seed=seed)
+    base_rmse = fit["rmse"]
+    model = fit["model"]
+    evaluator = RegressionEvaluator(
+        labelCol="__label", predictionCol="prediction", metricName="rmse"
+    )
+    assembler = VectorAssembler(inputCols=feature_columns, outputCol="__features")
+
+    casted = df.select(
+        F.col(target_column).cast("double").alias("__label"),
+        *[F.col(c).cast("double").alias(c) for c in feature_columns],
+    ).filter(F.col("__label").isNotNull())
+    means = casted.select(*[F.avg(c).alias(c) for c in feature_columns]).collect()[0]
+    filled = casted.select(
+        "__label",
+        *[F.coalesce(F.col(c), F.lit(means[c] or 0.0)).alias(c) for c in feature_columns],
+    ).cache()
+
+    rows = []
+    for i, feat in enumerate(feature_columns):
+        keep = [c for c in feature_columns if c != feat]
+        shuffled_vals = (
+            filled.select(F.col(feat).alias("__shuf"))
+            .orderBy(F.rand(seed + i))
+            .withColumn("__rid", F.monotonically_increasing_id())
+        )
+        base = filled.withColumn("__rid", F.monotonically_increasing_id()).drop(feat)
+        permuted = base.join(shuffled_vals, "__rid").withColumnRenamed("__shuf", feat)
+        preds = model.transform(assembler.transform(permuted))
+        p_rmse = evaluator.evaluate(preds)
+        rows.append((feat, float(base_rmse), float(p_rmse), float(p_rmse - base_rmse)))
+    filled.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, "feature string, base_rmse double, permuted_rmse double, importance double"
+    )

@@ -154,6 +154,50 @@ def q_add_external_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 without the super-key prefilter — the reference's
+    hash_function=None 'linear' mode (mate.py:199).  Verified results are
+    identical to the hashed path (the prefilter is sound), so the oracle is
+    shared."""
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    mate = MATE(idx)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return mate.join_search(
+        customer, ["c_custkey"], k=10, k_c=500,
+        use_hash_optimization=False, input_order_by=["c_custkey"],
+    ).top_k
+
+
+_BLOOM_KEYS_CACHE: dict[str, "DataFrame"] = {}
+
+
+def q_mate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with the Bloom hash family (mate.py:66-92 hash_row_vals_bf /
+    bloom_filter.py) — containment-monotone, so the prefilter stays on;
+    verified results match XASH's (same oracle)."""
+    from datalake_indexes_spark.functions.hashes import bloom128, hash_pandas_udf
+    from datalake_indexes_spark.index.builder import row_keys_for
+    from datalake_indexes_spark.index.lake_index import LakeIndex
+
+    base = testdata_index(spark, sf_dir, with_super_keys=False)
+    key = os.path.abspath(sf_dir)
+    if key not in _BLOOM_KEYS_CACHE:
+        _BLOOM_KEYS_CACHE[key] = row_keys_for(
+            base.cells, hash_pandas_udf(bloom128)
+        ).cache()
+    idx = LakeIndex(
+        cells=base.cells,
+        row_keys=_BLOOM_KEYS_CACHE[key],
+        column_headers=base.column_headers,
+        table_info=base.table_info,
+    )
+    mate = MATE(idx, hash_function=bloom128)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return mate.join_search(
+        customer, ["c_custkey"], k=10, k_c=500, input_order_by=["c_custkey"]
+    ).top_k
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (beyond the reference surface)
 # ---------------------------------------------------------------------------
@@ -294,6 +338,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_table_relations": q_dup_table_relations,
     "get_table_pivot": q_get_table_pivot,
     "add_external_features": q_add_external_features,
+    "mate_join_search_linear": q_mate_linear,
+    "mate_join_search_bloom": q_mate_bloom,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -332,6 +378,12 @@ ORACLES: dict[str, str] = {
     "dup_table_relations": oracle.dup_table_relations_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "add_external_features": oracle.add_external_features_sql(),
+    "mate_join_search_linear": oracle.mate_join_search_sql(
+        "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
+    ),
+    "mate_join_search_bloom": oracle.mate_join_search_sql(
+        "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
+    ),
     "dedup_exact": oracle.dedup_exact_sql(),
     "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),

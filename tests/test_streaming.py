@@ -1,0 +1,104 @@
+"""Structured Streaming: incremental index append equals the batch build;
+windowed event counts match the batch formulation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.index.builder import build_index
+from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+from datalake_indexes_spark.streaming.incremental import (
+    incremental_index_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.mark.spark
+def test_incremental_index_matches_batch(spark, sf_dir):
+    """Stream nation in two file-drops; the appended cell index must equal
+    the one-shot batch build (same cells, same super keys)."""
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    work = tempfile.mkdtemp(prefix="streamidx_")
+    try:
+        in_dir, idx_dir, ckpt = f"{work}/in", f"{work}/idx", f"{work}/ckpt"
+        first = nation.filter(F.col("n_nationkey") < 12)
+        second = nation.filter(F.col("n_nationkey") >= 12)
+        first.coalesce(1).write.parquet(in_dir)
+
+        q = incremental_index_stream(
+            spark, in_dir, nation.schema, spec, idx_dir, ckpt
+        )
+        q.awaitTermination(120)
+        second.coalesce(1).write.mode("append").parquet(in_dir)
+        q2 = incremental_index_stream(
+            spark, in_dir, nation.schema, spec, idx_dir, ckpt
+        )
+        q2.awaitTermination(120)
+
+        streamed = spark.read.parquet(f"{idx_dir}/cells")
+        batch = build_index(
+            spark, {"nation": nation}, {"nation": spec}, with_super_keys=True
+        )
+        # cell multiset identical up to row_id renumbering across batches:
+        # compare the per-row sorted value arrays and the super-key multiset
+        def row_sets(cells):
+            return sorted(
+                tuple(r["vals"])
+                for r in cells.groupBy("row_id")
+                .agg(F.sort_array(F.collect_list("tokenized")).alias("vals"))
+                .collect()
+            )
+
+        assert row_sets(streamed) == row_sets(batch.cells)
+        streamed_keys = spark.read.parquet(f"{idx_dir}/row_keys")
+        sk = sorted(
+            (r["super_key_hi"], r["super_key_lo"]) for r in streamed_keys.collect()
+        )
+        bk = sorted(
+            (r["super_key_hi"], r["super_key_lo"]) for r in batch.row_keys.collect()
+        )
+        assert sk == bk
+        # row ids must stay unique across micro-batches
+        assert streamed.select("row_id").distinct().count() == nation.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_windowed_event_counts_stream_matches_batch(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+
+    work = tempfile.mkdtemp(prefix="streamev_")
+    try:
+        events.write.parquet(f"{work}/in")
+        stream = spark.readStream.schema(events.schema).parquet(f"{work}/in")
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName("ev_counts")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode only emits windows closed by the watermark; every
+        # emitted row must match the batch result exactly
+        emitted = spark.sql("SELECT * FROM ev_counts").collect()
+        assert emitted, "stream emitted no closed windows"
+        for r in emitted:
+            assert batch_out[(r["window_start"], r["event_type"])] == (
+                r["n_events"],
+                r["sum_value"],
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
