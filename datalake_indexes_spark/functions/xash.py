@@ -105,20 +105,31 @@ def xash_pandas_udf(hash_size: int = 128, rotation: bool = True, number_of_ones:
 
     @F.pandas_udf(_XASH_SCHEMA)
     def _udf(tokens: pd.Series) -> pd.DataFrame:
-        his = []
-        los = []
-        for t in tokens:
-            t = "" if t is None else t
-            pair = cache.get(t)
-            if pair is None:
+        # hash only the batch's unseen distinct tokens, then map the whole
+        # batch through the dict in C — lake token columns repeat heavily,
+        # so the Python-level work is O(new uniques), not O(rows)
+        s = tokens.fillna("")
+        for t in s.unique():
+            if t not in cache:
                 pair = split128(
                     xash(t, hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones)
                 )
                 if len(cache) < 4_000_000:
                     cache[t] = pair
-            his.append(pair[0])
-            los.append(pair[1])
-        return pd.DataFrame({"hi": his, "lo": los})
+                else:
+                    break
+        if len(cache) >= 4_000_000:  # fallback for degenerate vocabularies
+            pairs = [
+                cache.get(t)
+                or split128(xash(t, hash_size=hash_size, rotation=rotation,
+                                 number_of_ones=number_of_ones))
+                for t in s
+            ]
+        else:
+            pairs = s.map(cache)
+        return pd.DataFrame(
+            {"hi": [p[0] for p in pairs], "lo": [p[1] for p in pairs]}
+        )
 
     return _udf
 

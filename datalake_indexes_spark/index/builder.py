@@ -166,9 +166,12 @@ def build_index(
             )
         )
 
+    from datalake_indexes_spark.operators.cocoa import is_numeric_flags
+
     return LakeIndex(
         cells=cells,
         row_keys=row_keys,
         column_headers=headers,
         table_info=table_info,
+        col_flags=is_numeric_flags(cells),
     )

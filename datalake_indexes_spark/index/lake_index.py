@@ -33,12 +33,18 @@ class LakeIndex:
     row_keys: DataFrame
     column_headers: DataFrame
     table_info: DataFrame
+    # cocoa_index precompute (data_handler.py:50 is_numeric): per-column
+    # numeric-ness, computed once at index time so query-time correlation
+    # never re-aggregates the lake for it
+    col_flags: DataFrame | None = None
 
     def cache(self) -> "LakeIndex":
         self.cells = self.cells.cache()
         self.row_keys = self.row_keys.cache()
         self.column_headers = self.column_headers.cache()
         self.table_info = self.table_info.cache()
+        if self.col_flags is not None:
+            self.col_flags = self.col_flags.cache()
         return self
 
     def save(self, path: str, mode: str = "overwrite") -> None:
@@ -55,14 +61,18 @@ class LakeIndex:
         )
         self.column_headers.write.mode(mode).parquet(os.path.join(path, "column_headers"))
         self.table_info.write.mode(mode).parquet(os.path.join(path, "table_info"))
+        if self.col_flags is not None:
+            self.col_flags.write.mode(mode).parquet(os.path.join(path, "col_flags"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakeIndex":
+        flags_path = os.path.join(path, "col_flags")
         return cls(
             cells=spark.read.parquet(os.path.join(path, "cells")),
             row_keys=spark.read.parquet(os.path.join(path, "row_keys")),
             column_headers=spark.read.parquet(os.path.join(path, "column_headers")),
             table_info=spark.read.parquet(os.path.join(path, "table_info")),
+            col_flags=spark.read.parquet(flags_path) if os.path.isdir(flags_path) else None,
         )
 
     def drop(self, path: str) -> None:

@@ -112,6 +112,10 @@ class COCOA:
         pairs : (table_id, ext_row_id, input_row_id) join maps (J7)
         input_ranks : (input_row_id, target_rank) for ALL n input rows
         exclude_cols : (table_id, col_id) join columns to skip
+
+        ``pairs`` and ``input_ranks`` are bounded by the (user-provided,
+        small) input dataset, so both are broadcast: the lake-sized cell
+        table is scanned but never shuffled in this job.
         """
         cells = self.index.cells
 
@@ -120,10 +124,12 @@ class COCOA:
             F.count(F.lit(1)).alias("n"),
             F.sum("target_rank").alias("t_sum"),
             F.stddev_pop("target_rank").alias("t_std"),
+            F.sum(F.pow("target_rank", 2)).alias("t_sq"),
         ).collect()[0]
         n = stats_row["n"]
         t_sum = float(stats_row["t_sum"]) if stats_row["t_sum"] is not None else 0.0
         t_std = float(stats_row["t_std"]) if stats_row["t_std"] is not None else 0.0
+        t_sq_sum = float(stats_row["t_sq"]) if stats_row["t_sq"] is not None else 0.0
         mid_rank = float(math.ceil(n / 2))
 
         cand_tables = pairs.select("table_id").distinct()
@@ -131,35 +137,60 @@ class COCOA:
             cells.join(F.broadcast(cand_tables), "table_id", "leftsemi")
             .join(F.broadcast(exclude_cols), ["table_id", "col_id"], "left_anti")
         )
-        numeric = is_numeric_flags(ext_cells)
-
-        matched = (
-            pairs.join(
-                ext_cells.withColumnRenamed("row_id", "ext_row_id"),
-                ["table_id", "ext_row_id"],
-                "inner",
-            )
-            .join(input_ranks, "input_row_id", "inner")
-            .join(numeric, ["table_id", "col_id"], "inner")
+        # numeric-ness comes from the index-time precompute when available
+        # (cocoa_index parity, data_handler.py:50) — recomputing it here
+        # re-aggregates every candidate-table cell per query
+        flags = self.index.col_flags
+        if flags is None:
+            flags = is_numeric_flags(ext_cells)
+        numeric = (
+            flags.join(F.broadcast(cand_tables), "table_id", "leftsemi")
+            .join(F.broadcast(exclude_cols), ["table_id", "col_id"], "left_anti")
         )
 
+        matched = (
+            ext_cells.withColumnRenamed("row_id", "ext_row_id")
+            .join(F.broadcast(pairs), ["table_id", "ext_row_id"], "inner")
+            .join(F.broadcast(input_ranks), "input_row_id", "inner")
+            .join(F.broadcast(numeric), ["table_id", "col_id"], "inner")
+        ).persist()  # consumed by both the numeric and categorical paths
+
         # ---------------- numeric path: Spearman via ranks ----------------
+        # Pearson over (target_rank, ext_rank) with unmatched input rows
+        # pinned at the constant mid_rank (cocoa.py:465-466).  A constant
+        # contribution is computable in closed form from matched-row
+        # aggregates + global target stats, so there is NO pad join of
+        # candidate columns x input rows (the reference's traversal fills
+        # the same array incrementally — this is its distributed twin):
+        #   Σe   = Σe_m + c(n-m);  Σe² = Σe²_m + c²(n-m)
+        #   Σte  = Σte_m + c(ΣT - Σt_m)
+        #   corr = (nΣte - ΣtΣe) / sqrt(nΣt²-(Σt)²) / sqrt(nΣe²-(Σe)²)
         m_num = matched.filter(F.col("is_numeric")).withColumn(
             "__val", _num_value(F.col("tokenized"))
         )
         m_num = average_rank(m_num, F.col("__val"), ["table_id", "col_id"], out_col="__ext_rank")
         per_input = m_num.groupBy("table_id", "col_id", "input_row_id").agg(
-            F.max("__ext_rank").alias("__ext_rank")
+            F.max("__ext_rank").alias("__e"), F.max("target_rank").alias("__t")
         )
-        # all n input rows per candidate numeric column; unmatched -> ceil(n/2)
+        agg = per_input.groupBy("table_id", "col_id").agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("__e").alias("se"),
+            F.sum(F.pow("__e", 2)).alias("se2"),
+            F.sum("__t").alias("st_m"),
+            F.sum(F.col("__e") * F.col("__t")).alias("ste"),
+        )
+        c, nn = F.lit(mid_rank), F.lit(float(n))
+        sum_e = F.col("se") + c * (nn - F.col("m"))
+        sum_e2 = F.col("se2") + c * c * (nn - F.col("m"))
+        sum_te = F.col("ste") + c * (F.lit(t_sum) - F.col("st_m"))
+        denom = F.sqrt(nn * F.lit(t_sq_sum) - F.lit(t_sum) ** 2) * F.sqrt(
+            nn * sum_e2 - sum_e ** 2
+        )
         num_cols = numeric.filter(F.col("is_numeric")).select("table_id", "col_id")
-        full = (
-            num_cols.crossJoin(input_ranks)
-            .join(per_input, ["table_id", "col_id", "input_row_id"], "left")
-            .withColumn("__ext_rank", F.coalesce(F.col("__ext_rank"), F.lit(mid_rank)))
-        )
-        num_corr = full.groupBy("table_id", "col_id").agg(
-            F.corr("target_rank", "__ext_rank").alias("corr")
+        num_corr = num_cols.join(agg, ["table_id", "col_id"], "left").select(
+            "table_id",
+            "col_id",
+            F.when(denom > 0, (nn * sum_te - F.lit(t_sum) * sum_e) / denom).alias("corr"),
         )
 
         # ------------- categorical path: one-hot Pearson closed form -------------
@@ -248,9 +279,12 @@ class COCOA:
         inp = input_df.withColumn("__qtok", tokenize_col(F.col(query_column)))
         ranks = self.target_ranks(inp, target_column, id_col=id_col)
 
+        # joinable/pairs are consumed several times downstream (matched
+        # broadcast, exclude set, distinct pair set) — persist the tiny
+        # results so the lake-scan chain behind them runs once
         joinable = self.joinable_columns(
             inp.select(F.col("__qtok").alias("token")), k_t=k_t
-        )
+        ).persist()
 
         # join maps for every joinable column at once: per (join col, token)
         # keep the last external row; per token keep the last input row
@@ -263,7 +297,9 @@ class COCOA:
         last_inp = inp.groupBy("__qtok").agg(F.max(F.col(id_col)).alias("input_row_id"))
         pairs = last_ext.join(
             last_inp, last_ext["tokenized"] == last_inp["__qtok"], "inner"
-        ).select("table_id", F.col("col_id").alias("join_col_id"), "ext_row_id", "input_row_id")
+        ).select(
+            "table_id", F.col("col_id").alias("join_col_id"), "ext_row_id", "input_row_id"
+        ).persist()
 
         exclude = pairs.select("table_id", F.col("join_col_id").alias("col_id")).distinct()
         return self.column_correlations(

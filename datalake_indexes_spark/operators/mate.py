@@ -135,9 +135,14 @@ class MATE:
         inp = self.prepare_input(
             input_df, query_columns, input_order_by, with_super_key=use_hash_optimization
         )
-        # the probe side is tiny relative to the lake — broadcast it so the
-        # posting fetch is a map-side join against the cell index scan
-        inp = F.broadcast(inp)
+        # Typical inputs are small vs the lake -> broadcast turns the
+        # posting fetch into a map-side join against the index scan.  Large
+        # inputs (e.g. probing with a fact table) would blow the broadcast,
+        # so decide on the actual row count; the cache keeps the prep work.
+        inp = inp.persist()
+        small_input = inp.count() <= 200_000
+        if small_input:
+            inp = F.broadcast(inp)
 
         # 2. posting fetch on first query column (mate.py:251-256)
         hits = cells.join(inp, cells["tokenized"] == inp["__q0"], "inner")
@@ -184,12 +189,28 @@ class MATE:
         # degree 1, else q1..qd-1.
         verify_idx = [0] if degree == 1 else list(range(1, degree))
 
+        # Only cells whose token equals SOME verify-column value can ever
+        # enter a collect_set below — semi-filter the lake by the distinct
+        # verify tokens BEFORE the (table_id, row_id) shuffle.  Catalyst
+        # cannot infer this (the membership test is inside an aggregate),
+        # and it typically drops the shuffled volume by the lake/input
+        # vocabulary ratio.  Pairs with no surviving cell row are correctly
+        # lost: they can never verify.
+        verify_tokens = (
+            inp.select(
+                F.explode(F.array(*[F.col(f"__q{i}") for i in verify_idx])).alias(
+                    "__cell_tok"
+                )
+            ).distinct()
+        )
+        if small_input:
+            verify_tokens = F.broadcast(verify_tokens)
         row_cells = cells.select(
             "table_id",
             F.col("row_id").alias("ext_row_id"),
             F.col("col_id").alias("__cell_col"),
             F.col("tokenized").alias("__cell_tok"),
-        )
+        ).join(verify_tokens, "__cell_tok", "leftsemi")
         joined = pairs.join(row_cells, ["table_id", "ext_row_id"], "inner")
 
         agg_exprs = []
@@ -259,7 +280,10 @@ class MATE:
         result = MateResult(top_k=top_k, join_pairs=join_pairs)
         if stats is not None:
             n_match = matches.count()
-            n_approved = verified.count()
+            # approved = candidate pairs surviving the hash prefilter
+            # (mate.py:527-535; the verification semi-filter above drops
+            # never-matching pairs from `verified`, so count `pairs`)
+            n_approved = pairs.count()
             stats["total_approved"] = n_approved
             stats["matching_rows"] = n_match
             stats["total_fp"] = n_approved - n_match
