@@ -129,13 +129,70 @@ class DuplicateDetection:
         )
 
     @staticmethod
+    def duplicate_groups(relations: DataFrame, max_iterations: int = 20) -> DataFrame:
+        """Connected components of the duplicate-relation graph by
+        iterative min-label propagation: each table adopts the smallest
+        table id reachable over its edges until fixpoint.
+
+        Returns (table_id, representative).  The edge set is duplicate
+        *pairs between tables* — tiny relative to the lake — so the loop is
+        a handful of small self-joins; component diameter bounds the
+        iteration count (each pass halves distances to the minimum).
+        """
+        edges = (
+            relations.select(
+                F.col("table_id_1").alias("a"), F.col("table_id_2").alias("b")
+            )
+            .union(
+                relations.select(
+                    F.col("table_id_2").alias("a"), F.col("table_id_1").alias("b")
+                )
+            )
+            .distinct()
+        )
+        labels = edges.groupBy(F.col("a").alias("table_id")).agg(
+            F.least(F.min("b"), F.first("a")).alias("representative")
+        )
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("table_id", "b").withColumnRenamed(
+                        "representative", "nbr_rep"
+                    ),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("table_id"))
+                .agg(F.min("nbr_rep").alias("nbr_rep"))
+            )
+            updated = (
+                labels.join(neighbor_min, "table_id", "left")
+                .select(
+                    "table_id",
+                    F.least(
+                        "representative", F.coalesce("nbr_rep", "representative")
+                    ).alias("representative"),
+                )
+            )
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "table_id")
+                .filter(F.col("u.representative") != F.col("l.representative"))
+                .limit(1)
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                break
+        return labels
+
+    @staticmethod
     def remove_duplicate_tables(top_k: DataFrame, relations: DataFrame) -> DataFrame:
         """D2 — drop all but one representative of each duplicate group from
         a MATE top-k list (demo:397-421).  Groups are connected components
-        of the relation edges; with pairwise relations the lower table id
-        survives."""
-        # transitive closure via iterative min-label propagation would be
-        # needed for chains; relations from get_relations are pairwise and
-        # our representative rule keeps the global minimum of each group.
-        drop = relations.select(F.greatest("table_id_1", "table_id_2").alias("table_id")).distinct()
-        return top_k.join(drop, "table_id", "left_anti")
+        of the relation edges (transitive chains included); the smallest
+        table id of each group survives."""
+        groups = DuplicateDetection.duplicate_groups(relations)
+        drop = groups.filter(F.col("table_id") != F.col("representative")).select(
+            "table_id"
+        )
+        return top_k.join(F.broadcast(drop), "table_id", "left_anti")

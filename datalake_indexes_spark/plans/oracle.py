@@ -343,6 +343,46 @@ GROUP BY row_id
 """
 
 
+def cocoa_order_index_sql() -> str:
+    """W2 — the COCOA linked-list order index (util.py:34-138), incl. the
+    reference's categorical ''->'nan' stringification quirk."""
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+vals AS (
+  SELECT c.table_id, c.col_id, c.row_id, f.is_numeric,
+         CASE WHEN f.is_numeric THEN
+           (CASE WHEN c.tokenized IN ('', 'nan') OR isnan(TRY_CAST(c.tokenized AS DOUBLE))
+                 THEN NULL ELSE TRY_CAST(c.tokenized AS DOUBLE) END)
+         END AS nv,
+         CASE WHEN NOT f.is_numeric THEN
+           (CASE WHEN c.tokenized = '' THEN 'nan' ELSE c.tokenized END)
+         END AS sv
+  FROM cells c JOIN flags f USING (table_id, col_id)
+),
+ordered AS (
+  SELECT *, coalesce(lead(row_id) OVER w, -1) AS nxt,
+         CASE WHEN lead(row_id) OVER w IS NULL THEN '0'
+              WHEN is_numeric AND nv IS NOT DISTINCT FROM lead(nv) OVER w THEN '0'
+              WHEN NOT is_numeric AND sv = lead(sv) OVER w THEN '0'
+              ELSE '1' END AS bin,
+         first_value(row_id) OVER w AS mi
+  FROM vals
+  WINDOW w AS (PARTITION BY table_id, col_id
+               ORDER BY nv ASC NULLS LAST, sv ASC NULLS LAST, row_id)
+)
+SELECT CAST(table_id AS VARCHAR) || '_' || CAST(col_id AS VARCHAR) AS table_col_id,
+       any_value(is_numeric) AS is_numeric,
+       min(mi) AS min_index,
+       array_to_string(list(nxt ORDER BY row_id), '_') AS order_list,
+       string_agg(bin, '' ORDER BY row_id) AS binary_list
+FROM ordered GROUP BY table_id, col_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operator oracles (dedup / similarity / text /
 # multimodal / events) — same shared-constants discipline: thresholds, hash

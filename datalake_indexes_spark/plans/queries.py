@@ -80,6 +80,21 @@ def q_is_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return testdata_index(spark, sf_dir, with_super_keys=False).col_flags
 
 
+def q_cocoa_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — materialized COCOA order index over the whole lake."""
+    from datalake_indexes_spark.index.cocoa_order import build_order_index
+
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    out = build_order_index(idx.cells, col_flags=idx.col_flags)
+    return out.select(
+        F.concat_ws("_", "table_id", "col_id").alias("table_col_id"),
+        "is_numeric",
+        "min_index",
+        F.array_join("order_list", "_").alias("order_list"),
+        "binary_list",
+    )
+
+
 def q_mate_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (degree 1) — top joinable tables for customer on c_custkey."""
     idx = testdata_index(spark, sf_dir)
@@ -350,6 +365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_cells": q_index_cells,
     "index_table_info": q_table_info,
     "index_is_numeric": q_is_numeric,
+    "cocoa_order_index": q_cocoa_order_index,
     "mate_join_search_single": q_mate_single,
     "mate_join_search_multi": q_mate_multi,
     "cocoa_enrich": q_cocoa_enrich,
@@ -380,6 +396,7 @@ ORACLES: dict[str, str] = {
     "index_cells": oracle.index_cells_sql(),
     "index_table_info": oracle.table_info_sql(),
     "index_is_numeric": oracle.is_numeric_sql(),
+    "cocoa_order_index": oracle.cocoa_order_index_sql(),
     "mate_join_search_single": oracle.mate_join_search_sql(
         "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
     ),

@@ -29,6 +29,42 @@ def _sniff_delimiter(spark: SparkSession, path: str) -> str:
         return max(counts, key=counts.get)
 
 
+def read_arff(spark: SparkSession, path: str) -> DataFrame:
+    """ARFF reader (S5, data_handler.py:518-547): driver-side parse of the
+    @attribute header + CSV data section into an all-string DataFrame.
+    ARFF files are small curated datasets — driver parsing then
+    parallelizing is the right shape (no distributed ARFF source exists)."""
+    import csv as _csv
+    import re as _re
+
+    # attribute names may be 'single'- or "double"-quoted (ARFF spec)
+    attr_re = _re.compile(
+        r"@attribute\s+(?:'([^']*)'|\"([^\"]*)\"|(\S+))", _re.IGNORECASE
+    )
+    cols: list[str] = []
+    rows: list[list[str | None]] = []
+    in_data = False
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("%"):
+                continue
+            low = line.lower()
+            if low.startswith("@attribute"):
+                m = attr_re.match(line)
+                if m:
+                    cols.append(next(g for g in m.groups() if g is not None))
+            elif low.startswith("@data"):
+                in_data = True
+            elif in_data:
+                vals = next(_csv.reader([line], quotechar="'"))
+                rows.append([None if v == "?" else v for v in vals[: len(cols)]])
+    if not cols:
+        raise ValueError(f"no @attribute declarations in {path}")
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    return spark.createDataFrame(rows, schema)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read one lake file, dispatching on extension (S1-S5).
 
@@ -43,6 +79,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.json(path)
     if ext in (".tsv",):
         return spark.read.option("header", True).option("sep", "\t").csv(path)
+    if ext == ".arff":
+        return read_arff(spark, path)
     if ext in (".csv", ".txt"):
         sep = _sniff_delimiter(spark, path)
         return (
