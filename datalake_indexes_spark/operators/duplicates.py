@@ -129,61 +129,42 @@ class DuplicateDetection:
         )
 
     @staticmethod
-    def duplicate_groups(relations: DataFrame, max_iterations: int = 20) -> DataFrame:
-        """Connected components of the duplicate-relation graph by
-        iterative min-label propagation: each table adopts the smallest
-        table id reachable over its edges until fixpoint.
+    def duplicate_groups(relations: DataFrame) -> DataFrame:
+        """Connected components of the duplicate-relation graph.
 
         Returns (table_id, representative).  The edge set is duplicate
-        *pairs between tables* — tiny relative to the lake — so the loop is
-        a handful of small self-joins; component diameter bounds the
-        iteration count (each pass halves distances to the minimum).
+        *pairs of tables* — by construction orders of magnitude smaller
+        than the lake (the reference also resolves groups driver-side,
+        demo:397-421) — so union-find on collected edges is the right
+        shape: exact transitive closure, no iterative-join lineage blowup.
+        An iterative DataFrame propagation only pays off when the edge set
+        itself no longer fits on the driver, which a per-lake duplicate
+        relation never approaches.
         """
-        edges = (
-            relations.select(
-                F.col("table_id_1").alias("a"), F.col("table_id_2").alias("b")
-            )
-            .union(
-                relations.select(
-                    F.col("table_id_2").alias("a"), F.col("table_id_1").alias("b")
-                )
-            )
-            .distinct()
-        )
-        labels = edges.groupBy(F.col("a").alias("table_id")).agg(
-            F.least(F.min("b"), F.first("a")).alias("representative")
-        )
-        for _ in range(max_iterations):
-            neighbor_min = (
-                edges.join(
-                    labels.withColumnRenamed("table_id", "b").withColumnRenamed(
-                        "representative", "nbr_rep"
-                    ),
-                    "b",
-                )
-                .groupBy(F.col("a").alias("table_id"))
-                .agg(F.min("nbr_rep").alias("nbr_rep"))
-            )
-            updated = (
-                labels.join(neighbor_min, "table_id", "left")
-                .select(
-                    "table_id",
-                    F.least(
-                        "representative", F.coalesce("nbr_rep", "representative")
-                    ).alias("representative"),
-                )
-            )
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "table_id")
-                .filter(F.col("u.representative") != F.col("l.representative"))
-                .limit(1)
-                .count()
-            )
-            labels = updated
-            if changed == 0:
-                break
-        return labels
+        edges = [
+            (r["table_id_1"], r["table_id_2"]) for r in relations.collect()
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(t, find(t)) for t in sorted(parent)]
+        return relations.sparkSession.createDataFrame(
+            rows or [(None, None)], "table_id int, representative int"
+        ).filter(F.col("table_id").isNotNull())
 
     @staticmethod
     def remove_duplicate_tables(top_k: DataFrame, relations: DataFrame) -> DataFrame:
