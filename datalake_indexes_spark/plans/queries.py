@@ -24,7 +24,16 @@ from datalake_indexes_spark.functions.text import tokenize_col
 from datalake_indexes_spark.sources.catalog import ALL_TABLE_NAMES, TESTDATA_LAKE_SPEC
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the queries depend on, set defensively: the driver
+    calls queries() with ITS OWN session, and a vanilla session cannot read
+    the testdata's TIMESTAMP(NANOS) events.parquet at all
+    ([PARQUET_TYPE_ILLEGAL] without nanosAsLong)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    _ensure_session_confs(spark)
     names = names or ALL_TABLE_NAMES
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
 
@@ -237,6 +246,7 @@ def q_mate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
@@ -331,6 +341,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window aggregation over events (streaming-shaped agg on
     the batch table; the same plan runs under Structured Streaming)."""
+    _ensure_session_confs(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
@@ -349,6 +360,7 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_confs(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.select(
         "event_id",
