@@ -646,6 +646,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sessionize_sql(gap_seconds: int = 1800) -> str:
+    """Gap sessionization twin.  The gap test uses second-truncated epochs
+    (matching Spark's timestamp->long cast in sessionize_batch)."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         coalesce(value, 0.0) AS v
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN sec - lag(sec, 1, 0) OVER (PARTITION BY user_id ORDER BY ts)
+                      > {gap_seconds} THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(v), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def events_json_extract_sql() -> str:
     return """
 SELECT event_id, event_type,

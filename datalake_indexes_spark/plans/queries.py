@@ -359,6 +359,23 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator, streaming/sessionize.py)."""
+    from datalake_indexes_spark.streaming.sessionize import sessionize_batch
+
+    _ensure_session_confs(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -401,6 +418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_features": q_multimodal_features,
     "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
 }
 
@@ -446,5 +464,6 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": oracle.text_fingerprint_sql(),
     "multimodal_features": oracle.multimodal_features_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
+    "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
     "events_json_extract": oracle.events_json_extract_sql(),
 }

@@ -95,7 +95,8 @@ def windowed_event_counts(
     rounding).
     """
     if dict(events.dtypes).get(ts_col) == "bigint":
-        ts = F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        # integer `div`: /1000 in doubles rounds the last microsecond
+        ts = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     else:
         ts = F.col(ts_col)
     df = events.withColumn("__ts", ts)

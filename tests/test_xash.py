@@ -25,6 +25,19 @@ def test_xash_golden_parity():
         assert xash(case["token"]) == int(case["h128"]), case["token"]
 
 
+EXT_GOLDEN = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden", "xash_extended_golden.json"))
+)["xash_ext"]
+
+
+def test_xash_extended_golden_parity():
+    """All hash sizes (64/128/256/512) x rotation on/off vs the reference's
+    generate_XASH outputs — the demo's parameter-sweep surface (demo:423-464)."""
+    for c in EXT_GOLDEN:
+        got = xash(c["token"], hash_size=c["hash_size"], rotation=c["rotation"])
+        assert got == int(c["h"]), (c["hash_size"], c["rotation"], c["token"])
+
+
 def test_split128_roundtrip():
     for case in GOLDEN["xash"]:
         v = int(case["h128"])
