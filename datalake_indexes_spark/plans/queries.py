@@ -128,6 +128,21 @@ def q_mate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).top_k
 
 
+def q_mate_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2+J3 (degree 3) — lineitem on (l_orderkey, l_partkey, l_suppkey):
+    all three values must co-occur in one lake row."""
+    idx = testdata_index(spark, sf_dir)
+    mate = MATE(idx)
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return mate.join_search(
+        lineitem,
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        k=10,
+        k_c=500,
+        input_order_by=["l_orderkey", "l_linenumber"],
+    ).top_k
+
+
 def q_cocoa_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A8-A11/W1/W5 — single-column COCOA enrichment:
     customer.c_custkey -> correlations against c_acctbal."""
@@ -397,6 +412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cocoa_order_index": q_cocoa_order_index,
     "mate_join_search_single": q_mate_single,
     "mate_join_search_multi": q_mate_multi,
+    "mate_join_search_triple": q_mate_triple,
     "cocoa_enrich": q_cocoa_enrich,
     "dup_row_groups": q_dup_row_groups,
     "dup_table_relations": q_dup_table_relations,
@@ -433,6 +449,13 @@ ORACLES: dict[str, str] = {
     "mate_join_search_multi": oracle.mate_join_search_sql(
         "lineitem",
         ["l_orderkey", "l_partkey"],
+        ["l_orderkey", "l_linenumber"],
+        k=10,
+        k_c=500,
+    ),
+    "mate_join_search_triple": oracle.mate_join_search_sql(
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey"],
         ["l_orderkey", "l_linenumber"],
         k=10,
         k_c=500,
