@@ -113,18 +113,23 @@ def build_index(
     ``bit_or(xash(token))`` per row (data_handler.py:280-283); headers and
     table_info as side aggregates.
     """
-    cell_parts = []
+    # per-table prep (row numbering triggers one small collect each) runs
+    # in parallel threads — Spark schedules the 10 jobs concurrently
+    # instead of serializing their startup latency
+    from concurrent.futures import ThreadPoolExecutor
+
+    active = [(n, s) for n, s in specs.items() if n in tables]
+    with ThreadPoolExecutor(max_workers=min(len(active), 8) or 1) as pool:
+        cell_parts = list(
+            pool.map(lambda ns: unpivot_to_cells(tables[ns[0]], ns[1]), active)
+        )
     header_rows = []
-    info_parts = []
-    for name, spec in specs.items():
-        if name not in tables:
-            continue
-        df = tables[name]
-        cells_t = unpivot_to_cells(df, spec)
-        cell_parts.append(cells_t)
+    for name, spec in active:
         for col_id, col in enumerate(spec.cols):
             header_rows.append((spec.table_id, col_id, col))
 
+    if not cell_parts:
+        raise ValueError("build_index: no tables to index (empty lake)")
     cells = cell_parts[0]
     for part in cell_parts[1:]:
         cells = cells.unionByName(part)
