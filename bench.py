@@ -56,6 +56,8 @@ def main() -> None:
     idx.row_keys.count()
     if idx.col_flags is not None:
         idx.col_flags.count()
+    if idx.cells_keyed is not None:
+        idx.cells_keyed.count()
     timings["index_build"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:

@@ -37,6 +37,11 @@ class LakeIndex:
     # numeric-ness, computed once at index time so query-time correlation
     # never re-aggregates the lake for it
     col_flags: DataFrame | None = None
+    # optional denormalized view: cells + (super_key_hi, super_key_lo) per
+    # row — the reference's physical layout (data_handler.py:296-303).
+    # MATE's posting fetch uses it when present so the hit set (which can
+    # be an order of magnitude larger than the lake) never joins row_keys
+    cells_keyed: DataFrame | None = None
 
     def cache(self) -> "LakeIndex":
         self.cells = self.cells.cache()
@@ -45,7 +50,17 @@ class LakeIndex:
         self.table_info = self.table_info.cache()
         if self.col_flags is not None:
             self.col_flags = self.col_flags.cache()
+        if self.cells_keyed is not None:
+            self.cells_keyed = self.cells_keyed.cache()
         return self
+
+    def keyed_cells(self) -> DataFrame:
+        """Cells with per-row super keys: the materialized view when built,
+        else the join (one co-keyed lake-sized join, still far cheaper than
+        joining an exploded hit set against row_keys)."""
+        if self.cells_keyed is not None:
+            return self.cells_keyed
+        return self.cells.join(self.row_keys, ["table_id", "row_id"])
 
     def save(self, path: str, mode: str = "overwrite") -> None:
         """Materialize the index (S7/S8 — replaces COPY + B-tree builds)."""

@@ -144,8 +144,12 @@ class MATE:
         if small_input:
             inp = F.broadcast(inp)
 
-        # 2. posting fetch on first query column (mate.py:251-256)
-        hits = cells.join(inp, cells["tokenized"] == inp["__q0"], "inner")
+        # 2. posting fetch on first query column (mate.py:251-256).  With
+        # hash optimization the probe runs against the super-key-denormalized
+        # cell view (the reference's layout) so the hit set — often much
+        # larger than the lake — never joins row_keys afterwards.
+        probe_cells = self.index.keyed_cells() if use_hash_optimization else cells
+        hits = probe_cells.join(inp, probe_cells["tokenized"] == inp["__q0"], "inner")
 
         # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
         #    min_join_ratio drops small posting lists (mate.py:325-326)
@@ -164,8 +168,6 @@ class MATE:
 
         # 4. super-key containment prefilter (mate.py:390-394)
         if use_hash_optimization:
-            rk = self.index.row_keys
-            hits = hits.join(rk, ["table_id", "row_id"], "inner")
             hits = hits.filter(
                 superkey_contains(
                     F.col("__q_hi"), F.col("__q_lo"),

@@ -59,12 +59,14 @@ def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = Tru
         from datalake_indexes_spark.index.builder import row_keys_for
 
         base = _INDEX_CACHE[base_key]
+        row_keys = row_keys_for(base.cells, xash_pandas_udf()).cache()
         idx = LakeIndex(
             cells=base.cells,
-            row_keys=row_keys_for(base.cells, xash_pandas_udf()).cache(),
+            row_keys=row_keys,
             column_headers=base.column_headers,
             table_info=base.table_info,
             col_flags=base.col_flags,
+            cells_keyed=base.cells.join(row_keys, ["table_id", "row_id"]).cache(),
         )
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
