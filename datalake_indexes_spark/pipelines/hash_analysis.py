@@ -19,7 +19,7 @@ from functools import partial
 from pyspark.sql import DataFrame
 
 from datalake_indexes_spark.functions.hashes import bloom128, hash_pandas_udf
-from datalake_indexes_spark.functions.xash import xash, xash_pandas_udf
+from datalake_indexes_spark.functions.xash import xash
 from datalake_indexes_spark.index.builder import row_keys_for
 from datalake_indexes_spark.index.lake_index import LakeIndex
 from datalake_indexes_spark.operators.mate import MATE
@@ -54,20 +54,29 @@ def analyze_hash_alternatives(
     """
     rows = []
     for name, fn in _configs().items():
+        rebuilt_keys = None
         if fn is None:
             idx = index
             mate = MATE(idx)
             use_hash = False
+        elif name == "xash_128_rot":
+            # the engine default — the input index's (cached, denormalized)
+            # row keys ARE this configuration
+            idx = index
+            mate = MATE(idx)
+            use_hash = True
         else:
-            udf = xash_pandas_udf() if name == "xash_128_rot" else hash_pandas_udf(fn)
+            # stats run several actions per config — persist the rebuilt
+            # keys so the full-lake rehash happens once
+            rebuilt_keys = row_keys_for(index.cells, hash_pandas_udf(fn)).persist()
             idx = LakeIndex(
                 cells=index.cells,
-                row_keys=row_keys_for(index.cells, udf),
+                row_keys=rebuilt_keys,
                 column_headers=index.column_headers,
                 table_info=index.table_info,
                 col_flags=index.col_flags,
             )
-            mate = MATE(idx, hash_function=None if name == "xash_128_rot" else fn)
+            mate = MATE(idx, hash_function=fn)
             use_hash = True
         stats: dict = {}
         res = mate.join_search(
@@ -90,6 +99,8 @@ def analyze_hash_alternatives(
                 int(top[0]["score"]) if top else None,
             )
         )
+        if rebuilt_keys is not None:
+            rebuilt_keys.unpersist()
     return input_df.sparkSession.createDataFrame(
         rows,
         "config string, approved long, matches long, false_positives long, "

@@ -7,11 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from datalake_indexes_spark.pipelines.enrichment import enrich_dataset
-from tests.test_e2e_pipeline import planted  # noqa: F401 — shared fixture
 
 
 @pytest.mark.spark
-def test_enrich_dataset_end_to_end(planted):  # noqa: F811
+def test_enrich_dataset_end_to_end(planted):
     res = enrich_dataset(
         planted["index"],
         planted["input"],

@@ -6,11 +6,10 @@ from __future__ import annotations
 import pytest
 
 from datalake_indexes_spark.pipelines.hash_analysis import analyze_hash_alternatives
-from tests.test_e2e_pipeline import planted  # noqa: F401 — shared fixture
 
 
 @pytest.mark.spark
-def test_hash_sweep_invariants(planted):  # noqa: F811
+def test_hash_sweep_invariants(planted):
     out = analyze_hash_alternatives(
         planted["index"],
         planted["input"],
