@@ -150,6 +150,74 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every corpus vector to its
+    nearest centroid (inverted file), probe only the ``n_probe`` centroids
+    nearest to each query.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic and oracle-checkable; a production build would k-means
+    them, which changes recall but not the plan shape.  At scale the
+    corpus is written partitioned by ``centroid`` so a query touches
+    ``n_probe`` partitions; assignment itself is a broadcast map-side job
+    (centroids are tiny by definition).
+    """
+    cents = F.broadcast(
+        with_unit_vec(corpus.filter(F.col(id_col) < n_centroids), vec_col).select(
+            F.col(id_col).alias("centroid"), F.col("__unit").alias("__cent_v")
+        )
+    )
+
+    def assign(df: DataFrame, id_alias: str, keep: str, n_best: int) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "__sim", _dot(F.col(keep), F.col("__cent_v"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.asc("centroid"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= n_best)
+            .drop("__cent_v", "__sim", "__cr")
+        )
+
+    c = assign(
+        with_unit_vec(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+        ),
+        "neighbor_id",
+        "__cv",
+        1,
+    )
+    q = assign(
+        with_unit_vec(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+        ),
+        "query_id",
+        "__qv",
+        n_probe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 4).alias("cosine")
+        )
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

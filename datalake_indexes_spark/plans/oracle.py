@@ -544,6 +544,44 @@ WHERE rank <= {k}
 """
 
 
+def ann_ivf_topk_sql(
+    k: int = 5, n_queries: int = 10, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    """IVF twin: centroids = first n_centroids corpus vectors; corpus rows
+    assigned to their nearest centroid; queries probe their n_probe nearest."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+corpus_assign AS (
+  SELECT neighbor_id, centroid, cv2 FROM (
+    SELECT e.vec_id AS neighbor_id, c.centroid, e.embedding::DOUBLE[] AS cv2,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+q_assign AS (
+  SELECT query_id, centroid, qv FROM (
+    SELECT e.vec_id AS query_id, c.centroid, e.embedding::DOUBLE[] AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid) AS rk
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < {n_queries}
+  ) WHERE rk <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, ca.neighbor_id, list_cosine_similarity(q.qv, ca.cv2) AS c
+  FROM q_assign q JOIN corpus_assign ca USING (centroid)
+  WHERE ca.neighbor_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def text_token_counts_sql() -> str:
     from datalake_indexes_spark.operators.text_analysis import TOKEN_REGEX
 

@@ -145,6 +145,18 @@ def q_mate_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).top_k
 
 
+def q_mate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with min_join_ratio — candidate tables must clear a posting-list
+    floor before verification (mate.py:325-326)."""
+    idx = testdata_index(spark, sf_dir)
+    mate = MATE(idx)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return mate.join_search(
+        customer, ["c_custkey"], k=10, k_c=500, min_join_ratio=50,
+        input_order_by=["c_custkey"],
+    ).top_k
+
+
 def q_cocoa_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A8-A11/W1/W5 — single-column COCOA enrichment:
     customer.c_custkey -> correlations against c_acctbal."""
@@ -314,6 +326,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (deterministic centroid variant)."""
+    from datalake_indexes_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate scale path — rows-only check (recall < 1 by design)."""
     from datalake_indexes_spark.operators.similarity import hyperplane_lsh_topk
@@ -415,6 +435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mate_join_search_single": q_mate_single,
     "mate_join_search_multi": q_mate_multi,
     "mate_join_search_triple": q_mate_triple,
+    "mate_join_search_ratio": q_mate_ratio,
     "cocoa_enrich": q_cocoa_enrich,
     "dup_row_groups": q_dup_row_groups,
     "dup_table_relations": q_dup_table_relations,
@@ -429,6 +450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -454,6 +476,9 @@ ORACLES: dict[str, str] = {
         ["l_orderkey", "l_linenumber"],
         k=10,
         k_c=500,
+    ),
+    "mate_join_search_ratio": oracle.mate_join_search_sql(
+        "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500, min_join_ratio=50
     ),
     "mate_join_search_triple": oracle.mate_join_search_sql(
         "lineitem",
@@ -482,6 +507,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
+    "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     # ann_lsh_topk: intentionally no oracle (approximate, rows-only check)
     "text_token_counts": oracle.text_token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
