@@ -291,6 +291,178 @@ LIMIT {k_c}
 """
 
 
+def cocoa_multicolumn_sql(
+    input_table: str,
+    query_columns: list[str],
+    target_column: str,
+    input_order_by: list[str],
+    k: int = 5,
+    k_c: int = 500,
+    k_features: int = 10,
+    round_digits: int = 4,
+) -> str:
+    """enrich_multicolumn twin (cocoa.py:306-583): MATE's verified join maps
+    feed the correlation machinery; join columns of each winning
+    combination are excluded; target ranks cover ALL input rows."""
+    degree = len(query_columns)
+    verify_idx = [0] if degree == 1 else list(range(1, degree))
+    m_selects = ", ".join(
+        f"list(c.col_id ORDER BY c.col_id) FILTER (WHERE c.tokenized = h.q{i}) AS m{i}"
+        for i in verify_idx
+    )
+    match_cond = " AND ".join(f"len(m{i}) > 0" for i in verify_idx)
+    combo = " || ".join(
+        ["CAST(hit_col_id AS VARCHAR)"]
+        + [f"'_' || array_to_string(m{i}, '_')" for i in verify_idx]
+    )
+    qcols = ", ".join(f"h.q{i}" for i in range(degree))
+    return f"""
+WITH {cells_cte()},
+{_input_cte(input_table, query_columns, input_order_by, extra_cols=[target_column])},
+hits AS (
+  SELECT c.table_id, c.row_id AS ext_row_id, c.col_id AS hit_col_id, i.mate_row_id,
+         {", ".join(f"i.q{i}" for i in range(degree))}
+  FROM cells c JOIN input_ok i ON c.tokenized = i.q0
+),
+cand AS (
+  SELECT table_id FROM (
+    SELECT table_id, row_number() OVER (ORDER BY count(*) DESC, table_id) AS rk
+    FROM hits GROUP BY table_id
+  ) WHERE rk <= {k_c}
+),
+verified AS (
+  SELECT h.table_id, h.ext_row_id, h.hit_col_id, h.mate_row_id, {qcols}, {m_selects}
+  FROM (SELECT hits.* FROM hits JOIN cand USING (table_id)) h
+  JOIN cells c ON c.table_id = h.table_id AND c.row_id = h.ext_row_id
+  GROUP BY ALL
+),
+matches AS (
+  SELECT *, {combo} AS column_combination FROM verified WHERE {match_cond}
+),
+combo_counts AS (
+  SELECT table_id, column_combination, count(*) AS cnt FROM matches GROUP BY ALL
+),
+best AS (
+  SELECT table_id, column_combination, cnt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY table_id ORDER BY cnt DESC, column_combination) AS rk
+    FROM combo_counts
+  ) WHERE rk = 1
+),
+topk AS (
+  SELECT table_id, column_combination FROM (
+    SELECT *, row_number() OVER (ORDER BY cnt DESC, table_id) AS rk FROM best
+  ) WHERE rk <= {k}
+),
+pairs AS (
+  SELECT m.table_id, m.ext_row_id, max(m.mate_row_id) AS input_row_id
+  FROM matches m JOIN topk t USING (table_id, column_combination)
+  GROUP BY m.table_id, m.column_combination, m.ext_row_id
+),
+exclude AS (
+  SELECT DISTINCT table_id, CAST(unnest(string_split(column_combination, '_')) AS INT) AS col_id
+  FROM topk
+),
+tr AS (
+  SELECT mate_row_id AS input_row_id,
+         avg(rn) OVER (PARTITION BY {target_column}) AS target_rank
+  FROM (SELECT *, row_number() OVER (ORDER BY {target_column} ASC NULLS LAST) AS rn
+        FROM __input_raw)
+),
+stats AS (
+  SELECT count(*) AS n, sum(target_rank) AS t_sum,
+         stddev_pop(target_rank) AS t_std,
+         sum(target_rank * target_rank) AS t_sq,
+         CAST(ceil(count(*) / 2.0) AS DOUBLE) AS mid_rank
+  FROM tr
+),
+cand_t AS (SELECT DISTINCT table_id FROM pairs),
+ext_cells AS (
+  SELECT c.* FROM cells c
+  JOIN cand_t USING (table_id)
+  ANTI JOIN exclude x ON c.table_id = x.table_id AND c.col_id = x.col_id
+),
+numeric AS (
+  SELECT f.table_id, f.col_id, f.is_numeric FROM (
+    SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+    FROM cells GROUP BY table_id, col_id
+  ) f
+  JOIN cand_t ON cand_t.table_id = f.table_id
+  ANTI JOIN exclude x ON f.table_id = x.table_id AND f.col_id = x.col_id
+),
+matched AS (
+  SELECT p.input_row_id, e.table_id, e.col_id, e.tokenized, t.target_rank, nm.is_numeric
+  FROM pairs p
+  JOIN ext_cells e ON e.table_id = p.table_id AND e.row_id = p.ext_row_id
+  JOIN tr t ON t.input_row_id = p.input_row_id
+  JOIN numeric nm ON nm.table_id = e.table_id AND nm.col_id = e.col_id
+),
+m_num AS (
+  SELECT *, CASE WHEN tokenized IN ('', 'nan') OR isnan(TRY_CAST(tokenized AS DOUBLE))
+                 THEN NULL ELSE TRY_CAST(tokenized AS DOUBLE) END AS val
+  FROM matched WHERE is_numeric
+),
+ranked AS (
+  SELECT *, avg(rn) OVER (PARTITION BY table_id, col_id, val) AS ext_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY table_id, col_id
+                                     ORDER BY val ASC NULLS LAST) AS rn
+        FROM m_num)
+),
+per_input AS (
+  SELECT table_id, col_id, input_row_id,
+         max(ext_rank) AS e, max(target_rank) AS t
+  FROM ranked GROUP BY ALL
+),
+num_agg AS (
+  SELECT table_id, col_id, count(*) AS m, sum(e) AS se, sum(e*e) AS se2,
+         sum(t) AS st_m, sum(e*t) AS ste
+  FROM per_input GROUP BY ALL
+),
+num_corr AS (
+  SELECT table_id, col_id,
+         CASE WHEN denom > 0 THEN (n * sum_te - t_sum * sum_e) / denom END AS corr
+  FROM (
+    SELECT a.table_id, a.col_id, st.n, st.t_sum,
+           a.ste + st.mid_rank * (st.t_sum - a.st_m) AS sum_te,
+           a.se + st.mid_rank * (st.n - a.m) AS sum_e,
+           sqrt(st.n * st.t_sq - st.t_sum * st.t_sum)
+             * sqrt(st.n * (a.se2 + st.mid_rank * st.mid_rank * (st.n - a.m))
+                    - (a.se + st.mid_rank * (st.n - a.m))
+                      * (a.se + st.mid_rank * (st.n - a.m))) AS denom
+    FROM num_agg a, stats st
+  )
+),
+num_full AS (
+  SELECT nc.table_id, nc.col_id, c.corr
+  FROM (SELECT table_id, col_id FROM numeric WHERE is_numeric) nc
+  LEFT JOIN num_corr c ON c.table_id = nc.table_id AND c.col_id = nc.col_id
+),
+cat_groups AS (
+  SELECT table_id, col_id, tokenized, count(*) AS q, sum(target_rank) AS s
+  FROM matched WHERE NOT is_numeric GROUP BY ALL
+),
+cat_r AS (
+  SELECT table_id, col_id,
+         abs((st.n * s - q * st.t_sum) / (st.t_std * st.n * sqrt(q * (st.n - q)))) AS r
+  FROM cat_groups, stats st WHERE q < st.n
+),
+cat_corr AS (
+  SELECT cc.table_id, cc.col_id, max(cr.r) AS corr
+  FROM (SELECT table_id, col_id FROM numeric WHERE NOT is_numeric) cc
+  LEFT JOIN cat_r cr ON cr.table_id = cc.table_id AND cr.col_id = cc.col_id
+  GROUP BY ALL
+),
+all_corr AS (SELECT * FROM num_full UNION ALL SELECT * FROM cat_corr)
+SELECT CAST(a.table_id AS VARCHAR) || '_' || CAST(a.col_id AS VARCHAR) AS table_col_id,
+       round(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END, {round_digits}) AS corr,
+       nm.is_numeric
+FROM all_corr a JOIN numeric nm ON nm.table_id = a.table_id AND nm.col_id = a.col_id
+ORDER BY abs(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END) DESC,
+         table_col_id
+LIMIT {k_features}
+"""
+
+
 def dup_row_groups_sql() -> str:
     return f"""
 WITH {cells_cte()},

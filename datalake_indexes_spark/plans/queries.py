@@ -170,6 +170,22 @@ def q_cocoa_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("table_col_id", F.round("corr", 4).alias("corr"), "is_numeric")
 
 
+def q_cocoa_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cocoa.py:306-583 — enrich_multicolumn over MATE's join maps:
+    customer joinable on c_custkey, every non-join column of the winning
+    tables correlated against c_acctbal."""
+    idx = testdata_index(spark, sf_dir)
+    mate = MATE(idx)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    inp_ids = with_global_row_number(customer, ["c_custkey"], out_col="mate_row_id")
+    res = mate.join_search(
+        inp_ids, ["c_custkey"], k=5, k_c=500, input_order_by=["c_custkey"]
+    )
+    cocoa = COCOA(idx)
+    out = cocoa.enrich_multicolumn(inp_ids, res, k_c=10, target_column="c_acctbal")
+    return out.select("table_col_id", F.round("corr", 4).alias("corr"), "is_numeric")
+
+
 def q_dup_row_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 (set view) — exact duplicate-row groups across the lake."""
     idx = testdata_index(spark, sf_dir, with_super_keys=False)
@@ -437,6 +453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mate_join_search_triple": q_mate_triple,
     "mate_join_search_ratio": q_mate_ratio,
     "cocoa_enrich": q_cocoa_enrich,
+    "cocoa_enrich_multicolumn": q_cocoa_multicolumn,
     "dup_row_groups": q_dup_row_groups,
     "dup_table_relations": q_dup_table_relations,
     "get_table_pivot": q_get_table_pivot,
@@ -489,6 +506,9 @@ ORACLES: dict[str, str] = {
     ),
     "cocoa_enrich": oracle.cocoa_enrich_sql(
         "customer", "c_custkey", "c_acctbal", ["c_custkey"], k_t=5, k_c=20
+    ),
+    "cocoa_enrich_multicolumn": oracle.cocoa_multicolumn_sql(
+        "customer", ["c_custkey"], "c_acctbal", ["c_custkey"], k=5, k_c=500, k_features=10
     ),
     "dup_row_groups": oracle.dup_row_groups_sql(),
     "dup_table_relations": oracle.dup_table_relations_sql(),
