@@ -212,6 +212,25 @@ def _verify_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> D
     return out
 
 
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Collapse near-duplicate pairs into retention clusters:
+    (doc_id, representative) for every document in any cluster; the
+    representative (min id) is the copy a dedup pipeline keeps.
+
+    Components are resolved by union-find on the collected pair set —
+    near-dup pairs above a sane threshold are orders of magnitude smaller
+    than the corpus (they are the *output* of LSH banding, not the corpus
+    itself), the same size argument as table-duplicate groups."""
+    from datalake_indexes_spark.operators.duplicates import DuplicateDetection
+
+    renamed = pairs.select(
+        F.col("doc_id_1").alias("table_id_1"), F.col("doc_id_2").alias("table_id_2")
+    )
+    return DuplicateDetection.duplicate_groups(renamed).select(
+        F.col("table_id").alias("doc_id"), F.col("representative")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

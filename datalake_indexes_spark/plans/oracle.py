@@ -580,16 +580,19 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _jaccard_tail(threshold: float) -> str:
-    return f"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+def _jaccard_ctes() -> str:
+    return """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_id_1, c.doc_id_2, count(*) AS i
   FROM cand c
   JOIN sh s1 ON s1.doc_id = c.doc_id_1
   JOIN sh s2 ON s2.doc_id = c.doc_id_2 AND s2.shingle = s1.shingle
   GROUP BY 1, 2
-)
-SELECT i.doc_id_1, i.doc_id_2,
+)"""
+
+
+def _jaccard_select(threshold: float) -> str:
+    return f"""SELECT i.doc_id_1, i.doc_id_2,
        round(i.i * 1.0 / (n1.n + n2.n - i.i), 4) AS jaccard
 FROM inter i
 JOIN sizes n1 ON n1.doc_id = i.doc_id_1
@@ -597,7 +600,9 @@ JOIN sizes n2 ON n2.doc_id = i.doc_id_2
 WHERE i.i * 1.0 / (n1.n + n2.n - i.i) >= {threshold}"""
 
 
-def dedup_minhash_lsh_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+def _minhash_pairs_ctes(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    """CTE chain ending in ``pairs(doc_id_1, doc_id_2, jaccard)`` — shared
+    by the pair query and the cluster query."""
     rows = k // bands
     mins = ", ".join(f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k))
     band_sel = " UNION ALL ".join(
@@ -606,8 +611,7 @@ def dedup_minhash_lsh_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -
         )
         for b in range(bands)
     )
-    return f"""
-WITH {_shingle_cte()},
+    return f"""{_shingle_cte()},
 mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_sel}),
 cand AS (
@@ -615,7 +619,16 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
-{_jaccard_tail(threshold)}
+{_jaccard_ctes()},
+pairs AS (
+{_jaccard_select(threshold)}
+)"""
+
+
+def dedup_minhash_lsh_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(k, bands, threshold)}
+SELECT doc_id_1, doc_id_2, jaccard FROM pairs
 """
 
 
@@ -627,7 +640,28 @@ cand AS (
   FROM sh s1 JOIN sh s2
     ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
 ),
-{_jaccard_tail(threshold)}
+{_jaccard_ctes()}
+{_jaccard_select(threshold)}
+"""
+
+
+def dedup_clusters_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    """Near-dup retention clusters over the MinHash pairs: connected
+    components via a recursive transitive-closure CTE (cluster sizes are
+    bounded by near-dup group sizes, so the closure stays tiny)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(k, bands, threshold)},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT node AS doc_id, least(node, min(r)) AS representative
+FROM reach GROUP BY node
 """
 
 

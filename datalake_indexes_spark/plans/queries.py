@@ -311,6 +311,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup retention clusters: MinHash pairs collapsed to
+    (doc_id, representative) — the keep/drop table a dedup pipeline applies."""
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    return near_dup_clusters(minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -462,6 +470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mate_join_search_bloom": q_mate_bloom,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_simhash": q_text_simhash,
     "dedup_simhash": q_dedup_simhash,
@@ -522,6 +531,7 @@ ORACLES: dict[str, str] = {
     ),
     "dedup_exact": oracle.dedup_exact_sql(),
     "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
+    "dedup_minhash_clusters": oracle.dedup_clusters_sql(threshold=0.7),
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
