@@ -163,7 +163,7 @@ class DuplicateDetection:
                     parent[ra] = rb
         rows = [(t, find(t)) for t in sorted(parent)]
         return relations.sparkSession.createDataFrame(
-            rows or [(None, None)], "table_id int, representative int"
+            rows or [(None, None)], "table_id long, representative long"
         ).filter(F.col("table_id").isNotNull())
 
     @staticmethod

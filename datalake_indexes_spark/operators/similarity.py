@@ -74,7 +74,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
             F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )
@@ -213,7 +213,7 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 4).alias("cosine")
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round(F.col("__cos"), 4).alias("cosine")
         )
     )
 
@@ -254,6 +254,6 @@ def hyperplane_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", "rank", F.round(F.col("__cos"), 4).alias("cosine")
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round(F.col("__cos"), 4).alias("cosine")
         )
     )

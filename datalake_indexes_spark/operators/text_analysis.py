@@ -36,9 +36,9 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     t = F.col(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(t, " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).alias("n_re_tokens"),
-        F.length(t).alias("n_chars_seen"),
+        F.size(F.split(t, " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_re_tokens"),
+        F.length(t).cast("long").alias("n_chars_seen"),
     )
 
 
@@ -65,7 +65,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(avg_len, 4).alias("avg_word_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
@@ -98,7 +98,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
-        best["hits"].alias("marker_hits"),
+        best["hits"].cast("long").alias("marker_hits"),
     )
 
 
@@ -114,5 +114,5 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(words, " ")).alias("bag_fingerprint"),
-        F.size(words).alias("n_distinct_words"),
+        F.size(words).cast("long").alias("n_distinct_words"),
     )
