@@ -64,9 +64,13 @@ def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec) -> DataFrame:
     Tokenization runs as native expressions *before* the stack so every
     column stays inside whole-stage codegen.
     """
-    wide = with_global_row_number(
-        df.select(*dict.fromkeys([*spec.order_by, *spec.cols])), list(spec.order_by)
-    )
+    cols = df.select(*dict.fromkeys([*spec.order_by, *spec.cols]))
+    if spec.row_id_expr is not None:
+        # the catalog vouches the key is the dense 0-based ordinal — row_id
+        # is a projection, no row-numbering job at all
+        wide = cols.withColumn("row_id", F.col(spec.row_id_expr).cast("long"))
+    else:
+        wide = with_global_row_number(cols, list(spec.order_by))
     tokenized_cols = [
         tokenize_col(F.col(c)).alias(f"__tok_{i}") for i, c in enumerate(spec.cols)
     ]

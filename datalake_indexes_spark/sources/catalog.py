@@ -24,31 +24,38 @@ class LakeTableSpec:
     table_id: int
     cols: tuple[str, ...]          # indexed columns; position = col_id
     order_by: tuple[str, ...]      # unique total order defining row_id
+    # column that IS the 0-based dense row ordinal (verified property of
+    # the source, recorded as catalog metadata): when set, row_id is a
+    # projection instead of a distributed row-numbering job
+    row_id_expr: str | None = None
 
 
-def _t(name: str, table_id: int, cols: list[str], order_by: list[str]) -> LakeTableSpec:
-    return LakeTableSpec(name, table_id, tuple(cols), tuple(order_by))
+def _t(name: str, table_id: int, cols: list[str], order_by: list[str],
+       row_id_expr: str | None = None) -> LakeTableSpec:
+    return LakeTableSpec(name, table_id, tuple(cols), tuple(order_by), row_id_expr)
 
 
 # Table-id assignment is the canonical TESTDATA.md order.
 TESTDATA_LAKE_SPEC: dict[str, LakeTableSpec] = {
     s.name: s
+    # row_id_expr set where the key is verified dense 0..n-1 at every SF
+    # (all but lineitem, whose order key is composite)
     for s in [
-        _t("region", 0, ["r_regionkey", "r_name"], ["r_regionkey"]),
-        _t("nation", 1, ["n_nationkey", "n_name", "n_regionkey"], ["n_nationkey"]),
-        _t("customer", 2, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], ["c_custkey"]),
-        _t("supplier", 3, ["s_suppkey", "s_name", "s_nationkey"], ["s_suppkey"]),
-        _t("part", 4, ["p_partkey", "p_name", "p_brand", "p_type", "p_size"], ["p_partkey"]),
-        _t("orders", 5, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], ["o_orderkey"]),
+        _t("region", 0, ["r_regionkey", "r_name"], ["r_regionkey"], "r_regionkey"),
+        _t("nation", 1, ["n_nationkey", "n_name", "n_regionkey"], ["n_nationkey"], "n_nationkey"),
+        _t("customer", 2, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"], ["c_custkey"], "c_custkey"),
+        _t("supplier", 3, ["s_suppkey", "s_name", "s_nationkey"], ["s_suppkey"], "s_suppkey"),
+        _t("part", 4, ["p_partkey", "p_name", "p_brand", "p_type", "p_size"], ["p_partkey"], "p_partkey"),
+        _t("orders", 5, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], ["o_orderkey"], "o_orderkey"),
         _t(
             "lineitem",
             6,
             ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"],
             ["l_orderkey", "l_linenumber"],
         ),
-        _t("events", 7, ["event_id", "user_id", "event_type"], ["event_id"]),
-        _t("documents", 8, ["doc_id", "lang", "source", "n_chars"], ["doc_id"]),
-        _t("embeddings", 9, ["vec_id", "label"], ["vec_id"]),
+        _t("events", 7, ["event_id", "user_id", "event_type"], ["event_id"], "event_id"),
+        _t("documents", 8, ["doc_id", "lang", "source", "n_chars"], ["doc_id"], "doc_id"),
+        _t("embeddings", 9, ["vec_id", "label"], ["vec_id"], "vec_id"),
     ]
 }
 
