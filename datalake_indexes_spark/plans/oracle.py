@@ -788,6 +788,30 @@ WHERE rank <= {k}
 """
 
 
+def corpus_prep_sql(quality_threshold: float = 0.55, jaccard_threshold: float = 0.7) -> str:
+    """Composed corpus-prep twin: quality filter + near-dup drop."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(threshold=jaccard_threshold)},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+drop_docs AS (
+  SELECT node AS doc_id FROM reach GROUP BY node
+  HAVING least(node, min(r)) != node
+),
+quality AS (SELECT * FROM ({text_quality_sql()}) q)
+SELECT q.doc_id, q.n_words, q.quality_score
+FROM quality q ANTI JOIN drop_docs d ON q.doc_id = d.doc_id
+WHERE q.quality_score >= {quality_threshold}
+"""
+
+
 def text_token_counts_sql() -> str:
     from datalake_indexes_spark.operators.text_analysis import TOKEN_REGEX
 

@@ -366,6 +366,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining corpus prep: quality-filter the documents, then
+    drop near-duplicate copies (keep each cluster's representative) —
+    the end-to-end shape of a training-data curation pass."""
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+    from datalake_indexes_spark.operators.text_analysis import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    quality = quality_scores(docs).filter(F.col("quality_score") >= 0.55)
+    drop = (
+        near_dup_clusters(minhash_lsh_pairs(docs, threshold=0.7))
+        .filter(F.col("doc_id") != F.col("representative"))
+        .select("doc_id")
+    )
+    return quality.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "n_words", "quality_score"
+    )
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import token_counts
 
@@ -478,6 +497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "corpus_prep": q_corpus_prep,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -539,6 +559,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     # ann_lsh_topk: intentionally no oracle (approximate, rows-only check)
+    "corpus_prep": oracle.corpus_prep_sql(),
     "text_token_counts": oracle.text_token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
     "text_langid": oracle.text_langid_sql(),
