@@ -134,6 +134,51 @@ def xash_pandas_udf(hash_size: int = 128, rotation: bool = True, number_of_ones:
     return _udf
 
 
+def row_xash_pandas_udf(hash_size: int = 128, rotation: bool = True,
+                        number_of_ones: int = 5, hash_fn=None):
+    """Arrow-batched pandas UDF hashing a WHOLE ROW of tokens at once:
+    input = tokens joined with ``\\x01`` (tokens are ASCII alnum+space so
+    the separator cannot collide; NUL is avoided because Arrow-produced
+    pandas strings hash C-string-style in ``Series.unique()`` here,
+    silently collapsing keys at an embedded NUL), output = OR-fold of the
+    per-token hashes as (hi, lo).  One Python crossing per row instead of
+    one per query column; the memo caches whole-row keys."""
+    fn = hash_fn or (
+        lambda t: xash(t, hash_size=hash_size, rotation=rotation,
+                       number_of_ones=number_of_ones)
+    )
+    cache: dict[str, tuple[int, int]] = {}
+
+    @F.pandas_udf(_XASH_SCHEMA)
+    def _udf(rows: pd.Series) -> pd.DataFrame:
+        s = rows.fillna("")
+        for joined in s.unique():
+            if joined not in cache:
+                acc = 0
+                for t in joined.split("\x01"):
+                    acc |= fn(t)
+                if len(cache) < 4_000_000:
+                    cache[joined] = split128(acc & ((1 << 128) - 1))
+                else:
+                    break
+        if len(cache) >= 4_000_000:  # degenerate-vocabulary fallback
+            def compute(joined: str) -> tuple[int, int]:
+                got = cache.get(joined)
+                if got is None:
+                    acc = 0
+                    for t in joined.split("\x01"):
+                        acc |= fn(t)
+                    got = split128(acc & ((1 << 128) - 1))
+                return got
+
+            pairs = [compute(j) for j in s]
+        else:
+            pairs = s.map(cache)
+        return pd.DataFrame({"hi": [p[0] for p in pairs], "lo": [p[1] for p in pairs]})
+
+    return _udf
+
+
 def superkey_contains(q_hi: Column, q_lo: Column, r_hi: Column, r_lo: Column) -> Column:
     """Bit-containment test: every bit of q is set in r (mate.py:390-394,
     ``(input_superkey | row_superkey) == row_superkey``) on the 2-long split."""

@@ -63,13 +63,19 @@ class MATE:
         match the family the index's row_keys were built with.  Containment-
         monotone families (XASH, bloom128) keep the prefilter sound; for
         others pass ``use_hash_optimization=False`` to join_search."""
+        from datalake_indexes_spark.functions.xash import row_xash_pandas_udf
+
         self.index = index
         if hash_function is not None:
             from datalake_indexes_spark.functions.hashes import hash_pandas_udf
 
             self._xash_udf = hash_pandas_udf(hash_function)
+            self._row_hash_udf = row_xash_pandas_udf(hash_fn=hash_function)
         else:
             self._xash_udf = xash_pandas_udf(
+                hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
+            )
+            self._row_hash_udf = row_xash_pandas_udf(
                 hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
             )
 
@@ -106,15 +112,15 @@ class MATE:
 
         out = df.select("mate_row_id", *qcols)
         if with_super_key:
-            for i, qc in enumerate(qcols):
-                out = out.withColumn(f"__h{i}", self._xash_udf(F.col(qc)))
-            hi = F.col("__h0.hi")
-            lo = F.col("__h0.lo")
-            for i in range(1, len(qcols)):
-                hi = hi.bitwiseOR(F.col(f"__h{i}.hi"))
-                lo = lo.bitwiseOR(F.col(f"__h{i}.lo"))
-            out = out.withColumn("__q_hi", hi).withColumn("__q_lo", lo)
-            out = out.drop(*[f"__h{i}" for i in range(len(qcols))])
+            # one Arrow crossing for the whole row: tokens joined with \x01
+            # (tokenized text is alnum+space so it cannot collide; NUL would
+            # be collapsed by a pandas/Arrow unique() quirk — see xash.py)
+            joined = F.concat_ws("\x01", *[F.col(qc) for qc in qcols])
+            h = self._row_hash_udf(joined)
+            out = out.withColumn("__h", h).select(
+                "mate_row_id", *qcols,
+                F.col("__h.hi").alias("__q_hi"), F.col("__h.lo").alias("__q_lo"),
+            )
         return out
 
     # ------------------------------------------------------------------
