@@ -63,11 +63,20 @@ def permutation_importance(
     seed: int = 42,
 ) -> DataFrame:
     """Permutation feature importance (machine_learning.py:43-51): RMSE
-    degradation when one feature column is shuffled (via ``rand()`` sort —
-    distributed shuffle, no driver materialization).
+    degradation when one feature column is shuffled.
+
+    The shuffle is a content-hash-bucketed within-group permutation: rows
+    are bucketed by ``xxhash64`` of their content, each bucket is sorted by
+    a second content hash and the feature values cyclically rotated by one
+    (``applyInPandas``, Arrow-batched).  No row-id join is involved — in
+    particular NOT ``monotonically_increasing_id`` alignment across two
+    independently-partitioned frames, whose id sets need not intersect —
+    so every row survives the permutation by construction, and the result
+    is deterministic (content hashes, not partition-dependent ``rand``).
 
     Returns (feature, base_rmse, permuted_rmse, importance).
     """
+    import numpy as np
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.feature import VectorAssembler
 
@@ -88,17 +97,25 @@ def permutation_importance(
         "__label",
         *[F.coalesce(F.col(c), F.lit(means[c] or 0.0)).alias(c) for c in feature_columns],
     ).cache()
+    n_buckets = 64
+
+    def _permuter(feat: str):
+        def _permute(pdf):
+            pdf = pdf.sort_values("__h", kind="mergesort", ignore_index=True)
+            pdf[feat] = np.roll(pdf[feat].to_numpy(), 1)
+            return pdf.drop(columns=["__b", "__h"])
+
+        return _permute
 
     rows = []
     for i, feat in enumerate(feature_columns):
-        keep = [c for c in feature_columns if c != feat]
-        shuffled_vals = (
-            filled.select(F.col(feat).alias("__shuf"))
-            .orderBy(F.rand(seed + i))
-            .withColumn("__rid", F.monotonically_increasing_id())
-        )
-        base = filled.withColumn("__rid", F.monotonically_increasing_id()).drop(feat)
-        permuted = base.join(shuffled_vals, "__rid").withColumnRenamed("__shuf", feat)
+        salted = filled.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(*filled.columns, F.lit(seed + i)), F.lit(n_buckets)).cast(
+                "int"
+            ),
+        ).withColumn("__h", F.xxhash64(*filled.columns, F.lit(seed + i + 7919)))
+        permuted = salted.groupBy("__b").applyInPandas(_permuter(feat), filled.schema)
         preds = model.transform(assembler.transform(permuted))
         p_rmse = evaluator.evaluate(preds)
         rows.append((feat, float(base_rmse), float(p_rmse), float(p_rmse - base_rmse)))

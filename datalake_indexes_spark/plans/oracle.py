@@ -915,17 +915,18 @@ FROM events GROUP BY 1, 2
 
 
 def events_sessionize_sql(gap_seconds: int = 1800) -> str:
-    """Gap sessionization twin.  The gap test uses second-truncated epochs
-    (matching Spark's timestamp->long cast in sessionize_batch)."""
+    """Gap sessionization twin.  Gaps are measured in microseconds
+    (``epoch_us``), the one unit shared by sessionize_batch
+    (``unix_micros``) and sessionize_stream (``ts_us - end > gap_us``)."""
     return f"""
 WITH ev AS (
-  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+  SELECT user_id, ts, epoch_us(ts) AS us,
          coalesce(value, 0.0) AS v
   FROM events
 ),
 flagged AS (
-  SELECT *, CASE WHEN sec - lag(sec, 1, 0) OVER (PARTITION BY user_id ORDER BY ts)
-                      > {gap_seconds} THEN 1 ELSE 0 END AS ns
+  SELECT *, CASE WHEN us - lag(us, 1, 0) OVER (PARTITION BY user_id ORDER BY ts)
+                      > {gap_seconds}::BIGINT * 1000000 THEN 1 ELSE 0 END AS ns
   FROM ev
 ),
 sess AS (

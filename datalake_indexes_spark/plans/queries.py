@@ -425,7 +425,9 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
-        hour_sec = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long") * 3600
+        # integer `div`, not double `/`: above 2^53 ns a double quotient can
+        # round an exact hour boundary down into the previous hour
+        hour_sec = F.expr("ts div 3600000000000") * F.lit(3600)
         window_start = F.from_unixtime(hour_sec, "yyyy-MM-dd HH:mm:ss")
     else:
         window_start = F.date_format(

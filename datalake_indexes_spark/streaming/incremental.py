@@ -28,24 +28,22 @@ from datalake_indexes_spark.index.builder import row_keys_for, unpivot_to_cells
 from datalake_indexes_spark.sources.catalog import LakeTableSpec
 
 
-def incremental_index_stream(
-    spark: SparkSession,
-    input_dir: str,
-    schema,
-    spec: LakeTableSpec,
-    index_path: str,
-    checkpoint_dir: str,
-    trigger_available_now: bool = True,
-) -> StreamingQuery:
-    """Append newly-arrived files of one lake table to the persisted index.
+def make_index_batch_processor(spec: LakeTableSpec, index_path: str):
+    """Build the ``foreachBatch`` function used by
+    :func:`incremental_index_stream` (exposed so tests can replay a batch
+    id and assert retry idempotency).
 
-    Row ids restart per micro-batch offset: the current max row_id in the
-    persisted index is read at batch start and new rows continue from
-    there, so (table_id, row_id) stays unique across the stream — the
-    streaming equivalent of the reference's monotone rowid counter
-    (data_handler.py:277).
+    Idempotency contract: both sinks are partitioned by ``batch_id`` and
+    written with dynamic partition OVERWRITE, so a micro-batch retried
+    after a crash between the two writes replaces its own partition
+    instead of appending duplicates; the row-id offset query excludes the
+    current batch_id, so a retry recomputes the same offset.  Only a
+    genuine missing-index path falls back to offset 0 — any other read
+    failure of an existing index propagates instead of silently
+    restarting row ids at 0 (which would collide with indexed rows).
     """
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    from pyspark.errors import AnalysisException
+
     cells_path = os.path.join(index_path, "cells")
     keys_path = os.path.join(index_path, "row_keys")
     xash_udf = xash_pandas_udf()
@@ -57,21 +55,71 @@ def incremental_index_stream(
         try:
             offset_row = (
                 sess.read.parquet(cells_path)
-                .filter(F.col("table_id") == spec.table_id)
+                .filter(
+                    (F.col("table_id") == spec.table_id)
+                    & (F.col("batch_id") < batch_id)
+                )
                 .agg(F.max("row_id"))
                 .collect()[0]
             )
             offset = (offset_row[0] + 1) if offset_row[0] is not None else 0
-        except Exception:  # noqa: BLE001 — first batch, no index yet
+        except AnalysisException as exc:  # first batch: no index yet
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             offset = 0
-        cells = unpivot_to_cells(batch_df, spec).withColumn(
-            "row_id", F.col("row_id") + F.lit(offset)
+        cells = (
+            unpivot_to_cells(batch_df, spec)
+            .withColumn("row_id", F.col("row_id") + F.lit(offset))
+            .persist()
         )
-        cells.persist()
-        cells.write.mode("append").parquet(cells_path)
-        row_keys_for(cells, xash_udf).write.mode("append").parquet(keys_path)
+        (
+            cells.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_path)
+        )
+        (
+            row_keys_for(cells, xash_udf)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(keys_path)
+        )
         cells.unpersist()
 
+    return process_batch
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    spec: LakeTableSpec,
+    index_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Append newly-arrived files of one lake table to the persisted index.
+
+    Row ids restart per micro-batch offset: the current max row_id over
+    PRIOR batches of the persisted index is read at batch start and new
+    rows continue from there, so (table_id, row_id) stays unique across
+    the stream — the streaming equivalent of the reference's monotone
+    rowid counter (data_handler.py:277).
+
+    Idempotency: both sinks are partitioned by ``batch_id`` and written
+    with dynamic partition OVERWRITE, so a micro-batch retried after a
+    crash between the two writes replaces its own partition instead of
+    appending duplicates; the offset query excludes the current batch_id,
+    so the retry also recomputes the same row-id offset.  Only a genuine
+    missing-index path falls back to offset 0 — any other read failure of
+    an existing index propagates instead of silently restarting row ids.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    process_batch = make_index_batch_processor(spec, index_path)
     writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)

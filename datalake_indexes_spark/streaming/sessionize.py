@@ -126,12 +126,14 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 
     ev = _normalize_ts(events)
     w = Window.partitionBy("user_id").orderBy("ts")
+    # gaps measured in MICROSECONDS (unix_micros), the same unit the
+    # streaming twin compares (`ts_us - end > gap_us`): a second-truncated
+    # cast would close sessions the stream keeps open for sub-second gaps
+    gap_us = gap_seconds * 1_000_000
     flagged = ev.withColumn(
         "__new_session",
         (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1, 0).over(w)
-            > gap_seconds
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1, 0).over(w) > gap_us
         ).cast("int"),
     ).withColumn("__session_id", F.sum("__new_session").over(w))
     return (

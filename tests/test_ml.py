@@ -1,0 +1,71 @@
+"""ML hooks (operators/ml.py — the reference's machine_learning.py:9-51
+flow on MLlib): seeded determinism, RMSE bounds on a planted fixture, and
+permutation-importance ordering.
+
+The fixture plants y = 3*x_signal + tiny deterministic noise with x_noise
+uncorrelated, so the expected results are known in advance:
+- the fitted model must essentially recover y (test RMSE << target std);
+- permuting x_signal must destroy the fit (large importance);
+- permuting x_noise must not (importance ~ 0);
+- everything must reproduce exactly under the same seed (the permutation
+  is content-hash-based, not partition-dependent rand).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from datalake_indexes_spark.operators.ml import fit_and_evaluate, permutation_importance
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (
+            float(i % 50),  # x_signal
+            float((i * 131) % 97),  # x_noise, uncorrelated with y
+            3.0 * (i % 50) + float((i * 17) % 7) * 0.01,  # y
+        )
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "x_signal double, x_noise double, y double")
+
+
+@pytest.mark.spark
+def test_fit_rmse_bounds_and_determinism(planted):
+    fit1 = fit_and_evaluate(planted, "y", ["x_signal", "x_noise"], seed=7)
+    fit2 = fit_and_evaluate(planted, "y", ["x_signal", "x_noise"], seed=7)
+    # planted signal: target std is ~43 (3 * std of 0..49); a model that
+    # learned anything lands far below that
+    assert math.isfinite(fit1["rmse"]) and fit1["rmse"] < 5.0
+    assert fit1["rmse"] == fit2["rmse"]  # same seed => bit-identical
+    assert fit1["n_train"] + fit1["n_test"] == 400
+    assert fit1["n_test"] > 0
+
+
+@pytest.mark.spark
+def test_permutation_importance_ordering_and_determinism(planted):
+    imp1 = {
+        r["feature"]: r
+        for r in permutation_importance(
+            planted, "y", ["x_signal", "x_noise"], seed=7
+        ).collect()
+    }
+    # permuting the planted signal must blow up RMSE; the noise column not
+    assert imp1["x_signal"]["importance"] > 10.0
+    assert abs(imp1["x_noise"]["importance"]) < 5.0
+    assert imp1["x_signal"]["importance"] > 3 * abs(imp1["x_noise"]["importance"])
+    # base_rmse column matches the standalone fit
+    base = fit_and_evaluate(planted, "y", ["x_signal", "x_noise"], seed=7)["rmse"]
+    assert imp1["x_signal"]["base_rmse"] == pytest.approx(base)
+
+    imp2 = {
+        r["feature"]: r["permuted_rmse"]
+        for r in permutation_importance(
+            planted, "y", ["x_signal", "x_noise"], seed=7
+        ).collect()
+    }
+    for feat, row in imp1.items():  # content-hash permutation: exact repro
+        assert imp2[feat] == row["permuted_rmse"]

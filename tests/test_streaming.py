@@ -13,6 +13,7 @@ from datalake_indexes_spark.index.builder import build_index
 from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
 from datalake_indexes_spark.streaming.incremental import (
     incremental_index_stream,
+    make_index_batch_processor,
     windowed_event_counts,
 )
 
@@ -65,6 +66,44 @@ def test_incremental_index_matches_batch(spark, sf_dir):
         assert sk == bk
         # row ids must stay unique across micro-batches
         assert streamed.select("row_id").distinct().count() == nation.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_incremental_batch_retry_is_idempotent(spark, sf_dir):
+    """A micro-batch retried after a crash between the cells and row_keys
+    writes must NOT duplicate index rows: replaying the same batch_id
+    overwrites its own partition and recomputes the same row-id offset."""
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    work = tempfile.mkdtemp(prefix="streamretry_")
+    try:
+        idx_dir = f"{work}/idx"
+        process = make_index_batch_processor(spec, idx_dir)
+        first = nation.filter(F.col("n_nationkey") < 12)
+        second = nation.filter(F.col("n_nationkey") >= 12)
+
+        process(first, 0)
+        snapshot = sorted(
+            (r["table_id"], r["row_id"], r["col_id"], r["tokenized"])
+            for r in spark.read.parquet(f"{idx_dir}/cells").collect()
+        )
+        process(first, 0)  # simulated retry of the same micro-batch
+        replayed = sorted(
+            (r["table_id"], r["row_id"], r["col_id"], r["tokenized"])
+            for r in spark.read.parquet(f"{idx_dir}/cells").collect()
+        )
+        assert replayed == snapshot  # no duplicates, same offsets
+
+        process(second, 1)
+        cells = spark.read.parquet(f"{idx_dir}/cells")
+        keys = spark.read.parquet(f"{idx_dir}/row_keys")
+        assert cells.select("row_id").distinct().count() == nation.count()
+        assert keys.count() == nation.count()
+        n_cells = cells.count()
+        process(second, 1)  # retry of the follow-up batch
+        assert spark.read.parquet(f"{idx_dir}/cells").count() == n_cells
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
