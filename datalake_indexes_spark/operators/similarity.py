@@ -225,14 +225,19 @@ def hyperplane_lsh_topk(
     n_planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare each query only against its LSH bucket.
 
     Same output shape as :func:`cosine_topk`; neighbors outside the query's
     bucket are missed (that is the deal).  At 100 TB the corpus is written
     bucketed by ``__sig`` so a query probes one partition.
+
+    Pass ``dim`` when known; the ``.first()`` fallback costs a driver-side
+    corpus action per call.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     c = with_unit_vec(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -788,6 +788,36 @@ WHERE rank <= {k}
 """
 
 
+def ann_lsh_topk_sql(
+    k: int = 5, n_queries: int = 10, n_planes: int = 6, dim: int = 64
+) -> str:
+    """Twin of hyperplane_lsh_topk: same md5-seeded hyperplanes inlined as
+    literals, same sign-bucket join, same per-query top-k — Spark and
+    DuckDB agree row-for-row on the approximate result."""
+    from datalake_indexes_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    sig_bits = " || ".join(
+        "(CASE WHEN list_dot_product(e::DOUBLE[], {arr}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)".format(
+            arr="[" + ", ".join(repr(w) for w in plane) + "]"
+        )
+        for plane in planes
+    )
+    return f"""
+WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e, {sig_bits} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe, sig FROM u WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.e, q.qe) AS c
+  FROM u c JOIN q ON c.sig = q.sig AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def corpus_prep_sql(quality_threshold: float = 0.55, jaccard_threshold: float = 0.7) -> str:
     """Composed corpus-prep twin: quality filter + near-dup drop."""
     return f"""

@@ -359,11 +359,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate scale path — rows-only check (recall < 1 by design)."""
+    """Approximate scale path.  The hyperplanes are deterministic
+    (md5-seeded), so the bucketed result is exactly reproducible and the
+    DuckDB oracle replicates the same planes as literals — the
+    approximation is the operator's contract, not a looseness in the
+    check.  ``dim=64`` matches the testdata embeddings (and the oracle)."""
     from datalake_indexes_spark.operators.similarity import hyperplane_lsh_topk
 
     emb = _embeddings(spark, sf_dir)
-    return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +564,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
-    # ann_lsh_topk: intentionally no oracle (approximate, rows-only check)
+    "ann_lsh_topk": oracle.ann_lsh_topk_sql(k=5, n_queries=10, n_planes=6, dim=64),
     "corpus_prep": oracle.corpus_prep_sql(),
     "text_token_counts": oracle.text_token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
