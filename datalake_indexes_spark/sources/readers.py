@@ -97,6 +97,11 @@ def read_lake_folder(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
 
     Unreadable files are skipped and reported, mirroring the reference's
     error counters (data_handler.py:387-401).
+
+    This is the few-curated-tables path (one DataFrame per table).  For the
+    reference's many-small-files regime (~1M GitTables), use
+    :func:`datalake_indexes_spark.sources.folder_ingest.build_index_from_folder`,
+    which ingests the whole folder as ONE job with no per-table driver work.
     """
     out: dict[str, DataFrame] = {}
     errors: list[str] = []

@@ -1,0 +1,206 @@
+"""Single-job many-table ingestion (sources/folder_ingest.py) — the
+reference's GitTables regime (maco/demo/index_gittables.py:9-33): a folder
+of many small heterogeneous CSV files indexed as ONE Spark job, no
+per-table driver loop."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.functions.text import tokenize_py
+from datalake_indexes_spark.sources.folder_ingest import (
+    HEADER_ROW_ID,
+    build_index_from_folder,
+    csv_cells_raw,
+    parquet_cells_raw,
+)
+
+
+def _write_csv(path: str, header: list[str], rows: list[list]) -> None:
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+@pytest.fixture(scope="module")
+def lake_folder(tmp_path_factory):
+    """~120 small heterogeneous CSVs + quirk files, with the expected cell
+    set computed independently in pure Python."""
+    folder = tmp_path_factory.mktemp("many_tables")
+    expected: dict[str, list[tuple[int, int, str | None]]] = {}
+
+    for i in range(110):
+        name = f"tab_{i:03d}.csv"
+        n_cols = 2 + (i % 3)
+        header = [f"c{j}_{i}" for j in range(n_cols)]
+        rows = [
+            [f"v{i}_{r}_{j}" if (r + j) % 7 else "" for j in range(n_cols)]
+            for r in range(3 + (i % 5))
+        ]
+        _write_csv(str(folder / name), header, rows)
+        exp = [(HEADER_ROW_ID, j, header[j]) for j in range(n_cols)]
+        for r, row in enumerate(rows):
+            exp += [(r, j, row[j] if row[j] != "" else None) for j in range(n_cols)]
+        expected[name] = exp
+
+    # quoting: commas and quotes inside quoted fields
+    _write_csv(str(folder / "quoted.csv"), ["k", "txt"], [["1", 'a, "b", c'], ["2", "plain"]])
+    expected["quoted.csv"] = [
+        (HEADER_ROW_ID, 0, "k"), (HEADER_ROW_ID, 1, "txt"),
+        (0, 0, "1"), (0, 1, 'a, "b", c'),
+        (1, 0, "2"), (1, 1, "plain"),
+    ]
+    # semicolon dialect (per-file sniff)
+    (folder / "semi.csv").write_text("a;b\n1;x\n2;y\n")
+    expected["semi.csv"] = [
+        (HEADER_ROW_ID, 0, "a"), (HEADER_ROW_ID, 1, "b"),
+        (0, 0, "1"), (0, 1, "x"), (1, 0, "2"), (1, 1, "y"),
+    ]
+    # tab dialect via .tsv
+    (folder / "tabs.tsv").write_text("x\ty\n10\t20\n")
+    expected["tabs.tsv"] = [
+        (HEADER_ROW_ID, 0, "x"), (HEADER_ROW_ID, 1, "y"),
+        (0, 0, "10"), (0, 1, "20"),
+    ]
+    # ragged rows: short row padded, long row truncated
+    (folder / "ragged.csv").write_text("a,b,c\n1,2\n3,4,5,6\n")
+    expected["ragged.csv"] = [
+        (HEADER_ROW_ID, 0, "a"), (HEADER_ROW_ID, 1, "b"), (HEADER_ROW_ID, 2, "c"),
+        (0, 0, "1"), (0, 1, "2"), (0, 2, None),
+        (1, 0, "3"), (1, 1, "4"), (1, 2, "5"),
+    ]
+    # CRLF line endings
+    (folder / "crlf.csv").write_text("p,q\r\n7,8\r\n")
+    expected["crlf.csv"] = [
+        (HEADER_ROW_ID, 0, "p"), (HEADER_ROW_ID, 1, "q"),
+        (0, 0, "7"), (0, 1, "8"),
+    ]
+    # blank interior line is skipped, not a row of nulls
+    (folder / "blankline.csv").write_text("m,n\n1,2\n\n3,4\n")
+    expected["blankline.csv"] = [
+        (HEADER_ROW_ID, 0, "m"), (HEADER_ROW_ID, 1, "n"),
+        (0, 0, "1"), (0, 1, "2"), (1, 0, "3"), (1, 1, "4"),
+    ]
+    # empty-table skip (P5): zero bytes, and header-only
+    (folder / "empty.csv").write_text("")
+    (folder / "header_only.csv").write_text("h1,h2\n")
+
+    return folder, expected
+
+
+def test_csv_cells_raw_parity(spark, lake_folder):
+    """The one-job parse agrees file-for-file, cell-for-cell with an
+    independent Python csv parse (quoting, dialects, padding, CRLF)."""
+    folder, expected = lake_folder
+    parsed = csv_cells_raw(
+        spark, [str(folder / "*.csv"), str(folder / "*.tsv")]
+    ).withColumn("fname", F.element_at(F.split("path", "/"), -1))
+    got: dict[str, list] = {}
+    for r in parsed.collect():
+        got.setdefault(r["fname"], []).append((r["row_id"], r["col_id"], r["value"]))
+    exp_nonempty = {k: sorted(v) for k, v in expected.items()}
+    assert {k: sorted(v) for k, v in got.items() if k != "header_only.csv"} == exp_nonempty
+    # header-only file still yields its header cells at this layer
+    assert sorted(got["header_only.csv"]) == [(HEADER_ROW_ID, 0, "h1"), (HEADER_ROW_ID, 1, "h2")]
+
+
+def test_build_index_from_folder_many_small_tables(spark, lake_folder):
+    folder, expected = lake_folder
+    idx = build_index_from_folder(spark, str(folder), with_super_keys=True)
+
+    # table ids: dense 0..n-1, ordered by path, empty tables skipped (P5)
+    info = {r["dataset_name"]: r for r in idx.table_info.collect()}
+    assert "empty" not in info and "header_only" not in info
+    names_sorted = sorted(expected)  # path order == name order in one folder
+    assert [info[os.path.splitext(n)[0]]["table_id"] for n in names_sorted] == list(
+        range(len(expected))
+    )
+
+    # table_info extents for a spot table
+    t42 = info["tab_042"]
+    assert t42["max_row_id"] == 3 + (42 % 5) - 1
+    assert t42["max_col_id"] == 2 + (42 % 3) - 1
+
+    # cells: tokenized values match the Python tokenizer twin on one table
+    tid = t42["table_id"]
+    cells = {
+        (r["row_id"], r["col_id"]): r["tokenized"]
+        for r in idx.cells.filter(F.col("table_id") == tid).collect()
+    }
+    exp42 = {
+        (rid, cid): tokenize_py(v)
+        for rid, cid, v in expected["tab_042.csv"]
+        if rid >= 0
+    }
+    assert cells == exp42
+
+    # headers present with tokenized twin
+    hdr = {
+        (r["table_id"], r["col_id"]): (r["header"], r["header_tokenized"])
+        for r in idx.column_headers.collect()
+    }
+    assert hdr[(tid, 0)] == ("c0_42", tokenize_py("c0_42"))
+
+    # super keys: one per (table, row), never null
+    rk = idx.row_keys
+    assert rk.filter(F.col("super_key_hi").isNull()).count() == 0
+    n_rows = idx.cells.select("table_id", "row_id").distinct().count()
+    assert rk.count() == n_rows
+
+
+def test_parquet_glob_group(spark, tmp_path):
+    """One glob read for a parquet schema group: per-file row_number ids,
+    schema-derived headers, same long shape as the CSV path."""
+    import pandas as pd
+
+    folder = tmp_path / "pq"
+    folder.mkdir()
+    exp = {}
+    for i in range(12):
+        pdf = pd.DataFrame(
+            {"k": range(i + 2), "name": [f"n{i}_{j}" for j in range(i + 2)]}
+        )
+        fname = f"part_{i:02d}.parquet"
+        pdf.to_parquet(str(folder / fname))
+        exp[fname] = {(r, 0): str(r) for r in range(i + 2)} | {
+            (r, 1): f"n{i}_{r}" for r in range(i + 2)
+        }
+
+    parsed = parquet_cells_raw(
+        spark, str(folder / "*.parquet"), cols=["k", "name"], order_by=["k"]
+    ).withColumn("fname", F.element_at(F.split("path", "/"), -1))
+    got: dict[str, dict] = {}
+    hdrs: dict[str, dict] = {}
+    for r in parsed.collect():
+        if r["row_id"] == HEADER_ROW_ID:
+            hdrs.setdefault(r["fname"], {})[r["col_id"]] = r["value"]
+        else:
+            got.setdefault(r["fname"], {})[(r["row_id"], r["col_id"])] = r["value"]
+    assert got == exp
+    assert all(h == {0: "k", 1: "name"} for h in hdrs.values())
+
+
+def test_mixed_csv_parquet_folder(spark, tmp_path):
+    """CSV stream + a parquet schema group assemble into one index with
+    dense ids across both sources."""
+    import pandas as pd
+
+    (tmp_path / "alpha.csv").write_text("id,word\n0,apple\n1,banana\n")
+    pd.DataFrame({"id": [0, 1, 2], "word": ["x", "y", "z"]}).to_parquet(
+        str(tmp_path / "beta.parquet")
+    )
+    idx = build_index_from_folder(
+        spark,
+        str(tmp_path),
+        parquet_groups={"*.parquet": {"cols": ["id", "word"], "order_by": ["id"]}},
+    )
+    info = {r["dataset_name"]: r["table_id"] for r in idx.table_info.collect()}
+    assert set(info) == {"alpha", "beta"}
+    assert sorted(info.values()) == [0, 1]
+    beta_cells = idx.cells.filter(F.col("table_id") == info["beta"])
+    assert beta_cells.count() == 6
