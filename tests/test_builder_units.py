@@ -1,0 +1,61 @@
+"""Unit tests for index/builder.py primitives: the collect-free numeric
+row-numbering path and the two row_keys_for strategies."""
+
+from __future__ import annotations
+
+from datalake_indexes_spark.index.builder import row_keys_for, with_global_row_number
+
+
+def _check_ids(spark, values, order_key="k"):
+    df = spark.createDataFrame([(v,) for v in values], f"{order_key} int")
+    out = with_global_row_number(df, [order_key]).collect()
+    got = {r[order_key]: r["row_id"] for r in out}
+    ordered = sorted(values, key=lambda v: (v is not None, v))  # nulls first
+    expected = {v: i for i, v in enumerate(ordered)}
+    assert got == expected
+    assert sorted(r["row_id"] for r in out) == list(range(len(values)))
+
+
+def test_numeric_row_number_skewed(spark):
+    """Heavily skewed key range: bucket boundaries are value-derived, so
+    most buckets are empty — ids must still be the dense global sort rank."""
+    _check_ids(spark, [5, 1_000_000, 7, 999_999, 6, 0, 500_000])
+
+
+def test_numeric_row_number_nulls_first(spark):
+    df = spark.createDataFrame([(3,), (None,), (1,), (None,), (2,)], "k int")
+    out = with_global_row_number(df, ["k"]).collect()
+    by_id = sorted(out, key=lambda r: r["row_id"])
+    assert [r["k"] for r in by_id[2:]] == [1, 2, 3]
+    assert all(r["k"] is None for r in by_id[:2])
+    assert [r["row_id"] for r in by_id] == [0, 1, 2, 3, 4]
+
+
+def test_numeric_row_number_single_value(spark):
+    """Degenerate span (min == max) with a composite tiebreak key."""
+    df = spark.createDataFrame([(7, "b"), (7, "a"), (7, "c")], "k int, t string")
+    out = with_global_row_number(df, ["k", "t"]).collect()
+    assert {(r["t"], r["row_id"]) for r in out} == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_string_key_falls_back_to_sampled_range(spark):
+    df = spark.createDataFrame([(w,) for w in ["pear", "apple", "zoo", "fig"]], "s string")
+    out = with_global_row_number(df, ["s"]).collect()
+    got = {r["s"]: r["row_id"] for r in out}
+    assert got == {"apple": 0, "fig": 1, "pear": 2, "zoo": 3}
+
+
+def test_row_keys_distinct_token_path_identical(spark):
+    """Both row_keys_for strategies produce bit-identical super keys."""
+    from datalake_indexes_spark.functions.xash import xash_pandas_udf
+
+    rows = [
+        (0, 0, r, f"tok{r % 5}") for r in range(40)
+    ] + [(0, 1, r, f"val{r}") for r in range(40)] + [(1, 0, r, "") for r in range(6)]
+    cells = spark.createDataFrame(
+        rows, "table_id int, col_id int, row_id long, tokenized string"
+    )
+    a = row_keys_for(cells, xash_pandas_udf(), distinct_tokens=False).collect()
+    b = row_keys_for(cells, xash_pandas_udf(), distinct_tokens=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 46
