@@ -212,23 +212,24 @@ def _verify_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> D
     return out
 
 
-def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+def near_dup_clusters(pairs: DataFrame, distributed_threshold: int = 200_000) -> DataFrame:
     """Collapse near-duplicate pairs into retention clusters:
     (doc_id, representative) for every document in any cluster; the
     representative (min id) is the copy a dedup pipeline keeps.
 
-    Components are resolved by union-find on the collected pair set —
-    near-dup pairs above a sane threshold are orders of magnitude smaller
-    than the corpus (they are the *output* of LSH banding, not the corpus
-    itself), the same size argument as table-duplicate groups."""
+    Small pair sets resolve by driver-side union-find; beyond
+    ``distributed_threshold`` edges — the normal case for a crawl corpus,
+    where 30-50% duplicate rates make the pair set O(corpus) — resolution
+    switches to the distributed large-star/small-star components in
+    :mod:`..operators.graph` with no driver-side edge collection."""
     from datalake_indexes_spark.operators.duplicates import DuplicateDetection
 
     renamed = pairs.select(
         F.col("doc_id_1").alias("table_id_1"), F.col("doc_id_2").alias("table_id_2")
     )
-    return DuplicateDetection.duplicate_groups(renamed).select(
-        F.col("table_id").alias("doc_id"), F.col("representative")
-    )
+    return DuplicateDetection.duplicate_groups(
+        renamed, distributed_threshold=distributed_threshold
+    ).select(F.col("table_id").alias("doc_id"), F.col("representative"))
 
 
 # ---------------------------------------------------------------------------

@@ -129,18 +129,29 @@ class DuplicateDetection:
         )
 
     @staticmethod
-    def duplicate_groups(relations: DataFrame) -> DataFrame:
+    def duplicate_groups(
+        relations: DataFrame, distributed_threshold: int = 200_000
+    ) -> DataFrame:
         """Connected components of the duplicate-relation graph.
 
-        Returns (table_id, representative).  The edge set is duplicate
-        *pairs of tables* — by construction orders of magnitude smaller
-        than the lake (the reference also resolves groups driver-side,
-        demo:397-421) — so union-find on collected edges is the right
-        shape: exact transitive closure, no iterative-join lineage blowup.
-        An iterative DataFrame propagation only pays off when the edge set
-        itself no longer fits on the driver, which a per-lake duplicate
-        relation never approaches.
+        Returns (table_id, representative).  Edge sets up to
+        ``distributed_threshold`` resolve by driver-side union-find (exact
+        transitive closure in one pass — the right shape for table-level
+        relations, which the reference also resolves driver-side,
+        demo:397-421).  Larger edge sets — document-level near-dup graphs
+        on crawl corpora run O(corpus) pairs — switch to the distributed
+        large-star/small-star algorithm (:mod:`..operators.graph`), which
+        never collects an edge to the driver.
         """
+        n_edges = relations.count()
+        if n_edges > distributed_threshold:
+            from datalake_indexes_spark.operators.graph import connected_components
+
+            return connected_components(
+                relations, src="table_id_1", dst="table_id_2"
+            ).select(
+                F.col("node").alias("table_id"), F.col("representative")
+            )
         edges = [
             (r["table_id_1"], r["table_id_2"]) for r in relations.collect()
         ]
