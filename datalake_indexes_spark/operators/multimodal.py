@@ -4,22 +4,32 @@
 A 100 TB multimodal corpus carries image/audio/video as ``binary`` columns
 next to typed metadata; the engine's job is the Spark-side plumbing —
 schema, Arrow-batched UDF shape, partition-friendly feature extraction —
-while the actual codec work belongs to libraries (PIL/ffmpeg/torchaudio)
-that are NOT in this container.  The decode step is therefore STUBBED:
-:func:`decode_payload` raises ``NotImplementedError`` unless a decoder is
-importable, and :func:`extract_features` uses a deterministic fake
-derived from the raw bytes — so the distributed pipeline (mapInPandas over
-binary Arrow batches) is real and tested end-to-end, and swapping in a real
-decoder changes one function.
-"""
+plus the *container-header* decode that needs no codec library:
+
+- **image**: real PNG IHDR / JPEG SOF / GIF header parsing
+  (:func:`probe_image_dims`) — pure stdlib byte work, executor-side.
+- **audio**: real WAV RIFF chunk walking (:func:`probe_wav`) for sample
+  rate and frame count.
+- **video**: actual frame probing needs a demuxer (``av``), which is NOT
+  in this container — that one modality keeps the deterministic
+  byte-length stand-in (:func:`_fake_dims`), clearly marked.
+
+The synthetic lake fixture (:func:`attach_binary_payload`) wraps each
+document's bytes in a *real* PNG or WAV container built from native Spark
+expressions, so the end-to-end query exercises the genuine header parse and
+the DuckDB oracle can reconstruct byte-identical payloads.
+
+Full pixel/sample decode (PIL/soundfile/av) remains stubbed behind
+:func:`decode_payload`."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -31,31 +41,103 @@ from pyspark.sql.types import (
 
 MODALITIES = ["image", "audio", "video"]
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG signature + IHDR length(13) + "IHDR" — the 16 bytes before width
+PNG_HEADER_HEX = "89504E470D0A1A0A0000000D49484452"
+# bit depth 8, color type 6 (RGBA), compression/filter/interlace 0 + a
+# placeholder CRC (header probes read fields, they don't checksum)
+PNG_TRAILER_HEX = "080600000000000000"
+PNG_OVERHEAD = len(PNG_HEADER_HEX + "0000000000000000" + PNG_TRAILER_HEX) // 2
 
-def attach_binary_payload(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Simulate a multimodal lake table: (doc_id, modality, payload binary,
-    meta struct).  Payload bytes are the UTF-8 text (a deterministic stand-in
-    for real media bytes); modality cycles by id."""
-    modality = F.element_at(
-        F.array(*[F.lit(m) for m in MODALITIES]),
-        (F.col(id_col) % len(MODALITIES) + 1).cast("int"),
-    )
-    payload = F.encode(F.col(text_col), "UTF-8")
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        modality.alias("modality"),
-        payload.alias("payload"),
-        F.struct(
-            F.length(payload).alias("n_bytes"),
-            F.lit("synthetic/v1").alias("codec"),
-        ).alias("meta"),
-    )
+WAV_SAMPLE_RATE = 16000
+WAV_BLOCK_ALIGN = 2
+WAV_HEADER_BYTES = 44  # canonical PCM header: RIFF(12) + fmt(24) + data(8)
+
+# dimension formulas planted by the fixture (and mirrored by the oracle);
+# the engine recovers image/audio values by PARSING the container header
+def _planted_image_dims(n_text: int) -> tuple[int, int]:
+    return 64 + n_text % 577, 64 + (n_text * 31) % 577
+
+
+def _fake_dims(n_bytes: int, modality: str) -> tuple[int, int]:
+    """Deterministic stand-in for modalities with no stdlib-parsable
+    container (video) — derived from byte length, mirrored by the oracle."""
+    return 64 + n_bytes % 577, 64 + (n_bytes * 31) % 577
+
+
+# ---------------------------------------------------------------------------
+# Real container-header probes (stdlib only, run executor-side)
+# ---------------------------------------------------------------------------
+
+def probe_image_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from PNG IHDR, JPEG SOFn, or GIF header bytes."""
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        return struct.unpack(">II", b[16:24])
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    return None
+
+
+def probe_wav(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_frames) from a RIFF/WAVE header — walks the chunk
+    list, so non-canonical layouts (extra chunks before ``data``) work."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    sample_rate = block_align = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            sample_rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
+            block_align = struct.unpack("<H", b[i + 20 : i + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if sample_rate is None or not block_align or data_size is None:
+        return None
+    return sample_rate, data_size // block_align
+
+
+def payload_body(b: bytes, modality: str) -> bytes:
+    """The payload's *data section*, container stripped — PNG: everything
+    past the IHDR chunk (length-directed, not fixed-offset); WAV: the
+    ``data`` chunk contents; anything unrecognized: the whole payload.
+    Hashing the data section (not the file bytes) is the dedup-stable
+    choice: re-containerized copies of the same media hash equal."""
+    if len(b) >= 16 and b[:8] == _PNG_SIG:
+        ihdr_len = struct.unpack(">I", b[8:12])[0]
+        return b[8 + 4 + 4 + ihdr_len + 4 :]
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"data":
+                return b[i + 8 : i + 8 + size]
+            i += 8 + size + (size & 1)
+    return b
 
 
 def decode_payload(payload: bytes, modality: str):
-    """Decode a media payload — STUB.
+    """Full pixel/sample decode — STUB (container probes above are real).
 
     Real decoders (PIL, soundfile, av) are not available in this
     environment; when they are, this is the single function to replace.
@@ -74,13 +156,85 @@ def decode_payload(payload: bytes, modality: str):
     raise NotImplementedError("real decode not wired yet")
 
 
-def _fake_dims(n_bytes: int, modality: str) -> tuple[int, int]:
-    """Deterministic stand-in for decoded dimensions (width/height for
-    image & video; sample-rate/n-frames for audio) derived from the byte
-    length — mirrored exactly by the SQL oracle."""
-    if modality == "audio":
-        return 16000, n_bytes * 251 % 99991
-    return 64 + n_bytes % 577, 64 + (n_bytes * 31) % 577
+# ---------------------------------------------------------------------------
+# Synthetic multimodal lake fixture (native expressions, real containers)
+# ---------------------------------------------------------------------------
+
+def _be32_hex(col: Column) -> Column:
+    return F.lpad(F.hex(col), 8, "0")
+
+
+def _le32_hex(col: Column) -> Column:
+    h = _be32_hex(col)
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2)
+    )
+
+
+def attach_binary_payload(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Simulate a multimodal lake table: (doc_id, modality, payload binary,
+    meta struct).  Image payloads are REAL minimal PNGs (signature + IHDR
+    carrying planted dimensions + the text bytes as the data section);
+    audio payloads are REAL canonical PCM WAV headers; video payloads stay
+    raw text bytes.  Modality cycles by id."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col(id_col) % len(MODALITIES) + 1).cast("int"),
+    )
+    text_bytes = F.encode(F.col(text_col), "UTF-8")
+    n_text = F.octet_length(text_bytes)
+
+    width = (F.lit(64) + n_text % 577).cast("int")
+    height = (F.lit(64) + (n_text * 31) % 577).cast("int")
+    png = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit(PNG_HEADER_HEX),
+                _be32_hex(width),
+                _be32_hex(height),
+                F.lit(PNG_TRAILER_HEX),
+            )
+        ),
+        text_bytes,
+    )
+
+    wav = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("52494646"),            # RIFF
+                _le32_hex((n_text + F.lit(36)).cast("int")),
+                F.lit("57415645"),            # WAVE
+                F.lit("666D7420"),            # "fmt "
+                F.lit("10000000"),            # fmt chunk size 16
+                F.lit("0100"),                # PCM
+                F.lit("0100"),                # mono
+                _le32_hex(F.lit(WAV_SAMPLE_RATE)),
+                _le32_hex(F.lit(WAV_SAMPLE_RATE * WAV_BLOCK_ALIGN)),
+                F.lit("0200"),                # block align 2
+                F.lit("1000"),                # 16-bit
+                F.lit("64617461"),            # data
+                _le32_hex(n_text.cast("int")),
+            )
+        ),
+        text_bytes,
+    )
+
+    payload = (
+        F.when(modality == "image", png)
+        .when(modality == "audio", wav)
+        .otherwise(text_bytes)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("meta"),
+    )
 
 
 FEATURE_SCHEMA = StructType(
@@ -100,26 +254,37 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     of raw binary — the real distributed shape of a decode/featurize stage
     (one Python worker per partition, zero driver involvement).
 
-    Features: byte length, content sha256, and the (stubbed) decoded
-    dimensions; a real deployment swaps :func:`_fake_dims` for
-    :func:`decode_payload` output.
-    """
+    Features: byte length, data-section sha256 (:func:`payload_body` —
+    container-stripped, so re-containerized copies of the same media dedup
+    together), and decoded dimensions — REAL header parses for image
+    (PNG/JPEG/GIF) and audio (WAV); the byte-length stand-in only for
+    video (no stdlib demuxer).  Unparseable image/audio payloads yield
+    NULL dims (honest failure, no guess)."""
+
+    def dims_for(b: bytes, modality: str) -> tuple[int | None, int | None]:
+        if modality == "image":
+            return probe_image_dims(bytes(b)) or (None, None)
+        if modality == "audio":
+            return probe_wav(bytes(b)) or (None, None)
+        return _fake_dims(len(b), modality)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payload = pdf["payload"]
-            n_bytes = payload.map(len)
             dims = [
-                _fake_dims(n, m) for n, m in zip(n_bytes, pdf["modality"])
+                dims_for(b, m) for b, m in zip(payload, pdf["modality"])
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "sha256": payload.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                    "dim_1": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "dim_2": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "n_bytes": payload.map(len).astype("int32"),
+                    "sha256": [
+                        hashlib.sha256(payload_body(bytes(b), m)).hexdigest()
+                        for b, m in zip(payload, pdf["modality"])
+                    ],
+                    "dim_1": pd.Series([d[0] for d in dims], dtype="Int32"),
+                    "dim_2": pd.Series([d[1] for d in dims], dtype="Int32"),
                 }
             )
 

@@ -914,22 +914,39 @@ FROM documents
 
 
 def multimodal_features_sql() -> str:
-    from datalake_indexes_spark.operators.multimodal import MODALITIES
+    """Twin of extract_features over attach_binary_payload's containers.
+
+    The engine PARSES the planted PNG/WAV headers; the oracle recomputes
+    the planted values directly — agreement proves the parse.  The sha256
+    is over the container-stripped data section (= the text bytes for
+    every modality), the one definition expressible in both engines
+    (DuckDB sha256 only accepts VARCHAR)."""
+    from datalake_indexes_spark.operators.multimodal import (
+        MODALITIES,
+        PNG_OVERHEAD,
+        WAV_BLOCK_ALIGN,
+        WAV_HEADER_BYTES,
+        WAV_SAMPLE_RATE,
+    )
 
     arr = "[" + ", ".join(f"'{m}'" for m in MODALITIES) + "]"
     return f"""
 WITH p AS (
   SELECT doc_id,
          {arr}[CAST(doc_id % {len(MODALITIES)} + 1 AS INT)] AS modality,
-         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         CAST(octet_length(encode(text)) AS INT) AS n_text,
          sha256(text) AS sha256
   FROM documents
 )
-SELECT doc_id, modality, n_bytes, sha256,
-       CAST(CASE WHEN modality = 'audio' THEN 16000
-            ELSE 64 + n_bytes % 577 END AS INT) AS dim_1,
-       CAST(CASE WHEN modality = 'audio' THEN (n_bytes * 251) % 99991
-            ELSE 64 + (n_bytes * 31) % 577 END AS INT) AS dim_2
+SELECT doc_id, modality,
+       CAST(n_text + CASE modality WHEN 'image' THEN {PNG_OVERHEAD}
+                                   WHEN 'audio' THEN {WAV_HEADER_BYTES}
+                                   ELSE 0 END AS INT) AS n_bytes,
+       sha256,
+       CAST(CASE WHEN modality = 'audio' THEN {WAV_SAMPLE_RATE}
+            ELSE 64 + n_text % 577 END AS INT) AS dim_1,
+       CAST(CASE WHEN modality = 'audio' THEN n_text // {WAV_BLOCK_ALIGN}
+            ELSE 64 + (n_text * 31) % 577 END AS INT) AS dim_2
 FROM p
 """
 

@@ -1,0 +1,120 @@
+"""Container-header probes (operators/multimodal.py): real PNG/JPEG/GIF/WAV
+byte parsing, data-section extraction, and the end-to-end Arrow pipeline."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    payload_body,
+    probe_image_dims,
+    probe_wav,
+)
+
+
+def _png(w: int, h: int, body: bytes = b"") -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        + body
+    )
+
+
+def _jpeg_sof(w: int, h: int, progressive: bool = False) -> bytes:
+    """SOI + APP0 + (comment) + SOF0/SOF2 — the markers a real camera file
+    has before the frame header."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + com + sof
+
+
+def _wav(rate: int, data: bytes, extra_chunk: bool = False) -> bytes:
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    )
+    listc = (b"LIST" + struct.pack("<I", 4) + b"INFO") if extra_chunk else b""
+    datac = b"data" + struct.pack("<I", len(data)) + data
+    body = fmt + listc + datac
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_png_dims():
+    assert probe_image_dims(_png(640, 480)) == (640, 480)
+
+
+def test_jpeg_sof_baseline_and_progressive():
+    assert probe_image_dims(_jpeg_sof(1024, 768)) == (1024, 768)
+    assert probe_image_dims(_jpeg_sof(320, 200, progressive=True)) == (320, 200)
+
+
+def test_gif_dims():
+    gif = b"GIF89a" + struct.pack("<HH", 99, 44) + b"\x00" * 4
+    assert probe_image_dims(gif) == (99, 44)
+
+
+def test_unparseable_image_returns_none():
+    assert probe_image_dims(b"not an image at all") is None
+    assert probe_image_dims(b"") is None
+
+
+def test_wav_probe_and_extra_chunk():
+    data = b"\x01\x02" * 50
+    assert probe_wav(_wav(44100, data)) == (44100, 50)
+    # non-canonical layout: LIST chunk between fmt and data still parses
+    assert probe_wav(_wav(8000, data, extra_chunk=True)) == (8000, 50)
+    assert probe_wav(b"RIFFxxxxNOPE") is None
+
+
+def test_payload_body_strips_containers():
+    body = b"media-bytes"
+    assert payload_body(_png(10, 10, body), "image") == body
+    assert payload_body(_wav(16000, body), "audio") == body
+    assert payload_body(body, "video") == body
+
+
+def test_end_to_end_fixture_parses(spark):
+    """The planted containers round-trip: dims recovered by PARSING match
+    the planted formulas, and sha256 equals the text-bytes hash."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text padding" * (i + 1)) for i in range(9)],
+        "doc_id long, text string",
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in extract_features(attach_binary_payload(docs)).collect()
+    }
+    for i in range(9):
+        text = f"document number {i} with some text padding" * (i + 1)
+        n = len(text.encode())
+        r = feats[i]
+        assert r["sha256"] == hashlib.sha256(text.encode()).hexdigest()
+        mod = ["image", "audio", "video"][i % 3]
+        assert r["modality"] == mod
+        if mod == "image":
+            assert (r["dim_1"], r["dim_2"]) == (64 + n % 577, 64 + (n * 31) % 577)
+            assert r["n_bytes"] == n + 33
+        elif mod == "audio":
+            assert (r["dim_1"], r["dim_2"]) == (16000, n // 2)
+            assert r["n_bytes"] == n + 44
+        else:
+            assert r["n_bytes"] == n
+
+
+def test_corrupt_image_payload_null_dims(spark):
+    """An image payload that is not a parsable container yields NULL dims,
+    not fabricated ones."""
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"garbage"))], "doc_id long, modality string, payload binary"
+    )
+    r = extract_features(df).collect()[0]
+    assert r["dim_1"] is None and r["dim_2"] is None
+    assert r["sha256"] == hashlib.sha256(b"garbage").hexdigest()
