@@ -287,6 +287,15 @@ class MATE:
 
         result = MateResult(top_k=top_k, join_pairs=join_pairs)
         if stats is not None:
+            # the stats counts force the verification join; persist it (and
+            # the prefilter output) so the top_k/join_pairs actions that
+            # follow reuse the materialization instead of re-executing the
+            # join up to 3x — cache matching is by logical plan, so the
+            # already-built downstream plans pick the cache up as
+            # InMemoryTableScan.  Left persisted for the result's lifetime
+            # (MEMORY_AND_DISK, evicted under pressure).
+            pairs = pairs.persist()
+            matches = matches.persist()
             n_match = matches.count()
             # approved = candidate pairs surviving the hash prefilter
             # (mate.py:527-535; the verification semi-filter above drops
