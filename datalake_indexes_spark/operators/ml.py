@@ -97,7 +97,12 @@ def permutation_importance(
         "__label",
         *[F.coalesce(F.col(c), F.lit(means[c] or 0.0)).alias(c) for c in feature_columns],
     ).cache()
-    n_buckets = 64
+    # scale pandas-group count with input size (~10k rows per group):
+    # a fixed bucket count would funnel n/64 rows into single executors at
+    # large n (OOM + parallelism collapse), while too many buckets at
+    # small n leaves single-row groups unpermuted (np.roll identity).
+    # Content-hash bucketing keeps the permutation deterministic either way.
+    n_buckets = max(64, -(-filled.count() // 10_000))
 
     def _permuter(feat: str):
         def _permute(pdf):

@@ -429,9 +429,14 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
-        # integer `div`, not double `/`: above 2^53 ns a double quotient can
-        # round an exact hour boundary down into the previous hour
-        hour_sec = F.expr("ts div 3600000000000") * F.lit(3600)
+        # integer math, not double `/`: above 2^53 ns a double quotient can
+        # round an exact hour boundary down into the previous hour.  The
+        # pmod form gives FLOOR division (`div` truncates toward zero),
+        # so pre-1970 timestamps bucket into the same hour as the oracle's
+        # date_trunc.
+        hour_sec = (
+            F.expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * F.lit(3600)
+        )
         window_start = F.from_unixtime(hour_sec, "yyyy-MM-dd HH:mm:ss")
     else:
         window_start = F.date_format(

@@ -33,14 +33,20 @@ def make_index_batch_processor(spec: LakeTableSpec, index_path: str):
     :func:`incremental_index_stream` (exposed so tests can replay a batch
     id and assert retry idempotency).
 
-    Idempotency contract: both sinks are partitioned by ``batch_id`` and
-    written with dynamic partition OVERWRITE, so a micro-batch retried
-    after a crash between the two writes replaces its own partition
-    instead of appending duplicates; the row-id offset query excludes the
-    current batch_id, so a retry recomputes the same offset.  Only a
-    genuine missing-index path falls back to offset 0 — any other read
-    failure of an existing index propagates instead of silently
-    restarting row ids at 0 (which would collide with indexed rows).
+    Idempotency contract: both sinks are partitioned by ``(table_id,
+    batch_id)`` and written with dynamic partition OVERWRITE, so a
+    micro-batch retried after a crash between the two writes replaces its
+    own leaf only — including when several per-table streams share one
+    ``index_path``: each stream's batch counter starts at 0, so
+    partitioning by ``batch_id`` alone would let one table's batch N
+    silently delete every other table's rows in that partition.  The
+    row-id offset query excludes the current batch_id, so a retry
+    recomputes the same offset.  Only a genuine missing-index path falls
+    back to offset 0 — any other read failure of an existing index
+    propagates instead of silently restarting row ids at 0 (which would
+    collide with indexed rows).  Indexes written by the pre-``batch_id``
+    append-mode layout are readable: their rows count as batch_id = -1
+    (always prior) for the offset computation.
     """
     from pyspark.errors import AnalysisException
 
@@ -48,14 +54,41 @@ def make_index_batch_processor(spec: LakeTableSpec, index_path: str):
     keys_path = os.path.join(index_path, "row_keys")
     xash_udf = xash_pandas_udf()
 
+    def migrate_legacy(sess: SparkSession, path: str) -> DataFrame:
+        """One-time in-place migration of a pre-``batch_id`` append-mode
+        sink into the partitioned layout (legacy rows → batch_id = -1,
+        always prior).  Necessary because Spark cannot read a directory
+        mixing bare parquet files with partition subdirectories; staged
+        write + rename keeps the swap as atomic as the filesystem allows
+        (object-store deployments should migrate offline instead)."""
+        df = sess.read.parquet(path)
+        if "batch_id" in df.columns:
+            return df
+        import shutil as _shutil
+
+        tmp = path.rstrip("/") + ".__migrating"
+        (
+            df.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("table_id", "batch_id")
+            .parquet(tmp)
+        )
+        _shutil.rmtree(path)
+        os.rename(tmp, path)
+        return sess.read.parquet(path)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
         try:
+            existing = migrate_legacy(sess, cells_path)
+            try:
+                migrate_legacy(sess, keys_path)
+            except AnalysisException:
+                pass  # row_keys sink may not exist yet (crash window)
             offset_row = (
-                sess.read.parquet(cells_path)
-                .filter(
+                existing.filter(
                     (F.col("table_id") == spec.table_id)
                     & (F.col("batch_id") < batch_id)
                 )
@@ -73,22 +106,26 @@ def make_index_batch_processor(spec: LakeTableSpec, index_path: str):
             .withColumn("row_id", F.col("row_id") + F.lit(offset))
             .persist()
         )
-        (
-            cells.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cells_path)
-        )
-        (
-            row_keys_for(cells, xash_udf)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(keys_path)
-        )
-        cells.unpersist()
+        try:
+            (
+                cells.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("table_id", "batch_id")
+                .parquet(cells_path)
+            )
+            (
+                row_keys_for(cells, xash_udf)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("table_id", "batch_id")
+                .parquet(keys_path)
+            )
+        finally:
+            # a failed write (the retry crash window) must not leak the
+            # cached batch — retries would accumulate cached copies
+            cells.unpersist()
 
     return process_batch
 
@@ -110,11 +147,12 @@ def incremental_index_stream(
     the stream — the streaming equivalent of the reference's monotone
     rowid counter (data_handler.py:277).
 
-    Idempotency: both sinks are partitioned by ``batch_id`` and written
-    with dynamic partition OVERWRITE, so a micro-batch retried after a
-    crash between the two writes replaces its own partition instead of
-    appending duplicates; the offset query excludes the current batch_id,
-    so the retry also recomputes the same row-id offset.  Only a genuine
+    Idempotency: both sinks are partitioned by ``(table_id, batch_id)``
+    and written with dynamic partition OVERWRITE, so a micro-batch retried
+    after a crash between the two writes replaces its own leaf instead of
+    appending duplicates — and per-table streams can safely share one
+    ``index_path``; the offset query excludes the current batch_id, so the
+    retry also recomputes the same row-id offset.  Only a genuine
     missing-index path falls back to offset 0 — any other read failure of
     an existing index propagates instead of silently restarting row ids.
     """
@@ -143,8 +181,10 @@ def windowed_event_counts(
     rounding).
     """
     if dict(events.dtypes).get(ts_col) == "bigint":
-        # integer `div`: /1000 in doubles rounds the last microsecond
-        ts = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        # integer floor division: /1000 in doubles rounds the last
+        # microsecond, and bare `div` truncates toward zero (wrong
+        # microsecond for pre-1970 nanos)
+        ts = F.timestamp_micros(F.expr(f"({ts_col} - pmod({ts_col}, 1000)) div 1000"))
     else:
         ts = F.col(ts_col)
     df = events.withColumn("__ts", ts)

@@ -141,3 +141,77 @@ def test_windowed_event_counts_stream_matches_batch(spark, sf_dir):
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_shared_index_path_two_tables_no_clobber(spark, sf_dir):
+    """Two per-table streams sharing one index_path: each table's batch 0
+    must land in its own (table_id, batch_id) leaf — partitioning by
+    batch_id alone would let region's batch 0 overwrite nation's."""
+    work = tempfile.mkdtemp(prefix="streamshared_")
+    try:
+        idx_dir = f"{work}/idx"
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        process_nation = make_index_batch_processor(TESTDATA_LAKE_SPEC["nation"], idx_dir)
+        process_region = make_index_batch_processor(TESTDATA_LAKE_SPEC["region"], idx_dir)
+
+        process_nation(nation, 0)
+        n_nation = spark.read.parquet(f"{idx_dir}/cells").count()
+        process_region(region, 0)  # same batch_id, different table stream
+        cells = spark.read.parquet(f"{idx_dir}/cells")
+        by_table = {
+            r["table_id"]: r["n"]
+            for r in cells.groupBy("table_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert by_table[TESTDATA_LAKE_SPEC["nation"].table_id] == n_nation
+        assert by_table[TESTDATA_LAKE_SPEC["region"].table_id] > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_legacy_index_without_batch_id_resumes(spark, sf_dir):
+    """An index written by the old append-mode layout (no batch_id column)
+    must be resumable: legacy rows count as prior (batch_id = -1) for the
+    offset, and new batches continue row ids after them."""
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    work = tempfile.mkdtemp(prefix="streamlegacy_")
+    try:
+        idx_dir = f"{work}/idx"
+        first = nation.filter(F.col("n_nationkey") < 12)
+        second = nation.filter(F.col("n_nationkey") >= 12)
+        # legacy layout: plain append, no batch_id, no partitioning
+        from datalake_indexes_spark.index.builder import unpivot_to_cells
+
+        unpivot_to_cells(first, spec).write.parquet(f"{idx_dir}/cells")
+        legacy_max = (
+            spark.read.parquet(f"{idx_dir}/cells").agg(F.max("row_id")).collect()[0][0]
+        )
+
+        process = make_index_batch_processor(spec, idx_dir)
+        process(second, 0)
+        cells = spark.read.parquet(f"{idx_dir}/cells")
+        new_min = (
+            cells.filter(F.col("batch_id") == 0).agg(F.min("row_id")).collect()[0][0]
+        )
+        # offset = legacy_max + 1 was applied (row ids are unique, not
+        # dense: the spec's row_id_expr starts from the key value)
+        assert new_min == 12 + legacy_max + 1
+        assert cells.select("row_id").distinct().count() == nation.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_windowed_counts_negative_nanos_floor(spark):
+    """Pre-1970 nanosecond timestamps bucket by FLOOR (matching
+    date_trunc), not truncate-toward-zero."""
+    # -1ns is inside the hour 1969-12-31 23:00, not hour 0
+    df = spark.createDataFrame(
+        [(-1, "a", 1.0), (-3_600_000_000_000, "a", 1.0), (1, "a", 1.0)],
+        "ts long, event_type string, value double",
+    )
+    out = {r["window_start"]: r["n_events"] for r in windowed_event_counts(df).collect()}
+    assert out == {"1969-12-31 23:00:00": 2, "1970-01-01 00:00:00": 1}
