@@ -48,33 +48,49 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
 
-    # offline index build (both variants used by the queries), timed once
-    t0 = time.time()
-    idx = testdata_index(spark, sf_dir, with_super_keys=True)
-    idx.cells.count()
-    idx.row_keys.count()
-    if idx.col_flags is not None:
-        idx.col_flags.count()
-    if idx.cells_keyed is not None:
-        idx.cells_keyed.count()
-    timings["index_build"] = round(time.time() - t0, 3)
+    # offline index build (both variants used by the queries): min of 2
+    # full builds — caches are dropped between runs so each one measures
+    # real ingestion work, and the per-run spread distinguishes host noise
+    # (observed ±35% on shared hardware) from a code regression
+    from datalake_indexes_spark.plans import queries as qmod
+
+    def build_once() -> float:
+        t0 = time.time()
+        idx = testdata_index(spark, sf_dir, with_super_keys=True)
+        idx.cells.count()
+        idx.row_keys.count()
+        if idx.col_flags is not None:
+            idx.col_flags.count()
+        if idx.cells_keyed is not None:
+            idx.cells_keyed.count()
+        return time.time() - t0
+
+    build_runs = []
+    for i in range(2):
+        if i:  # drop the session-cached index + persisted data, rebuild cold
+            qmod._INDEX_CACHE.clear()
+            spark.catalog.clearCache()
+        build_runs.append(build_once())
+    # leave a warm index behind for the query timings (offline-index model)
+    runs["index_build"] = [round(t, 3) for t in build_runs]
+    timings["index_build"] = round(min(build_runs), 3)
 
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # min of 2 runs: the offline-index model means queries run against
-        # a warm index; the first run can absorb lazy cache materialization
-        # and host noise (observed ±35% on shared hardware)
-        best = None
-        for _ in range(2):
+        # min of 3 runs against the warm index; per-run times are reported
+        # so a host-load swing is visible in the JSON
+        per_run = []
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            per_run.append(time.time() - t0)
+        runs[name] = [round(t, 3) for t in per_run]
+        timings[name] = round(min(per_run), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )
