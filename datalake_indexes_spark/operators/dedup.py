@@ -137,15 +137,48 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via the shingle inverted index.
 
     Candidates are pairs sharing >= 1 shingle (the shingle self-join *is*
-    the intersection count — one shuffle on shingle).  Exact but
-    shingle-frequency-sensitive; at scale, cap the hottest shingles or use
-    :func:`minhash_lsh_pairs`.
+    the intersection count — one shuffle on shingle).  A boilerplate
+    shingle appearing in d documents contributes d² join rows, so one hot
+    shingle (a license header, a template footer) can dominate the whole
+    job.  ``max_shingle_freq`` caps that: shingles with document frequency
+    above the cap are excluded from *candidate generation* only, and the
+    surviving candidate pairs are re-verified against the FULL shingle
+    sets — reported jaccard values stay exact.  Recall effect (document
+    it when tuning): a pair whose shared shingles are ALL hotter than the
+    cap is never generated and is silently missed; for threshold-worthy
+    near-duplicates this requires every shared shingle to be corpus-wide
+    boilerplate, so small caps (100-1000) trade negligible recall for a
+    quadratic join-size reduction.
     """
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_freq is not None:
+        rare = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))  # shingles are per-doc distinct
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+        r1, r2 = rare.alias("r1"), rare.alias("r2")
+        cand = (
+            r1.join(
+                r2,
+                (F.col("r1.shingle") == F.col("r2.shingle"))
+                & (F.col("r1.doc_id") < F.col("r2.doc_id")),
+            )
+            .select(
+                F.col("r1.doc_id").alias("doc_id_1"),
+                F.col("r2.doc_id").alias("doc_id_2"),
+            )
+            .distinct()
+        )
+        return _verify_jaccard(cand, sh, threshold)
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
     inter = (
