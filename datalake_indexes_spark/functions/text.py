@@ -13,11 +13,18 @@ DuckDB oracle are guaranteed to agree:
 - :func:`tokenize_sql` — the identical chain as SQL text for a given dialect
   (``"spark"`` or ``"duckdb"``; DuckDB needs the explicit ``'g'`` regexp flag).
 
-Known deviation from the reference (documented): the reference removes
-stopwords by sequential ``str.replace`` per stopword, whose result on runs of
-3+ consecutive stopwords depends on list order; we apply a word-boundary
-regex twice, which removes such runs completely.  A bit-exact Python port
-(:func:`clean_text_ref`) is kept for golden-parity tests.
+Known deviation from the reference (documented + PINNED by adversarial
+goldens in ``tests/test_tokenizer.py``): the reference removes stopwords by
+sequential ``str.replace`` per stopword (order-dependent, space-sharing);
+we apply a word-boundary regex twice.  The two differ exactly when (a) the
+input contains two or more ADJACENT stopwords — the reference keeps
+sequential-replace survivors (``"a a"`` → ``"a"``), the regex form usually
+removes the run (and leaves its own survivor on 4+ same-word runs) — or
+(b) the input IS a single bare stopword, which the reference keeps (it only
+replaces stopwords adjacent to a space) and we drop.  Engine and oracle
+share the regex form, so correctness checks are internally consistent; a
+bit-exact Python port of the reference (:func:`clean_text_ref`) is kept for
+golden-parity tests.
 """
 
 from __future__ import annotations

@@ -74,3 +74,78 @@ def test_duckdb_sql_dialect_matches_python():
     for s in SAMPLES:
         got = con.execute(f"SELECT {expr} FROM (SELECT ? AS raw)", [s]).fetchone()[0]
         assert got == tokenize_py(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial stopword-run goldens — the PINNED deviation surface between
+# the engine's 2-pass regex form and the reference's order-dependent
+# sequential replace (maco/util.py:11-31).  Empirically the two differ
+# exactly when (a) the input contains two or more ADJACENT stopwords, or
+# (b) the input IS a single bare stopword (the reference only removes
+# stopwords adjacent to a space).  Each case pins BOTH outputs so any
+# change to either implementation that moves the deviation surface fails
+# loudly here.
+# ---------------------------------------------------------------------------
+
+STOPWORD_RUN_CASES = [
+    # (raw, engine_regex_form, reference_sequential_form)
+    ("a a", "", "a"),
+    ("x a a y", "x y", "x a y"),
+    ("a the", "", "the"),
+    ("the a", "", "the"),
+    ("of a the", "", "of"),
+    ("a the of", "", "of"),
+    ("x a the of y", "x y", "x y"),     # mixed interior runs can AGREE
+    ("a a a", "", "a"),
+    ("a a a a", "a", "a"),              # 2-pass regex leaves a survivor too
+    ("the the the", "", "the"),
+    ("v v", "", "v"),
+    ("d d d", "", "d"),
+    ("a", "", "a"),                      # bare stopword: ref keeps it
+    ("the", "", "the"),
+    ("x the the y", "x y", "x the y"),
+    ("is is a", "", "is"),
+    ("a is is", "", "is"),
+]
+
+
+def test_stopword_run_goldens_python():
+    for raw, eng, ref in STOPWORD_RUN_CASES:
+        assert tokenize_py(raw) == eng, raw
+        assert clean_text_ref(raw) == ref, raw
+
+
+@pytest.mark.spark
+def test_stopword_run_goldens_spark_expr(spark):
+    """The Spark Column chain agrees with its Python twin on every
+    adversarial case (the engine is internally consistent even where it
+    deviates from the reference)."""
+    df = spark.createDataFrame([(r,) for r, _, _ in STOPWORD_RUN_CASES], "raw string")
+    got = [r["t"] for r in df.select(tokenize_col(F.col("raw")).alias("t")).collect()]
+    assert got == [eng for _, eng, _ in STOPWORD_RUN_CASES]
+
+
+def test_no_divergence_outside_pinned_surface():
+    """Property: without adjacent stopwords (and not a bare stopword), the
+    regex form IS the reference form."""
+    import random
+
+    from datalake_indexes_spark.functions.text import STOPWORDS
+
+    rng = random.Random(42)
+    vocab = [
+        "a", "the", "of", "is", "v",
+        "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa",
+    ]
+    stop = set(STOPWORDS)
+    checked = 0
+    for _ in range(5000):
+        ws = [rng.choice(vocab) for _ in range(rng.randrange(1, 9))]
+        if any(ws[i] in stop and ws[i + 1] in stop for i in range(len(ws) - 1)):
+            continue
+        if len(ws) == 1 and ws[0] in stop:
+            continue
+        s = " ".join(ws)
+        assert tokenize_py(s) == clean_text_ref(s), s
+        checked += 1
+    assert checked > 2000
