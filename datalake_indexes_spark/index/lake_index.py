@@ -62,25 +62,94 @@ class LakeIndex:
             return self.cells_keyed
         return self.cells.join(self.row_keys, ["table_id", "row_id"])
 
-    def save(self, path: str, mode: str = "overwrite") -> None:
-        """Materialize the index (S7/S8 — replaces COPY + B-tree builds)."""
+    _MEMBERS = ("cells", "row_keys", "column_headers", "table_info", "col_flags")
+    _CURRENT = "_CURRENT"
+    _VERSIONS = "_versions"
+
+    def _write_members(self, root: str, mode: str = "overwrite") -> None:
         (
             self.cells.repartition("table_id")
             .sortWithinPartitions("tokenized")
             .write.mode(mode)
             .partitionBy("table_id")
-            .parquet(os.path.join(path, "cells"))
+            .parquet(os.path.join(root, "cells"))
         )
         self.row_keys.write.mode(mode).partitionBy("table_id").parquet(
-            os.path.join(path, "row_keys")
+            os.path.join(root, "row_keys")
         )
-        self.column_headers.write.mode(mode).parquet(os.path.join(path, "column_headers"))
-        self.table_info.write.mode(mode).parquet(os.path.join(path, "table_info"))
+        self.column_headers.write.mode(mode).parquet(os.path.join(root, "column_headers"))
+        self.table_info.write.mode(mode).parquet(os.path.join(root, "table_info"))
         if self.col_flags is not None:
-            self.col_flags.write.mode(mode).parquet(os.path.join(path, "col_flags"))
+            self.col_flags.write.mode(mode).parquet(os.path.join(root, "col_flags"))
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Materialize the index (S7/S8 — replaces COPY + B-tree builds).
+
+        Non-transactional direct layout; see :meth:`save_version` for the
+        snapshot-atomic sink.
+        """
+        self._write_members(path, mode)
+
+    # ------------------------------------------------------------------
+    # Transactional snapshot sink: full rewrites land in a fresh
+    # `_versions/v<N>` directory and become visible only when the tiny
+    # `_CURRENT` pointer file is atomically replaced (rename on a POSIX
+    # filesystem; use a conditional put on an object store).  A writer
+    # crash before the flip leaves the live version untouched; concurrent
+    # readers keep resolving the old snapshot they opened.
+    # ------------------------------------------------------------------
+
+    def save_version(self, path: str) -> int:
+        """Write a new snapshot and atomically flip ``_CURRENT`` to it.
+        Returns the committed version number."""
+        os.makedirs(os.path.join(path, self._VERSIONS), exist_ok=True)
+        existing = [
+            int(d[1:])
+            for d in os.listdir(os.path.join(path, self._VERSIONS))
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        version = max(existing, default=-1) + 1
+        root = os.path.join(path, self._VERSIONS, f"v{version}")
+        self._write_members(root)
+        tmp = os.path.join(path, f".{self._CURRENT}.tmp.{version}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(path, self._CURRENT))  # the commit
+        return version
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeIndex":
+    def current_version(cls, path: str) -> int | None:
+        ptr = os.path.join(path, cls._CURRENT)
+        if not os.path.isfile(ptr):
+            return None
+        return int(open(ptr).read().strip())
+
+    @classmethod
+    def vacuum(cls, path: str, keep: int = 1) -> list[int]:
+        """Drop all but the newest ``keep`` committed versions (never the
+        current one).  Returns the removed version numbers."""
+        import shutil
+
+        current = cls.current_version(path)
+        vdir = os.path.join(path, cls._VERSIONS)
+        if current is None or not os.path.isdir(vdir):
+            return []
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(vdir) if d.startswith("v") and d[1:].isdigit()
+        )
+        removable = [v for v in versions if v != current][: max(len(versions) - keep, 0)]
+        for v in removable:
+            shutil.rmtree(os.path.join(vdir, f"v{v}"), ignore_errors=True)
+        return removable
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, version: int | None = None) -> "LakeIndex":
+        """Open the index — the committed snapshot when a ``_CURRENT``
+        pointer exists (or an explicit ``version`` for time travel), else
+        the legacy direct layout."""
+        current = cls.current_version(path)
+        if version is not None or current is not None:
+            path = os.path.join(path, cls._VERSIONS, f"v{version if version is not None else current}")
         flags_path = os.path.join(path, "col_flags")
         return cls(
             cells=spark.read.parquet(os.path.join(path, "cells")),

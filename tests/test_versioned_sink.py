@@ -1,0 +1,86 @@
+"""Snapshot-versioned index sink: atomic pointer flip, crash isolation,
+time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.index.builder import build_index
+from datalake_indexes_spark.index.lake_index import LakeIndex
+from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return build_index(
+        spark, {"nation": nation}, {"nation": TESTDATA_LAKE_SPEC["nation"]}
+    )
+
+
+def test_versioned_save_load_roundtrip(spark, small_index):
+    work = tempfile.mkdtemp(prefix="vsink_")
+    try:
+        v0 = small_index.save_version(work)
+        assert v0 == 0
+        assert LakeIndex.current_version(work) == 0
+        loaded = LakeIndex.load(spark, work)
+        assert loaded.cells.count() == small_index.cells.count()
+
+        v1 = small_index.save_version(work)
+        assert v1 == 1 and LakeIndex.current_version(work) == 1
+        # time travel: the previous snapshot is still readable
+        old = LakeIndex.load(spark, work, version=0)
+        assert old.cells.count() == loaded.cells.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_crashed_writer_leaves_current_snapshot_live(spark, small_index):
+    """A version directory without a pointer flip (writer died mid-commit)
+    must be invisible to readers and not corrupt the live snapshot."""
+    work = tempfile.mkdtemp(prefix="vsinkcrash_")
+    try:
+        small_index.save_version(work)
+        n = LakeIndex.load(spark, work).cells.count()
+        # simulate a crash: v1 data written (partially — just a stray dir),
+        # _CURRENT never flipped
+        os.makedirs(os.path.join(work, "_versions", "v1", "cells"))
+        assert LakeIndex.current_version(work) == 0
+        assert LakeIndex.load(spark, work).cells.count() == n
+        # the next successful commit supersedes the debris
+        v = small_index.save_version(work)
+        assert v == 2
+        assert LakeIndex.load(spark, work).cells.count() == n
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_vacuum_keeps_current(spark, small_index):
+    work = tempfile.mkdtemp(prefix="vsinkvac_")
+    try:
+        for _ in range(3):
+            small_index.save_version(work)
+        removed = LakeIndex.vacuum(work, keep=1)
+        assert removed == [0, 1]
+        assert LakeIndex.current_version(work) == 2
+        assert LakeIndex.load(spark, work).cells.count() > 0
+        with pytest.raises(Exception):
+            LakeIndex.load(spark, work, version=0).cells.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_legacy_direct_layout_still_loads(spark, small_index):
+    work = tempfile.mkdtemp(prefix="vsinklegacy_")
+    try:
+        small_index.save(work)  # non-transactional direct layout
+        assert LakeIndex.current_version(work) is None
+        assert LakeIndex.load(spark, work).cells.count() == small_index.cells.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
