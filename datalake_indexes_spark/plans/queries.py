@@ -319,6 +319,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7))
 
 
+def q_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clusters resolved by the distributed large-star/small-star
+    connected components (edge-count guard forced to 0) — the crawl-scale
+    path where the pair set never touches the driver.  Must agree with the
+    union-find result row-for-row, so it shares the oracle."""
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    return near_dup_clusters(
+        minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7),
+        distributed_threshold=0,
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -501,6 +514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_clusters": q_dedup_clusters,
+    "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_simhash": q_text_simhash,
     "dedup_simhash": q_dedup_simhash,
@@ -563,6 +577,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": oracle.dedup_exact_sql(),
     "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
     "dedup_minhash_clusters": oracle.dedup_clusters_sql(threshold=0.7),
+    # distributed CC must produce the identical cluster table
+    "dedup_clusters_distributed": oracle.dedup_clusters_sql(threshold=0.7),
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
