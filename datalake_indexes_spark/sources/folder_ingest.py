@@ -141,20 +141,28 @@ def csv_cells_raw(spark: SparkSession, patterns: list[str]) -> DataFrame:
     return raw.mapInPandas(_parse_csv_files, schema=_PARSED_SCHEMA)
 
 
-def parquet_cells_raw(
+def typed_glob_cells(
     spark: SparkSession,
     pattern: str,
+    fmt: str = "parquet",
     cols: list[str] | None = None,
     order_by: list[str] | None = None,
+    schema=None,
 ) -> DataFrame:
-    """One schema group of parquet files as the same long cell stream.
+    """One schema group of typed files (parquet/json/orc/csv-with-schema)
+    as the same long cell stream.
 
     ``order_by`` defines the deterministic in-file row order (defaults to
     all indexed columns); row ids come from a per-file ``row_number``
     window — files are small by regime, so each window partition is one
     small file and the job parallelizes across files, not within them.
+    For JSON, pass an explicit ``schema`` at real scale: schema inference
+    is itself a full extra pass over every file.
     """
-    df = spark.read.parquet(pattern)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(pattern)
     data_cols = list(cols) if cols else list(df.columns)
     order = list(order_by) if order_by else data_cols
     wide = df.select(*dict.fromkeys([*order, *data_cols])).withColumn(
@@ -282,20 +290,28 @@ def assemble_index(
     )
 
 
+# backwards-compatible alias (parquet was the first typed format supported)
+def parquet_cells_raw(spark, pattern, cols=None, order_by=None):
+    return typed_glob_cells(spark, pattern, "parquet", cols=cols, order_by=order_by)
+
+
 def build_index_from_folder(
     spark: SparkSession,
     folder: str,
     parquet_groups: dict[str, dict] | None = None,
+    typed_groups: dict[str, dict] | None = None,
     with_super_keys: bool = True,
     **index_kwargs,
 ) -> LakeIndex:
     """Index a whole folder of lake files as one job (S6 at scale).
 
-    CSV/TSV/TXT files go through the wholetext parse; parquet files need a
-    schema-group map ``{glob_pattern: {"cols": [...], "order_by": [...]}}``
-    (heterogeneous parquet schemas cannot share a scan) — every group is
-    still one glob read, never a per-file loop.  Table ids are dense over
-    the union of all sources, ordered by path.
+    CSV/TSV/TXT files go through the wholetext parse; typed formats need a
+    schema-group map ``{glob_pattern: {"format": "parquet"|"json"|"orc",
+    "cols": [...], "order_by": [...], "schema": ...}}`` (heterogeneous
+    schemas cannot share a scan) — every group is still one glob read,
+    never a per-file loop.  ``parquet_groups`` is the parquet-only
+    shorthand.  Table ids are dense over the union of all sources,
+    ordered by path.
     """
     streams: list[DataFrame] = []
     text_patterns = [
@@ -306,13 +322,18 @@ def build_index_from_folder(
     ]
     if text_patterns:
         streams.append(csv_cells_raw(spark, text_patterns))
+    groups = dict(typed_groups or {})
     for pattern, spec in (parquet_groups or {}).items():
+        groups.setdefault(pattern, {**spec, "format": "parquet"})
+    for pattern, spec in groups.items():
         streams.append(
-            parquet_cells_raw(
+            typed_glob_cells(
                 spark,
                 os.path.join(folder, pattern),
+                fmt=spec.get("format", "parquet"),
                 cols=spec.get("cols"),
                 order_by=spec.get("order_by"),
+                schema=spec.get("schema"),
             )
         )
     if not streams:

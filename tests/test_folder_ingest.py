@@ -204,3 +204,28 @@ def test_mixed_csv_parquet_folder(spark, tmp_path):
     assert sorted(info.values()) == [0, 1]
     beta_cells = idx.cells.filter(F.col("table_id") == info["beta"])
     assert beta_cells.count() == 6
+
+
+def test_json_glob_group(spark, tmp_path):
+    """JSON schema group through the same single-job typed path."""
+    import json as _json
+
+    from datalake_indexes_spark.sources.folder_ingest import typed_glob_cells
+
+    for i in range(6):
+        with open(tmp_path / f"j{i}.json", "w") as fh:
+            for r in range(3):
+                fh.write(_json.dumps({"k": r, "name": f"doc{i}_{r}"}) + "\n")
+    parsed = typed_glob_cells(
+        spark,
+        str(tmp_path / "*.json"),
+        fmt="json",
+        cols=["k", "name"],
+        order_by=["k"],
+        schema="k long, name string",
+    ).withColumn("fname", F.element_at(F.split("path", "/"), -1))
+    rows = parsed.filter(F.col("row_id") >= 0).collect()
+    assert len(rows) == 6 * 3 * 2
+    got = {(r["fname"], r["row_id"], r["col_id"]): r["value"] for r in rows}
+    assert got[("j2.json", 1, 1)] == "doc2_1"
+    assert got[("j5.json", 0, 0)] == "0"
