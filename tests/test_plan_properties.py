@@ -1,0 +1,87 @@
+"""Physical-plan regression guards — the scale properties PLANS.md
+documents, asserted in CI: predicate pushdown to the parquet scan,
+partition pruning on row probes, and no accidental nested-loop joins in
+the MATE pipeline.  A refactor that silently drops one of these would
+still pass value checks but regress at 100 TB."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.index.lake_index import LakeIndex
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, sf_dir):
+    from datalake_indexes_spark.index.builder import build_index
+    from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    idx = build_index(
+        spark,
+        {"nation": nation, "region": region},
+        {k: TESTDATA_LAKE_SPEC[k] for k in ("nation", "region")},
+    )
+    work = tempfile.mkdtemp(prefix="planidx_")
+    idx.save(work)
+    yield LakeIndex.load(spark, work)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_token_probe_pushes_filter_to_scan(saved_index):
+    plan = _plan(saved_index.cells.filter(F.col("tokenized") == "argentina"))
+    assert "PushedFilters" in plan
+    # the equality predicate must reach the parquet reader, not sit in a
+    # post-scan Filter only
+    assert "EqualTo(tokenized,argentina)" in plan.replace(" ", "")
+
+
+def test_row_probe_prunes_partitions(saved_index):
+    plan = _plan(saved_index.cells.filter(F.col("table_id") == 1))
+    assert "PartitionFilters" in plan
+    assert "table_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_column_pruning_narrow_projection(saved_index):
+    plan = _plan(saved_index.cells.select("tokenized"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokenized" in read_schema
+    assert "row_id" not in read_schema and "col_id" not in read_schema
+
+
+def test_mate_plan_has_no_nested_loop_join(planted):
+    """The MATE pipeline must stay on hash/sort-merge/broadcast-hash
+    joins — a BroadcastNestedLoopJoin or CartesianProduct here means a
+    predicate stopped being an equi-join and the plan is quadratic."""
+    from datalake_indexes_spark.operators.mate import MATE
+
+    res = MATE(planted["index"]).join_search(
+        planted["input"],
+        ["director_name", "movie_title"],
+        k=3,
+        input_order_by=["director_name", "movie_title"],
+    )
+    plan = _plan(res.top_k)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_band_join_is_equi_join(spark):
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some words for document {i} " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs, threshold=0.7))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
