@@ -229,3 +229,34 @@ def test_json_glob_group(spark, tmp_path):
     got = {(r["fname"], r["row_id"], r["col_id"]): r["value"] for r in rows}
     assert got[("j2.json", 1, 1)] == "doc2_1"
     assert got[("j5.json", 0, 0)] == "0"
+
+
+def test_folder_ingested_index_serves_mate(spark, tmp_path):
+    """End-to-end: a folder-ingested lake is a first-class LakeIndex — MATE
+    joinability search over it finds the planted joinable table."""
+    from datalake_indexes_spark.operators.mate import MATE
+
+    # planted joinable table: shares the key vocabulary with the probe input
+    with open(tmp_path / "movies.csv", "w") as fh:
+        fh.write("title,revenue\n")
+        for i in range(30):
+            fh.write(f"Movie {i},{i * 1000}\n")
+    # noise tables
+    for j in range(20):
+        with open(tmp_path / f"noise_{j:02d}.csv", "w") as fh:
+            fh.write("x,y\n")
+            for r in range(5):
+                fh.write(f"n{j}_{r},z{r}\n")
+
+    idx = build_index_from_folder(spark, str(tmp_path), with_super_keys=True)
+    idx = idx.cache()
+    info = {r["dataset_name"]: r["table_id"] for r in idx.table_info.collect()}
+
+    probe = spark.createDataFrame(
+        [(f"Movie {i}", float(i)) for i in range(0, 30, 2)], "title string, score double"
+    )
+    res = MATE(idx).join_search(probe, ["title"], k=5, input_order_by=["title"])
+    top = res.top_k.collect()
+    assert top, "no joinable tables found"
+    assert top[0]["table_id"] == info["movies"]
+    assert top[0]["score"] == 15 - 1  # 15 overlapping keys, reference's count-1
