@@ -150,6 +150,55 @@ def cosine_pairs(
     )
 
 
+def _lloyd_refine(corpus_units: DataFrame, cents: DataFrame, iterations: int) -> DataFrame:
+    """Deterministic Lloyd iterations over broadcast centroids: assign each
+    corpus vector to its nearest centroid, recompute centroids as the
+    normalized mean of their members (spherical k-means step).  Centroid
+    ids stay stable; empty centroids keep their previous position.  Each
+    step is one broadcast scan + one small aggregate — no corpus shuffle
+    beyond the (centroid, dim) grouping of exploded components."""
+    for _ in range(iterations):
+        assigned = (
+            corpus_units.crossJoin(F.broadcast(cents))
+            .withColumn("__sim", _dot(F.col("__u"), F.col("__cent_v")))
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("centroid"))
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+            .select("centroid", "__u")
+        )
+        comp = assigned.select(
+            "centroid", F.posexplode("__u").alias("__pos", "__v")
+        )
+        means = (
+            comp.groupBy("centroid", "__pos")
+            .agg(F.avg("__v").alias("__m"))
+            .groupBy("centroid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__s")
+            )
+            .select(
+                "centroid",
+                F.transform(F.col("__s"), lambda x: x["__m"]).alias("__mean"),
+            )
+        )
+        norm = _norm(F.col("__mean"))
+        refined = means.select(
+            "centroid",
+            F.when(norm > 0, F.transform(F.col("__mean"), lambda x: x / norm)).alias(
+                "__cent_v"
+            ),
+        ).filter(F.col("__cent_v").isNotNull())
+        # keep previous centers for clusters that lost all members
+        cents = refined.unionByName(
+            cents.join(refined.select("centroid"), "centroid", "left_anti")
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,23 +207,30 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign every corpus vector to its
     nearest centroid (inverted file), probe only the ``n_probe`` centroids
     nearest to each query.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id —
-    deterministic and oracle-checkable; a production build would k-means
-    them, which changes recall but not the plan shape.  At scale the
-    corpus is written partitioned by ``centroid`` so a query touches
-    ``n_probe`` partitions; assignment itself is a broadcast map-side job
-    (centroids are tiny by definition).
+    Seed centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic and oracle-checkable.  ``kmeans_iterations > 0`` refines
+    them with spherical Lloyd steps (:func:`_lloyd_refine`), which evens
+    the inverted lists and raises recall at the same ``n_probe``; the
+    refinement changes recall, never the plan shape.  At scale the corpus
+    is written partitioned by ``centroid`` so a query touches ``n_probe``
+    partitions; assignment itself is a broadcast map-side job (centroids
+    are tiny by definition).
     """
-    cents = F.broadcast(
-        with_unit_vec(corpus.filter(F.col(id_col) < n_centroids), vec_col).select(
-            F.col(id_col).alias("centroid"), F.col("__unit").alias("__cent_v")
-        )
+    cents = with_unit_vec(corpus.filter(F.col(id_col) < n_centroids), vec_col).select(
+        F.col(id_col).alias("centroid"), F.col("__unit").alias("__cent_v")
     )
+    if kmeans_iterations > 0:
+        units = with_unit_vec(corpus, vec_col).select(
+            F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
+        )
+        cents = _lloyd_refine(units, cents, kmeans_iterations)
+    cents = F.broadcast(cents)
 
     def assign(df: DataFrame, id_alias: str, keep: str, n_best: int) -> DataFrame:
         scored = df.crossJoin(cents).withColumn(
