@@ -81,15 +81,37 @@ class DuplicateDetection:
         Returns (table_id_1, table_id_2) for pairs where the verified
         equal-row pair count reaches min(rows(t1), rows(t2)); only pairs
         with equal column counts compete (duplicate_detection.py:141).
+
+        The pair count is computed from per-table row-FINGERPRINT counts
+        (Σ_fp cnt1·cnt2 — identical to counting the verified row-pair join,
+        since equal values ⇒ equal fingerprint), so a row value repeated
+        m times contributes a multiplication, not an m² join explosion:
+        the skewed-duplicate pathological case (e.g. a lake full of
+        all-empty rows) stays linear.  :meth:`duplicate_rows` keeps the
+        pair-level join for J5, whose OUTPUT is inherently pairwise.
         """
         sizes = self.index.table_info.select(
             "table_id", (F.col("max_row_id") + 1).alias("n_rows"), (F.col("max_col_id") + 1).alias("n_cols")
         )
-        dup = self.duplicate_rows(within_table=False).filter(
-            F.col("table_id_1") != F.col("table_id_2")
+        fp_counts = (
+            self.index.cells.groupBy("table_id", "row_id")
+            .agg(F.sort_array(F.collect_list("tokenized")).alias("row_values"))
+            .groupBy("table_id", "row_values")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        counts = dup.groupBy("table_id_1", "table_id_2").agg(
-            F.count(F.lit(1)).alias("dup_pairs")
+        a = fp_counts.alias("a")
+        b = fp_counts.alias("b")
+        counts = (
+            a.join(
+                b,
+                (F.col("a.row_values") == F.col("b.row_values"))
+                & (F.col("a.table_id") < F.col("b.table_id")),
+            )
+            .groupBy(
+                F.col("a.table_id").alias("table_id_1"),
+                F.col("b.table_id").alias("table_id_2"),
+            )
+            .agg(F.sum(F.col("a.__cnt") * F.col("b.__cnt")).alias("dup_pairs"))
         )
         s1 = sizes.select(
             F.col("table_id").alias("table_id_1"),
