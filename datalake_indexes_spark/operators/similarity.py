@@ -118,6 +118,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine: (vec_id_1, vec_id_2, cosine).
 
@@ -129,7 +130,8 @@ def cosine_pairs(
     """
     u = with_unit_vec(df, vec_col).select(F.col(id_col).alias("__id"), F.col("__unit"))
     if not exact:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:  # fallback costs one driver-side corpus action
+            dim = len(df.select(vec_col).first()[0])
         planes = hyperplanes(dim, n_planes)
         u = u.withColumn("__sig", sign_signature(F.col("__unit"), planes))
         join_cond = (F.col("a.__sig") == F.col("b.__sig")) & (

@@ -353,7 +353,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import cosine_pairs
 
-    return cosine_pairs(_embeddings(spark, sf_dir), threshold=0.4, n_planes=4)
+    return cosine_pairs(_embeddings(spark, sf_dir), threshold=0.4, n_planes=4, dim=64)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
