@@ -132,7 +132,12 @@ def _parse_csv_files(batches):
 
 def csv_cells_raw(spark: SparkSession, patterns: list[str]) -> DataFrame:
     """All CSV/TSV files matching ``patterns`` as one long cell stream:
-    ``(path, row_id, col_id, value)`` with headers at ``row_id = -1``."""
+    ``(path, row_id, col_id, value)`` with headers at ``row_id = -1``.
+
+    Regime note: ``wholetext`` makes each FILE one task-resident row, so
+    this path is for lakes of many small files (the GitTables shape).  A
+    single multi-GB CSV belongs on the splittable
+    :func:`..readers.read_table` path instead."""
     # NB: must be the `wholetext=` kwarg — `.option("wholetext", ...)` is
     # silently ignored by the PySpark 4 classic reader's text() path
     raw = spark.read.text(patterns, wholetext=True).select(
@@ -217,15 +222,23 @@ def assemble_index(
     number_of_ones: int = 5,
     hash_function=None,
     id_offset: int = 0,
+    staging_dir: str | None = None,
 ) -> LakeIndex:
     """LakeIndex from a long ``(path, row_id, col_id, value)`` stream.
 
     Header-only tables (no data rows) are dropped entirely — the
-    reference's empty-table skip (P5, data_handler.py:387-401).  The parsed
-    stream is cached because every index member derives from it; at real
-    lake scale, swap the cache for a persisted staging write.
+    reference's empty-table skip (P5, data_handler.py:387-401).  Every
+    index member derives from the parsed stream, so it must be
+    materialized once: by default it is memory/disk-persisted (right for
+    lakes that fit executor storage); pass ``staging_dir`` to write it to
+    parquet and re-read instead — the 100 TB shape, where re-parsing or
+    caching the whole lake's long form is not an option.
     """
-    parsed = parsed.persist()
+    if staging_dir is not None:
+        parsed.write.mode("overwrite").parquet(staging_dir)
+        parsed = spark.read.parquet(staging_dir)
+    else:
+        parsed = parsed.persist()
     data_paths = parsed.filter(F.col("row_id") >= 0).select("path").distinct()
     ids = dense_table_ids(
         parsed.join(data_paths, "path", "left_semi"), id_offset=id_offset

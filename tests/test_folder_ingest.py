@@ -260,3 +260,17 @@ def test_folder_ingested_index_serves_mate(spark, tmp_path):
     assert top, "no joinable tables found"
     assert top[0]["table_id"] == info["movies"]
     assert top[0]["score"] == 15 - 1  # 15 overlapping keys, reference's count-1
+
+
+def test_staging_dir_materialization(spark, tmp_path):
+    """staging_dir writes the parsed stream to parquet instead of caching
+    it — same index, disk-backed (the 100 TB materialization shape)."""
+    for i in range(5):
+        (tmp_path / f"s{i}.csv").write_text(f"a,b\nv{i},w{i}\nx{i},y{i}\n")
+    staged = tmp_path / "_staging"
+    idx = build_index_from_folder(
+        spark, str(tmp_path), staging_dir=str(staged)
+    )
+    assert idx.cells.count() == 5 * 2 * 2
+    assert idx.table_info.count() == 5
+    assert staged.exists()  # the long form landed on disk
