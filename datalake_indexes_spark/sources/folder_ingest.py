@@ -130,9 +130,15 @@ def _parse_csv_files(batches):
         yield flush()
 
 
-def csv_cells_raw(spark: SparkSession, patterns: list[str]) -> DataFrame:
+def csv_cells_raw(
+    spark: SparkSession, patterns: list[str], recursive: bool = False
+) -> DataFrame:
     """All CSV/TSV files matching ``patterns`` as one long cell stream:
     ``(path, row_id, col_id, value)`` with headers at ``row_id = -1``.
+
+    ``recursive=True`` walks the whole tree under each pattern's directory
+    (``recursiveFileLookup`` + a ``pathGlobFilter`` per extension) — real
+    GitTables-style lakes nest files in per-repo subdirectories.
 
     Regime note: ``wholetext`` makes each FILE one task-resident row, so
     this path is for lakes of many small files (the GitTables shape).  A
@@ -140,9 +146,21 @@ def csv_cells_raw(spark: SparkSession, patterns: list[str]) -> DataFrame:
     :func:`..readers.read_table` path instead."""
     # NB: must be the `wholetext=` kwarg — `.option("wholetext", ...)` is
     # silently ignored by the PySpark 4 classic reader's text() path
-    raw = spark.read.text(patterns, wholetext=True).select(
-        F.input_file_name().alias("path"), "value"
-    )
+    if recursive:
+        parts = []
+        for pattern in patterns:
+            folder, fname = os.path.split(pattern)
+            parts.append(
+                spark.read.option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", fname)
+                .text(folder, wholetext=True)
+            )
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw.unionByName(p)
+    else:
+        raw = spark.read.text(patterns, wholetext=True)
+    raw = raw.select(F.input_file_name().alias("path"), "value")
     return raw.mapInPandas(_parse_csv_files, schema=_PARSED_SCHEMA)
 
 
@@ -314,6 +332,7 @@ def build_index_from_folder(
     parquet_groups: dict[str, dict] | None = None,
     typed_groups: dict[str, dict] | None = None,
     with_super_keys: bool = True,
+    recursive: bool = False,
     **index_kwargs,
 ) -> LakeIndex:
     """Index a whole folder of lake files as one job (S6 at scale).
@@ -331,10 +350,13 @@ def build_index_from_folder(
         p
         for ext in ("csv", "tsv", "txt")
         for p in [os.path.join(folder, f"*.{ext}")]
-        if _glob.glob(p)
+        if _glob.glob(
+            os.path.join(folder, "**", f"*.{ext}") if recursive else p,
+            recursive=recursive,
+        )
     ]
     if text_patterns:
-        streams.append(csv_cells_raw(spark, text_patterns))
+        streams.append(csv_cells_raw(spark, text_patterns, recursive=recursive))
     groups = dict(typed_groups or {})
     for pattern, spec in (parquet_groups or {}).items():
         groups.setdefault(pattern, {**spec, "format": "parquet"})

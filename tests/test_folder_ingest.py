@@ -274,3 +274,18 @@ def test_staging_dir_materialization(spark, tmp_path):
     assert idx.cells.count() == 5 * 2 * 2
     assert idx.table_info.count() == 5
     assert staged.exists()  # the long form landed on disk
+
+
+def test_recursive_nested_lake(spark, tmp_path):
+    """GitTables-style nesting: per-repo subdirectories, one index job."""
+    for repo in ("repo_a", "repo_b/sub"):
+        d = tmp_path / repo
+        d.mkdir(parents=True)
+        for i in range(3):
+            (d / f"t{i}.csv").write_text(f"k,v\n{repo}_{i},1\nzz_{i},2\n")
+    idx = build_index_from_folder(spark, str(tmp_path), recursive=True)
+    assert idx.table_info.count() == 6
+    assert idx.cells.count() == 6 * 2 * 2
+    # nested path content round-trips
+    toks = {r["tokenized"] for r in idx.cells.collect()}
+    assert "repo b sub 2" in toks  # tokenized "repo_b/sub_2"
