@@ -215,3 +215,45 @@ def test_windowed_counts_negative_nanos_floor(spark):
     )
     out = {r["window_start"]: r["n_events"] for r in windowed_event_counts(df).collect()}
     assert out == {"1969-12-31 23:00:00": 2, "1970-01-01 00:00:00": 1}
+
+
+@pytest.mark.spark
+def test_streaming_dedup_matches_batch(spark):
+    """Exact dedup on an ingest stream: the emitted set equals the
+    batch-distinct set when all duplicates fall inside the watermark."""
+    import tempfile as _tf
+
+    from datalake_indexes_spark.streaming.dedup_stream import dedup_batch, dedup_stream
+
+    rows = []
+    for i in range(200):
+        # 50 distinct texts, each arriving 4 times within minutes
+        rows.append((i, f"2024-01-01 10:{i % 60:02d}:00", f"document body {i % 50}"))
+    docs = spark.createDataFrame(rows, "doc_id long, ts_s string, text string").select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+
+    batch_hashes = {
+        r["content_hash"] for r in dedup_batch(docs).collect()
+    }
+    assert len(batch_hashes) == 50
+
+    work = _tf.mkdtemp(prefix="streamdedup_")
+    try:
+        docs.write.parquet(f"{work}/in")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{work}/in")
+        q = (
+            dedup_stream(stream, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.sql("SELECT content_hash FROM dedup_out").collect()
+        assert {r["content_hash"] for r in emitted} == batch_hashes
+        assert len(emitted) == 50  # each hash exactly once
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
