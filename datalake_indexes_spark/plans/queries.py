@@ -332,6 +332,18 @@ def q_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming exact dedup (dedup_stream.py): keep the
+    earliest arrival (doc_id as arrival order) per content hash.  Hash
+    groups coincide with text groups, so the DuckDB oracle groups by text
+    directly."""
+    from datalake_indexes_spark.streaming.dedup_stream import dedup_batch
+
+    return dedup_batch(_docs(spark, sf_dir), ts_col="doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -512,6 +524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mate_join_search_linear": q_mate_linear,
     "mate_join_search_bloom": q_mate_bloom,
     "dedup_exact": q_dedup_exact,
+    "dedup_earliest": q_dedup_earliest,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
@@ -575,6 +588,13 @@ ORACLES: dict[str, str] = {
         "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
     ),
     "dedup_exact": oracle.dedup_exact_sql(),
+    "dedup_earliest": """
+SELECT doc_id, n_chars
+FROM (SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+""",
     "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
     "dedup_minhash_clusters": oracle.dedup_clusters_sql(threshold=0.7),
     # distributed CC must produce the identical cluster table
