@@ -289,3 +289,45 @@ def test_recursive_nested_lake(spark, tmp_path):
     # nested path content round-trips
     toks = {r["tokenized"] for r in idx.cells.collect()}
     assert "repo b sub 2" in toks  # tokenized "repo_b/sub_2"
+
+
+def test_csv_roundtrip_property(spark, tmp_path):
+    """Property: any table written by a standard csv writer — values with
+    commas, quotes, unicode (dropped to ASCII only at tokenize time, not
+    parse time), empty and whitespace cells — round-trips through the
+    single-job parse cell-for-cell."""
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r\n"),
+            max_size=12,
+        ),
+        st.just(""),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=4),
+        st.lists(st.lists(cell, min_size=4, max_size=4), min_size=1, max_size=5),
+    )
+    def check(n_cols, rows):
+        counter[0] += 1
+        folder = tmp_path / f"prop_{counter[0]}"
+        folder.mkdir()
+        header = [f"h{j}" for j in range(n_cols)]
+        data = [r[:n_cols] for r in rows]
+        _write_csv(str(folder / "t.csv"), header, data)
+        parsed = csv_cells_raw(spark, [str(folder / "*.csv")]).collect()
+        got = {(r["row_id"], r["col_id"]): r["value"] for r in parsed if r["row_id"] >= 0}
+        # every writerow round-trips: csv.writer quotes a lone empty field
+        # ('""'), so no data row ever serializes to a blank line
+        expected = {}
+        for ri, row in enumerate(data):
+            for ci in range(n_cols):
+                expected[(ri, ci)] = row[ci] if row[ci] != "" else None
+        assert got == expected
+
+    check()
