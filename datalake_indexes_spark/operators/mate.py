@@ -139,7 +139,12 @@ class MATE:
         cells = self.index.cells
 
         inp = self.prepare_input(
-            input_df, query_columns, input_order_by, with_super_key=use_hash_optimization
+            input_df,
+            query_columns,
+            input_order_by,
+            # degree 1 never consumes the query super key (see step 2) —
+            # skip its Arrow-batched hash over the input entirely
+            with_super_key=use_hash_optimization and degree > 1,
         )
         # Typical inputs are small vs the lake -> broadcast turns the
         # posting fetch into a map-side join against the index scan.  Large
@@ -154,7 +159,14 @@ class MATE:
         # hash optimization the probe runs against the super-key-denormalized
         # cell view (the reference's layout) so the hit set — often much
         # larger than the lake — never joins row_keys afterwards.
-        probe_cells = self.index.keyed_cells() if use_hash_optimization else cells
+        # Degree 1 is special: the containment prefilter is provably a
+        # no-op (the hit row contains q0 by token equality, so its super
+        # key contains xash(q0) — the entire degree-1 query key), so the
+        # probe stays on the NARROW cell cache and step 4 is skipped —
+        # measured: the filter pass alone cost ~2.5 s on a 2M-row hit set
+        # at sf0.1 while pruning zero rows.
+        prefilter = use_hash_optimization and degree > 1
+        probe_cells = self.index.keyed_cells() if prefilter else cells
         hits = probe_cells.join(inp, probe_cells["tokenized"] == inp["__q0"], "inner")
 
         # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
@@ -172,8 +184,9 @@ class MATE:
         )
         hits = hits.join(F.broadcast(cand_tables), "table_id", "inner")
 
-        # 4. super-key containment prefilter (mate.py:390-394)
-        if use_hash_optimization:
+        # 4. super-key containment prefilter (mate.py:390-394); degree 1
+        # skips it — see step 2
+        if prefilter:
             hits = hits.filter(
                 superkey_contains(
                     F.col("__q_hi"), F.col("__q_lo"),
