@@ -65,73 +65,82 @@ def _sniff_delim(first_line: str) -> str:
         return best if counts[best] > 0 else ","
 
 
-def _parse_csv_files(batches):
-    """mapInPandas worker: whole-file rows in, cell rows out.
+def _make_csv_parser(flush_cells: int = _FLUSH_CELLS):
+    """Build the mapInPandas worker: whole-file rows in, cell rows out.
 
     Header cells are emitted with ``row_id = -1``; data rows are padded /
     truncated to the header width (the reference stringifies rectangles,
     data_handler.py:258-303).  Empty fields become NULL cells — the
     downstream tokenizer renders them as the empty token, same as the
-    per-table path.
+    per-table path.  ``flush_cells`` bounds the output-frame size (a
+    closure parameter so the pickled worker carries it to executors and
+    tests can force multi-yield batches).
     """
-    import csv
-    import io
 
-    import pandas as pd
+    def parse(batches):
+        import csv
+        import io
 
-    paths: list[str] = []
-    row_ids: list[int] = []
-    col_ids: list[int] = []
-    values: list[str | None] = []
+        import pandas as pd
 
-    def flush():
-        frame = pd.DataFrame(
-            {
-                "path": pd.Series(paths, dtype="object"),
-                "row_id": pd.Series(row_ids, dtype="int64"),
-                "col_id": pd.Series(col_ids, dtype="int32"),
-                "value": pd.Series(values, dtype="object"),
-            }
-        )
-        paths.clear(), row_ids.clear(), col_ids.clear(), values.clear()
-        return frame
+        paths: list[str] = []
+        row_ids: list[int] = []
+        col_ids: list[int] = []
+        values: list[str | None] = []
 
-    for pdf in batches:
-        for path, text in zip(pdf["path"], pdf["value"]):
-            if not text:
-                continue  # P5 — empty file, quarantine by omission
-            first = text.split("\n", 1)[0].rstrip("\r")
-            delim = _sniff_delim(first)
-            reader = csv.reader(io.StringIO(text, newline=""), delimiter=delim)
-            header = next(reader, None)
-            if not header:
-                continue
-            width = len(header)
-            for ci, name in enumerate(header):
-                paths.append(path)
-                row_ids.append(HEADER_ROW_ID)
-                col_ids.append(ci)
-                values.append(name)
-            ri = 0
-            for row in reader:
-                if not row:
-                    continue  # blank line
-                padded = row[:width] + [None] * (width - len(row))
-                for ci in range(width):
-                    v = padded[ci]
+        def flush():
+            frame = pd.DataFrame(
+                {
+                    "path": pd.Series(paths, dtype="object"),
+                    "row_id": pd.Series(row_ids, dtype="int64"),
+                    "col_id": pd.Series(col_ids, dtype="int32"),
+                    "value": pd.Series(values, dtype="object"),
+                }
+            )
+            paths.clear(), row_ids.clear(), col_ids.clear(), values.clear()
+            return frame
+
+        for pdf in batches:
+            for path, text in zip(pdf["path"], pdf["value"]):
+                if not text:
+                    continue  # P5 — empty file, quarantine by omission
+                first = text.split("\n", 1)[0].rstrip("\r")
+                delim = _sniff_delim(first)
+                reader = csv.reader(io.StringIO(text, newline=""), delimiter=delim)
+                header = next(reader, None)
+                if not header:
+                    continue
+                width = len(header)
+                for ci, name in enumerate(header):
                     paths.append(path)
-                    row_ids.append(ri)
+                    row_ids.append(HEADER_ROW_ID)
                     col_ids.append(ci)
-                    values.append(None if v == "" or v is None else v)
-                ri += 1
-            if len(values) >= _FLUSH_CELLS:
-                yield flush()
-    if values:
-        yield flush()
+                    values.append(name)
+                ri = 0
+                for row in reader:
+                    if not row:
+                        continue  # blank line
+                    padded = row[:width] + [None] * (width - len(row))
+                    for ci in range(width):
+                        v = padded[ci]
+                        paths.append(path)
+                        row_ids.append(ri)
+                        col_ids.append(ci)
+                        values.append(None if v == "" or v is None else v)
+                    ri += 1
+                if len(values) >= flush_cells:
+                    yield flush()
+        if values:
+            yield flush()
+
+    return parse
 
 
 def csv_cells_raw(
-    spark: SparkSession, patterns: list[str], recursive: bool = False
+    spark: SparkSession,
+    patterns: list[str],
+    recursive: bool = False,
+    flush_cells: int = _FLUSH_CELLS,
 ) -> DataFrame:
     """All CSV/TSV files matching ``patterns`` as one long cell stream:
     ``(path, row_id, col_id, value)`` with headers at ``row_id = -1``.
@@ -161,7 +170,7 @@ def csv_cells_raw(
     else:
         raw = spark.read.text(patterns, wholetext=True)
     raw = raw.select(F.input_file_name().alias("path"), "value")
-    return raw.mapInPandas(_parse_csv_files, schema=_PARSED_SCHEMA)
+    return raw.mapInPandas(_make_csv_parser(flush_cells), schema=_PARSED_SCHEMA)
 
 
 def typed_glob_cells(

@@ -331,3 +331,20 @@ def test_csv_roundtrip_property(spark, tmp_path):
         assert got == expected
 
     check()
+
+
+def test_flush_path_multi_yield_parity(spark, lake_folder):
+    """Force the parser's memory-bound flush (tiny threshold → many
+    yielded frames per partition): the multi-yield output must equal the
+    single-frame output exactly."""
+    folder, _ = lake_folder
+    pats = [str(folder / "*.csv"), str(folder / "*.tsv")]
+    one = {
+        (r["path"], r["row_id"], r["col_id"], r["value"])
+        for r in csv_cells_raw(spark, pats).collect()
+    }
+    many = {
+        (r["path"], r["row_id"], r["col_id"], r["value"])
+        for r in csv_cells_raw(spark, pats, flush_cells=7).collect()
+    }
+    assert many == one and len(one) > 1000
