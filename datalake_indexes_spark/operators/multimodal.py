@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -247,6 +248,108 @@ FEATURE_SCHEMA = StructType(
         StructField("dim_2", IntegerType()),
     ]
 )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage — Arrow-batched ``mapInPandas`` over binary
+    payloads (the distributed shape: one Python worker per partition,
+    payload bytes never touch the driver).
+
+    Pixel resampling needs a decoder (PIL) that is NOT in this container,
+    so the pixel step is STUBBED: the output is a REAL PNG container
+    carrying the target dimensions in its IHDR with the source's data
+    section passed through unchanged — so the plumbing, schema, and
+    container writing are genuinely exercised and a deployment swaps one
+    function (the body pass-through) for ``PIL.Image.resize``.
+    Non-image payloads pass through unchanged with NULL dims.
+    """
+
+    header = bytes.fromhex(PNG_HEADER_HEX)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ihdr_tail = bytes.fromhex(PNG_TRAILER_HEX)
+        out_hdr = (
+            header + struct.pack(">II", width, height) + ihdr_tail
+        )
+        for pdf in it:
+            outs, ws, hs = [], [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                if probe_image_dims(b) is not None:
+                    outs.append(out_hdr + payload_body(b, "image"))
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    outs.append(b)
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": outs,
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling — one output row per sampled frame, exploded
+    executor-side inside the Arrow batch (never a driver-side explode).
+
+    A real demuxer (``av``) is NOT in this container, so frame extraction
+    is STUBBED deterministically: the payload's data section is split into
+    ``n_frames`` contiguous byte ranges standing in for decoded frames.
+    The distributed shape — binary in, multiple binary rows out, stable
+    ``frame_idx`` ordering — is the real contract a decoder drops into.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                body = payload_body(bytes(b), "video")
+                if not body:
+                    continue
+                step = max(len(body) // n_frames, 1)
+                for fi in range(min(n_frames, len(body))):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(body[fi * step : fi * step + step])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:
