@@ -645,6 +645,26 @@ cand AS (
 """
 
 
+def dedup_ngram_capped_sql(threshold: float = 0.7, max_freq: int = 50) -> str:
+    """Twin of the hot-shingle-capped path: candidates only from shingles
+    with document frequency <= max_freq; verification (and the reported
+    jaccard) over the FULL shingle sets."""
+    return f"""
+WITH {_shingle_cte()},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_freq}
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+  FROM sh s1 JOIN sh s2
+    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  WHERE s1.shingle IN (SELECT shingle FROM rare)
+),
+{_jaccard_ctes()}
+{_jaccard_select(threshold)}
+"""
+
+
 def dedup_clusters_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
     """Near-dup retention clusters over the MinHash pairs: connected
     components via a recursive transitive-closure CTE (cluster sizes are
