@@ -41,37 +41,73 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 _INDEX_CACHE: dict[tuple[str, bool], LakeIndex] = {}
 
 
+def _keyed_view(cells: DataFrame) -> DataFrame:
+    """Denormalized (cells + per-row super key) in ONE shuffle: the bit_or
+    as a window aggregate over (table_id, row_id) — measured 4-8x faster
+    than groupBy + join-back at sf0.1."""
+    from pyspark.sql import Window
+
+    from datalake_indexes_spark.functions.xash import xash_pandas_udf
+
+    w = Window.partitionBy("table_id", "row_id")
+    return (
+        cells.withColumn("__h", xash_pandas_udf()(F.col("tokenized")))
+        .withColumn("super_key_hi", F.bit_or(F.col("__h.hi")).over(w))
+        .withColumn("super_key_lo", F.bit_or(F.col("__h.lo")).over(w))
+        .drop("__h")
+    )
+
+
 def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = True) -> LakeIndex:
-    """Session-cached lake index.  The cell/header/info tables are shared
-    between the with- and without-super-key variants (cells are identical;
-    only row_keys differ), so the expensive tokenize+unpivot job and its
-    cache exist once per sf_dir."""
+    """Session-cached lake index.  ONE cached artifact backs both
+    variants: the denormalized keyed cell view.  ``cells`` is a projection
+    of it and ``row_keys`` a dropDuplicates over it, so the expensive
+    tokenize+unpivot+hash chain is materialized (and stored) exactly once
+    per sf_dir — when the super-key variant is requested first (the
+    offline-build lifecycle), the plain-cells variant never pays a second
+    cache; when the plain variant comes first, the keyed view extends its
+    cache instead of rebuilding."""
     base_key = (os.path.abspath(sf_dir), False)
-    if base_key not in _INDEX_CACHE:
+    key = (os.path.abspath(sf_dir), True)
+
+    if with_super_keys and key not in _INDEX_CACHE and base_key not in _INDEX_CACHE:
+        # super variant first: build the keyed view straight from the
+        # uncached build plan — a single cache holds everything
+        raw = build_index(
+            spark, load_tables(spark, sf_dir), TESTDATA_LAKE_SPEC, with_super_keys=False
+        )
+        keyed = _keyed_view(raw.cells).cache()
+        cells_view = keyed.select("table_id", "col_id", "row_id", "tokenized")
+        from datalake_indexes_spark.operators.cocoa import is_numeric_flags
+
+        zero_keys = cells_view.groupBy("table_id", "row_id").agg(
+            F.lit(0).cast("long").alias("super_key_hi"),
+            F.lit(0).cast("long").alias("super_key_lo"),
+        )
+        base_idx = LakeIndex(
+            cells=cells_view,
+            row_keys=zero_keys,  # zero-key frame, derived off the cache
+            column_headers=raw.column_headers.cache(),
+            table_info=raw.table_info.cache(),
+            col_flags=is_numeric_flags(cells_view).cache(),
+            cells_keyed=keyed,
+        )
+        _INDEX_CACHE[base_key] = base_idx
+    elif base_key not in _INDEX_CACHE:
         _INDEX_CACHE[base_key] = build_index(
             spark, load_tables(spark, sf_dir), TESTDATA_LAKE_SPEC, with_super_keys=False
         ).cache()
+
     if not with_super_keys:
         return _INDEX_CACHE[base_key]
-    key = (os.path.abspath(sf_dir), True)
+
     if key not in _INDEX_CACHE:
-        from pyspark.sql import Window
-
-        from datalake_indexes_spark.functions.xash import xash_pandas_udf
-
         base = _INDEX_CACHE[base_key]
-        # one shuffle builds the denormalized keyed view directly: the
-        # per-row bit_or as a window aggregate over (table_id, row_id) —
-        # measured 4-8x faster than groupBy + join-back at sf0.1 (0.3s vs
-        # 1.2-2.3s); row_keys is then a cheap projection of the cached view
-        w = Window.partitionBy("table_id", "row_id")
-        keyed = (
-            base.cells.withColumn("__h", xash_pandas_udf()(F.col("tokenized")))
-            .withColumn("super_key_hi", F.bit_or(F.col("__h.hi")).over(w))
-            .withColumn("super_key_lo", F.bit_or(F.col("__h.lo")).over(w))
-            .drop("__h")
-            .cache()
-        )
+        if base.cells_keyed is not None:
+            keyed = base.cells_keyed
+        else:
+            # base variant was cached first: extend its cache with keys
+            keyed = _keyed_view(base.cells).cache()
         row_keys = keyed.select(
             "table_id", "row_id", "super_key_hi", "super_key_lo"
         ).dropDuplicates(["table_id", "row_id"]).cache()
