@@ -54,6 +54,23 @@ class LakeIndex:
             self.cells_keyed = self.cells_keyed.cache()
         return self
 
+    def uncache(self) -> "LakeIndex":
+        """Release every persisted member plus any staging frames a
+        builder registered (``_staging_frames``) — unpersist is a no-op on
+        frames that were never cached, so this is always safe to call."""
+        for df in (
+            self.cells,
+            self.row_keys,
+            self.column_headers,
+            self.table_info,
+            self.col_flags,
+            self.cells_keyed,
+            *getattr(self, "_staging_frames", []),
+        ):
+            if df is not None:
+                df.unpersist()
+        return self
+
     def keyed_cells(self) -> DataFrame:
         """Cells with per-row super keys: the materialized view when built,
         else the join (one co-keyed lake-sized join, still far cheaper than

@@ -321,13 +321,17 @@ def assemble_index(
 
     from datalake_indexes_spark.operators.cocoa import is_numeric_flags
 
-    return LakeIndex(
+    idx = LakeIndex(
         cells=cells,
         row_keys=row_keys,
         column_headers=headers,
         table_info=table_info,
         col_flags=is_numeric_flags(cells),
     )
+    # register the staging frames so LakeIndex.uncache() releases them
+    # with the index (unpersist is a no-op on the disk-staged variant)
+    idx._staging_frames = [parsed, ids]
+    return idx
 
 
 # backwards-compatible alias (parquet was the first typed format supported)

@@ -348,3 +348,13 @@ def test_flush_path_multi_yield_parity(spark, lake_folder):
         for r in csv_cells_raw(spark, pats, flush_cells=7).collect()
     }
     assert many == one and len(one) > 1000
+
+
+def test_uncache_releases_staging_frames(spark, tmp_path):
+    (tmp_path / "u.csv").write_text("a,b\n1,2\n3,4\n")
+    idx = build_index_from_folder(spark, str(tmp_path))
+    assert idx.cells.count() == 4
+    frames = idx._staging_frames
+    assert any(f.storageLevel.useMemory for f in frames)
+    idx.uncache()
+    assert all(not f.storageLevel.useMemory for f in frames)
