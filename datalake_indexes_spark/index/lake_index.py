@@ -154,7 +154,11 @@ class LakeIndex:
         versions = sorted(
             int(d[1:]) for d in os.listdir(vdir) if d.startswith("v") and d[1:].isdigit()
         )
-        removable = [v for v in versions if v != current][: max(len(versions) - keep, 0)]
+        # keep-set = the newest `keep` versions plus the current one —
+        # computed as a set so a _CURRENT pointer at a non-maximal version
+        # (after time travel) can never cause newer snapshots to be dropped
+        kept = set(versions[-max(keep, 0):]) | {current}
+        removable = [v for v in versions if v not in kept]
         for v in removable:
             shutil.rmtree(os.path.join(vdir, f"v{v}"), ignore_errors=True)
         return removable

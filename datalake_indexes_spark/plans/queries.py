@@ -90,8 +90,14 @@ def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = Tru
             column_headers=raw.column_headers.cache(),
             table_info=raw.table_info.cache(),
             col_flags=is_numeric_flags(cells_view).cache(),
-            cells_keyed=keyed,
+            # cells_keyed stays None: the base variant's keyed_cells()
+            # must agree with its zero row_keys — exposing the real-key
+            # view here would hand consumers keys its own row_keys denies
         )
+        # stash the shared cache in a private slot for the True-variant
+        # branch below; registered as a staging frame so uncache frees it
+        base_idx._shared_keyed = keyed
+        base_idx._staging_frames = [keyed]
         _INDEX_CACHE[base_key] = base_idx
     elif base_key not in _INDEX_CACHE:
         _INDEX_CACHE[base_key] = build_index(
@@ -103,9 +109,8 @@ def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = Tru
 
     if key not in _INDEX_CACHE:
         base = _INDEX_CACHE[base_key]
-        if base.cells_keyed is not None:
-            keyed = base.cells_keyed
-        else:
+        keyed = getattr(base, "_shared_keyed", None)
+        if keyed is None:
             # base variant was cached first: extend its cache with keys
             keyed = _keyed_view(base.cells).cache()
         row_keys = keyed.select(

@@ -54,27 +54,70 @@ def make_index_batch_processor(spec: LakeTableSpec, index_path: str):
     keys_path = os.path.join(index_path, "row_keys")
     xash_udf = xash_pandas_udf()
 
+    def _sink_layout(path: str, df: DataFrame) -> str:
+        """Classify the on-disk layout of an existing sink: ``"current"``
+        for (table_id, batch_id) partitioning, ``"flat"`` for the original
+        append-mode layout (no batch_id at all), ``"batch_only"`` for the
+        interim layout partitioned by batch_id alone (batch_id shows up as
+        a partition column but no ``table_id=`` dirs exist)."""
+        if "batch_id" not in df.columns:
+            return "flat"
+        entries = [e for e in os.listdir(path) if not e.startswith(("_", "."))]
+        if any(e.startswith("table_id=") for e in entries):
+            return "current"
+        return "batch_only"
+
     def migrate_legacy(sess: SparkSession, path: str) -> DataFrame:
-        """One-time in-place migration of a pre-``batch_id`` append-mode
-        sink into the partitioned layout (legacy rows → batch_id = -1,
-        always prior).  Necessary because Spark cannot read a directory
-        mixing bare parquet files with partition subdirectories; staged
-        write + rename keeps the swap as atomic as the filesystem allows
-        (object-store deployments should migrate offline instead)."""
-        df = sess.read.parquet(path)
-        if "batch_id" in df.columns:
-            return df
+        """One-time in-place migration of a legacy sink into the
+        (table_id, batch_id)-partitioned layout.  Handles BOTH legacy
+        shapes: the append-mode layout (no batch_id → rows become
+        batch_id = -1, always prior) and the batch_id-only partitioning
+        (kept batch ids, repartitioned to include table_id — leaving it
+        would mix partition-directory depths and break every later read).
+
+        Crash-safe swap: the old dir is renamed aside (``.__legacy``)
+        before the staged dir (``.__migrating``) is published, so no crash
+        window leaves the index path empty; an interrupted run is repaired
+        at the top of the next call (a complete orphaned staging dir is
+        published, stale leftovers next to a live dir are dropped).
+        Necessary because Spark cannot read a directory mixing bare
+        parquet files with partition subdirectories; object-store
+        deployments should migrate offline instead."""
         import shutil as _shutil
 
         tmp = path.rstrip("/") + ".__migrating"
+        backup = path.rstrip("/") + ".__legacy"
+        if os.path.exists(path):
+            # Leftovers beside a live dir: either a finished migration
+            # that crashed before deleting its backup, or a partial
+            # staging write — the live dir wins, drop them.
+            for stale in (tmp, backup):
+                if os.path.exists(stale):
+                    _shutil.rmtree(stale)
+        elif os.path.exists(tmp):
+            # Crashed between renaming the old dir aside and publishing
+            # the staged one.  The staging write completed before the old
+            # dir was touched, so publish it — falling through to the
+            # caller's PATH_NOT_FOUND handler here would silently restart
+            # row ids at offset 0 and corrupt the index.
+            os.rename(tmp, path)
+            if os.path.exists(backup):
+                _shutil.rmtree(backup)
+
+        df = sess.read.parquet(path)
+        layout = _sink_layout(path, df)
+        if layout == "current":
+            return df
+        if layout == "flat":
+            df = df.withColumn("batch_id", F.lit(-1))
         (
-            df.withColumn("batch_id", F.lit(-1))
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy("table_id", "batch_id")
             .parquet(tmp)
         )
-        _shutil.rmtree(path)
+        os.rename(path, backup)
         os.rename(tmp, path)
+        _shutil.rmtree(backup)
         return sess.read.parquet(path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
