@@ -89,12 +89,12 @@ class COCOA:
             .groupBy("table_id", "col_id")
             .agg(F.count_distinct("tokenized").alias("overlap"))
         )
-        w = Window.orderBy(F.desc("overlap"), F.asc("table_id"), F.asc("col_id"))
-        return (
-            overlaps.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= k_t)
-            .drop("__rk")
-        )
+        # TakeOrderedAndProject (distributed partial top-k) — an
+        # empty-partition row_number window would funnel every candidate
+        # column's overlap count through one task at lake scale
+        return overlaps.orderBy(
+            F.desc("overlap"), F.asc("table_id"), F.asc("col_id")
+        ).limit(k_t)
 
     # ------------------------------------------------------------------
     def column_correlations(

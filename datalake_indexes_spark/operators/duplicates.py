@@ -165,18 +165,25 @@ class DuplicateDetection:
         large-star/small-star algorithm (:mod:`..operators.graph`), which
         never collects an edge to the driver.
         """
-        n_edges = relations.count()
-        if n_edges > distributed_threshold:
-            from datalake_indexes_spark.operators.graph import connected_components
+        # persist before the strategy probe: the count and the resolution
+        # pass (collect OR the CC iterations) would otherwise each re-run
+        # the upstream pair pipeline (LSH + verification) from scratch
+        relations = relations.persist()
+        try:
+            n_edges = relations.count()
+            if n_edges > distributed_threshold:
+                from datalake_indexes_spark.operators.graph import connected_components
 
-            return connected_components(
-                relations, src="table_id_1", dst="table_id_2"
-            ).select(
-                F.col("node").alias("table_id"), F.col("representative")
-            )
-        edges = [
-            (r["table_id_1"], r["table_id_2"]) for r in relations.collect()
-        ]
+                return connected_components(
+                    relations, src="table_id_1", dst="table_id_2"
+                ).select(
+                    F.col("node").alias("table_id"), F.col("representative")
+                )
+            edges = [
+                (r["table_id_1"], r["table_id_2"]) for r in relations.collect()
+            ]
+        finally:
+            relations.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -174,12 +174,14 @@ class MATE:
         table_hits = hits.groupBy(F.col("table_id").alias("__t")).count()
         if min_join_ratio > 0:
             table_hits = table_hits.filter(F.col("count") >= min_join_ratio)
+        # orderBy().limit() plans as TakeOrderedAndProject: each partition
+        # keeps its local top-k_c and only those reach the driver-side
+        # merge — a no-partition row_number window would instead pull every
+        # per-table count through a single task (~1M rows at the
+        # reference's lake size).  Tie-break on __t keeps it deterministic.
         cand_tables = (
-            table_hits.withColumn(
-                "__rk",
-                F.row_number().over(Window.orderBy(F.desc("count"), F.asc("__t"))),
-            )
-            .filter(F.col("__rk") <= k_c)
+            table_hits.orderBy(F.desc("count"), F.asc("__t"))
+            .limit(k_c)
             .select(F.col("__t").alias("table_id"))
         )
         hits = hits.join(F.broadcast(cand_tables), "table_id", "inner")

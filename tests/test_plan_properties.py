@@ -75,6 +75,42 @@ def test_mate_plan_has_no_nested_loop_join(planted):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_mate_candidate_cap_is_distributed_topk(planted):
+    """The k_c candidate cap must plan as TakeOrderedAndProject (each
+    partition keeps a local top-k; only those merge) — an empty-partition
+    row_number Window would pull every per-table hit count through a
+    single task at lake scale."""
+    from datalake_indexes_spark.operators.mate import MATE
+
+    res = MATE(planted["index"]).join_search(
+        planted["input"],
+        ["director_name", "movie_title"],
+        k=3,
+        input_order_by=["director_name", "movie_title"],
+    )
+    plan = _plan(res.top_k)
+    assert "TakeOrderedAndProject" in plan
+    # the old shape ranked per-table hit counts with a no-partition
+    # row_number window; reverting would re-introduce a Window ordered on
+    # the hit count — no Window in the plan may reference `count#`
+    for frag in plan.split("Window ")[1:]:
+        assert "count#" not in frag.splitlines()[0]
+
+
+def test_cocoa_joinable_columns_is_distributed_topk(planted):
+    from datalake_indexes_spark.operators.cocoa import COCOA
+
+    toks = planted["index"].cells.select(
+        F.col("tokenized").alias("token")
+    ).limit(20)
+    plan = _plan(COCOA(planted["index"]).joinable_columns(toks, k_t=5))
+    assert "TakeOrderedAndProject" in plan
+    # the overlap ranking itself must not be a window (the index build's
+    # own lineage may contain partitioned windows)
+    for frag in plan.split("Window ")[1:]:
+        assert "overlap#" not in frag.splitlines()[0]
+
+
 def test_minhash_band_join_is_equi_join(spark):
     from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
 
