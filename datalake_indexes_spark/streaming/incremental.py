@@ -223,11 +223,16 @@ def windowed_event_counts(
     converted to a proper timestamp first (exact integer math, no double
     rounding).
     """
-    if dict(events.dtypes).get(ts_col) == "bigint":
+    dtype = dict(events.dtypes).get(ts_col)
+    if dtype == "bigint":
         # integer floor division: /1000 in doubles rounds the last
         # microsecond, and bare `div` truncates toward zero (wrong
         # microsecond for pre-1970 nanos)
         ts = F.timestamp_micros(F.expr(f"({ts_col} - pmod({ts_col}, 1000)) div 1000"))
+    elif dtype == "timestamp_ntz":
+        # watermarks demand TIMESTAMP; pin the naive wall-clock as UTC
+        # (explicit tz, so the mapping is session-timezone independent)
+        ts = F.to_utc_timestamp(F.col(ts_col), "UTC")
     else:
         ts = F.col(ts_col)
     df = events.withColumn("__ts", ts)

@@ -44,11 +44,20 @@ _STATE_SCHEMA = "start long, end long, n long, s double"
 
 
 def _normalize_ts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    if dict(events.dtypes).get(ts_col) == "bigint":  # nanosAsLong reads
+    dtype = dict(events.dtypes).get(ts_col)
+    if dtype == "bigint":  # nanosAsLong reads
         # integer `div`, NOT `/1000`: double division loses the last
         # microsecond above 2^53 nanoseconds (i.e. for any modern epoch)
         return events.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        # parquet timestamp[us] without tz reads as TIMESTAMP_NTZ, which
+        # unix_micros rejects; pin the wall-clock as UTC (explicit, so the
+        # mapping is session-timezone independent and matches DuckDB's
+        # epoch_us on the same naive values)
+        return events.withColumn(
+            ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC")
         )
     return events
 
