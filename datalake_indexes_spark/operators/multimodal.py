@@ -10,9 +10,9 @@ plus the *container-header* decode that needs no codec library:
   (:func:`probe_image_dims`) — pure stdlib byte work, executor-side.
 - **audio**: real WAV RIFF chunk walking (:func:`probe_wav`) for sample
   rate and frame count.
-- **video**: actual frame probing needs a demuxer (``av``), which is NOT
-  in this container — that one modality keeps the deterministic
-  byte-length stand-in (:func:`_fake_dims`), clearly marked.
+- **video**: real MP4 ``moov/trak/tkhd`` box walking
+  (:func:`probe_mp4_dims`) for track width/height — the container header
+  is plain big-endian box framing; only *frame decode* needs a demuxer.
 
 The synthetic lake fixture (:func:`attach_binary_payload`) wraps each
 document's bytes in a *real* PNG or WAV container built from native Spark
@@ -54,16 +54,34 @@ WAV_SAMPLE_RATE = 16000
 WAV_BLOCK_ALIGN = 2
 WAV_HEADER_BYTES = 44  # canonical PCM header: RIFF(12) + fmt(24) + data(8)
 
+# Minimal real MP4 skeleton: ftyp(16) + moov(8 + trak(8 + tkhd(92))) with
+# the planted track dims in tkhd's 16.16 fixed-point width/height, then an
+# mdat box carrying the data section.
+MP4_FTYP_HEX = "0000001066747970" + "69736F6D" + "00000200"  # isom, v512
+# moov(108) > trak(100) > tkhd(92): box headers + tkhd v0 body through the
+# identity matrix — everything before the width/height fields is constant
+MP4_MOOV_PREFIX_HEX = (
+    "0000006C6D6F6F76"          # moov size 108
+    + "000000647472616B"        # trak size 100
+    + "0000005C746B6864"        # tkhd size 92
+    + "00000007"                # version 0, flags: enabled|in-movie|in-preview
+    + "00000000" + "00000000"   # creation / modification time
+    + "00000001"                # track ID
+    + "00000000"                # reserved
+    + "00000000"                # duration
+    + "0000000000000000"        # reserved
+    + "0000" + "0000"           # layer, alternate group
+    + "0000" + "0000"           # volume, reserved
+    + "000100000000000000000000"  # unity matrix (9 x 32-bit fixed)
+    + "000000000001000000000000"
+    + "000000000000000040000000"
+)
+MP4_OVERHEAD = 16 + 108 + 8  # ftyp + moov + mdat header
+
 # dimension formulas planted by the fixture (and mirrored by the oracle);
-# the engine recovers image/audio values by PARSING the container header
+# the engine recovers them by PARSING the container headers
 def _planted_image_dims(n_text: int) -> tuple[int, int]:
     return 64 + n_text % 577, 64 + (n_text * 31) % 577
-
-
-def _fake_dims(n_bytes: int, modality: str) -> tuple[int, int]:
-    """Deterministic stand-in for modalities with no stdlib-parsable
-    container (video) — derived from byte length, mirrored by the oracle."""
-    return 64 + n_bytes % 577, 64 + (n_bytes * 31) % 577
 
 
 # ---------------------------------------------------------------------------
@@ -117,12 +135,70 @@ def probe_wav(b: bytes) -> tuple[int, int] | None:
     return sample_rate, data_size // block_align
 
 
+def _iter_boxes(b: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each ISO-BMFF box in
+    ``b[start:end]`` — handles 64-bit largesize and size-0 (to-EOF)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            yield btype, i + 16, min(i + size, end)
+        elif size == 0:  # box extends to end of enclosing scope
+            yield btype, i + 8, end
+            return
+        else:
+            yield btype, i + 8, min(i + size, end)
+        if size < 8:
+            return
+        i += size
+
+
+def _is_mp4(b: bytes) -> bool:
+    return len(b) >= 12 and b[4:8] == b"ftyp"
+
+
+def probe_mp4_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first MP4 ``moov/trak/tkhd`` box — plain
+    big-endian box walking, no demuxer.  tkhd stores dims as 16.16 fixed
+    point; version 1 boxes carry 64-bit times, shifting the field offset."""
+    if not _is_mp4(b):
+        return None
+    for t1, s1, e1 in _iter_boxes(b, 0, len(b)):
+        if t1 != b"moov":
+            continue
+        for t2, s2, e2 in _iter_boxes(b, s1, e1):
+            if t2 != b"trak":
+                continue
+            for t3, s3, e3 in _iter_boxes(b, s2, e2):
+                if t3 != b"tkhd":
+                    continue
+                body = b[s3:e3]
+                if not body:
+                    return None
+                off = 88 if body[0] == 1 else 76
+                if len(body) < off + 8:
+                    return None
+                w_fx, h_fx = struct.unpack(">II", body[off : off + 8])
+                return w_fx >> 16, h_fx >> 16
+    return None
+
+
 def payload_body(b: bytes, modality: str) -> bytes:
     """The payload's *data section*, container stripped — PNG: everything
     past the IHDR chunk (length-directed, not fixed-offset); WAV: the
-    ``data`` chunk contents; anything unrecognized: the whole payload.
-    Hashing the data section (not the file bytes) is the dedup-stable
-    choice: re-containerized copies of the same media hash equal."""
+    ``data`` chunk contents; MP4: the ``mdat`` box contents; anything
+    unrecognized: the whole payload.  Hashing the data section (not the
+    file bytes) is the dedup-stable choice: re-containerized copies of the
+    same media hash equal."""
+    if _is_mp4(b):
+        for t, s, e in _iter_boxes(b, 0, len(b)):
+            if t == b"mdat":
+                return b[s:e]
+        return b
     if len(b) >= 16 and b[:8] == _PNG_SIG:
         ihdr_len = struct.unpack(">I", b[8:12])[0]
         return b[8 + 4 + 4 + ihdr_len + 4 :]
@@ -178,8 +254,9 @@ def attach_binary_payload(
     """Simulate a multimodal lake table: (doc_id, modality, payload binary,
     meta struct).  Image payloads are REAL minimal PNGs (signature + IHDR
     carrying planted dimensions + the text bytes as the data section);
-    audio payloads are REAL canonical PCM WAV headers; video payloads stay
-    raw text bytes.  Modality cycles by id."""
+    audio payloads are REAL canonical PCM WAV headers; video payloads are
+    REAL minimal MP4s (ftyp + moov/trak/tkhd carrying planted track dims +
+    an mdat box with the text bytes).  Modality cycles by id."""
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]),
         (F.col(id_col) % len(MODALITIES) + 1).cast("int"),
@@ -222,10 +299,28 @@ def attach_binary_payload(
         text_bytes,
     )
 
+    # tkhd width/height are 16.16 fixed point: 16-bit integer part (dims
+    # are < 641 by construction) + a zero fraction
+    mp4 = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit(MP4_FTYP_HEX),
+                F.lit(MP4_MOOV_PREFIX_HEX),
+                F.lpad(F.hex(width), 4, "0"),
+                F.lit("0000"),
+                F.lpad(F.hex(height), 4, "0"),
+                F.lit("0000"),
+                _be32_hex((n_text + F.lit(8)).cast("int")),  # mdat size
+                F.lit("6D646174"),                           # "mdat"
+            )
+        ),
+        text_bytes,
+    )
+
     payload = (
         F.when(modality == "image", png)
         .when(modality == "audio", wav)
-        .otherwise(text_bytes)
+        .otherwise(mp4)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -359,17 +454,16 @@ def extract_features(payloads: DataFrame) -> DataFrame:
 
     Features: byte length, data-section sha256 (:func:`payload_body` —
     container-stripped, so re-containerized copies of the same media dedup
-    together), and decoded dimensions — REAL header parses for image
-    (PNG/JPEG/GIF) and audio (WAV); the byte-length stand-in only for
-    video (no stdlib demuxer).  Unparseable image/audio payloads yield
-    NULL dims (honest failure, no guess)."""
+    together), and decoded dimensions — REAL header parses for all three
+    modalities: PNG/JPEG/GIF, WAV, and MP4 tkhd.  Unparseable payloads
+    yield NULL dims (honest failure, no guess)."""
 
     def dims_for(b: bytes, modality: str) -> tuple[int | None, int | None]:
         if modality == "image":
             return probe_image_dims(bytes(b)) or (None, None)
         if modality == "audio":
             return probe_wav(bytes(b)) or (None, None)
-        return _fake_dims(len(b), modality)
+        return probe_mp4_dims(bytes(b)) or (None, None)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -501,6 +501,71 @@ WHERE s1.n_cols = s2.n_cols AND d.dup_pairs >= least(s1.n_rows, s2.n_rows)
 """
 
 
+def dup_rows_planted_sql() -> str:
+    """J5 pair view over the PLANTED duplicate lake (catalog.py
+    PLANTED_DUP_SPEC): the engine pairs rows whose XASH super keys match
+    and verifies by sorted value multiset; equal rows always hash equal
+    and collisions are dropped by the value check, so the verified output
+    is exactly the value-equal pairs the oracle computes directly."""
+    from datalake_indexes_spark.sources.catalog import PLANTED_DUP_SPEC
+
+    return f"""
+WITH {cells_cte(PLANTED_DUP_SPEC)},
+fp AS (
+  SELECT table_id, row_id, list_sort(list(tokenized)) AS row_values
+  FROM cells GROUP BY table_id, row_id
+)
+SELECT a.table_id AS table_id_1, a.row_id AS row_id_1,
+       b.table_id AS table_id_2, b.row_id AS row_id_2
+FROM fp a JOIN fp b
+  ON a.row_values = b.row_values
+ AND (a.table_id < b.table_id
+      OR (a.table_id = b.table_id AND a.row_id < b.row_id))
+"""
+
+
+def dup_row_groups_planted_sql() -> str:
+    from datalake_indexes_spark.sources.catalog import PLANTED_DUP_SPEC
+
+    return f"""
+WITH {cells_cte(PLANTED_DUP_SPEC)},
+fp AS (
+  SELECT table_id, row_id, list_sort(list(tokenized)) AS row_values
+  FROM cells GROUP BY table_id, row_id
+)
+SELECT table_id, array_to_string(row_values, '|') AS row_values,
+       count(*) AS group_size, min(row_id) AS min_row_id
+FROM fp GROUP BY table_id, row_values HAVING count(*) > 1
+"""
+
+
+def dup_table_relations_planted_sql() -> str:
+    from datalake_indexes_spark.sources.catalog import PLANTED_DUP_SPEC
+
+    return f"""
+WITH {cells_cte(PLANTED_DUP_SPEC)},
+fp AS (
+  SELECT table_id, row_id, list_sort(list(tokenized)) AS row_values, count(*) AS n_cols
+  FROM cells GROUP BY table_id, row_id
+),
+sizes AS (
+  SELECT table_id, max(row_id) + 1 AS n_rows, max(n_cols) AS n_cols
+  FROM fp GROUP BY table_id
+),
+dup AS (
+  SELECT a.table_id AS table_id_1, b.table_id AS table_id_2, count(*) AS dup_pairs
+  FROM fp a JOIN fp b
+    ON a.row_values = b.row_values AND a.table_id < b.table_id
+  GROUP BY ALL
+)
+SELECT d.table_id_1, d.table_id_2
+FROM dup d
+JOIN sizes s1 ON s1.table_id = d.table_id_1
+JOIN sizes s2 ON s2.table_id = d.table_id_2
+WHERE s1.n_cols = s2.n_cols AND d.dup_pairs >= least(s1.n_rows, s2.n_rows)
+"""
+
+
 def get_table_pivot_sql(table_name: str) -> str:
     spec = TESTDATA_LAKE_SPEC[table_name]
     cols = ", ".join(
@@ -936,13 +1001,14 @@ FROM documents
 def multimodal_features_sql() -> str:
     """Twin of extract_features over attach_binary_payload's containers.
 
-    The engine PARSES the planted PNG/WAV headers; the oracle recomputes
-    the planted values directly — agreement proves the parse.  The sha256
-    is over the container-stripped data section (= the text bytes for
-    every modality), the one definition expressible in both engines
-    (DuckDB sha256 only accepts VARCHAR)."""
+    The engine PARSES the planted PNG/WAV/MP4 headers; the oracle
+    recomputes the planted values directly — agreement proves the parse.
+    The sha256 is over the container-stripped data section (= the text
+    bytes for every modality), the one definition expressible in both
+    engines (DuckDB sha256 only accepts VARCHAR)."""
     from datalake_indexes_spark.operators.multimodal import (
         MODALITIES,
+        MP4_OVERHEAD,
         PNG_OVERHEAD,
         WAV_BLOCK_ALIGN,
         WAV_HEADER_BYTES,
@@ -961,7 +1027,7 @@ WITH p AS (
 SELECT doc_id, modality,
        CAST(n_text + CASE modality WHEN 'image' THEN {PNG_OVERHEAD}
                                    WHEN 'audio' THEN {WAV_HEADER_BYTES}
-                                   ELSE 0 END AS INT) AS n_bytes,
+                                   ELSE {MP4_OVERHEAD} END AS INT) AS n_bytes,
        sha256,
        CAST(CASE WHEN modality = 'audio' THEN {WAV_SAMPLE_RATE}
             ELSE 64 + n_text % 577 END AS INT) AS dim_1,

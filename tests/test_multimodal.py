@@ -1,5 +1,6 @@
-"""Container-header probes (operators/multimodal.py): real PNG/JPEG/GIF/WAV
-byte parsing, data-section extraction, and the end-to-end Arrow pipeline."""
+"""Container-header probes (operators/multimodal.py): real PNG/JPEG/GIF/
+WAV/MP4 byte parsing, data-section extraction, and the end-to-end Arrow
+pipeline."""
 
 from __future__ import annotations
 
@@ -9,10 +10,12 @@ import struct
 from pyspark.sql import functions as F
 
 from datalake_indexes_spark.operators.multimodal import (
+    MP4_OVERHEAD,
     attach_binary_payload,
     extract_features,
     payload_body,
     probe_image_dims,
+    probe_mp4_dims,
     probe_wav,
 )
 
@@ -47,6 +50,33 @@ def _wav(rate: int, data: bytes, extra_chunk: bool = False) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _mp4(w: int, h: int, body: bytes = b"", version: int = 0, pre_boxes: bytes = b"") -> bytes:
+    """Minimal real MP4: ftyp + moov(trak(tkhd carrying w/h)) + mdat.
+    ``version=1`` emits 64-bit tkhd times; ``pre_boxes`` injects sibling
+    boxes (e.g. ``udta``) before the trak to exercise the box walk."""
+    if version:
+        tkhd_body = (
+            b"\x01\x00\x00\x07" + b"\x00" * 16 + struct.pack(">I", 1)
+            + b"\x00" * 4 + b"\x00" * 8 + b"\x00" * 16
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    else:
+        tkhd_body = (
+            b"\x00\x00\x00\x07" + b"\x00" * 8 + struct.pack(">I", 1)
+            + b"\x00" * 4 + b"\x00" * 4 + b"\x00" * 8 + b"\x00" * 8
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16)
+        )
+    tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov_body = pre_boxes + trak
+    moov = struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    mdat = struct.pack(">I", 8 + len(body)) + b"mdat" + body
+    return ftyp + moov + mdat
+
+
 def test_png_dims():
     assert probe_image_dims(_png(640, 480)) == (640, 480)
 
@@ -74,10 +104,23 @@ def test_wav_probe_and_extra_chunk():
     assert probe_wav(b"RIFFxxxxNOPE") is None
 
 
+def test_mp4_tkhd_dims():
+    assert probe_mp4_dims(_mp4(1920, 1080)) == (1920, 1080)
+    # version-1 tkhd (64-bit times) shifts the width/height offset
+    assert probe_mp4_dims(_mp4(640, 360, version=1)) == (640, 360)
+    # a sibling box before trak must be skipped, not tripped over
+    udta = struct.pack(">I", 12) + b"udta" + b"\x00" * 4
+    assert probe_mp4_dims(_mp4(320, 240, pre_boxes=udta)) == (320, 240)
+    assert probe_mp4_dims(b"definitely not an mp4") is None
+    assert probe_mp4_dims(b"") is None
+
+
 def test_payload_body_strips_containers():
     body = b"media-bytes"
     assert payload_body(_png(10, 10, body), "image") == body
     assert payload_body(_wav(16000, body), "audio") == body
+    assert payload_body(_mp4(64, 64, body), "video") == body
+    # container-less bytes pass through whole
     assert payload_body(body, "video") == body
 
 
@@ -105,8 +148,9 @@ def test_end_to_end_fixture_parses(spark):
         elif mod == "audio":
             assert (r["dim_1"], r["dim_2"]) == (16000, n // 2)
             assert r["n_bytes"] == n + 44
-        else:
-            assert r["n_bytes"] == n
+        else:  # video: dims parsed back out of the planted MP4 tkhd
+            assert (r["dim_1"], r["dim_2"]) == (64 + n % 577, 64 + (n * 31) % 577)
+            assert r["n_bytes"] == n + MP4_OVERHEAD
 
 
 def test_corrupt_image_payload_null_dims(spark):
