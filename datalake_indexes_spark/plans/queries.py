@@ -261,6 +261,61 @@ def q_dup_table_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DuplicateDetection(idx).get_relations()
 
 
+_PLANTED_INDEX_CACHE: dict[str, LakeIndex] = {}
+
+
+def _planted_dup_index(spark: SparkSession, sf_dir: str) -> LakeIndex:
+    """Index over the PLANTED duplicate lake (catalog.PLANTED_DUP_SPEC):
+    nation/region registered twice under distinct table ids + a doubled
+    nation whose every row appears twice — the J5/J6 hard-signal fixture
+    (the TPC-H-like testdata itself has no duplicate rows, so the plain
+    dup keys verify 0 == 0).  Built WITH super keys so the planted pair
+    query exercises the real XASH prefilter + verification path."""
+    from datalake_indexes_spark.sources.catalog import PLANTED_DUP_SPEC
+
+    k = os.path.abspath(sf_dir)
+    if k not in _PLANTED_INDEX_CACHE:
+        tbls = load_tables(spark, sf_dir, ["region", "nation", "supplier"])
+        doubled = tbls["nation"].withColumn(
+            "copy", F.explode(F.array(F.lit(0), F.lit(1)))
+        )
+        tables = {
+            "region": tbls["region"],
+            "nation": tbls["nation"],
+            "supplier": tbls["supplier"],
+            "nation_dup": tbls["nation"],
+            "region_dup": tbls["region"],
+            "nation_doubled": doubled,
+        }
+        _PLANTED_INDEX_CACHE[k] = build_index(
+            spark, tables, PLANTED_DUP_SPEC, with_super_keys=True
+        ).cache()
+    return _PLANTED_INDEX_CACHE[k]
+
+
+def q_dup_rows_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 pair view on the planted lake — super-key equality prefilter +
+    sorted-multiset verification, non-empty by construction."""
+    idx = _planted_dup_index(spark, sf_dir)
+    return DuplicateDetection(idx).duplicate_rows()
+
+
+def q_dup_row_groups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _planted_dup_index(spark, sf_dir)
+    out = DuplicateDetection(idx).duplicate_row_groups()
+    return out.select(
+        "table_id",
+        F.array_join("row_values", "|").alias("row_values"),
+        "group_size",
+        "min_row_id",
+    )
+
+
+def q_dup_table_relations_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _planted_dup_index(spark, sf_dir)
+    return DuplicateDetection(idx).get_relations()
+
+
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — reconstruct the nation table from the cell index."""
     idx = testdata_index(spark, sf_dir, with_super_keys=False)
@@ -586,6 +641,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cocoa_enrich_multicolumn": q_cocoa_multicolumn,
     "dup_row_groups": q_dup_row_groups,
     "dup_table_relations": q_dup_table_relations,
+    "dup_rows_planted": q_dup_rows_planted,
+    "dup_row_groups_planted": q_dup_row_groups_planted,
+    "dup_table_relations_planted": q_dup_table_relations_planted,
     "get_table_pivot": q_get_table_pivot,
     "add_external_features": q_add_external_features,
     "mate_join_search_linear": q_mate_linear,
@@ -647,6 +705,9 @@ ORACLES: dict[str, str] = {
     ),
     "dup_row_groups": oracle.dup_row_groups_sql(),
     "dup_table_relations": oracle.dup_table_relations_sql(),
+    "dup_rows_planted": oracle.dup_rows_planted_sql(),
+    "dup_row_groups_planted": oracle.dup_row_groups_planted_sql(),
+    "dup_table_relations_planted": oracle.dup_table_relations_planted_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "add_external_features": oracle.add_external_features_sql(),
     "mate_join_search_linear": oracle.mate_join_search_sql(

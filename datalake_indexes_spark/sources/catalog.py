@@ -63,3 +63,35 @@ ALL_TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Planted-duplicate lake (J5/J6 hard-signal fixture)
+# ---------------------------------------------------------------------------
+# The TPC-H-like testdata has no duplicate rows at any SF, so J5/J6 driver
+# checks over the plain lake verify 0 == 0.  This spec plants duplicates
+# the way a real lake acquires them — the same source registered twice
+# (nation/region under two table ids) and one table whose every row was
+# ingested twice (nation × copy∈{0,1}) — giving the duplicate-detection
+# oracle keys non-empty output to grade.  ``supplier`` stays single-copy as
+# the negative control sharing nation's column count.
+#
+# ``name`` doubles as the oracle's FROM source, so the doubled table's name
+# is a subquery over the pre-registered ``nation`` view; the Spark side
+# constructs the same doubled DataFrame (queries.py).
+
+_NATION_COLS = ["n_nationkey", "n_name", "n_regionkey"]
+
+PLANTED_DUP_SPEC: dict[str, LakeTableSpec] = {
+    "region": TESTDATA_LAKE_SPEC["region"],
+    "nation": TESTDATA_LAKE_SPEC["nation"],
+    "supplier": TESTDATA_LAKE_SPEC["supplier"],
+    "nation_dup": _t("nation", 100, _NATION_COLS, ["n_nationkey"], "n_nationkey"),
+    "region_dup": _t("region", 102, ["r_regionkey", "r_name"], ["r_regionkey"], "r_regionkey"),
+    "nation_doubled": _t(
+        "(SELECT n.*, c.copy FROM nation AS n CROSS JOIN (VALUES (0), (1)) AS c(copy))",
+        101,
+        _NATION_COLS,
+        ["n_nationkey", "copy"],
+    ),
+}
