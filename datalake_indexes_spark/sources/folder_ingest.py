@@ -136,23 +136,92 @@ def _make_csv_parser(flush_cells: int = _FLUSH_CELLS):
     return parse
 
 
-def csv_cells_raw(
+def _make_arff_parser(flush_cells: int = _FLUSH_CELLS):
+    """mapInPandas worker for ARFF files (S5 in the single-job folder walk
+    — same parse rules as the curated :func:`..readers.read_arff` path:
+    quoted @attribute names, ``%`` comments, ``?`` → NULL, single-quote
+    CSV data section).  Attribute names become header cells at
+    ``row_id = -1``; data rows are truncated/padded to attribute width."""
+
+    def parse(batches):
+        import csv
+        import re
+
+        import pandas as pd
+
+        attr_re = re.compile(
+            r"@attribute\s+(?:'([^']*)'|\"([^\"]*)\"|(\S+))", re.IGNORECASE
+        )
+        paths: list[str] = []
+        row_ids: list[int] = []
+        col_ids: list[int] = []
+        values: list[str | None] = []
+
+        def flush():
+            frame = pd.DataFrame(
+                {
+                    "path": pd.Series(paths, dtype="object"),
+                    "row_id": pd.Series(row_ids, dtype="int64"),
+                    "col_id": pd.Series(col_ids, dtype="int32"),
+                    "value": pd.Series(values, dtype="object"),
+                }
+            )
+            paths.clear(), row_ids.clear(), col_ids.clear(), values.clear()
+            return frame
+
+        for pdf in batches:
+            for path, text in zip(pdf["path"], pdf["value"]):
+                if not text:
+                    continue
+                cols: list[str] = []
+                in_data = False
+                ri = 0
+                for line in text.split("\n"):
+                    line = line.strip()
+                    if not line or line.startswith("%"):
+                        continue
+                    low = line.lower()
+                    if low.startswith("@attribute"):
+                        m = attr_re.match(line)
+                        if m:
+                            cols.append(
+                                next(g for g in m.groups() if g is not None)
+                            )
+                    elif low.startswith("@data"):
+                        if not cols:
+                            break  # malformed: no attributes — quarantine
+                        in_data = True
+                        for ci, name in enumerate(cols):
+                            paths.append(path)
+                            row_ids.append(HEADER_ROW_ID)
+                            col_ids.append(ci)
+                            values.append(name)
+                    elif in_data:
+                        vals = next(csv.reader([line], quotechar="'"))
+                        padded = vals[: len(cols)] + [None] * (len(cols) - len(vals))
+                        for ci in range(len(cols)):
+                            v = padded[ci]
+                            paths.append(path)
+                            row_ids.append(ri)
+                            col_ids.append(ci)
+                            values.append(None if v in ("?", "", None) else v)
+                        ri += 1
+                if len(values) >= flush_cells:
+                    yield flush()
+        if values:
+            yield flush()
+
+    return parse
+
+
+def _wholetext_cells(
     spark: SparkSession,
     patterns: list[str],
+    parser,
     recursive: bool = False,
-    flush_cells: int = _FLUSH_CELLS,
 ) -> DataFrame:
-    """All CSV/TSV files matching ``patterns`` as one long cell stream:
-    ``(path, row_id, col_id, value)`` with headers at ``row_id = -1``.
-
-    ``recursive=True`` walks the whole tree under each pattern's directory
-    (``recursiveFileLookup`` + a ``pathGlobFilter`` per extension) — real
-    GitTables-style lakes nest files in per-repo subdirectories.
-
-    Regime note: ``wholetext`` makes each FILE one task-resident row, so
-    this path is for lakes of many small files (the GitTables shape).  A
-    single multi-GB CSV belongs on the splittable
-    :func:`..readers.read_table` path instead."""
+    """One wholetext read over ``patterns`` fed through an Arrow-batched
+    per-file parser → the long ``(path, row_id, col_id, value)`` stream."""
     # NB: must be the `wholetext=` kwarg — `.option("wholetext", ...)` is
     # silently ignored by the PySpark 4 classic reader's text() path
     if recursive:
@@ -170,7 +239,43 @@ def csv_cells_raw(
     else:
         raw = spark.read.text(patterns, wholetext=True)
     raw = raw.select(F.input_file_name().alias("path"), "value")
-    return raw.mapInPandas(_make_csv_parser(flush_cells), schema=_PARSED_SCHEMA)
+    return raw.mapInPandas(parser, schema=_PARSED_SCHEMA)
+
+
+def csv_cells_raw(
+    spark: SparkSession,
+    patterns: list[str],
+    recursive: bool = False,
+    flush_cells: int = _FLUSH_CELLS,
+) -> DataFrame:
+    """All CSV/TSV files matching ``patterns`` as one long cell stream:
+    ``(path, row_id, col_id, value)`` with headers at ``row_id = -1``.
+
+    ``recursive=True`` walks the whole tree under each pattern's directory
+    (``recursiveFileLookup`` + a ``pathGlobFilter`` per extension) — real
+    GitTables-style lakes nest files in per-repo subdirectories.
+
+    Regime note: ``wholetext`` makes each FILE one task-resident row, so
+    this path is for lakes of many small files (the GitTables shape).  A
+    single multi-GB CSV belongs on the splittable
+    :func:`..readers.read_table` path instead."""
+    return _wholetext_cells(
+        spark, patterns, _make_csv_parser(flush_cells), recursive=recursive
+    )
+
+
+def arff_cells_raw(
+    spark: SparkSession,
+    patterns: list[str],
+    recursive: bool = False,
+    flush_cells: int = _FLUSH_CELLS,
+) -> DataFrame:
+    """All ARFF files matching ``patterns`` as the same long cell stream
+    (reference dispatches ``.arff`` in its folder walk,
+    data_handler.py:374-389, 518-547)."""
+    return _wholetext_cells(
+        spark, patterns, _make_arff_parser(flush_cells), recursive=recursive
+    )
 
 
 def typed_glob_cells(
@@ -350,26 +455,33 @@ def build_index_from_folder(
 ) -> LakeIndex:
     """Index a whole folder of lake files as one job (S6 at scale).
 
-    CSV/TSV/TXT files go through the wholetext parse; typed formats need a
-    schema-group map ``{glob_pattern: {"format": "parquet"|"json"|"orc",
-    "cols": [...], "order_by": [...], "schema": ...}}`` (heterogeneous
-    schemas cannot share a scan) — every group is still one glob read,
-    never a per-file loop.  ``parquet_groups`` is the parquet-only
-    shorthand.  Table ids are dense over the union of all sources,
-    ordered by path.
+    CSV/TSV/TXT and ARFF files go through the wholetext parse (each with
+    its own per-file parser); typed formats need a schema-group map
+    ``{glob_pattern: {"format": "parquet"|"json"|"orc", "cols": [...],
+    "order_by": [...], "schema": ...}}`` (heterogeneous schemas cannot
+    share a scan) — every group is still one glob read, never a per-file
+    loop.  ``parquet_groups`` is the parquet-only shorthand.  Table ids
+    are dense over the union of all sources, ordered by path.
     """
+
+    def _live_patterns(exts: tuple[str, ...]) -> list[str]:
+        return [
+            p
+            for ext in exts
+            for p in [os.path.join(folder, f"*.{ext}")]
+            if _glob.glob(
+                os.path.join(folder, "**", f"*.{ext}") if recursive else p,
+                recursive=recursive,
+            )
+        ]
+
     streams: list[DataFrame] = []
-    text_patterns = [
-        p
-        for ext in ("csv", "tsv", "txt")
-        for p in [os.path.join(folder, f"*.{ext}")]
-        if _glob.glob(
-            os.path.join(folder, "**", f"*.{ext}") if recursive else p,
-            recursive=recursive,
-        )
-    ]
+    text_patterns = _live_patterns(("csv", "tsv", "txt"))
     if text_patterns:
         streams.append(csv_cells_raw(spark, text_patterns, recursive=recursive))
+    arff_patterns = _live_patterns(("arff",))
+    if arff_patterns:
+        streams.append(arff_cells_raw(spark, arff_patterns, recursive=recursive))
     groups = dict(typed_groups or {})
     for pattern, spec in (parquet_groups or {}).items():
         groups.setdefault(pattern, {**spec, "format": "parquet"})

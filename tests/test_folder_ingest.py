@@ -206,6 +206,42 @@ def test_mixed_csv_parquet_folder(spark, tmp_path):
     assert beta_cells.count() == 6
 
 
+def test_mixed_csv_arff_folder(spark, tmp_path):
+    """ARFF files are dispatched in the single-job folder walk (reference
+    routes .arff in its folder loop, data_handler.py:374-389): a mixed
+    csv+arff lake recovers both tables' cells, headers from @attribute
+    declarations, ``?`` as NULL."""
+    (tmp_path / "alpha.csv").write_text("id,word\n0,apple\n1,banana\n")
+    (tmp_path / "iris_mini.arff").write_text(
+        "% a comment line\n"
+        "@RELATION iris\n"
+        "@ATTRIBUTE 'sepal length' NUMERIC\n"
+        '@ATTRIBUTE "species" {setosa,versicolor}\n'
+        "\n"
+        "@DATA\n"
+        "5.1,setosa\n"
+        "?,versicolor\n"
+        "4.9,'multi word'\n"
+    )
+    idx = build_index_from_folder(spark, str(tmp_path))
+    info = {r["dataset_name"]: r["table_id"] for r in idx.table_info.collect()}
+    assert set(info) == {"alpha", "iris_mini"}
+    headers = {
+        (r["table_id"], r["col_id"]): r["header"]
+        for r in idx.column_headers.collect()
+    }
+    assert headers[(info["iris_mini"], 0)] == "sepal length"
+    assert headers[(info["iris_mini"], 1)] == "species"
+    cells = {
+        (r["row_id"], r["col_id"]): r["tokenized"]
+        for r in idx.cells.filter(F.col("table_id") == info["iris_mini"]).collect()
+    }
+    assert cells[(0, 0)] == tokenize_py("5.1")
+    assert cells[(1, 0)] == tokenize_py(None)  # '?' → NULL
+    assert cells[(2, 1)] == tokenize_py("multi word")
+    assert len(cells) == 6
+
+
 def test_json_glob_group(spark, tmp_path):
     """JSON schema group through the same single-job typed path."""
     import json as _json
