@@ -71,6 +71,42 @@ class LakeIndex:
                 df.unpersist()
         return self
 
+    def get_table(self, table_id: int) -> DataFrame:
+        """S10 — reconstruct a table from the cell index, reapplying its
+        stored headers as column names (the reference re-labels the pivot
+        with the saved headers, maco/data_handler.py:679-685).
+
+        The header fetch is a per-table metadata read (≤ max_col_id rows)
+        — driver-side schema work, same category as Spark's own pivot
+        value resolution; the data pivot itself stays distributed.  Null/
+        empty headers fall back to ``col_<i>``; duplicated header names
+        get a ``_<col_id>`` suffix so the result schema stays valid."""
+        from pyspark.sql import functions as F
+
+        hdr_rows = sorted(
+            (r["col_id"], r["header"])
+            for r in self.column_headers.filter(
+                F.col("table_id") == table_id
+            ).collect()
+        )
+        names: list[tuple[int, str]] = []
+        seen: set[str] = set()
+        for cid, hdr in hdr_rows:
+            name = hdr if hdr else f"col_{cid}"
+            if name in seen:
+                name = f"{name}_{cid}"
+            seen.add(name)
+            names.append((cid, name))
+        cells = self.cells.filter(F.col("table_id") == table_id)
+        return (
+            cells.groupBy("row_id")
+            .pivot("col_id", [cid for cid, _ in names])
+            .agg(F.first("tokenized"))
+            .select(
+                "row_id", *[F.col(str(cid)).alias(nm) for cid, nm in names]
+            )
+        )
+
     def keyed_cells(self) -> DataFrame:
         """Cells with per-row super keys: the materialized view when built,
         else the join (one co-keyed lake-sized join, still far cheaper than

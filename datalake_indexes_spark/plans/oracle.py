@@ -567,10 +567,13 @@ WHERE s1.n_cols = s2.n_cols AND d.dup_pairs >= least(s1.n_rows, s2.n_rows)
 
 
 def get_table_pivot_sql(table_name: str) -> str:
+    """S10 twin — the reconstructed table carries its STORED HEADERS as
+    column names (data_handler.py:679-685), which for the curated lake are
+    the spec's column names."""
     spec = TESTDATA_LAKE_SPEC[table_name]
     cols = ", ".join(
-        f"max(CASE WHEN col_id = {i} THEN tokenized END) AS col_{i}"
-        for i in range(len(spec.cols))
+        f'max(CASE WHEN col_id = {i} THEN tokenized END) AS "{c}"'
+        for i, c in enumerate(spec.cols)
     )
     return f"""
 WITH {cells_cte()}

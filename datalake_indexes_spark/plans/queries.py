@@ -317,17 +317,10 @@ def q_dup_table_relations_planted(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10 — reconstruct the nation table from the cell index."""
+    """S10 — reconstruct the nation table from the cell index with its
+    stored headers reapplied as column names."""
     idx = testdata_index(spark, sf_dir, with_super_keys=False)
-    spec = TESTDATA_LAKE_SPEC["nation"]
-    n_cols = len(spec.cols)
-    cells = idx.cells.filter(F.col("table_id") == spec.table_id)
-    return (
-        cells.groupBy("row_id")
-        .pivot("col_id", list(range(n_cols)))
-        .agg(F.first("tokenized"))
-        .select("row_id", *[F.col(str(i)).alias(f"col_{i}") for i in range(n_cols)])
-    )
+    return idx.get_table(TESTDATA_LAKE_SPEC["nation"].table_id)
 
 
 def q_add_external_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,3 +59,31 @@ def test_row_keys_distinct_token_path_identical(spark):
     b = row_keys_for(cells, xash_pandas_udf(), distinct_tokens=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 46
+
+
+def test_get_table_reapplies_headers(spark):
+    """S10 — reconstruction re-labels the pivot with the STORED headers
+    (reference data_handler.py:679-685); empty headers fall back to
+    col_<i> and duplicate names get a _<col_id> suffix."""
+    from datalake_indexes_spark.index.builder import build_index
+    from datalake_indexes_spark.sources.catalog import LakeTableSpec
+
+    df = spark.createDataFrame(
+        [(0, "aa", "x"), (1, "bb", "y")], "k long, name string, name2 string"
+    )
+    spec = LakeTableSpec("t", 7, ("k", "name", "name2"), ("k",), "k")
+    idx = build_index(spark, {"t": df}, {"t": spec}, with_super_keys=False)
+    out = idx.get_table(7)
+    assert out.columns == ["row_id", "k", "name", "name2"]
+    rows = {r["row_id"]: r for r in out.collect()}
+    assert rows[0]["name"] == "aa" and rows[1]["name2"] == "y"
+
+    # empty + duplicated headers: synthesize a header table with quirks
+    from pyspark.sql import functions as F
+
+    idx.column_headers = spark.createDataFrame(
+        [(7, 0, None, None), (7, 1, "dup", "dup"), (7, 2, "dup", "dup")],
+        "table_id int, col_id int, header string, header_tokenized string",
+    )
+    out2 = idx.get_table(7)
+    assert out2.columns == ["row_id", "col_0", "dup", "dup_2"]
