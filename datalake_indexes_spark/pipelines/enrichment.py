@@ -88,7 +88,9 @@ def enrich_dataset(
               ["table_id", "ext_row_id"])
         .groupBy(F.col("input_row_id").alias("mate_row_id"))
         .pivot("table_col_id", winners)
-        .agg(F.first("tokenized"))
+        # first-match = lowest external row id — deterministic (F.first
+        # under pivot is whichever task finishes first)
+        .agg(F.min_by("tokenized", "ext_row_id"))
     )
     renamed = feats.select(
         "mate_row_id", *[F.col(w).alias(f"ext_{w}") for w in winners]

@@ -300,10 +300,17 @@ def cocoa_multicolumn_sql(
     k_c: int = 500,
     k_features: int = 10,
     round_digits: int = 4,
+    materialize: bool = False,
 ) -> str:
     """enrich_multicolumn twin (cocoa.py:306-583): MATE's verified join maps
     feed the correlation machinery; join columns of each winning
-    combination are excluded; target ranks cover ALL input rows."""
+    combination are excluded; target ranks cover ALL input rows.
+
+    ``materialize=True`` emits the enrichment pipeline's END PRODUCT
+    instead of the ranking: the winning features first-match-joined onto
+    every input row, long form (mate_row_id, table_col_id, value) —
+    first match = lowest external row id, mirroring
+    pipelines/enrichment.py's min_by materialization."""
     degree = len(query_columns)
     verify_idx = [0] if degree == 1 else list(range(1, degree))
     m_selects = ", ".join(
@@ -452,15 +459,30 @@ cat_corr AS (
   LEFT JOIN cat_r cr ON cr.table_id = cc.table_id AND cr.col_id = cc.col_id
   GROUP BY ALL
 ),
-all_corr AS (SELECT * FROM num_full UNION ALL SELECT * FROM cat_corr)
-SELECT CAST(a.table_id AS VARCHAR) || '_' || CAST(a.col_id AS VARCHAR) AS table_col_id,
-       round(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END, {round_digits}) AS corr,
-       nm.is_numeric
-FROM all_corr a JOIN numeric nm ON nm.table_id = a.table_id AND nm.col_id = a.col_id
-ORDER BY abs(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END) DESC,
-         table_col_id
-LIMIT {k_features}
+all_corr AS (SELECT * FROM num_full UNION ALL SELECT * FROM cat_corr),
+winners AS (
+  SELECT CAST(a.table_id AS VARCHAR) || '_' || CAST(a.col_id AS VARCHAR) AS table_col_id,
+         round(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END, {round_digits}) AS corr,
+         nm.is_numeric
+  FROM all_corr a JOIN numeric nm ON nm.table_id = a.table_id AND nm.col_id = a.col_id
+  ORDER BY abs(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END) DESC,
+           table_col_id
+  LIMIT {k_features}
+)
+""" + (
+        """
+SELECT p.input_row_id AS mate_row_id,
+       CAST(e.table_id AS VARCHAR) || '_' || CAST(e.col_id AS VARCHAR) AS table_col_id,
+       min_by(e.tokenized, p.ext_row_id) AS value
+FROM pairs p
+JOIN cells e ON e.table_id = p.table_id AND e.row_id = p.ext_row_id
+JOIN winners w
+  ON w.table_col_id = CAST(e.table_id AS VARCHAR) || '_' || CAST(e.col_id AS VARCHAR)
+GROUP BY 1, 2
 """
+        if materialize
+        else "SELECT table_col_id, corr, is_numeric FROM winners"
+    )
 
 
 def dup_row_groups_sql() -> str:

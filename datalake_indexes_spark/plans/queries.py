@@ -346,6 +346,33 @@ def q_add_external_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrichment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end enrichment product (pipelines/enrichment.py): MATE top-k
+    → duplicate-table removal → COCOA feature ranking → J4 first-match
+    materialization, emitted in long form (mate_row_id, table_col_id,
+    value) so the schema is static while the winner columns stay dynamic."""
+    from datalake_indexes_spark.pipelines.enrichment import enrich_dataset
+
+    idx = testdata_index(spark, sf_dir)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    res = enrich_dataset(
+        idx,
+        customer,
+        ["c_custkey"],
+        "c_acctbal",
+        k=5,
+        k_c=500,
+        k_features=10,
+        input_order_by=["c_custkey"],
+    )
+    winners = [c[len("ext_"):] for c in res.enriched.columns if c.startswith("ext_")]
+    stack_args = ", ".join(f"'{w}', `ext_{w}`" for w in winners)
+    return res.enriched.selectExpr(
+        "mate_row_id",
+        f"stack({len(winners)}, {stack_args}) as (table_col_id, value)",
+    ).filter(F.col("value").isNotNull())
+
+
 def q_mate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 without the super-key prefilter — the reference's
     hash_function=None 'linear' mode (mate.py:199).  Verified results are
@@ -639,6 +666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_table_relations_planted": q_dup_table_relations_planted,
     "get_table_pivot": q_get_table_pivot,
     "add_external_features": q_add_external_features,
+    "enrichment_features": q_enrichment_features,
     "mate_join_search_linear": q_mate_linear,
     "mate_join_search_bloom": q_mate_bloom,
     "dedup_exact": q_dedup_exact,
@@ -703,6 +731,10 @@ ORACLES: dict[str, str] = {
     "dup_table_relations_planted": oracle.dup_table_relations_planted_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "add_external_features": oracle.add_external_features_sql(),
+    "enrichment_features": oracle.cocoa_multicolumn_sql(
+        "customer", ["c_custkey"], "c_acctbal", ["c_custkey"],
+        k=5, k_c=500, k_features=10, materialize=True,
+    ),
     "mate_join_search_linear": oracle.mate_join_search_sql(
         "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
     ),
