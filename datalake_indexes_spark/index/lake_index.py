@@ -139,9 +139,79 @@ class LakeIndex:
         """Materialize the index (S7/S8 — replaces COPY + B-tree builds).
 
         Non-transactional direct layout; see :meth:`save_version` for the
-        snapshot-atomic sink.
+        snapshot-atomic sink and :meth:`save_bucketed` for the
+        cluster-scale bucketed layout.
         """
         self._write_members(path, mode)
+
+    def save_bucketed(
+        self,
+        table_prefix: str,
+        path: str | None = None,
+        n_buckets: int = 64,
+    ) -> None:
+        """S8 at cluster scale — catalog tables with co-location metadata:
+
+        - ``cells`` bucketed AND sorted by ``tokenized``: the MATE/COCOA
+          posting probe (``cells ⋈ input on tokenized``) reads each bucket
+          pre-hashed, so the lake side of the join needs NO Exchange — only
+          the (much smaller) probe side shuffles to the bucket count.  At
+          100 TB that is the difference between shuffling the whole lake
+          per query and shuffling kilobytes.
+        - ``row_keys`` bucketed by ``(table_id, row_id)`` for the row
+          verification join, same reasoning.
+
+        ``bucketBy`` requires the table catalog (``saveAsTable``) — plain
+        path writes cannot carry bucket metadata; pass ``path`` to pin the
+        files to an external location.  Load with :meth:`load_bucketed`.
+        """
+        spark = self.cells.sparkSession
+
+        def _write(df: DataFrame, name: str, bucket_cols: list[str]) -> None:
+            spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{name}")
+            writer = (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+            )
+            if path is not None:
+                writer = writer.option("path", os.path.join(path, name))
+            writer.saveAsTable(f"{table_prefix}_{name}")
+
+        _write(self.cells, "cells", ["tokenized"])
+        _write(self.row_keys, "row_keys", ["table_id", "row_id"])
+        for name, df in (
+            ("column_headers", self.column_headers),
+            ("table_info", self.table_info),
+            ("col_flags", self.col_flags),
+        ):
+            if df is None:
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{name}")
+            writer = df.write.mode("overwrite").format("parquet")
+            if path is not None:
+                writer = writer.option("path", os.path.join(path, name))
+            writer.saveAsTable(f"{table_prefix}_{name}")
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, table_prefix: str) -> "LakeIndex":
+        """Open a :meth:`save_bucketed` index — members come from the table
+        catalog so joins see the bucket metadata (``spark.read.parquet`` on
+        the same files would silently lose it)."""
+        def _table(name: str) -> DataFrame | None:
+            full = f"{table_prefix}_{name}"
+            if not spark.catalog.tableExists(full):
+                return None
+            return spark.table(full)
+
+        return cls(
+            cells=_table("cells"),
+            row_keys=_table("row_keys"),
+            column_headers=_table("column_headers"),
+            table_info=_table("table_info"),
+            col_flags=_table("col_flags"),
+        )
 
     # ------------------------------------------------------------------
     # Transactional snapshot sink: full rewrites land in a fresh

@@ -121,3 +121,50 @@ def test_minhash_band_join_is_equi_join(spark):
     plan = _plan(minhash_lsh_pairs(docs, threshold=0.7))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_cells_probe_join_no_lake_exchange(spark, sf_dir, tmp_path):
+    """save_bucketed co-locates cells by tokenized: the posting probe join
+    reads the lake side pre-hashed — NO Exchange above the bucketed scan;
+    only the probe side shuffles.  This is the real-cluster slot-in for
+    the broadcast probe (PLANS.md §5)."""
+    from datalake_indexes_spark.index.builder import build_index
+    from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    idx = build_index(
+        spark, {"nation": nation}, {"nation": TESTDATA_LAKE_SPEC["nation"]},
+        with_super_keys=False,
+    )
+    idx.save_bucketed("bktest", path=str(tmp_path / "bk"), n_buckets=8)
+    try:
+        loaded = LakeIndex.load_bucketed(spark, "bktest")
+        probe = spark.createDataFrame(
+            [("argentina",), ("brazil",), ("france",)], "token string"
+        )
+        confs = {
+            # force the shuffle join shape a too-big-to-broadcast probe gets
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            joined = loaded.cells.join(
+                probe, loaded.cells["tokenized"] == probe["token"]
+            )
+            plan = _plan(joined)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        assert "SortMergeJoin" in plan
+        # exactly ONE shuffle: the probe side.  The bucketed lake side must
+        # plan scan -> (sort) -> join with no Exchange in between.
+        assert plan.count("Exchange") == 1
+        assert "token#" in plan.split("Exchange")[1].splitlines()[0]
+        # bucket metadata actually applied to the scan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    finally:
+        for t in ("cells", "row_keys", "column_headers", "table_info", "col_flags"):
+            spark.sql(f"DROP TABLE IF EXISTS bktest_{t}")
