@@ -40,6 +40,41 @@ from datalake_indexes_spark.index.builder import with_global_row_number
 from datalake_indexes_spark.index.lake_index import LakeIndex
 
 
+def salted_probe_join(
+    probe_cells: DataFrame, inp: DataFrame, n_salt: int = 16
+) -> DataFrame:
+    """Posting fetch for inputs too large to broadcast, HOT-TOKEN SAFE.
+
+    A plain ``cells ⋈ input ON tokenized`` concentrates every occurrence
+    of a hot token (think ``"0"``) into one shuffle partition.  AQE's
+    skew-join does NOT rescue this shape: measured on pyspark 4.1.2, the
+    split fires for join→row-consumer plans (``SortMergeJoin(skew=true)``)
+    but is skipped whenever an aggregate shares the join's stage — exactly
+    MATE's ``hits.groupBy(table_id)`` candidate count (PLANS.md §3).
+
+    So the skew is dismantled structurally: each cells row gets a uniform
+    salt from its (table_id, row_id) identity, the input is replicated
+    once per salt value, and the join key becomes (tokenized, salt) — the
+    hot token's rows spread over ``n_salt`` partitions by construction.
+    Each (cell, input) match survives exactly once (the one replica whose
+    salt equals the cell's), so results are identical to the unsalted
+    join.  Cost: the input shuffles ``n_salt``× — by regime the lake side
+    dwarfs it, which is also why the salt goes on cells, not the input.
+    """
+    salted_cells = probe_cells.withColumn(
+        "__salt", F.pmod(F.xxhash64("table_id", "row_id"), F.lit(n_salt)).cast("int")
+    )
+    replicas = F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    salted_inp = inp.withColumn("__salt_r", replicas)
+    joined = salted_cells.join(
+        salted_inp,
+        (salted_cells["tokenized"] == salted_inp["__q0"])
+        & (salted_cells["__salt"] == salted_inp["__salt_r"]),
+        "inner",
+    )
+    return joined.drop("__salt", "__salt_r")
+
+
 @dataclass
 class MateResult:
     """Top-k result + join maps + the A12 stats surface (mate.py:527-535)."""
@@ -134,6 +169,8 @@ class MATE:
         use_hash_optimization: bool = True,
         input_order_by: list[str] | None = None,
         stats: dict | None = None,
+        broadcast_threshold: int = 200_000,
+        n_salt: int = 16,
     ) -> MateResult:
         degree = len(query_columns)
         cells = self.index.cells
@@ -151,7 +188,7 @@ class MATE:
         # inputs (e.g. probing with a fact table) would blow the broadcast,
         # so decide on the actual row count; the cache keeps the prep work.
         inp = inp.persist()
-        small_input = inp.count() <= 200_000
+        small_input = inp.count() <= broadcast_threshold
         if small_input:
             inp = F.broadcast(inp)
 
@@ -167,7 +204,15 @@ class MATE:
         # at sf0.1 while pruning zero rows.
         prefilter = use_hash_optimization and degree > 1
         probe_cells = self.index.keyed_cells() if prefilter else cells
-        hits = probe_cells.join(inp, probe_cells["tokenized"] == inp["__q0"], "inner")
+        if small_input:
+            hits = probe_cells.join(
+                inp, probe_cells["tokenized"] == inp["__q0"], "inner"
+            )
+        else:
+            # non-broadcastable input: the shuffle join would funnel any
+            # hot token through one task (AQE's skew split is inert under
+            # the groupBy below — see salted_probe_join); salt it apart
+            hits = salted_probe_join(probe_cells, inp, n_salt=n_salt)
 
         # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
         #    min_join_ratio drops small posting lists (mate.py:325-326)
