@@ -291,12 +291,14 @@ def simhash_signatures(
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    md5w = F.md5(F.col("word"))
-    with_bits = tf.select(
+    # md5 materialized ONCE in its own projection: the 64 per-bit columns
+    # then reference a bound attribute, so single evaluation is structural
+    # rather than a bet on Catalyst subexpression elimination
+    with_bits = tf.withColumn("__md5", F.md5(F.col("word"))).select(
         "doc_id",
         "tf",
         *[
-            (_word_bit(md5w, i) * 2 - 1).alias(f"__s{i}")
+            (_word_bit(F.col("__md5"), i) * 2 - 1).alias(f"__s{i}")
             for i in range(bits)
         ],
     )
