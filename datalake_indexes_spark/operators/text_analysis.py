@@ -102,6 +102,94 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# PII patterns — limited to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# evaluate identically: no lookaround, no backrefs, greedy quantifiers only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d -]{7,}\d", "<PHONE>"),
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, scrubbed) — PII redaction, a
+    standard pretraining-corpus compliance stage.
+
+    Counts then replaces emails → ``<EMAIL>``, IPv4 → ``<IP>``, and
+    international-format phone numbers → ``<PHONE>``, in that order (so the
+    IP pattern never fires inside an already-redacted email's domain).
+    Pure native expressions — the regexes run inside codegen, no UDF."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{key}s" if key != "ipv4" else "n_ipv4")
+        for key, (pat, _) in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for pat, rep in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, scrubbed.alias("scrubbed")
+    )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, top_word_count, top_word_frac, n_bigrams,
+    top_bigram_count, top_bigram_frac) — Gopher-style repetition signals
+    (fraction of the document covered by its most-repeated unigram /
+    bigram), the standard filter against looping/boilerplate text.
+
+    Distributed shape: explode n-grams → (doc, gram) counts → per-doc max
+    — two aggregates with map-side partial combine, linear in corpus size.
+    (A per-row array-expression formulation would be quadratic in document
+    length; at 100 TB document length is unbounded, the corpus shape
+    isn't.)"""
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("__ws"), F.size(ws).alias("n_words")
+    ).persist()
+
+    def top_counts(grams: DataFrame, out_prefix: str) -> DataFrame:
+        counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+        return counts.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"__n_{out_prefix}s"),
+            F.max("cnt").alias(f"top_{out_prefix}_count"),
+        )
+
+    words = base.select("doc_id", F.explode("__ws").alias("g"))
+    big_arr = F.when(
+        F.size("__ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__ws", i), F.element_at("__ws", i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select("doc_id", F.explode(big_arr).alias("g"))
+
+    uni = top_counts(words, "word")
+    bi = top_counts(bigrams, "bigram")
+    out = (
+        base.select("doc_id", "n_words")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long"),
+            F.coalesce("top_word_count", F.lit(0)).cast("long").alias("top_word_count"),
+            F.round(
+                F.coalesce(F.col("top_word_count") / F.col("n_words"), F.lit(0.0)), 4
+            ).alias("top_word_frac"),
+            F.coalesce("__n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias("top_bigram_count"),
+            F.round(
+                F.coalesce(F.col("top_bigram_count") / F.col("__n_bigrams"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, bag_fingerprint, n_distinct_words) — order-insensitive
     document fingerprint: md5 of the sorted distinct word list.

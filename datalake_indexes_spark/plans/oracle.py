@@ -1014,6 +1014,63 @@ FROM best WHERE rk = 1
 """
 
 
+def text_pii_scrub_sql() -> str:
+    """PII redaction twin — patterns shared with the engine
+    (text_analysis.PII_PATTERNS), restricted to syntax RE2 and Java regex
+    evaluate identically."""
+    from datalake_indexes_spark.operators.text_analysis import PII_PATTERNS
+
+    email, e_rep = PII_PATTERNS["email"]
+    ipv4, i_rep = PII_PATTERNS["ipv4"]
+    phone, p_rep = PII_PATTERNS["phone"]
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com' || ' or 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   || ' or +1 555 20' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '{e_rep}', 'g'),
+           '{ipv4}', '{i_rep}', 'g'),
+           '{phone}', '{p_rep}', 'g') AS scrubbed
+FROM p
+"""
+
+
+def text_repetition_sql() -> str:
+    """Gopher-style repetition twin: most-repeated unigram/bigram coverage
+    per document."""
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wc AS (SELECT doc_id, g, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY ALL),
+uni AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_word FROM wc GROUP BY doc_id),
+bgl AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+            THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            ELSE [] END AS bgs FROM w),
+bc AS (SELECT doc_id, g, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(bgs) AS g FROM bgl) GROUP BY ALL),
+bi AS (SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_bigram FROM bc GROUP BY doc_id)
+SELECT u.doc_id,
+       CAST(u.n_words AS BIGINT) AS n_words,
+       CAST(u.top_word AS BIGINT) AS top_word_count,
+       round(u.top_word * 1.0 / u.n_words, 4) AS top_word_frac,
+       CAST(coalesce(bi.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bi.top_bigram, 0) AS BIGINT) AS top_bigram_count,
+       round(coalesce(bi.top_bigram * 1.0 / bi.n_bigrams, 0.0), 4) AS top_bigram_frac
+FROM uni u LEFT JOIN bi USING (doc_id)
+"""
+
+
 def text_fingerprint_sql() -> str:
     return """
 SELECT doc_id,

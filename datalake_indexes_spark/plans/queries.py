@@ -580,6 +580,34 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents WITH planted PII — the synthetic corpus
+    contains none, so grading the raw table would verify zero redactions
+    (the J5/J6 vacuity trap); every third doc gets a deterministic
+    email + IPv4 + phone suffix derived from doc_id, mirrored by the
+    oracle."""
+    from datalake_indexes_spark.operators.text_analysis import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" or 10.0."), (did % 256).cast("string"), F.lit(".7"),
+        F.lit(" or +1 555 20"), (did % 90 + 10).cast("string"),
+    )
+    planted = docs.withColumn(
+        "text", F.when(did % 3 == 0, suffix).otherwise(F.col("text"))
+    )
+    return pii_scrub(planted)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.text_analysis import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.multimodal import (
         attach_binary_payload,
@@ -687,6 +715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_repetition": q_text_repetition,
     "multimodal_features": q_multimodal_features,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -766,6 +796,8 @@ WHERE rn = 1
     "text_quality": oracle.text_quality_sql(),
     "text_langid": oracle.text_langid_sql(),
     "text_fingerprint": oracle.text_fingerprint_sql(),
+    "text_pii_scrub": oracle.text_pii_scrub_sql(),
+    "text_repetition": oracle.text_repetition_sql(),
     "multimodal_features": oracle.multimodal_features_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
