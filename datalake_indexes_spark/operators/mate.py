@@ -41,7 +41,10 @@ from datalake_indexes_spark.index.lake_index import LakeIndex
 
 
 def salted_probe_join(
-    probe_cells: DataFrame, inp: DataFrame, n_salt: int = 16
+    probe_cells: DataFrame,
+    inp: DataFrame,
+    hot_tokens: list[str],
+    n_salt: int = 16,
 ) -> DataFrame:
     """Posting fetch for inputs too large to broadcast, HOT-TOKEN SAFE.
 
@@ -52,20 +55,34 @@ def salted_probe_join(
     but is skipped whenever an aggregate shares the join's stage — exactly
     MATE's ``hits.groupBy(table_id)`` candidate count (PLANS.md §3).
 
-    So the skew is dismantled structurally: each cells row gets a uniform
-    salt from its (table_id, row_id) identity, the input is replicated
-    once per salt value, and the join key becomes (tokenized, salt) — the
-    hot token's rows spread over ``n_salt`` partitions by construction.
-    Each (cell, input) match survives exactly once (the one replica whose
-    salt equals the cell's), so results are identical to the unsalted
-    join.  Cost: the input shuffles ``n_salt``× — by regime the lake side
-    dwarfs it, which is also why the salt goes on cells, not the input.
+    So the skew is dismantled structurally — but ONLY for the tokens that
+    are actually hot: cells rows carrying a ``hot_tokens`` member get a
+    uniform salt from their (table_id, row_id) identity and the matching
+    input rows are replicated once per salt value; everything else joins
+    with salt 0 on both sides, i.e. exactly the plain join.  (Salting
+    unconditionally was measured to double mate_join_search_multi at
+    sf0.1 — replicating the whole 600k-row input 16× costs more than the
+    skew it guards against when no key is actually hot.)  Each (cell,
+    input) match survives exactly once (the one replica whose salt equals
+    the cell's), so results are identical to the unsalted join.
     """
+    if not hot_tokens:
+        return probe_cells.join(inp, probe_cells["tokenized"] == inp["__q0"], "inner")
+    hot_arr = F.array(*[F.lit(t) for t in hot_tokens])
     salted_cells = probe_cells.withColumn(
-        "__salt", F.pmod(F.xxhash64("table_id", "row_id"), F.lit(n_salt)).cast("int")
+        "__salt",
+        F.when(
+            F.array_contains(hot_arr, F.col("tokenized")),
+            F.pmod(F.xxhash64("table_id", "row_id"), F.lit(n_salt)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
     )
-    replicas = F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    salted_inp = inp.withColumn("__salt_r", replicas)
+    replicas = F.when(
+        F.array_contains(hot_arr, F.col("__q0")),
+        F.sequence(F.lit(0), F.lit(n_salt - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    salted_inp = inp.withColumn("__salt_r", F.explode(replicas))
     joined = salted_cells.join(
         salted_inp,
         (salted_cells["tokenized"] == salted_inp["__q0"])
@@ -113,6 +130,30 @@ class MATE:
             self._row_hash_udf = row_xash_pandas_udf(
                 hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
             )
+
+    # ------------------------------------------------------------------
+    def _lake_hot_tokens(self, threshold: int, cap: int = 1024) -> list[str]:
+        """Tokens whose lake-wide posting count reaches ``threshold`` —
+        the keys a token-equi shuffle join would concentrate into one task.
+
+        One frequency aggregation over cells (map-side combined), capped at
+        the ``cap`` hottest so the driver-side list stays bounded; memoized
+        on the LakeIndex instance because hotness is a property of the
+        INDEX, not the query — at 100 TB this is an index-time statistic
+        computed once, not a per-query scan."""
+        cached = getattr(self.index, "_hot_tokens", None)
+        if cached is None or cached[0] != (threshold, cap):
+            rows = (
+                self.index.cells.groupBy("tokenized")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .filter(F.col("__cnt") >= threshold)
+                .orderBy(F.desc("__cnt"), F.asc("tokenized"))
+                .limit(cap)
+                .collect()
+            )
+            cached = ((threshold, cap), [r["tokenized"] for r in rows])
+            self.index._hot_tokens = cached
+        return cached[1]
 
     # ------------------------------------------------------------------
     def prepare_input(
@@ -171,6 +212,7 @@ class MATE:
         stats: dict | None = None,
         broadcast_threshold: int = 200_000,
         n_salt: int = 16,
+        hot_token_threshold: int = 100_000,
     ) -> MateResult:
         degree = len(query_columns)
         cells = self.index.cells
@@ -211,8 +253,14 @@ class MATE:
         else:
             # non-broadcastable input: the shuffle join would funnel any
             # hot token through one task (AQE's skew split is inert under
-            # the groupBy below — see salted_probe_join); salt it apart
-            hits = salted_probe_join(probe_cells, inp, n_salt=n_salt)
+            # the groupBy below — see salted_probe_join); salt apart the
+            # tokens the lake-side frequency scan marks as hot
+            hits = salted_probe_join(
+                probe_cells,
+                inp,
+                self._lake_hot_tokens(hot_token_threshold),
+                n_salt=n_salt,
+            )
 
         # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
         #    min_join_ratio drops small posting lists (mate.py:325-326)

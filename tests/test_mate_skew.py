@@ -36,8 +36,9 @@ def _hot_lake(spark, n_hot=2_000, n_tables=8):
 
 
 def test_salted_path_matches_broadcast_path(spark):
-    """broadcast_threshold=0 forces the salted shuffle join; top-k and
-    join maps must be identical to the broadcast plan's."""
+    """broadcast_threshold=0 forces the shuffle-join path and
+    hot_token_threshold=100 makes the planted '0' qualify as hot; top-k
+    and join maps must be identical to the broadcast plan's."""
     idx = _hot_lake(spark)
     probe = spark.createDataFrame(
         [(f"k3_{r}",) for r in range(1, 120, 2)] + [("0",)], "key string"
@@ -46,8 +47,9 @@ def test_salted_path_matches_broadcast_path(spark):
     res_b = mate.join_search(probe, ["key"], k=5, input_order_by=["key"])
     res_s = mate.join_search(
         probe, ["key"], k=5, input_order_by=["key"],
-        broadcast_threshold=0, n_salt=8,
+        broadcast_threshold=0, n_salt=8, hot_token_threshold=100,
     )
+    assert "0" in idx._hot_tokens[1]  # detection actually marked it hot
     assert sorted(map(tuple, res_b.top_k.collect())) == sorted(
         map(tuple, res_s.top_k.collect())
     )
@@ -72,7 +74,7 @@ def test_salt_spreads_hot_token_across_partitions(spark):
         }
 
     unsalted = idx.cells.join(inp, idx.cells["tokenized"] == inp["__q0"])
-    salted = salted_probe_join(idx.cells, inp, n_salt=8)
+    salted = salted_probe_join(idx.cells, inp, hot_tokens=["0"], n_salt=8)
     pc_u = partition_counts(unsalted)
     pc_s = partition_counts(salted)
     total = sum(pc_u.values())
@@ -80,3 +82,13 @@ def test_salt_spreads_hot_token_across_partitions(spark):
     assert len(pc_u) == 1  # the skew: one partition carries everything
     assert len(pc_s) >= 6  # xxhash64 salt spreads (8 salts, maybe collisions)
     assert max(pc_s.values()) <= total / 3  # no partition dominates
+
+
+def test_no_hot_tokens_means_plain_join(spark):
+    """With an empty hot list the salted path IS the plain join — no
+    replication explode, no salt column (guards the measured 2x cost of
+    unconditional salting at sf0.1)."""
+    idx = _hot_lake(spark)
+    inp = spark.createDataFrame([("k3_1", 0)], "__q0 string, mate_row_id long")
+    plan = salted_probe_join(idx.cells, inp, hot_tokens=[])._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan and "__salt" not in plan
