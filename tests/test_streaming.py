@@ -257,3 +257,85 @@ def test_streaming_dedup_matches_batch(spark):
         assert len(emitted) == 50  # each hash exactly once
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_batch_only_legacy_layout_migrates(spark, sf_dir):
+    """The interim layout partitioned by batch_id ALONE (batch_id present
+    as a partition column, no table_id= dirs) must be migrated to
+    (table_id, batch_id) before new writes — left in place it would mix
+    partition-directory depths and break every subsequent read."""
+    import os
+
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    work = tempfile.mkdtemp(prefix="streambatchonly_")
+    try:
+        idx_dir = f"{work}/idx"
+        first = nation.filter(F.col("n_nationkey") < 12)
+        second = nation.filter(F.col("n_nationkey") >= 12)
+        from datalake_indexes_spark.index.builder import unpivot_to_cells
+
+        (
+            unpivot_to_cells(first, spec)
+            .withColumn("batch_id", F.lit(0))
+            .write.partitionBy("batch_id")
+            .parquet(f"{idx_dir}/cells")
+        )
+        assert any(
+            e.startswith("batch_id=") for e in os.listdir(f"{idx_dir}/cells")
+        )
+
+        process = make_index_batch_processor(spec, idx_dir)
+        process(second, 1)
+        cells = spark.read.parquet(f"{idx_dir}/cells")
+        # migrated: table_id= is now the outer partition dir, both batches
+        # readable, row ids unique across them
+        assert any(
+            e.startswith("table_id=") for e in os.listdir(f"{idx_dir}/cells")
+        )
+        assert cells.select("row_id").distinct().count() == nation.count()
+        assert set(r["batch_id"] for r in cells.select("batch_id").distinct().collect()) == {0, 1}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_orphaned_migration_staging_is_published(spark, sf_dir):
+    """Crash window: migrate_legacy renamed the old dir aside and died
+    before publishing the staged dir.  The next batch must publish the
+    orphan and continue row ids after it — NOT fall into the
+    missing-path branch and restart at offset 0 (colliding row ids)."""
+    import os
+
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    work = tempfile.mkdtemp(prefix="streamorphan_")
+    try:
+        idx_dir = f"{work}/idx"
+        first = nation.filter(F.col("n_nationkey") < 12)
+        second = nation.filter(F.col("n_nationkey") >= 12)
+        from datalake_indexes_spark.index.builder import unpivot_to_cells
+
+        # a fully-migrated staging dir, stranded: cells at the path that
+        # migrate_legacy stages to, with the real path absent
+        (
+            unpivot_to_cells(first, spec)
+            .withColumn("batch_id", F.lit(-1))
+            .write.partitionBy("table_id", "batch_id")
+            .parquet(f"{idx_dir}/cells.__migrating")
+        )
+        os.makedirs(f"{idx_dir}", exist_ok=True)
+        max_before = (
+            spark.read.parquet(f"{idx_dir}/cells.__migrating")
+            .agg(F.max("row_id")).collect()[0][0]
+        )
+
+        process = make_index_batch_processor(spec, idx_dir)
+        process(second, 0)
+        cells = spark.read.parquet(f"{idx_dir}/cells")
+        new_min = (
+            cells.filter(F.col("batch_id") == 0).agg(F.min("row_id")).collect()[0][0]
+        )
+        assert new_min == 12 + max_before + 1  # offset continued, not 0
+        assert not os.path.exists(f"{idx_dir}/cells.__migrating")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -84,3 +84,24 @@ def test_legacy_direct_layout_still_loads(spark, small_index):
         assert LakeIndex.load(spark, work).cells.count() == small_index.cells.count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_vacuum_with_time_traveled_current(spark, small_index):
+    """_CURRENT parked on a NON-maximal version (after time travel) must
+    never cause newer snapshots to be dropped: keep-set = newest `keep`
+    versions ∪ current."""
+    import os
+
+    work = tempfile.mkdtemp(prefix="vsinkvac2_")
+    try:
+        for _ in range(3):
+            small_index.save_version(work)  # v0, v1, v2
+        # time-travel the pointer back to v1
+        with open(os.path.join(work, "_CURRENT"), "w") as fh:
+            fh.write("1")
+        removed = LakeIndex.vacuum(work, keep=1)
+        assert removed == [0]  # v1 (current) and v2 (newest) both survive
+        assert LakeIndex.load(spark, work, version=2).cells.count() > 0
+        assert LakeIndex.load(spark, work).cells.count() > 0  # current=v1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
