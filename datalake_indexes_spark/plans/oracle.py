@@ -588,6 +588,29 @@ WHERE s1.n_cols = s2.n_cols AND d.dup_pairs >= least(s1.n_rows, s2.n_rows)
 """
 
 
+def dup_groups_planted_sql() -> str:
+    """D2 twin — components of the planted relation graph.
+
+    General connected components is iterative and not one-shot SQL; the
+    PLANTED graph is constructed so every node is directly adjacent to its
+    component's minimum (star {1,100,101} + pair {0,102}), for which
+    ``rep(n) = least(n, min(neighbor))`` is exact — the ENGINE still runs
+    its general union-find/large-star machinery, only the oracle exploits
+    the fixture's shape."""
+    rel = dup_table_relations_planted_sql()
+    return f"""
+WITH rel AS ({rel}),
+edges AS (
+  SELECT table_id_1 AS u, table_id_2 AS v FROM rel
+  UNION
+  SELECT table_id_2 AS u, table_id_1 AS v FROM rel
+)
+SELECT CAST(u AS BIGINT) AS table_id,
+       CAST(least(u, min(v)) AS BIGINT) AS representative
+FROM edges GROUP BY u
+"""
+
+
 def get_table_pivot_sql(table_name: str) -> str:
     """S10 twin — the reconstructed table carries its STORED HEADERS as
     column names (data_handler.py:679-685), which for the curated lake are

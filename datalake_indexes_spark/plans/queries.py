@@ -316,6 +316,16 @@ def q_dup_table_relations_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     return DuplicateDetection(idx).get_relations()
 
 
+def q_dup_groups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — connected components of the planted duplicate-relation graph
+    (the grouping step of duplicate-table removal), graded non-vacuously:
+    {nation, nation_dup, nation_doubled} collapse to representative 1 and
+    {region, region_dup} to 0."""
+    idx = _planted_dup_index(spark, sf_dir)
+    dd = DuplicateDetection(idx)
+    return dd.duplicate_groups(dd.get_relations())
+
+
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — reconstruct the nation table from the cell index with its
     stored headers reapplied as column names."""
@@ -692,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_rows_planted": q_dup_rows_planted,
     "dup_row_groups_planted": q_dup_row_groups_planted,
     "dup_table_relations_planted": q_dup_table_relations_planted,
+    "dup_groups_planted": q_dup_groups_planted,
     "get_table_pivot": q_get_table_pivot,
     "add_external_features": q_add_external_features,
     "enrichment_features": q_enrichment_features,
@@ -759,6 +770,7 @@ ORACLES: dict[str, str] = {
     "dup_rows_planted": oracle.dup_rows_planted_sql(),
     "dup_row_groups_planted": oracle.dup_row_groups_planted_sql(),
     "dup_table_relations_planted": oracle.dup_table_relations_planted_sql(),
+    "dup_groups_planted": oracle.dup_groups_planted_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "add_external_features": oracle.add_external_features_sql(),
     "enrichment_features": oracle.cocoa_multicolumn_sql(
