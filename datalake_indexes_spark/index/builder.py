@@ -160,6 +160,22 @@ def row_keys_for(cells: DataFrame, hash_udf, distinct_tokens: bool = False) -> D
     )
 
 
+def token_stats_for(
+    cells: DataFrame, threshold: int = 100_000, cap: int = 1024
+) -> DataFrame:
+    """(tokenized, cnt) for the ``cap`` hottest tokens with ≥ ``threshold``
+    postings — the index-time statistic behind MATE's hot-token salting
+    (a token-equi shuffle join funnels each of these through one task).
+    One map-side-combined aggregation; the output is ≤ cap rows."""
+    return (
+        cells.groupBy("tokenized")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+        .orderBy(F.desc("cnt"), F.asc("tokenized"))
+        .limit(cap)
+    )
+
+
 def build_index(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -169,6 +185,8 @@ def build_index(
     rotation: bool = True,
     number_of_ones: int = 5,
     hash_function=None,
+    with_token_stats: bool = False,
+    hot_token_threshold: int = 100_000,
 ) -> LakeIndex:
     """Build the full LakeIndex from raw lake tables.
 
@@ -243,4 +261,9 @@ def build_index(
         column_headers=headers,
         table_info=table_info,
         col_flags=is_numeric_flags(cells),
+        token_stats=(
+            token_stats_for(cells, threshold=hot_token_threshold)
+            if with_token_stats
+            else None
+        ),
     )

@@ -42,6 +42,12 @@ class LakeIndex:
     # MATE's posting fetch uses it when present so the hit set (which can
     # be an order of magnitude larger than the lake) never joins row_keys
     cells_keyed: DataFrame | None = None
+    # optional index-time statistic: (tokenized, cnt) for the hottest
+    # posting lists — MATE's non-broadcast probe salts exactly these keys
+    # apart instead of re-scanning the lake per query (operators/mate.py
+    # salted_probe_join); built by token_stats_for / build_index(
+    # with_token_stats=True), persisted with the index
+    token_stats: DataFrame | None = None
 
     def cache(self) -> "LakeIndex":
         self.cells = self.cells.cache()
@@ -52,6 +58,8 @@ class LakeIndex:
             self.col_flags = self.col_flags.cache()
         if self.cells_keyed is not None:
             self.cells_keyed = self.cells_keyed.cache()
+        if self.token_stats is not None:
+            self.token_stats = self.token_stats.cache()
         return self
 
     def uncache(self) -> "LakeIndex":
@@ -65,6 +73,7 @@ class LakeIndex:
             self.table_info,
             self.col_flags,
             self.cells_keyed,
+            self.token_stats,
             *getattr(self, "_staging_frames", []),
         ):
             if df is not None:
@@ -115,7 +124,10 @@ class LakeIndex:
             return self.cells_keyed
         return self.cells.join(self.row_keys, ["table_id", "row_id"])
 
-    _MEMBERS = ("cells", "row_keys", "column_headers", "table_info", "col_flags")
+    _MEMBERS = (
+        "cells", "row_keys", "column_headers", "table_info", "col_flags",
+        "token_stats",
+    )
     _CURRENT = "_CURRENT"
     _VERSIONS = "_versions"
 
@@ -134,6 +146,8 @@ class LakeIndex:
         self.table_info.write.mode(mode).parquet(os.path.join(root, "table_info"))
         if self.col_flags is not None:
             self.col_flags.write.mode(mode).parquet(os.path.join(root, "col_flags"))
+        if self.token_stats is not None:
+            self.token_stats.write.mode(mode).parquet(os.path.join(root, "token_stats"))
 
     def save(self, path: str, mode: str = "overwrite") -> None:
         """Materialize the index (S7/S8 — replaces COPY + B-tree builds).
@@ -278,12 +292,14 @@ class LakeIndex:
         if version is not None or current is not None:
             path = os.path.join(path, cls._VERSIONS, f"v{version if version is not None else current}")
         flags_path = os.path.join(path, "col_flags")
+        stats_path = os.path.join(path, "token_stats")
         return cls(
             cells=spark.read.parquet(os.path.join(path, "cells")),
             row_keys=spark.read.parquet(os.path.join(path, "row_keys")),
             column_headers=spark.read.parquet(os.path.join(path, "column_headers")),
             table_info=spark.read.parquet(os.path.join(path, "table_info")),
             col_flags=spark.read.parquet(flags_path) if os.path.isdir(flags_path) else None,
+            token_stats=spark.read.parquet(stats_path) if os.path.isdir(stats_path) else None,
         )
 
     def drop(self, path: str) -> None:

@@ -136,18 +136,27 @@ class MATE:
         """Tokens whose lake-wide posting count reaches ``threshold`` —
         the keys a token-equi shuffle join would concentrate into one task.
 
-        One frequency aggregation over cells (map-side combined), capped at
-        the ``cap`` hottest so the driver-side list stays bounded; memoized
-        on the LakeIndex instance because hotness is a property of the
-        INDEX, not the query — at 100 TB this is an index-time statistic
-        computed once, not a per-query scan."""
+        Served from the index's persisted ``token_stats`` artifact when
+        present (the 100 TB shape: hotness is a property of the INDEX,
+        computed once at build time — ``build_index(with_token_stats=
+        True)``); otherwise one frequency aggregation over cells (map-side
+        combined), capped at the ``cap`` hottest so the driver-side list
+        stays bounded, memoized on the LakeIndex instance."""
+        if self.index.token_stats is not None:
+            rows = (
+                self.index.token_stats.filter(F.col("cnt") >= threshold)
+                .orderBy(F.desc("cnt"), F.asc("tokenized"))
+                .limit(cap)
+                .collect()
+            )
+            return [r["tokenized"] for r in rows]
         cached = getattr(self.index, "_hot_tokens", None)
         if cached is None or cached[0] != (threshold, cap):
             rows = (
                 self.index.cells.groupBy("tokenized")
-                .agg(F.count(F.lit(1)).alias("__cnt"))
-                .filter(F.col("__cnt") >= threshold)
-                .orderBy(F.desc("__cnt"), F.asc("tokenized"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") >= threshold)
+                .orderBy(F.desc("cnt"), F.asc("tokenized"))
                 .limit(cap)
                 .collect()
             )

@@ -92,3 +92,28 @@ def test_no_hot_tokens_means_plain_join(spark):
     inp = spark.createDataFrame([("k3_1", 0)], "__q0 string, mate_row_id long")
     plan = salted_probe_join(idx.cells, inp, hot_tokens=[])._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" not in plan and "__salt" not in plan
+
+
+def test_token_stats_artifact_roundtrip_feeds_salting(spark, tmp_path):
+    """build_index(with_token_stats=True) persists the hot-token statistic
+    with the index; a loaded index serves MATE's hot list from it with no
+    lake re-scan (the 100 TB shape)."""
+    import shutil
+
+    idx = _hot_lake(spark)
+    from datalake_indexes_spark.index.builder import token_stats_for
+    from datalake_indexes_spark.index.lake_index import LakeIndex
+
+    idx.token_stats = token_stats_for(idx.cells, threshold=100)
+    work = str(tmp_path / "hotidx")
+    idx.save(work)
+    try:
+        loaded = LakeIndex.load(spark, work)
+        assert loaded.token_stats is not None
+        mate = MATE(loaded)
+        hot = mate._lake_hot_tokens(threshold=100)
+        assert hot == ["0"]  # only the planted hot token qualifies
+        # and the stats artifact respects a higher query-time threshold
+        assert mate._lake_hot_tokens(threshold=10**9) == []
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
