@@ -308,3 +308,36 @@ class COCOA:
             exclude,
             k_c=k_c,
         )
+
+
+def column_profiles(index) -> "DataFrame":
+    """Per-column profiling statistics over the whole lake — the
+    data-profiling companion to the COCOA precomputes (extension surface;
+    profilers over lake indexes ship this, the reference does not).
+
+    (table_id, col_id, n_cells, n_null, n_distinct, is_numeric, min_val,
+    max_val, median_val) — numeric stats only where P6 marks the column
+    numeric (''/'nan' count as NULL there, matching the rank semantics);
+    one aggregation pass with map-side combine, exact `percentile` so the
+    DuckDB twin can reproduce the value bit-for-bit."""
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    cells = index.cells.join(F.broadcast(flags), ["table_id", "col_id"])
+    val = F.when(F.col("is_numeric"), _num_value(F.col("tokenized")))
+    nullish = F.col("tokenized").isin("", "nan")
+    return (
+        cells.groupBy("table_id", "col_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(nullish.cast("long")).alias("n_null"),
+            F.count_distinct("tokenized").alias("n_distinct"),
+            F.first("is_numeric").alias("is_numeric"),
+            # NaN (not NULL) marks "no numeric stat" — a pandas fetch of a
+            # float column collapses NULL to NaN anyway, so emitting NaN on
+            # both engines keeps the cross-engine value hash well-defined
+            F.coalesce(F.round(F.min(val), 6), F.lit(float("nan"))).alias("min_val"),
+            F.coalesce(F.round(F.max(val), 6), F.lit(float("nan"))).alias("max_val"),
+            F.coalesce(
+                F.round(F.percentile(val, F.lit(0.5)), 6), F.lit(float("nan"))
+            ).alias("median_val"),
+        )
+    )

@@ -73,6 +73,34 @@ FROM cells GROUP BY table_id, col_id
 """
 
 
+def column_profiles_sql() -> str:
+    """Per-column profiling twin: DuckDB's ``quantile_cont(0.5)`` matches
+    Spark's exact ``percentile(0.5)`` (linear interpolation)."""
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+c AS (
+  SELECT cells.*, f.is_numeric,
+         CASE WHEN f.is_numeric AND tokenized NOT IN ('', 'nan')
+                   AND NOT isnan(TRY_CAST(tokenized AS DOUBLE))
+              THEN TRY_CAST(tokenized AS DOUBLE) END AS val
+  FROM cells JOIN flags f USING (table_id, col_id)
+)
+SELECT table_id, col_id,
+       count(*) AS n_cells,
+       sum(CASE WHEN tokenized IN ('', 'nan') THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT tokenized) AS n_distinct,
+       bool_and(is_numeric) AS is_numeric,
+       coalesce(round(min(val), 6), 'NaN'::DOUBLE) AS min_val,
+       coalesce(round(max(val), 6), 'NaN'::DOUBLE) AS max_val,
+       coalesce(round(quantile_cont(val, 0.5), 6), 'NaN'::DOUBLE) AS median_val
+FROM c GROUP BY table_id, col_id
+"""
+
+
 def _input_cte(
     table: str,
     query_columns: list[str],

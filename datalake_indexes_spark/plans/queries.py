@@ -147,6 +147,14 @@ def q_is_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return testdata_index(spark, sf_dir, with_super_keys=False).col_flags
 
 
+def q_column_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column lake profiling stats (counts, distinct, numeric
+    min/max/median) off the cell index + P6 flags."""
+    from datalake_indexes_spark.operators.cocoa import column_profiles
+
+    return column_profiles(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
 def q_cocoa_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — materialized COCOA order index over the whole lake."""
     from datalake_indexes_spark.index.cocoa_order import build_order_index
@@ -690,6 +698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_cells": q_index_cells,
     "index_table_info": q_table_info,
     "index_is_numeric": q_is_numeric,
+    "index_column_profiles": q_column_profiles,
     "cocoa_order_index": q_cocoa_order_index,
     "mate_join_search_single": q_mate_single,
     "mate_join_search_multi": q_mate_multi,
@@ -738,6 +747,7 @@ ORACLES: dict[str, str] = {
     "index_cells": oracle.index_cells_sql(),
     "index_table_info": oracle.table_info_sql(),
     "index_is_numeric": oracle.is_numeric_sql(),
+    "index_column_profiles": oracle.column_profiles_sql(),
     "cocoa_order_index": oracle.cocoa_order_index_sql(),
     "mate_join_search_single": oracle.mate_join_search_sql(
         "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
