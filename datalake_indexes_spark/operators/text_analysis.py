@@ -204,3 +204,100 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.md5(F.array_join(words, " ")).alias("bag_fingerprint"),
         F.size(words).cast("long").alias("n_distinct_words"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing stage of
+    a training-data pipeline (e.g. downweight a dominant language).
+
+    Instead of Bernoulli sampling (seed-dependent, irreproducible across
+    engines), membership is a pure function of the id: keep a row iff
+    ``md5(id) mod 10000 < fraction * 10000``.  Same rows on every run,
+    every engine, any partitioning — and the filter is a native expression
+    the scan can evaluate, no shuffle at all."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10000
+    frac = F.coalesce(
+        *[
+            F.when(F.col(stratum_col) == s, F.lit(f))
+            for s, f in sorted(fractions.items())
+        ],
+        F.lit(default_fraction),
+    ) if fractions else F.lit(default_fraction)
+    return docs.filter(bucket < frac * 10000)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the standard pretraining batch
+    construction: documents are concatenated in ``id`` order and cut into
+    ``token_budget``-sized sequences; each document is assigned the pack
+    its FIRST token falls into, with its offset inside that pack.
+
+    (doc_id, n_tokens, pack_id, pack_offset).
+
+    The prefix sum is DISTRIBUTED: documents bucket by an explicit
+    value-range rule on the numeric id (a pure function of the data, same
+    machinery as the index's row numbering), local prefix sums run per
+    bucket, and the ≤ n_partitions bucket totals cascade through one tiny
+    window — no single-partition global window over the corpus."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    bounds = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if bounds[0] is None:
+        return t.withColumn("pack_id", F.lit(0).cast("long")).withColumn(
+            "pack_offset", F.lit(0).cast("long")
+        )
+    mn, mx = int(bounds[0]), int(bounds[1])
+    span = float(mx - mn + 1)
+    bucket = F.least(
+        F.lit(n_part - 1),
+        F.floor((F.col("doc_id").cast("double") - mn) / span * n_part),
+    ).cast("int")
+    b = t.withColumn("__b", bucket)
+    prior_w = Window.partitionBy("__b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = b.withColumn(
+        "__prior", F.coalesce(F.sum("n_tokens").over(prior_w), F.lit(0))
+    )
+    offsets = (
+        b.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    start = F.col("__prior") + F.col("__off")
+    return (
+        local.join(F.broadcast(offsets.select("__b", "__off")), "__b")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(start / token_budget).cast("long").alias("pack_id"),
+            (start % token_budget).cast("long").alias("pack_offset"),
+        )
+    )

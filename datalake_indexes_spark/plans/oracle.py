@@ -1122,6 +1122,42 @@ FROM uni u LEFT JOIN bi USING (doc_id)
 """
 
 
+def corpus_sample_sql(fractions: dict[str, float], default_fraction: float = 1.0) -> str:
+    """Stratified-sample twin: the md5-bucket membership rule is a pure
+    function of doc_id, so both engines select the same rows."""
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {f}" for s, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+      < (CASE {cases} ELSE {default_fraction} END) * 10000
+"""
+
+
+def corpus_pack_sql(token_budget: int = 2048) -> str:
+    """Packing twin — plain window prefix sum (the oracle need not be
+    distributed; the engine's bucketed cascade must produce identical
+    numbers)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(prior // {token_budget} AS BIGINT) AS pack_id,
+       CAST(prior % {token_budget} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 def text_fingerprint_sql() -> str:
     return """
 SELECT doc_id,

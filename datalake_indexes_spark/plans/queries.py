@@ -626,6 +626,26 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_docs(spark, sf_dir))
 
 
+CORPUS_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (corpus mixing): halve 'en',
+    keep 80% of 'de', everything else intact — membership is a pure
+    md5(doc_id) function, identical on every engine."""
+    from datalake_indexes_spark.operators.text_analysis import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf_dir), CORPUS_SAMPLE_FRACTIONS)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing at a 2048-token budget."""
+    from datalake_indexes_spark.operators.text_analysis import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), token_budget=2048)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.multimodal import (
         attach_binary_payload,
@@ -737,6 +757,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
+    "corpus_sample": q_corpus_sample,
+    "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -820,6 +842,8 @@ WHERE rn = 1
     "text_fingerprint": oracle.text_fingerprint_sql(),
     "text_pii_scrub": oracle.text_pii_scrub_sql(),
     "text_repetition": oracle.text_repetition_sql(),
+    "corpus_sample": oracle.corpus_sample_sql(CORPUS_SAMPLE_FRACTIONS),
+    "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
