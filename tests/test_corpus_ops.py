@@ -1,0 +1,69 @@
+"""Corpus-prep operators: deterministic stratified sampling and
+concat-then-chunk sequence packing (operators/text_analysis.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.text_analysis import (
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def test_pack_sequences_boundaries(spark):
+    """Known token counts: priors 0/3/5 at budget 4 → packs (0,0), (0,3),
+    (1,1) — a doc whose first token crosses the boundary starts the next
+    pack at the straddle offset."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e"), (2, "f g h i")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, token_budget=4).collect()}
+    assert (out[0]["pack_id"], out[0]["pack_offset"]) == (0, 0)
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 3)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (1, 1)
+    assert out[2]["n_tokens"] == 4
+
+
+def test_pack_sequences_empty_input(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(docs).count() == 0
+
+
+def test_pack_sequences_matches_plain_window(spark):
+    """The bucketed distributed prefix sum must equal the single-window
+    formulation on a sparse, irregular id space."""
+    from pyspark.sql import Window
+
+    rows = [(i * i + 7, "w " * (i % 13 + 1)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(docs, token_budget=32).collect()
+    }
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["doc_id"]: (r["prior"] // 32, r["prior"] % 32)
+        for r in t.withColumn(
+            "prior", F.coalesce(F.sum("n").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "x") for i in range(2000)],
+        "doc_id long, lang string, text string",
+    )
+    frac = {"en": 0.25, "de": 1.0}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, frac).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, frac).collect())
+    assert a == b  # pure function of the id — no run-to-run variance
+    en = [i for i in a if i % 2]
+    de = [i for i in a if not i % 2]
+    assert len(de) == 1000  # fraction 1.0 keeps everything
+    assert 150 <= len(en) <= 350  # ~25% of 1000, md5-bucket variance
