@@ -144,9 +144,13 @@ def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "do
     length; at 100 TB document length is unbounded, the corpus shape
     isn't.)"""
     ws = F.split(F.col(text_col), " ")
+    # NOT persisted: the three consumers re-derive the split from the scan
+    # — caching the corpus's exploded word arrays is exactly what does not
+    # fit executor storage at 100 TB, and a leaked cache entry per call
+    # would pin it
     base = docs.select(
         F.col(id_col).alias("doc_id"), ws.alias("__ws"), F.size(ws).alias("n_words")
-    ).persist()
+    )
 
     def top_counts(grams: DataFrame, out_prefix: str) -> DataFrame:
         counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
