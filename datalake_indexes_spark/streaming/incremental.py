@@ -210,6 +210,56 @@ def incremental_index_stream(
     return writer.start()
 
 
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Small-file compaction for the streaming sink — the OPTIMIZE step.
+
+    Every micro-batch adds a ``batch_id=N`` leaf per table; a long-running
+    stream accumulates thousands of small files per table and scan task
+    counts grow with batch count, not data size.  Compaction rewrites each
+    sink with all prior batches folded into the ``batch_id = -1``
+    consolidated leaf (the same "always prior" id legacy rows use), one
+    file per table partition.
+
+    Crash-safe like migrate_legacy: stage → rename old aside → publish →
+    drop backup; an interrupted run is repaired by the next batch's
+    migrate_legacy pass (which already publishes orphaned staging dirs).
+    Row ids are untouched, so the offset contract (max over prior batches)
+    is preserved — the next live batch simply continues after the
+    consolidated rows.  Returns per-sink file counts before/after.
+    """
+    import shutil as _shutil
+
+    stats: dict = {}
+    for name in ("cells", "row_keys"):
+        path = os.path.join(index_path, name)
+        if not os.path.isdir(path):
+            continue
+        df = spark.read.parquet(path)
+        if "batch_id" not in df.columns:
+            continue  # pre-batch layout: nothing to fold
+        n_before = sum(len(fs) for _, _, fs in os.walk(path))
+        tmp = path + ".__migrating"
+        backup = path + ".__legacy"
+        for stale in (tmp, backup):
+            if os.path.exists(stale):
+                _shutil.rmtree(stale)
+        (
+            df.withColumn("batch_id", F.lit(-1))
+            .repartition("table_id")
+            .write.mode("overwrite")
+            .partitionBy("table_id", "batch_id")
+            .parquet(tmp)
+        )
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        _shutil.rmtree(backup)
+        stats[name] = {
+            "files_before": n_before,
+            "files_after": sum(len(fs) for _, _, fs in os.walk(path)),
+        }
+    return stats
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

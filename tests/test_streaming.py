@@ -339,3 +339,46 @@ def test_orphaned_migration_staging_is_published(spark, sf_dir):
         assert not os.path.exists(f"{idx_dir}/cells.__migrating")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compact_index_folds_batches_and_preserves_offsets(spark, sf_dir):
+    """Compaction folds all batch leaves into batch_id=-1 with identical
+    content, and a post-compaction batch still continues row ids after
+    the consolidated rows (offset contract intact)."""
+    import os
+
+    from datalake_indexes_spark.streaming.incremental import compact_index
+
+    spec = TESTDATA_LAKE_SPEC["nation"]
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    work = tempfile.mkdtemp(prefix="streamcompact_")
+    try:
+        idx_dir = f"{work}/idx"
+        process = make_index_batch_processor(spec, idx_dir)
+        process(nation.filter(F.col("n_nationkey") < 8), 0)
+        process(nation.filter((F.col("n_nationkey") >= 8) & (F.col("n_nationkey") < 16)), 1)
+        before = spark.read.parquet(f"{idx_dir}/cells")
+        content_before = sorted(
+            (r["table_id"], r["row_id"], r["col_id"], r["tokenized"])
+            for r in before.collect()
+        )
+
+        stats = compact_index(spark, idx_dir)
+        assert stats["cells"]["files_after"] <= stats["cells"]["files_before"]
+        after = spark.read.parquet(f"{idx_dir}/cells")
+        assert set(
+            r["batch_id"] for r in after.select("batch_id").distinct().collect()
+        ) == {-1}
+        assert content_before == sorted(
+            (r["table_id"], r["row_id"], r["col_id"], r["tokenized"])
+            for r in after.collect()
+        )
+
+        # a post-compaction batch continues where the stream left off
+        process(nation.filter(F.col("n_nationkey") >= 16), 2)
+        cells = spark.read.parquet(f"{idx_dir}/cells")
+        assert cells.select("row_id").distinct().count() == nation.count()
+        keys = spark.read.parquet(f"{idx_dir}/row_keys")
+        assert keys.count() == nation.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
