@@ -773,6 +773,41 @@ SELECT doc_id_1, doc_id_2, jaccard FROM pairs
 """
 
 
+def dedup_neardup_est_sql(k: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Twin of the streaming near-dup semantics (neardup_pairs_est):
+    band-collision candidates verified by the SIGNATURE-estimated Jaccard
+    (fraction of agreeing minhash components) — what the stream computes
+    against its persisted signature store instead of re-shingling
+    history."""
+    rows = k // bands
+    mins = ", ".join(f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(k))
+    band_sel = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM mh".format(
+            b=b, key=" || ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh{j} = y.mh{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return f"""
+WITH {_shingle_cte()},
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       round(({agree}) * 1.0 / {k}, 4) AS est_jaccard
+FROM cand c
+JOIN mh x ON x.doc_id = c.doc_id_1
+JOIN mh y ON y.doc_id = c.doc_id_2
+WHERE ({agree}) * 1.0 / {k} >= {threshold}
+"""
+
+
 def dedup_ngram_jaccard_sql(threshold: float = 0.7) -> str:
     return f"""
 WITH {_shingle_cte()},

@@ -460,6 +460,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
 
 
+def q_dedup_neardup_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup semantics on the batch corpus: band-collision
+    candidates verified by the signature-estimated Jaccard (what the
+    incremental store computes; streaming/neardup_stream.py)."""
+    from datalake_indexes_spark.streaming.neardup_stream import neardup_pairs_est
+
+    return neardup_pairs_est(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup retention clusters: MinHash pairs collapsed to
     (doc_id, representative) — the keep/drop table a dedup pipeline applies."""
@@ -740,6 +749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_earliest": q_dedup_earliest,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_neardup_est": q_dedup_neardup_est,
     "dedup_minhash_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -824,6 +834,7 @@ FROM (SELECT doc_id, n_chars,
 WHERE rn = 1
 """,
     "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
+    "dedup_neardup_est": oracle.dedup_neardup_est_sql(threshold=0.5),
     "dedup_minhash_clusters": oracle.dedup_clusters_sql(threshold=0.7),
     # distributed CC must produce the identical cluster table
     "dedup_clusters_distributed": oracle.dedup_clusters_sql(threshold=0.7),
