@@ -551,6 +551,36 @@ WHERE s1.n_cols = s2.n_cols AND d.dup_pairs >= least(s1.n_rows, s2.n_rows)
 """
 
 
+def header_search_sql(query: str, k: int = 10) -> str:
+    """Schema-search twin: rebuild the header table from the shared lake
+    spec, tokenize with the shared SQL tokenizer, rank by word overlap
+    with the (Python-side shared-tokenizer) query words."""
+    from datalake_indexes_spark.functions.text import tokenize_py, tokenize_sql
+
+    words = [w for w in tokenize_py(query).split(" ") if w]
+    warr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    values = ", ".join(
+        f"({s.table_id}, {ci}, '{c}')"
+        for s in TESTDATA_LAKE_SPEC.values()
+        for ci, c in enumerate(s.cols)
+    )
+    return f"""
+WITH h(table_id, col_id, header) AS (VALUES {values}),
+ht AS (
+  SELECT table_id, col_id, header, {tokenize_sql('header', 'duckdb')} AS t FROM h
+),
+o AS (
+  SELECT table_id, col_id, header,
+         CAST(len(list_intersect(list_distinct(string_split(t, ' ')), {warr})) AS BIGINT) AS overlap
+  FROM ht
+)
+SELECT table_id, col_id, header, overlap
+FROM o WHERE overlap > 0
+ORDER BY overlap DESC, table_id, col_id
+LIMIT {k}
+"""
+
+
 def dup_rows_planted_sql() -> str:
     """J5 pair view over the PLANTED duplicate lake (catalog.py
     PLANTED_DUP_SPEC): the engine pairs rows whose XASH super keys match

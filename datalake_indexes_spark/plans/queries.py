@@ -719,6 +719,37 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def search_columns_by_header(index: LakeIndex, query: str, k: int = 10) -> DataFrame:
+    """Schema search — rank lake columns by header-token overlap with a
+    free-text query (the discovery entry point the stored
+    ``header_tokenized`` member exists for).  Native array intersection +
+    distributed top-k; the query tokens are a literal array, so the scan
+    side never shuffles."""
+    from datalake_indexes_spark.functions.text import tokenize_py
+
+    q_words = [w for w in tokenize_py(query).split(" ") if w]
+    q_arr = F.array(*[F.lit(w) for w in q_words])
+    h = index.column_headers.withColumn(
+        "__overlap",
+        F.size(F.array_intersect(F.split("header_tokenized", " "), q_arr)).cast("long"),
+    )
+    return (
+        h.filter(F.col("__overlap") > 0)
+        .select("table_id", "col_id", "header", F.col("__overlap").alias("overlap"))
+        .orderBy(F.desc("overlap"), F.asc("table_id"), F.asc("col_id"))
+        .limit(k)
+    )
+
+
+HEADER_SEARCH_QUERY = "name event type id"
+
+
+def q_header_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    return search_columns_by_header(idx, HEADER_SEARCH_QUERY, k=10)
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -728,6 +759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_table_info": q_table_info,
     "index_is_numeric": q_is_numeric,
     "index_column_profiles": q_column_profiles,
+    "header_search": q_header_search,
     "cocoa_order_index": q_cocoa_order_index,
     "mate_join_search_single": q_mate_single,
     "mate_join_search_multi": q_mate_multi,
@@ -780,6 +812,7 @@ ORACLES: dict[str, str] = {
     "index_table_info": oracle.table_info_sql(),
     "index_is_numeric": oracle.is_numeric_sql(),
     "index_column_profiles": oracle.column_profiles_sql(),
+    "header_search": oracle.header_search_sql(HEADER_SEARCH_QUERY, k=10),
     "cocoa_order_index": oracle.cocoa_order_index_sql(),
     "mate_join_search_single": oracle.mate_join_search_sql(
         "customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500
