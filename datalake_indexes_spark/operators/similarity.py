@@ -201,6 +201,26 @@ def _lloyd_refine(corpus_units: DataFrame, cents: DataFrame, iterations: int) ->
     return cents
 
 
+def _ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    kmeans_iterations: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic IVF centroids: seed = first ``n_centroids`` corpus
+    vectors by id, optionally refined by spherical Lloyd steps."""
+    cents = with_unit_vec(corpus.filter(F.col(id_col) < n_centroids), vec_col).select(
+        F.col(id_col).alias("centroid"), F.col("__unit").alias("__cent_v")
+    )
+    if kmeans_iterations > 0:
+        units = with_unit_vec(corpus, vec_col).select(
+            F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
+        )
+        cents = _lloyd_refine(units, cents, kmeans_iterations)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -224,15 +244,9 @@ def ivf_topk(
     partitions; assignment itself is a broadcast map-side job (centroids
     are tiny by definition).
     """
-    cents = with_unit_vec(corpus.filter(F.col(id_col) < n_centroids), vec_col).select(
-        F.col(id_col).alias("centroid"), F.col("__unit").alias("__cent_v")
+    cents = F.broadcast(
+        _ivf_centroids(corpus, n_centroids, kmeans_iterations, vec_col, id_col)
     )
-    if kmeans_iterations > 0:
-        units = with_unit_vec(corpus, vec_col).select(
-            F.col(id_col).alias("__id"), F.col("__unit").alias("__u")
-        )
-        cents = _lloyd_refine(units, cents, kmeans_iterations)
-    cents = F.broadcast(cents)
 
     def assign(df: DataFrame, id_alias: str, keep: str, n_best: int) -> DataFrame:
         scored = df.crossJoin(cents).withColumn(
@@ -318,5 +332,107 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round(F.col("__cos"), 4).alias("cosine")
+        )
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    kmeans_iterations: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF structure: unit corpus vectors written
+    PARTITIONED BY their nearest centroid (the inverted file — a probe of
+    ``n_probe`` lists is parquet partition pruning, not a scan) plus the
+    tiny centroid table.  This closes ivf_topk's "at scale the corpus is
+    written partitioned by centroid" promise with an actual sink."""
+    import os
+
+    cents = _ivf_centroids(corpus, n_centroids, kmeans_iterations, vec_col, id_col)
+    bcast = F.broadcast(cents)
+    units = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("vec")
+    )
+    assigned = (
+        units.crossJoin(bcast)
+        .withColumn("__sim", _dot(F.col("vec"), F.col("__cent_v")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.desc("__sim"), F.asc("centroid")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("centroid", "neighbor_id", "vec")
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+        os.path.join(path, "corpus")
+    )
+    cents.select("centroid", F.col("__cent_v").alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a :func:`build_ivf_index` structure — identical
+    results to :func:`ivf_topk` with the same parameters, but the corpus
+    side reads only the ``n_probe`` probed centroid PARTITIONS per query
+    batch (PartitionFilters in the scan; `test_plan_properties.py` pins
+    it).  The probe list is ≤ n_queries × n_probe centroid ids — a bounded
+    driver-side collect, same category as Spark's own IN-list pruning."""
+    import os
+
+    cents = F.broadcast(
+        spark.read.parquet(os.path.join(path, "centroids")).select(
+            "centroid", F.col("vec").alias("__cent_v")
+        )
+    )
+    q = (
+        with_unit_vec(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv"))
+        .crossJoin(cents)
+        .withColumn("__sim", _dot(F.col("__qv"), F.col("__cent_v")))
+        .withColumn(
+            "__cr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__sim"), F.asc("centroid")
+                )
+            ),
+        )
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "centroid", "__qv")
+    )
+    probe_ids = [r["centroid"] for r in q.select("centroid").distinct().collect()]
+    corpus = spark.read.parquet(os.path.join(path, "corpus")).filter(
+        F.col("centroid").isin(probe_ids)
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )

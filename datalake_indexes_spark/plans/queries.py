@@ -552,6 +552,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF path: corpus written partitioned by centroid
+    (build_ivf_index), probes prune partitions — must produce the same
+    rows as the inline ivf_topk, so it shares that oracle."""
+    import tempfile
+
+    from datalake_indexes_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="ivfidx_")
+        build_ivf_index(emb, d, n_centroids=16)
+        _IVF_INDEX_DIRS[key] = d
+    return ivf_topk_indexed(
+        spark, _IVF_INDEX_DIRS[key], emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate scale path.  The hyperplanes are deterministic
     (md5-seeded), so the bucketed result is exactly reproducible and the
@@ -791,6 +816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_lsh_topk": q_ann_lsh_topk,
     "corpus_prep": q_corpus_prep,
     "text_token_counts": q_text_token_counts,
@@ -878,6 +904,8 @@ WHERE rn = 1
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
+    # identical contract to the inline path — same oracle
+    "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_lsh_topk": oracle.ann_lsh_topk_sql(k=5, n_queries=10, n_planes=6, dim=64),
     "corpus_prep": oracle.corpus_prep_sql(),
     "text_token_counts": oracle.text_token_counts_sql(),

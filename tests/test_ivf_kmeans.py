@@ -70,3 +70,40 @@ def test_lloyd_refinement_raises_recall(spark):
     assert r3 >= r0
     # 4 refined centroids ≈ the 4 true cluster centers → near-total recall
     assert r3 >= 0.9, (r0, r3)
+
+
+def test_indexed_ivf_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed == ivf_topk on the same params,
+    and the probe scan reads only the probed centroid partitions
+    (PartitionFilters on `centroid`)."""
+    import shutil
+
+    from datalake_indexes_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rows = _clustered_vectors(per_cluster=30)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in v]) for i, v in rows[:6]],
+        "vec_id long, embedding array<float>",
+    )
+    inline = sorted(
+        map(tuple, ivf_topk(corpus, queries, k=3, n_centroids=8, n_probe=2).collect())
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_centroids=8)
+    try:
+        indexed = ivf_topk_indexed(spark, path, queries, k=3, n_probe=2)
+        assert sorted(map(tuple, indexed.collect())) == inline
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        frag = plan.split("PartitionFilters")[1][:200]
+        assert "centroid" in frag
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
