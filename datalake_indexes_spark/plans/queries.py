@@ -608,6 +608,41 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pass, composed from the round's stages:
+    quality filter → repetition filter → exact dedup (earliest keep) →
+    PII scrub → concat-then-chunk packing of the survivors in id order.
+    Output: (doc_id, n_tokens, pack_id, pack_offset) — the pack manifest
+    a training loader consumes."""
+    from datalake_indexes_spark.operators.dedup import exact_duplicate_groups
+    from datalake_indexes_spark.operators.text_analysis import (
+        pack_sequences,
+        pii_scrub,
+        quality_scores,
+        repetition_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q_ok = quality_scores(docs).filter(F.col("quality_score") >= 0.55).select("doc_id")
+    r_ok = (
+        repetition_scores(docs)
+        .filter(F.col("top_bigram_frac") <= 0.2)
+        .select("doc_id")
+    )
+    keep = exact_duplicate_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    survivors = (
+        docs.join(F.broadcast(q_ok), "doc_id", "left_semi")
+        .join(F.broadcast(r_ok), "doc_id", "left_semi")
+        .join(F.broadcast(keep), "doc_id", "left_semi")
+    )
+    scrubbed = pii_scrub(survivors).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    return pack_sequences(scrubbed, token_budget=2048)
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import token_counts
 
@@ -819,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_lsh_topk": q_ann_lsh_topk,
     "corpus_prep": q_corpus_prep,
+    "corpus_prep_full": q_corpus_prep_full,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -908,6 +944,7 @@ WHERE rn = 1
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_lsh_topk": oracle.ann_lsh_topk_sql(k=5, n_queries=10, n_planes=6, dim=64),
     "corpus_prep": oracle.corpus_prep_sql(),
+    "corpus_prep_full": oracle.corpus_prep_full_sql(),
     "text_token_counts": oracle.text_token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
     "text_langid": oracle.text_langid_sql(),
