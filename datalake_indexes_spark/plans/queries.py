@@ -632,10 +632,14 @@ def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = exact_duplicate_groups(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
+    # NO broadcast hints here: the survivor id sets are O(corpus) — at
+    # 100 TB these are billions of ids, and forcing a broadcast would be
+    # the classic composed-pipeline scale bug.  doc_id-keyed semi joins
+    # shuffle uniformly; AQE still broadcasts when a side happens small.
     survivors = (
-        docs.join(F.broadcast(q_ok), "doc_id", "left_semi")
-        .join(F.broadcast(r_ok), "doc_id", "left_semi")
-        .join(F.broadcast(keep), "doc_id", "left_semi")
+        docs.join(q_ok, "doc_id", "left_semi")
+        .join(r_ok, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
     )
     scrubbed = pii_scrub(survivors).select(
         "doc_id", F.col("scrubbed").alias("text")
