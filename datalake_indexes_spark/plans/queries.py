@@ -603,7 +603,10 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("representative"))
         .select("doc_id")
     )
-    return quality.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    # no broadcast hint: the drop set is proportional to the duplicate
+    # count — O(corpus) in the worst (most duplicated) case; AQE still
+    # broadcasts it when it is actually small
+    return quality.join(drop, "doc_id", "left_anti").select(
         "doc_id", "n_words", "quality_score"
     )
 
