@@ -436,3 +436,53 @@ def ivf_topk_indexed(
             F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar int8 quantization: (vec_id, qvec array<int> in [-127,127],
+    scale double) with ``x ≈ q * scale / 127`` — 4× less storage/memory
+    than float32, the standard corpus-side compression for billion-vector
+    ANN stores.
+
+    The rounding is explicit ``floor(x/scale*127 + 0.5)`` (half-up) so the
+    arithmetic is engine-independent and the DuckDB oracle reproduces the
+    quantized values bit-for-bit; all-zero vectors keep scale 0."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qvec = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale * 127 + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        qvec.alias("qvec"),
+        F.coalesce(scale, F.lit(0.0)).alias("scale"),
+    )
+
+
+def dequantize(qdf: DataFrame) -> DataFrame:
+    """Reconstruct approximate double vectors from the quantized store —
+    (vec_id, embedding array<double>)."""
+    return qdf.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda y: y.cast("double") * F.col("scale") / 127.0
+        ).alias("embedding"),
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric quantized search: the CORPUS side runs from its int8
+    quantized form (what a 100 TB store holds in memory), queries stay
+    full precision.  Composition: quantize → dequantize → exact top-k, so
+    ranking error comes only from the documented quantization step."""
+    deq = dequantize(quantize_embeddings(corpus, vec_col, id_col))
+    return cosine_topk(deq, queries, k=k, vec_col="embedding", id_col="vec_id")

@@ -976,6 +976,39 @@ WHERE rank <= {k}
 """
 
 
+def ann_quantized_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Asymmetric int8-quantized search twin: the corpus side is
+    quantized with the same explicit half-up rounding the engine uses
+    (floor(x/scale*127 + 0.5)), dequantized, then ranked exactly —
+    agreement proves the quantization arithmetic, not just the ranking."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM v
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT) * scale / 127)
+              ELSE list_transform(v, x -> 0.0) END AS dv
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         list_cosine_similarity(d.dv, q.qe) AS c
+  FROM deq d, q WHERE d.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def ann_ivf_topk_sql(
     k: int = 5, n_queries: int = 10, n_centroids: int = 16, n_probe: int = 2
 ) -> str:

@@ -552,6 +552,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric int8-quantized top-k: corpus from its quantized form,
+    queries full precision."""
+    from datalake_indexes_spark.operators.similarity import cosine_topk_quantized
+
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk_quantized(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 _IVF_INDEX_DIRS: dict[str, str] = {}
 
 
@@ -859,6 +868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_indexed": q_ann_ivf_indexed,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_full": q_corpus_prep_full,
@@ -949,6 +959,7 @@ WHERE rn = 1
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     # identical contract to the inline path — same oracle
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
+    "ann_quantized_topk": oracle.ann_quantized_topk_sql(k=5, n_queries=10),
     "ann_lsh_topk": oracle.ann_lsh_topk_sql(k=5, n_queries=10, n_planes=6, dim=64),
     "corpus_prep": oracle.corpus_prep_sql(),
     "corpus_prep_full": oracle.corpus_prep_full_sql(),

@@ -67,3 +67,33 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     de = [i for i in a if not i % 2]
     assert len(de) == 1000  # fraction 1.0 keeps everything
     assert 150 <= len(en) <= 350  # ~25% of 1000, md5-bucket variance
+
+
+def test_quantization_bounds_and_error(spark):
+    """int8 range respected, scale recoverable, reconstruction error
+    bounded by scale/254 per component (half-up rounding)."""
+    from datalake_indexes_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, -2.5, 0.3, 2.5]),
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector: scale 0, qvec zeros
+        (2, [-0.004, 0.002, 0.001, -0.001]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert all(-127 <= x <= 127 for r in q.values() for x in r["qvec"])
+    assert q[1]["scale"] == 0.0 and q[1]["qvec"] == [0, 0, 0, 0]
+    assert max(abs(x) for x in q[0]["qvec"]) == 127  # scale hits the max
+    d = {r["vec_id"]: r["embedding"] for r in dequantize(quantize_embeddings(df)).collect()}
+    for i, v in rows:
+        for orig, rec in zip(v, d[i]):
+            scale = q[i]["scale"]
+            # worst case sits EXACTLY at scale/254 (x/scale*127 landing on
+            # .5); the relative slack absorbs float32 storage noise
+            assert abs(orig - rec) <= scale / 254 * (1 + 1e-6) + 1e-12
