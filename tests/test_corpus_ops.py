@@ -91,9 +91,13 @@ def test_quantization_bounds_and_error(spark):
     assert q[1]["scale"] == 0.0 and q[1]["qvec"] == [0, 0, 0, 0]
     assert max(abs(x) for x in q[0]["qvec"]) == 127  # scale hits the max
     d = {r["vec_id"]: r["embedding"] for r in dequantize(quantize_embeddings(df)).collect()}
+    import struct as _struct
+
     for i, v in rows:
         for orig, rec in zip(v, d[i]):
             scale = q[i]["scale"]
             # worst case sits EXACTLY at scale/254 (x/scale*127 landing on
-            # .5); the relative slack absorbs float32 storage noise
-            assert abs(orig - rec) <= scale / 254 * (1 + 1e-6) + 1e-12
+            # .5); compare against the float32-stored original, which is
+            # what the operator actually quantized
+            orig32 = _struct.unpack("f", _struct.pack("f", orig))[0]
+            assert abs(orig32 - rec) <= scale / 254 + 1e-12
