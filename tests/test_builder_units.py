@@ -87,3 +87,32 @@ def test_get_table_reapplies_headers(spark):
     )
     out2 = idx.get_table(7)
     assert out2.columns == ["row_id", "col_0", "dup", "dup_2"]
+
+
+def test_sql_view_surface(spark):
+    """register_index_views makes the index spark.sql-queryable; a SQL
+    posting probe + header join over the views matches the DataFrame API."""
+    from pyspark.sql import functions as F
+
+    from datalake_indexes_spark.index.builder import build_index
+    from datalake_indexes_spark.plans.sql_api import register_index_views
+    from datalake_indexes_spark.sources.catalog import LakeTableSpec
+
+    df = spark.createDataFrame(
+        [(0, "alpha", "xx"), (1, "beta", "yy"), (2, "alpha", "zz")],
+        "k long, name string, val string",
+    )
+    spec = LakeTableSpec("t", 3, ("k", "name", "val"), ("k",), "k")
+    idx = build_index(spark, {"t": df}, {"t": spec}, with_super_keys=True)
+    views = register_index_views(spark, idx, prefix="tv")
+    assert {"tv_cells", "tv_row_keys", "tv_column_headers", "tv_table_info"} <= set(views)
+    rows = spark.sql("""
+        SELECT c.row_id, h.header
+        FROM tv_cells c JOIN tv_column_headers h
+          ON h.table_id = c.table_id AND h.col_id = c.col_id
+        WHERE c.tokenized = 'alpha'
+        ORDER BY c.row_id
+    """).collect()
+    assert [(r["row_id"], r["header"]) for r in rows] == [(0, "name"), (2, "name")]
+    sql_keys = spark.sql("SELECT count(*) AS n FROM tv_row_keys").collect()[0]["n"]
+    assert sql_keys == idx.row_keys.count() == 3

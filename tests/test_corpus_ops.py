@@ -101,3 +101,43 @@ def test_quantization_bounds_and_error(spark):
             # what the operator actually quantized
             orig32 = _struct.unpack("f", _struct.pack("f", orig))[0]
             assert abs(orig32 - rec) <= scale / 254 + 1e-12
+
+
+def test_pack_sequences_property_matches_window(spark):
+    """Hypothesis fuzz: the bucketed distributed prefix sum equals the
+    single-window reference for arbitrary sparse ids and text lengths."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import Window
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 20)),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(1, 64),
+    )
+    def check(pairs, budget):
+        docs = spark.createDataFrame(
+            [(i, "w " * n) for i, n in pairs], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(docs, token_budget=budget).collect()
+        }
+        t = docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+        )
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        ref = {
+            r["doc_id"]: (r["prior"] // budget, r["prior"] % budget)
+            for r in t.withColumn(
+                "prior", F.coalesce(F.sum("n").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == ref
+
+    check()
