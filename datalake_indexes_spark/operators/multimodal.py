@@ -187,6 +187,35 @@ def probe_mp4_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def probe_avi_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from an AVI main header — RIFF/'AVI ' chunk walk to
+    the ``LIST hdrl`` / ``avih`` chunk; dwWidth/dwHeight are little-endian
+    at offsets 32/36 of the avih body."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                sub = b[j : j + 4]
+                ssize = struct.unpack("<I", b[j + 4 : j + 8])[0]
+                if sub == b"avih" and j + 8 + 40 <= len(b):
+                    w, h = struct.unpack("<II", b[j + 8 + 32 : j + 8 + 40])
+                    return w, h
+                j += 8 + ssize + (ssize & 1)
+        i += 8 + size + (size & 1)
+    return None
+
+
+def probe_video_dims(b: bytes) -> tuple[int, int] | None:
+    """Video container dispatch: MP4 tkhd or AVI avih."""
+    return probe_mp4_dims(b) or probe_avi_dims(b)
+
+
 def payload_body(b: bytes, modality: str) -> bytes:
     """The payload's *data section*, container stripped — PNG: everything
     past the IHDR chunk (length-directed, not fixed-offset); WAV: the
@@ -463,7 +492,7 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             return probe_image_dims(bytes(b)) or (None, None)
         if modality == "audio":
             return probe_wav(bytes(b)) or (None, None)
-        return probe_mp4_dims(bytes(b)) or (None, None)
+        return probe_video_dims(bytes(b)) or (None, None)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

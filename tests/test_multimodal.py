@@ -196,3 +196,27 @@ def test_sample_frames_deterministic_split(spark):
     )
     assert [i for i, _ in frames] == [0, 1, 2, 3]
     assert b"".join(b for _, b in frames) == payload  # contiguous cover
+
+
+def _avi(w: int, h: int) -> bytes:
+    """Minimal real AVI: RIFF/'AVI ' + LIST hdrl + avih with dwWidth/dwHeight."""
+    avih_body = b"\x00" * 32 + struct.pack("<II", w, h) + b"\x00" * 16
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = hdrl + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_avi_dims_and_video_dispatch():
+    from datalake_indexes_spark.operators.multimodal import (
+        probe_avi_dims,
+        probe_video_dims,
+    )
+
+    assert probe_avi_dims(_avi(720, 576)) == (720, 576)
+    assert probe_avi_dims(_wav(16000, b"x")) is None  # RIFF but WAVE, not AVI
+    # the dispatch resolves both container families
+    assert probe_video_dims(_avi(720, 576)) == (720, 576)
+    assert probe_video_dims(_mp4(1280, 720)) == (1280, 720)
+    assert probe_video_dims(b"neither") is None
