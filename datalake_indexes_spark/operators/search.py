@@ -1,0 +1,126 @@
+"""Keyword relevance search — BM25 and TF-IDF scoring over the document
+corpus (training-data-pipeline operators beyond the reference surface:
+the retrieval half of a data-curation / RAG stack).
+
+Everything is native expressions + two tiny aggregates; the corpus is
+scanned once and only rows containing a query term ever reach a shuffle.
+
+Scale shape (100 TB): the per-(doc, term) frequency aggregate is keyed by
+doc_id — uniform by construction — and only over documents that contain
+at least one query term (the explode is filtered before the shuffle).
+Document-frequency and corpus statistics are scalar-sized aggregates
+broadcast back; the final top-k is a distributed TakeOrderedAndProject
+(`orderBy().limit()`), never a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k: (doc_id, score, rank) for the ``k`` documents most
+    relevant to the bag of ``query_terms``.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative BM25+ idf),
+    tf-normalization with the usual k1/b length correction against the
+    corpus mean document length.  Scores are rounded to 4 decimals for
+    cross-engine comparability; ranking happens on the unrounded score
+    with doc_id as the deterministic tie-break.
+    """
+    terms = sorted(set(query_terms))
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("__w"),
+        F.size(words).cast("double").alias("__dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            "doc_id",
+            "__dl",
+            F.explode(F.filter("__w", lambda w: F.array_contains(term_arr, w))).alias(
+                "__term"
+            ),
+        )
+        .groupBy("doc_id", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    df_ = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+
+    scored = (
+        tf.join(F.broadcast(df_), "__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1.0))
+            / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__contrib").alias("__score"))
+    )
+    topk = scored.orderBy(F.desc("__score"), F.asc("doc_id")).limit(k)
+    # rank the k survivors (k rows — the window is trivially small)
+    w = Window.orderBy(F.desc("__score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("__score", 4).alias("score"), "rank"
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Plain tf-idf cosine-free relevance (Σ tf·ln(N/df)) — the cheap
+    baseline next to :func:`bm25_topk`, same shuffle shape."""
+    terms = sorted(set(query_terms))
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            "doc_id",
+            F.explode(F.filter("__w", lambda w: F.array_contains(term_arr, w))).alias(
+                "__term"
+            ),
+        )
+        .groupBy("doc_id", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_ = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(df_), "__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__contrib", F.col("__tf") * F.log(F.col("__n") / F.col("__df")))
+        .groupBy("doc_id")
+        .agg(F.sum("__contrib").alias("__score"))
+    )
+    topk = scored.orderBy(F.desc("__score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("__score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("__score", 4).alias("score"), "rank"
+    )

@@ -486,3 +486,62 @@ def cosine_topk_quantized(
     ranking error comes only from the documented quantization step."""
     deq = dequantize(quantize_embeddings(corpus, vec_col, id_col))
     return cosine_topk(deq, queries, k=k, vec_col="embedding", id_col="vec_id")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    then drop any vector whose cluster contains a LOWER-id vector within
+    ``threshold`` cosine similarity (keep-lowest-id, one survivor per
+    local near-duplicate group).
+
+    (vec_id, centroid, kept) for every corpus row.
+
+    This is the published SemDeDup recipe (Abbas et al. 2023): k-means
+    bounds the quadratic — pairwise similarity runs only WITHIN a
+    cluster, never across the corpus.  Centroids are the same
+    deterministic seed set as :func:`ivf_topk` (first ``n_centroids``
+    vectors by id), so the operator is oracle-checkable end to end.
+
+    Scale shape: centroid assignment is a broadcast map-side pass; the
+    only corpus shuffle is the per-centroid grouping, and each cluster's
+    pair join is centroid-local.  A skewed cluster caps the win — at real
+    scale raise ``n_centroids`` so E[cluster] stays ~10⁴ (the published
+    setting uses ~10⁵ clusters for 10⁹ embeddings).
+    """
+    cents = F.broadcast(_ivf_centroids(corpus, n_centroids, 0, vec_col, id_col))
+    units = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit").alias("__u")
+    )
+    rk_w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("centroid"))
+    assigned = (
+        units.crossJoin(cents)
+        .withColumn("__sim", _dot(F.col("__u"), F.col("__cent_v")))
+        .withColumn("__rk", F.row_number().over(rk_w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "centroid", "__u")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid") == F.col("b.centroid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_dot(F.col("a.__u"), F.col("b.__u")) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -305,3 +305,113 @@ def pack_sequences(
             (start % token_budget).cast("long").alias("pack_offset"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share word
+    ``n``-grams with an evaluation/benchmark set (the standard pretraining
+    hygiene pass: a doc overlapping an eval answer leaks the benchmark).
+
+    (doc_id, n_shingles, n_overlap, overlap_frac, contaminated):
+    per-document distinct ``n``-gram count, how many of those also occur
+    anywhere in the benchmark, their ratio, and the
+    ``n_overlap >= min_overlap`` flag.
+
+    Scale shape: the benchmark's distinct shingle set is broadcast
+    (benchmarks are small by definition — MMLU-sized, not corpus-sized),
+    so the corpus is scanned once: explode → broadcast semi-probe →
+    partial-aggregated count keyed by doc_id.  The corpus is never
+    shuffled except for that uniform per-doc count; no corpus×corpus
+    join exists anywhere.
+    """
+    from datalake_indexes_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        word_shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    per_doc = sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlaps = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) > 0,
+                    F.coalesce("n_overlap", F.lit(0))
+                    / F.coalesce("n_shingles", F.lit(0)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("overlap_frac"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    max_repeat: float = 4.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing WITH upsampling — rebalance
+    strata toward uniform by repeating rare-stratum documents (the
+    multilingual-pretraining recipe: sampling weight (c_max/c_s)^alpha,
+    alpha=1 fully balances, alpha=0 keeps natural proportions).
+
+    Every document gets repeat factor r_s = min((c_max/c_s)^alpha,
+    max_repeat); the fractional part is realized per-document by the same
+    pure md5(doc_id) bucket rule as :func:`stratified_sample` (no RNG —
+    identical membership on every engine and partitioning).  Output is the
+    exploded epoch list (doc_id, stratum, rep_id): downstream packing
+    consumes it directly.
+
+    r_s is rounded to 4 decimals BEFORE the fractional-bucket compare so
+    the integer threshold is bit-identical cross-engine.  Scale shape:
+    stratum counts are one tiny aggregate broadcast back; the explode is
+    map-side; nothing else shuffles.
+    """
+    counts = docs.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cmax = counts.select(F.max("__c").alias("__cmax"))
+    weights = counts.crossJoin(F.broadcast(cmax)).select(
+        "__s",
+        F.round(
+            F.least(
+                F.pow(F.col("__cmax") / F.col("__c"), F.lit(float(alpha))),
+                F.lit(float(max_repeat)),
+            ),
+            4,
+        ).alias("__r"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10000
+    frac_thresh = F.round((F.col("__r") - F.floor(F.col("__r"))) * 10000).cast("long")
+    n_rep = (F.floor("__r") + F.when(bucket < frac_thresh, 1).otherwise(0)).cast("int")
+    return (
+        docs.join(F.broadcast(weights), docs[stratum_col] == F.col("__s"))
+        .withColumn("__n_rep", n_rep)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.explode(F.sequence(F.lit(0), F.col("__n_rep") - 1)).alias("rep_id"),
+        )
+    )

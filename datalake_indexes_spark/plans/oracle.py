@@ -1413,3 +1413,175 @@ WITH ext AS (
 SELECT c.c_custkey, c.c_acctbal, e.o_totalprice, e.o_orderstatus
 FROM customer c LEFT JOIN ext e ON {ctok} = e.join_tok
 """
+
+
+def decontaminate_sql(n: int = 5, min_overlap: int = 3, modulus: int = 17) -> str:
+    """Decontamination twin: doc_id % modulus == 0 rows are the benchmark,
+    the rest are the graded corpus; distinct word n-gram overlap."""
+    gram = " || ' ' || ".join(f"w[CAST(i+{j + 1} AS INT)]" for j in range(n))
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % {modulus} <> 0),
+bench AS (SELECT text FROM documents WHERE doc_id % {modulus} = 0),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+csh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM cw, UNNEST(range(greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+bw AS (SELECT string_split(text, ' ') AS w FROM bench),
+bsh AS (
+  SELECT DISTINCT {gram} AS shingle
+  FROM bw, UNNEST(range(greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+counts AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
+overl AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM csh WHERE shingle IN (SELECT shingle FROM bsh)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CASE WHEN coalesce(n.n_shingles, 0) > 0
+                  THEN coalesce(o.n_overlap, 0) / n.n_shingles
+                  ELSE 0 END, 4) AS overlap_frac,
+       coalesce(o.n_overlap, 0) >= {min_overlap} AS contaminated
+FROM corpus c
+LEFT JOIN counts n USING (doc_id)
+LEFT JOIN overl o USING (doc_id)
+"""
+
+
+def _search_tf_ctes(terms: list[str]) -> str:
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+  WHERE term IN ({term_list})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+
+
+def bm25_topk_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Okapi BM25 twin — identical idf/tf-normalization formulas; rank on
+    the unrounded score, doc_id tie-break."""
+    return f"""
+WITH {_search_tf_ctes(terms)},
+scored AS (
+  SELECT doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * tf * ({k1} + 1.0)
+             / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score, rank
+FROM (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def tfidf_topk_sql(terms: list[str], k: int = 10) -> str:
+    return f"""
+WITH {_search_tf_ctes(terms)},
+scored AS (
+  SELECT doc_id, sum(tf * ln(n / df)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score, rank
+FROM (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def events_asof_join_sql() -> str:
+    """As-of twin via DuckDB's native ASOF LEFT JOIN (independent engine
+    machinery — not a re-transcription of the union-window trick).  The
+    build side is pre-deduped to the max event_id per (user, ts), the same
+    resolution the engine's seq tie-break yields."""
+    return """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max_by(event_id, event_id) AS event_id,
+         max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(coalesce(b.event_id, -1) AS BIGINT) AS asof_event_id,
+       CAST(coalesce(b.ts_us, -1) AS BIGINT) AS asof_ts_us,
+       coalesce(b.value, -1.0) AS asof_value
+FROM p ASOF LEFT JOIN b
+  ON p.user_id = b.user_id AND p.ts_us >= b.ts_us
+"""
+
+
+def semantic_dedup_sql(n_centroids: int = 16, threshold: float = 0.4) -> str:
+    """SemDeDup twin: same deterministic seed centroids and
+    keep-lowest-id-within-cluster rule."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+assign AS (
+  SELECT vec_id, centroid, e FROM (
+    SELECT e.vec_id, c.centroid, e.embedding::DOUBLE[] AS e,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.centroid) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+)
+SELECT a.vec_id, a.centroid,
+       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM assign a
+"""
+
+
+def corpus_mix_sql(
+    alpha: float = 0.5, max_repeat: float = 4.0, stratum: str = "lang"
+) -> str:
+    """Temperature-mix twin: per-stratum repeat factor (c_max/c_s)^alpha
+    rounded to 4 decimals, fractional part realized by the md5(doc_id)
+    bucket rule, exploded to (doc_id, stratum, rep_id)."""
+    return f"""
+WITH c AS (SELECT {stratum} AS s, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
+w AS (
+  SELECT s, round(least(pow((SELECT max(cnt) FROM c) / cnt, {alpha}), {max_repeat}), 4) AS r
+  FROM c
+),
+d AS (
+  SELECT doc_id, {stratum} AS stratum, r,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents JOIN w ON {stratum} = s
+),
+reps AS (
+  SELECT doc_id, stratum,
+         CAST(floor(r) AS INT)
+         + CASE WHEN bucket < CAST(round((r - floor(r)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_rep
+  FROM d
+)
+SELECT doc_id, stratum, CAST(t.i AS INT) AS rep_id
+FROM reps, UNNEST(range(n_rep)) AS t(i)
+"""

@@ -826,6 +826,91 @@ def q_header_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = testdata_index(spark, sf_dir, with_super_keys=False)
     return search_columns_by_header(idx, HEADER_SEARCH_QUERY, k=10)
 
+DECONTAM_MODULUS = 17
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc_id % 17 == 0 document plays the
+    'evaluation set'; the rest of the corpus is scored for 5-gram overlap
+    against it (planted near-duplicates in the corpus make the flag
+    non-vacuous)."""
+    from datalake_indexes_spark.operators.text_analysis import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MODULUS == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_MODULUS != 0)
+    return decontaminate(corpus, bench, n=5, min_overlap=3)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.search import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ts normalized to BIGINT microseconds (the testdata's
+    TIMESTAMP(NANOS) reads as nanos-long under the legacy conf)."""
+    _ensure_session_confs(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts_us = F.expr("(ts - pmod(ts, 1000)) div 1000")
+    else:
+        # works for TIMESTAMP and TIMESTAMP_NTZ alike, timezone-free
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
+        )
+    return ev.withColumn("ts_us", ts_us.cast("long"))
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event gains the user's most recent purchase
+    at or before it (backward inclusive, feature-store semantics)."""
+    from datalake_indexes_spark.operators.events import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        probe, build, key_col="user_id", ts_col="ts_us",
+        build_cols=["event_id", "ts_us", "value"], seq_col="event_id",
+    )
+    # -1 sentinels instead of NULLs: pandas promotes a nullable int column
+    # to float64+NaN on the oracle side, which would hash differently from
+    # Spark's NULL; the sentinel keeps both engines in exact-int space.
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce("asof_event_id", F.lit(-1)).cast("long").alias("asof_event_id"),
+        F.coalesce("asof_ts_us", F.lit(-1)).cast("long").alias("asof_ts_us"),
+        F.coalesce("asof_value", F.lit(-1.0)).alias("asof_value"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_embeddings(spark, sf_dir), n_centroids=16, threshold=0.4)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixing with upsampling over the skewed lang
+    strata (en dominates the synthetic corpus; alpha=0.5 half-balances)."""
+    from datalake_indexes_spark.operators.text_analysis import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), alpha=0.5, max_repeat=4.0)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -884,6 +969,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "decontaminate": q_decontaminate,
+    "bm25_topk": q_bm25_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "events_asof_join": q_events_asof_join,
+    "semantic_dedup": q_semantic_dedup,
+    "corpus_mix": q_corpus_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -975,4 +1066,12 @@ WHERE rn = 1
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
     "events_json_extract": oracle.events_json_extract_sql(),
+    "decontaminate": oracle.decontaminate_sql(
+        n=5, min_overlap=3, modulus=DECONTAM_MODULUS
+    ),
+    "bm25_topk": oracle.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
+    "tfidf_topk": oracle.tfidf_topk_sql(BM25_QUERY_TERMS, k=10),
+    "events_asof_join": oracle.events_asof_join_sql(),
+    "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
+    "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
 }

@@ -1,0 +1,229 @@
+"""Unit semantics for the round-5 curation/search/event operators:
+benchmark decontamination, BM25/TF-IDF relevance, as-of joins, SemDeDup
+semantic dedup, temperature mixing.  Hand-built frames with known ground
+truth; the DuckDB oracle gate covers the corpus-scale versions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.spark
+class TestDecontaminate:
+    def test_flags_overlapping_doc(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                # shares the full benchmark 5-gram window (contaminated)
+                (1, "intro words the quick brown fox jumps over the lazy dog end"),
+                # no 5-gram overlap
+                (2, "completely unrelated text with no benchmark overlap at all"),
+                # shares 4-gram only -> no 5-gram hit
+                (3, "quick brown fox jumps away from everything else here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate(docs, bench, n=5, min_overlap=1).collect()
+        }
+        assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+        assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+        assert not out[3]["contaminated"]
+        # 12-word doc => 8 distinct 5-grams
+        assert out[1]["n_shingles"] == 8
+
+    def test_min_overlap_threshold(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import decontaminate
+
+        bench = spark.createDataFrame(
+            [(0, "a b c d e f")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )  # 2 shared 5-grams
+        strict = decontaminate(docs, bench, n=5, min_overlap=3).collect()[0]
+        loose = decontaminate(docs, bench, n=5, min_overlap=2).collect()[0]
+        assert not strict["contaminated"] and loose["contaminated"]
+        assert loose["overlap_frac"] == 1.0
+
+
+@pytest.mark.spark
+class TestSearch:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark spark spark join"),
+                (2, "spark join window"),
+                (3, "nothing relevant here"),
+                (4, "window"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_bm25_ranks_and_excludes(self, spark):
+        from datalake_indexes_spark.operators.search import bm25_topk
+
+        out = bm25_topk(self._docs(spark), ["spark", "join", "window"], k=10).collect()
+        ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert 3 not in ids  # no query term -> never scored
+        assert ids[0] == 2  # hits all three terms
+        assert all(r["score"] > 0 for r in out)
+
+    def test_bm25_matches_closed_form(self, spark):
+        from datalake_indexes_spark.operators.search import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "t t u"), (2, "u u u")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["t"], k=10).collect()}
+        # N=2, df=1, dl=3, avgdl=3, tf=2
+        idf = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+        score = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+        assert out.keys() == {1}
+        assert abs(out[1] - round(score, 4)) < 1e-9
+
+    def test_tfidf_orders_by_tf(self, spark):
+        from datalake_indexes_spark.operators.search import tfidf_topk
+
+        out = tfidf_topk(self._docs(spark), ["spark"], k=10).collect()
+        ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert ranked == [1, 2]
+
+
+@pytest.mark.spark
+class TestAsofJoin:
+    def test_backward_inclusive_and_nulls(self, spark):
+        from datalake_indexes_spark.operators.events import asof_join
+
+        build = spark.createDataFrame(
+            [(10, 1, 100, 5.0), (11, 1, 200, 6.0), (12, 2, 150, 7.0)],
+            "event_id long, user_id long, ts_us long, value double",
+        )
+        probe = spark.createDataFrame(
+            [
+                (1, 1, 150),  # after ts=100 -> event 10
+                (2, 1, 200),  # equal ts -> inclusive -> event 11
+                (3, 1, 50),   # before everything -> NULL
+                (4, 2, 1000), # -> event 12
+                (5, 3, 500),  # no build rows for user 3 -> NULL
+            ],
+            "event_id long, user_id long, ts_us long",
+        )
+        out = {
+            r["event_id"]: r
+            for r in asof_join(
+                probe, build, "user_id", "ts_us",
+                ["event_id", "value"], seq_col="event_id",
+            ).collect()
+        }
+        assert len(out) == 5
+        assert out[1]["asof_event_id"] == 10 and out[1]["asof_value"] == 5.0
+        assert out[2]["asof_event_id"] == 11  # inclusive at equal ts
+        assert out[3]["asof_event_id"] is None
+        assert out[4]["asof_event_id"] == 12
+        assert out[5]["asof_event_id"] is None
+
+    def test_equal_ts_build_ties_resolve_to_max_seq(self, spark):
+        from datalake_indexes_spark.operators.events import asof_join
+
+        build = spark.createDataFrame(
+            [(20, 1, 100, 1.0), (21, 1, 100, 2.0)],
+            "event_id long, user_id long, ts_us long, value double",
+        )
+        probe = spark.createDataFrame(
+            [(1, 1, 100)], "event_id long, user_id long, ts_us long"
+        )
+        r = asof_join(
+            probe, build, "user_id", "ts_us", ["event_id", "value"], seq_col="event_id"
+        ).collect()[0]
+        assert r["asof_event_id"] == 21 and r["asof_value"] == 2.0
+
+
+@pytest.mark.spark
+class TestSemanticDedup:
+    def test_keeps_lowest_id_per_near_dup_group(self, spark):
+        from datalake_indexes_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+            (6, [0.0, 0.998, 0.02, 0.0]),   # near-dup of 1 -> dropped
+            (7, [0.0, 0.0, 0.0, 1.0]),      # orthogonal -> kept
+        ]
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(
+                spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+                n_centroids=2,
+                threshold=0.95,
+            ).collect()
+        }
+        assert out[0] and out[1]
+        assert not out[5] and not out[6]
+        assert out[7]
+
+    def test_cross_cluster_pairs_not_compared(self, spark):
+        from datalake_indexes_spark.operators.similarity import semantic_dedup
+
+        # centroids = vecs 0 and 1; vec 5 lands in cluster 1 even though
+        # its true nearest corpus vector sits in cluster 0 — SemDeDup's
+        # documented recall boundary, pinned here.
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (5, [0.6, 0.8]),
+        ]
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+                n_centroids=2,
+                threshold=0.5,
+            ).collect()
+        }
+        assert out[5]["centroid"] == 1
+        # cos(5, 1) = 0.8 >= 0.5 -> dropped within its own cluster
+        assert not out[5]["kept"]
+
+
+@pytest.mark.spark
+class TestTemperatureMix:
+    def test_repeat_factors(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import temperature_mix
+
+        rows = [(i, "big") for i in range(100)] + [(100 + i, "small") for i in range(25)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = temperature_mix(docs, alpha=0.5, max_repeat=4.0)
+        agg = {
+            r["stratum"]: r["n"]
+            for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+        }
+        # big: r = 1.0 -> exactly one copy each
+        assert agg["big"] == 100
+        # small: r = (100/25)^0.5 = 2.0 exactly -> two copies each
+        assert agg["small"] == 50
+        # rep_ids are dense per doc
+        reps = out.filter(F.col("doc_id") == 100).select("rep_id").collect()
+        assert sorted(r["rep_id"] for r in reps) == [0, 1]
+
+    def test_max_repeat_cap_and_fractional(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import temperature_mix
+
+        rows = [(i, "big") for i in range(64)] + [(100, "tiny")]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = temperature_mix(docs, alpha=1.0, max_repeat=4.0)
+        n_tiny = out.filter(F.col("stratum") == "tiny").count()
+        assert n_tiny == 4  # (64/1)^1 = 64, capped at 4
+        # alpha=0 keeps natural proportions: everything exactly once
+        flat = temperature_mix(docs, alpha=0.0, max_repeat=4.0)
+        assert flat.count() == 65
