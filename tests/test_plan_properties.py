@@ -168,3 +168,58 @@ def test_bucketed_cells_probe_join_no_lake_exchange(spark, sf_dir, tmp_path):
     finally:
         for t in ("cells", "row_keys", "column_headers", "table_info", "col_flags"):
             spark.sql(f"DROP TABLE IF EXISTS bktest_{t}")
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — a shuffle of the corpus
+    keyed by shingle (sort-merge join) would move the whole lake for a
+    benchmark that is MMLU-sized."""
+    from datalake_indexes_spark.operators.text_analysis import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    plan = _plan(decontaminate(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_distributed(spark):
+    """Final top-k must be TakeOrderedAndProject; the rank window runs
+    AFTER the limit, over k rows only."""
+    from datalake_indexes_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark join window etc") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(bm25_topk(docs, ["spark", "join"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # NOTE a BroadcastNestedLoopJoin IS expected here: the (N, avgdl)
+    # corpus-stats frame is one row, crossJoin(broadcast(...)) is the
+    # scalar-broadcast idiom.  The guard is that the df_ join stays a
+    # BroadcastHashJoin (per-term equi-join), which the TakeOrdered check
+    # plus this assertion pin:
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle_no_expansion(spark):
+    """The as-of union-window trick must produce exactly one Exchange
+    keyed by the join key and no join operator at all (no row expansion,
+    no range join)."""
+    from datalake_indexes_spark.operators.events import asof_join
+
+    build = spark.createDataFrame(
+        [(10, 1, 100, 5.0)], "event_id long, user_id long, ts_us long, value double"
+    )
+    probe = spark.createDataFrame(
+        [(1, 1, 150)], "event_id long, user_id long, ts_us long"
+    )
+    plan = _plan(
+        asof_join(probe, build, "user_id", "ts_us", ["event_id", "value"], "event_id")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+        assert join_op not in plan
