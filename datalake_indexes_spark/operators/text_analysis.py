@@ -415,3 +415,49 @@ def temperature_mix(
             F.explode(F.sequence(F.lit(0), F.col("__n_rep") - 1)).alias("rep_id"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep stage:
+    each document becomes ceil(max(n - overlap, 1) / stride) chunks of up
+    to ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride = chunk_tokens - overlap).
+
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text).  The final window is
+    emitted only if it starts before the token count (no empty trailing
+    chunks); a document shorter than one window yields exactly one chunk.
+
+    Pure native expressions: split → sequence of window starts → explode →
+    slice/array_join.  Map-side only — zero shuffles at any scale; chunk
+    explosion multiplies rows by ~n/stride, which is the contract, not a
+    blowup.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__w"), F.col("__start") + 1, chunk_tokens)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            words.alias("__w"),
+            F.explode(starts).alias("__start"),
+        )
+        .withColumn("__w", chunk)
+        .select(
+            "doc_id",
+            (F.col("__start") / stride).cast("int").alias("chunk_id"),
+            F.size("__w").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__w", " ").alias("chunk_text"),
+        )
+    )

@@ -1585,3 +1585,23 @@ reps AS (
 SELECT doc_id, stratum, CAST(t.i AS INT) AS rep_id
 FROM reps, UNNEST(range(n_rep)) AS t(i)
 """
+
+
+def corpus_chunk_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Chunking twin: same 0-based window starts (stride = chunk_tokens -
+    overlap, last window only if it starts before n - overlap, minimum one
+    window), 1-based inclusive list slicing on both engines."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w) - {overlap}, 1), {stride})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start // {stride} AS INT) AS chunk_id,
+       CAST(len(w[CAST(start + 1 AS INT):CAST(start + {chunk_tokens} AS INT)]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[CAST(start + 1 AS INT):CAST(start + {chunk_tokens} AS INT)], ' ') AS chunk_text
+FROM s
+"""

@@ -903,6 +903,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_embeddings(spark, sf_dir), n_centroids=16, threshold=0.4)
 
 
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16 overlap) — the
+    RAG/embedding-prep stage."""
+    from datalake_indexes_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixing with upsampling over the skewed lang
     strata (en dominates the synthetic corpus; alpha=0.5 half-balances)."""
@@ -975,6 +983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
+    "corpus_chunk": q_corpus_chunk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1074,4 +1083,5 @@ WHERE rn = 1
     "events_asof_join": oracle.events_asof_join_sql(),
     "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
+    "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),
 }

@@ -227,3 +227,53 @@ class TestTemperatureMix:
         # alpha=0 keeps natural proportions: everything exactly once
         flat = temperature_mix(docs, alpha=0.0, max_repeat=4.0)
         assert flat.count() == 65
+
+
+@pytest.mark.spark
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+        )
+        out = sorted(
+            chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 2, starts while start < n - overlap = 8 -> 0,2,4,6
+        assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+        assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert out[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+        assert out[3]["chunk_text"] == "w6 w7 w8 w9"
+        assert all(r["n_chunk_tokens"] == 4 for r in out)
+
+    def test_short_doc_single_chunk(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_id"] == 0 and out[0]["n_chunk_tokens"] == 2
+        assert out[0]["chunk_text"] == "a b"
+
+    def test_ragged_tail_window(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(7)))], "doc_id long, text string"
+        )
+        out = sorted(
+            chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # starts 0,2,4 (start<5); last window is the 3-token tail w4 w5 w6
+        assert [r["n_chunk_tokens"] for r in out] == [4, 4, 3]
+        assert out[-1]["chunk_text"] == "w4 w5 w6"
+
+    def test_rejects_bad_overlap(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, overlap=4)
