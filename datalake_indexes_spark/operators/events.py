@@ -76,3 +76,71 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in build_cols
     ]
     return matched.select(*out_cols)
+
+
+def range_join_binned(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: int,
+    agg_cols: dict[str, str] | None = None,
+    prefix: str = "win_",
+) -> DataFrame:
+    """Sliding-interval range join, binned to stay an equi-join: for every
+    ``probe`` row, aggregate the ``build`` rows with the same key whose
+    timestamp lies in the half-open interval (probe.ts - window, probe.ts]
+    — "what happened for this user in the last hour".
+
+    Returns every probe row plus ``prefix+n`` (match count) and one
+    ``prefix+<alias>`` per requested aggregate (``agg_cols`` maps build
+    column -> 'sum'|'min'|'max'; counts are always emitted).  Probe rows
+    with no in-window build rows keep zero/NULL aggregates (left
+    semantics).
+
+    Scale shape: a naive t BETWEEN a AND b join predicate plans as
+    BroadcastNestedLoopJoin — quadratic per key and the classic Spark
+    range-join trap.  Binning restores an equi-join: build rows land in
+    bucket floor(ts/window); each probe checks buckets {b-1, b} (two
+    probe-side rows via a 2-element explode — the PROBE side is
+    duplicated, never the build side, so a hot build key is not
+    amplified).  The join is then (key, bucket) equality + a residual
+    range filter, hash-partitioned and AQE-skew-splittable like any
+    equi-join, with shuffle volume 2·|probe| + |build|.
+    """
+    aggs = agg_cols or {}
+    b = build.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__bts"),
+        *[F.col(c).alias(f"__v_{c}") for c in aggs],
+    ).withColumn(
+        # integer floor division — no double rounding at bucket boundaries
+        "__bucket",
+        F.expr(f"(__bts - pmod(__bts, {window})) div {window}"),
+    )
+    pbucket = F.expr(
+        f"({ts_col} - pmod({ts_col}, {window})) div {window}"
+    )
+    p = probe.select(
+        F.struct(*probe.columns).alias("__prow"),
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__pts"),
+        F.explode(F.array(pbucket - 1, pbucket)).alias("__bucket"),
+    )
+    joined = p.join(b, ["__k", "__bucket"], "left").withColumn(
+        "__in_window",
+        F.col("__bts").isNotNull()
+        & (F.col("__bts") > F.col("__pts") - window)
+        & (F.col("__bts") <= F.col("__pts")),
+    )
+    agg_exprs = [
+        F.sum(F.when(F.col("__in_window"), 1).otherwise(0)).cast("long").alias(f"{prefix}n")
+    ]
+    for c, how in aggs.items():
+        src = F.when(F.col("__in_window"), F.col(f"__v_{c}"))
+        agg_exprs.append(getattr(F, how)(src).alias(f"{prefix}{how}_{c}"))
+    out = joined.groupBy("__prow", "__pts").agg(*agg_exprs)
+    return out.select(
+        *[F.col(f"__prow.{c}").alias(c) for c in probe.columns],
+        *[c for c in out.columns if c.startswith(prefix)],
+    )

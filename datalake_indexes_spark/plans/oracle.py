@@ -1605,3 +1605,27 @@ SELECT doc_id,
        array_to_string(w[CAST(start + 1 AS INT):CAST(start + {chunk_tokens} AS INT)], ' ') AS chunk_text
 FROM s
 """
+
+
+def events_range_join_sql(window_us: int = 3_600_000_000) -> str:
+    """Range-join twin via a plain inequality join — DuckDB's optimizer
+    handles the quadratic at oracle scale; the engine's binned equi-join
+    must produce identical aggregates."""
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(count(b.user_id) AS BIGINT) AS win_n,
+       round(coalesce(sum(b.value), 0.0), 4) AS win_sum_value
+FROM p LEFT JOIN b
+  ON p.user_id = b.user_id
+ AND b.ts_us > p.ts_us - {window_us}
+ AND b.ts_us <= p.ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us
+"""

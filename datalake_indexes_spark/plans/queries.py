@@ -897,6 +897,32 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned sliding-interval join: for every purchase, the count and sum
+    of the same user's clicks in the preceding hour (exclusive of t-1h,
+    inclusive of t)."""
+    from datalake_indexes_spark.operators.events import range_join_binned
+
+    ev = _events_us(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    out = range_join_binned(
+        probe, build, key_col="user_id", ts_col="ts_us",
+        window=RANGE_JOIN_WINDOW_US, agg_cols={"value": "sum"},
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "win_n",
+        F.round(F.coalesce("win_sum_value", F.lit(0.0)), 4).alias("win_sum_value"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import semantic_dedup
 
@@ -984,6 +1010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1084,4 +1111,5 @@ WHERE rn = 1
     "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
     "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),
+    "events_range_join": oracle.events_range_join_sql(window_us=RANGE_JOIN_WINDOW_US),
 }

@@ -277,3 +277,68 @@ class TestChunkDocuments:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+@pytest.mark.spark
+class TestRangeJoinBinned:
+    def test_window_semantics(self, spark):
+        from datalake_indexes_spark.operators.events import range_join_binned
+
+        build = spark.createDataFrame(
+            [(1, 100, 1.0), (1, 150, 2.0), (1, 200, 4.0), (2, 100, 8.0)],
+            "user_id long, ts_us long, value double",
+        )
+        probe = spark.createDataFrame(
+            [
+                (1, 1, 200),   # window (100, 200]: ts 150, 200 (100 excluded)
+                (2, 1, 120),   # window (20, 120]: ts 100
+                (3, 1, 1000),  # nothing within (900, 1000]
+                (4, 3, 100),   # no build key
+            ],
+            "event_id long, user_id long, ts_us long",
+        )
+        out = {
+            r["event_id"]: r
+            for r in range_join_binned(
+                probe, build, "user_id", "ts_us", window=100,
+                agg_cols={"value": "sum"},
+            ).collect()
+        }
+        assert len(out) == 4
+        assert out[1]["win_n"] == 2 and out[1]["win_sum_value"] == 6.0
+        assert out[2]["win_n"] == 1 and out[2]["win_sum_value"] == 1.0
+        assert out[3]["win_n"] == 0 and out[3]["win_sum_value"] is None
+        assert out[4]["win_n"] == 0
+
+    def test_exact_boundary_is_exclusive_lower_inclusive_upper(self, spark):
+        from datalake_indexes_spark.operators.events import range_join_binned
+
+        build = spark.createDataFrame(
+            [(1, 100, 1.0), (1, 200, 2.0)], "user_id long, ts_us long, value double"
+        )
+        probe = spark.createDataFrame(
+            [(1, 1, 200)], "event_id long, user_id long, ts_us long"
+        )
+        r = range_join_binned(
+            probe, build, "user_id", "ts_us", window=100, agg_cols={"value": "sum"}
+        ).collect()[0]
+        # ts=100 sits exactly at pts - window -> excluded; ts=200 included
+        assert r["win_n"] == 1 and r["win_sum_value"] == 2.0
+
+    def test_plans_as_equi_join(self, spark):
+        from datalake_indexes_spark.operators.events import range_join_binned
+
+        build = spark.createDataFrame(
+            [(1, 100, 1.0)], "user_id long, ts_us long, value double"
+        )
+        probe = spark.createDataFrame(
+            [(1, 1, 200)], "event_id long, user_id long, ts_us long"
+        )
+        plan = (
+            range_join_binned(probe, build, "user_id", "ts_us", window=100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the whole point: the range predicate must NOT degrade the join
+        # to a nested loop
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
