@@ -342,3 +342,93 @@ class TestRangeJoinBinned:
         # to a nested loop
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+class TestEventOpsRandomizedParity:
+    """Brute-force cross-checks on pseudo-random event sets — the fixed
+    fixtures pin semantics, these sweep the tie/boundary space."""
+
+    def _random_events(self, seed: int, n: int = 120):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            rows.append(
+                (
+                    i,
+                    rng.randint(1, 5),            # user
+                    rng.randint(0, 40) * 25,      # coarse ts grid -> many ties
+                    rng.choice(["click", "purchase"]),
+                    float(rng.randint(1, 9)),
+                )
+            )
+        return rows
+
+    def test_asof_matches_bruteforce(self, spark):
+        from datalake_indexes_spark.operators.events import asof_join
+
+        for seed in (7, 23, 99):
+            rows = self._random_events(seed)
+            ev = spark.createDataFrame(
+                rows,
+                "event_id long, user_id long, ts_us long, event_type string, value double",
+            )
+            probe = ev.filter(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts_us"
+            )
+            build = ev.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts_us", "value"
+            )
+            got = {
+                r["event_id"]: r["asof_event_id"]
+                for r in asof_join(
+                    probe, build, "user_id", "ts_us", ["event_id"], "event_id"
+                ).collect()
+            }
+            builds = [r for r in rows if r[3] == "purchase"]
+            for eid, uid, ts, typ, _ in rows:
+                if typ != "click":
+                    continue
+                cand = [b for b in builds if b[1] == uid and b[2] <= ts]
+                want = (
+                    max(cand, key=lambda b: (b[2], b[0]))[0] if cand else None
+                )
+                assert got[eid] == want, (seed, eid)
+
+    def test_range_join_matches_bruteforce(self, spark):
+        from datalake_indexes_spark.operators.events import range_join_binned
+
+        window = 100
+        for seed in (11, 42):
+            rows = self._random_events(seed)
+            ev = spark.createDataFrame(
+                rows,
+                "event_id long, user_id long, ts_us long, event_type string, value double",
+            )
+            probe = ev.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts_us"
+            )
+            build = ev.filter(F.col("event_type") == "click").select(
+                "user_id", "ts_us", "value"
+            )
+            got = {
+                r["event_id"]: (r["win_n"], r["win_sum_value"])
+                for r in range_join_binned(
+                    probe, build, "user_id", "ts_us", window,
+                    agg_cols={"value": "sum"},
+                ).collect()
+            }
+            clicks = [r for r in rows if r[3] == "click"]
+            for eid, uid, ts, typ, _ in rows:
+                if typ != "purchase":
+                    continue
+                hits = [
+                    c for c in clicks
+                    if c[1] == uid and ts - window < c[2] <= ts
+                ]
+                want_n = len(hits)
+                want_sum = sum(c[4] for c in hits) if hits else None
+                assert got[eid][0] == want_n, (seed, eid)
+                assert got[eid][1] == want_sum, (seed, eid)
