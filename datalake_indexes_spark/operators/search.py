@@ -62,7 +62,14 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("double").alias("__tf"), F.first("__dl").alias("__dl"))
     )
     df_ = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    return _bm25_rank(tf, df_, stats, k=k, k1=k1, b=b)
 
+
+def _bm25_rank(
+    tf: DataFrame, df_: DataFrame, stats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared BM25 scoring tail: (doc_id, __term, __tf, __dl) x per-term
+    __df x 1-row (__n, __avgdl) -> ranked top-k."""
     scored = (
         tf.join(F.broadcast(df_), "__term")
         .crossJoin(F.broadcast(stats))
@@ -124,3 +131,92 @@ def tfidf_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", F.round("__score", 4).alias("score"), "rank"
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> None:
+    """Materialize the document inverted index for repeated keyword
+    queries: ``postings`` = (term, doc_id, tf, dl) repartitioned by term
+    and SORTED by term within partitions — a term probe prunes row groups
+    via parquet min/max statistics, the same layout discipline the cell
+    index uses for token probes — plus the per-term document-frequency
+    table and the 1-row corpus stats (N, avgdl).
+
+    Offline-build / online-probe lifecycle: the full-corpus explode and
+    the (doc, term) aggregate are paid ONCE here; every subsequent query
+    reads only the probed terms' row groups and never touches raw text.
+    """
+    import os
+
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("__w"),
+        F.size(words).cast("double").alias("dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("__w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    n_part = n_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    (
+        tf.repartition(n_part, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "df"))
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 against a :func:`build_text_index` structure — identical
+    results to :func:`bm25_topk` (shares its oracle), but the corpus side
+    is an IN-list probe of the postings parquet (PushedFilters on term;
+    row groups outside the probed terms are skipped via the sorted
+    layout), so query cost scales with posting-list length, not corpus
+    size."""
+    import os
+
+    terms = sorted(set(query_terms))
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "doc_id",
+            F.col("term").alias("__term"),
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+    )
+    df_ = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("term").isin(terms))
+        .select(F.col("term").alias("__term"), F.col("df").alias("__df"))
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats")).select(
+        F.col("n").alias("__n"), F.col("avgdl").alias("__avgdl")
+    )
+    return _bm25_rank(postings, df_, stats, k=k, k1=k1, b=b)

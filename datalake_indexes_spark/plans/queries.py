@@ -855,6 +855,29 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=10)
 
 
+_TEXT_INDEX_DIRS: dict[str, str] = {}
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED inverted-index path: postings written term-sorted
+    (build_text_index), probes push an IN-list filter to the scan — must
+    produce the same rows as the inline bm25_topk, so it shares that
+    oracle."""
+    import tempfile
+
+    from datalake_indexes_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _TEXT_INDEX_DIRS:
+        d = tempfile.mkdtemp(prefix="textidx_")
+        build_text_index(_docs(spark, sf_dir), d)
+        _TEXT_INDEX_DIRS[key] = d
+    return bm25_topk_indexed(spark, _TEXT_INDEX_DIRS[key], BM25_QUERY_TERMS, k=10)
+
+
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with ts normalized to BIGINT microseconds (the testdata's
     TIMESTAMP(NANOS) reads as nanos-long under the legacy conf)."""
@@ -1011,6 +1034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
     "events_range_join": q_events_range_join,
+    "bm25_indexed": q_bm25_indexed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1112,4 +1136,6 @@ WHERE rn = 1
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
     "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),
     "events_range_join": oracle.events_range_join_sql(window_us=RANGE_JOIN_WINDOW_US),
+    # identical contract to the inline path — same oracle
+    "bm25_indexed": oracle.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
 }

@@ -223,3 +223,24 @@ def test_asof_join_single_shuffle_no_expansion(spark):
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                     "BroadcastNestedLoopJoin"):
         assert join_op not in plan
+
+
+def test_bm25_indexed_pushes_term_filter_to_scan(spark, tmp_path):
+    """The postings probe must reach the parquet reader as an IN-list
+    PushedFilter — reading all terms for a 3-term query defeats the
+    index."""
+    from datalake_indexes_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark join window alpha beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "tidx")
+    build_text_index(docs, d)
+    plan = _plan(bm25_topk_indexed(spark, d, ["spark", "join"], k=5))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "In(term" in pushed.replace(" ", "") or "EqualTo(term" in pushed.replace(" ", "")
