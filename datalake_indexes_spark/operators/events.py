@@ -144,3 +144,58 @@ def range_join_binned(
         *[F.col(f"__prow.{c}").alias(c) for c in probe.columns],
         *[c for c in out.columns if c.startswith(prefix)],
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """N-step funnel analysis: for every key, the earliest timestamp of
+    step 1, then the earliest step-2 event AT OR AFTER it, and so on —
+    the standard product-analytics conversion sequence ("viewed, then
+    clicked, then purchased, in that order").
+
+    (key, step1_us, step2_us, ..., depth): per-step first-reach times
+    (-1 sentinel once the chain breaks) and how many steps were reached.
+
+    Scale shape: one conditional min-aggregate per step, each keyed by
+    ``key_col`` (uniform), with the previous step's result broadcast-
+    joined back — N-1 small joins, no windows over the event stream and
+    no self-join of events against events.  len(steps) is a constant
+    (3-6 in practice), so the plan depth is bounded.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.min(ts_col).alias("step1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts"))
+            # no broadcast hint: the reached-set is user-cardinality (can
+            # be huge); the equi-join shuffles uniformly on the key and
+            # AQE downgrades it to broadcast when it IS small
+            .join(reached.select("__k", f"step{i - 1}_us"), "__k")
+            .filter(F.col("__ts") >= F.col(f"step{i - 1}_us"))
+            .groupBy("__k")
+            .agg(F.min("__ts").alias(f"step{i}_us"))
+        )
+        reached = reached.join(nxt, "__k", "left")
+    depth = sum(
+        F.when(F.col(f"step{i}_us").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return reached.select(
+        F.col("__k").alias(key_col),
+        *[
+            F.coalesce(F.col(f"step{i}_us"), F.lit(-1)).cast("long").alias(f"step{i}_us")
+            for i in range(1, len(steps) + 1)
+        ],
+        depth.cast("int").alias("depth"),
+    )

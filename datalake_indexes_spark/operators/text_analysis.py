@@ -461,3 +461,58 @@ def chunk_documents(
             F.array_join("__w", " ").alias("chunk_text"),
         )
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary statistics: the ``k`` most frequent words with
+    total occurrences and document frequency — the tokenizer-training /
+    corpus-inspection view.  (word, total_count, doc_freq, rank).
+
+    Two partial-combine aggregates ((doc, word) then word) and a
+    distributed TakeOrdered top-k; ties rank lexicographically.
+    """
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = per_doc.groupBy("word").agg(
+        F.sum("__c").cast("long").alias("total_count"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    from pyspark.sql import Window
+
+    topk = totals.orderBy(F.desc("total_count"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("total_count"), F.asc("word"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "word", "total_count", "doc_freq", "rank"
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — membership is the same
+    pure md5(id) bucket rule as :func:`stratified_sample`, so the split is
+    identical on every engine, run, and partitioning (and survives
+    re-shards of the corpus, which a row-position split does not).
+
+    (doc_id, split).  Weights must sum to 1; boundaries are cumulative
+    bucket thresholds out of 10000."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10000
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.select(F.col(id_col).alias("doc_id"), split.alias("split"))

@@ -1629,3 +1629,74 @@ FROM p LEFT JOIN b
  AND b.ts_us <= p.ts_us
 GROUP BY p.event_id, p.user_id, p.ts_us
 """
+
+
+def events_funnel_sql(steps: list[str]) -> str:
+    """Funnel twin: chained conditional-min CTEs, -1 sentinels, depth =
+    reached step count."""
+    ctes = [
+        f"""s1 AS (
+  SELECT user_id, min(ts_us) AS step1_us
+  FROM e WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT user_id, min(ts_us) AS step{i}_us
+  FROM e JOIN s{i - 1} USING (user_id)
+  WHERE event_type = '{step}' AND ts_us >= step{i - 1}_us
+  GROUP BY user_id
+)"""
+        )
+    n = len(steps)
+    sel = ["s1.user_id", "s1.step1_us"]
+    depth = ["1"]
+    joins = []
+    for i in range(2, n + 1):
+        sel.append(f"CAST(coalesce(s{i}.step{i}_us, -1) AS BIGINT) AS step{i}_us")
+        depth.append(f"CASE WHEN s{i}.step{i}_us IS NOT NULL THEN 1 ELSE 0 END")
+        joins.append(f"LEFT JOIN s{i} USING (user_id)")
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+{', '.join(ctes)}
+SELECT {', '.join(sel)}, CAST({' + '.join(depth)} AS INT) AS depth
+FROM s1 {' '.join(joins)}
+"""
+
+
+def vocab_topk_sql(k: int = 50) -> str:
+    return f"""
+WITH pd AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+t AS (
+  SELECT word, CAST(sum(c) AS BIGINT) AS total_count,
+         CAST(count(*) AS BIGINT) AS doc_freq
+  FROM pd GROUP BY word
+)
+SELECT word, total_count, doc_freq, rank
+FROM (SELECT *, CAST(row_number() OVER (ORDER BY total_count DESC, word) AS INT) AS rank
+      FROM t)
+WHERE rank <= {k}
+"""
+
+
+def corpus_split_sql(weights: dict[str, float] | None = None) -> str:
+    """hash_split twin: same md5 bucket rule and cumulative boundaries."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN bucket < {int(round(acc * 10000))} THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+"""

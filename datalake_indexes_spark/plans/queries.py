@@ -946,6 +946,30 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step conversion funnel (view -> click -> purchase) with
+    first-reach times per user."""
+    from datalake_indexes_spark.operators.events import funnel
+
+    return funnel(_events_us(spark, sf_dir), FUNNEL_STEPS)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_indexes_spark.operators.text_analysis import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id)."""
+    from datalake_indexes_spark.operators.text_analysis import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import semantic_dedup
 
@@ -1035,6 +1059,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_chunk": q_corpus_chunk,
     "events_range_join": q_events_range_join,
     "bm25_indexed": q_bm25_indexed,
+    "events_funnel": q_events_funnel,
+    "vocab_topk": q_vocab_topk,
+    "corpus_split": q_corpus_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1138,4 +1165,7 @@ WHERE rn = 1
     "events_range_join": oracle.events_range_join_sql(window_us=RANGE_JOIN_WINDOW_US),
     # identical contract to the inline path — same oracle
     "bm25_indexed": oracle.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
+    "events_funnel": oracle.events_funnel_sql(FUNNEL_STEPS),
+    "vocab_topk": oracle.vocab_topk_sql(k=50),
+    "corpus_split": oracle.corpus_split_sql(),
 }

@@ -432,3 +432,72 @@ class TestEventOpsRandomizedParity:
                 want_sum = sum(c[4] for c in hits) if hits else None
                 assert got[eid][0] == want_n, (seed, eid)
                 assert got[eid][1] == want_sum, (seed, eid)
+
+
+@pytest.mark.spark
+class TestFunnel:
+    def test_ordering_required(self, spark):
+        from datalake_indexes_spark.operators.events import funnel
+
+        rows = [
+            # user 1: full ordered funnel
+            (1, 1, 100, "view", 0.0), (2, 1, 200, "click", 0.0), (3, 1, 300, "purchase", 0.0),
+            # user 2: purchase BEFORE click -> depth 2 only
+            (4, 2, 100, "view", 0.0), (5, 2, 300, "click", 0.0), (6, 2, 200, "purchase", 0.0),
+            # user 3: never viewed -> absent from the funnel
+            (7, 3, 100, "click", 0.0),
+            # user 4: view only
+            (8, 4, 100, "view", 0.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long, event_type string, value double"
+        )
+        out = {r["user_id"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+        assert set(out) == {1, 2, 4}
+        assert out[1]["depth"] == 3 and out[1]["step3_us"] == 300
+        assert out[2]["depth"] == 2 and out[2]["step3_us"] == -1
+        assert out[4]["depth"] == 1 and out[4]["step2_us"] == -1
+
+    def test_same_ts_step_counts(self, spark):
+        from datalake_indexes_spark.operators.events import funnel
+
+        ev = spark.createDataFrame(
+            [(1, 1, 100, "view", 0.0), (2, 1, 100, "click", 0.0)],
+            "event_id long, user_id long, ts_us long, event_type string, value double",
+        )
+        r = funnel(ev, ["view", "click"]).collect()[0]
+        assert r["depth"] == 2 and r["step2_us"] == 100  # >= is inclusive
+
+
+@pytest.mark.spark
+class TestVocabAndSplit:
+    def test_vocab_counts(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import vocab_topk
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+        )
+        out = {r["word"]: r for r in vocab_topk(docs, k=10).collect()}
+        assert out["a"]["total_count"] == 3 and out["a"]["doc_freq"] == 2
+        assert out["a"]["rank"] == 1
+        assert out["b"]["total_count"] == 1
+
+    def test_split_is_total_and_deterministic(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import hash_split
+
+        docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        out1 = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+        out2 = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+        assert out1 == out2 and len(out1) == 500
+        from collections import Counter
+
+        c = Counter(out1.values())
+        assert set(c) == {"train", "val", "test"}
+        assert 0.7 < c["train"] / 500 < 0.9  # ~80%
+
+    def test_split_rejects_bad_weights(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import hash_split
+
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError):
+            hash_split(docs, {"train": 0.5, "test": 0.3})
