@@ -339,13 +339,19 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
-    per_doc = sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    overlaps = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    # ONE corpus explode + ONE per-doc aggregate: the broadcast left join
+    # tags benchmark hits, count(tag) counts them — computing counts and
+    # overlaps from separate `sh` consumers would re-shingle the corpus.
+    flagged = sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(True))), "shingle", "left"
+    )
+    counts = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_overlap"),
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(counts, "doc_id", "left")
-        .join(overlaps, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
