@@ -501,3 +501,73 @@ class TestVocabAndSplit:
         docs = spark.createDataFrame([(1,)], "doc_id long")
         with pytest.raises(ValueError):
             hash_split(docs, {"train": 0.5, "test": 0.3})
+
+
+@pytest.mark.spark
+class TestEdgeCases:
+    """Degenerate inputs the driver or a user can always produce."""
+
+    def test_decontaminate_empty_benchmark(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import decontaminate
+
+        docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        bench = docs.filter(F.col("doc_id") < 0)
+        out = decontaminate(docs, bench, n=5).collect()
+        assert len(out) == 1 and out[0]["n_overlap"] == 0
+        assert not out[0]["contaminated"]
+
+    def test_bm25_terms_absent_from_corpus(self, spark):
+        from datalake_indexes_spark.operators.search import bm25_topk
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        assert bm25_topk(docs, ["zzz"], k=5).count() == 0
+
+    def test_funnel_missing_step_type(self, spark):
+        from datalake_indexes_spark.operators.events import funnel
+
+        ev = spark.createDataFrame(
+            [(1, 1, 100, "view", 0.0)],
+            "event_id long, user_id long, ts_us long, event_type string, value double",
+        )
+        r = funnel(ev, ["view", "purchase"]).collect()[0]
+        assert r["depth"] == 1 and r["step2_us"] == -1
+
+    def test_semantic_dedup_fewer_vectors_than_centroids(self, spark):
+        from datalake_indexes_spark.operators.similarity import semantic_dedup
+
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        out = semantic_dedup(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            n_centroids=16,
+            threshold=0.9,
+        ).collect()
+        assert len(out) == 2 and all(r["kept"] for r in out)
+
+    def test_chunk_single_word_doc(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import chunk_documents
+
+        docs = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+        assert len(out) == 1 and out[0]["n_chunk_tokens"] == 1
+
+    def test_range_join_empty_build(self, spark):
+        from datalake_indexes_spark.operators.events import range_join_binned
+
+        probe = spark.createDataFrame(
+            [(1, 1, 100)], "event_id long, user_id long, ts_us long"
+        )
+        build = spark.createDataFrame(
+            [], "user_id long, ts_us long, value double"
+        )
+        r = range_join_binned(
+            probe, build, "user_id", "ts_us", 100, agg_cols={"value": "sum"}
+        ).collect()
+        assert len(r) == 1 and r[0]["win_n"] == 0
+
+    def test_temperature_mix_single_stratum(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import temperature_mix
+
+        docs = spark.createDataFrame(
+            [(i, "en") for i in range(10)], "doc_id long, lang string"
+        )
+        assert temperature_mix(docs, alpha=1.0).count() == 10  # r == 1 everywhere
