@@ -117,3 +117,48 @@ def test_box_query_pruning_beats_linear_sort(spark):
         assert sum(z_all) < sum(l_all), (z_all, l_all)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_interleave_fuzz_against_python_reference(spark):
+    import random
+
+    rng = random.Random(1234)
+    bits = 14
+    rows = [
+        (rng.randint(0, (1 << bits) - 1), rng.randint(0, (1 << bits) - 1))
+        for _ in range(300)
+    ]
+
+    def ref(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=bits).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == ref(x, y), (x, y)
+
+
+@pytest.mark.spark
+def test_interleave_three_columns(spark):
+    df = spark.createDataFrame([(1, 1, 1), (2, 0, 4)], "x long, y long, w long")
+    out = {
+        (r["x"], r["y"], r["w"]): r["z"]
+        for r in df.select(
+            "x", "y", "w",
+            interleave_bits([F.col("x"), F.col("y"), F.col("w")], bits=3).alias("z"),
+        ).collect()
+    }
+    # (1,1,1) -> bits at positions 0,1,2 -> 0b111 = 7
+    assert out[(1, 1, 1)] == 7
+    # x=2 -> bit1 of x at pos 3*1+0 = 3 -> 8; w=4 -> bit2 of w at 3*2+2 = 8 -> 256
+    assert out[(2, 0, 4)] == 8 + 256
