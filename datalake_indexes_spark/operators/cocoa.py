@@ -341,3 +341,50 @@ def column_profiles(index) -> "DataFrame":
             ).alias("median_val"),
         )
     )
+
+
+def column_profiles_approx(
+    index,
+    accuracy: int = 10_000,
+    rsd: float = 0.05,
+) -> "DataFrame":
+    """Sketch-based lake profiling — the 100 TB path next to the exact
+    :func:`column_profiles`.
+
+    Exact ``count_distinct`` and exact ``percentile`` are the two
+    aggregates in the exact profiler that do NOT scale: both materialize
+    per-group state proportional to the number of distinct values (the
+    distinct-count shuffle carries every distinct token; the exact
+    percentile buffers every value).  This variant swaps them for
+    Spark's mergeable sketches at fixed memory per column:
+
+    - ``approx_count_distinct`` (HyperLogLog++, relative std dev ``rsd``),
+    - ``approx_percentile`` (Greenwald-Khanna, rank error n/``accuracy``),
+
+    keeping the exact count/null/min/max aggregates unchanged.  Sketches
+    merge associatively, so the plan is still one map-side-combined
+    aggregation pass.  Error contracts are pinned by
+    ``tests/test_approx_profiles.py`` against the exact profiler; results
+    are partitioning-dependent in general, which is why this variant is
+    test-graded rather than oracle-hashed."""
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    cells = index.cells.join(F.broadcast(flags), ["table_id", "col_id"])
+    val = F.when(F.col("is_numeric"), _num_value(F.col("tokenized")))
+    nullish = F.col("tokenized").isin("", "nan")
+    return (
+        cells.groupBy("table_id", "col_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(nullish.cast("long")).alias("n_null"),
+            F.approx_count_distinct("tokenized", rsd).alias("n_distinct_approx"),
+            F.first("is_numeric").alias("is_numeric"),
+            F.coalesce(F.round(F.min(val), 6), F.lit(float("nan"))).alias("min_val"),
+            F.coalesce(F.round(F.max(val), 6), F.lit(float("nan"))).alias("max_val"),
+            F.coalesce(
+                F.round(
+                    F.percentile_approx(val, F.lit(0.5), F.lit(accuracy)), 6
+                ),
+                F.lit(float("nan")),
+            ).alias("median_approx"),
+        )
+    )
