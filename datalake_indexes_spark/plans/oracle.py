@@ -1700,3 +1700,65 @@ FROM (
   FROM documents
 )
 """
+
+
+def corpus_prep_v2_sql(
+    quality_threshold: float = 0.55,
+    repetition_cap: float = 0.2,
+    token_budget: int = 2048,
+    modulus: int = 17,
+    n: int = 5,
+    min_overlap: int = 3,
+) -> str:
+    """Curation-v2 twin: held-out benchmark, quality/repetition filters,
+    corpus-only earliest-keep dedup, decontamination, train split, PII
+    scrub, packing prefix sum."""
+    from datalake_indexes_spark.operators.text_analysis import PII_PATTERNS
+
+    email, e_rep = PII_PATTERNS["email"]
+    ipv4, i_rep = PII_PATTERNS["ipv4"]
+    phone, p_rep = PII_PATTERNS["phone"]
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(d.text, "
+        f"'{email}', '{e_rep}', 'g'), '{ipv4}', '{i_rep}', 'g'), "
+        f"'{phone}', '{p_rep}', 'g')"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM ({text_quality_sql()}) WHERE quality_score >= {quality_threshold}
+),
+r AS (
+  SELECT doc_id FROM ({text_repetition_sql()}) WHERE top_bigram_frac <= {repetition_cap}
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  WHERE doc_id % {modulus} <> 0 GROUP BY md5(text)
+),
+clean AS (
+  SELECT doc_id FROM ({decontaminate_sql(n, min_overlap, modulus)})
+  WHERE NOT contaminated
+),
+train AS (
+  SELECT doc_id FROM ({corpus_split_sql()}) WHERE split = 'train'
+),
+surv AS (
+  SELECT d.doc_id, {scrub} AS text
+  FROM documents d
+  JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN keep USING (doc_id)
+  JOIN clean USING (doc_id) JOIN train USING (doc_id)
+  WHERE d.doc_id % {modulus} <> 0
+),
+t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM surv
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(prior // {token_budget} AS BIGINT) AS pack_id,
+       CAST(prior % {token_budget} AS BIGINT) AS pack_offset
+FROM c
+"""

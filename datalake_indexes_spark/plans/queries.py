@@ -659,6 +659,51 @@ def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(scrubbed, token_budget=2048)
 
 
+def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v2 — the round-5 composition: benchmark held out entirely
+    (doc_id % 17 == 0 is the eval set), then quality filter → repetition
+    filter → exact dedup → DECONTAMINATION against the held-out set →
+    train-split selection → PII scrub → packing.  Output: the train-split
+    pack manifest."""
+    from datalake_indexes_spark.operators.dedup import exact_duplicate_groups
+    from datalake_indexes_spark.operators.text_analysis import (
+        decontaminate,
+        hash_split,
+        pack_sequences,
+        pii_scrub,
+        quality_scores,
+        repetition_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MODULUS == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_MODULUS != 0)
+    q_ok = quality_scores(corpus).filter(F.col("quality_score") >= 0.55).select("doc_id")
+    r_ok = (
+        repetition_scores(corpus)
+        .filter(F.col("top_bigram_frac") <= 0.2)
+        .select("doc_id")
+    )
+    keep = exact_duplicate_groups(corpus).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    clean = (
+        decontaminate(corpus, bench, n=5, min_overlap=3)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    train = hash_split(corpus).filter(F.col("split") == "train").select("doc_id")
+    # doc_id-keyed semi joins, no broadcast hints (survivor sets are
+    # O(corpus) — same reasoning as corpus_prep_full)
+    survivors = corpus
+    for s in (q_ok, r_ok, keep, clean, train):
+        survivors = survivors.join(s, "doc_id", "left_semi")
+    scrubbed = pii_scrub(survivors).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    return pack_sequences(scrubbed, token_budget=2048)
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import token_counts
 
@@ -1038,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_full": q_corpus_prep_full,
+    "corpus_prep_v2": q_corpus_prep_v2,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1141,6 +1187,7 @@ WHERE rn = 1
     "ann_lsh_topk": oracle.ann_lsh_topk_sql(k=5, n_queries=10, n_planes=6, dim=64),
     "corpus_prep": oracle.corpus_prep_sql(),
     "corpus_prep_full": oracle.corpus_prep_full_sql(),
+    "corpus_prep_v2": oracle.corpus_prep_v2_sql(modulus=DECONTAM_MODULUS),
     "text_token_counts": oracle.text_token_counts_sql(),
     "text_quality": oracle.text_quality_sql(),
     "text_langid": oracle.text_langid_sql(),
