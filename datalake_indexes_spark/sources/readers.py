@@ -75,6 +75,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".parquet":
         return spark.read.parquet(path)
+    if ext == ".orc":
+        return spark.read.orc(path)
     if ext == ".json":
         return spark.read.json(path)
     if ext in (".tsv",):

@@ -70,3 +70,16 @@ def test_arff(spark, lake_dir):
 def test_folder_ingestion_quarantines_bad_files(spark, lake_dir):
     tables = read_lake_folder(spark, lake_dir)
     assert set(tables) == {"comma", "semi", "tabbed", "objects", "weather"}
+
+
+@pytest.mark.spark
+def test_read_table_orc(spark, tmp_path):
+    from datalake_indexes_spark.sources.readers import read_table
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string"
+    )
+    path = str(tmp_path / "t.orc")
+    df.write.orc(path)
+    back = read_table(spark, path)
+    assert sorted(map(tuple, back.collect())) == [(1, "alpha"), (2, "beta")]
