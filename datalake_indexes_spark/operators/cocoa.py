@@ -388,3 +388,40 @@ def column_profiles_approx(
             ).alias("median_approx"),
         )
     )
+
+
+def column_top_values(index, k: int = 3, min_count: int = 2) -> "DataFrame":
+    """Per-column heavy hitters: the ``k`` most frequent cell tokens of
+    every lake column with their counts — the value-distribution half of
+    lake profiling (:func:`column_profiles` covers the moments).
+
+    (table_id, col_id, token, cnt, rank); count-desc, token-asc
+    tie-break.  ``min_count`` prunes tokens below the threshold BEFORE
+    the per-column ranking — at lake scale the distinct-token tail is
+    dominated by singletons, so this turns the ranking input from
+    "every distinct token of the column" into "only repeated tokens",
+    which is the heavy-hitter set by definition (columns whose tokens
+    are all unique report no rows, which is itself the profile answer).
+
+    Scale shape: one (table,col,token) count aggregate with map-side
+    combine, then a window partitioned by (table_id, col_id) over the
+    pruned counts — per-group work is bounded by the post-prune distinct
+    count, not the column's raw cardinality.  The sketch alternative
+    (count-min + per-partition heaps) trades exactness for memory and is
+    not needed while the prune holds.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        index.cells.groupBy("table_id", "col_id", F.col("tokenized").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("table_id", "col_id").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

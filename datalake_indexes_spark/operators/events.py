@@ -199,3 +199,32 @@ def funnel(
         ],
         depth.cast("int").alias("depth"),
     )
+
+
+def rollup_cube_agg(
+    events: DataFrame,
+    dims: list[str],
+    value_col: str = "value",
+    mode: str = "rollup",
+) -> DataFrame:
+    """OLAP rollup/cube over event dimensions: one output row per
+    grouping-set combination (``rollup`` = hierarchical prefixes,
+    ``cube`` = all subsets), each carrying ``grouping_id`` so consumers
+    can tell a real NULL dimension value from a rolled-up one — the
+    standard warehouse pre-aggregation surface (reference has no OLAP
+    layer; this is part of the analytics extension).
+
+    Scale shape: Spark plans rollup/cube as ONE Expand + one hash
+    aggregate — the input is scanned once and each row is expanded to its
+    len(dims)+1 (rollup) grouping sets BEFORE the shuffle, so partial
+    (map-side) aggregation still applies and the shuffle carries only
+    per-(grouping-set, key) partials.  No per-level re-scan, no union of
+    N aggregates.
+    """
+    grouped = events.rollup(*dims) if mode == "rollup" else events.cube(*dims)
+    return grouped.agg(
+        F.grouping_id().cast("int").alias("grouping_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+    )

@@ -133,6 +133,60 @@ def tfidf_topk(
     )
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_each: int = 20,
+    c: float = 60.0,
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: fuse the BM25 keyword
+    ranking with the exact-cosine vector ranking for one query
+    (``query_terms`` + the stored embedding of ``query_vec_id``) into
+    ``rrf_score = Σ_lists 1/(c + rank)`` and return the fused top-``k``.
+
+    RRF (Cormack et al., SIGIR'09) needs only the two rank lists, never
+    the incomparable raw scores — which is exactly what makes it the
+    standard fusion for lexical+vector stacks.  Scale shape: both inputs
+    are already distributed top-k operators that return ≤ ``k_each`` rows,
+    so the fusion itself is a k_each-vs-k_each full-outer join on the
+    driver-sized survivors — negligible next to the two retrievals, and
+    each retrieval keeps its own scale story (posting pushdown / IVF
+    pruning slot in transparently by swapping the list producers).
+
+    Documents absent from one list contribute 0 from that list (the
+    standard convention); ties break on doc_id.
+    """
+    from datalake_indexes_spark.operators.similarity import cosine_topk
+
+    kw = bm25_topk(docs, query_terms, k=k_each).select(
+        "doc_id", F.col("rank").cast("int").alias("__kw_rank")
+    )
+    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    vec = cosine_topk(embeddings, q, k=k_each, vec_col=vec_col, id_col=vec_id_col).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("__v_rank")
+    )
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "__rrf",
+            F.coalesce(1.0 / (F.lit(c) + F.col("__kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("__v_rank")), F.lit(0.0)),
+        )
+    )
+    topk = fused.orderBy(F.desc("__rrf"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("__rrf"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.round("__rrf", 6).alias("rrf_score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,

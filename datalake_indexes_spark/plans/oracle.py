@@ -1762,3 +1762,93 @@ SELECT doc_id, n_tokens,
        CAST(prior % {token_budget} AS BIGINT) AS pack_offset
 FROM c
 """
+
+
+def events_rollup_sql() -> str:
+    """OLAP rollup twin: GROUPING(a, b) uses the same bitmask convention
+    (last dim = least-significant bit) as Spark's grouping_id().  avg is
+    written sum/count on both engines so no engine-specific mean
+    summation order enters the hash."""
+    return """
+WITH ev AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         value
+  FROM events
+)
+SELECT event_type, window_start,
+       CAST(GROUPING(event_type, window_start) AS INT) AS grouping_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM ev GROUP BY ROLLUP (event_type, window_start)
+"""
+
+
+def column_top_values_sql(k: int = 3, min_count: int = 2) -> str:
+    """Heavy-hitter twin: per-column token counts pruned at min_count,
+    ranked count-desc / token-asc."""
+    return f"""
+WITH {cells_cte()},
+counts AS (
+  SELECT table_id, col_id, tokenized AS token, count(*) AS cnt
+  FROM cells GROUP BY table_id, col_id, tokenized
+  HAVING count(*) >= {min_count}
+)
+SELECT table_id, col_id, token, cnt,
+       CAST(row_number() OVER (PARTITION BY table_id, col_id
+                               ORDER BY cnt DESC, token) AS INT) AS rank
+FROM counts
+QUALIFY rank <= {k}
+"""
+
+
+def hybrid_rrf_sql(
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_each: int = 20,
+    c: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Reciprocal-rank-fusion twin: the BM25 rank list (same CTEs as the
+    bm25 oracle) full-outer-joined with the exact-cosine rank list for
+    the stored query embedding; rrf = Σ 1/(c + rank), absent lists
+    contribute 0; fused ties break on doc_id."""
+    return f"""
+WITH {_search_tf_ctes(terms)},
+kw_scored AS (
+  SELECT doc_id,
+         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * tf * ({k1} + 1.0)
+             / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+),
+kw AS (
+  SELECT doc_id, rnk AS kw_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+    FROM kw_scored)
+  WHERE rnk <= {k_each}
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+vec AS (
+  SELECT doc_id, rnk AS v_rank FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                      e.vec_id) AS rnk
+    FROM embeddings e, q WHERE e.vec_id != {query_vec_id})
+  WHERE rnk <= {k_each}
+),
+fused AS (
+  SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+         coalesce(1.0 / ({c} + kw.kw_rank), 0) + coalesce(1.0 / ({c} + vec.v_rank), 0) AS s
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, round(s, 6) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""

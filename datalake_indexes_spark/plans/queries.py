@@ -1037,6 +1037,47 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(_docs(spark, sf_dir), alpha=0.5, max_repeat=4.0)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup over (event_type, hour): totals per type+hour, per
+    type, and grand total in ONE Expand+aggregate pass."""
+    from datalake_indexes_spark.operators.events import rollup_cube_agg
+
+    _ensure_session_confs(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        hour_sec = (
+            F.expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * F.lit(3600)
+        )
+        window_start = F.from_unixtime(hour_sec, "yyyy-MM-dd HH:mm:ss")
+    else:
+        window_start = F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        )
+    dims = ev.select("event_type", window_start.alias("window_start"), "value")
+    return rollup_cube_agg(dims, ["event_type", "window_start"])
+
+
+def q_column_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column heavy hitters over the lake index."""
+    from datalake_indexes_spark.operators.cocoa import column_top_values
+
+    return column_top_values(testdata_index(spark, sf_dir, with_super_keys=False), k=3)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank fusion."""
+    from datalake_indexes_spark.operators.search import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir),
+        _embeddings(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        query_vec_id=0,
+        k=10,
+        k_each=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1108,6 +1149,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "vocab_topk": q_vocab_topk,
     "corpus_split": q_corpus_split,
+    "events_rollup": q_events_rollup,
+    "column_top_values": q_column_top_values,
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 ORACLES: dict[str, str] = {
@@ -1215,4 +1259,9 @@ WHERE rn = 1
     "events_funnel": oracle.events_funnel_sql(FUNNEL_STEPS),
     "vocab_topk": oracle.vocab_topk_sql(k=50),
     "corpus_split": oracle.corpus_split_sql(),
+    "events_rollup": oracle.events_rollup_sql(),
+    "column_top_values": oracle.column_top_values_sql(k=3, min_count=2),
+    "hybrid_rrf": oracle.hybrid_rrf_sql(
+        BM25_QUERY_TERMS, query_vec_id=0, k=10, k_each=20
+    ),
 }

@@ -1,0 +1,164 @@
+"""Unit semantics for the OLAP rollup/cube aggregate, per-column heavy
+hitters, and hybrid RRF retrieval fusion.  Hand-built frames with known
+ground truth; the DuckDB oracle gate covers the corpus-scale versions
+(`events_rollup`, `column_top_values`, `hybrid_rrf`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.spark
+class TestRollupCube:
+    def _ev(self, spark):
+        return spark.createDataFrame(
+            [
+                ("click", "h1", 1.0),
+                ("click", "h1", 2.0),
+                ("click", "h2", 3.0),
+                ("view", "h1", 5.0),
+            ],
+            "event_type string, window_start string, value double",
+        )
+
+    def test_rollup_levels(self, spark):
+        from datalake_indexes_spark.operators.events import rollup_cube_agg
+
+        out = rollup_cube_agg(self._ev(spark), ["event_type", "window_start"])
+        rows = {(r.event_type, r.window_start, r.grouping_id): r for r in out.collect()}
+        # leaf level
+        assert rows[("click", "h1", 0)].n_events == 2
+        assert rows[("click", "h1", 0)].sum_value == 3.0
+        # per-type level (window rolled up -> bit 0 set)
+        assert rows[("click", None, 1)].n_events == 3
+        assert rows[("click", None, 1)].sum_value == 6.0
+        # grand total (both rolled -> 3)
+        assert rows[(None, None, 3)].n_events == 4
+        assert rows[(None, None, 3)].sum_value == 11.0
+        # rollup emits NO (None, window) level — that's cube territory
+        assert not any(gid == 2 for (_, _, gid) in rows)
+
+    def test_cube_adds_cross_level(self, spark):
+        from datalake_indexes_spark.operators.events import rollup_cube_agg
+
+        out = rollup_cube_agg(
+            self._ev(spark), ["event_type", "window_start"], mode="cube"
+        )
+        rows = {(r.event_type, r.window_start, r.grouping_id): r for r in out.collect()}
+        assert rows[(None, "h1", 2)].n_events == 3  # h1 across types
+        assert rows[(None, None, 3)].n_events == 4
+
+    def test_each_level_sums_to_total(self, spark):
+        """Invariant: every rollup level partitions the input."""
+        from datalake_indexes_spark.operators.events import rollup_cube_agg
+
+        out = rollup_cube_agg(self._ev(spark), ["event_type", "window_start"]).collect()
+        for gid in (0, 1, 3):
+            assert sum(r.n_events for r in out if r.grouping_id == gid) == 4
+
+    def test_single_expand_plan(self, spark):
+        """The rollup is ONE Expand + aggregate — not a union of N scans."""
+        from datalake_indexes_spark.operators.events import rollup_cube_agg
+
+        plan = rollup_cube_agg(
+            self._ev(spark), ["event_type", "window_start"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Expand") == 1
+        assert "Union" not in plan
+
+
+@pytest.mark.spark
+class TestColumnTopValues:
+    def test_rank_and_prune(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.cocoa import column_top_values
+
+        cells = spark.createDataFrame(
+            # col 0: a x3, b x2, c x1 (pruned at min_count=2)
+            [(1, 0, i, t) for i, t in enumerate(["a", "a", "a", "b", "b", "c"])]
+            # col 1: all singletons -> no output rows at min_count=2
+            + [(1, 1, i, t) for i, t in enumerate(["x", "y", "z"])]
+            # tie on count: token asc breaks it
+            + [(2, 0, i, t) for i, t in enumerate(["q", "q", "p", "p"])],
+            "table_id int, col_id int, row_id int, tokenized string",
+        )
+        idx = LakeIndex(
+            cells=cells, row_keys=None, column_headers=None, table_info=None
+        )
+        out = column_top_values(idx, k=2, min_count=2).collect()
+        got = {(r.table_id, r.col_id, r.rank): (r.token, r.cnt) for r in out}
+        assert got[(1, 0, 1)] == ("a", 3)
+        assert got[(1, 0, 2)] == ("b", 2)
+        assert (1, 1, 1) not in got  # singleton column fully pruned
+        assert got[(2, 0, 1)] == ("p", 2)  # tie -> lexicographically first
+        assert got[(2, 0, 2)] == ("q", 2)
+        assert len(out) == 4
+
+
+@pytest.mark.spark
+class TestHybridRRF:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "spark join window spark"),  # strong keyword hit
+                (1, "spark nothing else"),
+                (2, "unrelated text entirely"),
+                (3, "join window join"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),  # closest to query 0
+                (2, [0.0, 1.0]),  # orthogonal
+                (3, [0.7, 0.3]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return docs, emb
+
+    def test_fusion_combines_both_lists(self, spark):
+        from datalake_indexes_spark.operators.search import hybrid_rrf_topk
+
+        docs, emb = self._fixture(spark)
+        out = hybrid_rrf_topk(
+            docs, emb, ["spark", "join", "window"], query_vec_id=0, k=4, k_each=3
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        # doc 1: present in BOTH lists -> two contributions
+        # doc 2: keyword miss AND weakest vector -> lowest score
+        assert by_id[1].rrf_score > by_id[2].rrf_score
+        # ranks are dense from 1
+        assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+    def test_keyword_only_doc_still_ranked(self, spark):
+        """Doc 0 is the query vector (self-excluded from the vector list)
+        but tops the keyword list — fusion must keep it."""
+        from datalake_indexes_spark.operators.search import hybrid_rrf_topk
+
+        docs, emb = self._fixture(spark)
+        out = hybrid_rrf_topk(
+            docs, emb, ["spark", "join", "window"], query_vec_id=0, k=4, k_each=3
+        ).collect()
+        assert 0 in {r.doc_id for r in out}
+
+    def test_rrf_score_formula(self, spark):
+        from datalake_indexes_spark.operators.search import bm25_topk, hybrid_rrf_topk
+        from datalake_indexes_spark.operators.similarity import cosine_topk
+
+        docs, emb = self._fixture(spark)
+        kw = {r.doc_id: r.rank for r in bm25_topk(docs, ["spark", "join", "window"], k=3).collect()}
+        vec = {
+            r.neighbor_id: r.rank
+            for r in cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+        }
+        out = hybrid_rrf_topk(
+            docs, emb, ["spark", "join", "window"], query_vec_id=0, k=4, k_each=3
+        ).collect()
+        for r in out:
+            expect = (1.0 / (60 + kw[r.doc_id]) if r.doc_id in kw else 0.0) + (
+                1.0 / (60 + vec[r.doc_id]) if r.doc_id in vec else 0.0
+            )
+            assert abs(r.rrf_score - expect) < 1e-6
