@@ -25,6 +25,24 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stage_swap(df: DataFrame, mpath: str) -> None:
+    """Crash-safe member rewrite: write to a staging dir (this executes
+    the plan, which may read the old files), rename the old dir aside,
+    publish, drop the backup — the same rename-aside discipline the
+    streaming sink's migrate_legacy uses, so no crash point loses data."""
+    import shutil
+
+    tmp, backup = mpath + ".__upserting", mpath + ".__old"
+    for stale in (tmp, backup):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(mpath, backup)
+    os.rename(tmp, mpath)
+    shutil.rmtree(backup)
 
 
 @dataclass
@@ -207,6 +225,143 @@ class LakeIndex:
             if path is not None:
                 writer = writer.option("path", os.path.join(path, name))
             writer.saveAsTable(f"{table_prefix}_{name}")
+
+    def upsert_into(self, path: str) -> list[int]:
+        """Partition-level MERGE of this (delta) index into a
+        :meth:`save` layout: ONLY the ``table_id`` partitions present in
+        the delta are rewritten — changed/new tables land, every other
+        table's files are untouched.  Returns the upserted table ids.
+
+        This is the maintenance path between per-batch streaming appends
+        (:mod:`..streaming.incremental`) and full rebuilds: re-ingesting
+        one changed lake table costs one table's write, not a lake
+        rewrite.  At 100 TB the distinction is the whole game — a daily
+        1% table churn becomes 1% of the write volume.
+
+        Mechanics:
+        - ``cells`` / ``row_keys``: Spark dynamic partition overwrite
+          (``partitionOverwriteMode=dynamic`` as a per-write option, no
+          session-level conf mutation) — the writer only replaces
+          partitions it produces, which is exactly the delta's table set.
+          Layout contract (partition by table_id, sort by tokenized
+          within) is preserved.
+        - per-table metadata (``column_headers``/``table_info``/
+          ``col_flags``): anti-join the delta's table ids out of the old
+          rows, union the delta's, stage-and-swap (write to a staging
+          dir, rename old aside, publish — the crash pattern the
+          streaming sink uses, so a crash never leaves a half-merged
+          member).
+        - ``token_stats`` (when present): maintained INCREMENTALLY for
+          its tracked tokens — subtract the replaced partitions' token
+          counts (read via partition pruning: only the delta's old
+          partitions are scanned), add the delta's.  Tokens that became
+          hot only through the delta are not discovered (top-N stats are
+          truncated); periodic rebuild rehydrates them — documented
+          approximation, bounded-work update.
+        """
+        if self.current_version(path) is not None:
+            raise ValueError(
+                "upsert_into targets the direct save() layout; versioned "
+                "indexes take whole snapshots via save_version()"
+            )
+        spark = self.cells.sparkSession
+        ids = [r.table_id for r in self.table_info.select("table_id").distinct().collect()]
+        if not ids:
+            return []
+
+        # token_stats maintenance FIRST — it reads the partitions the
+        # cells overwrite below replaces
+        stats_path = os.path.join(path, "token_stats")
+        new_stats = None
+        if os.path.isdir(stats_path):
+            old_part = spark.read.parquet(os.path.join(path, "cells")).filter(
+                F.col("table_id").isin(ids)
+            )
+            minus = old_part.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__minus"))
+            plus = self.cells.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__plus"))
+            stats = spark.read.parquet(stats_path)
+            new_stats = (
+                stats.join(minus, "tokenized", "left")
+                .join(plus, "tokenized", "left")
+                .select(
+                    "tokenized",
+                    (
+                        F.col("cnt")
+                        - F.coalesce("__minus", F.lit(0))
+                        + F.coalesce("__plus", F.lit(0))
+                    ).alias("cnt"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+
+        if new_stats is not None:
+            _stage_swap(new_stats, stats_path)
+
+        (
+            self.cells.repartition("table_id")
+            .sortWithinPartitions("tokenized")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("table_id")
+            .parquet(os.path.join(path, "cells"))
+        )
+        self.row_keys.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("table_id").parquet(os.path.join(path, "row_keys"))
+
+        for member, delta in (
+            ("column_headers", self.column_headers),
+            ("table_info", self.table_info),
+            ("col_flags", self.col_flags),
+        ):
+            mpath = os.path.join(path, member)
+            if delta is None or not os.path.isdir(mpath):
+                continue
+            old = spark.read.parquet(mpath).filter(~F.col("table_id").isin(ids))
+            _stage_swap(old.unionByName(delta.select(*old.columns)), mpath)
+        return ids
+
+    @classmethod
+    def delete_tables(cls, spark: SparkSession, path: str, ids: list[int]) -> None:
+        """The DELETE half of the MERGE surface: drop the given tables
+        from a :meth:`save` layout — partition directories removed
+        outright (no rewrite of surviving data), metadata members
+        filtered via stage-and-swap, tracked token counts decremented."""
+        import shutil
+
+        if cls.current_version(path) is not None:
+            raise ValueError("delete_tables targets the direct save() layout")
+        if not ids:
+            return
+
+        stats_path = os.path.join(path, "token_stats")
+        if os.path.isdir(stats_path):
+            gone = spark.read.parquet(os.path.join(path, "cells")).filter(
+                F.col("table_id").isin(ids)
+            )
+            minus = gone.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__minus"))
+            stats = spark.read.parquet(stats_path)
+            new_stats = (
+                stats.join(minus, "tokenized", "left")
+                .select(
+                    "tokenized",
+                    (F.col("cnt") - F.coalesce("__minus", F.lit(0))).alias("cnt"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+            _stage_swap(new_stats, stats_path)
+
+        for member in ("cells", "row_keys"):
+            for tid in ids:
+                shutil.rmtree(
+                    os.path.join(path, member, f"table_id={tid}"), ignore_errors=True
+                )
+        for member in ("column_headers", "table_info", "col_flags"):
+            mpath = os.path.join(path, member)
+            if not os.path.isdir(mpath):
+                continue
+            kept = spark.read.parquet(mpath).filter(~F.col("table_id").isin(ids))
+            _stage_swap(kept, mpath)
 
     @classmethod
     def load_bucketed(cls, spark: SparkSession, table_prefix: str) -> "LakeIndex":
