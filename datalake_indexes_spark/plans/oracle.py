@@ -1852,3 +1852,59 @@ SELECT doc_id, round(s, 6) AS rrf_score,
 FROM fused
 QUALIFY rank <= {k}
 """
+
+
+def ann_pq_topk_sql(
+    k: int = 5, n_queries: int = 10, m: int = 4, ksub: int = 16, dim: int = 64
+) -> str:
+    """Product-quantization ADC twin: same unit-normalization, same
+    seed codebooks (subvectors of the first ksub corpus vectors by id),
+    same L2 argmin encode (tie -> lowest code), same LUT-sum scoring —
+    Spark and DuckDB agree row-for-row on the PQ estimate."""
+    sub = dim // m
+    js = ", ".join(str(j) for j in range(m))
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+  FROM embeddings
+),
+js AS (SELECT unnest([{js}]) AS j),
+seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM u ORDER BY vec_id LIMIT {ksub}
+),
+books AS (
+  SELECT js.j, s.code, list_slice(s.v, js.j*{sub}+1, (js.j+1)*{sub}) AS centroid
+  FROM seeds s CROSS JOIN js
+),
+subv AS (
+  SELECT u.vec_id, js.j, list_slice(u.v, js.j*{sub}+1, (js.j+1)*{sub}) AS sv
+  FROM u CROSS JOIN js
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY list_distance(s.sv, b.centroid), b.code) AS rk
+    FROM subv s JOIN books b ON b.j = s.j
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT q.query_id, b.j, b.code,
+         list_dot_product(list_slice(q.qv, b.j*{sub}+1, (b.j+1)*{sub}), b.centroid) AS p
+  FROM q CROSS JOIN books b
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.p) AS est
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  WHERE c.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, round(est, 4) AS est_cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY est DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""

@@ -598,6 +598,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (unrefined deterministic codebooks
+    so the DuckDB twin replicates the codebook in closed form)."""
+    from datalake_indexes_spark.operators.similarity import pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=4, ksub=16)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pretraining corpus prep: quality-filter the documents, then
     drop near-duplicate copies (keep each cluster's representative) —
@@ -1122,6 +1131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_quantized_topk": q_ann_quantized_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_full": q_corpus_prep_full,
     "corpus_prep_v2": q_corpus_prep_v2,
@@ -1259,6 +1269,7 @@ WHERE rn = 1
     "events_funnel": oracle.events_funnel_sql(FUNNEL_STEPS),
     "vocab_topk": oracle.vocab_topk_sql(k=50),
     "corpus_split": oracle.corpus_split_sql(),
+    "ann_pq_topk": oracle.ann_pq_topk_sql(k=5, n_queries=10, m=4, ksub=16),
     "events_rollup": oracle.events_rollup_sql(),
     "column_top_values": oracle.column_top_values_sql(k=3, min_count=2),
     "hybrid_rrf": oracle.hybrid_rrf_sql(

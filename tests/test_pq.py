@@ -1,0 +1,112 @@
+"""Product quantization (operators/similarity.py pq_*): codebook shape,
+encode determinism/range, Lloyd refinement's monotone quantization-error
+contract, and ADC estimate sanity.  The DuckDB oracle key `ann_pq_topk`
+covers the cross-engine end-to-end result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.similarity import (
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+    with_unit_vec,
+)
+
+M, KSUB = 4, 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    rows = []
+    for i in range(120):
+        # deterministic pseudo-random 16-dim vectors with mild cluster
+        # structure (4 archetypes + per-dim wobble)
+        arch = i % 4
+        vec = [
+            math.sin(0.7 * arch * (d + 1)) + 0.05 * math.cos(1.3 * i * (d + 2))
+            for d in range(16)
+        ]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def _sub_mse(emb, books, m=M):
+    codes = pq_encode(emb, books, m=m)
+    u = with_unit_vec(emb).select("vec_id", F.col("__unit").alias("__v"))
+    sub = F.floor(F.size("__v") / m).cast("int")
+    sv = u.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("__v", sub * j + 1, sub) for j in range(m)])
+        ).alias("j", "__sv"),
+    )
+    err = (
+        sv.join(codes, ["vec_id", "j"])
+        .join(books, ["j", "code"])
+        .select(
+            F.aggregate(
+                F.zip_with("__sv", "centroid", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("e")
+        )
+    )
+    return err.agg(F.avg("e")).first()[0]
+
+
+def test_codebook_shape_and_determinism(spark, emb):
+    books = pq_codebooks(emb, m=M, ksub=KSUB)
+    rows = books.collect()
+    assert len(rows) == M * KSUB
+    assert {r.j for r in rows} == set(range(M))
+    assert {r.code for r in rows} == set(range(KSUB))
+    assert all(len(r.centroid) == 16 // M for r in rows)
+    again = pq_codebooks(emb, m=M, ksub=KSUB).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_encode_full_coverage_and_range(spark, emb):
+    books = pq_codebooks(emb, m=M, ksub=KSUB)
+    codes = pq_encode(emb, books, m=M)
+    assert codes.count() == 120 * M  # every (vector, subspace) coded
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= KSUB)).count()
+    assert bad == 0
+
+
+def test_refinement_monotonically_cuts_quantization_error(spark, emb):
+    mses = [
+        _sub_mse(emb, pq_codebooks(emb, m=M, ksub=KSUB, refine_iters=it))
+        for it in (0, 1, 3)
+    ]
+    # Lloyd: each (assign, re-mean) step can only lower the objective
+    assert mses[1] <= mses[0] + 1e-12
+    assert mses[2] <= mses[1] + 1e-12
+    assert mses[2] < mses[0]  # and it actually moves on clustered data
+
+
+def test_adc_topk_shape_and_self_exclusion(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(emb, q, k=3, m=M, ksub=KSUB, refine_iters=1).collect()
+    assert len(out) == 15
+    assert all(r.neighbor_id != r.query_id for r in out)
+    for qid in range(5):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3]
+
+
+def test_adc_estimate_tracks_true_cosine(spark, emb):
+    """On clustered data the refined PQ estimate must put same-archetype
+    vectors (true cosine ~1) ahead of other archetypes."""
+    q = emb.filter(F.col("vec_id") < 4)  # one query per archetype
+    out = pq_topk(emb, q, k=5, m=M, ksub=KSUB, refine_iters=2).collect()
+    hits = sum(
+        1
+        for r in out
+        if r.neighbor_id % 4 == r.query_id % 4  # same archetype
+    )
+    assert hits / len(out) > 0.9
