@@ -228,3 +228,77 @@ def rollup_cube_agg(
         F.round(F.sum(value_col), 2).alias("sum_value"),
         F.round(F.avg(value_col), 4).alias("avg_value"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention analysis: users are cohorted by their first-ever
+    activity period (day by default); for each (cohort, periods-since-
+    cohort) cell, how many of that cohort's users were active — the
+    standard product-analytics retention triangle.
+
+    (cohort_period, period_offset, n_active): period indices are integer
+    floor-divisions of the epoch (no calendar/timezone machinery, so the
+    arithmetic is engine-exact and oracle-checkable).
+
+    Scale shape: one min-aggregate keyed by user (uniform), one distinct
+    over (user, period) — both map-side-combinable — and one equi-join of
+    activity against the per-user cohort frame on the same user key (no
+    broadcast hint: user cardinality is unbounded; AQE downgrades when
+    small).  The output is cohort x offset — bounded by time², not data.
+    """
+    period = (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    activity = events.select(
+        F.col(key_col).alias("__k"), period.cast("long").alias("__p")
+    ).distinct()
+    cohorts = activity.groupBy("__k").agg(F.min("__p").alias("__c"))
+    return (
+        activity.join(cohorts, "__k")
+        .groupBy(
+            F.col("__c").alias("cohort_period"),
+            (F.col("__p") - F.col("__c")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def value_anomalies(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outliers: events whose value deviates more than
+    ``z_threshold`` population standard deviations from their group mean
+    (event_id, group, value, z) — the screening pass a metrics pipeline
+    runs before alerting/imputation.
+
+    Moments come from one sum/sum-of-squares aggregate (population
+    variance in closed form — both engines evaluate the identical
+    formula, keeping the oracle comparison deterministic), broadcast back
+    onto the scan: the events table is read once and never shuffled.
+    Zero-variance groups yield no anomalies by definition.
+    """
+    v = F.col(value_col).cast("double")
+    stats = events.groupBy(group_col).agg(
+        (F.sum(v) / F.count(v)).alias("__mean"),
+        F.sqrt(
+            F.sum(v * v) / F.count(v) - (F.sum(v) / F.count(v)) ** 2
+        ).alias("__std"),
+    )
+    z = (v - F.col("__mean")) / F.col("__std")
+    return (
+        events.join(F.broadcast(stats), group_col)
+        .filter((F.col("__std") > 0) & (F.abs(z) > z_threshold))
+        .select(
+            F.col(id_col).alias("event_id"),
+            F.col(group_col).alias("grp"),
+            v.alias("value"),
+            F.round(z, 3).alias("z"),
+        )
+    )

@@ -1908,3 +1908,38 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY est DESC, neighbor_id) AS rank FROM scored)
 WHERE rank <= {k}
 """
+
+
+def events_cohort_sql(period_us: int = 86_400_000_000) -> str:
+    """Cohort-retention twin: integer floor-division period indices over
+    epoch microseconds — no calendar machinery on either engine."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(epoch_us(ts) // {period_us} AS BIGINT) AS p
+  FROM events
+),
+coh AS (SELECT k, min(p) AS c FROM act GROUP BY k)
+SELECT c AS cohort_period, p - c AS period_offset, count(*) AS n_active
+FROM act JOIN coh USING (k)
+GROUP BY 1, 2
+"""
+
+
+def events_anomaly_sql(z_threshold: float = 2.5) -> str:
+    """Z-score outlier twin: population moments via the identical
+    sum/sum-of-squares closed form (no engine-native stddev, whose
+    summation strategy would differ)."""
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         sum(value) / count(value) AS m,
+         sqrt(sum(value * value) / count(value)
+              - (sum(value) / count(value)) * (sum(value) / count(value))) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type AS grp, CAST(e.value AS DOUBLE) AS value,
+       round((e.value - s.m) / s.sd, 3) AS z
+FROM events e JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > {z_threshold}
+"""

@@ -1087,6 +1087,20 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over events."""
+    from datalake_indexes_spark.operators.events import cohort_retention
+
+    return cohort_retention(_events_us(spark, sf_dir))
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5, population moments)."""
+    from datalake_indexes_spark.operators.events import value_anomalies
+
+    return value_anomalies(_events_us(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1162,6 +1176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "column_top_values": q_column_top_values,
     "hybrid_rrf": q_hybrid_rrf,
+    "events_cohort": q_events_cohort,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES: dict[str, str] = {
@@ -1275,4 +1291,6 @@ WHERE rn = 1
     "hybrid_rrf": oracle.hybrid_rrf_sql(
         BM25_QUERY_TERMS, query_vec_id=0, k=10, k_each=20
     ),
+    "events_cohort": oracle.events_cohort_sql(),
+    "events_anomaly": oracle.events_anomaly_sql(),
 }
