@@ -130,3 +130,77 @@ def connected_components(
             "node", F.coalesce("representative", F.col("node")).alias("representative")
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Distributed PageRank by power iteration — (node, rank), ranks
+    summing to 1.  The engine's join-graph analytics hook: feed it the
+    MATE joinability pairs (tables as nodes, joinable-with as edges) and
+    the rank orders tables by how central they are to the lake's join
+    structure — the "which tables matter" signal a discovery UI sorts by.
+
+    Semantics: standard damped PageRank with dangling-mass
+    redistribution (nodes without out-edges donate their rank uniformly),
+    so Σ rank = 1 holds every iteration (asserted in tests, not just in
+    the docstring).
+
+    Scale shape per iteration: contributions = edges ⋈ ranks on src
+    (both sides partitioned by the join key — one co-keyed shuffle that
+    AQE reuses round to round), summed per dst with map-side combine;
+    the dangling mass and N are scalar aggregates.  ``localCheckpoint``
+    every round truncates the iterative lineage exactly like
+    :func:`connected_components` — a fixed ``iters`` (10 reaches 1e-3
+    relative error on typical graphs) keeps the loop bounded; no
+    driver-side edge or rank collection anywhere.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # (src, dst, 1/deg) — static per-edge weight, checkpointed once
+    w = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
+    ).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            w.join(ranks, w.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("__w")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # dangling mass = total rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1943,3 +1943,50 @@ SELECT e.event_id, e.event_type AS grp, CAST(e.value AS DOUBLE) AS value,
 FROM events e JOIN s USING (event_type)
 WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > {z_threshold}
 """
+
+
+def graph_pagerank_sql(
+    damping: float = 0.85,
+    iters: int = 6,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """PageRank-over-the-near-dup-graph twin: the edge list is the
+    minhash-LSH pair query (reused verbatim as a subquery), symmetrized;
+    the power iteration is UNROLLED into ``iters`` chained CTEs — every
+    arithmetic step mirrors the Spark operator exactly (contribution =
+    rank * (1.0/deg), same association), and the symmetric graph has no
+    dangling nodes by construction so the dangling term is exactly 0 on
+    both engines."""
+    pairs = dedup_minhash_lsh_sql(k=k, bands=bands, threshold=threshold)
+    parts = [
+        f"WITH pairs AS (SELECT * FROM ({pairs}) __p)",
+        """edges AS (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         (1.0 - {damping}) / nn.n + {damping} * coalesce(c.s, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * (1.0 / dg.d)) AS s
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+{body}
+SELECT node AS doc_id, round(rank, 8) AS rank FROM r{iters}
+"""

@@ -1101,6 +1101,23 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_anomalies(_events_us(spark, sf_dir))
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate document graph (minhash-LSH pairs
+    symmetrized) — which documents sit central in duplication clusters."""
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
+    from datalake_indexes_spark.operators.graph import pagerank
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+    edges = pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    )
+    return pagerank(edges, damping=0.85, iters=6).select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1178,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "events_cohort": q_events_cohort,
     "events_anomaly": q_events_anomaly,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -1293,4 +1311,5 @@ WHERE rn = 1
     ),
     "events_cohort": oracle.events_cohort_sql(),
     "events_anomaly": oracle.events_anomaly_sql(),
+    "graph_pagerank": oracle.graph_pagerank_sql(damping=0.85, iters=6, threshold=0.7),
 }
