@@ -77,6 +77,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     if ext == ".orc":
         return spark.read.orc(path)
+    if ext == ".avro":
+        return read_avro(spark, path)
     if ext == ".json":
         return spark.read.json(path)
     if ext in (".tsv",):
@@ -119,3 +121,31 @@ def read_lake_folder(spark: SparkSession, folder: str) -> dict[str, DataFrame]:
     if errors:
         print(f"read_lake_folder: skipped {len(errors)} unreadable files: {errors[:5]}")
     return out
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Whether the spark-avro module is on the session's classpath.
+    Avro has been an EXTERNAL Spark module since 2.4 — clusters add
+    ``org.apache.spark:spark-avro_2.13:<version>`` via ``--packages``;
+    this container ships without it."""
+    try:
+        spark.read.format("avro").schema("x int").load(
+            "/nonexistent-avro-probe"
+        ).schema
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find data source: avro" not in str(e)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source (curated reader path, same dispatch tier as ORC).
+
+    Gated: raises a clear, actionable error when the external spark-avro
+    module is absent instead of Spark's generic deploy hint."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "Avro support needs the external spark-avro package on the "
+            "classpath (spark.jars.packages=org.apache.spark:spark-avro_"
+            "2.13:<spark-version>); it is not bundled in this environment"
+        )
+    return spark.read.format("avro").load(path)

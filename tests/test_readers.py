@@ -83,3 +83,20 @@ def test_read_table_orc(spark, tmp_path):
     df.write.orc(path)
     back = read_table(spark, path)
     assert sorted(map(tuple, back.collect())) == [(1, "alpha"), (2, "beta")]
+
+
+def test_avro_gated(spark, tmp_path):
+    """Avro is an external Spark module absent from this container: the
+    dispatch must fail with the actionable gate error, not Spark's
+    generic deploy hint.  (On a cluster with spark-avro the same path
+    reads the file — avro_available flips the gate.)"""
+    import pytest as _pytest
+
+    from datalake_indexes_spark.sources.readers import avro_available, read_table
+
+    p = tmp_path / "t.avro"
+    p.write_bytes(b"Obj\x01")  # header magic only; never reached when gated
+    if avro_available(spark):
+        _pytest.skip("spark-avro present in this environment")
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        read_table(spark, str(p))
