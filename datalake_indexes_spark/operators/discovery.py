@@ -1,0 +1,94 @@
+"""Inclusion-dependency discovery — which lake columns are (nearly)
+contained in which others, by distinct-value overlap.
+
+This is the schema-level discovery complement to MATE: MATE answers
+"which tables join with MY input"; inclusion dependencies answer "which
+column pairs across the WHOLE lake look like FK→PK edges" (the SPIDER /
+many-IND-discovery problem, D3L/Aurum territory).  A ≼ B at containment
+c means c of A's distinct values appear in B — candidate foreign keys,
+candidate unionable columns, lineage hints.
+
+Scale design: the self-join runs over PER-COLUMN DISTINCT tokens (each
+token contributes at most (#columns containing it)² pairs, not
+(#rows)²), and tokens present in more than ``max_token_cols`` columns
+are dropped BEFORE the join — stopword-like tokens ("0", "yes", "")
+appear in nearly every column, carry zero inclusion signal, and are
+exactly the keys that would quadratically blow up the pair space at a
+million-column lake.  The cap is the documented recall tradeoff (same
+discipline as the hot-shingle cap in n-gram dedup); everything after it
+is uniform: pair counting is a (colA, colB) aggregate with map-side
+combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inclusion_dependencies(
+    index,
+    min_distinct: int = 5,
+    min_containment: float = 0.8,
+    max_token_cols: int = 64,
+) -> DataFrame:
+    """(table_a, col_a, table_b, col_b, n_distinct_a, n_common,
+    containment): ordered pairs of distinct columns where at least
+    ``min_containment`` of A's distinct tokens also occur in B, A has at
+    least ``min_distinct`` distinct tokens, and same-table pairs are
+    excluded (intra-table dependencies are schema design, not
+    discovery)."""
+    dcells = (
+        index.cells.select("table_id", "col_id", "tokenized")
+        .distinct()
+    )
+    # token spread cap: stopword-ish tokens out before the pair join
+    spread = dcells.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__cols"))
+    capped = dcells.join(
+        spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
+        "tokenized",
+    )
+    # distinct counts over the SAME capped universe the pair counts use,
+    # so containment is a true fraction (capped tokens neither count as
+    # evidence nor dilute the denominator)
+    col_counts = capped.groupBy("table_id", "col_id").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tokenized") == F.col("b.tokenized"))
+            & (F.col("a.table_id") != F.col("b.table_id")),
+        )
+        .groupBy(
+            F.col("a.table_id").alias("table_a"),
+            F.col("a.col_id").alias("col_a"),
+            F.col("b.table_id").alias("table_b"),
+            F.col("b.col_id").alias("col_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    counts_a = col_counts.select(
+        F.col("table_id").alias("table_a"),
+        F.col("col_id").alias("col_a"),
+        "n_distinct",
+    )
+    return (
+        common.join(F.broadcast(counts_a), ["table_a", "col_a"])
+        .filter(F.col("n_distinct") >= min_distinct)
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("n_distinct"), 4),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            "table_a",
+            "col_a",
+            "table_b",
+            "col_b",
+            F.col("n_distinct").alias("n_distinct_a"),
+            "n_common",
+            "containment",
+        )
+    )

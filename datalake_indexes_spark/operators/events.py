@@ -302,3 +302,44 @@ def value_anomalies(
             F.round(z, 3).alias("z"),
         )
     )
+
+
+def rolling_features(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 3,
+) -> DataFrame:
+    """Per-key ordered time-series features — the feature-store
+    transform that turns an event stream into model inputs: previous
+    value (lag 1), trailing mean over the ``window_rows`` PRECEDING
+    events (current excluded — no label leakage), running max, and the
+    per-key event sequence number.
+
+    Ordering is (ts, event_id) — total and deterministic, so window
+    frames are engine-exact.  Scale shape: ONE shuffle keyed by
+    ``key_col`` (uniform user-cardinality), every feature from the same
+    sorted run — Spark evaluates all four windows in a single
+    WindowExec over one sort, no per-feature re-shuffle.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    trail = w.rowsBetween(-window_rows, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value_col).cast("double")
+    return events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts_us"),
+        v.alias("value"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        # NaN (not NULL) marks "no prior rows" — the package's cross-
+        # engine convention for undefined doubles (a pandas fetch
+        # collapses NULL to NaN anyway; see column_profiles)
+        F.coalesce(F.lag(v, 1).over(w), F.lit(float("nan"))).alias("prev_value"),
+        F.coalesce(
+            F.round(F.avg(v).over(trail), 4), F.lit(float("nan"))
+        ).alias("trail_mean"),
+        F.max(v).over(run).alias("run_max"),
+    )

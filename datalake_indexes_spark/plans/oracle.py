@@ -1990,3 +1990,76 @@ r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""",
 {body}
 SELECT node AS doc_id, round(rank, 8) AS rank FROM r{iters}
 """
+
+
+def events_rolling_sql(window_rows: int = 3) -> str:
+    """Rolling-feature twin: identical (key, ts, id) total ordering and
+    identical window frames — trailing mean excludes the current row on
+    both engines (no label leakage)."""
+    return f"""
+SELECT event_id,
+       user_id AS key,
+       epoch_us(ts) AS ts_us,
+       CAST(value AS DOUBLE) AS value,
+       row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS seq,
+       lag(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value,
+       round(avg(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING), 4) AS trail_mean,
+       max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+FROM events
+"""
+
+
+def lake_validate_sql(total_cap: float = 300_000.0) -> str:
+    """DQ-violation twin: same rule names, same NULL-is-violation row
+    semantics, same FK/existence anti-join semantics."""
+    return f"""
+SELECT 'customer_acctbal_nonneg' AS rule, CAST(c_custkey AS BIGINT) AS entity_id
+FROM customer WHERE NOT coalesce(c_acctbal >= 0, FALSE)
+UNION ALL
+SELECT 'order_total_under_cap' AS rule, CAST(o_orderkey AS BIGINT) AS entity_id
+FROM orders WHERE NOT coalesce(o_totalprice <= {total_cap}, FALSE)
+UNION ALL
+SELECT 'order_customer_exists' AS rule, CAST(o_orderkey AS BIGINT) AS entity_id
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'order_has_lineitems' AS rule, CAST(o_orderkey AS BIGINT) AS entity_id
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def inclusion_deps_sql(
+    min_distinct: int = 5,
+    min_containment: float = 0.8,
+    max_token_cols: int = 64,
+) -> str:
+    """Inclusion-dependency twin over the same capped distinct-token
+    universe."""
+    return f"""
+WITH {cells_cte()},
+d AS (SELECT DISTINCT table_id, col_id, tokenized FROM cells),
+spread AS (
+  SELECT tokenized FROM d GROUP BY tokenized HAVING count(*) <= {max_token_cols}
+),
+c AS (SELECT d.* FROM d JOIN spread USING (tokenized)),
+cc AS (SELECT table_id, col_id, count(*) AS n_distinct FROM c GROUP BY 1, 2),
+common AS (
+  SELECT a.table_id AS table_a, a.col_id AS col_a,
+         b.table_id AS table_b, b.col_id AS col_b,
+         count(*) AS n_common
+  FROM c a JOIN c b
+    ON a.tokenized = b.tokenized AND a.table_id != b.table_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT table_a, col_a, table_b, col_b,
+       cc.n_distinct AS n_distinct_a, n_common,
+       round(n_common / CAST(cc.n_distinct AS DOUBLE), 4) AS containment
+FROM common
+JOIN cc ON cc.table_id = common.table_a AND cc.col_id = common.col_a
+WHERE cc.n_distinct >= {min_distinct}
+  AND n_common / CAST(cc.n_distinct AS DOUBLE) >= {min_containment}
+"""

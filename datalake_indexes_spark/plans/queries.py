@@ -1118,6 +1118,58 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered rolling features (lag / trailing mean / running
+    max) — the feature-store transform."""
+    from datalake_indexes_spark.operators.events import rolling_features
+
+    return rolling_features(_events_us(spark, sf_dir))
+
+
+def q_lake_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ expectations over the lake: two row rules, an FK
+    check, and a coverage check, as one violations table (non-vacuous:
+    the acctbal / total-cap / has-lineitems rules all fire on the
+    testdata)."""
+    from datalake_indexes_spark.operators.validate import (
+        validate_existence,
+        validate_reference,
+        validate_rows,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "customer", "lineitem"])
+    rows = validate_rows(
+        t["customer"],
+        {"customer_acctbal_nonneg": F.col("c_acctbal") >= 0},
+        id_col="c_custkey",
+    ).unionByName(
+        validate_rows(
+            t["orders"],
+            {"order_total_under_cap": F.col("o_totalprice") <= 300_000.0},
+            id_col="o_orderkey",
+        )
+    )
+    fk = validate_reference(
+        t["orders"], t["customer"], "o_custkey", "c_custkey",
+        rule="order_customer_exists", id_col="o_orderkey",
+    )
+    cov = validate_existence(
+        t["orders"], t["lineitem"], "o_orderkey", "l_orderkey",
+        rule="order_has_lineitems",
+    )
+    return rows.unionByName(fk).unionByName(cov)
+
+
+def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-wide inclusion-dependency discovery (FK-candidate column
+    pairs by capped distinct-token containment)."""
+    from datalake_indexes_spark.operators.discovery import inclusion_dependencies
+
+    return inclusion_dependencies(
+        testdata_index(spark, sf_dir, with_super_keys=False)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1196,6 +1248,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort": q_events_cohort,
     "events_anomaly": q_events_anomaly,
     "graph_pagerank": q_graph_pagerank,
+    "events_rolling": q_events_rolling,
+    "lake_validate": q_lake_validate,
+    "inclusion_deps": q_inclusion_deps,
 }
 
 ORACLES: dict[str, str] = {
@@ -1312,4 +1367,7 @@ WHERE rn = 1
     "events_cohort": oracle.events_cohort_sql(),
     "events_anomaly": oracle.events_anomaly_sql(),
     "graph_pagerank": oracle.graph_pagerank_sql(damping=0.85, iters=6, threshold=0.7),
+    "events_rolling": oracle.events_rolling_sql(window_rows=3),
+    "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
+    "inclusion_deps": oracle.inclusion_deps_sql(),
 }

@@ -1,0 +1,106 @@
+"""Unit semantics for DQ validation, inclusion-dependency discovery, and
+rolling time-series features; the `lake_validate` / `inclusion_deps` /
+`events_rolling` oracle keys cover the corpus-scale versions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.spark
+class TestValidate:
+    def test_row_rule_null_is_violation(self, spark):
+        from datalake_indexes_spark.operators.validate import validate_rows
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0), (3, None)], "id long, bal double"
+        )
+        out = validate_rows(df, {"bal_nonneg": F.col("bal") >= 0}, id_col="id")
+        assert sorted(r.entity_id for r in out.collect()) == [2, 3]
+
+    def test_reference_and_existence(self, spark):
+        from datalake_indexes_spark.operators.validate import (
+            validate_existence,
+            validate_reference,
+        )
+
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        child = spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 9), (13, None)], "id long, fk long"
+        )
+        fk = validate_reference(child, parent, "fk", "k", rule="fk", id_col="id")
+        # only the orphan; NULL fk is exempt
+        assert [r.entity_id for r in fk.collect()] == [12]
+        cov = validate_existence(parent, child, "k", "fk", rule="covered")
+        assert sorted(r.entity_id for r in cov.collect()) == [2, 3]
+
+
+@pytest.mark.spark
+class TestInclusionDeps:
+    def test_finds_planted_fk_and_respects_cap(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.discovery import inclusion_dependencies
+
+        cells = []
+        # table 1 col 0: "PK" domain v0..v9
+        cells += [(1, 0, i, f"v{i}") for i in range(10)]
+        # table 2 col 0: FK fully contained in table 1 col 0
+        cells += [(2, 0, i, f"v{i % 8}") for i in range(20)]
+        # table 2 col 1: disjoint domain
+        cells += [(2, 1, i, f"w{i}") for i in range(10)]
+        # a stopword token present in EVERY column (capped out)
+        for t, c in ((1, 0), (2, 0), (2, 1)):
+            cells.append((t, c, 99, "common"))
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        out = inclusion_dependencies(
+            idx, min_distinct=5, min_containment=0.8, max_token_cols=2
+        ).collect()
+        deps = {(r.table_a, r.col_a, r.table_b, r.col_b): r for r in out}
+        # FK direction found with containment 1.0 over the capped universe
+        assert deps[(2, 0, 1, 0)].containment == 1.0
+        assert deps[(2, 0, 1, 0)].n_distinct_a == 8  # "common" not counted
+        # reverse direction is weaker — 8 of 10 capped tokens (and would
+        # drop out at a 0.9 bar)
+        assert deps[(1, 0, 2, 0)].containment == 0.8
+        # disjoint column contributes nothing
+        assert not any(k[:2] == (2, 1) for k in deps)
+
+
+@pytest.mark.spark
+class TestRollingFeatures:
+    def test_frames_and_leakage(self, spark):
+        from datalake_indexes_spark.operators.events import rolling_features
+
+        ev = spark.createDataFrame(
+            [(i, 1, i * 1000, float(i + 1)) for i in range(5)],
+            "event_id long, user_id long, ts_us long, value double",
+        )
+        rows = {r.event_id: r for r in rolling_features(ev).collect()}
+        assert math.isnan(rows[0].prev_value) and math.isnan(rows[0].trail_mean)
+        assert rows[3].prev_value == 3.0
+        # trailing mean of rows 0,1,2 (values 1,2,3) — current row excluded
+        assert rows[3].trail_mean == 2.0
+        # window caps at 3 preceding: rows 1,2,3 -> mean 3.0
+        assert rows[4].trail_mean == 3.0
+        assert rows[4].run_max == 5.0
+        assert [rows[i].seq for i in range(5)] == [1, 2, 3, 4, 5]
+
+    def test_single_window_exec(self, spark):
+        """All four features evaluate in one sorted WindowExec run —
+        no per-feature re-shuffle."""
+        from datalake_indexes_spark.operators.events import rolling_features
+
+        ev = spark.range(100).selectExpr(
+            "id AS event_id", "id % 7 AS user_id", "id AS ts_us",
+            "CAST(id AS DOUBLE) AS value",
+        )
+        plan = rolling_features(ev)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
