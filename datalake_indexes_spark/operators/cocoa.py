@@ -425,3 +425,56 @@ def column_top_values(index, k: int = 3, min_count: int = 2) -> "DataFrame":
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def column_histograms(index, nbins: int = 10) -> "DataFrame":
+    """Equi-width histograms for every numeric lake column — the value-
+    distribution profile an optimizer (or a drift monitor) keeps per
+    column: (table_id, col_id, bucket, bucket_lo, n).
+
+    Bucket arithmetic is closed-form from the per-column min/max
+    aggregates (width = (max-min)/nbins; the max value folds into the
+    last bucket), so both engines compute identical bucket ids from
+    identical doubles.  Constant columns land in bucket 0.  ''/'nan'
+    cells are excluded like every numeric profile in this package.
+
+    Scale shape: one min/max aggregate + one (table, col, bucket) count,
+    both map-side-combinable; the per-column stats frame is broadcast
+    back onto the scan — the lake is read twice, shuffled never."""
+    from pyspark.sql import functions as F
+
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    num_cells = (
+        index.cells.join(
+            F.broadcast(flags.filter(F.col("is_numeric"))), ["table_id", "col_id"]
+        )
+        .withColumn("__val", _num_value(F.col("tokenized")))
+        .filter(F.col("__val").isNotNull())
+    )
+    stats = num_cells.groupBy("table_id", "col_id").agg(
+        F.min("__val").alias("__lo"), F.max("__val").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / nbins
+    bucket = F.when(
+        width > 0,
+        F.least(
+            F.floor((F.col("__val") - F.col("__lo")) / width), F.lit(nbins - 1)
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        num_cells.join(F.broadcast(stats), ["table_id", "col_id"])
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("table_id", "col_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(stats), ["table_id", "col_id"])
+        .select(
+            "table_id",
+            "col_id",
+            "bucket",
+            F.round(
+                F.col("__lo") + F.col("bucket") * (F.col("__hi") - F.col("__lo")) / nbins,
+                6,
+            ).alias("bucket_lo"),
+            "n",
+        )
+    )

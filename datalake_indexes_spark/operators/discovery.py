@@ -22,7 +22,7 @@ combine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,3 +92,75 @@ def inclusion_dependencies(
             "containment",
         )
     )
+
+
+def union_search(
+    index,
+    query_table_id: int,
+    k: int = 10,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> DataFrame:
+    """Table-union search: rank lake tables by how unionable they are
+    with ``query_table_id`` — the discovery question next to MATE's
+    joinability ("which tables hold MORE ROWS like mine" vs "which
+    tables join with mine").  Column alignment is value-based: two
+    columns match by the Jaccard similarity of their capped distinct-
+    token sets (the symmetric counterpart of
+    :func:`inclusion_dependencies`' containment); a candidate table's
+    score sums each query column's BEST match there.
+
+    (table_id, n_matched_cols, score, rank) for the top-``k`` candidate
+    tables; ties break on table_id.
+
+    Scale shape: identical to inclusion discovery — per-column distinct
+    tokens, spread-capped before the token equi-join, then uniform
+    (query_col, lake_table, lake_col) aggregates.  The per-query-column
+    max and per-table sum run over column-pair rows (schema-sized, not
+    data-sized)."""
+    dcells = index.cells.select("table_id", "col_id", "tokenized").distinct()
+    spread = dcells.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__cols"))
+    capped = dcells.join(
+        spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
+        "tokenized",
+    )
+    counts = capped.groupBy("table_id", "col_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    qcells = capped.filter(F.col("table_id") == query_table_id).select(
+        F.col("col_id").alias("q_col"), "tokenized"
+    )
+    qcounts = counts.filter(F.col("table_id") == query_table_id).select(
+        F.col("col_id").alias("q_col"), F.col("__n").alias("__qn")
+    )
+    common = (
+        capped.filter(F.col("table_id") != query_table_id)
+        .join(qcells, "tokenized")
+        .groupBy("q_col", "table_id", "col_id")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    pair_scores = (
+        common.join(F.broadcast(qcounts), "q_col")
+        .join(counts, ["table_id", "col_id"])
+        .filter((F.col("__qn") >= min_distinct) & (F.col("__n") >= min_distinct))
+        .withColumn(
+            "__jac",
+            F.col("__common") / (F.col("__qn") + F.col("__n") - F.col("__common")),
+        )
+        .filter(F.col("__jac") >= min_jaccard)
+    )
+    best = pair_scores.groupBy("q_col", "table_id").agg(
+        F.max("__jac").alias("__best")
+    )
+    ranked = (
+        best.groupBy("table_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_cols"),
+            F.round(F.sum("__best"), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("table_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("table_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -2063,3 +2063,86 @@ JOIN cc ON cc.table_id = common.table_a AND cc.col_id = common.col_a
 WHERE cc.n_distinct >= {min_distinct}
   AND n_common / CAST(cc.n_distinct AS DOUBLE) >= {min_containment}
 """
+
+
+def column_histograms_sql(nbins: int = 10) -> str:
+    """Equi-width histogram twin: identical closed-form bucket
+    arithmetic over identical min/max doubles."""
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+nc AS (
+  SELECT cells.table_id, cells.col_id,
+         CASE WHEN tokenized NOT IN ('', 'nan')
+                   AND NOT isnan(TRY_CAST(tokenized AS DOUBLE))
+              THEN TRY_CAST(tokenized AS DOUBLE) END AS val
+  FROM cells JOIN flags f
+    ON f.table_id = cells.table_id AND f.col_id = cells.col_id
+  WHERE f.is_numeric
+),
+nn AS (SELECT * FROM nc WHERE val IS NOT NULL),
+st AS (SELECT table_id, col_id, min(val) AS lo, max(val) AS hi
+       FROM nn GROUP BY 1, 2),
+b AS (
+  SELECT nn.table_id, nn.col_id,
+         CASE WHEN (st.hi - st.lo) / {nbins} > 0
+              THEN CAST(least(floor((nn.val - st.lo) / ((st.hi - st.lo) / {nbins})),
+                              {nbins - 1}) AS INT)
+              ELSE 0 END AS bucket,
+         st.lo, st.hi
+  FROM nn JOIN st ON st.table_id = nn.table_id AND st.col_id = nn.col_id
+)
+SELECT table_id, col_id, bucket,
+       round(lo + bucket * (hi - lo) / {nbins}, 6) AS bucket_lo,
+       count(*) AS n
+FROM b GROUP BY table_id, col_id, bucket, lo, hi
+"""
+
+
+def union_search_sql(
+    query_table_id: int,
+    k: int = 10,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> str:
+    """Union-search twin: same capped distinct-token universe, same
+    per-column Jaccard, same best-match-per-query-column aggregation."""
+    return f"""
+WITH {cells_cte()},
+d AS (SELECT DISTINCT table_id, col_id, tokenized FROM cells),
+spread AS (
+  SELECT tokenized FROM d GROUP BY tokenized HAVING count(*) <= {max_token_cols}
+),
+c AS (SELECT d.* FROM d JOIN spread USING (tokenized)),
+cc AS (SELECT table_id, col_id, count(*) AS n FROM c GROUP BY 1, 2),
+q AS (SELECT col_id AS q_col, tokenized FROM c WHERE table_id = {query_table_id}),
+qc AS (SELECT col_id AS q_col, n AS qn FROM cc WHERE table_id = {query_table_id}),
+common AS (
+  SELECT q.q_col, c.table_id, c.col_id, count(*) AS com
+  FROM c JOIN q USING (tokenized)
+  WHERE c.table_id != {query_table_id}
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT common.q_col, common.table_id,
+         com / CAST(qc.qn + cc.n - com AS DOUBLE) AS jac
+  FROM common
+  JOIN qc ON qc.q_col = common.q_col
+  JOIN cc ON cc.table_id = common.table_id AND cc.col_id = common.col_id
+  WHERE qc.qn >= {min_distinct} AND cc.n >= {min_distinct}
+    AND com / CAST(qc.qn + cc.n - com AS DOUBLE) >= {min_jaccard}
+),
+best AS (SELECT q_col, table_id, max(jac) AS b FROM pairs GROUP BY 1, 2),
+ranked AS (
+  SELECT table_id, count(*) AS n_matched_cols, round(sum(b), 4) AS score
+  FROM best GROUP BY table_id
+)
+SELECT table_id, n_matched_cols, score,
+       CAST(row_number() OVER (ORDER BY score DESC, table_id) AS INT) AS rank
+FROM ranked
+QUALIFY rank <= {k}
+"""

@@ -1170,6 +1170,24 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histograms for every numeric lake column."""
+    from datalake_indexes_spark.operators.cocoa import column_histograms
+
+    return column_histograms(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
+def q_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank lake tables by unionability with the customer table."""
+    from datalake_indexes_spark.operators.discovery import union_search
+    from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+
+    qid = TESTDATA_LAKE_SPEC["customer"].table_id
+    return union_search(
+        testdata_index(spark, sf_dir, with_super_keys=False), qid, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1251,6 +1269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
+    "column_histograms": q_column_histograms,
+    "union_search": q_union_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1370,4 +1390,8 @@ WHERE rn = 1
     "events_rolling": oracle.events_rolling_sql(window_rows=3),
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),
+    "column_histograms": oracle.column_histograms_sql(nbins=10),
+    "union_search": oracle.union_search_sql(
+        TESTDATA_LAKE_SPEC["customer"].table_id, k=10
+    ),
 }

@@ -104,3 +104,72 @@ class TestRollingFeatures:
         )
         plan = rolling_features(ev)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+@pytest.mark.spark
+class TestUnionSearch:
+    def test_ranks_same_domain_table_first(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.discovery import union_search
+
+        cells = []
+        # query table 0: two columns with distinct domains
+        cells += [(0, 0, i, f"a{i}") for i in range(10)]
+        cells += [(0, 1, i, f"b{i}") for i in range(10)]
+        # table 1: near-clone of table 0 (high unionability, both cols)
+        cells += [(1, 0, i, f"a{i}") for i in range(8)]
+        cells += [(1, 1, i, f"b{i}") for i in range(8)]
+        # table 2: overlaps col 0 only, weakly
+        cells += [(2, 0, i, f"a{i}") for i in range(3)] + [
+            (2, 0, 10 + i, f"z{i}") for i in range(7)
+        ]
+        # table 3: disjoint
+        cells += [(3, 0, i, f"q{i}") for i in range(10)]
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        out = union_search(idx, 0, k=5, min_jaccard=0.1).collect()
+        assert [r.table_id for r in out][0] == 1
+        assert out[0].n_matched_cols == 2
+        got = {r.table_id for r in out}
+        assert 3 not in got  # disjoint never surfaces
+        # clone score: jaccard 8/10 per column, twice
+        assert abs(out[0].score - 2 * (8 / 10)) < 1e-9
+
+
+@pytest.mark.spark
+class TestColumnHistograms:
+    def test_buckets_and_constant_column(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.cocoa import column_histograms
+
+        cells = (
+            # col 0: values 0..9 -> one per bucket at nbins=10
+            [(1, 0, i, str(i)) for i in range(10)]
+            # col 1: constant -> all in bucket 0
+            + [(1, 1, i, "7") for i in range(4)]
+            # col 2: non-numeric -> excluded entirely
+            + [(1, 2, i, t) for i, t in enumerate(["x", "y"])]
+            # col 3: max value folds into last bucket
+            + [(1, 3, 0, "0"), (1, 3, 1, "10")]
+        )
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        out = column_histograms(idx, nbins=10).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.col_id, {})[r.bucket] = r
+        assert set(by[0]) == set(range(10)) and all(
+            r.n == 1 for r in by[0].values()
+        )
+        assert by[0][3].bucket_lo == 2.7  # 0 + 3*(9-0)/10
+        assert set(by[1]) == {0} and by[1][0].n == 4
+        assert 2 not in by
+        assert set(by[3]) == {0, 9}  # max lands in the LAST bucket
