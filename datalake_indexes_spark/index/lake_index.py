@@ -410,6 +410,52 @@ class LakeIndex:
         return version
 
     @classmethod
+    def diff_versions(
+        cls, spark: SparkSession, path: str, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Snapshot diff between two committed versions — the time-travel
+        audit surface next to :meth:`save_version`/:meth:`vacuum`:
+        (table_id, change, cells_from, cells_to) with change ∈
+        {added, removed, modified}, per table whose cell set differs.
+
+        "Modified" is detected by an order-independent content
+        fingerprint (count + sum of xxhash64 over the cell tuple), not
+        by count alone — a same-size edit still shows up.  One aggregate
+        per snapshot keyed by table_id; nothing is collected beyond the
+        per-table diff rows."""
+        def _summary(version: int, suffix: str) -> DataFrame:
+            idx = cls.load(spark, path, version=version)
+            return idx.cells.groupBy("table_id").agg(
+                F.count(F.lit(1)).alias(f"cells_{suffix}"),
+                F.sum(
+                    F.xxhash64("col_id", "row_id", "tokenized")
+                ).alias(f"__fp_{suffix}"),
+            )
+
+        a = _summary(v_from, "from")
+        b = _summary(v_to, "to")
+        joined = a.join(b, "table_id", "full_outer")
+        change = (
+            F.when(F.col("cells_from").isNull(), F.lit("added"))
+            .when(F.col("cells_to").isNull(), F.lit("removed"))
+            .when(
+                (F.col("cells_from") != F.col("cells_to"))
+                | (F.col("__fp_from") != F.col("__fp_to")),
+                F.lit("modified"),
+            )
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                "table_id",
+                "change",
+                F.coalesce("cells_from", F.lit(0)).alias("cells_from"),
+                F.coalesce("cells_to", F.lit(0)).alias("cells_to"),
+            )
+        )
+
+    @classmethod
     def current_version(cls, path: str) -> int | None:
         ptr = os.path.join(path, cls._CURRENT)
         if not os.path.isfile(ptr):

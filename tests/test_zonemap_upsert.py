@@ -222,3 +222,31 @@ class TestUpsertDelete:
         assert not os.path.exists(os.path.join(path, "cells", "table_id=2"))
         stats = {r.tokenized: r.cnt for r in idx.token_stats.collect()}
         assert stats == {"a": 1}  # b's count dropped to 0 and was pruned
+
+
+@pytest.mark.spark
+class TestDiffVersions:
+    def test_added_removed_modified(self, spark, tmp_path):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+
+        path = str(tmp_path / "vidx")
+        v0 = _mini_index(
+            spark, [(1, 0, 0, "a"), (2, 0, 0, "b"), (3, 0, 0, "c")], [1, 2, 3]
+        )
+        assert v0.save_version(path) == 0
+        # v1: table 2 edited same-size, table 3 dropped, table 9 added
+        v1 = _mini_index(
+            spark, [(1, 0, 0, "a"), (2, 0, 0, "EDITED"), (9, 0, 0, "z")], [1, 2, 9]
+        )
+        assert v1.save_version(path) == 1
+
+        diff = {
+            r.table_id: r
+            for r in LakeIndex.diff_versions(spark, path, 0, 1).collect()
+        }
+        assert set(diff) == {2, 3, 9}  # table 1 unchanged -> absent
+        assert diff[9].change == "added" and diff[9].cells_from == 0
+        assert diff[3].change == "removed" and diff[3].cells_to == 0
+        # same cell COUNT but different content: fingerprint catches it
+        assert diff[2].change == "modified"
+        assert diff[2].cells_from == diff[2].cells_to == 1
