@@ -164,3 +164,107 @@ def union_search(
     )
     w = Window.orderBy(F.desc("score"), F.asc("table_id"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def column_minhash_signatures(
+    index, k: int = 32, max_token_cols: int = 64
+) -> DataFrame:
+    """Per-column k-value MinHash signature over the capped distinct-
+    token set — the sketch that makes discovery sub-quadratic: Jaccard
+    between two columns is estimated by signature agreement, so column
+    similarity needs k small values per column instead of the columns'
+    full token sets.  (table_id, col_id, sig array<string>, n_distinct).
+
+    Same j-prefixed md5 family as document MinHash (deterministic,
+    engine-independent); the spread cap removes stopword-ish tokens
+    first, identical to the exact path, so estimates converge to the
+    exact operator's Jaccard, not to a different target."""
+    dcells = index.cells.select("table_id", "col_id", "tokenized").distinct()
+    spread = dcells.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__cols"))
+    capped = dcells.join(
+        spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
+        "tokenized",
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("tokenized")))).alias(f"__m{j}")
+        for j in range(k)
+    ] + [F.count(F.lit(1)).alias("n_distinct")]
+    sigs = capped.groupBy("table_id", "col_id").agg(*aggs)
+    return sigs.select(
+        "table_id",
+        "col_id",
+        F.array(*[F.col(f"__m{j}") for j in range(k)]).alias("sig"),
+        "n_distinct",
+    )
+
+
+def union_search_approx(
+    index,
+    query_table_id: int,
+    k: int = 10,
+    sig_k: int = 32,
+    bands: int = 8,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> DataFrame:
+    """Sketch-based :func:`union_search` — the 100 TB path.
+
+    The exact operator joins per-column distinct tokens against the
+    query's tokens: cost grows with the lake's total distinct-cell
+    count.  This variant compares k-value MinHash signatures instead —
+    after the one-time signature build (an index-time artifact in a real
+    deployment), candidate generation is an LSH band join on signature
+    slices (columns sharing at least one of ``bands`` bands), and the
+    Jaccard ESTIMATE is the match fraction of the two signatures.  Work
+    scales with columns-sharing-a-band, never with cell count; recall
+    follows the standard band-collision curve (1-(1-j^(k/b))^b).
+
+    Same output shape as the exact operator with ``score`` summing
+    estimated Jaccards — estimates converge to the exact scores as
+    ``sig_k`` grows (pinned against the exact operator in tests)."""
+    rows = sig_k // bands
+    sigs = column_minhash_signatures(
+        index, k=sig_k, max_token_cols=max_token_cols
+    ).filter(F.col("n_distinct") >= min_distinct)
+    banded = sigs.select(
+        "table_id",
+        "col_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws("|", F.slice("sig", b * rows + 1, rows))
+                for b in range(bands)
+            ])
+        ).alias("band", "key"),
+    )
+    q = banded.filter(F.col("table_id") == query_table_id).select(
+        F.col("col_id").alias("q_col"), F.col("sig").alias("q_sig"), "band", "key"
+    )
+    cand = (
+        banded.filter(F.col("table_id") != query_table_id)
+        .join(q, ["band", "key"])
+        .select("q_col", "table_id", "col_id", "sig", "q_sig")
+        .distinct()
+    )
+    est = cand.withColumn(
+        "__jac",
+        F.size(
+            F.filter(
+                F.arrays_zip("sig", "q_sig"), lambda s: s["sig"] == s["q_sig"]
+            )
+        )
+        / F.lit(float(sig_k)),
+    ).filter(F.col("__jac") >= min_jaccard)
+    best = est.groupBy("q_col", "table_id").agg(F.max("__jac").alias("__best"))
+    ranked = (
+        best.groupBy("table_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_cols"),
+            F.round(F.sum("__best"), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("table_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("table_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

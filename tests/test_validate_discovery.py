@@ -173,3 +173,62 @@ class TestColumnHistograms:
         assert set(by[1]) == {0} and by[1][0].n == 4
         assert 2 not in by
         assert set(by[3]) == {0, 9}  # max lands in the LAST bucket
+
+
+@pytest.mark.spark
+class TestUnionSearchApprox:
+    def test_sketch_agrees_with_exact(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.discovery import (
+            union_search,
+            union_search_approx,
+        )
+
+        cells = []
+        # query table 0: two 40-token columns
+        cells += [(0, 0, i, f"a{i}") for i in range(40)]
+        cells += [(0, 1, i, f"b{i}") for i in range(40)]
+        # table 1: 30/40 overlap on both columns (strong union candidate)
+        cells += [(1, 0, i, f"a{i}") for i in range(30)]
+        cells += [(1, 1, i, f"b{i}") for i in range(30)]
+        # table 2: weak overlap col 0 only
+        cells += [(2, 0, i, f"a{i}") for i in range(8)] + [
+            (2, 0, 100 + i, f"z{i}") for i in range(30)
+        ]
+        # table 3: disjoint
+        cells += [(3, 0, i, f"q{i}") for i in range(40)]
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        exact = union_search(idx, 0, k=5, min_jaccard=0.1).collect()
+        approx = union_search_approx(
+            idx, 0, k=5, sig_k=64, bands=16, min_jaccard=0.1
+        ).collect()
+        # deterministic md5 family: this is a fixed result, not a flaky one
+        assert approx[0].table_id == exact[0].table_id == 1
+        assert approx[0].n_matched_cols == 2
+        # estimated score within sketch tolerance of the exact score
+        assert abs(approx[0].score - exact[0].score) < 0.3
+        assert all(r.table_id != 3 for r in approx)  # disjoint can't collide
+
+    def test_signature_shape(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.discovery import (
+            column_minhash_signatures,
+        )
+
+        cells = [(1, 0, i, f"t{i}") for i in range(20)]
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        row = column_minhash_signatures(idx, k=16).collect()[0]
+        assert len(row.sig) == 16 and row.n_distinct == 20
+        # identical input -> identical signature (deterministic family)
+        again = column_minhash_signatures(idx, k=16).collect()[0]
+        assert row.sig == again.sig
