@@ -268,3 +268,53 @@ def union_search_approx(
     )
     w = Window.orderBy(F.desc("score"), F.asc("table_id"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_INT_RE = "-?[0-9]+"
+_DEC_RE = "-?[0-9]+\\.[0-9]+"
+_DATE_RE = "[0-9]{4}-[0-9]{2}-[0-9]{2}( [0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?)?"
+
+
+def semantic_types(df: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Semantic-type profiling of a raw table: for every column, the
+    fraction of (non-null, stringified) values matching integer /
+    decimal / ISO-date shapes, and the dominant type under ``threshold``
+    (integer > decimal > date > text priority) — the schema-inference
+    pass a discovery UI or an ingestion validator runs on untyped lake
+    files (everything in a CSV lake arrives as strings; this recovers
+    what the strings ARE).
+
+    (col_name, n_values, frac_int, frac_dec, frac_date, sem_type).
+
+    One scan: the row is unpivoted to (col_name, val) pairs map-side
+    (schema-sized expansion) and a single aggregate computes every
+    fraction with map-side combine; the regexes are anchored full-match
+    native expressions — no UDFs."""
+    pairs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("val"),
+            )
+            for c in df.columns
+        ])
+    )
+    long = df.select(pairs.alias("p")).select("p.col_name", "p.val").filter(
+        F.col("val").isNotNull()
+    )
+    frac = lambda pat: F.round(  # noqa: E731
+        F.avg(F.col("val").rlike(f"^{pat}$").cast("double")), 4
+    )
+    out = long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        frac(_INT_RE).alias("frac_int"),
+        frac(_DEC_RE).alias("frac_dec"),
+        frac(_DATE_RE).alias("frac_date"),
+    )
+    sem = (
+        F.when(F.col("frac_int") >= threshold, F.lit("integer"))
+        .when(F.col("frac_dec") >= threshold, F.lit("decimal"))
+        .when(F.col("frac_date") >= threshold, F.lit("date"))
+        .otherwise(F.lit("text"))
+    )
+    return out.withColumn("sem_type", sem)

@@ -2146,3 +2146,33 @@ SELECT table_id, n_matched_cols, score,
 FROM ranked
 QUALIFY rank <= {k}
 """
+
+
+def semantic_types_sql(
+    table: str, columns: list[str], threshold: float = 0.9
+) -> str:
+    """Semantic-type twin: same anchored regex shapes over the same
+    stringified values, same dominance priority."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val "
+        f"FROM {table} WHERE {c} IS NOT NULL"
+        for c in columns
+    )
+    return f"""
+WITH long AS (
+{unions}
+),
+agg AS (
+  SELECT col_name, count(*) AS n_values,
+         round(avg(CASE WHEN regexp_full_match(val, '-?[0-9]+') THEN 1.0 ELSE 0.0 END), 4) AS frac_int,
+         round(avg(CASE WHEN regexp_full_match(val, '-?[0-9]+\\.[0-9]+') THEN 1.0 ELSE 0.0 END), 4) AS frac_dec,
+         round(avg(CASE WHEN regexp_full_match(val, '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}( [0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}(\\.[0-9]+)?)?') THEN 1.0 ELSE 0.0 END), 4) AS frac_date
+  FROM long GROUP BY col_name
+)
+SELECT *,
+       CASE WHEN frac_int >= {threshold} THEN 'integer'
+            WHEN frac_dec >= {threshold} THEN 'decimal'
+            WHEN frac_date >= {threshold} THEN 'date'
+            ELSE 'text' END AS sem_type
+FROM agg
+"""

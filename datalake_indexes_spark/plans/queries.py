@@ -1188,6 +1188,14 @@ def q_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-type inference over the orders table's stringified
+    values (integer / decimal / date / text shapes)."""
+    from datalake_indexes_spark.operators.discovery import semantic_types
+
+    return semantic_types(load_tables(spark, sf_dir, ["orders"])["orders"])
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1271,6 +1279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inclusion_deps": q_inclusion_deps,
     "column_histograms": q_column_histograms,
     "union_search": q_union_search,
+    "semantic_types": q_semantic_types,
 }
 
 ORACLES: dict[str, str] = {
@@ -1393,5 +1402,10 @@ WHERE rn = 1
     "column_histograms": oracle.column_histograms_sql(nbins=10),
     "union_search": oracle.union_search_sql(
         TESTDATA_LAKE_SPEC["customer"].table_id, k=10
+    ),
+    "semantic_types": oracle.semantic_types_sql(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
     ),
 }

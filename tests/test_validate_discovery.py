@@ -232,3 +232,24 @@ class TestUnionSearchApprox:
         # identical input -> identical signature (deterministic family)
         again = column_minhash_signatures(idx, k=16).collect()[0]
         assert row.sig == again.sig
+
+
+@pytest.mark.spark
+class TestSemanticTypes:
+    def test_shapes_and_priority(self, spark):
+        from datalake_indexes_spark.operators.discovery import semantic_types
+
+        df = spark.createDataFrame(
+            [
+                ("1", "1.5", "2024-01-02", "abc", None),
+                ("-42", "-0.25", "1999-12-31 23:59:59", "2", "x"),
+                ("7", "3.0", "2000-06-15", "def", "y"),
+            ],
+            "ints string, decs string, dates string, mixed string, sparse string",
+        )
+        out = {r.col_name: r for r in semantic_types(df).collect()}
+        assert out["ints"].sem_type == "integer" and out["ints"].frac_int == 1.0
+        assert out["decs"].sem_type == "decimal"
+        assert out["dates"].sem_type == "date"  # date and datetime forms
+        assert out["mixed"].sem_type == "text"  # 1/3 integer < threshold
+        assert out["sparse"].n_values == 2  # NULLs excluded from the base
