@@ -343,3 +343,87 @@ def rolling_features(
         ).alias("trail_mean"),
         F.max(v).over(run).alias("run_max"),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Daily growth accounting: per period, how many users were active,
+    how many were NEW (first-ever activity), and the cumulative user
+    count — the DAU/new/cumulative triple every product dashboard leads
+    with.  (period, n_active, n_new, cum_users).
+
+    Scale shape: the same two uniform user-keyed aggregates as
+    :func:`cohort_retention`; the final cumulative sum is a window over
+    per-PERIOD rows (bounded by time, not data)."""
+    period = (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    act = events.select(
+        F.col(key_col).alias("__k"), period.cast("long").alias("period")
+    ).distinct()
+    firsts = act.groupBy("__k").agg(F.min("period").alias("__first"))
+    daily = (
+        act.join(firsts, "__k")
+        .groupBy("period")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("period") == F.col("__first")).cast("long")).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("cum_users", F.sum("n_new").over(w))
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Per-key periodic resampling with forward fill: aggregate the
+    value per (key, period), then emit ONE row per key per period from
+    the key's first active period to the global last period, carrying
+    the most recent observed aggregate forward across gaps — the
+    regularization step between an event stream and any fixed-frequency
+    model input.  (key, period, value, observed).
+
+    Scale shape: the dense grid is a per-key ``sequence`` explode (row
+    multiplication bounded by keys x periods — the OUTPUT size, stated
+    up front), the fill is one `last(ignorenulls)` window per key over
+    that grid, and the only data-sized shuffle is the initial (key,
+    period) aggregate."""
+    period = (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            period.cast("long").alias("period"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("key", "period")
+        .agg(F.round(F.sum("__v"), 4).alias("__obs"))
+    )
+    gmax = daily.agg(F.max("period")).first()[0]
+    grid = (
+        daily.groupBy("key")
+        .agg(F.min("period").alias("__lo"))
+        .select(
+            "key", F.explode(F.sequence("__lo", F.lit(gmax))).alias("period")
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["key", "period"], "left")
+        .select(
+            "key",
+            "period",
+            F.last("__obs", ignorenulls=True).over(w).alias("value"),
+            F.col("__obs").isNotNull().alias("observed"),
+        )
+    )

@@ -2176,3 +2176,51 @@ SELECT *,
             ELSE 'text' END AS sem_type
 FROM agg
 """
+
+
+def events_growth_sql(period_us: int = 86_400_000_000) -> str:
+    """Growth-accounting twin: same integer period indices, same
+    active/new/cumulative definitions."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(epoch_us(ts) // {period_us} AS BIGINT) AS period
+  FROM events
+),
+f AS (SELECT k, min(period) AS fp FROM act GROUP BY k),
+d AS (
+  SELECT period, count(*) AS n_active,
+         sum(CASE WHEN period = fp THEN 1 ELSE 0 END) AS n_new
+  FROM act JOIN f USING (k) GROUP BY period
+)
+SELECT period, n_active, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY period
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+def events_resample_sql(period_us: int = 86_400_000_000) -> str:
+    """Forward-fill resampling twin: same per-(key, period) rounded
+    aggregate, same dense grid (key's first period .. global last), same
+    last-non-null fill."""
+    return f"""
+WITH daily AS (
+  SELECT user_id AS key,
+         CAST(epoch_us(ts) // {period_us} AS BIGINT) AS period,
+         round(sum(value), 4) AS obs
+  FROM events GROUP BY 1, 2
+),
+g AS (SELECT max(period) AS gmax FROM daily),
+lo AS (SELECT key, min(period) AS klo FROM daily GROUP BY key),
+grid AS (
+  SELECT key, unnest(generate_series(klo, gmax)) AS period FROM lo, g
+)
+SELECT grid.key, grid.period,
+       last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY grid.key ORDER BY grid.period
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       obs IS NOT NULL AS observed
+FROM grid LEFT JOIN daily
+  ON daily.key = grid.key AND daily.period = grid.period
+"""

@@ -1196,6 +1196,20 @@ def q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_types(load_tables(spark, sf_dir, ["orders"])["orders"])
 
 
+def q_events_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (active / new / cumulative users)."""
+    from datalake_indexes_spark.operators.events import growth_accounting
+
+    return growth_accounting(_events_us(spark, sf_dir))
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling with forward fill across gaps."""
+    from datalake_indexes_spark.operators.events import resample_forward_fill
+
+    return resample_forward_fill(_events_us(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1280,6 +1294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_histograms": q_column_histograms,
     "union_search": q_union_search,
     "semantic_types": q_semantic_types,
+    "events_growth": q_events_growth,
+    "events_resample": q_events_resample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1408,4 +1424,6 @@ WHERE rn = 1
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
          "o_orderdate", "o_orderpriority"],
     ),
+    "events_growth": oracle.events_growth_sql(),
+    "events_resample": oracle.events_resample_sql(),
 }

@@ -80,3 +80,43 @@ class TestValueAnomalies:
         plan = value_anomalies(ev)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+class TestGrowthAccounting:
+    def test_active_new_cumulative(self, spark):
+        from datalake_indexes_spark.operators.events import growth_accounting
+
+        rows = [
+            (1, 0 * DAY), (2, 0 * DAY),           # day 0: 2 new
+            (1, 1 * DAY), (3, 1 * DAY),           # day 1: 1 returning, 1 new
+            (1, 3 * DAY),                          # day 3: returning only
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+        got = {r.period: r for r in growth_accounting(ev).collect()}
+        assert (got[0].n_active, got[0].n_new, got[0].cum_users) == (2, 2, 2)
+        assert (got[1].n_active, got[1].n_new, got[1].cum_users) == (2, 1, 3)
+        assert (got[3].n_active, got[3].n_new, got[3].cum_users) == (1, 0, 3)
+        assert 2 not in got  # no activity, no row (resample fills gaps, not this)
+
+
+@pytest.mark.spark
+class TestResampleForwardFill:
+    def test_gap_fill_and_grid(self, spark):
+        from datalake_indexes_spark.operators.events import resample_forward_fill
+
+        rows = [
+            (1, 0 * DAY, 5.0), (1, 0 * DAY + 9, 1.0),  # day 0 sum 6
+            (1, 2 * DAY, 2.0),                          # day 1 is a gap
+            (2, 3 * DAY, 7.0),                          # user 2 starts late
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+        got = {(r.key, r.period): r for r in resample_forward_fill(ev).collect()}
+        # user 1: dense grid day 0..3 (global max)
+        assert got[(1, 0)].value == 6.0 and got[(1, 0)].observed
+        assert got[(1, 1)].value == 6.0 and not got[(1, 1)].observed  # filled
+        assert got[(1, 2)].value == 2.0 and got[(1, 2)].observed
+        assert got[(1, 3)].value == 2.0 and not got[(1, 3)].observed
+        # user 2: grid starts at ITS first period, not the global min
+        assert (2, 0) not in got and got[(2, 3)].value == 7.0
+        assert len(got) == 5
