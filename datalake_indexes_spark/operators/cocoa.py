@@ -478,3 +478,56 @@ def column_histograms(index, nbins: int = 10) -> "DataFrame":
             "n",
         )
     )
+
+
+def column_outliers(index, k_iqr: float = 1.5) -> "DataFrame":
+    """Tukey-fence outlier profile for every numeric lake column:
+    quartiles, the k·IQR fences, and how many values fall outside —
+    the robust-statistics companion to :func:`value_anomalies`' z-scores
+    (quartiles shrug at the very outliers a mean/std pair absorbs).
+
+    (table_id, col_id, q1, q3, lo_fence, hi_fence, n_outliers, n_values).
+
+    Two passes over the numeric cells (quartile aggregate, then a
+    broadcast-fence count) — the lake is scanned, never shuffled beyond
+    the per-column aggregates.  The exact ``percentile`` keeps the
+    DuckDB twin bit-comparable; swap in ``approx_percentile`` at 100 TB
+    exactly like :func:`column_profiles_approx` does for the median."""
+    from pyspark.sql import functions as F
+
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    num_cells = (
+        index.cells.join(
+            F.broadcast(flags.filter(F.col("is_numeric"))), ["table_id", "col_id"]
+        )
+        .withColumn("__val", _num_value(F.col("tokenized")))
+        .filter(F.col("__val").isNotNull())
+    )
+    q = num_cells.groupBy("table_id", "col_id").agg(
+        F.percentile("__val", F.lit(0.25)).alias("__q1"),
+        F.percentile("__val", F.lit(0.75)).alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    fenced = q.select(
+        "table_id",
+        "col_id",
+        "__q1",
+        "__q3",
+        (F.col("__q1") - k_iqr * iqr).alias("__lo"),
+        (F.col("__q3") + k_iqr * iqr).alias("__hi"),
+    )
+    return (
+        num_cells.join(F.broadcast(fenced), ["table_id", "col_id"])
+        .groupBy("table_id", "col_id")
+        .agg(
+            F.round(F.first("__q1"), 6).alias("q1"),
+            F.round(F.first("__q3"), 6).alias("q3"),
+            F.round(F.first("__lo"), 6).alias("lo_fence"),
+            F.round(F.first("__hi"), 6).alias("hi_fence"),
+            F.sum(
+                ((F.col("__val") < F.col("__lo")) | (F.col("__val") > F.col("__hi")))
+                .cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )

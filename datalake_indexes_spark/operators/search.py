@@ -274,3 +274,69 @@ def bm25_topk_indexed(
         F.col("n").alias("__n"), F.col("avgdl").alias("__avgdl")
     )
     return _bm25_rank(postings, df_, stats, k=k, k1=k1, b=b)
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs with tf-idf cosine similarity >= ``threshold``
+    — the weighted-lexical complement to MinHash/SimHash near-dup
+    (those measure SET overlap; this measures how much the overlap
+    matters, down-weighting ubiquitous words by idf).
+
+    (doc_id_1, doc_id_2, cosine), each unordered pair once.
+
+    Scale shape: the pair space is generated per TERM from the inverted
+    (term, doc, weight) postings — fanout df² per term — so terms with
+    document frequency above ``max_df_frac``·N are dropped first: by
+    construction those are the near-stopwords whose idf ≈ 0 contributes
+    nothing to the numerator anyway, and they are exactly the keys that
+    would explode the self-join (the same hot-key cap discipline as
+    n-gram dedup and inclusion discovery).  After the cap the join is a
+    term equi-join with uniform (d1, d2) aggregation; norms broadcast.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    n_docs = base.count()
+    tf = (
+        base.select("doc_id", F.explode("__w").alias("__term"))
+        .groupBy("doc_id", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_ = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    kept = df_.filter(F.col("__df") <= max_df_frac * n_docs)
+    w = (
+        tf.join(F.broadcast(kept), "__term")
+        .withColumn("__w", F.col("__tf") * F.log(F.lit(float(n_docs)) / F.col("__df")))
+    )
+    # zero-norm documents (every surviving term at idf 0 — e.g. a word in
+    # every document) carry no signal and would divide by zero: out.
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    ).filter(F.col("__norm") > 0)
+    w = w.join(F.broadcast(norms.select("doc_id")), "doc_id")
+    a = w.select("__term", F.col("doc_id").alias("doc_id_1"), F.col("__w").alias("__w1"))
+    b = w.select("__term", F.col("doc_id").alias("doc_id_2"), F.col("__w").alias("__w2"))
+    dots = (
+        a.join(b, "__term")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.sum(F.col("__w1") * F.col("__w2")).alias("__dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("doc_id").alias("doc_id_1"), F.col("__norm").alias("__n1"))),
+            "doc_id_1",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("doc_id").alias("doc_id_2"), F.col("__norm").alias("__n2"))),
+            "doc_id_2",
+        )
+        .withColumn("cosine", F.col("__dot") / (F.col("__n1") * F.col("__n2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_id_1", "doc_id_2", F.round("cosine", 4).alias("cosine"))
+    )

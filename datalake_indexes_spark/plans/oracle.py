@@ -2224,3 +2224,74 @@ SELECT grid.key, grid.period,
 FROM grid LEFT JOIN daily
   ON daily.key = grid.key AND daily.period = grid.period
 """
+
+
+def text_tfidf_pairs_sql(threshold: float = 0.5, max_df_frac: float = 0.5) -> str:
+    """Sparse tf-idf cosine-pair twin: same df cap, same weights, same
+    per-term pair generation."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM base GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+kept AS (SELECT term, df FROM df, nd WHERE df <= {max_df_frac} * nd.n),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n / kept.df) AS w
+  FROM tf JOIN kept USING (term) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, round(dot / (n1.nrm * n2.nrm), 4) AS cosine
+FROM dots
+JOIN norms n1 ON n1.doc_id = doc_id_1
+JOIN norms n2 ON n2.doc_id = doc_id_2
+WHERE dot / (n1.nrm * n2.nrm) >= {threshold}
+"""
+
+
+def column_outliers_sql(k_iqr: float = 1.5) -> str:
+    """Tukey-fence twin: quantile_cont matches Spark's exact percentile
+    (linear interpolation), fences in identical arithmetic."""
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+nn AS (
+  SELECT cells.table_id, cells.col_id, TRY_CAST(tokenized AS DOUBLE) AS val
+  FROM cells JOIN flags f
+    ON f.table_id = cells.table_id AND f.col_id = cells.col_id
+  WHERE f.is_numeric AND tokenized NOT IN ('', 'nan')
+    AND NOT isnan(TRY_CAST(tokenized AS DOUBLE))
+),
+q AS (
+  SELECT table_id, col_id,
+         quantile_cont(val, 0.25) AS q1r, quantile_cont(val, 0.75) AS q3r
+  FROM nn GROUP BY 1, 2
+),
+fenced AS (
+  SELECT table_id, col_id, q1r, q3r,
+         q1r - {k_iqr} * (q3r - q1r) AS lo,
+         q3r + {k_iqr} * (q3r - q1r) AS hi
+  FROM q
+)
+SELECT nn.table_id, nn.col_id,
+       round(any_value(q1r), 6) AS q1,
+       round(any_value(q3r), 6) AS q3,
+       round(any_value(lo), 6) AS lo_fence,
+       round(any_value(hi), 6) AS hi_fence,
+       sum(CASE WHEN nn.val < lo OR nn.val > hi THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) AS n_values
+FROM nn JOIN fenced ON fenced.table_id = nn.table_id AND fenced.col_id = nn.col_id
+GROUP BY nn.table_id, nn.col_id
+"""

@@ -1210,6 +1210,20 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_forward_fill(_events_us(spark, sf_dir))
 
 
+def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All tf-idf-weighted near-duplicate document pairs (df-capped)."""
+    from datalake_indexes_spark.operators.search import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_column_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile for every numeric lake column."""
+    from datalake_indexes_spark.operators.cocoa import column_outliers
+
+    return column_outliers(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1296,6 +1310,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_types": q_semantic_types,
     "events_growth": q_events_growth,
     "events_resample": q_events_resample,
+    "text_tfidf_sim": q_text_tfidf_sim,
+    "column_outliers": q_column_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -1426,4 +1442,6 @@ WHERE rn = 1
     ),
     "events_growth": oracle.events_growth_sql(),
     "events_resample": oracle.events_resample_sql(),
+    "text_tfidf_sim": oracle.text_tfidf_pairs_sql(threshold=0.5),
+    "column_outliers": oracle.column_outliers_sql(),
 }

@@ -571,3 +571,69 @@ class TestEdgeCases:
             [(i, "en") for i in range(10)], "doc_id long, lang string"
         )
         assert temperature_mix(docs, alpha=1.0).count() == 10  # r == 1 everywhere
+
+
+@pytest.mark.spark
+class TestTfidfCosinePairs:
+    def test_weighted_similarity_and_df_cap(self, spark):
+        from datalake_indexes_spark.operators.search import tfidf_cosine_pairs
+
+        docs = spark.createDataFrame(
+            [
+                # 1 & 2: identical rare content -> cosine 1.0
+                (1, "zebra quagga okapi"),
+                (2, "zebra quagga okapi"),
+                # 3: shares only the ubiquitous word "the" with everyone
+                (3, "the common filler"),
+                (4, "the unrelated payload entirely"),
+                (5, "the zebra alone here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r.doc_id_1, r.doc_id_2): r.cosine for r in
+               tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.5).collect()}
+        assert out[(1, 2)] == 1.0
+        # "the" has df 3/5 > cap -> contributes nothing; 3-4 share nothing else
+        assert (3, 4) not in out
+
+    def test_symmetric_each_pair_once(self, spark):
+        from datalake_indexes_spark.operators.search import tfidf_cosine_pairs
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(4)]
+            + [(8, "other words"), (9, "more filler")],
+            "doc_id long, text string",
+        )
+        rows = tfidf_cosine_pairs(docs, threshold=0.9, max_df_frac=2.0).collect()
+        assert len(rows) == 6  # C(4,2) among the clones, no (b,a) duplicates
+        assert all(r.doc_id_1 < r.doc_id_2 < 4 for r in rows)
+
+    def test_idf_zero_everywhere_is_empty_not_an_error(self, spark):
+        """Identical corpus: every idf is 0, every norm 0 — defined as
+        no pairs (no signal), never a divide-by-zero."""
+        from datalake_indexes_spark.operators.search import tfidf_cosine_pairs
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(4)], "doc_id long, text string"
+        )
+        assert tfidf_cosine_pairs(docs, threshold=0.1, max_df_frac=2.0).count() == 0
+
+
+@pytest.mark.spark
+class TestColumnOutliers:
+    def test_fences_and_counts(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.cocoa import column_outliers
+
+        vals = [str(v) for v in list(range(1, 12)) + [100]]  # one wild point
+        cells = [(1, 0, i, v) for i, v in enumerate(vals)]
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        row = column_outliers(idx).collect()[0]
+        assert row.n_values == 12
+        assert row.n_outliers == 1  # only the 100
+        assert row.q1 < row.q3 <= row.hi_fence < 100
