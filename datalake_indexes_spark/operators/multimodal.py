@@ -8,7 +8,7 @@ plus the *container-header* decode that needs no codec library:
 
 - **image**: real PNG IHDR / JPEG SOF / GIF header parsing
   (:func:`probe_image_dims`) — pure stdlib byte work, executor-side.
-- **audio**: real WAV RIFF chunk walking (:func:`probe_wav`) for sample
+- **audio**: real WAV/FLAC/Ogg-Vorbis header parsing (:func:`probe_audio`) for sample
   rate and frame count.
 - **video**: real MP4 ``moov/trak/tkhd`` box walking
   (:func:`probe_mp4_dims`) for track width/height — the container header
@@ -133,6 +133,59 @@ def probe_wav(b: bytes) -> tuple[int, int] | None:
     if sample_rate is None or not block_align or data_size is None:
         return None
     return sample_rate, data_size // block_align
+
+
+def probe_flac(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_frames) from a FLAC STREAMINFO block: 'fLaC'
+    magic, then metadata blocks; STREAMINFO (type 0) packs sample rate
+    in 20 bits at byte offset 10 of its body and total samples in the
+    low 36 bits that follow (bit-packed per the FLAC spec)."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    i = 4
+    while i + 4 <= len(b):
+        hdr = b[i]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        size = int.from_bytes(b[i + 1 : i + 4], "big")
+        if btype == 0 and i + 4 + 18 <= len(b):
+            body = b[i + 4 : i + 4 + 18]
+            packed = int.from_bytes(body[10:18], "big")  # 64 bits
+            sample_rate = packed >> 44
+            total = packed & ((1 << 36) - 1)
+            if sample_rate == 0:
+                return None
+            return sample_rate, total
+        i += 4 + size
+        if last:
+            break
+    return None
+
+
+def probe_ogg_vorbis(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_frames) from an Ogg/Vorbis stream: first page
+    carries the Vorbis identification header (audio sample rate,
+    little-endian at offset 12 of the packet); total samples come from
+    the LAST page's granule position (absolute sample index) — found by
+    scanning for the final 'OggS' capture."""
+    if len(b) < 58 or b[:4] != b"OggS":
+        return None
+    # identification packet starts after the 27-byte page header +
+    # segment table (n_segs bytes)
+    n_segs = b[26]
+    p = 27 + n_segs
+    if p + 16 > len(b) or b[p : p + 7] != b"\x01vorbis":
+        return None
+    sample_rate = struct.unpack("<I", b[p + 12 : p + 16])[0]
+    if sample_rate == 0:
+        return None
+    last = b.rfind(b"OggS")
+    granule = struct.unpack("<q", b[last + 6 : last + 14])[0] if last + 14 <= len(b) else 0
+    return sample_rate, max(granule, 0)
+
+
+def probe_audio(b: bytes) -> tuple[int, int] | None:
+    """Audio container dispatch: WAV, FLAC, or Ogg/Vorbis."""
+    return probe_wav(b) or probe_flac(b) or probe_ogg_vorbis(b)
 
 
 def _iter_boxes(b: bytes, start: int, end: int):
@@ -484,14 +537,14 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     Features: byte length, data-section sha256 (:func:`payload_body` —
     container-stripped, so re-containerized copies of the same media dedup
     together), and decoded dimensions — REAL header parses for all three
-    modalities: PNG/JPEG/GIF, WAV, and MP4 tkhd.  Unparseable payloads
+    modalities: PNG/JPEG/GIF, WAV/FLAC/Ogg-Vorbis, and MP4/AVI.  Unparseable payloads
     yield NULL dims (honest failure, no guess)."""
 
     def dims_for(b: bytes, modality: str) -> tuple[int | None, int | None]:
         if modality == "image":
             return probe_image_dims(bytes(b)) or (None, None)
         if modality == "audio":
-            return probe_wav(bytes(b)) or (None, None)
+            return probe_audio(bytes(b)) or (None, None)
         return probe_video_dims(bytes(b)) or (None, None)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -220,3 +220,46 @@ def test_avi_dims_and_video_dispatch():
     assert probe_video_dims(_avi(720, 576)) == (720, 576)
     assert probe_video_dims(_mp4(1280, 720)) == (1280, 720)
     assert probe_video_dims(b"neither") is None
+
+
+def _flac(sample_rate: int, total_samples: int) -> bytes:
+    """Minimal real FLAC: magic + one (last) STREAMINFO block."""
+    packed = (sample_rate << 44) | (2 << 41) | (15 << 36) | total_samples
+    body = bytes(10) + packed.to_bytes(8, "big") + bytes(16)  # 34-byte body
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _ogg(sample_rate: int, granule: int) -> bytes:
+    """Two minimal Ogg pages: id-header page + data page with granule."""
+    import struct as _s
+
+    ident = b"\x01vorbis" + bytes(4) + b"\x02" + _s.pack("<I", sample_rate) + bytes(16)
+    page1 = (
+        b"OggS" + bytes([0, 2]) + _s.pack("<q", 0)
+        + bytes(12) + bytes([1, len(ident)]) + ident
+    )
+    page2 = (
+        b"OggS" + bytes([0, 4]) + _s.pack("<q", granule)
+        + bytes(12) + bytes([1, 1]) + b"\x00"
+    )
+    return page1 + page2
+
+
+def test_probe_flac():
+    from datalake_indexes_spark.operators.multimodal import probe_audio, probe_flac
+
+    assert probe_flac(_flac(44100, 123456)) == (44100, 123456)
+    assert probe_flac(b"fLaCxx") is None
+    assert probe_flac(b"NOPE") is None
+    assert probe_audio(_flac(22050, 99)) == (22050, 99)
+
+
+def test_probe_ogg_vorbis():
+    from datalake_indexes_spark.operators.multimodal import (
+        probe_audio,
+        probe_ogg_vorbis,
+    )
+
+    assert probe_ogg_vorbis(_ogg(48000, 96000)) == (48000, 96000)
+    assert probe_ogg_vorbis(b"OggS" + bytes(60)) is None  # not a vorbis id page
+    assert probe_audio(_ogg(8000, 4000)) == (8000, 4000)
