@@ -244,3 +244,80 @@ def test_bm25_indexed_pushes_term_filter_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:200]
     assert "In(term" in pushed.replace(" ", "") or "EqualTo(term" in pushed.replace(" ", "")
+
+
+def test_discovery_joins_are_equi_joins(saved_index):
+    """Inclusion-dependency and union-search pair generation must plan
+    as hash equi-joins on the token — a nested-loop here is the
+    quadratic the spread cap exists to prevent."""
+    from datalake_indexes_spark.operators.discovery import (
+        inclusion_dependencies,
+        union_search,
+    )
+
+    for df in (
+        inclusion_dependencies(saved_index, min_distinct=1, min_containment=0.1),
+        union_search(saved_index, 0, min_distinct=1, min_jaccard=0.01),
+    ):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_tfidf_pair_join_is_equi_join(spark):
+    from datalake_indexes_spark.operators.search import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} shared") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(tfidf_cosine_pairs(docs, threshold=0.1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_df_cap_kills_hot_term_pair_blowup(spark):
+    """A corpus-wide term would generate C(n,2) candidate pairs; the df
+    cap removes it BEFORE the pair join, so the planted corpus (only
+    'the' shared) produces zero pairs instead of n² work."""
+    from datalake_indexes_spark.operators.search import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} word{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    capped = tfidf_cosine_pairs(docs, threshold=0.0, max_df_frac=0.5)
+    assert capped.count() == 0
+    uncapped = tfidf_cosine_pairs(docs, threshold=0.0, max_df_frac=2.0)
+    assert uncapped.count() == 60 * 59 / 2  # the blowup the cap prevents
+
+
+def test_pq_adc_scoring_broadcasts_lut(spark):
+    """The PQ lookup table must broadcast — the code table is the only
+    scan-sized side of the ADC join."""
+    from datalake_indexes_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(16)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, m=4, ksub=8))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_growth_and_cohort_have_no_window_over_events(spark):
+    """Growth/cohort analytics aggregate the event stream — the only
+    window runs over per-PERIOD rows, so no WindowExec input is keyed by
+    the raw event scan."""
+    from datalake_indexes_spark.operators.events import (
+        cohort_retention,
+        growth_accounting,
+    )
+
+    ev = spark.range(500).selectExpr(
+        "id % 37 AS user_id", "id * 1000000 AS ts_us"
+    )
+    assert "Window" not in _plan(cohort_retention(ev))
+    plan = _plan(growth_accounting(ev))
+    # one window, and only over the per-period aggregate (row count ≈ days)
+    assert plan.count("Window") == 1
