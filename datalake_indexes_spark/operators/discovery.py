@@ -318,3 +318,115 @@ def semantic_types(df: DataFrame, threshold: float = 0.9) -> DataFrame:
         .otherwise(F.lit("text"))
     )
     return out.withColumn("sem_type", sem)
+
+
+def domain_clusters(
+    index,
+    rounds: int = 8,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> DataFrame:
+    """Cluster lake tables into DOMAINS: tables whose columns share value
+    vocabularies (Jaccard >= ``min_jaccard``) are connected, and each
+    table is labeled with the smallest table_id reachable through such
+    edges within ``rounds`` hops of min-label propagation — so a lake of
+    orders-ish, customer-ish, logs-ish tables falls into its natural
+    groups (the "which tables belong together" view a catalog UI leads
+    with).  (table_id, domain).
+
+    Contract: the label is exactly ``rounds`` synchronous min-label
+    iterations over the similarity graph — deterministic and
+    SQL-replicable (the oracle unrolls the identical iterations), and
+    equal to true connected components whenever the graph's diameter is
+    below ``rounds`` (the convergence case, asserted in tests; the
+    large-star/small-star operator in :mod:`.graph` is the
+    unbounded-diameter path).
+
+    Scale shape: the pair scores reuse the capped-universe machinery;
+    each propagation round is one edges ⋈ labels equi-join + min
+    aggregate over TABLE-sized rows (schema-sized, not data-sized)."""
+    pair_scores = (
+        _column_pair_jaccards(index, min_distinct, max_token_cols)
+        .filter(F.col("__jac") >= min_jaccard)
+        .select("table_a", "table_b")
+        .distinct()
+    )
+    # one execution of the pair pipeline: every propagation round joins
+    # against these edges, so without the checkpoint the capped-universe
+    # scan would re-run `rounds` times
+    edges = (
+        pair_scores.unionByName(
+            pair_scores.select(
+                F.col("table_b").alias("table_a"), F.col("table_a").alias("table_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = index.cells.select(F.col("table_id")).distinct().localCheckpoint()
+    labels = nodes.withColumn("domain", F.col("table_id"))
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges.table_b == labels.table_id)
+            .groupBy(F.col("table_a").alias("table_id"))
+            .agg(F.min("domain").alias("__nbr"))
+        )
+        labels = (
+            labels.join(nbr, "table_id", "left")
+            .select(
+                "table_id",
+                F.least(F.col("domain"), F.coalesce("__nbr", F.col("domain"))).alias(
+                    "domain"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def _column_pair_jaccards(
+    index, min_distinct: int, max_token_cols: int
+) -> DataFrame:
+    """(table_a, col_a, table_b, col_b, __jac) for every cross-table
+    column pair over the capped distinct-token universe — the shared
+    core of :func:`union_search` and :func:`domain_clusters`."""
+    dcells = index.cells.select("table_id", "col_id", "tokenized").distinct()
+    spread = dcells.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__cols"))
+    capped = dcells.join(
+        spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
+        "tokenized",
+    )
+    counts = capped.groupBy("table_id", "col_id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tokenized") == F.col("b.tokenized"))
+            & (F.col("a.table_id") != F.col("b.table_id")),
+        )
+        .groupBy(
+            F.col("a.table_id").alias("table_a"),
+            F.col("a.col_id").alias("col_a"),
+            F.col("b.table_id").alias("table_b"),
+            F.col("b.col_id").alias("col_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    ca = counts.select(
+        F.col("table_id").alias("table_a"), F.col("col_id").alias("col_a"),
+        F.col("__n").alias("__na"),
+    )
+    cb = counts.select(
+        F.col("table_id").alias("table_b"), F.col("col_id").alias("col_b"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        common.join(F.broadcast(ca), ["table_a", "col_a"])
+        .join(F.broadcast(cb), ["table_b", "col_b"])
+        .filter((F.col("__na") >= min_distinct) & (F.col("__nb") >= min_distinct))
+        .withColumn(
+            "__jac",
+            F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")),
+        )
+    )

@@ -2295,3 +2295,57 @@ SELECT nn.table_id, nn.col_id,
 FROM nn JOIN fenced ON fenced.table_id = nn.table_id AND fenced.col_id = nn.col_id
 GROUP BY nn.table_id, nn.col_id
 """
+
+
+def domain_clusters_sql(
+    rounds: int = 8,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> str:
+    """Domain-cluster twin: same capped-universe Jaccard edges, same
+    ``rounds`` synchronous min-label iterations unrolled as CTEs."""
+    head = f"""WITH {cells_cte()},
+d AS (SELECT DISTINCT table_id, col_id, tokenized FROM cells),
+spread AS (
+  SELECT tokenized FROM d GROUP BY tokenized HAVING count(*) <= {max_token_cols}
+),
+c AS (SELECT d.* FROM d JOIN spread USING (tokenized)),
+cc AS (SELECT table_id, col_id, count(*) AS n FROM c GROUP BY 1, 2),
+common AS (
+  SELECT a.table_id AS table_a, a.col_id AS col_a,
+         b.table_id AS table_b, b.col_id AS col_b, count(*) AS com
+  FROM c a JOIN c b
+    ON a.tokenized = b.tokenized AND a.table_id != b.table_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT DISTINCT table_a, table_b
+  FROM common
+  JOIN cc ca ON ca.table_id = common.table_a AND ca.col_id = common.col_a
+  JOIN cc cb ON cb.table_id = common.table_b AND cb.col_id = common.col_b
+  WHERE ca.n >= {min_distinct} AND cb.n >= {min_distinct}
+    AND com / CAST(ca.n + cb.n - com AS DOUBLE) >= {min_jaccard}
+),
+edges AS MATERIALIZED (
+  SELECT table_a, table_b FROM pairs
+  UNION SELECT table_b, table_a FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT table_id FROM cells),
+l0 AS MATERIALIZED (SELECT table_id, table_id AS domain FROM nodes)"""
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        rounds_sql.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.table_id, least(l.domain, coalesce(nb.nbr, l.domain)) AS domain
+  FROM l{i - 1} l LEFT JOIN (
+    SELECT e.table_a AS table_id, min(l2.domain) AS nbr
+    FROM edges e JOIN l{i - 1} l2 ON l2.table_id = e.table_b
+    GROUP BY e.table_a
+  ) nb ON nb.table_id = l.table_id
+)"""
+        )
+    return (
+        head + ",\n" + ",\n".join(rounds_sql)
+        + f"\nSELECT table_id, domain FROM l{rounds}\n"
+    )

@@ -1224,6 +1224,14 @@ def q_column_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_outliers(testdata_index(spark, sf_dir, with_super_keys=False))
 
 
+def q_discovery_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tables clustered into domains by shared column vocabularies
+    (bounded min-label propagation over the Jaccard similarity graph)."""
+    from datalake_indexes_spark.operators.discovery import domain_clusters
+
+    return domain_clusters(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1312,6 +1320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resample": q_events_resample,
     "text_tfidf_sim": q_text_tfidf_sim,
     "column_outliers": q_column_outliers,
+    "discovery_domains": q_discovery_domains,
 }
 
 ORACLES: dict[str, str] = {
@@ -1444,4 +1453,5 @@ WHERE rn = 1
     "events_resample": oracle.events_resample_sql(),
     "text_tfidf_sim": oracle.text_tfidf_pairs_sql(threshold=0.5),
     "column_outliers": oracle.column_outliers_sql(),
+    "discovery_domains": oracle.domain_clusters_sql(),
 }

@@ -253,3 +253,31 @@ class TestSemanticTypes:
         assert out["dates"].sem_type == "date"  # date and datetime forms
         assert out["mixed"].sem_type == "text"  # 1/3 integer < threshold
         assert out["sparse"].n_values == 2  # NULLs excluded from the base
+
+
+@pytest.mark.spark
+class TestDomainClusters:
+    def test_transitive_domains_and_singleton(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.discovery import domain_clusters
+
+        cells = []
+        # chain 0-1-2: 0 shares vocab A with 1, 1 shares vocab B with 2
+        cells += [(0, 0, i, f"a{i}") for i in range(10)]
+        cells += [(1, 0, i, f"a{i}") for i in range(10)]
+        cells += [(1, 1, i, f"b{i}") for i in range(10)]
+        cells += [(2, 0, i, f"b{i}") for i in range(10)]
+        # pair 5-6
+        cells += [(5, 0, i, f"x{i}") for i in range(10)]
+        cells += [(6, 0, i, f"x{i}") for i in range(10)]
+        # singleton 9
+        cells += [(9, 0, i, f"q{i}") for i in range(10)]
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        got = {r.table_id: r.domain for r in domain_clusters(idx, rounds=4).collect()}
+        # transitive closure: 2 reaches 0 through 1 even with no shared vocab
+        assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
