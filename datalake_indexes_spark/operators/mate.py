@@ -424,3 +424,160 @@ class MATE:
             stats["precision"] = n_match / max(n_approved, 1)
             result.stats = stats
         return result
+
+    def join_search_batch(
+        self,
+        inputs: dict[str, tuple[DataFrame, list[str], list[str] | None]],
+        k: int = 10,
+        k_c: int = 500,
+        use_hash_optimization: bool = True,
+    ) -> DataFrame:
+        """Batched joinability search: run MANY MATE queries in ONE job —
+        (query_id, score, table_id, column_combination), identical per
+        query to :meth:`join_search`'s top_k (parity pinned in tests).
+
+        ``inputs``: query_id -> (input_df, query_columns, input_order_by);
+        all queries must share the same degree (mixed degrees verify
+        different column counts — run two batches).
+
+        Why batch: a discovery workload probes the SAME lake with
+        hundreds of inputs.  Run serially, every query pays the index
+        scan; batched, the union of prepared inputs (tagged by query_id)
+        broadcasts against ONE scan of the keyed cell view, and every
+        later stage is the single-query stage with query_id prepended to
+        its keys — per-query candidate caps and top-k become windows
+        PARTITIONED by query (distributed across queries, bounded per
+        query), verification shuffles once for the whole batch.  At a
+        1000-executor scale this turns N lake scans into one.
+
+        Batch inputs are broadcast unconditionally — the batch path is
+        for many SMALL probes; a fact-table-sized input belongs on
+        :meth:`join_search`'s salted non-broadcast path.
+        """
+        degrees = {len(qc) for (_, qc, _) in inputs.values()}
+        if len(degrees) != 1:
+            raise ValueError(f"mixed query degrees in one batch: {degrees}")
+        degree = degrees.pop()
+        prefilter = use_hash_optimization and degree > 1
+
+        prepared = None
+        for qid, (df, qcols, order) in sorted(inputs.items()):
+            p = self.prepare_input(
+                df, qcols, order, with_super_key=prefilter
+            ).withColumn("__query_id", F.lit(qid))
+            prepared = p if prepared is None else prepared.unionByName(p)
+        prepared = F.broadcast(prepared)
+
+        probe_cells = self.index.keyed_cells() if prefilter else self.index.cells
+        hits = probe_cells.join(
+            prepared, probe_cells["tokenized"] == prepared["__q0"], "inner"
+        )
+
+        # per-query candidate cap: the window partitions BY QUERY, so each
+        # query keeps its own top-k_c tables and no query's hot tables
+        # crowd out another's
+        table_hits = hits.groupBy("__query_id", F.col("table_id").alias("__t")).count()
+        cap_w = Window.partitionBy("__query_id").orderBy(
+            F.desc("count"), F.asc("__t")
+        )
+        cand = (
+            table_hits.withColumn("__rk", F.row_number().over(cap_w))
+            .filter(F.col("__rk") <= k_c)
+            .select("__query_id", F.col("__t").alias("table_id"))
+        )
+        hits = hits.join(F.broadcast(cand), ["__query_id", "table_id"], "inner")
+
+        if prefilter:
+            hits = hits.filter(
+                superkey_contains(
+                    F.col("__q_hi"), F.col("__q_lo"),
+                    F.col("super_key_hi"), F.col("super_key_lo"),
+                )
+            )
+
+        pairs = hits.select(
+            "__query_id",
+            "table_id",
+            F.col("row_id").alias("ext_row_id"),
+            F.col("col_id").alias("hit_col_id"),
+            "mate_row_id",
+            *[f"__q{i}" for i in range(degree)],
+        )
+
+        verify_idx = [0] if degree == 1 else list(range(1, degree))
+        # one global verify-token semi-filter for the whole batch: a
+        # superset of each query's filter, so per-pair equality below is
+        # untouched — correctness per query, one lake pass for all
+        verify_tokens = F.broadcast(
+            prepared.select(
+                F.explode(
+                    F.array(*[F.col(f"__q{i}") for i in verify_idx])
+                ).alias("__cell_tok")
+            ).distinct()
+        )
+        row_cells = self.index.cells.select(
+            "table_id",
+            F.col("row_id").alias("ext_row_id"),
+            F.col("col_id").alias("__cell_col"),
+            F.col("tokenized").alias("__cell_tok"),
+        ).join(verify_tokens, "__cell_tok", "leftsemi")
+        joined = pairs.join(row_cells, ["table_id", "ext_row_id"], "inner")
+
+        agg_exprs = [
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        F.col("__cell_tok") == F.col(f"__q{i}"), F.col("__cell_col")
+                    )
+                )
+            ).alias(f"__m{i}")
+            for i in verify_idx
+        ]
+        verified = joined.groupBy(
+            "__query_id", "table_id", "ext_row_id", "hit_col_id", "mate_row_id"
+        ).agg(*agg_exprs)
+
+        is_match = F.lit(True)
+        for i in verify_idx:
+            is_match = is_match & (F.size(F.col(f"__m{i}")) > 0)
+        combo = F.concat_ws(
+            "_",
+            F.col("hit_col_id").cast("string"),
+            *[
+                F.array_join(
+                    F.transform(F.col(f"__m{i}"), lambda c: c.cast("string")), "_"
+                )
+                for i in verify_idx
+            ],
+        )
+        matches = verified.filter(is_match).withColumn("column_combination", combo)
+
+        combo_counts = matches.groupBy(
+            "__query_id", "table_id", "column_combination"
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
+        best_w = Window.partitionBy("__query_id", "table_id").orderBy(
+            F.desc("__cnt"), F.asc("column_combination")
+        )
+        best = (
+            combo_counts.withColumn("__rk", F.row_number().over(best_w))
+            .filter(F.col("__rk") == 1)
+            .select(
+                "__query_id",
+                (F.col("__cnt") - 1).cast("long").alias("score"),
+                "table_id",
+                "column_combination",
+            )
+        )
+        topk_w = Window.partitionBy("__query_id").orderBy(
+            F.desc("score"), F.asc("table_id")
+        )
+        return (
+            best.withColumn("__rk", F.row_number().over(topk_w))
+            .filter(F.col("__rk") <= k)
+            .select(
+                F.col("__query_id").alias("query_id"),
+                "score",
+                "table_id",
+                "column_combination",
+            )
+        )

@@ -1232,6 +1232,22 @@ def q_discovery_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_clusters(testdata_index(spark, sf_dir, with_super_keys=False))
 
 
+def q_mate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched MATE: two degree-1 joinability searches in ONE job."""
+    idx = testdata_index(spark, sf_dir)
+    mate = MATE(idx)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return mate.join_search_batch(
+        {
+            "cust": (customer, ["c_custkey"], ["c_custkey"]),
+            "ord": (orders, ["o_orderkey"], ["o_orderkey"]),
+        },
+        k=10,
+        k_c=500,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1321,6 +1337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_sim": q_text_tfidf_sim,
     "column_outliers": q_column_outliers,
     "discovery_domains": q_discovery_domains,
+    "mate_join_search_batch": q_mate_batch,
 }
 
 ORACLES: dict[str, str] = {
@@ -1454,4 +1471,13 @@ WHERE rn = 1
     "text_tfidf_sim": oracle.text_tfidf_pairs_sql(threshold=0.5),
     "column_outliers": oracle.column_outliers_sql(),
     "discovery_domains": oracle.domain_clusters_sql(),
+    # per-query twin of the batch: each member reuses the trusted
+    # single-query oracle under its query_id tag
+    "mate_join_search_batch": (
+        "SELECT 'cust' AS query_id, * FROM ("
+        + oracle.mate_join_search_sql("customer", ["c_custkey"], ["c_custkey"], k=10, k_c=500)
+        + ") UNION ALL SELECT 'ord' AS query_id, * FROM ("
+        + oracle.mate_join_search_sql("orders", ["o_orderkey"], ["o_orderkey"], k=10, k_c=500)
+        + ")"
+    ),
 }
