@@ -11,7 +11,7 @@ definition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datalake_indexes_spark.functions.text import STOPWORDS
@@ -522,3 +522,36 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return docs.select(F.col(id_col).alias("doc_id"), split.alias("split"))
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (or all of a smaller
+    stratum), chosen deterministically — the balanced-eval-set primitive
+    next to :func:`stratified_sample`'s fractional mixing: a benchmark
+    wants "500 docs per language", not "roughly 10% of each".
+
+    Selection ranks each stratum by md5(id) (a uniform, engine-exact
+    shuffle of the ids) and keeps the first n — reproducible on every
+    run and engine, no RNG.  (doc_id, stratum, sample_rank).
+
+    Scale shape: ONE window partitioned by stratum.  Per-stratum work is
+    the stratum's row count — the language histogram is the skew and
+    it is known upfront; for a pathological mono-stratum corpus, cut
+    first with the fractional sampler (scan-level filter), then rank."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )

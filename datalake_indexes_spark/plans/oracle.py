@@ -2349,3 +2349,15 @@ l0 AS MATERIALIZED (SELECT table_id, table_id AS domain FROM nodes)"""
         head + ",\n" + ",\n".join(rounds_sql)
         + f"\nSELECT table_id, domain FROM l{rounds}\n"
     )
+
+
+def corpus_sample_exact_sql(n_per_stratum: int) -> str:
+    """Exact-n stratified-sample twin: same md5 shuffle order, same
+    per-stratum rank cut."""
+    return f"""
+SELECT doc_id, lang AS stratum,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
+FROM documents
+QUALIFY sample_rank <= {n_per_stratum}
+"""

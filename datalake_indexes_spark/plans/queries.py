@@ -1248,6 +1248,13 @@ def q_mate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-language deterministic sample (balanced eval set)."""
+    from datalake_indexes_spark.operators.text_analysis import stratified_sample_exact
+
+    return stratified_sample_exact(_docs(spark, sf_dir), n_per_stratum=20)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1338,6 +1345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_outliers": q_column_outliers,
     "discovery_domains": q_discovery_domains,
     "mate_join_search_batch": q_mate_batch,
+    "corpus_sample_exact": q_corpus_sample_exact,
 }
 
 ORACLES: dict[str, str] = {
@@ -1480,4 +1488,5 @@ WHERE rn = 1
         + oracle.mate_join_search_sql("orders", ["o_orderkey"], ["o_orderkey"], k=10, k_c=500)
         + ")"
     ),
+    "corpus_sample_exact": oracle.corpus_sample_exact_sql(n_per_stratum=20),
 }

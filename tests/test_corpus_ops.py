@@ -3,6 +3,7 @@ concat-then-chunk sequence packing (operators/text_analysis.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datalake_indexes_spark.operators.text_analysis import (
@@ -141,3 +142,26 @@ def test_pack_sequences_property_matches_window(spark):
         assert got == ref
 
     check()
+
+
+@pytest.mark.spark
+class TestStratifiedSampleExact:
+    def test_exact_n_and_small_stratum(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import (
+            stratified_sample_exact,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en") for i in range(50)] + [(100 + i, "fr") for i in range(3)],
+            "doc_id long, lang string",
+        )
+        out = stratified_sample_exact(docs, n_per_stratum=10).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.stratum, []).append(r)
+        assert len(by["en"]) == 10          # exact cut
+        assert len(by["fr"]) == 3           # smaller stratum: all rows
+        assert sorted(r.sample_rank for r in by["en"]) == list(range(1, 11))
+        # deterministic: same selection on a second run
+        again = {r.doc_id for r in stratified_sample_exact(docs, 10).collect()}
+        assert again == {r.doc_id for r in out}
