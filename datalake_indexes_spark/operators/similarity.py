@@ -741,3 +741,131 @@ def pq_topk(
             F.round("__est", 4).alias("est_cosine"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector architecture — an IVF
+    inverted file prunes the search to ``n_probe`` cells, and within a
+    cell the corpus exists only as ``m``-byte PQ codes of the RESIDUAL
+    (vector minus its centroid).  Estimated similarity decomposes
+    exactly:  dot(q, x) = dot(q, c) + dot(q, x - c), with the second
+    term looked up from the per-query PQ table — so accuracy follows
+    residual magnitude (small within a good cell), and memory is
+    centroids + m bytes/vector, the FAISS IVFPQ layout.
+
+    (query_id, neighbor_id, rank, est_cosine); self-matches excluded.
+
+    Scale shape: centroid assignment and the LUT are broadcast
+    map-side passes; the only corpus-sized state is the code table,
+    partitioned by centroid in a persisted deployment (see
+    ``build_ivf_index`` for the partition-pruned pattern) so a query
+    touches n_probe/n_centroids of it.  Deterministic end to end
+    (seed centroids + seed residual codebooks)."""
+    cents = F.broadcast(_ivf_centroids(corpus, n_centroids, 0, vec_col, id_col))
+    units = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit").alias("__u")
+    )
+
+    rk_w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("centroid"))
+    assigned = (
+        units.crossJoin(cents)
+        .withColumn("__sim", _dot(F.col("__u"), F.col("__cent_v")))
+        .withColumn("__rk", F.row_number().over(rk_w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "vec_id",
+            "centroid",
+            F.zip_with("__u", "__cent_v", lambda a, b: a - b).alias("__r"),
+        )
+    )
+
+    # residual codebooks: subvectors of the first ksub vectors' residuals
+    # (same seed discipline as pq_codebooks, applied to residual space)
+    seeds = assigned.orderBy("vec_id").limit(ksub)
+    seed_w = Window.orderBy("vec_id")
+    seeds = seeds.withColumn("code", F.row_number().over(seed_w) - 1)
+    sub = F.floor(F.size("__r") / m).cast("int")
+    book_parts = [
+        seeds.select(
+            F.lit(j).alias("j"), "code",
+            F.slice("__r", sub * j + 1, sub).alias("centroid_v"),
+        )
+        for j in range(m)
+    ]
+    books = book_parts[0]
+    for p in book_parts[1:]:
+        books = books.unionByName(p)
+    books = F.broadcast(books)
+
+    # encode residuals: per subspace, nearest residual-codebook entry
+    rsub = assigned.select(
+        "vec_id", "centroid",
+        F.posexplode(
+            F.array(*[F.slice("__r", sub * j + 1, sub) for j in range(m)])
+        ).alias("j", "__sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__sv"), F.col("centroid_v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        rsub.join(books, "j")
+        .withColumn("__d", dist)
+        .groupBy("vec_id", "centroid", "j")
+        .agg(F.min_by("code", F.struct(F.col("__d"), F.col("code"))).alias("code"))
+    )
+
+    # query side: n_probe nearest centroids with dot(q, c); LUT over the
+    # residual codebooks (LUT is centroid-independent: dot(q, r) is linear)
+    qu = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__q")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("__qc"), F.asc("centroid"))
+    probed = F.broadcast(
+        qu.crossJoin(cents)
+        .withColumn("__qc", _dot(F.col("__q"), F.col("__cent_v")))
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "centroid", "__qc")
+    )
+    qsub_len = F.floor(F.size("__q") / m).cast("int")
+    qsub = qu.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("__q", qsub_len * j + 1, qsub_len) for j in range(m)])
+        ).alias("j", "__qs"),
+    )
+    lut = F.broadcast(
+        qsub.join(books, "j").select(
+            "query_id", "j", "code", _dot(F.col("__qs"), F.col("centroid_v")).alias("__p")
+        )
+    )
+
+    scored = (
+        codes.join(probed, "centroid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(lut, ["query_id", "j", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.first("__qc") + F.sum("__p")).alias("__est"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__est"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__est", 4).alias("est_cosine"),
+        )
+    )

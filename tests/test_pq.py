@@ -27,8 +27,10 @@ def emb(spark):
         # deterministic pseudo-random 16-dim vectors with mild cluster
         # structure (4 archetypes + per-dim wobble)
         arch = i % 4
+        # arch+1: archetype 0 must carry real signal too (sin(0) would be
+        # a noise-only vector that scatters across every centroid)
         vec = [
-            math.sin(0.7 * arch * (d + 1)) + 0.05 * math.cos(1.3 * i * (d + 2))
+            math.sin(0.7 * (arch + 1) * (d + 1)) + 0.05 * math.cos(1.3 * i * (d + 2))
             for d in range(16)
         ]
         rows.append((i, vec))
@@ -110,3 +112,45 @@ def test_adc_estimate_tracks_true_cosine(spark, emb):
         if r.neighbor_id % 4 == r.query_id % 4  # same archetype
     )
     assert hits / len(out) > 0.9
+
+
+@pytest.mark.spark
+class TestIvfPq:
+    def test_shape_and_self_exclusion(self, spark, emb):
+        from datalake_indexes_spark.operators.similarity import ivf_pq_topk
+
+        q = emb.filter(F.col("vec_id") < 4)
+        out = ivf_pq_topk(
+            emb, q, k=3, n_centroids=8, n_probe=3, m=M, ksub=KSUB
+        ).collect()
+        assert all(r.neighbor_id != r.query_id for r in out)
+        for qid in range(4):
+            ranks = sorted(r.rank for r in out if r.query_id == qid)
+            assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_same_archetype_dominates(self, spark, emb):
+        """On clustered data IVF-PQ must surface same-archetype vectors —
+        centroid dot product carries most of the signal, residual codes
+        refine within the cell."""
+        from datalake_indexes_spark.operators.similarity import ivf_pq_topk
+
+        q = emb.filter(F.col("vec_id") < 4)
+        out = ivf_pq_topk(
+            emb, q, k=5, n_centroids=8, n_probe=4, m=M, ksub=KSUB
+        ).collect()
+        hits = sum(1 for r in out if r.neighbor_id % 4 == r.query_id % 4)
+        assert hits / len(out) > 0.9
+
+    def test_more_probes_never_lose_candidates(self, spark, emb):
+        """Probing more cells can only widen the candidate set: every
+        neighbor surfaced at n_probe=1 whose estimate survives the top-k
+        cut is still reachable at n_probe=4."""
+        from datalake_indexes_spark.operators.similarity import ivf_pq_topk
+
+        q = emb.filter(F.col("vec_id") < 2)
+        narrow = ivf_pq_topk(emb, q, k=50, n_centroids=8, n_probe=1, m=M, ksub=KSUB)
+        wide = ivf_pq_topk(emb, q, k=50, n_centroids=8, n_probe=4, m=M, ksub=KSUB)
+        n_set = {(r.query_id, r.neighbor_id) for r in narrow.collect()}
+        w_set = {(r.query_id, r.neighbor_id) for r in wide.collect()}
+        assert n_set <= w_set
+        assert len(w_set) > len(n_set)
