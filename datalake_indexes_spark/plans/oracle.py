@@ -2361,3 +2361,92 @@ SELECT doc_id, lang AS stratum,
 FROM documents
 QUALIFY sample_rank <= {n_per_stratum}
 """
+
+
+def events_cube_sql() -> str:
+    """CUBE twin of :func:`events_rollup_sql` — adds the (window-only)
+    cross level via GROUP BY CUBE."""
+    return """
+WITH ev AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         value
+  FROM events
+)
+SELECT event_type, window_start,
+       CAST(GROUPING(event_type, window_start) AS INT) AS grouping_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM ev GROUP BY CUBE (event_type, window_start)
+"""
+
+
+def union_search_approx_sql(
+    query_table_id: int,
+    k: int = 10,
+    sig_k: int = 32,
+    bands: int = 8,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> str:
+    """Sketch-union-search twin: the j-prefixed md5 MinHash family is
+    deterministic, so DuckDB recomputes the identical per-column
+    signatures, band keys, and agreement estimates."""
+    rows = sig_k // bands
+    mins = ",\n         ".join(
+        f"min(md5('{j}:' || tokenized)) AS m{j}" for j in range(sig_k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT table_id, col_id, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"m{j}" for j in range(b * rows, (b + 1) * rows)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN s.m{j} = q.m{j} THEN 1 ELSE 0 END)" for j in range(sig_k)
+    )
+    return f"""
+WITH {cells_cte()},
+d AS (SELECT DISTINCT table_id, col_id, tokenized FROM cells),
+spread AS (
+  SELECT tokenized FROM d GROUP BY tokenized HAVING count(*) <= {max_token_cols}
+),
+c AS (SELECT d.* FROM d JOIN spread USING (tokenized)),
+sigs AS MATERIALIZED (
+  SELECT table_id, col_id,
+         {mins}
+  FROM c GROUP BY table_id, col_id
+  HAVING count(*) >= {min_distinct}
+),
+bands_t AS MATERIALIZED (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT s.table_id, s.col_id, q.col_id AS q_col
+  FROM bands_t s
+  JOIN bands_t q ON q.band = s.band AND q.key = s.key
+  WHERE q.table_id = {query_table_id} AND s.table_id != {query_table_id}
+),
+est AS (
+  SELECT cand.q_col, cand.table_id,
+         ({agree}) / CAST({sig_k} AS DOUBLE) AS jac
+  FROM cand
+  JOIN sigs s ON s.table_id = cand.table_id AND s.col_id = cand.col_id
+  JOIN sigs q ON q.table_id = {query_table_id} AND q.col_id = cand.q_col
+),
+best AS (
+  SELECT q_col, table_id, max(jac) AS b
+  FROM est WHERE jac >= {min_jaccard} GROUP BY 1, 2
+),
+ranked AS (
+  SELECT table_id, count(*) AS n_matched_cols, round(sum(b), 4) AS score
+  FROM best GROUP BY table_id
+)
+SELECT table_id, n_matched_cols, score,
+       CAST(row_number() OVER (ORDER BY score DESC, table_id) AS INT) AS rank
+FROM ranked
+QUALIFY rank <= {k}
+"""

@@ -1255,6 +1255,39 @@ def q_corpus_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(_docs(spark, sf_dir), n_per_stratum=20)
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour): rollup's cross-level sibling — all
+    2^d grouping sets from the same single Expand+aggregate plan."""
+    from datalake_indexes_spark.operators.events import rollup_cube_agg
+
+    _ensure_session_confs(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        hour_sec = (
+            F.expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * F.lit(3600)
+        )
+        window_start = F.from_unixtime(hour_sec, "yyyy-MM-dd HH:mm:ss")
+    else:
+        window_start = F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        )
+    dims = ev.select("event_type", window_start.alias("window_start"), "value")
+    return rollup_cube_agg(dims, ["event_type", "window_start"], mode="cube")
+
+
+def q_union_search_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based union search (column MinHash + LSH banding) — same
+    contract as `union_search`, estimated from signatures."""
+    from datalake_indexes_spark.operators.discovery import union_search_approx
+    from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+
+    qid = TESTDATA_LAKE_SPEC["customer"].table_id
+    return union_search_approx(
+        testdata_index(spark, sf_dir, with_super_keys=False),
+        qid, k=10, sig_k=32, bands=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1346,6 +1379,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "discovery_domains": q_discovery_domains,
     "mate_join_search_batch": q_mate_batch,
     "corpus_sample_exact": q_corpus_sample_exact,
+    "events_cube": q_events_cube,
+    "union_search_sketch": q_union_search_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -1489,4 +1524,8 @@ WHERE rn = 1
         + ")"
     ),
     "corpus_sample_exact": oracle.corpus_sample_exact_sql(n_per_stratum=20),
+    "events_cube": oracle.events_cube_sql(),
+    "union_search_sketch": oracle.union_search_approx_sql(
+        TESTDATA_LAKE_SPEC["customer"].table_id, k=10, sig_k=32, bands=8
+    ),
 }
