@@ -2450,3 +2450,86 @@ SELECT table_id, n_matched_cols, score,
 FROM ranked
 QUALIFY rank <= {k}
 """
+
+
+def ann_ivf_pq_topk_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ twin: same seed centroids, same residual codebooks (first
+    ksub residuals), same argmin encode, same dot(q,c) + LUT-sum
+    estimate — replicated with DuckDB list functions."""
+    sub = dim // m
+    js = ", ".join(str(j) for j in range(m))
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS centroid, v AS cv FROM u WHERE vec_id < {n_centroids}),
+assigned AS MATERIALIZED (
+  SELECT vec_id, centroid,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM (
+    SELECT u.vec_id, c.centroid, u.v, c.cv,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY list_dot_product(u.v, c.cv) DESC, c.centroid) AS rk
+    FROM u CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+js AS (SELECT unnest([{js}]) AS j),
+seeds AS (
+  SELECT vec_id, r, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM assigned ORDER BY vec_id LIMIT {ksub}
+),
+books AS MATERIALIZED (
+  SELECT js.j, s.code, list_slice(s.r, js.j*{sub}+1, (js.j+1)*{sub}) AS bc
+  FROM seeds s CROSS JOIN js
+),
+rsub AS (
+  SELECT a.vec_id, a.centroid, js.j,
+         list_slice(a.r, js.j*{sub}+1, (js.j+1)*{sub}) AS sv
+  FROM assigned a CROSS JOIN js
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, centroid, j, code FROM (
+    SELECT r.vec_id, r.centroid, r.j, b.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.j
+             ORDER BY list_distance(r.sv, b.bc), b.code) AS rk
+    FROM rsub r JOIN books b ON b.j = r.j
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < {n_queries}),
+probed AS (
+  SELECT query_id, centroid, qc FROM (
+    SELECT q.query_id, c.centroid, list_dot_product(q.qv, c.cv) AS qc,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cv) DESC, c.centroid) AS rk
+    FROM q CROSS JOIN cents c
+  ) WHERE rk <= {n_probe}
+),
+lut AS (
+  SELECT q.query_id, b.j, b.code,
+         list_dot_product(list_slice(q.qv, b.j*{sub}+1, (b.j+1)*{sub}), b.bc) AS p
+  FROM q CROSS JOIN books b
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, any_value(p.qc) + sum(l.p) AS est
+  FROM codes c
+  JOIN probed p ON p.centroid = c.centroid
+  JOIN lut l ON l.query_id = p.query_id AND l.j = c.j AND l.code = c.code
+  WHERE c.vec_id != p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, round(est, 4) AS est_cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY est DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""

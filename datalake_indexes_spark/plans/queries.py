@@ -1288,6 +1288,17 @@ def q_union_search_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (inverted-file pruning + residual PQ codes)."""
+    from datalake_indexes_spark.operators.similarity import ivf_pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=16, n_probe=4, m=4, ksub=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1381,6 +1392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_exact": q_corpus_sample_exact,
     "events_cube": q_events_cube,
     "union_search_sketch": q_union_search_sketch,
+    "ann_ivf_pq": q_ann_ivf_pq,
 }
 
 ORACLES: dict[str, str] = {
@@ -1527,5 +1539,8 @@ WHERE rn = 1
     "events_cube": oracle.events_cube_sql(),
     "union_search_sketch": oracle.union_search_approx_sql(
         TESTDATA_LAKE_SPEC["customer"].table_id, k=10, sig_k=32, bands=8
+    ),
+    "ann_ivf_pq": oracle.ann_ivf_pq_topk_sql(
+        k=5, n_queries=10, n_centroids=16, n_probe=4, m=4, ksub=16
     ),
 }
