@@ -2533,3 +2533,30 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY est DESC, neighbor_id) AS rank FROM scored)
 WHERE rank <= {k}
 """
+
+
+def events_anomaly_running_sql(z_threshold: float = 3.0, min_obs: int = 5) -> str:
+    """Running-anomaly twin: identical prior-only expanding moments
+    (count/sum/sum-of-squares window frames), identical warm-up and
+    positive-variance gates."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tu, CAST(value AS DOUBLE) AS v
+  FROM events
+),
+m AS (
+  SELECT event_id, user_id, v,
+         count(v) OVER w AS n,
+         sum(v) OVER w AS s,
+         sum(v * v) OVER w AS ss
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id AS key, v AS value,
+       round((v - s / n) / sqrt(ss / n - (s / n) * (s / n)), 3) AS z
+FROM m
+WHERE n >= {min_obs}
+  AND sqrt(ss / n - (s / n) * (s / n)) > 0
+  AND abs((v - s / n) / sqrt(ss / n - (s / n) * (s / n))) > {z_threshold}
+"""

@@ -1299,6 +1299,16 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RUNNING z-score anomalies (prior-only expanding moments
+    — the batch twin of the stateful streaming detector)."""
+    from datalake_indexes_spark.streaming.anomaly_stream import (
+        running_anomalies_batch,
+    )
+
+    return running_anomalies_batch(_events_us(spark, sf_dir), z_threshold=3.0)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1393,6 +1403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": q_events_cube,
     "union_search_sketch": q_union_search_sketch,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "events_anomaly_running": q_events_anomaly_running,
 }
 
 ORACLES: dict[str, str] = {
@@ -1543,4 +1554,5 @@ WHERE rn = 1
     "ann_ivf_pq": oracle.ann_ivf_pq_topk_sql(
         k=5, n_queries=10, n_centroids=16, n_probe=4, m=4, ksub=16
     ),
+    "events_anomaly_running": oracle.events_anomaly_running_sql(z_threshold=3.0),
 }
