@@ -224,9 +224,14 @@ def union_search_approx(
     estimated Jaccards — estimates converge to the exact scores as
     ``sig_k`` grows (pinned against the exact operator in tests)."""
     rows = sig_k // bands
-    sigs = column_minhash_signatures(
-        index, k=sig_k, max_token_cols=max_token_cols
-    ).filter(F.col("n_distinct") >= min_distinct)
+    # one execution of the signature build: the band join references it
+    # from both sides (and in a real deployment it is a persisted
+    # index-time artifact, not recomputed per query)
+    sigs = (
+        column_minhash_signatures(index, k=sig_k, max_token_cols=max_token_cols)
+        .filter(F.col("n_distinct") >= min_distinct)
+        .localCheckpoint()
+    )
     banded = sigs.select(
         "table_id",
         "col_id",
