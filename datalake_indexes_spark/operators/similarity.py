@@ -777,6 +777,8 @@ def ivf_pq_topk(
     )
 
     rk_w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("centroid"))
+    # one execution of the assignment scan: codebook seeding AND residual
+    # encoding both read it (persisted inverted file in a deployment)
     assigned = (
         units.crossJoin(cents)
         .withColumn("__sim", _dot(F.col("__u"), F.col("__cent_v")))
@@ -787,6 +789,7 @@ def ivf_pq_topk(
             "centroid",
             F.zip_with("__u", "__cent_v", lambda a, b: a - b).alias("__r"),
         )
+        .localCheckpoint()
     )
 
     # residual codebooks: subvectors of the first ksub vectors' residuals
