@@ -1961,15 +1961,18 @@ def graph_pagerank_sql(
     both engines."""
     pairs = dedup_minhash_lsh_sql(k=k, bands=bands, threshold=threshold)
     parts = [
-        f"WITH pairs AS (SELECT * FROM ({pairs}) __p)",
-        """edges AS (
+        # MATERIALIZED: every unrolled round references edges/deg/nn, and
+        # naive CTE inlining would re-run the minhash pair pipeline per
+        # round
+        f"WITH pairs AS MATERIALIZED (SELECT * FROM ({pairs}) __p)",
+        """edges AS MATERIALIZED (
   SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
   UNION ALL
   SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""",
     ]
     for i in range(1, iters + 1):
