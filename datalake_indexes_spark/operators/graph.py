@@ -172,7 +172,12 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # checkpointed: the per-iteration dangling-mass aggregate anti-joins
+    # against it — without this the upstream edge pipeline re-executes
+    # every round
+    out_deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
+    )
     # (src, dst, 1/deg) — static per-edge weight, checkpointed once
     w = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
@@ -186,19 +191,23 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        # dangling mass = total rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass (rank held by nodes with no out-edges) stays IN
+        # the plan as a broadcast scalar frame — no per-iteration driver
+        # action; the round's only job is the checkpoint below
+        dangling = F.broadcast(
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__dm") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
