@@ -555,3 +555,46 @@ def stratified_sample_exact(
             F.col("sample_rank").cast("int").alias("sample_rank"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws a uniform u from md5(id) and is
+    ranked by ln(u)/w — the top-``k`` keys are a weight-proportional
+    sample, exactly the importance-sampling primitive a curation
+    pipeline uses to upweight long/high-quality documents without
+    replacement.
+
+    The uniform comes from the id hash (not an RNG), so the sample is
+    reproducible across runs, engines, and partitionings — the same
+    no-RNG discipline as every sampler in this package.  Rows with
+    non-positive weight never qualify.  (doc_id, weight, rank).
+
+    Scale shape: the key is a scan-level expression; the top-k is a
+    distributed TakeOrderedAndProject.  One pass, no shuffle beyond the
+    final k-row merge."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / (2.0**32 + 1.0)
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    ranked = (
+        docs.filter(w > 0)
+        .withColumn("__key", key)
+        .orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(k)
+    )
+    win = Window.orderBy(F.desc("__key"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(win)).select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("weight"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -2563,3 +2563,19 @@ WHERE n >= {min_obs}
   AND sqrt(ss / n - (s / n) * (s / n)) > 0
   AND abs((v - s / n) / sqrt(ss / n - (s / n) * (s / n))) > {z_threshold}
 """
+
+
+def corpus_sample_weighted_sql(k: int = 100) -> str:
+    """A-ES weighted-sample twin: identical md5 uniform and ln(u)/w key."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+            / (4294967296.0 + 1.0)) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+FROM keyed
+QUALIFY rank <= {k}
+"""

@@ -1309,6 +1309,13 @@ def q_events_anomaly_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_anomalies_batch(_events_us(spark, sf_dir), z_threshold=3.0)
 
 
+def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted without-replacement sample (A-ES, deterministic)."""
+    from datalake_indexes_spark.operators.text_analysis import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=100)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1404,6 +1411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_search_sketch": q_union_search_sketch,
     "ann_ivf_pq": q_ann_ivf_pq,
     "events_anomaly_running": q_events_anomaly_running,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
 }
 
 ORACLES: dict[str, str] = {
@@ -1555,4 +1563,5 @@ WHERE rn = 1
         k=5, n_queries=10, n_centroids=16, n_probe=4, m=4, ksub=16
     ),
     "events_anomaly_running": oracle.events_anomaly_running_sql(z_threshold=3.0),
+    "corpus_sample_weighted": oracle.corpus_sample_weighted_sql(k=100),
 }

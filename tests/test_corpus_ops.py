@@ -165,3 +165,30 @@ class TestStratifiedSampleExact:
         # deterministic: same selection on a second run
         again = {r.doc_id for r in stratified_sample_exact(docs, 10).collect()}
         assert again == {r.doc_id for r in out}
+
+
+@pytest.mark.spark
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import weighted_sample
+
+        # 200 light docs (w=1) + 20 heavy docs (w=100): heavies must be
+        # strongly over-represented in a k=40 sample
+        docs = spark.createDataFrame(
+            [(i, 1) for i in range(200)] + [(1000 + i, 100) for i in range(20)],
+            "doc_id long, n_chars long",
+        )
+        out = weighted_sample(docs, k=40).collect()
+        assert len(out) == 40
+        heavy = sum(1 for r in out if r.doc_id >= 1000)
+        assert heavy >= 15  # ~all 20 heavies expected; md5 is fixed, no flake
+        again = [r.doc_id for r in weighted_sample(docs, k=40).collect()]
+        assert again == [r.doc_id for r in out]
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import weighted_sample
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, -5)], "doc_id long, n_chars long"
+        )
+        assert [r.doc_id for r in weighted_sample(docs, k=5).collect()] == [1]
