@@ -872,3 +872,65 @@ def ivf_pq_topk(
             F.round("__est", 4).alias("est_cosine"),
         )
     )
+
+
+def cosine_pairs_multiprobe(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """OR-amplified LSH near-dup pairs: ``n_tables`` independent
+    hyperplane signatures, a pair is a candidate if it collides in ANY
+    table — recall rises from p^b (one table) to 1-(1-p^b)^T with
+    p = 1 - arccos(cos)/pi, at T× the blocking cost.  This is the knob
+    :func:`cosine_pairs` lacks: its single signature trades recall for
+    speed with no middle ground.
+
+    Same output contract as ``cosine_pairs`` (vec_id_1, vec_id_2,
+    cosine >= threshold, each pair once); planes are md5-seeded per
+    table, so the operator stays deterministic and oracle-checkable.
+
+    Scale shape: the corpus explodes T× into (table, signature) keys —
+    a T-fold map-side expansion, stated up front — and every join stays
+    a bucket equi-join; candidates are deduped BEFORE the exact-cosine
+    verify so no pair is verified twice."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    u = with_unit_vec(df, vec_col).select(
+        F.col(id_col).alias("__id"), F.col("__unit")
+    )
+    sigs = [
+        sign_signature(F.col("__unit"), hyperplanes(dim, n_planes, seed=f"simsearch:{t}"))
+        for t in range(n_tables)
+    ]
+    banded = u.select(
+        "__id", "__unit", F.posexplode(F.array(*sigs)).alias("__t", "__sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("vec_id_1"), F.col("b.__id").alias("vec_id_2")
+        )
+        .distinct()
+    )
+    u1 = u.select(F.col("__id").alias("vec_id_1"), F.col("__unit").alias("__u1"))
+    u2 = u.select(F.col("__id").alias("vec_id_2"), F.col("__unit").alias("__u2"))
+    return (
+        cand.join(u1, "vec_id_1")
+        .join(u2, "vec_id_2")
+        .withColumn("__cos", _dot(F.col("__u1"), F.col("__u2")))
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "vec_id_1", "vec_id_2", F.round("__cos", 4).alias("cosine")
+        )
+    )

@@ -2579,3 +2579,36 @@ SELECT doc_id, weight,
 FROM keyed
 QUALIFY rank <= {k}
 """
+
+
+def dedup_embedding_multiprobe_sql(
+    threshold: float = 0.4, n_tables: int = 4, n_planes: int = 6, dim: int = 64
+) -> str:
+    """OR-amplified LSH twin: the same per-table md5-seeded hyperplanes
+    inlined as literals; a pair qualifies on collision in ANY table."""
+    from datalake_indexes_spark.operators.similarity import hyperplanes
+
+    sig_exprs = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=f"simsearch:{t}")
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(e::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+            "THEN '1' ELSE '0' END)".format(
+                arr="[" + ", ".join(repr(w) for w in plane) + "]"
+            )
+            for plane in planes
+        )
+        sig_exprs.append(f"{bits} AS s{t}")
+    any_collide = " OR ".join(f"a.s{t} = b.s{t}" for t in range(n_tables))
+    return f"""
+WITH u AS (SELECT vec_id, embedding AS e, {", ".join(sig_exprs)} FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         a.e AS ea, b.e AS eb
+  FROM u a JOIN u b ON a.vec_id < b.vec_id AND ({any_collide})
+)
+SELECT vec_id_1, vec_id_2,
+       round(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4) AS cosine
+FROM cand
+WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) >= {threshold}
+"""

@@ -1316,6 +1316,16 @@ def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(_docs(spark, sf_dir), k=100)
 
 
+def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified (4-table) LSH embedding near-dup — higher recall
+    than the single-signature `dedup_embedding_cosine` at 4x blocking."""
+    from datalake_indexes_spark.operators.similarity import cosine_pairs_multiprobe
+
+    return cosine_pairs_multiprobe(
+        _embeddings(spark, sf_dir), threshold=0.4, n_tables=4, n_planes=6, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1412,6 +1422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq": q_ann_ivf_pq,
     "events_anomaly_running": q_events_anomaly_running,
     "corpus_sample_weighted": q_corpus_sample_weighted,
+    "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -1564,4 +1575,7 @@ WHERE rn = 1
     ),
     "events_anomaly_running": oracle.events_anomaly_running_sql(z_threshold=3.0),
     "corpus_sample_weighted": oracle.corpus_sample_weighted_sql(k=100),
+    "dedup_embedding_multiprobe": oracle.dedup_embedding_multiprobe_sql(
+        threshold=0.4, n_tables=4, n_planes=6, dim=64
+    ),
 }
