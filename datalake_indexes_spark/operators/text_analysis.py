@@ -598,3 +598,37 @@ def weighted_sample(
         w.alias("weight"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram log-probability per document — the perplexity-proxy
+    quality signal (CCNet-style filtering scores documents under a
+    language model; the self-trained unigram LM is its dependency-free
+    floor): documents full of corpus-typical words score high, documents
+    of rare/garbage tokens score low.  (doc_id, n_words, avg_logprob).
+
+    avg_logprob = mean over the document's words of ln(count(word) /
+    total_words), with counts from THIS corpus — no external model, no
+    OOV smoothing needed (every word has count >= 1 by construction).
+
+    Scale shape: one (word) count aggregate with map-side combine, one
+    token-keyed join back (word frequencies are Zipf-skewed but the
+    join carries only (word, logp) — AQE's skew split applies, and the
+    per-doc mean re-keys by doc_id immediately), one doc-keyed mean."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    )
+    counts = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = words.count()
+    lp = counts.withColumn("__lp", F.log(F.col("__c") / F.lit(float(total))))
+    return (
+        words.join(lp.select("__w", "__lp"), "__w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+        )
+    )

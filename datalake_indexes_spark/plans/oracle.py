@@ -2612,3 +2612,21 @@ SELECT vec_id_1, vec_id_2,
 FROM cand
 WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) >= {threshold}
 """
+
+
+def text_unigram_logprob_sql() -> str:
+    """Unigram log-probability twin: same self-trained corpus LM, same
+    per-document mean."""
+    return """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM words),
+lp AS (
+  SELECT w, ln(count(*) / tot.t) AS l
+  FROM words, tot GROUP BY w, tot.t
+)
+SELECT doc_id, count(*) AS n_words, round(avg(l), 4) AS avg_logprob
+FROM words JOIN lp USING (w)
+GROUP BY doc_id
+"""

@@ -1326,6 +1326,15 @@ def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality: per-doc mean corpus-unigram log-prob."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1423,6 +1432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly_running": q_events_anomaly_running,
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
+    "text_unigram_logprob": q_text_unigram_logprob,
 }
 
 ORACLES: dict[str, str] = {
@@ -1578,4 +1588,5 @@ WHERE rn = 1
     "dedup_embedding_multiprobe": oracle.dedup_embedding_multiprobe_sql(
         threshold=0.4, n_tables=4, n_planes=6, dim=64
     ),
+    "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
 }

@@ -637,3 +637,24 @@ class TestColumnOutliers:
         assert row.n_values == 12
         assert row.n_outliers == 1  # only the 100
         assert row.q1 < row.q3 <= row.hi_fence < 100
+
+
+@pytest.mark.spark
+class TestUnigramLogprob:
+    def test_typical_beats_garbage(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import (
+            unigram_logprob_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox") for i in range(9)]
+            + [(100, "zxqv jkwp mbbt hzzr")],  # singleton-word garbage
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+        assert out[0].n_words == 4
+        assert out[0].avg_logprob > out[100].avg_logprob
+        import math
+
+        # typical words appear 9 times in 40: mean ln(9/40) exactly
+        assert abs(out[0].avg_logprob - round(math.log(9 / 40), 4)) < 1e-9
