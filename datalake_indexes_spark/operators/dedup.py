@@ -364,3 +364,46 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    quality: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup retention: within each MinHash cluster,
+    KEEP the highest-quality copy instead of the lowest id — the policy
+    real curation pipelines want (the canonical copy of a boilerplate
+    family is the cleanest one, not the first-crawled one).
+
+    ``quality``: (doc_id, quality_score) — typically
+    :func:`..text_analysis.quality_scores`, but any scoring works.
+    (doc_id, cluster, quality_score, kept) for every clustered doc;
+    ties on score break to the lower id (deterministic: scores are the
+    rounded operator outputs).
+
+    Scale shape: the pair/cluster machinery is unchanged (banded
+    candidates, union-find under the guard / distributed CC above); the
+    policy itself is one quality join + a per-cluster window whose
+    partition is a near-dup GROUP — bounded by duplication depth, not
+    corpus size."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    clusters = near_dup_clusters(pairs).select(
+        "doc_id", F.col("representative").alias("cluster")
+    )
+    scored = clusters.join(
+        quality.select(F.col(id_col).alias("doc_id"), "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "kept", F.row_number().over(w) == 1
+    ).select("doc_id", "cluster", "quality_score", "kept")

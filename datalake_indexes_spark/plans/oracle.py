@@ -2630,3 +2630,47 @@ SELECT doc_id, count(*) AS n_words, round(avg(l), 4) AS avg_logprob
 FROM words JOIN lp USING (w)
 GROUP BY doc_id
 """
+
+
+def dedup_keep_best_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    """Quality-aware retention twin: the recursive-closure clusters with
+    the quality formula joined on, best-per-cluster by (score desc, id)."""
+    from datalake_indexes_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(k, bands, threshold)},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+clus AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster
+  FROM reach GROUP BY node
+),
+qb AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         (nc - (len(w) - 1)) * 1.0 / len(w) AS avg_len,
+         len(list_filter(w, x -> list_contains([{stops}], x))) * 1.0 / len(w) AS stop_ratio,
+         len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio
+  FROM qb
+),
+q AS (
+  SELECT doc_id,
+         round(0.5 * distinct_ratio + 0.3 * least(avg_len / 8.0, 1.0)
+               + 0.2 * (1.0 - stop_ratio), 4) AS quality_score
+  FROM qm
+)
+SELECT c.doc_id, c.cluster, q.quality_score,
+       (row_number() OVER (PARTITION BY c.cluster
+          ORDER BY q.quality_score DESC, c.doc_id) = 1) AS kept
+FROM clus c JOIN q USING (doc_id)
+"""

@@ -1335,6 +1335,15 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention: keep each cluster's best copy."""
+    from datalake_indexes_spark.operators.dedup import near_dup_keep_best
+    from datalake_indexes_spark.operators.text_analysis import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_keep_best(docs, quality_scores(docs), threshold=0.7)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1433,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -1589,4 +1599,5 @@ WHERE rn = 1
         threshold=0.4, n_tables=4, n_planes=6, dim=64
     ),
     "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
+    "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
 }
