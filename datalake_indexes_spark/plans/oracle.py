@@ -2674,3 +2674,75 @@ SELECT c.doc_id, c.cluster, q.quality_score,
           ORDER BY q.quality_score DESC, c.doc_id) = 1) AS kept
 FROM clus c JOIN q USING (doc_id)
 """
+
+
+def corpus_prep_v3_sql(
+    quality_min: float = 0.52,
+    logprob_min: float = -3.408,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """Curation-v3 twin: quality + unigram-logprob gates on the ROUNDED
+    operator outputs (threshold comparisons are engine-exact), keep-best
+    near-dup drop via the recursive closure, md5 train shard."""
+    from datalake_indexes_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(k, bands, threshold)},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+clus AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster
+  FROM reach GROUP BY node
+),
+qb AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         (nc - (len(w) - 1)) * 1.0 / len(w) AS avg_len,
+         len(list_filter(w, x -> list_contains([{stops}], x))) * 1.0 / len(w) AS stop_ratio,
+         len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio
+  FROM qb
+),
+q AS (
+  SELECT doc_id,
+         round(0.5 * distinct_ratio + 0.3 * least(avg_len / 8.0, 1.0)
+               + 0.2 * (1.0 - stop_ratio), 4) AS quality_score
+  FROM qm
+),
+dropped AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster
+             ORDER BY q.quality_score DESC, c.doc_id) AS rk
+    FROM clus c JOIN q USING (doc_id)
+  ) WHERE rk > 1
+),
+lw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w2 FROM documents
+),
+ltot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM lw),
+lfreq AS (SELECT w2, ln(count(*) / ltot.t) AS l FROM lw, ltot GROUP BY w2, ltot.t),
+lp AS (
+  SELECT doc_id, round(avg(l), 4) AS avg_logprob
+  FROM lw JOIN lfreq USING (w2) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, q.quality_score, lp.avg_logprob
+FROM documents d
+JOIN q USING (doc_id)
+JOIN lp USING (doc_id)
+WHERE q.quality_score >= {quality_min}
+  AND lp.avg_logprob >= {logprob_min}
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000
+"""

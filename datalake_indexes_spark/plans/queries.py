@@ -1344,6 +1344,48 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_keep_best(docs, quality_scores(docs), threshold=0.7)
 
 
+V3_QUALITY_MIN = 0.52
+V3_LOGPROB_MIN = -3.408
+
+
+def q_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v3 — the newest signals composed end to end: heuristic
+    quality gate, unigram-LM perplexity-proxy gate, QUALITY-AWARE
+    near-dup retention (keep the best copy, not the lowest id), and the
+    deterministic train split.  (doc_id, lang, quality_score,
+    avg_logprob); every stage is an already-graded operator, this key
+    grades their composition."""
+    from datalake_indexes_spark.operators.dedup import near_dup_keep_best
+    from datalake_indexes_spark.operators.text_analysis import (
+        quality_scores,
+        unigram_logprob_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    lp = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    dropped = (
+        near_dup_keep_best(docs, q, threshold=0.7)
+        .filter(~F.col("kept"))
+        .select("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(lp, "doc_id")
+        .filter(
+            (F.col("quality_score") >= V3_QUALITY_MIN)
+            & (F.col("avg_logprob") >= V3_LOGPROB_MIN)
+        )
+        .join(dropped, "doc_id", "left_anti")
+        .filter(bucket < 8000)  # train shard
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1443,6 +1485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
     "text_unigram_logprob": q_text_unigram_logprob,
     "dedup_keep_best": q_dedup_keep_best,
+    "corpus_prep_v3": q_corpus_prep_v3,
 }
 
 ORACLES: dict[str, str] = {
@@ -1600,4 +1643,7 @@ WHERE rn = 1
     ),
     "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
+    "corpus_prep_v3": oracle.corpus_prep_v3_sql(
+        quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
+    ),
 }
