@@ -531,3 +531,93 @@ def column_outliers(index, k_iqr: float = 1.5) -> "DataFrame":
             F.count(F.lit(1)).alias("n_values"),
         )
     )
+
+
+def profile_drift(index_a, index_b, nbins: int = 10) -> "DataFrame":
+    """Distribution drift between two lake snapshots, per numeric
+    column: total-variation distance between the columns' equi-width
+    histograms computed over their COMMON value range — the monitoring
+    signal a data-quality pipeline alerts on between index versions
+    (pair with ``LakeIndex.diff_versions`` which reports WHAT changed;
+    this reports how much the VALUES moved).
+
+    (table_id, col_id, n_a, n_b, tv_distance): tv ∈ [0, 1], 0 = same
+    histogram shape, 1 = disjoint mass.  Columns numeric in BOTH
+    snapshots only; the shared bucket grid comes from the union range
+    so both sides discretize identically.
+
+    Scale shape: two histogram passes (min/max + bucket counts, all
+    map-side-combinable) and a bucket-level join over table x column x
+    nbins rows — schema-sized."""
+    from pyspark.sql import functions as F
+
+    def numeric_vals(index):
+        flags = (
+            index.col_flags
+            if index.col_flags is not None
+            else is_numeric_flags(index.cells)
+        )
+        return (
+            index.cells.join(
+                F.broadcast(flags.filter(F.col("is_numeric"))),
+                ["table_id", "col_id"],
+            )
+            .withColumn("__val", _num_value(F.col("tokenized")))
+            .filter(F.col("__val").isNotNull())
+        )
+
+    va, vb = numeric_vals(index_a), numeric_vals(index_b)
+    bounds = (
+        va.groupBy("table_id", "col_id")
+        .agg(F.min("__val").alias("__lo_a"), F.max("__val").alias("__hi_a"))
+        .join(
+            vb.groupBy("table_id", "col_id").agg(
+                F.min("__val").alias("__lo_b"), F.max("__val").alias("__hi_b")
+            ),
+            ["table_id", "col_id"],
+        )
+        .select(
+            "table_id",
+            "col_id",
+            F.least("__lo_a", "__lo_b").alias("__lo"),
+            F.greatest("__hi_a", "__hi_b").alias("__hi"),
+        )
+    )
+
+    def hist(vals, suffix):
+        width = (F.col("__hi") - F.col("__lo")) / nbins
+        bucket = F.when(
+            width > 0,
+            F.least(
+                F.floor((F.col("__val") - F.col("__lo")) / width), F.lit(nbins - 1)
+            ),
+        ).otherwise(F.lit(0))
+        return (
+            vals.join(F.broadcast(bounds), ["table_id", "col_id"])
+            .withColumn("__b", bucket.cast("int"))
+            .groupBy("table_id", "col_id", "__b")
+            .agg(F.count(F.lit(1)).alias(f"__n_{suffix}"))
+        )
+
+    ha, hb = hist(va, "a"), hist(vb, "b")
+    joined = ha.join(hb, ["table_id", "col_id", "__b"], "full_outer").fillna(
+        0, subset=["__n_a", "__n_b"]
+    )
+    totals = joined.groupBy("table_id", "col_id").agg(
+        F.sum("__n_a").alias("n_a"), F.sum("__n_b").alias("n_b")
+    )
+    return (
+        joined.join(totals, ["table_id", "col_id"])
+        .withColumn(
+            "__diff",
+            F.abs(
+                F.col("__n_a") / F.col("n_a") - F.col("__n_b") / F.col("n_b")
+            ),
+        )
+        .groupBy("table_id", "col_id")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.round(F.sum("__diff") / 2.0, 4).alias("tv_distance"),
+        )
+    )

@@ -45,3 +45,43 @@ def test_approx_profiles_error_bounds(spark, sf_dir):
             span = e["max_val"] - e["min_val"]
             if span > 0:
                 assert abs(a["median_approx"] - e["median_val"]) <= 0.1 * span + 1e-6, key
+
+
+@pytest.mark.spark
+class TestProfileDrift:
+    def _idx(self, spark, vals, table=1, col=0):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+
+        cells = spark.createDataFrame(
+            [(table, col, i, str(v)) for i, v in enumerate(vals)],
+            "table_id int, col_id int, row_id int, tokenized string",
+        )
+        return LakeIndex(
+            cells=cells, row_keys=None, column_headers=None, table_info=None
+        )
+
+    def test_identical_snapshots_have_zero_drift(self, spark):
+        from datalake_indexes_spark.operators.cocoa import profile_drift
+
+        a = self._idx(spark, list(range(100)))
+        b = self._idx(spark, list(range(100)))
+        row = profile_drift(a, b).collect()[0]
+        assert row.tv_distance == 0.0
+        assert row.n_a == row.n_b == 100
+
+    def test_shifted_distribution_drifts(self, spark):
+        from datalake_indexes_spark.operators.cocoa import profile_drift
+
+        a = self._idx(spark, list(range(100)))          # uniform 0..99
+        b = self._idx(spark, [0] * 100)                 # collapsed to one value
+        row = profile_drift(a, b).collect()[0]
+        # shared grid spans 0..99; b's mass sits in one bucket -> heavy drift
+        assert row.tv_distance > 0.8
+
+    def test_mild_shift_is_mild(self, spark):
+        from datalake_indexes_spark.operators.cocoa import profile_drift
+
+        a = self._idx(spark, list(range(100)))
+        b = self._idx(spark, list(range(10, 110)))      # 10% shift
+        row = profile_drift(a, b).collect()[0]
+        assert 0.0 < row.tv_distance < 0.4
