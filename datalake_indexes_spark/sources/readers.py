@@ -79,6 +79,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.orc(path)
     if ext == ".avro":
         return read_avro(spark, path)
+    if ext == ".xlsx":
+        return read_xlsx(spark, path)
     if ext == ".json":
         return spark.read.json(path)
     if ext in (".tsv",):
@@ -149,3 +151,79 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "2.13:<spark-version>); it is not bundled in this environment"
         )
     return spark.read.format("avro").load(path)
+
+
+def read_xlsx(spark: SparkSession, path: str, sheet_index: int = 0) -> DataFrame:
+    """XLSX reader — pure stdlib (an .xlsx IS a zip of XML parts:
+    ``xl/worksheets/sheetN.xml`` + the shared-string table), same
+    driver-parse-then-parallelize tier as ARFF: spreadsheets are small
+    curated inputs, not lake-scale data.
+
+    First row = header; all values stringified (the indexing pipeline
+    stringifies anyway); shared and inline strings resolved; sparse
+    rows padded by the cell references (A1 notation), so gaps land in
+    the right columns.  Formulas contribute their cached values."""
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+        sheets = sorted(
+            n for n in zf.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if sheet_index >= len(sheets):
+            raise ValueError(f"{path}: no sheet index {sheet_index}")
+        root = ET.fromstring(zf.read(sheets[sheet_index]))
+
+    def col_idx(ref: str) -> int:
+        i = 0
+        for ch in ref:
+            if ch.isalpha():
+                i = i * 26 + (ord(ch.upper()) - 64)
+            else:
+                break
+        return i - 1
+
+    rows: list[list[str | None]] = []
+    width = 0
+    for row in root.iter(
+        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"
+    ):
+        vals: dict[int, str] = {}
+        for c in row:
+            ref = c.get("r", "")
+            idx = col_idx(ref) if ref else len(vals)
+            ctype = c.get("t", "n")
+            v = c.find("m:v", ns)
+            if ctype == "inlineStr":
+                is_el = c.find("m:is", ns)
+                text = "".join(
+                    t.text or "" for t in (is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                    ) if is_el is not None else [])
+                )
+            elif v is None:
+                continue
+            elif ctype == "s":
+                text = shared[int(v.text)]
+            else:
+                text = v.text or ""
+            vals[idx] = text
+        if vals:
+            width = max(width, max(vals) + 1)
+            rows.append(vals)  # type: ignore[arg-type]
+    dense = [[r.get(i) for i in range(width)] for r in rows]
+    if not dense:
+        raise ValueError(f"{path}: empty sheet")
+    header = [h if h else f"col_{i}" for i, h in enumerate(dense[0])]
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(dense[1:], schema)

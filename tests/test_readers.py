@@ -100,3 +100,86 @@ def test_avro_gated(spark, tmp_path):
         _pytest.skip("spark-avro present in this environment")
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         read_table(spark, str(p))
+
+
+def _write_xlsx(path, rows, shared_strings=True):
+    """Minimal real xlsx: zip with content types, workbook, sheet, and a
+    shared-string table — written with stdlib only, same parts a real
+    writer emits."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def sref(s):
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def colref(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    body = []
+    for rn, row in enumerate(rows, start=1):
+        cells = []
+        for ci, val in enumerate(row):
+            if val is None:
+                continue
+            ref = f"{colref(ci)}{rn}"
+            if isinstance(val, str) and shared_strings:
+                cells.append(f'<c r="{ref}" t="s"><v>{sref(val)}</v></c>')
+            elif isinstance(val, str):
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>'
+                )
+            else:
+                cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+        body.append(f'<row r="{rn}">{"".join(cells)}</row>')
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = f'<worksheet xmlns="{M}"><sheetData>{"".join(body)}</sheetData></worksheet>'
+    sst = (
+        f'<sst xmlns="{M}" count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", f'<workbook xmlns="{M}"/>')
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        if shared_strings:
+            zf.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_reader_shared_and_sparse(spark, tmp_path):
+    from datalake_indexes_spark.sources.readers import read_table
+
+    p = str(tmp_path / "t.xlsx")
+    _write_xlsx(
+        p,
+        [
+            ["name", "city", "score"],
+            ["ada", "london", 7],
+            ["grace", None, 9],        # sparse row: gap stays in column 1
+            ["ada", "london", 3],      # shared strings reused
+        ],
+    )
+    df = read_table(spark, p)
+    assert df.columns == ["name", "city", "score"]
+    rows = {tuple(r) for r in df.collect()}
+    assert ("ada", "london", "7") in rows
+    assert ("grace", None, "9") in rows
+    assert len(rows) == 3
+
+
+def test_xlsx_inline_strings(spark, tmp_path):
+    from datalake_indexes_spark.sources.readers import read_xlsx
+
+    p = str(tmp_path / "i.xlsx")
+    _write_xlsx(p, [["a", "b"], ["x", 1]], shared_strings=False)
+    df = read_xlsx(spark, p)
+    assert df.columns == ["a", "b"]
+    assert df.collect()[0][0] == "x"
