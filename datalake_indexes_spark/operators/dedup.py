@@ -407,3 +407,77 @@ def near_dup_keep_best(
     return scored.withColumn(
         "kept", F.row_number().over(w) == 1
     ).select("doc_id", "cluster", "quality_score", "kept")
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 4,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact chunk dedup — the RefinedWeb/Falcon "exact
+    line dedup" stage adapted to delimiter-free corpora: drop every
+    ``chunk_words``-word segment whose exact text appears in at least
+    ``min_doc_freq`` DISTINCT documents (site boilerplate, license
+    banners, navigation chrome), then reassemble each document from its
+    surviving segments in original order.
+
+    Returns (doc_id, text_clean, kept_chunks, dropped_chunks); documents
+    whose every segment was boilerplate disappear (their text would be
+    empty — the same contract as dropping empty docs after line dedup).
+
+    Scale shape (100 TB): the segmenting is pure array expressions inside
+    whole-stage codegen (split → sequence → slice/concat per chunk) — no
+    shuffle until the per-chunk doc-frequency aggregate, which is a
+    map-side-combinable count over (chunk, doc_id) pairs.  The
+    boilerplate set is the df >= min_doc_freq slice only — a tiny
+    fraction of distinct chunks — so the removal join is a skew-free
+    equi-join on the chunk string (heavy boilerplate chunks hit MANY
+    docs but each (doc, chunk-position) row joins exactly one
+    boilerplate row; no row multiplication).  Reassembly is one
+    groupBy(doc_id) with an in-array sort — partition count bounded by
+    the corpus, per-group size by document length.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words)
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks_arr).alias("cid", "chunk"),
+    )
+
+    freq = exploded.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    boiler = freq.filter(F.col("df") >= min_doc_freq).select("chunk")
+
+    kept = exploded.join(boiler, "chunk", "left_anti")
+    dropped = (
+        exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cid", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("kept_chunks"),
+        )
+        .join(dropped, "doc_id")
+        .select(
+            "doc_id",
+            "text_clean",
+            "kept_chunks",
+            (F.col("__total") - F.col("kept_chunks")).alias("dropped_chunks"),
+        )
+    )

@@ -2746,3 +2746,32 @@ WHERE q.quality_score >= {quality_min}
   AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
   AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000
 """
+
+
+def dedup_chunks_sql(chunk_words: int = 4, min_doc_freq: int = 2) -> str:
+    """Twin of :func:`..operators.dedup.chunk_dedup` — cross-document
+    exact chunk (pseudo-line) dedup with in-order reassembly."""
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (
+  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos, unnest(w) AS word
+  FROM ws
+),
+chunks AS (
+  SELECT doc_id, (pos - 1) // {chunk_words} AS cid,
+         string_agg(word, ' ' ORDER BY pos) AS chunk
+  FROM words GROUP BY doc_id, (pos - 1) // {chunk_words}
+),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.cid, c.chunk FROM chunks c
+  WHERE c.chunk NOT IN (SELECT chunk FROM freq WHERE df >= {min_doc_freq})
+),
+totals AS (SELECT doc_id, count(*) AS total FROM chunks GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.chunk, ' ' ORDER BY k.cid) AS text_clean,
+       count(*) AS kept_chunks,
+       any_value(t.total) - count(*) AS dropped_chunks
+FROM kept k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id
+"""

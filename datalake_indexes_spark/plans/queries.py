@@ -519,6 +519,15 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact chunk dedup (RefinedWeb-style line dedup over
+    a delimiter-free corpus): 4-word segments appearing in >= 2 distinct
+    documents are boilerplate and removed; docs reassembled in order."""
+    from datalake_indexes_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), chunk_words=4, min_doc_freq=2)
+
+
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import simhash_signatures
 
@@ -1422,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "dedup_chunks": q_dedup_chunks,
     "text_simhash": q_text_simhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1554,6 +1564,7 @@ WHERE rn = 1
     "dedup_clusters_distributed": oracle.dedup_clusters_sql(threshold=0.7),
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "dedup_ngram_capped": oracle.dedup_ngram_capped_sql(threshold=0.7, max_freq=50),
+    "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),

@@ -192,3 +192,47 @@ class TestWeightedSample:
             [(1, 10), (2, 0), (3, -5)], "doc_id long, n_chars long"
         )
         assert [r.doc_id for r in weighted_sample(docs, k=5).collect()] == [1]
+
+
+def test_chunk_dedup_planted_boilerplate(spark):
+    """Three docs share the exact 4-word banner 'all rights reserved inc';
+    it must vanish from every doc while unique chunks survive in order.
+    Doc 3 is pure boilerplate and disappears entirely."""
+    from datalake_indexes_spark.operators.dedup import chunk_dedup
+
+    banner = "all rights reserved inc"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner} alpha beta gamma delta"),
+            (1, f"{banner} epsilon zeta eta theta iota kappa lam mu"),
+            (2, "nu xi omicron pi rho sigma tau ups"),
+            (3, banner),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=4).collect()}
+    assert 3 not in out  # every chunk was boilerplate
+    assert out[0]["text_clean"] == "alpha beta gamma delta"
+    assert out[0]["dropped_chunks"] == 1 and out[0]["kept_chunks"] == 1
+    assert out[1]["text_clean"] == "epsilon zeta eta theta iota kappa lam mu"
+    assert out[2]["text_clean"] == "nu xi omicron pi rho sigma tau ups"
+    assert out[2]["dropped_chunks"] == 0
+
+
+def test_chunk_dedup_order_and_partial_tail(spark):
+    """Surviving chunks reassemble in original order; a short tail chunk
+    (len < chunk_words) is a first-class segment."""
+    from datalake_indexes_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d SHARED X Y Z e f"),
+            (1, "SHARED X Y Z q r"),
+        ],
+        "doc_id long, text string",
+    )
+    # chunks of 4: doc0 = [a b c d][SHARED X Y Z][e f]; doc1 = [SHARED X Y Z][q r]
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=4).collect()}
+    assert out[0]["text_clean"] == "a b c d e f"
+    assert out[1]["text_clean"] == "q r"
+    assert out[1]["kept_chunks"] == 1 and out[1]["dropped_chunks"] == 1
