@@ -66,9 +66,12 @@ def enrich_dataset(
 
     t0 = time.time()
     cocoa = COCOA(index)
+    # persisted: the join maps feed BOTH the correlation job and the
+    # materialization pivot — without the cache each action re-executes
+    # the entire MATE probe/verify pipeline upstream of the pairs
     surviving_pairs = mate_res.join_pairs.join(
         F.broadcast(top_k.select("table_id")), "table_id", "leftsemi"
-    )
+    ).persist()
     pruned_res = type(mate_res)(top_k=top_k, join_pairs=surviving_pairs)
     correlations = cocoa.enrich_multicolumn(
         inp_ids, pruned_res, k_c=k_features, target_column=target_column

@@ -2775,3 +2775,44 @@ SELECT k.doc_id,
 FROM kept k JOIN totals t USING (doc_id)
 GROUP BY k.doc_id
 """
+
+
+def fuzzy_join_names_sql(max_distance: int = 1) -> str:
+    """Twin of :func:`..operators.fuzzy.fuzzy_join` over the customer-name
+    self-join — the oracle is the NAIVE cross join, so a green run proves
+    the positional-q-gram blocking loses no true pair."""
+    return f"""
+SELECT c1.c_custkey AS a_id, c2.c_custkey AS b_id,
+       c1.c_name AS left_value, c2.c_name AS right_value,
+       levenshtein(c1.c_name, c2.c_name) AS distance
+FROM customer c1 JOIN customer c2 ON c1.c_custkey < c2.c_custkey
+WHERE levenshtein(c1.c_name, c2.c_name) <= {max_distance}
+"""
+
+
+def entity_resolution_sql(max_distance: int = 1) -> str:
+    """Twin of :func:`..operators.fuzzy.entity_resolution` on customer
+    names: naive fuzzy pairs + recursive transitive closure; singletons
+    resolve to themselves."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT c1.c_custkey AS a, c2.c_custkey AS b
+  FROM customer c1 JOIN customer c2 ON c1.c_custkey < c2.c_custkey
+  WHERE levenshtein(c1.c_name, c2.c_name) <= {max_distance}
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+reps AS (
+  SELECT node, least(node, min(r)) AS representative
+  FROM reach GROUP BY node
+)
+SELECT c.c_custkey, c.c_name AS value,
+       coalesce(rp.representative, c.c_custkey) AS entity_id
+FROM customer c LEFT JOIN reps rp ON rp.node = c.c_custkey
+"""

@@ -528,6 +528,29 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(_docs(spark, sf_dir), chunk_words=4, min_doc_freq=2)
 
 
+def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join on customer names (positional q-gram
+    blocking + levenshtein verify) — graded against the NAIVE cross-join
+    oracle, so green means the blocking is recall-complete."""
+    from datalake_indexes_spark.operators.fuzzy import fuzzy_join
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    a = cust.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_v"))
+    b = cust.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("b_v"))
+    return fuzzy_join(a, b, "a_v", "b_v", "a_id", "b_id", max_distance=1).filter(
+        F.col("a_id") < F.col("b_id")
+    )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive entity ids over the fuzzy-match graph (multi-hop chains
+    must all collapse to the global min member id — a hard closure test)."""
+    from datalake_indexes_spark.operators.fuzzy import entity_resolution
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return entity_resolution(cust, "c_name", "c_custkey", max_distance=1)
+
+
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import simhash_signatures
 
@@ -1432,6 +1455,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_chunks": q_dedup_chunks,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "entity_resolution": q_entity_resolution,
     "text_simhash": q_text_simhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1565,6 +1590,8 @@ WHERE rn = 1
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "dedup_ngram_capped": oracle.dedup_ngram_capped_sql(threshold=0.7, max_freq=50),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
+    "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
+    "entity_resolution": oracle.entity_resolution_sql(max_distance=1),
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
