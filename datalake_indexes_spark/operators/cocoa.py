@@ -246,6 +246,11 @@ class COCOA:
         ranks align with the join maps.
         """
         ranks = self.target_ranks(input_df, target_column, id_col=id_col)
+        # NOTE: the join maps are read by the candidate-table distinct AND
+        # the broadcast into the matched join — callers should hand in a
+        # persisted ``join_pairs`` (pipelines/enrichment.py does; so does
+        # q_cocoa_multicolumn) or each consumer re-executes the MATE
+        # pipeline the maps hang off.
         pairs = mate_result.join_pairs.select("table_id", "ext_row_id", "input_row_id")
         # columns named in the winning combination are the join columns -> skip
         exclude = (

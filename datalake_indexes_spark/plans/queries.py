@@ -245,6 +245,9 @@ def q_cocoa_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = mate.join_search(
         inp_ids, ["c_custkey"], k=5, k_c=500, input_order_by=["c_custkey"]
     )
+    # the correlation job reads the join maps twice (candidate-table
+    # distinct + broadcast); cache them so MATE executes once
+    res.join_pairs = res.join_pairs.persist()
     cocoa = COCOA(idx)
     out = cocoa.enrich_multicolumn(inp_ids, res, k_c=10, target_column="c_acctbal")
     return out.select("table_col_id", F.round("corr", 4).alias("corr"), "is_numeric")
