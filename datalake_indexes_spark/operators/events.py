@@ -427,3 +427,52 @@ def resample_forward_fill(
             F.col("__obs").isNotNull().alias("observed"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts_us",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse a stream of
+    per-key attribute observations into validity intervals.
+
+    Consecutive observations with identical ``attr_cols`` merge into one
+    interval; each interval runs ``[valid_from, valid_to)`` where
+    ``valid_to`` is the next CHANGE's timestamp (NULL = still current).
+    ``version`` numbers a key's intervals from 1 in time order.  Ordering
+    is total — (ts, seq) — so same-timestamp observations resolve
+    deterministically; null attrs compare null-safely (null == null is
+    "no change").
+
+    Scale shape: two window passes over the SAME (key, ts, seq) ordering
+    — one shuffle keyed by the dimension key, partitions bounded by
+    per-key history length, never corpus size.  This is the standard
+    warehouse dimension build (Kimball SCD type 2) as one declarative
+    plan; the reference has no temporal machinery at all.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    # lag(first row) is null for every attr -> eqNullSafe false vs a
+    # non-null attr, but a null first attr needs the explicit row guard
+    changed = changed | (F.row_number().over(w) == 1)
+
+    starts = df.withColumn("__chg", changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        starts.withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            "version",
+        )
+    )

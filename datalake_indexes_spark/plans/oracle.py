@@ -2816,3 +2816,29 @@ SELECT c.c_custkey, c.c_name AS value,
        coalesce(rp.representative, c.c_custkey) AS entity_id
 FROM customer c LEFT JOIN reps rp ON rp.node = c.c_custkey
 """
+
+
+def events_scd2_sql() -> str:
+    """Twin of :func:`..operators.events.scd2_history` over per-user
+    event_type observations (Kimball SCD-2 dimension build)."""
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+ordered AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, ts_us, event_id FROM ordered
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts_us AS valid_from,
+       coalesce(lead(ts_us) OVER w2, -1) AS valid_to,
+       row_number() OVER w2 AS version
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""

@@ -982,6 +982,26 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_us", ts_us.cast("long"))
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: per-user event_type validity
+    intervals — consecutive identical observations merge, each interval
+    closes at the next change (NULL valid_to = current)."""
+    from datalake_indexes_spark.operators.events import scd2_history
+
+    ev = _events_us(spark, sf_dir)
+    hist = scd2_history(
+        ev.select("user_id", "event_type", "ts_us", "event_id"),
+        ["user_id"],
+        ["event_type"],
+        ts_col="ts_us",
+        seq_col="event_id",
+    )
+    # grading projection: NULL valid_to (current interval) -> -1 so the
+    # oracle column stays integer through the pandas fetch (a nullable
+    # BIGINT degrades to float64 and 1.7e15 µs loses precision)
+    return hist.withColumn("valid_to", F.coalesce("valid_to", F.lit(-1)))
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event gains the user's most recent purchase
     at or before it (backward inclusive, feature-store semantics)."""
@@ -1488,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "tfidf_topk": q_tfidf_topk,
     "events_asof_join": q_events_asof_join,
+    "events_scd2": q_events_scd2,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1625,6 +1646,7 @@ WHERE rn = 1
     "bm25_topk": oracle.bm25_topk_sql(BM25_QUERY_TERMS, k=10),
     "tfidf_topk": oracle.tfidf_topk_sql(BM25_QUERY_TERMS, k=10),
     "events_asof_join": oracle.events_asof_join_sql(),
+    "events_scd2": oracle.events_scd2_sql(),
     "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
     "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),

@@ -162,3 +162,53 @@ class TestHybridRRF:
                 1.0 / (60 + vec[r.doc_id]) if r.doc_id in vec else 0.0
             )
             assert abs(r.rrf_score - expect) < 1e-6
+
+
+class TestSCD2History:
+    def test_runs_merge_and_intervals_chain(self, spark):
+        """a,a,b,a per key → 3 intervals chained [t1,t3),[t3,t4),[t4,NULL);
+        a second key with one observation is a single open interval."""
+        from datalake_indexes_spark.operators.events import scd2_history
+
+        rows = [
+            (1, "a", 10, 0), (1, "a", 20, 1), (1, "b", 30, 2), (1, "a", 40, 3),
+            (2, "x", 15, 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, attr string, ts_us long, seq long"
+        )
+        out = sorted(
+            (r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(df, ["k"], ["attr"], seq_col="seq").collect()
+        )
+        assert out == [
+            (1, 1, "a", 10, 30),
+            (1, 2, "b", 30, 40),
+            (1, 3, "a", 40, None),
+            (2, 1, "x", 15, None),
+        ]
+
+    def test_null_attr_and_ts_ties(self, spark):
+        """NULL attrs merge null-safely; same-ts rows order by seq."""
+        from datalake_indexes_spark.operators.events import scd2_history
+
+        rows = [(1, None, 10, 0), (1, None, 10, 1), (1, "a", 10, 2)]
+        df = spark.createDataFrame(
+            rows, "k long, attr string, ts_us long, seq long"
+        )
+        out = sorted(
+            (r["version"], r["attr"], r["valid_to"])
+            for r in scd2_history(df, ["k"], ["attr"], seq_col="seq").collect()
+        )
+        assert out == [(1, None, 10), (2, "a", None)]
+
+    def test_single_shuffle_plan(self, spark):
+        """Both window passes share one (key) exchange — the dimension
+        build is a single shuffle."""
+        from datalake_indexes_spark.operators.events import scd2_history
+
+        df = spark.createDataFrame(
+            [(1, "a", 10, 0)], "k long, attr string, ts_us long, seq long"
+        )
+        plan = scd2_history(df, ["k"], ["attr"], seq_col="seq")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
