@@ -99,16 +99,23 @@ def fuzzy_join(
 
     cand = probes.join(rg, "gram").select("__lid", "__rid").distinct()
 
-    # short-string block: both sides length <= short_max, lengths within d
-    ls = left.select(
-        F.col(left_id).alias("__lid"), F.col(left_on).alias("__lv")
-    ).filter(F.length("__lv") <= short_max)
+    # short-string block: both sides length <= short_max, lengths within
+    # d — expressed as an EQUI-join on an exploded length key (left rows
+    # emit [len-d, len+d]) so no nested-loop/cartesian node ever appears
+    ls = (
+        left.select(F.col(left_id).alias("__lid"), F.col(left_on).alias("__lv"))
+        .filter(F.length("__lv") <= short_max)
+        .select(
+            "__lid",
+            F.explode(
+                F.sequence(F.length("__lv") - d, F.length("__lv") + d)
+            ).alias("__lk"),
+        )
+    )
     rs = right.select(
-        F.col(right_id).alias("__rid"), F.col(right_on).alias("__rv")
-    ).filter(F.length("__rv") <= short_max)
-    short_cand = ls.join(
-        rs, F.abs(F.length("__lv") - F.length("__rv")) <= d
-    ).select("__lid", "__rid")
+        F.col(right_id).alias("__rid"), F.length(right_on).alias("__lk")
+    ).filter(F.col("__lk") <= short_max)
+    short_cand = ls.join(rs, "__lk").select("__lid", "__rid")
 
     lv = left.select(F.col(left_id).alias("__lid"), F.col(left_on).alias("left_value"))
     rv = right.select(

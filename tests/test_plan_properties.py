@@ -321,3 +321,36 @@ def test_growth_and_cohort_have_no_window_over_events(spark):
     plan = _plan(growth_accounting(ev))
     # one window, and only over the per-period aggregate (row count ≈ days)
     assert plan.count("Window") == 1
+
+
+def test_fuzzy_join_blocking_is_equi_join(spark):
+    """Every join in the fuzzy pipeline — gram probe AND short-string
+    block (equi-join on an exploded length key) — must be a hash/
+    sort-merge equi-join; a nested loop or cartesian node means the
+    blocking degenerated to all-pairs."""
+    from datalake_indexes_spark.operators.fuzzy import fuzzy_join
+
+    a = spark.createDataFrame(
+        [(i, f"name{i:06d}") for i in range(50)], "a_id long, a_v string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"name{i:06d}") for i in range(50)], "b_id long, b_v string"
+    )
+    plan = _plan(fuzzy_join(a, b, "a_v", "b_v", "a_id", "b_id", max_distance=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_plan_shape(spark):
+    """Boilerplate removal is a broadcast/shuffled-hash LEFT ANTI on the
+    chunk string — never a nested loop — and the doc-frequency aggregate
+    must carry a map-side partial (HashAggregate before the exchange)."""
+    from datalake_indexes_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(30)], "doc_id long, text string"
+    )
+    plan = _plan(chunk_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
