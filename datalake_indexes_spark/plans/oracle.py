@@ -2676,21 +2676,14 @@ FROM clus c JOIN q USING (doc_id)
 """
 
 
-def corpus_prep_v3_sql(
-    quality_min: float = 0.52,
-    logprob_min: float = -3.408,
-    k: int = 16,
-    bands: int = 4,
-    threshold: float = 0.7,
-) -> str:
-    """Curation-v3 twin: quality + unigram-logprob gates on the ROUNDED
-    operator outputs (threshold comparisons are engine-exact), keep-best
-    near-dup drop via the recursive closure, md5 train shard."""
+def _v3_ctes(k: int, bands: int, threshold: float) -> str:
+    """Shared CTE block for the curation-v3 family: MinHash pairs →
+    closure clusters, quality scores, keep-best drop set, unigram
+    log-probs.  Callers append their own final SELECT."""
     from datalake_indexes_spark.functions.text import STOPWORDS
 
     stops = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return f"""
-WITH RECURSIVE {_minhash_pairs_ctes(k, bands, threshold)},
+    return f"""{_minhash_pairs_ctes(k, bands, threshold)},
 edges AS (
   SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
   UNION SELECT doc_id_2, doc_id_1 FROM pairs
@@ -2736,7 +2729,21 @@ lfreq AS (SELECT w2, ln(count(*) / ltot.t) AS l FROM lw, ltot GROUP BY w2, ltot.
 lp AS (
   SELECT doc_id, round(avg(l), 4) AS avg_logprob
   FROM lw JOIN lfreq USING (w2) GROUP BY doc_id
-)
+)"""
+
+
+def corpus_prep_v3_sql(
+    quality_min: float = 0.52,
+    logprob_min: float = -3.408,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """Curation-v3 twin: quality + unigram-logprob gates on the ROUNDED
+    operator outputs (threshold comparisons are engine-exact), keep-best
+    near-dup drop via the recursive closure, md5 train shard."""
+    return f"""
+WITH RECURSIVE {_v3_ctes(k, bands, threshold)}
 SELECT d.doc_id, d.lang, q.quality_score, lp.avg_logprob
 FROM documents d
 JOIN q USING (doc_id)
@@ -2745,6 +2752,32 @@ WHERE q.quality_score >= {quality_min}
   AND lp.avg_logprob >= {logprob_min}
   AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
   AND ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000
+"""
+
+
+def corpus_audit_sql(
+    quality_min: float = 0.52,
+    logprob_min: float = -3.408,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """Twin of the curation drop ledger: one row per INPUT doc with the
+    first pipeline stage that rejected it ('kept' if it survived)."""
+    return f"""
+WITH RECURSIVE {_v3_ctes(k, bands, threshold)}
+SELECT d.doc_id, q.quality_score, lp.avg_logprob,
+  CASE
+    WHEN q.quality_score < {quality_min} THEN 'quality'
+    WHEN lp.avg_logprob < {logprob_min} THEN 'logprob'
+    WHEN d.doc_id IN (SELECT doc_id FROM dropped) THEN 'near_dup'
+    WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 >= 8000
+      THEN 'eval_shard'
+    ELSE 'kept'
+  END AS stage
+FROM documents d
+JOIN q USING (doc_id)
+JOIN lp USING (doc_id)
 """
 
 

@@ -1441,6 +1441,49 @@ def q_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation drop ledger — one row per INPUT document with the FIRST
+    pipeline stage that rejected it ('quality' → 'logprob' → 'near_dup'
+    → 'eval_shard') or 'kept'.  The observability surface every real
+    curation run needs: "why is this doc not in the training set?"
+    answered without re-running any stage."""
+    from datalake_indexes_spark.operators.dedup import near_dup_keep_best
+    from datalake_indexes_spark.operators.text_analysis import (
+        quality_scores,
+        unigram_logprob_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    lp = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    dropped = (
+        near_dup_keep_best(docs, q, threshold=0.7)
+        .filter(~F.col("kept"))
+        .select("doc_id", F.lit(True).alias("__nd"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(lp, "doc_id")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_score",
+            "avg_logprob",
+            F.when(F.col("quality_score") < V3_QUALITY_MIN, "quality")
+            .when(F.col("avg_logprob") < V3_LOGPROB_MIN, "logprob")
+            .when(F.col("__nd"), "near_dup")
+            .when(bucket >= 8000, "eval_shard")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1545,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": q_text_unigram_logprob,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
+    "corpus_audit": q_corpus_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -1707,6 +1751,9 @@ WHERE rn = 1
     "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
+        quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
+    ),
+    "corpus_audit": oracle.corpus_audit_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
     ),
 }
