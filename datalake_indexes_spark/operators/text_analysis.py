@@ -632,3 +632,50 @@ def unigram_logprob_scores(
             F.round(F.avg("__lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def normalize_scores_by_group(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-group percent-rank normalization of a score column — the
+    calibration step before filtering a MIXED corpus on quality: raw
+    heuristic scores are not comparable across sources (code vs prose vs
+    forum text), so "keep the best 60% of EACH source" needs each score
+    mapped to its within-source percentile first.
+
+    Emits the input plus ``out_col`` = SQL ``percent_rank()`` over
+    (PARTITION BY group ORDER BY score): (rank-1)/(n-1), ties share a
+    rank, single-row groups get 0.0.  Rounded to 6 for cross-engine
+    comparability.
+
+    Scale shape: a naive per-source window would funnel each source's
+    ENTIRE slice through one task.  Instead the rank comes from
+    run-length counts: aggregate to (group, score, cnt) — bounded by
+    DISTINCT scores, not rows (quality scores are rounded to 4dp) — take
+    the exclusive running sum over that small frame, and broadcast-join
+    the (group, score) → rank map back onto the corpus.  The full data
+    is scanned, aggregated (map-side combined), and joined; never
+    windowed.
+    """
+    cnt = scored.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranks = cnt.withColumn(
+        "__below", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    )
+    totals = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rank_map = ranks.join(totals, group_col).select(
+        group_col,
+        score_col,
+        F.when(F.col("__n") > 1, F.round(F.col("__below") / (F.col("__n") - 1), 6))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+    return scored.join(F.broadcast(rank_map), [group_col, score_col])

@@ -2875,3 +2875,34 @@ SELECT user_id, event_type, ts_us AS valid_from,
 FROM starts
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
+
+
+def text_quality_normalized_sql() -> str:
+    """Twin of :func:`..operators.text_analysis.normalize_scores_by_group`
+    — per-source percent_rank of the quality score (the run-length-count
+    formulation must equal the window-function definition exactly)."""
+    from datalake_indexes_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc FROM documents
+),
+m AS (
+  SELECT doc_id,
+         (nc - (len(w) - 1)) * 1.0 / len(w) AS avg_len,
+         len(list_filter(w, x -> list_contains([{stops}], x))) * 1.0 / len(w) AS stop_ratio,
+         len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+         round(0.5 * distinct_ratio + 0.3 * least(avg_len / 8.0, 1.0)
+               + 0.2 * (1.0 - stop_ratio), 4) AS quality_score
+  FROM m
+)
+SELECT d.doc_id, d.source, q.quality_score,
+       round(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality_score), 6)
+         AS score_pct
+FROM documents d JOIN q USING (doc_id)
+"""

@@ -1441,6 +1441,23 @@ def q_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank calibration of quality scores (run-length
+    counts + broadcast rank map — no per-source window at corpus scale)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        normalize_scores_by_group,
+        quality_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source").join(
+        quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return normalize_scores_by_group(scored, "source").select(
+        "doc_id", "source", "quality_score", "score_pct"
+    )
+
+
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation drop ledger — one row per INPUT document with the FIRST
     pipeline stage that rejected it ('quality' → 'logprob' → 'near_dup'
@@ -1589,6 +1606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
+    "text_quality_normalized": q_text_quality_normalized,
 }
 
 ORACLES: dict[str, str] = {
@@ -1756,4 +1774,5 @@ WHERE rn = 1
     "corpus_audit": oracle.corpus_audit_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
     ),
+    "text_quality_normalized": oracle.text_quality_normalized_sql(),
 }

@@ -236,3 +236,31 @@ def test_chunk_dedup_order_and_partial_tail(spark):
     assert out[0]["text_clean"] == "a b c d e f"
     assert out[1]["text_clean"] == "q r"
     assert out[1]["kept_chunks"] == 1 and out[1]["dropped_chunks"] == 1
+
+
+def test_normalize_scores_by_group_matches_percent_rank(spark):
+    """The run-length-count formulation must equal percent_rank() exactly:
+    ties share a rank, single-row groups are 0.0."""
+    from pyspark.sql import Window
+    from datalake_indexes_spark.operators.text_analysis import (
+        normalize_scores_by_group,
+    )
+
+    rows = [
+        (0, "a", 1.0), (1, "a", 2.0), (2, "a", 2.0), (3, "a", 5.0),
+        (4, "b", 9.0),
+        (5, "c", 3.0), (6, "c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality_score double")
+    got = {
+        r["doc_id"]: r["score_pct"]
+        for r in normalize_scores_by_group(df, "source").collect()
+    }
+    w = Window.partitionBy("source").orderBy("quality_score")
+    want = {
+        r["doc_id"]: round(r["pr"], 6)
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == want
+    assert got[4] == 0.0          # singleton group
+    assert got[1] == got[2]       # tie shares the rank
