@@ -409,6 +409,59 @@ def near_dup_keep_best(
     ).select("doc_id", "cluster", "quality_score", "kept")
 
 
+def doc_chunks(
+    docs: DataFrame,
+    chunk_words: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cid, chunk) — consecutive ``chunk_words``-word segments in
+    document order; the segmenting is pure array expressions (split →
+    sequence → slice/concat) inside whole-stage codegen, exploded only at
+    the end.  Shared by :func:`chunk_dedup` and the streaming
+    chunk-frequency store (``streaming/chunk_stream.py``)."""
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words)
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks_arr).alias("cid", "chunk"),
+    )
+
+
+def reassemble_chunks(exploded: DataFrame, boiler: DataFrame) -> DataFrame:
+    """Drop ``boiler`` chunks from the (doc_id, cid, chunk) frame and
+    rebuild each surviving document in original order — the shared back
+    half of batch and streaming chunk dedup."""
+    kept = exploded.join(boiler.select("chunk"), "chunk", "left_anti")
+    dropped = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cid", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("kept_chunks"),
+        )
+        .join(dropped, "doc_id")
+        .select(
+            "doc_id",
+            "text_clean",
+            "kept_chunks",
+            (F.col("__total") - F.col("kept_chunks")).alias("dropped_chunks"),
+        )
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_words: int = 4,
@@ -439,45 +492,9 @@ def chunk_dedup(
     groupBy(doc_id) with an in-array sort — partition count bounded by
     the corpus, per-group size by document length.
     """
-    words = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
-    chunks_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words)
-        ),
-    )
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(chunks_arr).alias("cid", "chunk"),
-    )
-
+    exploded = doc_chunks(docs, chunk_words, text_col=text_col, id_col=id_col)
     freq = exploded.groupBy("chunk").agg(
         F.count_distinct("doc_id").alias("df")
     )
     boiler = freq.filter(F.col("df") >= min_doc_freq).select("chunk")
-
-    kept = exploded.join(boiler, "chunk", "left_anti")
-    dropped = (
-        exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__total"))
-    )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("cid", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-            ).alias("text_clean"),
-            F.count(F.lit(1)).alias("kept_chunks"),
-        )
-        .join(dropped, "doc_id")
-        .select(
-            "doc_id",
-            "text_clean",
-            "kept_chunks",
-            (F.col("__total") - F.col("kept_chunks")).alias("dropped_chunks"),
-        )
-    )
+    return reassemble_chunks(exploded, boiler)
