@@ -476,3 +476,41 @@ def scd2_history(
             "version",
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """First-order event-transition matrix: for every (from_type,
+    to_type) pair of CONSECUTIVE events within a key's timeline, the
+    transition count and its probability given ``from_type`` — the
+    Markov-chain summary product analytics builds sankeys and
+    next-action models from.
+
+    Ordering is total ((ts, seq)) so same-timestamp events resolve
+    deterministically.  Scale shape: one lag() pass keyed by the entity
+    (per-key partitions, bounded by a user's history), then a
+    map-side-combinable count over at most |types|² groups; the
+    probability denominator joins on from_type — |types| rows, broadcast.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__prev", F.lag(F.col(type_col)).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("from_type"), F.col(type_col).alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+    )

@@ -2906,3 +2906,27 @@ SELECT d.doc_id, d.source, q.quality_score,
          AS score_pct
 FROM documents d JOIN q USING (doc_id)
 """
+
+
+def events_transitions_sql() -> str:
+    """Twin of :func:`..operators.events.event_transitions` over per-user
+    event streams."""
+    return """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM ev
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n * 1.0 / sum(c.n) OVER (PARTITION BY c.from_type), 6) AS p
+FROM counts c
+"""

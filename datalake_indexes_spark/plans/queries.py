@@ -1002,6 +1002,16 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn("valid_to", F.coalesce("valid_to", F.lit(-1)))
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams."""
+    from datalake_indexes_spark.operators.events import event_transitions
+
+    ev = _events_us(spark, sf_dir)
+    return event_transitions(
+        ev.select("user_id", "event_type", "ts_us", "event_id"), seq_col="event_id"
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event gains the user's most recent purchase
     at or before it (backward inclusive, feature-store semantics)."""
@@ -1569,6 +1579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "events_asof_join": q_events_asof_join,
     "events_scd2": q_events_scd2,
+    "events_transitions": q_events_transitions,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1709,6 +1720,7 @@ WHERE rn = 1
     "tfidf_topk": oracle.tfidf_topk_sql(BM25_QUERY_TERMS, k=10),
     "events_asof_join": oracle.events_asof_join_sql(),
     "events_scd2": oracle.events_scd2_sql(),
+    "events_transitions": oracle.events_transitions_sql(),
     "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
     "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),

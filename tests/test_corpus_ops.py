@@ -264,3 +264,24 @@ def test_normalize_scores_by_group_matches_percent_rank(spark):
     assert got == want
     assert got[4] == 0.0          # singleton group
     assert got[1] == got[2]       # tie shares the rank
+
+
+def test_chunk_dedup_roundtrip_identity(spark):
+    """With an unreachable min_doc_freq nothing is boilerplate: every doc
+    reassembles to its exact original text (random word soup, varied
+    lengths incl. a partial tail and a single-word doc)."""
+    import random
+
+    from datalake_indexes_spark.operators.dedup import chunk_dedup
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 23))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, min_doc_freq=10**9).collect()}
+    assert len(out) == 60
+    for i, text in rows:
+        assert out[i]["text_clean"] == text
+        assert out[i]["dropped_chunks"] == 0

@@ -212,3 +212,25 @@ class TestSCD2History:
         )
         plan = scd2_history(df, ["k"], ["attr"], seq_col="seq")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestEventTransitions:
+    def test_counts_and_probabilities(self, spark):
+        """a→b,b→a,a→b per key 1 plus a→a for key 2; probabilities are
+        per-from_type conditionals summing to 1."""
+        from datalake_indexes_spark.operators.events import event_transitions
+
+        rows = [
+            (1, "a", 10, 0), (1, "b", 20, 1), (1, "a", 30, 2), (1, "b", 40, 3),
+            (2, "a", 5, 4), (2, "a", 6, 5),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long, event_id long")
+        out = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in event_transitions(df, seq_col="event_id").collect()
+        }
+        assert out[("a", "b")] == (2, round(2 / 3, 6))
+        assert out[("a", "a")] == (1, round(1 / 3, 6))
+        assert out[("b", "a")] == (1, 1.0)
+        # no cross-key pair: key 2's first event never links to key 1
+        assert ("b", "b") not in out
