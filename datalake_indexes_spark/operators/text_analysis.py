@@ -679,3 +679,63 @@ def normalize_scores_by_group(
         .alias(out_col),
     )
     return scored.join(F.broadcast(rank_map), [group_col, score_col])
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-bigram log-probability per document — the next step up from
+    :func:`unigram_logprob_scores` as a perplexity proxy: word-salad
+    documents built from individually common words (which the unigram LM
+    scores HIGH) have improbable word ORDER and score low here.
+
+    avg_logprob2 = mean over the document's adjacent word pairs of
+    ln((C(w1,w2) + k) / (C(w1) + k*V)) — add-k smoothed conditional
+    bigram probability with counts from THIS corpus; V = distinct
+    unigrams.  Documents with fewer than two words have no bigrams and
+    are omitted (same contract as a bigram LM refusing length-1 input).
+    (doc_id, n_bigrams, avg_logprob2).
+
+    Scale shape: bigram extraction is an in-array zip (no self-join on
+    position); both count aggregates carry map-side partials; the join
+    back is (w1, w2)-keyed — Zipf-skewed like every token join, AQE
+    split applies and the result immediately re-keys by doc_id.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("__w1"), F.col("g.w2").alias("__w2"))
+
+    big_c = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    uni = docs.select(F.explode(words).alias("__w"))
+    ctx_c = uni.groupBy(F.col("__w").alias("__w1")).agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    vocab = uni.select("__w").distinct().count()
+
+    lp = big_c.join(ctx_c, "__w1").withColumn(
+        "__lp",
+        F.log(
+            (F.col("__c12") + F.lit(k_smooth))
+            / (F.col("__c1") + F.lit(k_smooth * float(vocab)))
+        ),
+    )
+    return (
+        bg.join(lp.select("__w1", "__w2", "__lp"), ["__w1", "__w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), 4).alias("avg_logprob2"),
+        )
+    )

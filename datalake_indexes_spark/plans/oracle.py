@@ -2930,3 +2930,32 @@ SELECT c.from_type, c.to_type, c.n,
        round(c.n * 1.0 / sum(c.n) OVER (PARTITION BY c.from_type), 6) AS p
 FROM counts c
 """
+
+
+def text_bigram_logprob_sql(k_smooth: float = 0.5) -> str:
+    """Twin of :func:`..operators.text_analysis.bigram_logprob_scores` —
+    add-k smoothed corpus-bigram conditionals (denominator = total
+    unigram occurrences of the context word, V = distinct unigrams)."""
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT unnest(w) AS w1 FROM ws),
+ctx AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS vb FROM uni),
+words AS (
+  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos, unnest(w) AS word
+  FROM ws
+),
+bg AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+lp AS (
+  SELECT bc.w1, bc.w2,
+         ln((c12 + {k_smooth}) / (c1 + {k_smooth} * vb)) AS l
+  FROM bc JOIN ctx USING (w1), v
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(l), 4) AS avg_logprob2
+FROM bg JOIN lp USING (w1, w2)
+GROUP BY doc_id
+"""

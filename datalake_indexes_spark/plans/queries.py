@@ -1400,6 +1400,16 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy: penalizes improbable word ORDER that
+    the unigram score cannot see (add-0.5 smoothed conditionals)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        bigram_logprob_scores,
+    )
+
+    return bigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup retention: keep each cluster's best copy."""
     from datalake_indexes_spark.operators.dedup import near_dup_keep_best
@@ -1614,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "text_bigram_logprob": q_text_bigram_logprob,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
@@ -1779,6 +1790,7 @@ WHERE rn = 1
         threshold=0.4, n_tables=4, n_planes=6, dim=64
     ),
     "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
+    "text_bigram_logprob": oracle.text_bigram_logprob_sql(k_smooth=0.5),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
