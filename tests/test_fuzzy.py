@@ -100,3 +100,44 @@ def test_entity_resolution_chains_and_singletons(spark):
     out = {r["rid"]: r["entity_id"] for r in
            entity_resolution(df, "name", "rid", max_distance=1).collect()}
     assert out == {5: 5, 9: 5, 7: 5, 3: 3}
+
+
+def test_blocking_candidate_volume_on_hot_ids(spark):
+    """20k zero-padded sequential ids — the low-entropy worst case
+    (constant "Customer#000..." prefix) that degenerates gram/segment
+    blocking.  Deletion-neighborhood candidates must stay within a small
+    factor of the TRUE pair count (~820k ordered incl. self), nowhere
+    near the 400M cross product; and the verified output must equal
+    direct levenshtein semantics for a probe row."""
+    from datalake_indexes_spark.operators.fuzzy import fuzzy_candidates
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("a_id"),
+        F.format_string("Customer#%09d", F.col("id")).alias("a_v"),
+    )
+    rdf = df.selectExpr("a_id as b_id", "a_v as b_v")
+    n_cand = fuzzy_candidates(
+        df, rdf, "a_v", "b_v", "a_id", "b_id", max_distance=1
+    ).count()
+    assert n_cand < 4_000_000, f"blocking degenerated: {n_cand} candidates"
+
+    fz = fuzzy_join(df, rdf, "a_v", "b_v", "a_id", "b_id", max_distance=1)
+    got = sorted(r["b_id"] for r in fz.filter(F.col("a_id") == 12345).collect())
+    want = sorted({
+        int(str(12345).zfill(9)[:i] + str(x) + str(12345).zfill(9)[i + 1:])
+        for i in range(9)
+        for x in range(10)
+        if int(str(12345).zfill(9)[:i] + str(x) + str(12345).zfill(9)[i + 1:]) < n
+    })
+    assert got == want
+
+
+def test_max_distance_cap(spark):
+    import pytest
+
+    from datalake_indexes_spark.operators.fuzzy import fuzzy_candidates
+
+    df = spark.createDataFrame([(0, "abc")], "a_id long, a_v string")
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_candidates(df, df, "a_v", "a_v", "a_id", "a_id", max_distance=3)
