@@ -739,3 +739,68 @@ def bigram_logprob_scores(
             F.round(F.avg("__lp"), 4).alias("avg_logprob2"),
         )
     )
+
+
+def word_cooccurrence_pmi(
+    docs: DataFrame,
+    max_vocab: int = 1000,
+    min_pair_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of word pairs by
+    document co-occurrence — pmi = ln(P(a,b) / (P(a)·P(b))) with P() =
+    document frequency / corpus size.  High-PMI pairs are multi-word
+    expressions ("machine learning"-style units) a tokenizer or phrase
+    miner wants; the signal a 100 TB corpus derives its phrase vocab
+    from.
+
+    Returns (w1, w2, pair_docs, pmi) with w1 < w2 and
+    pair_docs >= min_pair_docs.
+
+    Scale shape: the quadratic surface is bounded by construction — only
+    the ``max_vocab`` highest-df words participate (TakeOrdered top-k,
+    broadcast back as a semi-join filter), so the per-doc self-join is
+    capped at min(doc_len, max_vocab)² and the pair aggregate at
+    max_vocab² groups, independent of corpus size.  Everything else is
+    map-side-combinable counts.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    n_docs = docs.select(id_col).distinct().count()
+
+    wdf = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    vocab = wdf.orderBy(F.desc("df"), F.asc("w")).limit(max_vocab)
+    kept = words.join(F.broadcast(vocab.select("w")), "w", "leftsemi")
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    d1 = vocab.select(F.col("w").alias("w1"), F.col("df").alias("__df1"))
+    d2 = vocab.select(F.col("w").alias("w2"), F.col("df").alias("__df2"))
+    return (
+        pairs.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_docs",
+            F.round(
+                F.log(
+                    (F.col("pair_docs") * F.lit(float(n_docs)))
+                    / (F.col("__df1") * F.col("__df2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

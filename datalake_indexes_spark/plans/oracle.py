@@ -2959,3 +2959,27 @@ SELECT doc_id, count(*) AS n_bigrams, round(avg(l), 4) AS avg_logprob2
 FROM bg JOIN lp USING (w1, w2)
 GROUP BY doc_id
 """
+
+
+def text_pmi_sql(max_vocab: int = 1000, min_pair_docs: int = 2) -> str:
+    """Twin of :func:`..operators.text_analysis.word_cooccurrence_pmi`."""
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+wdf AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+vocab AS (SELECT w, df FROM wdf ORDER BY df DESC, w ASC LIMIT {max_vocab}),
+kept AS (SELECT wo.doc_id, wo.w FROM words wo JOIN vocab USING (w)),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS pair_docs
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING count(*) >= {min_pair_docs}
+)
+SELECT p.w1, p.w2, p.pair_docs,
+       round(ln((p.pair_docs * nd.n) / (v1.df * v2.df)), 4) AS pmi
+FROM pairs p
+JOIN vocab v1 ON v1.w = p.w1
+JOIN vocab v2 ON v2.w = p.w2, nd
+"""

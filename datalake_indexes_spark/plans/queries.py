@@ -1478,6 +1478,16 @@ def q_text_quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-co-occurrence PMI over the capped
+    top-df vocabulary (the phrase-vocab signal, bounded quadratic)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        word_cooccurrence_pmi,
+    )
+
+    return word_cooccurrence_pmi(_docs(spark, sf_dir))
+
+
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation drop ledger — one row per INPUT document with the FIRST
     pipeline stage that rejected it ('quality' → 'logprob' → 'near_dup'
@@ -1625,6 +1635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "text_pmi": q_text_pmi,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
@@ -1791,6 +1802,7 @@ WHERE rn = 1
     ),
     "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
     "text_bigram_logprob": oracle.text_bigram_logprob_sql(k_smooth=0.5),
+    "text_pmi": oracle.text_pmi_sql(),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
