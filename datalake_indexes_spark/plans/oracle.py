@@ -2983,3 +2983,23 @@ FROM pairs p
 JOIN vocab v1 ON v1.w = p.w1
 JOIN vocab v2 ON v2.w = p.w2, nd
 """
+
+
+def winsorize_stats_sql(p_low: float = 0.01, p_high: float = 0.99) -> str:
+    """Twin of the winsorize grading query: post-clamp summary stats per
+    column over lineitem (quantile_cont matches Spark's exact
+    percentile)."""
+    cols = ["l_quantity", "l_extendedprice"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+       count(*) FILTER (l.{c} < b.lo) AS n_clipped_low,
+       count(*) FILTER (l.{c} > b.hi) AS n_clipped_high,
+       round(avg(least(greatest(l.{c}, b.lo), b.hi)), 6) AS mean_after
+FROM lineitem l,
+     (SELECT quantile_cont({c}, {p_low}) AS lo,
+             quantile_cont({c}, {p_high}) AS hi FROM lineitem) b
+GROUP BY b.lo, b.hi""")
+    return " UNION ALL ".join(parts)

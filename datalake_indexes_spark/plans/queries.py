@@ -1478,6 +1478,43 @@ def q_text_quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization summary over lineitem numerics: exact p1/p99 clamp
+    bounds, clip counts, and the post-clamp mean per column."""
+    from datalake_indexes_spark.operators.ml import winsorize
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cols = ["l_quantity", "l_extendedprice"]
+    pieces = []
+    for c in cols:
+        bounds = li.agg(
+            F.percentile(F.col(c), F.lit(0.01)).alias("lo"),
+            F.percentile(F.col(c), F.lit(0.99)).alias("hi"),
+        )
+        clamped = winsorize(li.select(c), [c], p_low=0.01, p_high=0.99)
+        stats = li.select(c).crossJoin(F.broadcast(bounds)).agg(
+            F.round(F.first("lo"), 6).alias("lo"),
+            F.round(F.first("hi"), 6).alias("hi"),
+            F.count(F.when(F.col(c) < F.col("lo"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col(c) > F.col("hi"), 1)).alias("n_clipped_high"),
+        )
+        mean_after = clamped.agg(F.round(F.avg(c), 6).alias("mean_after"))
+        pieces.append(
+            stats.crossJoin(mean_after).select(
+                F.lit(c).alias("column_name"),
+                "lo",
+                "hi",
+                "n_clipped_low",
+                "n_clipped_high",
+                "mean_after",
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: document-co-occurrence PMI over the capped
     top-df vocabulary (the phrase-vocab signal, bounded quadratic)."""
@@ -1636,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_pmi": q_text_pmi,
+    "winsorize_stats": q_winsorize_stats,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
@@ -1803,6 +1841,7 @@ WHERE rn = 1
     "text_unigram_logprob": oracle.text_unigram_logprob_sql(),
     "text_bigram_logprob": oracle.text_bigram_logprob_sql(k_smooth=0.5),
     "text_pmi": oracle.text_pmi_sql(),
+    "winsorize_stats": oracle.winsorize_stats_sql(p_low=0.01, p_high=0.99),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN

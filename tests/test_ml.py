@@ -69,3 +69,23 @@ def test_permutation_importance_ordering_and_determinism(planted):
     }
     for feat, row in imp1.items():  # content-hash permutation: exact repro
         assert imp2[feat] == row["permuted_rmse"]
+
+
+def test_winsorize_clamps_to_exact_percentiles(spark):
+    """1..100 at p10/p90: values clamp into [10.9, 90.1] (exact
+    interpolated percentiles) and interior values are untouched."""
+    from datalake_indexes_spark.operators.ml import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    out = winsorize(df, ["x"], p_low=0.1, p_high=0.9)
+    rows = sorted(round(r["x"], 9) for r in out.collect())
+    assert rows[0] == 10.9 and rows[-1] == 90.1
+    assert rows.count(10.9) == 10 and rows.count(90.1) == 10
+    assert 50.0 in rows
+
+
+def test_winsorize_all_null_column_passthrough(spark):
+    from datalake_indexes_spark.operators.ml import winsorize
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    assert [r["x"] for r in winsorize(df, ["x"]).collect()] == [None, None]
