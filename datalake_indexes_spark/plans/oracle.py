@@ -3003,3 +3003,32 @@ FROM lineitem l,
              quantile_cont({c}, {p_high}) AS hi FROM lineitem) b
 GROUP BY b.lo, b.hi""")
     return " UNION ALL ".join(parts)
+
+
+def target_encode_sql(n_folds: int = 5, smoothing: float = 20.0) -> str:
+    """Twin of :func:`..operators.ml.target_encode` over customer
+    (category = c_mktsegment, target = c_acctbal)."""
+    return f"""
+WITH rows_ AS (
+  SELECT c_custkey, c_mktsegment AS category,
+         CAST(c_acctbal AS DOUBLE) AS t,
+         CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+              % {n_folds} AS INT) AS fold
+  FROM customer
+),
+gm AS (SELECT avg(t) AS g FROM rows_),
+per_fold AS (
+  SELECT category, fold, sum(t) AS fs, count(*) AS fc
+  FROM rows_ GROUP BY category, fold
+),
+per_cat AS (
+  SELECT category, sum(fs) AS cs, sum(fc) AS cc FROM per_fold GROUP BY category
+),
+stats AS (
+  SELECT pf.category, pf.fold,
+         (pc.cs - pf.fs + {smoothing} * gm.g) / (pc.cc - pf.fc + {smoothing}) AS enc
+  FROM per_fold pf JOIN per_cat pc USING (category), gm
+)
+SELECT r.c_custkey, r.category, r.fold, round(s.enc, 6) AS encoded
+FROM rows_ r JOIN stats s ON s.category = r.category AND s.fold = r.fold
+"""

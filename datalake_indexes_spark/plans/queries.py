@@ -1478,6 +1478,15 @@ def q_text_quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding of c_mktsegment against
+    c_acctbal (md5 folds — engine-reproducible, leakage-free)."""
+    from datalake_indexes_spark.operators.ml import target_encode
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return target_encode(cust, "c_mktsegment", "c_acctbal", "c_custkey")
+
+
 def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization summary over lineitem numerics: exact p1/p99 clamp
     bounds, clip counts, and the post-clamp mean per column."""
@@ -1674,6 +1683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_pmi": q_text_pmi,
     "winsorize_stats": q_winsorize_stats,
+    "ml_target_encode": q_target_encode,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
@@ -1842,6 +1852,7 @@ WHERE rn = 1
     "text_bigram_logprob": oracle.text_bigram_logprob_sql(k_smooth=0.5),
     "text_pmi": oracle.text_pmi_sql(),
     "winsorize_stats": oracle.winsorize_stats_sql(p_low=0.01, p_high=0.99),
+    "ml_target_encode": oracle.target_encode_sql(n_folds=5, smoothing=20.0),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN

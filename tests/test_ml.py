@@ -89,3 +89,35 @@ def test_winsorize_all_null_column_passthrough(spark):
 
     df = spark.createDataFrame([(None,), (None,)], "x double")
     assert [r["x"] for r in winsorize(df, ["x"]).collect()] == [None, None]
+
+
+def test_target_encode_out_of_fold_excludes_own_label(spark):
+    """With one category and extreme values concentrated in one fold, the
+    out-of-fold encoding for that fold must NOT include its own values:
+    hand-compute the smoothed mean and compare."""
+    from datalake_indexes_spark.operators.ml import target_encode
+
+    rows = [(i, "A", 100.0 if i % 2 == 0 else 0.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, cat string, y double")
+    out = target_encode(df, "cat", "y", "rid", n_folds=4, smoothing=2.0)
+    got = {r["rid"]: (r["fold"], r["encoded"]) for r in out.collect()}
+    assert len(got) == 40
+
+    # recompute expectations exactly as documented
+    import hashlib
+
+    def fold(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    tot = sum(y for _, _, y in rows)
+    g = tot / 40
+    per = {}
+    for i, _, y in rows:
+        f = fold(i)
+        s, c = per.get(f, (0.0, 0))
+        per[f] = (s + y, c + 1)
+    for i, _, y in rows:
+        f = fold(i)
+        fs, fc = per[f]
+        want = round((tot - fs + 2.0 * g) / (40 - fc + 2.0), 6)
+        assert got[i] == (f, want)
