@@ -570,3 +570,70 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "modality", "payload").mapInPandas(
         batches, schema=FEATURE_SCHEMA
     )
+
+
+def extract_png_text(b: bytes) -> list[tuple[str, str]]:
+    """(key, value) pairs from a PNG's ``tEXt`` and uncompressed ``iTXt``
+    chunks — the standard in-container metadata channel (author, source
+    URL, generator) a multimodal pipeline wants WITHOUT a decoder.  Plain
+    chunk walking (length-directed, CRC not validated — we read, not
+    verify); stops at IEND or any malformed length."""
+    out: list[tuple[str, str]] = []
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return out
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        data_start = i + 8
+        data_end = data_start + length
+        if data_end + 4 > len(b):
+            break
+        data = b[data_start:data_end]
+        if ctype == b"IEND":
+            break
+        if ctype == b"tEXt" and b"\x00" in data:
+            k, _, v = data.partition(b"\x00")
+            out.append((k.decode("latin-1"), v.decode("latin-1")))
+        elif ctype == b"iTXt" and data.count(b"\x00") >= 4:
+            k, _, rest = data.partition(b"\x00")
+            if len(rest) >= 2 and rest[0] == 0:  # uncompressed only
+                after_flags = rest[2:]
+                _lang, _, rest2 = after_flags.partition(b"\x00")
+                _trans, _, text = rest2.partition(b"\x00")
+                out.append((k.decode("latin-1"), text.decode("utf-8", "replace")))
+        i = data_end + 4  # skip CRC
+    return out
+
+
+METADATA_SCHEMA = (
+    "doc_id long, meta_key string, meta_value string"
+)
+
+
+def extract_metadata(payloads: DataFrame) -> DataFrame:
+    """In-container metadata as long-form rows (doc_id, meta_key,
+    meta_value) — PNG tEXt/iTXt today, one function per container to
+    extend.  Same ``mapInPandas`` Arrow-batch shape as
+    :func:`extract_features`; payloads with no metadata contribute no
+    rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            keys: list[str] = []
+            vals: list[str] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for k, v in extract_png_text(bytes(b)):
+                    ids.append(doc_id)
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "meta_key": pd.Series(keys, dtype="object"),
+                 "meta_value": pd.Series(vals, dtype="object")}
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        batches, schema=METADATA_SCHEMA
+    )

@@ -263,3 +263,54 @@ def test_probe_ogg_vorbis():
     assert probe_ogg_vorbis(_ogg(48000, 96000)) == (48000, 96000)
     assert probe_ogg_vorbis(b"OggS" + bytes(60)) is None  # not a vorbis id page
     assert probe_audio(_ogg(8000, 4000)) == (8000, 4000)
+
+
+class TestPngTextMetadata:
+    @staticmethod
+    def _png_with_chunks(chunks: list[tuple[bytes, bytes]]) -> bytes:
+        import struct as st
+
+        b = b"\x89PNG\r\n\x1a\n"
+        ihdr = st.pack(">IIBBBBB", 5, 7, 8, 6, 0, 0, 0)
+        b += st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        for ctype, data in chunks:
+            b += st.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+        b += st.pack(">I", 0) + b"IEND" + b"\x00" * 4
+        return b
+
+    def test_text_and_itxt_chunks(self):
+        from datalake_indexes_spark.operators.multimodal import extract_png_text
+
+        png = self._png_with_chunks(
+            [
+                (b"tEXt", b"Author\x00alice"),
+                (b"tEXt", b"Source\x00https://example.org/cat.png"),
+                (b"iTXt", b"Comment\x00\x00\x00en\x00\x00a cat \xf0\x9f\x90\x88"),
+                (b"iTXt", b"Zipped\x00\x01\x00en\x00\x00ignored-compressed"),
+            ]
+        )
+        got = extract_png_text(png)
+        assert got == [
+            ("Author", "alice"),
+            ("Source", "https://example.org/cat.png"),
+            ("Comment", "a cat \U0001f408"),
+        ]
+
+    def test_non_png_and_truncated(self):
+        from datalake_indexes_spark.operators.multimodal import extract_png_text
+
+        assert extract_png_text(b"\xff\xd8\xff\xe0 not png") == []
+        png = self._png_with_chunks([(b"tEXt", b"K\x00v")])
+        assert extract_png_text(png[:20]) == []
+
+    def test_extract_metadata_frame(self, spark):
+        from datalake_indexes_spark.operators.multimodal import extract_metadata
+
+        rows = [
+            (1, self._png_with_chunks([(b"tEXt", b"Author\x00bob")])),
+            (2, b"RIFF....WAVE"),  # no metadata -> contributes nothing
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = [(r["doc_id"], r["meta_key"], r["meta_value"])
+               for r in extract_metadata(df).collect()]
+        assert got == [(1, "Author", "bob")]
