@@ -160,3 +160,33 @@ def tokenize_py(text: object) -> str:
     s = _PY_STOPWORD.sub(" ", s)
     s = _PY_STOPWORD.sub(" ", s)
     return s.strip()[:MAX_TOKEN_LENGTH]
+
+
+_ACCENTED = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+_FOLDED = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def canonicalize_text_col(
+    col: Column,
+    lower: bool = True,
+    fold_accents: bool = True,
+    digits_to_zero: bool = True,
+    strip_punct: bool = True,
+) -> Column:
+    """CCNet-style text canonicalization for dedup keys: lowercase,
+    Latin-1 accent folding (literal ``translate`` map — deterministic and
+    DuckDB-replicable, unlike locale-dependent unicode normalizers),
+    digits → ``0`` (version/date churn stops defeating exact dedup),
+    punctuation → space, whitespace squashed + trimmed.  Pure native
+    expressions; every step stays in whole-stage codegen."""
+    out = col
+    if lower:
+        out = F.lower(out)
+    if fold_accents:
+        out = F.translate(out, _ACCENTED, _FOLDED)
+    if digits_to_zero:
+        out = F.regexp_replace(out, "[0-9]", "0")
+    if strip_punct:
+        out = F.regexp_replace(out, "[^a-z0 ]", " ")
+    out = F.trim(F.regexp_replace(out, " +", " "))
+    return out

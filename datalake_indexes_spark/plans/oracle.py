@@ -3032,3 +3032,30 @@ stats AS (
 SELECT r.c_custkey, r.category, r.fold, round(s.enc, 6) AS encoded
 FROM rows_ r JOIN stats s ON s.category = r.category AND s.fold = r.fold
 """
+
+
+def text_canonicalize_sql() -> str:
+    """Twin of :func:`..functions.text.canonicalize_text_col` over event
+    props (digit/punctuation-rich JSON strings): same literal transform
+    chain — note DuckDB regexp_replace needs the 'g' flag where Spark
+    replaces all matches by default."""
+    acc = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+    fold = "aaaaaaceeeeiiiinooooouuuuyy"
+    return f"""
+SELECT event_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             translate(lower(props), '{acc}', '{fold}'),
+             '[0-9]', '0', 'g'),
+           '[^a-z0 ]', ' ', 'g'),
+         ' +', ' ', 'g')) AS canon,
+       md5(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             translate(lower(props), '{acc}', '{fold}'),
+             '[0-9]', '0', 'g'),
+           '[^a-z0 ]', ' ', 'g'),
+         ' +', ' ', 'g'))) AS canon_hash
+FROM events
+"""

@@ -1487,6 +1487,18 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encode(cust, "c_mktsegment", "c_acctbal", "c_custkey")
 
 
+def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style canonicalization over event props (digit/punct-rich):
+    the dedup-key normalizer plus its md5 — graded end to end."""
+    from datalake_indexes_spark.functions.text import canonicalize_text_col
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    canon = canonicalize_text_col(F.col("props"))
+    return ev.select(
+        "event_id", canon.alias("canon"), F.md5(canon).alias("canon_hash")
+    )
+
+
 def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization summary over lineitem numerics: exact p1/p99 clamp
     bounds, clip counts, and the post-clamp mean per column."""
@@ -1684,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi": q_text_pmi,
     "winsorize_stats": q_winsorize_stats,
     "ml_target_encode": q_target_encode,
+    "text_canonicalize": q_text_canonicalize,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
@@ -1853,6 +1866,7 @@ WHERE rn = 1
     "text_pmi": oracle.text_pmi_sql(),
     "winsorize_stats": oracle.winsorize_stats_sql(p_low=0.01, p_high=0.99),
     "ml_target_encode": oracle.target_encode_sql(n_folds=5, smoothing=20.0),
+    "text_canonicalize": oracle.text_canonicalize_sql(),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN

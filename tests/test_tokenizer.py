@@ -149,3 +149,21 @@ def test_no_divergence_outside_pinned_surface():
         assert tokenize_py(s) == clean_text_ref(s), s
         checked += 1
     assert checked > 2000
+
+
+def test_canonicalize_text_accents_digits_punct(spark):
+    from datalake_indexes_spark.functions.text import canonicalize_text_col
+
+    rows = [
+        (0, "Café #42, RÉSUMÉ!"),
+        (1, '{"k": 69}'),
+        (2, "  a   b  "),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_text_col(F.col("t")).alias("c")).collect()
+    }
+    assert got[0] == "cafe 00 resume"
+    assert got[1] == "k 00"
+    assert got[2] == "a b"
