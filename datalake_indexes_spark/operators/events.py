@@ -514,3 +514,68 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
     )
+
+
+def concurrency_curve(
+    intervals: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Sweep-line concurrency: for interval data (sessions, jobs, spans),
+    the number of simultaneously-open intervals at every change point —
+    (ts_us, concurrent), valid on [ts_us, next ts_us).  Ends are
+    INCLUSIVE: an interval [s, e] counts at time e and releases at e+1.
+
+    Scale shape: ±1 deltas aggregate per distinct timestamp (map-side
+    combined), then the global running sum is the same DISTRIBUTED
+    two-level prefix sum as sequence packing — timestamps bucket by an
+    explicit value-range rule, local cumulative sums run per bucket, and
+    only the ≤ n_partitions bucket totals pass through a single tiny
+    window.  No global window over the event set.
+    """
+    from pyspark.sql import Window
+
+    starts = intervals.select(F.col(start_col).cast("long").alias("ts_us"),
+                              F.lit(1).alias("__d"))
+    ends = intervals.select((F.col(end_col).cast("long") + 1).alias("ts_us"),
+                            F.lit(-1).alias("__d"))
+    deltas = starts.unionByName(ends).groupBy("ts_us").agg(
+        F.sum("__d").alias("__delta")
+    )
+
+    spark = intervals.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    bounds = deltas.agg(F.min("ts_us"), F.max("ts_us")).first()
+    if bounds[0] is None:
+        return deltas.select("ts_us", F.lit(0).cast("long").alias("concurrent"))
+    mn, mx = int(bounds[0]), int(bounds[1])
+    span = float(mx - mn + 1)
+    bucket = F.least(
+        F.lit(n_part - 1),
+        F.floor((F.col("ts_us").cast("double") - mn) / span * n_part),
+    ).cast("int")
+    b = deltas.withColumn("__b", bucket)
+    run_w = Window.partitionBy("__b").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = b.withColumn("__run", F.sum("__delta").over(run_w))
+    offsets = (
+        b.groupBy("__b")
+        .agg(F.sum("__delta").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__b", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .select(
+            "ts_us", (F.col("__run") + F.col("__off")).cast("long").alias("concurrent")
+        )
+    )

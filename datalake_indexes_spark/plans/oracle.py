@@ -3059,3 +3059,38 @@ SELECT event_id,
          ' +', ' ', 'g'))) AS canon_hash
 FROM events
 """
+
+
+def events_concurrency_sql(gap_seconds: int = 1800) -> str:
+    """Twin of sessionize → :func:`..operators.events.concurrency_curve`:
+    concurrent open sessions at every change point (inclusive ends —
+    release at end+1)."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN us - lag(us, 1, 0) OVER (PARTITION BY user_id ORDER BY ts)
+                      > {gap_seconds}::BIGINT * 1000000 THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+iv AS (
+  SELECT epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM sess GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT ts_us, sum(d) AS delta FROM (
+    SELECT s AS ts_us, 1 AS d FROM iv
+    UNION ALL
+    SELECT e + 1 AS ts_us, -1 AS d FROM iv
+  ) GROUP BY ts_us
+)
+SELECT ts_us,
+       sum(delta) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS concurrent
+FROM deltas
+"""

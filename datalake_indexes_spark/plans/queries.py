@@ -1012,6 +1012,21 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent open sessions over time: sessionize → sweep-line with
+    the distributed two-level prefix sum (no global window)."""
+    from datalake_indexes_spark.operators.events import concurrency_curve
+    from datalake_indexes_spark.streaming.sessionize import sessionize_batch
+
+    _ensure_session_confs(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sess = sessionize_batch(ev, gap_seconds=1800).select(
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+    return concurrency_curve(sess)
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event gains the user's most recent purchase
     at or before it (backward inclusive, feature-store semantics)."""
@@ -1658,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
+    "events_concurrency": q_events_concurrency,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1804,6 +1820,7 @@ WHERE rn = 1
     "events_asof_join": oracle.events_asof_join_sql(),
     "events_scd2": oracle.events_scd2_sql(),
     "events_transitions": oracle.events_transitions_sql(),
+    "events_concurrency": oracle.events_concurrency_sql(gap_seconds=1800),
     "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
     "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),

@@ -234,3 +234,46 @@ class TestEventTransitions:
         assert out[("b", "a")] == (1, 1.0)
         # no cross-key pair: key 2's first event never links to key 1
         assert ("b", "b") not in out
+
+
+class TestConcurrencyCurve:
+    def test_known_intervals(self, spark):
+        """[1,5],[3,8],[10,10]: curve 1@1, 2@3, 1@6, 0@9, 1@10, 0@11."""
+        from datalake_indexes_spark.operators.events import concurrency_curve
+
+        iv = spark.createDataFrame(
+            [(1, 5), (3, 8), (10, 10)], "start_us long, end_us long"
+        )
+        got = sorted(
+            (r["ts_us"], r["concurrent"]) for r in concurrency_curve(iv).collect()
+        )
+        assert got == [(1, 1), (3, 2), (6, 1), (9, 0), (10, 1), (11, 0)]
+
+    def test_matches_single_window(self, spark):
+        """The two-level prefix sum must equal a plain global window on a
+        sparse random interval set."""
+        import random
+
+        from pyspark.sql import Window
+        from datalake_indexes_spark.operators.events import concurrency_curve
+
+        rng = random.Random(3)
+        rows = []
+        for _ in range(300):
+            s = rng.randint(0, 10_000)
+            rows.append((s, s + rng.randint(0, 500)))
+        iv = spark.createDataFrame(rows, "start_us long, end_us long")
+        got = sorted(
+            (r["ts_us"], r["concurrent"]) for r in concurrency_curve(iv).collect()
+        )
+        deltas = (
+            iv.selectExpr("start_us as ts_us", "1 as d")
+            .unionByName(iv.selectExpr("end_us + 1 as ts_us", "-1 as d"))
+            .groupBy("ts_us").agg(F.sum("d").alias("d"))
+        )
+        w = Window.orderBy("ts_us").rowsBetween(Window.unboundedPreceding, 0)
+        want = sorted(
+            (r["ts_us"], r["c"])
+            for r in deltas.withColumn("c", F.sum("d").over(w)).collect()
+        )
+        assert got == want
