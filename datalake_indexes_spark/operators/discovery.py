@@ -435,3 +435,29 @@ def _column_pair_jaccards(
             F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")),
         )
     )
+
+
+def tables_with_all_tokens(index, tokens: list[str]) -> "DataFrame":
+    """Conjunctive token search over the lake: tables whose cells contain
+    EVERY query token (after the index tokenization) — the "which tables
+    mention all of these entities" discovery probe.
+
+    (table_id, n_hit_cols, n_hit_cells): how many distinct columns and
+    cells participate, for ranking.  One broadcast IN-filter over the
+    cell scan, one per-table aggregate with a distinct-token count
+    equal to the query arity — no joins wider than the token list.
+    """
+    from datalake_indexes_spark.functions.text import tokenize_py
+
+    toks = sorted({tokenize_py(t) for t in tokens})
+    hit = index.cells.filter(F.col("tokenized").isin(toks))
+    return (
+        hit.groupBy("table_id")
+        .agg(
+            F.count_distinct("tokenized").alias("__nt"),
+            F.count_distinct("col_id").alias("n_hit_cols"),
+            F.count(F.lit(1)).alias("n_hit_cells"),
+        )
+        .filter(F.col("__nt") == len(toks))
+        .select("table_id", "n_hit_cols", "n_hit_cells")
+    )

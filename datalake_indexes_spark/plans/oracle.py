@@ -3094,3 +3094,22 @@ SELECT ts_us,
        sum(delta) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS concurrent
 FROM deltas
 """
+
+
+def tables_with_all_tokens_sql(tokens: list[str]) -> str:
+    """Twin of :func:`..operators.discovery.tables_with_all_tokens` over
+    the shared lake CTE."""
+    from datalake_indexes_spark.functions.text import tokenize_py
+
+    toks = sorted({tokenize_py(t) for t in tokens})
+    in_list = ", ".join(f"'{t}'" for t in toks)
+    return f"""
+WITH {cells_cte()}
+SELECT table_id,
+       count(DISTINCT col_id) AS n_hit_cols,
+       count(*) AS n_hit_cells
+FROM cells
+WHERE tokenized IN ({in_list})
+GROUP BY table_id
+HAVING count(DISTINCT tokenized) = {len(toks)}
+"""

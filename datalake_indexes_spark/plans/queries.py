@@ -1551,6 +1551,16 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tables_with_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive discovery probe: lake tables containing EVERY query
+    token ('furniture' AND 'building' — both mktsegment values, plus any
+    other table that happens to carry both)."""
+    from datalake_indexes_spark.operators.discovery import tables_with_all_tokens
+
+    idx = testdata_index(spark, sf_dir)
+    return tables_with_all_tokens(idx, ["FURNITURE", "BUILDING"])
+
+
 def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: document-co-occurrence PMI over the capped
     top-df vocabulary (the phrase-vocab signal, bounded quadratic)."""
@@ -1713,6 +1723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_stats": q_winsorize_stats,
     "ml_target_encode": q_target_encode,
     "text_canonicalize": q_text_canonicalize,
+    "tables_with_all_tokens": q_tables_with_all_tokens,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
@@ -1884,6 +1895,9 @@ WHERE rn = 1
     "winsorize_stats": oracle.winsorize_stats_sql(p_low=0.01, p_high=0.99),
     "ml_target_encode": oracle.target_encode_sql(n_folds=5, smoothing=20.0),
     "text_canonicalize": oracle.text_canonicalize_sql(),
+    "tables_with_all_tokens": oracle.tables_with_all_tokens_sql(
+        ["FURNITURE", "BUILDING"]
+    ),
     "dedup_keep_best": oracle.dedup_keep_best_sql(threshold=0.7),
     "corpus_prep_v3": oracle.corpus_prep_v3_sql(
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
