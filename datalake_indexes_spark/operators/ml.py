@@ -219,3 +219,50 @@ def target_encode(
     return rows.join(F.broadcast(stats), ["category", "fold"]).select(
         id_col, "category", "fold", F.round("__enc", 6).alias("encoded")
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Median/IQR standardization — the outlier-immune cousin of z-score
+    scaling: (x - median) / (q3 - q1) per column.  Columns with zero IQR
+    (constant or near-constant) scale to 0.0 rather than dividing by
+    zero.  Same single-pass scalar-quantile shape as :func:`winsorize`;
+    swap in ``approx_percentile`` at 100 TB.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.percentile(F.col(c), F.lit(0.5)).alias(f"__med_{c}"))
+        aggs.append(F.percentile(F.col(c), F.lit(0.25)).alias(f"__q1_{c}"))
+        aggs.append(F.percentile(F.col(c), F.lit(0.75)).alias(f"__q3_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        med, q1, q3 = row[f"__med_{c}"], row[f"__q1_{c}"], row[f"__q3_{c}"]
+        if med is None:
+            continue
+        iqr = q3 - q1
+        if iqr == 0:
+            out = out.withColumn(c, F.when(F.col(c).isNotNull(), F.lit(0.0)))
+        else:
+            out = out.withColumn(c, (F.col(c) - F.lit(med)) / F.lit(iqr))
+    return out
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of the listed numeric columns in ONE
+    aggregation pass — k(k-1)/2 ``corr`` aggregates, all map-side
+    combined, no self-join and no per-pair scan.  Long form
+    (col_1, col_2, corr) with col_1 < col_2, rounded to 6."""
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append((a, b))
+            aggs.append(F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"__c_{a}_{b}"))
+    row = df.agg(*aggs).collect()[0]
+    out = [(a, b, row[f"__c_{a}_{b}"]) for a, b in pairs]
+    return df.sparkSession.createDataFrame(
+        out, "col_1 string, col_2 string, corr double"
+    )

@@ -3113,3 +3113,35 @@ WHERE tokenized IN ({in_list})
 GROUP BY table_id
 HAVING count(DISTINCT tokenized) = {len(toks)}
 """
+
+
+def correlation_matrix_sql() -> str:
+    """Twin of :func:`..operators.ml.correlation_matrix` over lineitem
+    numerics."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            parts.append(
+                f"SELECT '{a}' AS col_1, '{b}' AS col_2, "
+                f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+            )
+    return " UNION ALL ".join(parts)
+
+
+def robust_scale_stats_sql() -> str:
+    """Twin of the robust-scale grading query: post-scale mean/stddev per
+    column (quantile_cont matches Spark's exact percentile)."""
+    cols = ["l_quantity", "l_extendedprice"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       round(avg(({c} - b.med) / (b.q3 - b.q1)), 6) AS mean_scaled,
+       round(stddev_samp(({c} - b.med) / (b.q3 - b.q1)), 6) AS std_scaled
+FROM lineitem,
+     (SELECT quantile_cont({c}, 0.5) AS med,
+             quantile_cont({c}, 0.25) AS q1,
+             quantile_cont({c}, 0.75) AS q3 FROM lineitem) b
+GROUP BY b.med, b.q1, b.q3""")
+    return " UNION ALL ".join(parts)

@@ -1514,6 +1514,39 @@ def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem numerics — one
+    aggregation pass, k(k-1)/2 corr aggregates."""
+    from datalake_indexes_spark.operators.ml import correlation_matrix
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_robust_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) scaling summary: post-scale mean and stddev
+    per lineitem numeric column."""
+    from datalake_indexes_spark.operators.ml import robust_scale
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cols = ["l_quantity", "l_extendedprice"]
+    scaled = robust_scale(li.select(*cols), cols)
+    pieces = [
+        scaled.agg(
+            F.lit(c).alias("column_name"),
+            F.round(F.avg(c), 6).alias("mean_scaled"),
+            F.round(F.stddev_samp(c), 6).alias("std_scaled"),
+        )
+        for c in cols
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization summary over lineitem numerics: exact p1/p99 clamp
     bounds, clip counts, and the post-clamp mean per column."""
@@ -1721,6 +1754,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_pmi": q_text_pmi,
     "winsorize_stats": q_winsorize_stats,
+    "ml_corr_matrix": q_correlation_matrix,
+    "ml_robust_scale": q_robust_scale_stats,
     "ml_target_encode": q_target_encode,
     "text_canonicalize": q_text_canonicalize,
     "tables_with_all_tokens": q_tables_with_all_tokens,
@@ -1893,6 +1928,8 @@ WHERE rn = 1
     "text_bigram_logprob": oracle.text_bigram_logprob_sql(k_smooth=0.5),
     "text_pmi": oracle.text_pmi_sql(),
     "winsorize_stats": oracle.winsorize_stats_sql(p_low=0.01, p_high=0.99),
+    "ml_corr_matrix": oracle.correlation_matrix_sql(),
+    "ml_robust_scale": oracle.robust_scale_stats_sql(),
     "ml_target_encode": oracle.target_encode_sql(n_folds=5, smoothing=20.0),
     "text_canonicalize": oracle.text_canonicalize_sql(),
     "tables_with_all_tokens": oracle.tables_with_all_tokens_sql(

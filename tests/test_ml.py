@@ -121,3 +121,34 @@ def test_target_encode_out_of_fold_excludes_own_label(spark):
         fs, fc = per[f]
         want = round((tot - fs + 2.0 * g) / (40 - fc + 2.0), 6)
         assert got[i] == (f, want)
+
+
+def test_robust_scale_median_zero_iqr_one(spark):
+    from datalake_indexes_spark.operators.ml import robust_scale
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    out = sorted(round(r["x"], 6) for r in robust_scale(df, ["x"]).collect())
+    # median 50.5; exact interpolated quartiles 25.75 / 75.25 -> IQR 49.5
+    assert out[0] == round((1 - 50.5) / 49.5, 6)
+    assert out[-1] == round((100 - 50.5) / 49.5, 6)
+
+
+def test_robust_scale_constant_column(spark):
+    from datalake_indexes_spark.operators.ml import robust_scale
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    vals = [r["x"] for r in robust_scale(df, ["x"]).collect()]
+    assert sorted(v for v in vals if v is not None) == [0.0, 0.0]
+    assert vals.count(None) == 1
+
+
+def test_correlation_matrix_known_values(spark):
+    from datalake_indexes_spark.operators.ml import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 1, float(-i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_1"], r["col_2"]): r["corr"]
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
