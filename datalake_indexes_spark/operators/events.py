@@ -579,3 +579,42 @@ def concurrency_curve(
             "ts_us", (F.col("__run") + F.col("__off")).cast("long").alias("concurrent")
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per key: each observation's value is weighted
+    by how long it REMAINED current (until the key's next observation) —
+    the TWAP semantics a last-known-value time series needs, where the
+    plain mean over-counts bursts.  The key's final observation carries
+    no interval and is excluded from the weighting (standard half-open
+    convention; keys with one observation fall back to that value).
+
+    Returns (key, twap, n_obs).  One lag/lead pass keyed by the entity
+    (bounded partitions), then a plain aggregate.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gapped = events.withColumn(
+        "__dt", (F.lead(F.col(ts_col)).over(w) - F.col(ts_col)).cast("double")
+    )
+    return (
+        gapped.groupBy(key_col)
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"),
+                    F.avg(value_col),
+                ),
+                6,
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

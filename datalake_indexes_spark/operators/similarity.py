@@ -934,3 +934,31 @@ def cosine_pairs_multiprobe(
             "vec_id_1", "vec_id_2", F.round("__cos", 4).alias("cosine")
         )
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    groups: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids in long form: (group, dim, centroid)
+    — the domain-mixture summary (per-source semantic center, cluster
+    drift monitoring) a curation pipeline tracks over time.
+
+    Dimensions explode with their position and aggregate per (group,
+    dim): map-side-combined averages, |groups|·dims result rows, the
+    vectors themselves never shuffle as whole arrays.
+    """
+    joined = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).join(
+        groups.select(F.col(id_col).alias("__id"), F.col(group_col).alias("grp")),
+        "__id",
+    )
+    return (
+        joined.select("grp", F.posexplode("__v").alias("dim", "__x"))
+        .groupBy("grp", "dim")
+        .agg(F.round(F.avg("__x"), 6).alias("centroid"))
+    )

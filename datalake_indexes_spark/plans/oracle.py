@@ -3145,3 +3145,37 @@ FROM lineitem,
              quantile_cont({c}, 0.75) AS q3 FROM lineitem) b
 GROUP BY b.med, b.q1, b.q3""")
     return " UNION ALL ".join(parts)
+
+
+def events_twap_sql() -> str:
+    """Twin of :func:`..operators.events.time_weighted_avg` per user."""
+    return """
+WITH ev AS (
+  SELECT user_id, value, epoch_us(ts) AS us, event_id FROM events
+),
+gapped AS (
+  SELECT user_id, value,
+         CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+              AS DOUBLE) AS dt
+  FROM ev
+)
+SELECT user_id,
+       round(coalesce(sum(value * dt) / sum(dt), avg(value)), 6) AS twap,
+       count(*) AS n_obs
+FROM gapped GROUP BY user_id
+"""
+
+
+def embedding_centroids_sql() -> str:
+    """Twin of :func:`..operators.similarity.embedding_centroids` per
+    label over the embeddings table."""
+    return """
+SELECT label AS grp, CAST(gs - 1 AS INT) AS dim,
+       round(avg(x), 6) AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS gs,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+GROUP BY label, gs
+"""

@@ -1027,6 +1027,28 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_curve(sess)
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (interval-weighted, final
+    observation excluded per the half-open convention)."""
+    from datalake_indexes_spark.operators.events import time_weighted_avg
+
+    ev = _events_us(spark, sf_dir)
+    return time_weighted_avg(
+        ev.select("user_id", "value", "ts_us", "event_id"), seq_col="event_id"
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (domain-mixture
+    summary; vectors never shuffle as whole arrays)."""
+    from datalake_indexes_spark.operators.similarity import embedding_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_centroids(
+        emb, emb.select("vec_id", "label"), "label", id_col="vec_id"
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event gains the user's most recent purchase
     at or before it (backward inclusive, feature-store semantics)."""
@@ -1717,6 +1739,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
     "events_concurrency": q_events_concurrency,
+    "events_twap": q_events_twap,
+    "ann_centroids": q_embedding_centroids,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1867,6 +1891,8 @@ WHERE rn = 1
     "events_scd2": oracle.events_scd2_sql(),
     "events_transitions": oracle.events_transitions_sql(),
     "events_concurrency": oracle.events_concurrency_sql(gap_seconds=1800),
+    "events_twap": oracle.events_twap_sql(),
+    "ann_centroids": oracle.embedding_centroids_sql(),
     "semantic_dedup": oracle.semantic_dedup_sql(n_centroids=16, threshold=0.4),
     "corpus_mix": oracle.corpus_mix_sql(alpha=0.5, max_repeat=4.0),
     "corpus_chunk": oracle.corpus_chunk_sql(chunk_tokens=64, overlap=16),

@@ -277,3 +277,23 @@ class TestConcurrencyCurve:
             for r in deltas.withColumn("c", F.sum("d").over(w)).collect()
         )
         assert got == want
+
+
+class TestTimeWeightedAvg:
+    def test_interval_weighting(self, spark):
+        """values 10 (held 1us), 20 (held 3us), final 99 (no interval):
+        twap = (10*1 + 20*3)/4 = 17.5; singleton key falls back to its
+        value."""
+        from datalake_indexes_spark.operators.events import time_weighted_avg
+
+        rows = [
+            (1, 10.0, 0, 0), (1, 20.0, 1, 1), (1, 99.0, 4, 2),
+            (2, 7.0, 5, 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, value double, ts_us long, event_id long"
+        )
+        got = {r["user_id"]: (r["twap"], r["n_obs"])
+               for r in time_weighted_avg(df, seq_col="event_id").collect()}
+        assert got[1] == (17.5, 3)
+        assert got[2] == (7.0, 1)
