@@ -354,3 +354,34 @@ def test_chunk_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_new_round7_operators_have_no_nested_loops(spark):
+    """Blanket equi-join guard over the round's new operators: target
+    encoding, concurrency sweep, TWAP, embedding centroids, PMI."""
+    from datalake_indexes_spark.operators.events import (
+        concurrency_curve,
+        time_weighted_avg,
+    )
+    from datalake_indexes_spark.operators.ml import target_encode
+    from datalake_indexes_spark.operators.similarity import embedding_centroids
+    from datalake_indexes_spark.operators.text_analysis import word_cooccurrence_pmi
+
+    ev = spark.createDataFrame(
+        [(1, "a", 10.0, 0, 0)], "user_id long, cat string, value double, ts_us long, event_id long"
+    )
+    iv = spark.createDataFrame([(1, 5)], "start_us long, end_us long")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    emb = spark.createDataFrame([(1, [1.0, 2.0], 0)], "vec_id long, embedding array<double>, label int")
+
+    frames = [
+        target_encode(ev, "cat", "value", "user_id"),
+        concurrency_curve(iv),
+        time_weighted_avg(ev, seq_col="event_id"),
+        embedding_centroids(emb, emb.select("vec_id", "label"), "label", id_col="vec_id"),
+        word_cooccurrence_pmi(docs),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
