@@ -936,6 +936,80 @@ def cosine_pairs_multiprobe(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-nearest-neighbor graph over the WHOLE corpus — every vector's
+    top-k neighbors — with neither data side broadcast.
+
+    Every other top-k in this module broadcasts the query set
+    (:func:`cosine_topk`, :func:`ivf_topk`, :func:`hyperplane_lsh_topk`):
+    fine for "10 queries vs a corpus", fatal when the query set IS the
+    corpus (semantic clustering, kNN-LM retrieval graphs, graph-based
+    dedup all need the full graph).  Here both roles are assigned to IVF
+    centroids — the only broadcast is the centroid table itself,
+    ``n_centroids × dim`` doubles — and matched with a shuffled
+    sort-merge equi-join on the centroid key (``merge`` hint: AQE must
+    not "helpfully" broadcast a side that only looks small at test
+    scale).  Per-source top-k is a window over ``src_id``, distributed
+    across however many partitions hold sources.
+
+    Approximation contract: a source finds neighbors only inside its
+    ``n_probe`` nearest inverted lists (same recall trade as
+    :func:`ivf_topk`, oracle replicates it exactly).  Each (src,
+    neighbor) pair arises at most once — members live in exactly one
+    list — so no dedup pass is needed.
+
+    Scale shape: shuffle volume is n·(1 + n_probe) vector rows keyed by
+    centroid; skewed inverted lists (a dense semantic cluster) split via
+    AQE skew-join handling rather than one hot task.  At 100 TB the
+    member side would be the IVF-partitioned index on disk
+    (:func:`build_ivf_index`) and only probes shuffle.
+    """
+    cents = F.broadcast(_ivf_centroids(corpus, n_centroids, 0, vec_col, id_col))
+    units = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("__id"), F.col("__unit")
+    )
+
+    def assign(id_alias: str, vec_alias: str, n_best: int) -> DataFrame:
+        scored = (
+            units.select(F.col("__id").alias(id_alias), F.col("__unit").alias(vec_alias))
+            .crossJoin(cents)
+            .withColumn("__sim", _dot(F.col(vec_alias), F.col("__cent_v")))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.asc("centroid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_best)
+            .drop("__cent_v", "__sim", "__r")
+        )
+
+    members = assign("neighbor_id", "__nv", 1)
+    probes = assign("src_id", "__sv", n_probe)
+    scored = (
+        probes.hint("merge")
+        .join(members.hint("merge"), "centroid")
+        .filter(F.col("src_id") != F.col("neighbor_id"))
+        .withColumn("__cos", _dot(F.col("__sv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__cos", 4).alias("cosine"),
+        )
+    )
+
+
 def embedding_centroids(
     embeddings: DataFrame,
     groups: DataFrame,

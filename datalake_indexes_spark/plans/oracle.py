@@ -1047,6 +1047,43 @@ WHERE rank <= {k}
 """
 
 
+def ann_knn_graph_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """Twin of :func:`operators.similarity.knn_graph`: every vector probes
+    its ``n_probe`` nearest inverted lists and ranks the members found
+    there — the full corpus kNN graph, not a sampled query set."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+members AS (
+  SELECT neighbor_id, centroid, nv FROM (
+    SELECT e.vec_id AS neighbor_id, c.centroid, e.embedding::DOUBLE[] AS nv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT src_id, centroid, sv FROM (
+    SELECT e.vec_id AS src_id, c.centroid, e.embedding::DOUBLE[] AS sv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.centroid) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk <= {n_probe}
+),
+scored AS (
+  SELECT p.src_id, m.neighbor_id, list_cosine_similarity(p.sv, m.nv) AS c
+  FROM probes p JOIN members m USING (centroid)
+  WHERE m.neighbor_id != p.src_id
+)
+SELECT src_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def ann_lsh_topk_sql(
     k: int = 5, n_queries: int = 10, n_planes: int = 6, dim: int = 64
 ) -> str:

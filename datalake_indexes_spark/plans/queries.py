@@ -587,6 +587,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus kNN graph (IVF-blocked sort-merge join, neither side
+    broadcast) — the all-vectors variant the query-broadcast searches
+    can't express."""
+    from datalake_indexes_spark.operators.similarity import knn_graph
+
+    return knn_graph(_embeddings(spark, sf_dir), k=5)
+
+
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric int8-quantized top-k: corpus from its quantized form,
     queries full precision."""
@@ -1741,6 +1750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_concurrency": q_events_concurrency,
     "events_twap": q_events_twap,
     "ann_centroids": q_embedding_centroids,
+    "ann_knn_graph": q_ann_knn_graph,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1863,6 +1873,7 @@ WHERE rn = 1
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
+    "ann_knn_graph": oracle.ann_knn_graph_sql(k=5),
     # identical contract to the inline path — same oracle
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_quantized_topk": oracle.ann_quantized_topk_sql(k=5, n_queries=10),

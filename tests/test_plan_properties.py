@@ -385,3 +385,20 @@ def test_new_round7_operators_have_no_nested_loops(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_join_is_shuffled_not_broadcast(spark):
+    """The full-corpus kNN graph must match probes to inverted-list
+    members with a shuffled sort-merge equi-join on the centroid key:
+    at graph scale BOTH sides are the corpus, so a broadcast of either
+    (which AQE would happily pick at test scale) is the bug.  The only
+    sanctioned broadcast is the tiny centroid table feeding assignment."""
+    from datalake_indexes_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(knn_graph(emb, k=3, n_centroids=4, n_probe=2))
+    assert "SortMergeJoin" in plan and "centroid" in plan.split("SortMergeJoin")[1][:200]
+    assert "CartesianProduct" not in plan
