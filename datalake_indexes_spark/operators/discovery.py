@@ -461,3 +461,52 @@ def tables_with_all_tokens(index, tokens: list[str]) -> "DataFrame":
         .filter(F.col("__nt") == len(toks))
         .select("table_id", "n_hit_cols", "n_hit_cells")
     )
+
+
+def functional_dependencies(index, min_det_distinct: int = 2) -> DataFrame:
+    """Exact single-column functional-dependency profiling per lake table:
+    for every ordered column pair (det, dep) within a table, does each
+    distinct det value map to exactly one distinct dep value?  The
+    classic data-profiling primitive (TANE/Metanome territory) behind key
+    detection, normalization hints, and schema matching — reference
+    scope is the cell index itself (maco builds it but never profiles
+    it); this is the discovery layer on top.
+
+    (table_id, det_col, dep_col, n_det_distinct, holds) for ALL pairs —
+    consumers filter ``holds``; emitting the refuted pairs too keeps the
+    result auditable (an FD that ALMOST holds, n_det_distinct high, is a
+    dirty-data signal).  Pairs whose determinant has fewer than
+    ``min_det_distinct`` distinct values are dropped: a constant column
+    vacuously "determines" everything.
+
+    Scale shape: cells self-join on the (table_id, row_id) key — one
+    shuffle of 2× the cell index, equi-join only — then two hash
+    aggregates with map-side partials.  The c² column-pair expansion per
+    row is the irreducible cost of exact FD profiling; at a truly wide
+    lake you'd run this on a row sample first (the aggregate shape is
+    unchanged) and verify survivors exactly.  No windows, no broadcast
+    of anything unbounded, no driver loops.
+    """
+    cells = index.cells.select("table_id", "row_id", "col_id", "tokenized")
+    a = cells.select(
+        "table_id", "row_id",
+        F.col("col_id").alias("det_col"), F.col("tokenized").alias("__lv"),
+    )
+    b = cells.select(
+        "table_id", "row_id",
+        F.col("col_id").alias("dep_col"), F.col("tokenized").alias("__rv"),
+    )
+    per_lhs = (
+        a.join(b, ["table_id", "row_id"])
+        .filter(F.col("det_col") != F.col("dep_col"))
+        .groupBy("table_id", "det_col", "dep_col", "__lv")
+        .agg(F.count_distinct("__rv").alias("__n_dep"))
+    )
+    return (
+        per_lhs.groupBy("table_id", "det_col", "dep_col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_det_distinct"),
+            (F.max("__n_dep") == 1).alias("holds"),
+        )
+        .filter(F.col("n_det_distinct") >= min_det_distinct)
+    )

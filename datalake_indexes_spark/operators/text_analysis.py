@@ -102,6 +102,68 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Unicode script ranges — literal BMP ranges so java.util.regex (Spark) and
+# RE2 (DuckDB) interpret the character class identically.  Deliberately the
+# big unambiguous blocks, not exhaustive Unicode script properties (\p{IsCyrillic}
+# etc. differ between engines).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿",
+    "arabic": "؀-ۿ",
+}
+_SCRIPT_PRIORITY = ["latin", "cyrillic", "cjk", "arabic"]
+
+# The synthetic corpus is pure ASCII, so the graded query plants these
+# deterministic non-Latin suffixes by doc_id % 4 (oracle mirrors them) —
+# without planting, every non-Latin ratio would verify 0 == 0 (vacuous).
+SCRIPT_PLANT_SUFFIXES: dict[int, str] = {
+    1: " привет мир данные модель",
+    2: " 数据 清洗 模型 训练",
+    3: " بيانات نموذج تدريب",
+}
+
+
+def script_ratios(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode-script composition — the writing-system check a
+    multilingual curation pipeline runs before language ID (a 'zh'-labelled
+    doc that is 95% Latin is mislabelled or transliterated; mixed-script
+    text is a spam signal).
+
+    Counts characters per script block by length-difference against a
+    class-stripped copy (``length(t) - length(regexp_replace(t, '[class]',
+    '')))`` — one codegen'd pass per class, no explode, no UDF.  Emits
+    ratios over total characters plus digit/space/other remainders and the
+    dominant script (fixed priority on ties: latin > cyrillic > cjk >
+    arabic).  Zero shuffles: pure per-row projection, so it scales as a
+    map-only stage over however many partitions hold the corpus.
+    """
+    t = F.col(text_col)
+    total = F.length(t)
+
+    def n_in(ranges: str) -> "F.Column":
+        return total - F.length(F.regexp_replace(t, f"[{ranges}]", ""))
+
+    counts = {name: n_in(r) for name, r in SCRIPT_RANGES.items()}
+    counts["digit"] = n_in("0-9")
+    counts["space"] = n_in(" ")
+    other = total - sum(counts.values(), F.lit(0))
+
+    dominant = F.lit(_SCRIPT_PRIORITY[-1])
+    for name in reversed(_SCRIPT_PRIORITY[:-1]):
+        later = [counts[n] for n in _SCRIPT_PRIORITY[_SCRIPT_PRIORITY.index(name) + 1 :]]
+        dominant = F.when(counts[name] >= F.greatest(*later) if len(later) > 1 else counts[name] >= later[0], F.lit(name)).otherwise(dominant)
+
+    ratio = lambda c: F.round(c / total, 4)  # noqa: E731 — planted text is never empty
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("long").alias("n_chars_total"),
+        *[ratio(counts[n]).alias(f"{n}_ratio") for n in [*_SCRIPT_PRIORITY, "digit", "space"]],
+        ratio(other).alias("other_ratio"),
+        dominant.alias("dominant_script"),
+    )
+
+
 # PII patterns — limited to syntax RE2 (DuckDB) and java.util.regex (Spark)
 # evaluate identically: no lookaround, no backrefs, greedy quantifiers only.
 PII_PATTERNS: dict[str, tuple[str, str]] = {

@@ -1278,6 +1278,46 @@ FROM p
 """
 
 
+def text_script_ratios_sql() -> str:
+    """Unicode-script composition twin — ranges and planted suffixes shared
+    with the engine (text_analysis.SCRIPT_RANGES / SCRIPT_PLANT_SUFFIXES);
+    literal BMP ranges evaluate identically under RE2 and Java regex."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        SCRIPT_PLANT_SUFFIXES,
+        SCRIPT_RANGES,
+    )
+
+    plant = " ".join(
+        f"WHEN {m} THEN text || '{sfx}'" for m, sfx in SCRIPT_PLANT_SUFFIXES.items()
+    )
+    count_cols = ",\n         ".join(
+        f"len(text) - len(regexp_replace(text, '[{r}]', '', 'g')) AS n_{name}"
+        for name, r in {**SCRIPT_RANGES, "digit": "0-9", "space": " "}.items()
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, CASE doc_id % 4 {plant} ELSE text END AS text FROM documents
+),
+c AS (
+  SELECT doc_id, len(text) AS total,
+         {count_cols}
+  FROM p
+)
+SELECT doc_id, CAST(total AS BIGINT) AS n_chars_total,
+       round(n_latin / total, 4) AS latin_ratio,
+       round(n_cyrillic / total, 4) AS cyrillic_ratio,
+       round(n_cjk / total, 4) AS cjk_ratio,
+       round(n_arabic / total, 4) AS arabic_ratio,
+       round(n_digit / total, 4) AS digit_ratio,
+       round(n_space / total, 4) AS space_ratio,
+       round((total - n_latin - n_cyrillic - n_cjk - n_arabic - n_digit - n_space) / total, 4) AS other_ratio,
+       CASE WHEN n_latin >= greatest(n_cyrillic, n_cjk, n_arabic) THEN 'latin'
+            WHEN n_cyrillic >= greatest(n_cjk, n_arabic) THEN 'cyrillic'
+            WHEN n_cjk >= n_arabic THEN 'cjk' ELSE 'arabic' END AS dominant_script
+FROM c
+"""
+
+
 def text_repetition_sql() -> str:
     """Gopher-style repetition twin: most-repeated unigram/bigram coverage
     per document."""
@@ -2069,6 +2109,26 @@ UNION ALL
 SELECT 'order_has_lineitems' AS rule, CAST(o_orderkey AS BIGINT) AS entity_id
 FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def functional_deps_sql(min_det_distinct: int = 2) -> str:
+    """Exact FD-profiling twin: cells self-joined on the row key, one
+    distinct-count per determinant value, bool-and per column pair."""
+    return f"""
+WITH {cells_cte()},
+per_lhs AS (
+  SELECT a.table_id, a.col_id AS det_col, b.col_id AS dep_col,
+         a.tokenized AS lv, count(DISTINCT b.tokenized) AS n_dep
+  FROM cells a JOIN cells b
+    ON a.table_id = b.table_id AND a.row_id = b.row_id AND a.col_id != b.col_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT table_id, det_col, dep_col,
+       CAST(count(*) AS BIGINT) AS n_det_distinct,
+       bool_and(n_dep = 1) AS holds
+FROM per_lhs GROUP BY 1, 2, 3
+HAVING count(*) >= {min_det_distinct}
 """
 
 

@@ -803,6 +803,24 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted)
 
 
+def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition over documents WITH planted non-Latin
+    suffixes (doc_id % 4 picks Cyrillic/CJK/Arabic) — the raw corpus is
+    pure ASCII, so grading it unplanted would verify zeros."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        SCRIPT_PLANT_SUFFIXES,
+        script_ratios,
+    )
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    mod = F.col("doc_id") % 4
+    planted = text
+    for m, sfx in SCRIPT_PLANT_SUFFIXES.items():
+        planted = F.when(mod == m, F.concat(text, F.lit(sfx))).otherwise(planted)
+    return script_ratios(docs.withColumn("text", planted))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import repetition_scores
 
@@ -1281,6 +1299,16 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-column FD profiling across every lake table (key
+    detection / normalization hints) — TPC-H keys make it non-vacuous."""
+    from datalake_indexes_spark.operators.discovery import functional_dependencies
+
+    return functional_dependencies(
+        testdata_index(spark, sf_dir, with_super_keys=False)
+    )
+
+
 def q_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width value histograms for every numeric lake column."""
     from datalake_indexes_spark.operators.cocoa import column_histograms
@@ -1735,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
+    "text_script_ratios": q_text_script_ratios,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
@@ -1768,6 +1797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
+    "functional_deps": q_functional_deps,
     "column_histograms": q_column_histograms,
     "union_search": q_union_search,
     "semantic_types": q_semantic_types,
@@ -1887,6 +1917,7 @@ WHERE rn = 1
     "text_fingerprint": oracle.text_fingerprint_sql(),
     "text_pii_scrub": oracle.text_pii_scrub_sql(),
     "text_repetition": oracle.text_repetition_sql(),
+    "text_script_ratios": oracle.text_script_ratios_sql(),
     "corpus_sample": oracle.corpus_sample_sql(CORPUS_SAMPLE_FRACTIONS),
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
@@ -1925,6 +1956,7 @@ WHERE rn = 1
     "events_rolling": oracle.events_rolling_sql(window_rows=3),
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),
+    "functional_deps": oracle.functional_deps_sql(),
     "column_histograms": oracle.column_histograms_sql(nbins=10),
     "union_search": oracle.union_search_sql(
         TESTDATA_LAKE_SPEC["customer"].table_id, k=10

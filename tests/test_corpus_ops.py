@@ -285,3 +285,32 @@ def test_chunk_dedup_roundtrip_identity(spark):
     for i, text in rows:
         assert out[i]["text_clean"] == text
         assert out[i]["dropped_chunks"] == 0
+
+
+def test_script_ratios_counts_and_dominant_priority(spark):
+    """Hand-counted script composition, plus the fixed tie priority:
+    equal Latin and Cyrillic counts must report 'latin'."""
+    from datalake_indexes_spark.operators.text_analysis import script_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd 1234"),          # 4 latin, 4 digit, 1 space
+            (2, "данные 数据 ab"),      # 6 cyr, 2 cjk, 2 latin, 2 space
+            (3, "abcабв!"),            # 3 latin, 3 cyr tie -> latin
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_ratios(docs).collect()}
+    r1 = out[1]
+    assert r1.n_chars_total == 9
+    assert (r1.latin_ratio, r1.digit_ratio, r1.space_ratio) == (
+        round(4 / 9, 4), round(4 / 9, 4), round(1 / 9, 4)
+    )
+    assert r1.other_ratio == 0.0 and r1.dominant_script == "latin"
+    r2 = out[2]
+    assert r2.cyrillic_ratio == round(6 / 12, 4)
+    assert r2.cjk_ratio == round(2 / 12, 4)
+    assert r2.dominant_script == "cyrillic"
+    r3 = out[3]
+    assert r3.dominant_script == "latin"  # tie goes to the earlier priority
+    assert r3.other_ratio == round(1 / 7, 4)  # the '!'

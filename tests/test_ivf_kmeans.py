@@ -107,3 +107,40 @@ def test_indexed_ivf_matches_inline_and_prunes_partitions(spark, tmp_path):
         assert "centroid" in frag
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_knn_graph_single_list_matches_brute_force(spark):
+    """With one inverted list and one probe the kNN graph degrades to the
+    exact graph: every (src, neighbor, rank) must equal brute-force
+    cosine_topk run with the whole corpus as the query set."""
+    from datalake_indexes_spark.operators.similarity import cosine_topk, knn_graph
+
+    rows = _clustered_vectors(n_clusters=3, per_cluster=10)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    graph = {
+        (r.src_id, r.rank): r.neighbor_id
+        for r in knn_graph(emb, k=3, n_centroids=1, n_probe=1).collect()
+    }
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, emb, k=3).collect()
+    }
+    assert graph == brute and len(graph) == 30 * 3
+
+
+def test_knn_graph_pairs_unique_and_probe_bounded(spark):
+    """Each (src, neighbor) pair at most once (members live in exactly one
+    inverted list), and every source still gets k rows when probing a
+    strict subset of lists."""
+    from datalake_indexes_spark.operators.similarity import knn_graph
+
+    rows = _clustered_vectors(n_clusters=4, per_cluster=15)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph(emb, k=2, n_centroids=6, n_probe=2).collect()
+    pairs = [(r.src_id, r.neighbor_id) for r in out]
+    assert len(pairs) == len(set(pairs))
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_src.values())

@@ -281,3 +281,32 @@ class TestDomainClusters:
         got = {r.table_id: r.domain for r in domain_clusters(idx, rounds=4).collect()}
         # transitive closure: 2 reaches 0 through 1 even with no shared vocab
         assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+
+
+class TestFunctionalDependencies:
+    def test_planted_fd_directions_and_constant_guard(self, spark):
+        """col0 -> col1 holds (each id maps to one name), col1 -> col0
+        fails (name 'b' maps to two ids), and the constant col2 is
+        dropped by min_det_distinct."""
+        from types import SimpleNamespace
+
+        from datalake_indexes_spark.operators.discovery import (
+            functional_dependencies,
+        )
+
+        rows = []
+        data = [("1", "a", "k"), ("2", "b", "k"), ("3", "b", "k"), ("1", "a", "k")]
+        for row_id, vals in enumerate(data):
+            for col_id, v in enumerate(vals):
+                rows.append((7, row_id, col_id, v))
+        cells = spark.createDataFrame(
+            rows, "table_id int, row_id long, col_id int, tokenized string"
+        )
+        out = {
+            (r.det_col, r.dep_col): (r.holds, r.n_det_distinct)
+            for r in functional_dependencies(SimpleNamespace(cells=cells)).collect()
+        }
+        assert out[(0, 1)] == (True, 3)
+        assert out[(1, 0)] == (False, 2)
+        # constant determinant filtered; constant as dependent still graded
+        assert (2, 0) not in out and out[(0, 2)][0] is True
