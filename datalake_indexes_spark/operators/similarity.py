@@ -1036,3 +1036,34 @@ def embedding_centroids(
         .groupBy("grp", "dim")
         .agg(F.round(F.avg("__x"), 6).alias("centroid"))
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Population covariance matrix of the embedding dimensions in long
+    form (dim_i <= dim_j, cov) — the d×d input to PCA / whitening /
+    anisotropy diagnostics, computed in ONE distributed pass.
+
+    Shape: each row explodes to its d(d+1)/2 upper-triangle component
+    pairs (a map-side expansion, stated up front: d=64 → 2080 rows per
+    vector), which ``covar_pop`` aggregates with map-side partials into
+    exactly d(d+1)/2 result keys.  No self-join — both factors of every
+    product come from the SAME row via a nested posexplode — so nothing
+    shuffles except the 2080-key partial aggregates.  The eigen step on
+    the d×d result is driver-side numpy territory by design: d is a
+    model constant, not data-sized.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.posexplode(v).alias("dim_i", "__xi"), v.alias("__v")
+    )
+    pairs = base.select(
+        "dim_i", "__xi", F.posexplode("__v").alias("dim_j", "__xj")
+    ).filter(F.col("dim_j") >= F.col("dim_i"))
+    return pairs.groupBy(
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.col("dim_j").cast("long").alias("dim_j"),
+    ).agg(F.round(F.covar_pop("__xi", "__xj"), 6).alias("cov"))

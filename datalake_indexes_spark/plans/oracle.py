@@ -1084,6 +1084,24 @@ WHERE rank <= {k}
 """
 
 
+def embedding_covariance_sql() -> str:
+    """Covariance twin: zipped unnest+generate_subscripts, row-key
+    self-join for the upper-triangle pairs, covar_pop per (i, j)."""
+    return """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+         unnest(v) AS x
+  FROM v
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       round(covar_pop(a.x, b.x), 6) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+GROUP BY 1, 2
+"""
+
+
 def ann_lsh_topk_sql(
     k: int = 5, n_queries: int = 10, n_planes: int = 6, dim: int = 64
 ) -> str:

@@ -596,6 +596,14 @@ def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(_embeddings(spark, sf_dir), k=5)
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass d×d covariance of the embedding dimensions (PCA /
+    whitening input) — upper triangle, long form."""
+    from datalake_indexes_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(_embeddings(spark, sf_dir))
+
+
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric int8-quantized top-k: corpus from its quantized form,
     queries full precision."""
@@ -1780,6 +1788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_twap": q_events_twap,
     "ann_centroids": q_embedding_centroids,
     "ann_knn_graph": q_ann_knn_graph,
+    "ml_embedding_cov": q_embedding_covariance,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1904,6 +1913,7 @@ WHERE rn = 1
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_knn_graph": oracle.ann_knn_graph_sql(k=5),
+    "ml_embedding_cov": oracle.embedding_covariance_sql(),
     # identical contract to the inline path — same oracle
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_quantized_topk": oracle.ann_quantized_topk_sql(k=5, n_queries=10),

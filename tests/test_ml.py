@@ -152,3 +152,21 @@ def test_correlation_matrix_known_values(spark):
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == -1.0
     assert got[("b", "c")] == -1.0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from datalake_indexes_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(50, 6)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r.dim_i, r.dim_j): r.cov for r in embedding_covariance(emb).collect()}
+    expected = np.cov(mat, rowvar=False, bias=True)
+    assert len(out) == 6 * 7 // 2
+    for (i, j), c in out.items():
+        assert abs(c - round(float(expected[i][j]), 6)) < 1e-9
