@@ -618,3 +618,53 @@ def time_weighted_avg(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def seasonality_profile(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day and day-of-week activity profiles per group — the
+    seasonality fingerprint a metrics pipeline baselines before calling
+    anything an anomaly (a Monday-morning spike is weather, not signal).
+
+    (grp, period_type∈{hod,dow}, bucket, n_events, avg_value, lift):
+    lift = observed/expected-under-uniformity (n·24/total for hours,
+    n·7/total for weekdays), so 1.0 means "no seasonality in this
+    bucket".  Buckets come from pure integer arithmetic on the epoch-µs
+    column (epoch day 0 was a Thursday, hence the +4), identical on any
+    engine — no timezone, no calendar library.
+
+    One scan: both period types explode from the same row (2× map-side),
+    one partial-aggregated groupBy; the per-group totals the lift needs
+    come from re-aggregating the tiny bucket frame, never the raw events.
+    """
+    hod = F.expr(f"pmod({ts_col} div 3600000000, 24)").cast("long")
+    dow = F.expr(f"pmod(({ts_col} div 86400000000) + 4, 7)").cast("long")
+    both = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("hod").alias("period_type"), hod.alias("bucket")),
+                F.struct(F.lit("dow").alias("period_type"), dow.alias("bucket")),
+            )
+        ).alias("__p"),
+    ).select("grp", "__v", "__p.period_type", "__p.bucket")
+    agg = both.groupBy("grp", "period_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("__v"), 4).alias("avg_value"),
+    )
+    totals = agg.groupBy("grp", "period_type").agg(
+        F.sum("n_events").alias("__total")
+    )
+    periods = F.when(F.col("period_type") == "hod", F.lit(24)).otherwise(F.lit(7))
+    return (
+        agg.join(F.broadcast(totals), ["grp", "period_type"])
+        .select(
+            "grp", "period_type", "bucket", "n_events", "avg_value",
+            F.round(F.col("n_events") * periods / F.col("__total"), 4).alias("lift"),
+        )
+    )

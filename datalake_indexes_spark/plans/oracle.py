@@ -936,6 +936,26 @@ WHERE bit_count(xor(sa::BIT, sb::BIT)) <= {max_hamming}
 """
 
 
+def graph_triangles_sql(max_hamming: int = 8) -> str:
+    """Triangle twin over the simhash near-dup graph.  Deliberately the
+    NAIVE x<y<z three-way join (each triangle has exactly one increasing
+    edge ordering) — independent of the engine's degree-oriented
+    formulation, same set by construction."""
+    return f"""
+WITH pairs AS (
+  SELECT * FROM ({dedup_simhash_sql(max_hamming=max_hamming)}) __p
+),
+edges AS (
+  SELECT DISTINCT least(doc_id_1, doc_id_2) AS u, greatest(doc_id_1, doc_id_2) AS v
+  FROM pairs WHERE doc_id_1 != doc_id_2
+)
+SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
 def dedup_embedding_cosine_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
     """Oracle for the LSH-blocked cosine dedup.  Replicates the *same*
     hyperplane blocking (identical md5-seeded planes inlined as literals),
@@ -3020,6 +3040,31 @@ SELECT d.doc_id, d.source, q.quality_score,
        round(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality_score), 6)
          AS score_pct
 FROM documents d JOIN q USING (doc_id)
+"""
+
+
+def events_seasonality_sql() -> str:
+    """Seasonality twin: identical integer bucket arithmetic on epoch-µs
+    (epoch day 0 = Thursday), uniformity lift from re-aggregated buckets."""
+    return """
+WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS ts_us, value FROM events),
+b AS (
+  SELECT grp, 'hod' AS period_type,
+         CAST((ts_us // 3600000000) % 24 AS BIGINT) AS bucket, value FROM e
+  UNION ALL
+  SELECT grp, 'dow' AS period_type,
+         CAST(((ts_us // 86400000000) + 4) % 7 AS BIGINT) AS bucket, value FROM e
+),
+agg AS (
+  SELECT grp, period_type, bucket,
+         count(*) AS n_events, round(avg(value), 4) AS avg_value
+  FROM b GROUP BY 1, 2, 3
+),
+tot AS (SELECT grp, period_type, sum(n_events) AS total FROM agg GROUP BY 1, 2)
+SELECT grp, period_type, bucket, n_events, avg_value,
+       round(n_events * (CASE period_type WHEN 'hod' THEN 24 ELSE 7 END)
+             / CAST(total AS DOUBLE), 4) AS lift
+FROM agg JOIN tot USING (grp, period_type)
 """
 
 

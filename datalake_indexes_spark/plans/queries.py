@@ -566,6 +566,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the simhash near-dup graph (degree-oriented
+    node-iterator) — cluster-density evidence over the planted dups."""
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+    from datalake_indexes_spark.operators.graph import triangles
+
+    pairs = simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return triangles(pairs, src="doc_id_1", dst="doc_id_2")
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import cosine_pairs
 
@@ -1015,6 +1025,13 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MICROSECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
         )
     return ev.withColumn("ts_us", ts_us.cast("long"))
+
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day / day-of-week seasonality profiles per event type."""
+    from datalake_indexes_spark.operators.events import seasonality_profile
+
+    return seasonality_profile(_events_us(spark, sf_dir))
 
 
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1784,6 +1801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
+    "events_seasonality": q_events_seasonality,
     "events_concurrency": q_events_concurrency,
     "events_twap": q_events_twap,
     "ann_centroids": q_embedding_centroids,
@@ -1803,6 +1821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort": q_events_cohort,
     "events_anomaly": q_events_anomaly,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
@@ -1909,6 +1928,7 @@ WHERE rn = 1
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
+    "graph_triangles": oracle.graph_triangles_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
@@ -1942,6 +1962,7 @@ WHERE rn = 1
     "events_asof_join": oracle.events_asof_join_sql(),
     "events_scd2": oracle.events_scd2_sql(),
     "events_transitions": oracle.events_transitions_sql(),
+    "events_seasonality": oracle.events_seasonality_sql(),
     "events_concurrency": oracle.events_concurrency_sql(gap_seconds=1800),
     "events_twap": oracle.events_twap_sql(),
     "ann_centroids": oracle.embedding_centroids_sql(),

@@ -89,3 +89,19 @@ def test_duplicate_groups_distributed_path_matches_driver(spark):
     }
     assert driver == dist
     assert (3, 1) in dist and (23, 20) in dist
+
+
+def test_triangles_planted_k4_star_and_orientation(spark):
+    """K4 contributes exactly its 4 triangles, a star hub contributes
+    none (wedges never close), duplicate/reversed edges don't double
+    count, and each triangle appears once as a sorted triple."""
+    from datalake_indexes_spark.operators.graph import triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(100, i) for i in range(200, 215)]
+    noisy = k4 + star + [(b, a) for a, b in k4] + k4  # reversed + dup
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    out = sorted(
+        (r.node_a, r.node_b, r.node_c) for r in triangles(edges).collect()
+    )
+    assert out == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]

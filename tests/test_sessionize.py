@@ -53,3 +53,26 @@ def test_stream_sessions_match_batch(spark, sf_dir):
             assert batch[key] == (r["n_events"], r["sum_value"]), key
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_seasonality_profile_hand_check(spark):
+    """Two users, fixed epoch-µs stamps: hour buckets, Thursday dow
+    anchor, and uniformity lift verified by hand."""
+    from datalake_indexes_spark.operators.events import seasonality_profile
+
+    hour = 3_600_000_000
+    day = 24 * hour
+    rows = [
+        # type 'a': 3 events all at hour 5 of epoch day 0 (Thursday=4)
+        (1, "a", 5 * hour, 1.0), (2, "a", 5 * hour + 1, 3.0), (3, "a", 5 * hour + 2, 5.0),
+        # type 'b': one Thursday (day 0) + one Friday (day 1, dow 5)
+        (4, "b", 0, 2.0), (5, "b", day + 2 * hour, 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts_us long, value double")
+    out = {(r.grp, r.period_type, r.bucket): r for r in seasonality_profile(ev).collect()}
+    a_hod = out[("a", "hod", 5)]
+    assert (a_hod.n_events, a_hod.avg_value, a_hod.lift) == (3, 3.0, 24.0)
+    assert out[("a", "dow", 4)].lift == 7.0
+    assert out[("b", "dow", 4)].n_events == 1 and out[("b", "dow", 5)].n_events == 1
+    assert out[("b", "dow", 4)].lift == 3.5  # 1 * 7 / 2
+    assert ("a", "hod", 6) not in out
