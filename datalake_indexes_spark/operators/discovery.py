@@ -510,3 +510,54 @@ def functional_dependencies(index, min_det_distinct: int = 2) -> DataFrame:
         )
         .filter(F.col("n_det_distinct") >= min_det_distinct)
     )
+
+
+def join_cardinalities(
+    index,
+    max_token_cols: int = 64,
+    min_rows: int = 10,
+) -> DataFrame:
+    """Inner-equi-join cardinality between every cross-table column pair:
+    |A ⋈ B| = Σ_token cnt_A(token)·cnt_B(token) — the what-if-I-joined
+    profile a lake UI shows next to the FK candidates
+    :func:`inclusion_dependencies` surfaces (high containment with a
+    pathological fan-out is exactly what you want to see BEFORE running
+    the join).
+
+    The sum-of-products over per-column token counts is the same
+    skew-proof trick as J6's duplicate relations: row multiplicity
+    multiplies instead of materializing.  Tokens spread across more than
+    ``max_token_cols`` columns are dropped before the pair join (the
+    stopword-token discipline shared with inclusion_dependencies), so
+    reported sizes are lower bounds over the informative-token universe —
+    the cap is the documented trade, not an accident.  Pairs below
+    ``min_rows`` joined rows are suppressed.
+    """
+    counts = index.cells.groupBy("table_id", "col_id", "tokenized").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    spread = counts.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__cols"))
+    capped = counts.join(
+        spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
+        "tokenized",
+    )
+    a = capped.select(
+        "tokenized",
+        F.col("table_id").alias("table_a"), F.col("col_id").alias("col_a"),
+        F.col("__cnt").alias("__ca"),
+    )
+    b = capped.select(
+        "tokenized",
+        F.col("table_id").alias("table_b"), F.col("col_id").alias("col_b"),
+        F.col("__cnt").alias("__cb"),
+    )
+    return (
+        a.join(b, "tokenized")
+        .filter(F.col("table_a") < F.col("table_b"))
+        .groupBy("table_a", "col_a", "table_b", "col_b")
+        .agg(
+            F.sum(F.col("__ca") * F.col("__cb")).alias("join_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+        )
+        .filter(F.col("join_rows") >= min_rows)
+    )

@@ -866,3 +866,47 @@ def word_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def keyword_extract(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` tf-idf keywords per document — the cheap unsupervised
+    tagger (faceting, weak labels, retrieval expansion) a corpus pipeline
+    runs corpus-wide, so the per-doc variant of what :mod:`search`'s
+    bm25 does per-query.
+
+    tf from one explode+aggregate, document frequency from one word-level
+    aggregate broadcast back, score = tf·ln(N/df) (0 for corpus-universal
+    words by construction).  The top-k window partitions by doc_id —
+    distributed across documents, each partition bounded by a doc's
+    distinct-word count; ties break on the word for determinism.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = base.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__score", F.col("__tf") * F.log(F.col("__n") / F.col("__df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("word").alias("keyword"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__score", 4).alias("score"),
+        )
+    )

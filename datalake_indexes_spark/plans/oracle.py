@@ -1356,6 +1356,29 @@ FROM c
 """
 
 
+def text_keywords_sql(k: int = 3) -> str:
+    """tf-idf keyword twin: same tf/df/N definition, same ln scoring,
+    same word tie-break."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM w WHERE word != '' GROUP BY 1, 2
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word AS keyword, rank, round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def text_repetition_sql() -> str:
     """Gopher-style repetition twin: most-repeated unigram/bigram coverage
     per document."""
@@ -2167,6 +2190,28 @@ SELECT table_id, det_col, dep_col,
        bool_and(n_dep = 1) AS holds
 FROM per_lhs GROUP BY 1, 2, 3
 HAVING count(*) >= {min_det_distinct}
+"""
+
+
+def join_cardinalities_sql(max_token_cols: int = 64, min_rows: int = 10) -> str:
+    """Join-size twin: Σ cnt_a·cnt_b over the same capped token universe."""
+    return f"""
+WITH {cells_cte()},
+counts AS (
+  SELECT table_id, col_id, tokenized, count(*) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+),
+spread AS (
+  SELECT tokenized FROM counts GROUP BY tokenized HAVING count(*) <= {max_token_cols}
+),
+c AS (SELECT counts.* FROM counts JOIN spread USING (tokenized))
+SELECT a.table_id AS table_a, a.col_id AS col_a,
+       b.table_id AS table_b, b.col_id AS col_b,
+       CAST(sum(a.cnt * b.cnt) AS BIGINT) AS join_rows,
+       CAST(count(*) AS BIGINT) AS n_common_tokens
+FROM c a JOIN c b ON a.tokenized = b.tokenized AND a.table_id < b.table_id
+GROUP BY 1, 2, 3, 4
+HAVING sum(a.cnt * b.cnt) >= {min_rows}
 """
 
 

@@ -821,6 +821,13 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted)
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document."""
+    from datalake_indexes_spark.operators.text_analysis import keyword_extract
+
+    return keyword_extract(_docs(spark, sf_dir), k=3)
+
+
 def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script composition over documents WITH planted non-Latin
     suffixes (doc_id % 4 picks Cyrillic/CJK/Arabic) — the raw corpus is
@@ -1324,6 +1331,14 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if join sizing: exact |A ⋈ B| per cross-table column pair
+    over the informative-token universe."""
+    from datalake_indexes_spark.operators.discovery import join_cardinalities
+
+    return join_cardinalities(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
 def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact single-column FD profiling across every lake table (key
     detection / normalization hints) — TPC-H keys make it non-vacuous."""
@@ -1789,6 +1804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
     "text_script_ratios": q_text_script_ratios,
+    "text_keywords": q_text_keywords,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
@@ -1826,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
     "functional_deps": q_functional_deps,
+    "join_cardinalities": q_join_cardinalities,
     "column_histograms": q_column_histograms,
     "union_search": q_union_search,
     "semantic_types": q_semantic_types,
@@ -1948,6 +1965,7 @@ WHERE rn = 1
     "text_pii_scrub": oracle.text_pii_scrub_sql(),
     "text_repetition": oracle.text_repetition_sql(),
     "text_script_ratios": oracle.text_script_ratios_sql(),
+    "text_keywords": oracle.text_keywords_sql(k=3),
     "corpus_sample": oracle.corpus_sample_sql(CORPUS_SAMPLE_FRACTIONS),
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
@@ -1988,6 +2006,7 @@ WHERE rn = 1
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),
     "functional_deps": oracle.functional_deps_sql(),
+    "join_cardinalities": oracle.join_cardinalities_sql(),
     "column_histograms": oracle.column_histograms_sql(nbins=10),
     "union_search": oracle.union_search_sql(
         TESTDATA_LAKE_SPEC["customer"].table_id, k=10

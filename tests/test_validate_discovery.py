@@ -310,3 +310,28 @@ class TestFunctionalDependencies:
         assert out[(1, 0)] == (False, 2)
         # constant determinant filtered; constant as dependent still graded
         assert (2, 0) not in out and out[(0, 2)][0] is True
+
+
+class TestJoinCardinalities:
+    def test_sum_of_products_equals_real_join(self, spark):
+        """The Σ cnt·cnt profile must equal the materialized inner-join
+        row count, including the duplicate-value fan-out."""
+        from types import SimpleNamespace
+
+        from datalake_indexes_spark.operators.discovery import join_cardinalities
+
+        # table 0 col 0: [x, x, y, z]; table 1 col 0: [x, y, y, y, w]
+        vals = {0: ["x", "x", "y", "z"], 1: ["x", "y", "y", "y", "w"]}
+        rows = [
+            (t, r, 0, v) for t, col in vals.items() for r, v in enumerate(col)
+        ]
+        cells = spark.createDataFrame(
+            rows, "table_id int, row_id long, col_id int, tokenized string"
+        )
+        out = join_cardinalities(
+            SimpleNamespace(cells=cells), min_rows=1
+        ).collect()
+        assert len(out) == 1
+        got = out[0]
+        # real join: x pairs 2*1, y pairs 1*3 -> 5 rows, 2 common tokens
+        assert (got.join_rows, got.n_common_tokens) == (5, 2)
