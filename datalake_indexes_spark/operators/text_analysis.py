@@ -893,7 +893,10 @@ def keyword_extract(
     ).filter(F.col("word") != "")
     tf = base.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("__tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("__df"))
-    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    # the corpus size attaches as a 1-row broadcast (same sanctioned
+    # scalar-stats cross bm25 uses — a constant-key equi-join constant-folds
+    # back into the identical nested-loop anyway)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(n_docs))

@@ -402,3 +402,46 @@ def test_knn_graph_join_is_shuffled_not_broadcast(spark):
     plan = _plan(knn_graph(emb, k=3, n_centroids=4, n_probe=2))
     assert "SortMergeJoin" in plan and "centroid" in plan.split("SortMergeJoin")[1][:200]
     assert "CartesianProduct" not in plan
+
+
+def test_round8_operators_have_no_nested_loops(spark):
+    """Blanket equi-join guard over this round's new operators: FD
+    profiling, join-cardinality profiling, keyword extraction,
+    seasonality, triangles."""
+    from types import SimpleNamespace
+
+    from datalake_indexes_spark.operators.discovery import (
+        functional_dependencies,
+        join_cardinalities,
+    )
+    from datalake_indexes_spark.operators.events import seasonality_profile
+    from datalake_indexes_spark.operators.graph import triangles
+    from datalake_indexes_spark.operators.text_analysis import keyword_extract
+
+    cells = spark.createDataFrame(
+        [(0, 0, 0, "x"), (0, 0, 1, "y"), (1, 0, 0, "x")],
+        "table_id int, row_id long, col_id int, tokenized string",
+    )
+    idx = SimpleNamespace(cells=cells)
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "a", 0, 1.0)], "event_id long, event_type string, ts_us long, value double"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+
+    frames = [
+        functional_dependencies(idx),
+        join_cardinalities(idx, min_rows=1),
+        seasonality_profile(ev),
+        triangles(edges),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # keyword_extract carries exactly ONE nested-loop: the sanctioned
+    # 1-row corpus-size broadcast (same shape as bm25's stats attach) —
+    # anything beyond that is a regression
+    kw_plan = _plan(keyword_extract(docs))
+    assert "CartesianProduct" not in kw_plan
+    assert kw_plan.count("BroadcastNestedLoopJoin") == 1
