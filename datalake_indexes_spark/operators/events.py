@@ -668,3 +668,60 @@ def seasonality_profile(
             F.round(F.col("n_events") * periods / F.col("__total"), 4).alias("lift"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most common length-``n`` event-type paths across all
+    sessions — the "what do users actually do" product-analytics staple
+    (funnel discovery without declaring the funnel up front).
+
+    Sessions are the same gap rule the sessionize twin uses; within a
+    session events order by (ts, event_id) so equal timestamps stay
+    deterministic.  Each session's type sequence collapses to one array
+    row (bounded by session length, never by user history), n-gram
+    windows slide over it as a native ``transform`` — map-side, no
+    explode until the (path) aggregate, which carries partial combines.
+    The final top-k is ``orderBy().limit()`` (TakeOrderedAndProject),
+    ranked only after the k survivors exist.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_seconds * 1_000_000
+    flagged = events.withColumn(
+        "__new",
+        (F.col(ts_col) - F.lag(F.col(ts_col), 1, 0).over(w) > gap_us).cast("int"),
+    ).withColumn("__sid", F.sum("__new").over(w))
+    seqs = (
+        flagged.groupBy(user_col, "__sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col)))
+            ).alias("__s")
+        )
+        .select(F.transform("__s", lambda s: s[type_col]).alias("__types"))
+        .filter(F.size("__types") >= n)
+    )
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__types") - (n - 1)),
+                lambda i: F.concat_ws(">", F.slice("__types", i, n)),
+            )
+        ).alias("path")
+    )
+    counts = grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    topk = counts.orderBy(F.desc("n_occurrences"), F.asc("path")).limit(k)
+    rank_w = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return topk.withColumn("rank", F.row_number().over(rank_w)).select(
+        "path", "n_occurrences", F.col("rank").cast("long").alias("rank")
+    )

@@ -3113,6 +3113,42 @@ FROM agg JOIN tot USING (grp, period_type)
 """
 
 
+def events_session_paths_sql(gap_seconds: int = 1800, n: int = 3, k: int = 20) -> str:
+    """Session-path twin: same gap rule, (ts, event_id) ordering, sliding
+    n-gram over each session's type list."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_us - coalesce(lag(ts_us) OVER w, 0) > {gap_us}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sid AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS s
+  FROM flagged
+),
+seqs AS (
+  SELECT list(event_type ORDER BY ts_us, event_id) AS types
+  FROM sid GROUP BY user_id, s
+  HAVING count(*) >= {n}
+),
+grams AS (
+  SELECT unnest(list_transform(
+           range(1, len(types) - {n - 2}),
+           i -> array_to_string(types[i:i+{n - 1}], '>'))) AS path
+  FROM seqs
+),
+counts AS (SELECT path, count(*) AS n_occurrences FROM grams GROUP BY 1)
+SELECT path, n_occurrences, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
 def events_transitions_sql() -> str:
     """Twin of :func:`..operators.events.event_transitions` over per-user
     event streams."""

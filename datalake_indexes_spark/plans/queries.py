@@ -1034,6 +1034,13 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_us", ts_us.cast("long"))
 
 
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trigram event-type paths across all sessions."""
+    from datalake_indexes_spark.operators.events import session_paths
+
+    return session_paths(_events_us(spark, sf_dir), gap_seconds=1800, n=3, k=20)
+
+
 def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day / day-of-week seasonality profiles per event type."""
     from datalake_indexes_spark.operators.events import seasonality_profile
@@ -1818,6 +1825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
     "events_seasonality": q_events_seasonality,
+    "events_session_paths": q_events_session_paths,
     "events_concurrency": q_events_concurrency,
     "events_twap": q_events_twap,
     "ann_centroids": q_embedding_centroids,
@@ -1981,6 +1989,7 @@ WHERE rn = 1
     "events_scd2": oracle.events_scd2_sql(),
     "events_transitions": oracle.events_transitions_sql(),
     "events_seasonality": oracle.events_seasonality_sql(),
+    "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_concurrency": oracle.events_concurrency_sql(gap_seconds=1800),
     "events_twap": oracle.events_twap_sql(),
     "ann_centroids": oracle.embedding_centroids_sql(),

@@ -76,3 +76,22 @@ def test_seasonality_profile_hand_check(spark):
     assert out[("b", "dow", 4)].n_events == 1 and out[("b", "dow", 5)].n_events == 1
     assert out[("b", "dow", 4)].lift == 3.5  # 1 * 7 / 2
     assert ("a", "hod", 6) not in out
+
+
+def test_session_paths_hand_check(spark):
+    """One user, two sessions split by a >30min gap: trigrams stay inside
+    sessions, counts aggregate across sessions, short sessions drop."""
+    from datalake_indexes_spark.operators.events import session_paths
+
+    m = 60_000_000  # one minute in µs
+    rows = [
+        # session 1: a b c d  → a>b>c, b>c>d
+        (1, 1, "a", 0), (2, 1, "b", m), (3, 1, "c", 2 * m), (4, 1, "d", 3 * m),
+        # session 2 (gap 40min): a b c → a>b>c
+        (5, 1, "a", 43 * m), (6, 1, "b", 44 * m), (7, 1, "c", 45 * m),
+        # user 2: too short for a trigram
+        (8, 2, "x", 0), (9, 2, "y", m),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts_us long")
+    out = {r.path: (r.n_occurrences, r.rank) for r in session_paths(ev, n=3, k=10).collect()}
+    assert out == {"a>b>c": (2, 1), "b>c>d": (1, 2)}
