@@ -725,3 +725,45 @@ def session_paths(
     return topk.withColumn("rank", F.row_number().over(rank_w)).select(
         "path", "n_occurrences", F.col("rank").cast("long").alias("rank")
     )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.5,
+    group_col: str = "event_type",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Seasonality-adjusted z-score outliers: each event scores against
+    the moments of ITS OWN (group, hour-of-day) cell instead of the
+    group's global distribution — the de-seasonalized variant of
+    :func:`value_anomalies` (a value that is normal at peak hour is an
+    anomaly at 4am; the global z hides exactly that).
+
+    Same scale shape as the global version: one closed-form
+    sum/sum-of-squares aggregate over |groups|·24 cells, broadcast back
+    onto the scan — the events table is read once and never shuffled.
+    """
+    v = F.col(value_col).cast("double")
+    hod = F.expr(f"pmod({ts_col} div 3600000000, 24)").cast("long")
+    cells = events.select(
+        F.col(group_col).alias("grp"), hod.alias("bucket"),
+        v.alias("__v"), F.col(id_col).alias("event_id"),
+    )
+    stats = cells.groupBy("grp", "bucket").agg(
+        (F.sum("__v") / F.count("__v")).alias("__mean"),
+        F.sqrt(
+            F.sum(F.col("__v") * F.col("__v")) / F.count("__v")
+            - (F.sum("__v") / F.count("__v")) ** 2
+        ).alias("__std"),
+    )
+    z = (F.col("__v") - F.col("__mean")) / F.col("__std")
+    return (
+        cells.join(F.broadcast(stats), ["grp", "bucket"])
+        .filter((F.col("__std") > 0) & (F.abs(z) > z_threshold))
+        .select(
+            "event_id", "grp", "bucket",
+            F.col("__v").alias("value"), F.round(z, 3).alias("z"),
+        )
+    )

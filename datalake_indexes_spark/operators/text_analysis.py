@@ -913,3 +913,42 @@ def keyword_extract(
             F.round("__score", 4).alias("score"),
         )
     )
+
+
+def unigram_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the information-
+    density quality signal: spam and template text sit near 0, natural
+    prose plateaus near ln(vocab).  (doc_id, n_words, n_distinct,
+    entropy).
+
+    H = ln(n) - (Σ c·ln c)/n over per-word counts c.  Shape: explode →
+    (doc, word) count → per-doc moment aggregate — linear in corpus
+    length with map-side partials on both aggregates (an all-in-row
+    higher-order-function version would avoid the shuffle but pays
+    O(distinct·len) per document: quadratic in doc length, the wrong
+    trade for real corpora).
+    """
+    counts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("__c") * F.log("__c")).alias("__clogc"),
+        )
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_words"),
+            "n_distinct",
+            F.round(F.log("__n") - F.col("__clogc") / F.col("__n"), 4).alias("entropy"),
+        )
+    )

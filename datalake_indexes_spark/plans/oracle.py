@@ -1379,6 +1379,22 @@ WHERE rank <= {k}
 """
 
 
+def text_entropy_sql() -> str:
+    """Entropy twin: same word split (empty tokens included), same
+    H = ln(n) - Σ c·ln(c)/n formula."""
+    return """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       count(*) AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
 def text_repetition_sql() -> str:
     """Gopher-style repetition twin: most-repeated unigram/bigram coverage
     per document."""
@@ -2080,6 +2096,29 @@ SELECT e.event_id, e.event_type AS grp, CAST(e.value AS DOUBLE) AS value,
        round((e.value - s.m) / s.sd, 3) AS z
 FROM events e JOIN s USING (event_type)
 WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > {z_threshold}
+"""
+
+
+def events_anomaly_seasonal_sql(z_threshold: float = 2.5) -> str:
+    """Seasonal-anomaly twin: identical closed-form moments per
+    (event_type, hour-of-day) cell."""
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type AS grp,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS bucket,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+s AS (
+  SELECT grp, bucket,
+         sum(v) / count(v) AS m,
+         sqrt(sum(v * v) / count(v) - (sum(v) / count(v)) * (sum(v) / count(v))) AS sd
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_id, e.grp, e.bucket, e.v AS value,
+       round((e.v - s.m) / s.sd, 3) AS z
+FROM e JOIN s USING (grp, bucket)
+WHERE s.sd > 0 AND abs((e.v - s.m) / s.sd) > {z_threshold}
 """
 
 

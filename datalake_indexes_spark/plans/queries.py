@@ -821,6 +821,13 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted)
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (information-density filter)."""
+    from datalake_indexes_spark.operators.text_analysis import unigram_entropy
+
+    return unigram_entropy(_docs(spark, sf_dir))
+
+
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per document."""
     from datalake_indexes_spark.operators.text_analysis import keyword_extract
@@ -1032,6 +1039,13 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MICROSECOND, timestamp_ntz '1970-01-01 00:00:00', ts)"
         )
     return ev.withColumn("ts_us", ts_us.cast("long"))
+
+
+def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers against each event type's own hour-of-day cell."""
+    from datalake_indexes_spark.operators.events import seasonal_anomalies
+
+    return seasonal_anomalies(_events_us(spark, sf_dir))
 
 
 def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1812,6 +1826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_script_ratios": q_text_script_ratios,
     "text_keywords": q_text_keywords,
+    "text_entropy": q_text_entropy,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
@@ -1826,6 +1841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": q_events_transitions,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
+    "events_anomaly_seasonal": q_events_anomaly_seasonal,
     "events_concurrency": q_events_concurrency,
     "events_twap": q_events_twap,
     "ann_centroids": q_embedding_centroids,
@@ -1974,6 +1990,7 @@ WHERE rn = 1
     "text_repetition": oracle.text_repetition_sql(),
     "text_script_ratios": oracle.text_script_ratios_sql(),
     "text_keywords": oracle.text_keywords_sql(k=3),
+    "text_entropy": oracle.text_entropy_sql(),
     "corpus_sample": oracle.corpus_sample_sql(CORPUS_SAMPLE_FRACTIONS),
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
@@ -1990,6 +2007,7 @@ WHERE rn = 1
     "events_transitions": oracle.events_transitions_sql(),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
+    "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),
     "events_concurrency": oracle.events_concurrency_sql(gap_seconds=1800),
     "events_twap": oracle.events_twap_sql(),
     "ann_centroids": oracle.embedding_centroids_sql(),
