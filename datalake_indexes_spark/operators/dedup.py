@@ -498,3 +498,58 @@ def chunk_dedup(
     )
     boiler = freq.filter(F.col("df") >= min_doc_freq).select("chunk")
     return reassemble_chunks(exploded, boiler)
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Which sources duplicate which: fold any near-dup pair frame
+    (doc_id_1, doc_id_2) into an unordered source×source matrix with
+    duplication rates — the provenance diagnostic that decides whether a
+    crawl snapshot is re-ingesting a mirror (off-diagonal mass) or a
+    source self-plagiarizes (diagonal mass).
+
+    (source_a <= source_b, n_pairs, n_docs_a, n_docs_b, dup_rate) where
+    dup_rate = n_pairs / (n_docs_a·n_docs_b) cross pairs (same-source
+    cells use n·(n-1)/2).  Two broadcast joins of the tiny id→source map
+    onto the pair frame, one aggregate; the expensive part — finding the
+    pairs — is whatever banded dedup operator produced them.
+    """
+    src = docs.select(F.col(id_col).alias("__id"), F.col(source_col).alias("__src"))
+    sized = F.broadcast(
+        src.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tagged = (
+        pairs.join(
+            F.broadcast(src.select(F.col("__id").alias("doc_id_1"), F.col("__src").alias("__s1"))),
+            "doc_id_1",
+        )
+        .join(
+            F.broadcast(src.select(F.col("__id").alias("doc_id_2"), F.col("__src").alias("__s2"))),
+            "doc_id_2",
+        )
+        .select(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+    )
+    counts = tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    na = sized.select(F.col("__src").alias("source_a"), F.col("__n").alias("n_docs_a"))
+    nb = sized.select(F.col("__src").alias("source_b"), F.col("__n").alias("n_docs_b"))
+    possible = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2,
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return (
+        counts.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "n_pairs", "n_docs_a", "n_docs_b",
+            F.round(F.col("n_pairs") / possible, 6).alias("dup_rate"),
+        )
+    )

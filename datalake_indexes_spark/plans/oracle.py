@@ -956,6 +956,33 @@ JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
+def dedup_source_matrix_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    """Source-matrix twin over the same MinHash pair CTEs."""
+    return f"""
+WITH {_minhash_pairs_ctes(k, bands, threshold)},
+src AS (SELECT doc_id, source FROM documents),
+sized AS (SELECT source, count(*) AS n FROM src GROUP BY 1),
+tagged AS (
+  SELECT least(s1.source, s2.source) AS source_a,
+         greatest(s1.source, s2.source) AS source_b
+  FROM pairs p
+  JOIN src s1 ON s1.doc_id = p.doc_id_1
+  JOIN src s2 ON s2.doc_id = p.doc_id_2
+),
+counts AS (
+  SELECT source_a, source_b, count(*) AS n_pairs FROM tagged GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs,
+       na.n AS n_docs_a, nb.n AS n_docs_b,
+       round(n_pairs / (CASE WHEN source_a = source_b
+                             THEN na.n * (na.n - 1) / 2.0
+                             ELSE CAST(na.n AS DOUBLE) * nb.n END), 6) AS dup_rate
+FROM counts
+JOIN sized na ON na.source = counts.source_a
+JOIN sized nb ON nb.source = counts.source_b
+"""
+
+
 def dedup_embedding_cosine_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
     """Oracle for the LSH-blocked cosine dedup.  Replicates the *same*
     hyperplane blocking (identical md5-seeded planes inlined as literals),

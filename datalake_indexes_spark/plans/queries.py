@@ -531,6 +531,17 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(_docs(spark, sf_dir), chunk_words=4, min_doc_freq=2)
 
 
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the MinHash near-dup pairs."""
+    from datalake_indexes_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return cross_source_dup_matrix(docs, minhash_lsh_pairs(docs, threshold=0.7))
+
+
 def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance self-join on customer names (positional q-gram
     blocking + levenshtein verify) — graded against the NAIVE cross-join
@@ -604,6 +615,16 @@ def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import knn_graph
 
     return knn_graph(_embeddings(spark, sf_dir), k=5)
+
+
+def q_ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-8 principal components (whitening prep
+    for ANN).  No DuckDB oracle: the driver-side numpy eigen step over the
+    model-constant d×d covariance is the one genuinely non-SQL link —
+    algebraic contracts are unit-pinned in tests/test_ml.py instead."""
+    from datalake_indexes_spark.operators.similarity import pca_project
+
+    return pca_project(_embeddings(spark, sf_dir), n_components=8)
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1798,6 +1819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_earliest": q_dedup_earliest,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_source_matrix": q_dedup_source_matrix,
     "dedup_neardup_est": q_dedup_neardup_est,
     "dedup_minhash_clusters": q_dedup_clusters,
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
@@ -1847,6 +1869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_centroids": q_embedding_centroids,
     "ann_knn_graph": q_ann_knn_graph,
     "ml_embedding_cov": q_embedding_covariance,
+    "ml_pca_project": q_ml_pca_project,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1958,6 +1981,7 @@ FROM (SELECT doc_id, n_chars,
 WHERE rn = 1
 """,
     "dedup_minhash_lsh": oracle.dedup_minhash_lsh_sql(threshold=0.7),
+    "dedup_source_matrix": oracle.dedup_source_matrix_sql(threshold=0.7),
     "dedup_neardup_est": oracle.dedup_neardup_est_sql(threshold=0.5),
     "dedup_minhash_clusters": oracle.dedup_clusters_sql(threshold=0.7),
     # distributed CC must produce the identical cluster table

@@ -170,3 +170,40 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(out) == 6 * 7 // 2
     for (i, j), c in out.items():
         assert abs(c - round(float(expected[i][j]), 6)) < 1e-9
+
+
+def test_pca_project_matches_numpy_and_contracts(spark):
+    """Projected variances equal the top eigenvalues, components are
+    orthogonal in data space, and values match a straight numpy PCA up
+    to the deterministic sign convention."""
+    import numpy as np
+
+    from datalake_indexes_spark.operators.similarity import pca_project
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: two dominant directions
+    base = rng.randn(200, 2) @ np.array([[5.0, 0, 0, 0], [0, 2.0, 0, 0]])
+    mat = base + 0.1 * rng.randn(200, 4) + np.array([1.0, -2.0, 3.0, 0.5])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pca_project(emb, n_components=2).collect()
+    got = np.zeros((200, 2))
+    ratios = {}
+    for r in rows:
+        got[r.vec_id][r.component] = r.value
+        ratios[r.component] = r.explained_ratio
+
+    centered = mat - mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    for c, idx in enumerate(order):
+        v = vecs[:, idx]
+        v = v if v[int(np.argmax(np.abs(v)))] >= 0 else -v
+        np.testing.assert_allclose(got[:, c], centered @ v, atol=1e-4)
+        assert abs(ratios[c] - vals[idx] / vals.sum()) < 1e-6
+        assert abs(got[:, c].var() - vals[idx]) < 1e-3 * max(vals[idx], 1)
+    # orthogonality of the two projected coordinates
+    assert abs(np.corrcoef(got[:, 0], got[:, 1])[0, 1]) < 1e-6
