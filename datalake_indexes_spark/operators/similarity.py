@@ -1164,3 +1164,48 @@ def pca_project(
         F.round("value", 6).alias("value"),
         F.round(ratio_arr[F.col("component")], 6).alias("explained_ratio"),
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, measured
+    IN-ENGINE — the eval loop an ANN deployment runs before trusting an
+    index configuration (n_centroids × n_probe is a recall dial; this is
+    its gauge).
+
+    One row: (k, n_queries, n_truth, n_hits, recall).  Both rankings are
+    the existing operators unchanged; the comparison is an equi-join on
+    (query_id, neighbor_id) — so the report inherits each side's scale
+    story and adds one k·|queries|-row join on top.
+    """
+    truth = cosine_topk(corpus, queries, k, vec_col=vec_col, id_col=id_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        corpus, queries, k, n_centroids=n_centroids, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = truth.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+    )
+    return (
+        totals.crossJoin(hits)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )

@@ -1131,6 +1131,34 @@ WHERE rank <= {k}
 """
 
 
+def ann_recall_report_sql(
+    k: int = 5, n_queries: int = 10, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    """Recall-report twin: the brute and IVF twins reused verbatim as
+    derived tables, joined on (query_id, neighbor_id)."""
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({ann_cosine_topk_sql(k, n_queries)}) __b
+),
+approx AS (
+  SELECT query_id, neighbor_id
+  FROM ({ann_ivf_topk_sql(k, n_queries, n_centroids, n_probe)}) __a
+),
+h AS (
+  SELECT count(*) AS n_hits FROM truth JOIN approx USING (query_id, neighbor_id)
+),
+t AS (
+  SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_truth FROM truth
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(t.n_queries AS BIGINT) AS n_queries,
+       CAST(t.n_truth AS BIGINT) AS n_truth,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(h.n_hits / CAST(t.n_truth AS DOUBLE), 6) AS recall
+FROM t CROSS JOIN h
+"""
+
+
 def embedding_covariance_sql() -> str:
     """Covariance twin: zipped unnest+generate_subscripts, row-key
     self-join for the upper-triangle pairs, covar_pop per (i, j)."""

@@ -617,6 +617,14 @@ def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(_embeddings(spark, sf_dir), k=5)
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine recall@5 of the IVF index vs exact brute force."""
+    from datalake_indexes_spark.operators.similarity import ann_recall_report
+
+    emb = _embeddings(spark, sf_dir)
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def q_ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-8 principal components (whitening prep
     for ANN).  No DuckDB oracle: the driver-side numpy eigen step over the
@@ -1870,6 +1878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_graph": q_ann_knn_graph,
     "ml_embedding_cov": q_embedding_covariance,
     "ml_pca_project": q_ml_pca_project,
+    "ann_recall_report": q_ann_recall_report,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     "corpus_chunk": q_corpus_chunk,
@@ -1999,6 +2008,7 @@ WHERE rn = 1
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_knn_graph": oracle.ann_knn_graph_sql(k=5),
     "ml_embedding_cov": oracle.embedding_covariance_sql(),
+    "ann_recall_report": oracle.ann_recall_report_sql(k=5, n_queries=10),
     # identical contract to the inline path — same oracle
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_quantized_topk": oracle.ann_quantized_topk_sql(k=5, n_queries=10),
