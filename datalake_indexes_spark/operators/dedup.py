@@ -553,3 +553,84 @@ def cross_source_dup_matrix(
             F.round(F.col("n_pairs") / possible, 6).alias("dup_rate"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 500,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs — the subset-duplicate
+    detector Jaccard structurally misses: a snippet quoted inside a
+    longer document has containment ≈ 1 in one direction but Jaccard ≈
+    |snippet|/|document|, far below any sane threshold (this is why
+    news-corpus dedup filters on containment, not similarity).
+
+    Emits (doc_id_1 < doc_id_2, containment_1_in_2, containment_2_in_1,
+    jaccard) for pairs where EITHER direction clears ``threshold``.
+    Candidate generation and the hot-shingle cap are exactly the
+    :func:`ngram_jaccard_pairs` discipline (cap bounds the d² join;
+    verification is exact over the full shingle sets); only the final
+    arithmetic differs, so the scale story is shared.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    cand_src = sh
+    if max_shingle_freq is not None:
+        cand_src = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    c1, c2 = cand_src.alias("c1"), cand_src.alias("c2")
+    cand = (
+        c1.join(
+            c2,
+            (F.col("c1.shingle") == F.col("c2.shingle"))
+            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+        )
+        .select(
+            F.col("c1.doc_id").alias("doc_id_1"),
+            F.col("c2.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    # verify over the FULL shingle sets (capped shingles prune candidate
+    # generation only) — reported containment/jaccard values stay exact
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, ["doc_id_2", "shingle"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    both = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("__n", "__n1"),
+            "doc_id_1",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("__n", "__n2"),
+            "doc_id_2",
+        )
+    )
+    c12 = F.col("__inter") / F.col("__n1")
+    c21 = F.col("__inter") / F.col("__n2")
+    return (
+        both.filter((c12 >= threshold) | (c21 >= threshold))
+        .select(
+            "doc_id_1", "doc_id_2",
+            F.round(c12, 4).alias("containment_1_in_2"),
+            F.round(c21, 4).alias("containment_2_in_1"),
+            F.round(
+                F.col("__inter") / (F.col("__n1") + F.col("__n2") - F.col("__inter")), 4
+            ).alias("jaccard"),
+        )
+    )

@@ -655,7 +655,13 @@ def seasonality_profile(
     ).select("grp", "__v", "__p.period_type", "__p.bucket")
     agg = both.groupBy("grp", "period_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("__v"), 4).alias("avg_value"),
+        # +1e-9 nudges averages sitting exactly on a .00005 rounding
+        # boundary off it: a multi-term float sum is order-dependent
+        # across engines by ~1 ulp, which is enough to flip round(_, 4)
+        # at a tie (observed: 8 values averaging *.77885).  The nudge is
+        # 5 orders below the rounding granularity, so non-tie values are
+        # unaffected; the oracle applies the same shift.
+        F.round(F.avg("__v") + F.lit(1e-9), 4).alias("avg_value"),
     )
     totals = agg.groupBy("grp", "period_type").agg(
         F.sum("n_events").alias("__total")

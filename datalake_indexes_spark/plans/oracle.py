@@ -871,6 +871,40 @@ cand AS (
 """
 
 
+def dedup_containment_sql(threshold: float = 0.8, max_freq: int = 500) -> str:
+    """Twin of :func:`..operators.dedup.ngram_containment_pairs`:
+    capped-shingle candidate generation, FULL-set verification, pair kept
+    when either directional containment clears the threshold."""
+    return f"""
+WITH {_shingle_cte()},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_freq}
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+  FROM sh s1 JOIN sh s2
+    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  WHERE s1.shingle IN (SELECT shingle FROM rare)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_1, c.doc_id_2, count(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id_1
+  JOIN sh s2 ON s2.doc_id = c.doc_id_2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+       round(i.i * 1.0 / n1.n, 4) AS containment_1_in_2,
+       round(i.i * 1.0 / n2.n, 4) AS containment_2_in_1,
+       round(i.i * 1.0 / (n1.n + n2.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+WHERE i.i * 1.0 / n1.n >= {threshold} OR i.i * 1.0 / n2.n >= {threshold}
+"""
+
+
 def dedup_clusters_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
     """Near-dup retention clusters over the MinHash pairs: connected
     components via a recursive transitive-closure CTE (cluster sizes are
@@ -3196,7 +3230,7 @@ b AS (
 ),
 agg AS (
   SELECT grp, period_type, bucket,
-         count(*) AS n_events, round(avg(value), 4) AS avg_value
+         count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_value
   FROM b GROUP BY 1, 2, 3
 ),
 tot AS (SELECT grp, period_type, sum(n_events) AS total FROM agg GROUP BY 1, 2)

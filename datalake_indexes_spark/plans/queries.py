@@ -522,6 +522,14 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment — the subset-duplicate detector
+    (snippet-inside-document pairs that Jaccard structurally misses)."""
+    from datalake_indexes_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact chunk dedup (RefinedWeb-style line dedup over
     a delimiter-free corpus): 4-word segments appearing in >= 2 distinct
@@ -1833,6 +1841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_distributed": q_dedup_clusters_distributed,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "dedup_containment": q_dedup_containment,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -1997,6 +2006,7 @@ WHERE rn = 1
     "dedup_clusters_distributed": oracle.dedup_clusters_sql(threshold=0.7),
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "dedup_ngram_capped": oracle.dedup_ngram_capped_sql(threshold=0.7, max_freq=50),
+    "dedup_containment": oracle.dedup_containment_sql(threshold=0.8, max_freq=500),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),

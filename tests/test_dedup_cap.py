@@ -90,3 +90,69 @@ class TestMultiprobeLsh:
         # OR over 4 tables recalls at least as much as one table
         assert len(multi) >= len(single)
         assert len(multi) / len(exact) > 0.8  # high recall on this fixture
+
+
+@pytest.mark.spark
+class TestContainment:
+    def test_subset_pair_found_where_jaccard_misses(self, spark):
+        """A snippet quoted verbatim inside a much longer document:
+        containment(snippet -> doc) ≈ 1 while jaccard is far below any
+        sane threshold — the pair the asymmetric detector exists for."""
+        from datalake_indexes_spark.operators.dedup import ngram_containment_pairs
+
+        snippet = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"filler word number {i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (1, snippet),
+                (2, f"{filler} {snippet} closing remarks follow here now"),
+                (3, "entirely unrelated content about spark joins and shuffles"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id_1"], r["doc_id_2"]): r
+            for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+        }
+        assert set(out) == {(1, 2)}
+        r = out[(1, 2)]
+        assert r["containment_1_in_2"] == 1.0  # snippet fully inside doc 2
+        assert r["containment_2_in_1"] < 0.2
+        assert r["jaccard"] < 0.2  # jaccard alone would never flag it
+
+    def test_cap_prunes_candidates_not_values(self, spark):
+        """With a cap that kills the only shared shingles, the pair
+        disappears; with a permissive cap values equal the uncapped run."""
+        from datalake_indexes_spark.operators.dedup import ngram_containment_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+                (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        loose = {
+            (r["doc_id_1"], r["doc_id_2"]): (
+                r["containment_1_in_2"], r["containment_2_in_1"], r["jaccard"]
+            )
+            for r in ngram_containment_pairs(
+                docs, threshold=0.8, max_shingle_freq=None
+            ).collect()
+        }
+        capped = {
+            (r["doc_id_1"], r["doc_id_2"]): (
+                r["containment_1_in_2"], r["containment_2_in_1"], r["jaccard"]
+            )
+            for r in ngram_containment_pairs(
+                docs, threshold=0.8, max_shingle_freq=100
+            ).collect()
+        }
+        assert loose == capped  # permissive cap: identical exact values
+        # every shingle here appears in >= 2 docs, so cap=1 kills all
+        # candidate generation
+        assert (
+            ngram_containment_pairs(docs, threshold=0.8, max_shingle_freq=1).count()
+            == 0
+        )
