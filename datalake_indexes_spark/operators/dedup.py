@@ -634,3 +634,69 @@ def ngram_containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def subset_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 500,
+) -> DataFrame:
+    """Maximal-document retention over near-containment: drop every
+    document whose shingle set is ``threshold``-contained in a STRICTLY
+    LARGER document (ties broken toward the smaller doc id), keep the
+    rest.  The news-corpus policy — when a snippet and the article that
+    quotes it both survive quality filtering, keep the article.
+
+    The drop rule is a pure per-pair predicate (no transitive closure):
+    x drops iff some y has containment(x→y) ≥ t and (|y| > |x| or
+    (|y| = |x| and y.id < x.id)).  A chain A ⊂ B ⊂ C resolves in one
+    pass — C is contained in nothing and survives, A and B each lose to
+    a bigger container — so the operator is one containment join plus
+    one aggregation, deterministic on any engine.
+
+    Returns every doc: (doc_id, n_shingles, kept, container_id) with
+    container_id = the smallest qualifying container (NULL for kept
+    docs).  Scale shape inherited from :func:`ngram_containment_pairs`
+    (capped candidate generation, exact full-set verification).
+    """
+    pairs = ngram_containment_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col,
+        max_shingle_freq=max_shingle_freq,
+    )
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # directed "x contained in y" edges from the symmetric pair rows
+    e1 = pairs.filter(F.col("containment_1_in_2") >= threshold).select(
+        F.col("doc_id_1").alias("x"), F.col("doc_id_2").alias("y")
+    )
+    e2 = pairs.filter(F.col("containment_2_in_1") >= threshold).select(
+        F.col("doc_id_2").alias("x"), F.col("doc_id_1").alias("y")
+    )
+    edges = (
+        e1.unionByName(e2)
+        .join(sizes.select(F.col("doc_id").alias("x"),
+                           F.col("n_shingles").alias("__nx")), "x")
+        .join(sizes.select(F.col("doc_id").alias("y"),
+                           F.col("n_shingles").alias("__ny")), "y")
+        .filter(
+            (F.col("__ny") > F.col("__nx"))
+            | ((F.col("__ny") == F.col("__nx")) & (F.col("y") < F.col("x")))
+        )
+    )
+    containers = edges.groupBy(F.col("x").alias("doc_id")).agg(
+        F.min("y").alias("container_id")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(sizes, "doc_id", "left")
+        .join(containers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.col("container_id").isNull().alias("kept"),
+            "container_id",
+        )
+    )

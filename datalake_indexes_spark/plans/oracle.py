@@ -905,6 +905,55 @@ WHERE i.i * 1.0 / n1.n >= {threshold} OR i.i * 1.0 / n2.n >= {threshold}
 """
 
 
+def dedup_subset_sql(threshold: float = 0.8, max_freq: int = 500) -> str:
+    """Twin of :func:`..operators.dedup.subset_dedup`: containment pairs
+    → directed contained-in-larger edges → smallest qualifying container
+    per dropped doc; kept docs have no container."""
+    return f"""
+WITH {_shingle_cte()},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_freq}
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+  FROM sh s1 JOIN sh s2
+    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  WHERE s1.shingle IN (SELECT shingle FROM rare)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_1, c.doc_id_2, count(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id_1
+  JOIN sh s2 ON s2.doc_id = c.doc_id_2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_id_1, i.doc_id_2, i.i, n1.n AS n1, n2.n AS n2
+  FROM inter i
+  JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+  JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+),
+edges AS (
+  SELECT doc_id_1 AS x, doc_id_2 AS y, n1 AS nx, n2 AS ny FROM pairs
+  WHERE i * 1.0 / n1 >= {threshold}
+  UNION ALL
+  SELECT doc_id_2, doc_id_1, n2, n1 FROM pairs
+  WHERE i * 1.0 / n2 >= {threshold}
+),
+containers AS (
+  SELECT x AS doc_id, min(y) AS container_id FROM edges
+  WHERE ny > nx OR (ny = nx AND y < x) GROUP BY x
+)
+SELECT d.doc_id, coalesce(s.n, 0) AS n_shingles,
+       c.container_id IS NULL AS kept,
+       coalesce(c.container_id, -1) AS container_id
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN containers c ON c.doc_id = d.doc_id
+"""
+
+
 def dedup_clusters_sql(k: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
     """Near-dup retention clusters over the MinHash pairs: connected
     components via a recursive transitive-closure CTE (cluster sizes are

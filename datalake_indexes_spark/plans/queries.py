@@ -530,6 +530,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-document retention: drop docs near-contained in a strictly
+    larger doc (keep the article, drop the quoted snippet)."""
+    from datalake_indexes_spark.operators.dedup import subset_dedup
+
+    out = subset_dedup(_docs(spark, sf_dir), threshold=0.8)
+    # NULL container (kept doc) -> -1 so the oracle column stays integer
+    # through the pandas fetch (nullable BIGINT degrades to float64 NaN)
+    return out.withColumn("container_id", F.coalesce("container_id", F.lit(-1)))
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact chunk dedup (RefinedWeb-style line dedup over
     a delimiter-free corpus): 4-word segments appearing in >= 2 distinct
@@ -1842,6 +1853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_containment": q_dedup_containment,
+    "dedup_subset": q_dedup_subset,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -2007,6 +2019,7 @@ WHERE rn = 1
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "dedup_ngram_capped": oracle.dedup_ngram_capped_sql(threshold=0.7, max_freq=50),
     "dedup_containment": oracle.dedup_containment_sql(threshold=0.8, max_freq=500),
+    "dedup_subset": oracle.dedup_subset_sql(threshold=0.8, max_freq=500),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),

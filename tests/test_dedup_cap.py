@@ -156,3 +156,34 @@ class TestContainment:
             ngram_containment_pairs(docs, threshold=0.8, max_shingle_freq=1).count()
             == 0
         )
+
+    def test_subset_dedup_chain_keeps_maximal(self, spark):
+        """A ⊂ B ⊂ C resolves in one pass: only the maximal C survives;
+        unrelated docs keep themselves."""
+        from datalake_indexes_spark.operators.dedup import subset_dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        mid = base + " iota kappa lambda mu nu xi omicron pi"
+        top = mid + " rho sigma tau upsilon phi chi psi omega"
+        docs = spark.createDataFrame(
+            [(1, base), (2, mid), (3, top),
+             (9, "totally different text about query planning today")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in subset_dedup(docs, threshold=0.8).collect()}
+        assert not out[1]["kept"] and out[1]["container_id"] in (2, 3)
+        assert not out[2]["kept"] and out[2]["container_id"] == 3
+        assert out[3]["kept"] and out[3]["container_id"] is None
+        assert out[9]["kept"]
+
+    def test_subset_dedup_equal_size_tiebreak(self, spark):
+        """Mutual near-duplicates of equal size: the smaller id wins."""
+        from datalake_indexes_spark.operators.dedup import subset_dedup
+
+        t = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [(5, t), (7, t)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in subset_dedup(docs, threshold=0.8).collect()}
+        assert out[5]["kept"] and out[5]["container_id"] is None
+        assert not out[7]["kept"] and out[7]["container_id"] == 5
