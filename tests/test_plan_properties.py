@@ -445,3 +445,26 @@ def test_round8_operators_have_no_nested_loops(spark):
     kw_plan = _plan(keyword_extract(docs))
     assert "CartesianProduct" not in kw_plan
     assert kw_plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_containment_and_subset_dedup_have_no_nested_loops(spark):
+    """Blanket equi-join guard over the containment family: candidate
+    generation is a shingle-key equi self-join, verification two
+    doc-id-key joins, the subset drop rule a plain aggregate."""
+    from datalake_indexes_spark.operators.dedup import (
+        ngram_containment_pairs,
+        subset_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    for df in (
+        ngram_containment_pairs(docs, threshold=0.8),
+        ngram_containment_pairs(docs, threshold=0.8, max_shingle_freq=10),
+        subset_dedup(docs, threshold=0.8),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
