@@ -1209,3 +1209,50 @@ def ann_recall_report(
             F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
         )
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    topk_fn=None,
+) -> DataFrame:
+    """kNN majority-vote labeling: each query gets the modal label of its
+    k nearest corpus neighbors — the auto-labeling / weak-supervision
+    primitive (propagate a small hand-labeled seed set over a large
+    unlabeled corpus via embedding proximity).
+
+    (query_id, pred_label, votes, best_cosine); vote ties break toward
+    the label with the closest member, then the smaller label — fully
+    deterministic.  The vote happens on the tiny n_queries×k neighbor
+    frame; the corpus label attach broadcasts that frame, so the corpus
+    is scanned, never shuffled.
+
+    ``topk_fn`` swaps the neighbor search: exact :func:`cosine_topk` by
+    default, pass ``ivf_topk``/``pq_topk`` (same signature) for the
+    bucketed 100 TB path — the vote logic is search-agnostic.
+    """
+    search = topk_fn or cosine_topk
+    nn = search(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("pred_label")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.max("cosine").alias("best_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.desc("best_cosine"), F.asc("pred_label")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "pred_label", "votes", "best_cosine")
+    )

@@ -1106,6 +1106,37 @@ WHERE rank <= {k}
 """
 
 
+def ann_knn_classify_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Twin of :func:`..operators.similarity.knn_classify` (exact search):
+    per-query modal neighbor label, ties toward the closest member then
+    the smaller label."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+nn AS (
+  SELECT query_id, neighbor_id, label, round(c, 4) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+           AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label AS pred_label, count(*) AS votes,
+         max(cosine) AS best_cosine
+  FROM nn WHERE rank <= {k} GROUP BY 1, 2
+)
+SELECT query_id, pred_label, votes, best_cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, best_cosine DESC, pred_label) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
 def ann_quantized_topk_sql(k: int = 5, n_queries: int = 10) -> str:
     """Asymmetric int8-quantized search twin: the corpus side is
     quantized with the same explicit half-up rounding the engine uses

@@ -619,6 +619,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote labeling over the embeddings' label column (the
+    auto-labeling primitive; exact search variant is the graded one)."""
+    from datalake_indexes_spark.operators.similarity import knn_classify
+
+    emb = _embeddings(spark, sf_dir)
+    return knn_classify(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministic centroid variant)."""
     from datalake_indexes_spark.operators.similarity import ivf_topk
@@ -1861,6 +1870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_knn_classify": q_ann_knn_classify,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -2028,6 +2038,7 @@ WHERE rn = 1
     "graph_triangles": oracle.graph_triangles_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
+    "ann_knn_classify": oracle.ann_knn_classify_sql(k=5, n_queries=10),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_knn_graph": oracle.ann_knn_graph_sql(k=5),
     "ml_embedding_cov": oracle.embedding_covariance_sql(),

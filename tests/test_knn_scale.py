@@ -51,3 +51,44 @@ def test_knn_graph_bulk_with_hot_cluster(spark):
     )
     assert hot_top > 0.999
     assert secs < 120, f"knn_graph 6k took {secs:.1f}s"
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Majority label wins; a 2-2 vote tie breaks toward the label with
+    the closest member; the IVF variant plugs in unchanged."""
+    from datalake_indexes_spark.operators.similarity import ivf_topk, knn_classify
+
+    # query 100 at origin-ish; 3 label-1 vectors very close, 2 label-2
+    # further away -> majority 1.  query 200 equidistant-ish 2-2 split:
+    # label-3's best member is closer than label-4's -> 3 wins.
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0], 9),
+        (1, [0.99, 0.1, 0.0, 0.0], 1),
+        (2, [0.99, 0.0, 0.1, 0.0], 1),
+        (3, [0.99, 0.0, 0.0, 0.1], 1),
+        (4, [0.5, 0.8, 0.0, 0.0], 2),
+        (5, [0.5, 0.0, 0.8, 0.0], 2),
+        (200, [0.0, 1.0, 0.0, 0.0], 9),
+        (6, [0.1, 0.99, 0.0, 0.0], 3),
+        (7, [0.0, 0.7, 0.7, 0.0], 3),
+        (8, [0.05, 0.9, 0.3, 0.0], 4),
+        (9, [0.0, 0.6, 0.8, 0.0], 4),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    corpus = emb.filter(F.col("vec_id") < 100)
+    queries = emb.filter(F.col("vec_id") >= 100)
+    out = {r["query_id"]: r for r in
+           knn_classify(corpus, queries, k=5).collect()}
+    assert out[100]["pred_label"] == 1 and out[100]["votes"] == 3
+    assert out[200]["pred_label"] == 3 and out[200]["votes"] == 2
+    # IVF path: centroid seeds are ids < n_centroids, and this corpus
+    # starts at id 1, so n_centroids=2 seeds exactly ONE centroid —
+    # the single-list case that degrades to exact search
+    ivf1 = lambda c, q, k, vec_col, id_col: ivf_topk(
+        c, q, k=k, vec_col=vec_col, id_col=id_col, n_centroids=2
+    )
+    out_ivf = {r["query_id"]: r["pred_label"] for r in
+               knn_classify(corpus, queries, k=5, topk_fn=ivf1).collect()}
+    assert out_ivf == {100: 1, 200: 3}
