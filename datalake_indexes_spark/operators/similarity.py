@@ -1256,3 +1256,61 @@ def knn_classify(
         .filter(F.col("__rn") == 1)
         .select("query_id", "pred_label", "votes", "best_cosine")
     )
+
+
+def cluster_purity_report(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality profile: assign every vector to its nearest
+    deterministic IVF centroid and report each cluster's label
+    composition — (centroid, n_members, top_label, purity,
+    label_entropy).  Low purity / high entropy flags clusters where the
+    embedding geometry disagrees with the labels (mislabeled data, or
+    embeddings too weak to separate the classes) — the triage view an
+    auto-labeling pipeline checks before trusting :func:`knn_classify`.
+
+    One broadcast assignment scan + one (centroid, label) aggregate +
+    one centroid-keyed rollup; entropy in closed form
+    (log2 N − Σ nᵢ·log2 nᵢ / N), so nothing rescans members.  The
+    +1e-9 nudge keeps round(_, 4) stable across engines at float-sum
+    ties (same convention as seasonality's avg).
+    """
+    cents = F.broadcast(_ivf_centroids(emb, n_centroids, 0, vec_col, id_col))
+    units = with_unit_vec(emb, vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.col("__unit"),
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("__sim"), F.asc("centroid"))
+    assigned = (
+        units.crossJoin(cents)
+        .withColumn("__sim", _dot(F.col("__unit"), F.col("__cent_v")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("centroid", "__lbl")
+    )
+    by_label = assigned.groupBy("centroid", "__lbl").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        by_label.groupBy("centroid")
+        .agg(
+            F.sum("__n").alias("n_members"),
+            F.max(F.struct(F.col("__n"), (-F.col("__lbl")).alias("__neg"))).alias("__top"),
+            F.sum(F.col("__n") * F.log2("__n")).alias("__nlogn"),
+        )
+        .select(
+            "centroid",
+            "n_members",
+            (-F.col("__top.__neg")).cast("int").alias("top_label"),
+            F.round(F.col("__top.__n") / F.col("n_members") + F.lit(1e-9), 4).alias("purity"),
+            F.round(
+                F.log2("n_members") - F.col("__nlogn") / F.col("n_members") + F.lit(1e-9),
+                4,
+            ).alias("label_entropy"),
+        )
+    )

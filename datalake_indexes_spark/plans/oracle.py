@@ -1137,6 +1137,31 @@ SELECT query_id, pred_label, votes, best_cosine FROM (
 """
 
 
+def ann_cluster_purity_sql(n_centroids: int = 16) -> str:
+    """Twin of :func:`..operators.similarity.cluster_purity_report`:
+    deterministic-seed centroid assignment (cosine, centroid-asc ties),
+    closed-form entropy, same +1e-9 rounding nudge."""
+    return f"""
+WITH c AS (SELECT vec_id AS centroid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < {n_centroids}),
+a AS (
+  SELECT e.vec_id, e.label,
+         first(c.centroid ORDER BY
+               list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+               c.centroid) AS centroid
+  FROM embeddings e CROSS JOIN c
+  GROUP BY e.vec_id, e.label
+),
+bl AS (SELECT centroid, label, count(*) AS n FROM a GROUP BY 1, 2)
+SELECT centroid, CAST(sum(n) AS BIGINT) AS n_members,
+       CAST(first(label ORDER BY n DESC, label) AS INT) AS top_label,
+       round(max(n) * 1.0 / sum(n) + 1e-9, 4) AS purity,
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n) + 1e-9, 4)
+         AS label_entropy
+FROM bl GROUP BY centroid
+"""
+
+
 def ann_quantized_topk_sql(k: int = 5, n_queries: int = 10) -> str:
     """Asymmetric int8-quantized search twin: the corpus side is
     quantized with the same explicit half-up rounding the engine uses

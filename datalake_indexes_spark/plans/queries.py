@@ -628,6 +628,14 @@ def q_ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cluster label purity/entropy — the embedding-quality
+    triage view an auto-labeling pipeline checks first."""
+    from datalake_indexes_spark.operators.similarity import cluster_purity_report
+
+    return cluster_purity_report(_embeddings(spark, sf_dir), n_centroids=16)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (deterministic centroid variant)."""
     from datalake_indexes_spark.operators.similarity import ivf_topk
@@ -1871,6 +1879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_knn_classify": q_ann_knn_classify,
+    "ann_cluster_purity": q_ann_cluster_purity,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -2039,6 +2048,7 @@ WHERE rn = 1
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_knn_classify": oracle.ann_knn_classify_sql(k=5, n_queries=10),
+    "ann_cluster_purity": oracle.ann_cluster_purity_sql(n_centroids=16),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_knn_graph": oracle.ann_knn_graph_sql(k=5),
     "ml_embedding_cov": oracle.embedding_covariance_sql(),

@@ -92,3 +92,35 @@ def test_knn_classify_majority_and_tiebreak(spark):
     out_ivf = {r["query_id"]: r["pred_label"] for r in
                knn_classify(corpus, queries, k=5, topk_fn=ivf1).collect()}
     assert out_ivf == {100: 1, 200: 3}
+
+
+def test_cluster_purity_report_semantics(spark):
+    """Two well-separated clusters with one intruder each way: purity
+    and entropy come out exactly; singleton-label cluster has entropy 0."""
+    from datalake_indexes_spark.operators.similarity import cluster_purity_report
+
+    rows = [
+        # centroid seeds: ids 0 and 1 (n_centroids=2)
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.0, 1.0, 0.0, 0.0], 2),
+        # cluster 0: three more label-1 members + one mislabeled
+        (2, [0.99, 0.05, 0.0, 0.0], 1),
+        (3, [0.98, 0.0, 0.05, 0.0], 1),
+        (4, [0.97, 0.0, 0.0, 0.05], 1),
+        (5, [0.96, 0.1, 0.0, 0.0], 2),
+        # cluster 1: pure label-2
+        (6, [0.05, 0.99, 0.0, 0.0], 2),
+        (7, [0.0, 0.98, 0.05, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["centroid"]: r for r in
+           cluster_purity_report(emb, n_centroids=2).collect()}
+    c0, c1 = out[0], out[1]
+    assert c0["n_members"] == 5 and c0["top_label"] == 1
+    assert c0["purity"] == 0.8
+    # H = -(0.8 log2 0.8 + 0.2 log2 0.2) = 0.7219
+    assert abs(c0["label_entropy"] - 0.7219) < 1e-4
+    assert c1["n_members"] == 3 and c1["top_label"] == 2
+    assert c1["purity"] == 1.0 and c1["label_entropy"] == 0.0
