@@ -561,3 +561,59 @@ def join_cardinalities(
         )
         .filter(F.col("join_rows") >= min_rows)
     )
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Profile a semi-structured JSON column: one row per object key with
+    presence, coverage, distinct-value count, and the majority value
+    type — the schema-discovery pass for the ``props``-style payload
+    columns a 100 TB event lake carries (which keys exist?  how often?
+    what type are they really?).
+
+    (key, n_present, coverage, n_distinct, top_type) with top_type ∈
+    {int, float, bool, null, string} classified by anchored regex over
+    the value's JSON text (engine-agnostic — the DuckDB twin classifies
+    the same strings).
+
+    One scan: ``from_json`` to ``map<string,string>`` + explode is the
+    whole parse (native, codegen); per-key aggregates get map-side
+    combine.  The row total for coverage is the sanctioned 1-row
+    broadcast (same shape as bm25's corpus stats).  ``n_distinct`` is
+    exact here; at lake scale swap in ``approx_count_distinct`` — the
+    plan shape is unchanged.
+    """
+    kv = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "value"
+        )
+    )
+    typed = kv.withColumn(
+        "__type",
+        F.when(F.col("value").isNull(), F.lit("null"))
+        .when(F.col("value").rlike(r"^-?[0-9]+$"), F.lit("int"))
+        .when(F.col("value").rlike(r"^-?[0-9]+\.[0-9]+$"), F.lit("float"))
+        .when(F.col("value").isin("true", "false"), F.lit("bool"))
+        .otherwise(F.lit("string")),
+    )
+    per_type = typed.groupBy("key", "__type").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("key").orderBy(F.desc("__n"), F.asc("__type"))
+    top = (
+        per_type.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", F.col("__type").alias("top_type"))
+    )
+    stats = typed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.count_distinct("value").alias("n_distinct"),
+    )
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_present") / F.col("__total") + F.lit(1e-9), 4),
+        )
+        .drop("__total")
+        .join(top, "key")
+        .select("key", "n_present", "coverage", "n_distinct", "top_type")
+    )

@@ -3346,6 +3346,57 @@ FROM agg JOIN tot USING (grp, period_type)
 """
 
 
+def events_json_profile_sql() -> str:
+    """Twin of :func:`..operators.discovery.json_key_profile` over the
+    SAME planted props (tag/score/flag/note derived from event_id)."""
+    return """
+WITH planted AS (
+  SELECT event_id,
+         '{' || concat_ws(', ',
+           '"k": ' || json_extract_string(props, '$.k'),
+           CASE WHEN event_id % 3 = 0
+                THEN '"tag": "t' || (event_id % 7) || '"' END,
+           CASE WHEN event_id % 5 = 0
+                THEN '"score": ' || (event_id % 100) || '.5' END,
+           CASE WHEN event_id % 7 = 0
+                THEN CASE WHEN event_id % 2 = 0 THEN '"flag": true'
+                          ELSE '"flag": false' END END,
+           CASE WHEN event_id % 11 = 0 THEN '"note": null' END
+         ) || '}' AS props
+  FROM events
+),
+keys AS (
+  SELECT event_id, props, unnest(json_keys(props)) AS key FROM planted
+),
+typed AS (
+  SELECT key, json_extract_string(props, '$."' || key || '"') AS value,
+         CASE WHEN json_extract_string(props, '$."' || key || '"') IS NULL
+                THEN 'null'
+              WHEN regexp_full_match(
+                     json_extract_string(props, '$."' || key || '"'),
+                     '-?[0-9]+') THEN 'int'
+              WHEN regexp_full_match(
+                     json_extract_string(props, '$."' || key || '"'),
+                     '-?[0-9]+\\.[0-9]+') THEN 'float'
+              WHEN json_extract_string(props, '$."' || key || '"')
+                     IN ('true', 'false') THEN 'bool'
+              ELSE 'string' END AS t
+  FROM keys
+),
+pt AS (SELECT key, t, count(*) AS n FROM typed GROUP BY 1, 2),
+top AS (SELECT key, first(t ORDER BY n DESC, t) AS top_type FROM pt GROUP BY key),
+stats AS (
+  SELECT key, count(*) AS n_present, count(DISTINCT value) AS n_distinct
+  FROM typed GROUP BY key
+),
+tot AS (SELECT count(*) AS total FROM events)
+SELECT s.key, s.n_present,
+       round(s.n_present * 1.0 / t.total + 1e-9, 4) AS coverage,
+       s.n_distinct, top.top_type
+FROM stats s CROSS JOIN tot t JOIN top ON top.key = s.key
+"""
+
+
 def events_session_paths_sql(gap_seconds: int = 1800, n: int = 3, k: int = 20) -> str:
     """Session-path twin: same gap rule, (ts, event_id) ordering, sliding
     n-gram over each session's type list."""

@@ -1106,6 +1106,34 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_us", ts_us.cast("long"))
 
 
+def q_events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON key profiling over props WITH planted extra keys — the raw
+    column is single-key `{"k": int}`, so profiling it unplanted would
+    grade a one-row result (the J5/J6 vacuity trap).  Every 3rd/5th/7th/
+    11th event gains a deterministic tag/score/flag/note key spanning all
+    five type classes, mirrored by the oracle."""
+    from datalake_indexes_spark.operators.discovery import json_key_profile
+
+    _ensure_session_confs(spark)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    did = F.col("event_id")
+    parts = F.array(
+        F.concat(F.lit('"k": '), F.get_json_object("props", "$.k")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit('"tag": "t'), (did % 7).cast("string"), F.lit('"'))),
+        F.when(did % 5 == 0,
+               F.concat(F.lit('"score": '), (did % 100).cast("string"), F.lit('.5'))),
+        F.when(did % 7 == 0,
+               F.when(did % 2 == 0, F.lit('"flag": true'))
+               .otherwise(F.lit('"flag": false'))),
+        F.when(did % 11 == 0, F.lit('"note": null')),
+    )
+    planted = ev.withColumn(
+        "props", F.concat(F.lit("{"), F.concat_ws(", ", parts), F.lit("}"))
+    )
+    return json_key_profile(planted, "props")
+
+
 def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outliers against each event type's own hour-of-day cell."""
     from datalake_indexes_spark.operators.events import seasonal_anomalies
@@ -1903,6 +1931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "events_json_profile": q_events_json_profile,
     "decontaminate": q_decontaminate,
     "bm25_topk": q_bm25_topk,
     "tfidf_topk": q_tfidf_topk,
@@ -2075,6 +2104,7 @@ WHERE rn = 1
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
     "events_json_extract": oracle.events_json_extract_sql(),
+    "events_json_profile": oracle.events_json_profile_sql(),
     "decontaminate": oracle.decontaminate_sql(
         n=5, min_overlap=3, modulus=DECONTAM_MODULUS
     ),

@@ -335,3 +335,26 @@ class TestJoinCardinalities:
         got = out[0]
         # real join: x pairs 2*1, y pairs 1*3 -> 5 rows, 2 common tokens
         assert (got.join_rows, got.n_common_tokens) == (5, 2)
+
+
+def test_json_key_profile_types_and_coverage(spark):
+    """Majority type per key, coverage against ALL rows (including rows
+    where the key is absent), nulls counted as present but excluded from
+    n_distinct, ties broken toward the lexicographically first type."""
+    from datalake_indexes_spark.operators.discovery import json_key_profile
+
+    rows = [
+        (1, '{"a": 1, "b": "x"}'),
+        (2, '{"a": 2, "b": "y", "c": true}'),
+        (3, '{"a": 2.5, "b": null}'),
+        (4, '{"a": 3}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    out = {r["key"]: r for r in json_key_profile(df, "props").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert a["n_present"] == 4 and a["coverage"] == 1.0
+    assert a["top_type"] == "int" and a["n_distinct"] == 4  # "2" vs "2.5"
+    assert b["n_present"] == 3 and b["coverage"] == 0.75
+    assert b["n_distinct"] == 2  # null excluded
+    assert b["top_type"] == "string"
+    assert c["n_present"] == 1 and c["top_type"] == "bool"
