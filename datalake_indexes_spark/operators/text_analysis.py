@@ -952,3 +952,57 @@ def unigram_entropy(
             F.round(F.log("__n") - F.col("__clogc") / F.col("__n"), 4).alias("entropy"),
         )
     )
+
+
+# Code-detection signals — the keyword list is regex-safe (lowercase
+# alphanumerics only) and the symbol class is identical Java-regex/RE2.
+CODE_KEYWORDS = (
+    "def|return|import|function|const|class|void|elif|lambda|struct"
+)
+CODE_SYMBOL_CLASS = r"[{}()\[\];=<>#]"
+# deterministic plant for the graded query: the synthetic corpus is pure
+# prose, so the classifier would be vacuous unplanted (doc_id % 5 == 0
+# gets this suffix; the oracle appends the same constant)
+CODE_PLANT_SUFFIX = (
+    " def load(cfg): return cfg[0] <= limit; import os # {retries: 3}"
+    " const parse = (s) => s.split(); class Loader { void run() }"
+)
+
+
+def content_type_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    symbol_threshold: float = 0.03,
+    keyword_threshold: int = 3,
+) -> DataFrame:
+    """Code-vs-prose classification — the corpus-separation stage a
+    pretraining pipeline runs before routing documents to different
+    tokenization/mixing treatments (code is upweighted or down-weighted
+    deliberately, never accidentally).
+
+    (doc_id, symbol_ratio, kw_hits, content_type): symbol_ratio counts
+    structural code characters by the length-difference trick (one
+    codegen'd regexp_replace, no explode), kw_hits counts word-boundary
+    programming-keyword occurrences, and content_type is 'code' when
+    either signal clears its threshold.  Zero shuffles — a pure map-side
+    projection like :func:`script_ratios`; both regexes evaluate
+    identically under Java regex and RE2, so the DuckDB twin replays
+    them verbatim.
+    """
+    t = F.col(text_col)
+    total = F.length(t)
+    n_sym = total - F.length(F.regexp_replace(t, CODE_SYMBOL_CLASS, ""))
+    kw = F.regexp_count(t, F.lit(rf"\b({CODE_KEYWORDS})\b"))
+    symbol_ratio = F.round(n_sym / total + F.lit(1e-9), 4)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        symbol_ratio.alias("symbol_ratio"),
+        kw.cast("long").alias("kw_hits"),
+        F.when(
+            (symbol_ratio >= symbol_threshold) | (kw >= keyword_threshold),
+            F.lit("code"),
+        )
+        .otherwise(F.lit("prose"))
+        .alias("content_type"),
+    )

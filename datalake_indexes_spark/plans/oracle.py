@@ -3346,6 +3346,50 @@ FROM agg JOIN tot USING (grp, period_type)
 """
 
 
+def text_content_type_sql(
+    symbol_threshold: float = 0.03, keyword_threshold: int = 3
+) -> str:
+    """Twin of :func:`..operators.text_analysis.content_type_scores` over
+    the same planted code suffixes (shared constants; RE2 and Java regex
+    evaluate both patterns identically — note DuckDB needs the 'g' flag
+    where Spark's regexp_replace is global by default)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        CODE_KEYWORDS,
+        CODE_PLANT_SUFFIX,
+        CODE_SYMBOL_CLASS,
+    )
+
+    kw_pat = "\\b(" + CODE_KEYWORDS + ")\\b"
+    return (
+        """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '"""
+        + CODE_PLANT_SUFFIX
+        + """' ELSE text END AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round((length(t) - length(regexp_replace(t, '"""
+        + CODE_SYMBOL_CLASS
+        + """', '', 'g'))) * 1.0 / length(t) + 1e-9, 4) AS symbol_ratio,
+         CAST(len(regexp_extract_all(t, '"""
+        + kw_pat
+        + """')) AS BIGINT) AS kw_hits
+  FROM planted
+)
+SELECT doc_id, symbol_ratio, kw_hits,
+       CASE WHEN symbol_ratio >= """
+        + str(symbol_threshold)
+        + """ OR kw_hits >= """
+        + str(keyword_threshold)
+        + """ THEN 'code' ELSE 'prose' END AS content_type
+FROM scored
+"""
+    )
+
+
 def events_json_profile_sql() -> str:
     """Twin of :func:`..operators.discovery.json_key_profile` over the
     SAME planted props (tag/score/flag/note derived from event_id)."""

@@ -918,6 +918,26 @@ def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_ratios(docs.withColumn("text", planted))
 
 
+def q_text_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose classification over documents WITH planted code
+    suffixes (doc_id % 5 == 0) — the raw corpus is pure prose, so the
+    unplanted query would grade an all-prose constant."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        CODE_PLANT_SUFFIX,
+        content_type_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(CODE_PLANT_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return content_type_scores(planted)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import repetition_scores
 
@@ -1922,6 +1942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
+    "text_content_type": q_text_content_type,
     "text_script_ratios": q_text_script_ratios,
     "text_keywords": q_text_keywords,
     "text_entropy": q_text_entropy,
@@ -2095,6 +2116,7 @@ WHERE rn = 1
     "text_fingerprint": oracle.text_fingerprint_sql(),
     "text_pii_scrub": oracle.text_pii_scrub_sql(),
     "text_repetition": oracle.text_repetition_sql(),
+    "text_content_type": oracle.text_content_type_sql(),
     "text_script_ratios": oracle.text_script_ratios_sql(),
     "text_keywords": oracle.text_keywords_sql(k=3),
     "text_entropy": oracle.text_entropy_sql(),

@@ -314,3 +314,20 @@ def test_script_ratios_counts_and_dominant_priority(spark):
     r3 = out[3]
     assert r3.dominant_script == "latin"  # tie goes to the earlier priority
     assert r3.other_ratio == round(1 / 7, 4)  # the '!'
+
+
+def test_content_type_code_vs_prose(spark):
+    """Keyword-dense code flags via kw_hits, symbol-dense code via
+    symbol_ratio, plain prose stays prose."""
+    from datalake_indexes_spark.operators.text_analysis import content_type_scores
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "def f(x): return x import os class A struct B"),
+        (3, "a[0] = {b: (c < d); e > f}; # dense symbols only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in content_type_scores(docs).collect()}
+    assert out[1]["content_type"] == "prose" and out[1]["kw_hits"] == 0
+    assert out[2]["content_type"] == "code" and out[2]["kw_hits"] >= 4
+    assert out[3]["content_type"] == "code" and out[3]["symbol_ratio"] >= 0.03
