@@ -187,3 +187,47 @@ class TestContainment:
         out = {r["doc_id"]: r for r in subset_dedup(docs, threshold=0.8).collect()}
         assert out[5]["kept"] and out[5]["container_id"] is None
         assert not out[7]["kept"] and out[7]["container_id"] == 5
+
+    def test_subset_dedup_matches_bruteforce(self, spark):
+        """Randomized (seeded) corpus vs an independent python
+        brute-force of the same drop rule — catches join/aggregate
+        slips the hand-built fixtures can't."""
+        import random
+
+        from datalake_indexes_spark.operators.dedup import subset_dedup
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for i in range(30):
+            n_words = rng.randint(3, 12)
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(n_words)]
+            docs.append((i, " ".join(words)))
+        # plant real subset relations: doc 100 extends doc 0, 101 extends 100
+        docs.append((100, docs[0][1] + " extra tail words here"))
+        docs.append((101, docs[0][1] + " extra tail words here and more"))
+
+        def shingles(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        sets = {i: shingles(t) for i, t in docs}
+        thr = 0.8
+
+        def dropped_by(x):
+            cands = [
+                y for y in sets
+                if y != x and sets[x] and
+                len(sets[x] & sets[y]) / len(sets[x]) >= thr and
+                (len(sets[y]) > len(sets[x]) or
+                 (len(sets[y]) == len(sets[x]) and y < x))
+            ]
+            return min(cands) if cands else None
+
+        expected = {i: dropped_by(i) for i, _ in docs}
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r["container_id"]
+               for r in subset_dedup(df, threshold=thr,
+                                     max_shingle_freq=None).collect()}
+        assert out == expected
+        assert expected[0] is not None  # planted relation really fired
