@@ -1174,23 +1174,32 @@ def ann_recall_report(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    search_fn=None,
 ) -> DataFrame:
-    """Recall@k of the IVF index against exact brute force, measured
-    IN-ENGINE — the eval loop an ANN deployment runs before trusting an
-    index configuration (n_centroids × n_probe is a recall dial; this is
-    its gauge).
+    """Recall@k of an approximate search against exact brute force,
+    measured IN-ENGINE — the eval loop an ANN deployment runs before
+    trusting an index configuration (n_centroids × n_probe is a recall
+    dial; this is its gauge).
 
     One row: (k, n_queries, n_truth, n_hits, recall).  Both rankings are
     the existing operators unchanged; the comparison is an equi-join on
     (query_id, neighbor_id) — so the report inherits each side's scale
     story and adds one k·|queries|-row join on top.
+
+    ``search_fn`` swaps the gauged strategy (same signature as the topk
+    family: hyperplane_lsh_topk, pq_topk, …); default is the IVF index
+    under the n_centroids/n_probe knobs.
     """
     truth = cosine_topk(corpus, queries, k, vec_col=vec_col, id_col=id_col).select(
         "query_id", "neighbor_id"
     )
-    approx = ivf_topk(
-        corpus, queries, k, n_centroids=n_centroids, n_probe=n_probe,
-        vec_col=vec_col, id_col=id_col,
+    approx = (
+        search_fn(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+        if search_fn is not None
+        else ivf_topk(
+            corpus, queries, k, n_centroids=n_centroids, n_probe=n_probe,
+            vec_col=vec_col, id_col=id_col,
+        )
     ).select("query_id", "neighbor_id")
     hits = truth.join(approx, ["query_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")

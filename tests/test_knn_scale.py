@@ -124,3 +124,29 @@ def test_cluster_purity_report_semantics(spark):
     assert abs(c0["label_entropy"] - 0.7219) < 1e-4
     assert c1["n_members"] == 3 and c1["top_label"] == 2
     assert c1["purity"] == 1.0 and c1["label_entropy"] == 0.0
+
+
+def test_recall_report_pluggable_search(spark):
+    """search_fn swap: gauging the exact search itself reports recall 1;
+    the LSH strategy plugs in through the same hook."""
+    import math
+
+    from datalake_indexes_spark.operators.similarity import (
+        ann_recall_report,
+        cosine_topk,
+        hyperplane_lsh_topk,
+    )
+
+    rows = [
+        (i, [math.sin(0.3 * (i % 6 + 1) * (d + 1)) + 0.01 * i for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = emb.filter(F.col("vec_id") < 4)
+    exact_r = ann_recall_report(emb, q, k=3, search_fn=cosine_topk).collect()[0]
+    assert exact_r["recall"] == 1.0 and exact_r["n_truth"] == 12
+    lsh = lambda c, qq, k, vec_col, id_col: hyperplane_lsh_topk(
+        c, qq, k=k, vec_col=vec_col, id_col=id_col, dim=8
+    )
+    lsh_r = ann_recall_report(emb, q, k=3, search_fn=lsh).collect()[0]
+    assert 0.0 <= lsh_r["recall"] <= 1.0 and lsh_r["n_hits"] <= lsh_r["n_truth"]
