@@ -595,25 +595,35 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
         .when(F.col("value").isin("true", "false"), F.lit("bool"))
         .otherwise(F.lit("string")),
     )
-    per_type = typed.groupBy("key", "__type").agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy("key").orderBy(F.desc("__n"), F.asc("__type"))
-    top = (
-        per_type.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("key", F.col("__type").alias("top_type"))
-    )
+    # single aggregation: per-type counts ride the same groupBy as the
+    # presence/distinct stats (conditional sums), so the parsed frame is
+    # scanned ONCE and the majority type falls out in closed form — no
+    # second shuffle, no window, no re-parse of the JSON at lake scale
+    types = ["bool", "float", "int", "null", "string"]
     stats = typed.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.count_distinct("value").alias("n_distinct"),
+        *[
+            F.sum((F.col("__type") == t).cast("long")).alias(f"__n_{t}")
+            for t in types
+        ],
     )
+    best = F.greatest(*[F.col(f"__n_{t}") for t in types])
+    top_type = F.lit(types[-1])
+    # ascending type order + first-match when chain = (count desc, type
+    # asc) tie-break, same rule the DuckDB twin's ordered first() applies
+    for t in reversed(types[:-1]):
+        top_type = F.when(F.col(f"__n_{t}") == best, F.lit(t)).otherwise(top_type)
     total = df.select(F.count(F.lit(1)).alias("__total"))
     return (
         stats.crossJoin(F.broadcast(total))
-        .withColumn(
-            "coverage",
-            F.round(F.col("n_present") / F.col("__total") + F.lit(1e-9), 4),
+        .select(
+            "key",
+            "n_present",
+            F.round(
+                F.col("n_present") / F.col("__total") + F.lit(1e-9), 4
+            ).alias("coverage"),
+            "n_distinct",
+            top_type.alias("top_type"),
         )
-        .drop("__total")
-        .join(top, "key")
-        .select("key", "n_present", "coverage", "n_distinct", "top_type")
     )
