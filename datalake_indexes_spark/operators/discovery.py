@@ -627,3 +627,37 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
             top_type.alias("top_type"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Re-identification risk profile before a dataset release: group by
+    the quasi-identifier columns and report every equivalence class,
+    flagging classes smaller than ``k`` (k-anonymity violations) and —
+    when ``sensitive_col`` is given — classes whose sensitive attribute
+    never varies (l-diversity = 1: membership alone discloses the
+    value, however large the class).
+
+    One row per class: (qi_value '|'-joined, group_size, n_sensitive,
+    at_risk).  Single hash aggregate with map-side combine — group-size
+    skew is irrelevant because counting is associative; nothing beyond
+    the class table (bounded by the QI cardinality product, not the row
+    count) ever leaves the aggregation.
+    """
+    qi = F.concat_ws("|", *[F.col(c).cast("string") for c in qi_cols])
+    aggs = [F.count(F.lit(1)).alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"))
+    out = df.groupBy(qi.alias("qi_value")).agg(*aggs)
+    if sensitive_col is None:
+        out = out.withColumn("n_sensitive", F.lit(None).cast("long"))
+    risk = F.col("group_size") < k
+    if sensitive_col is not None:
+        risk = risk | (F.col("n_sensitive") <= 1)
+    return out.select(
+        "qi_value", "group_size", "n_sensitive", risk.alias("at_risk")
+    )

@@ -3390,6 +3390,18 @@ FROM scored
     )
 
 
+def k_anonymity_sql(k: int = 10) -> str:
+    """Twin of :func:`..operators.discovery.k_anonymity_report` over
+    customer (QI = nation + segment, sensitive = account balance)."""
+    return f"""
+SELECT concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment) AS qi_value,
+       count(*) AS group_size,
+       count(DISTINCT c_acctbal) AS n_sensitive,
+       (count(*) < {k} OR count(DISTINCT c_acctbal) <= 1) AS at_risk
+FROM customer GROUP BY 1
+"""
+
+
 def events_json_profile_sql() -> str:
     """Twin of :func:`..operators.discovery.json_key_profile` over the
     SAME planted props (tag/score/flag/note derived from event_id)."""

@@ -337,6 +337,18 @@ def q_dup_groups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_groups(dd.get_relations())
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release-risk report over customer with
+    (nation, market segment) as quasi-identifiers — the governance check
+    run before a tabular dataset ships."""
+    from datalake_indexes_spark.operators.discovery import k_anonymity_report
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], sensitive_col="c_acctbal", k=10
+    )
+
+
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — reconstruct the nation table from the cell index with its
     stored headers reapplied as column names."""
@@ -1904,6 +1916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_table_relations_planted": q_dup_table_relations_planted,
     "dup_groups_planted": q_dup_groups_planted,
     "get_table_pivot": q_get_table_pivot,
+    "k_anonymity": q_k_anonymity,
     "add_external_features": q_add_external_features,
     "enrichment_features": q_enrichment_features,
     "mate_join_search_linear": q_mate_linear,
@@ -2060,6 +2073,7 @@ ORACLES: dict[str, str] = {
     "dup_table_relations_planted": oracle.dup_table_relations_planted_sql(),
     "dup_groups_planted": oracle.dup_groups_planted_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
+    "k_anonymity": oracle.k_anonymity_sql(k=10),
     "add_external_features": oracle.add_external_features_sql(),
     "enrichment_features": oracle.cocoa_multicolumn_sql(
         "customer", ["c_custkey"], "c_acctbal", ["c_custkey"],

@@ -358,3 +358,25 @@ def test_json_key_profile_types_and_coverage(spark):
     assert b["n_distinct"] == 2  # null excluded
     assert b["top_type"] == "string"
     assert c["n_present"] == 1 and c["top_type"] == "bool"
+
+
+def test_k_anonymity_report_flags(spark):
+    """Small class -> k risk; large class with constant sensitive value
+    -> l-diversity risk; large diverse class is safe."""
+    from datalake_indexes_spark.operators.discovery import k_anonymity_report
+
+    rows = (
+        [("us", "a", i * 1.0) for i in range(5)]          # big + diverse
+        + [("us", "b", 7.0)] * 4                           # big + constant
+        + [("de", "a", 1.0)]                               # singleton
+    )
+    df = spark.createDataFrame(rows, "country string, seg string, val double")
+    out = {r["qi_value"]: r for r in
+           k_anonymity_report(df, ["country", "seg"], "val", k=3).collect()}
+    assert not out["us|a"]["at_risk"] and out["us|a"]["n_sensitive"] == 5
+    assert out["us|b"]["at_risk"] and out["us|b"]["n_sensitive"] == 1
+    assert out["de|a"]["at_risk"] and out["de|a"]["group_size"] == 1
+    # without a sensitive column only the size rule applies
+    out2 = {r["qi_value"]: r for r in
+            k_anonymity_report(df, ["country", "seg"], k=3).collect()}
+    assert not out2["us|b"]["at_risk"] and out2["us|b"]["n_sensitive"] is None
