@@ -661,3 +661,47 @@ def k_anonymity_report(
     return out.select(
         "qi_value", "group_size", "n_sensitive", risk.alias("at_risk")
     )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 10,
+    mask: str = "*",
+) -> DataFrame:
+    """The remediation half of :func:`k_anonymity_report`: rows in
+    quasi-identifier classes smaller than ``k`` get every QI column
+    masked (suppression — the always-sound baseline when no
+    generalization hierarchy is defined), so the released table is
+    k-anonymous by construction and a ``suppressed`` flag records what
+    was touched.
+
+    The class-size attach is one aggregate + one broadcast-friendly
+    equi-join on the QI key (class table is QI-cardinality-sized); the
+    masking itself is a map-side projection.  Row order and non-QI
+    columns pass through untouched.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in qi_cols])
+    sizes = (
+        df.groupBy(key.alias("__qi"))
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") < k)
+        .select("__qi")
+    )
+    # NO broadcast hint: with near-unique quasi-identifiers the sub-k
+    # class table is O(rows) — forcing a broadcast here is the classic
+    # composed-pipeline scale bug.  AQE still broadcasts when it is
+    # actually small; the join stays a uniform QI-keyed equi-join.
+    flagged = df.withColumn("__qi", key).join(
+        sizes.withColumn("__hit", F.lit(True)), "__qi", "left"
+    )
+    suppressed = F.coalesce(F.col("__hit"), F.lit(False))
+    out_cols = [
+        (
+            F.when(suppressed, F.lit(mask)).otherwise(F.col(c).cast("string")).alias(c)
+            if c in qi_cols
+            else F.col(c)
+        )
+        for c in df.columns
+    ]
+    return flagged.select(*out_cols, suppressed.alias("suppressed"))

@@ -3402,6 +3402,27 @@ FROM customer GROUP BY 1
 """
 
 
+def k_suppress_sql(k: int = 10) -> str:
+    """Twin of :func:`..operators.discovery.suppress_small_groups` on
+    customer (QI = nation + segment)."""
+    return f"""
+WITH sz AS (
+  SELECT concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment) AS qi,
+         count(*) AS n
+  FROM customer GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN s.n < {k} THEN '*'
+            ELSE CAST(c.c_nationkey AS VARCHAR) END AS c_nationkey,
+       c.c_acctbal,
+       CASE WHEN s.n < {k} THEN '*' ELSE c.c_mktsegment END AS c_mktsegment,
+       (s.n < {k}) AS suppressed
+FROM customer c
+JOIN sz s
+  ON s.qi = concat_ws('|', CAST(c.c_nationkey AS VARCHAR), c.c_mktsegment)
+"""
+
+
 def events_json_profile_sql() -> str:
     """Twin of :func:`..operators.discovery.json_key_profile` over the
     SAME planted props (tag/score/flag/note derived from event_id)."""

@@ -349,6 +349,15 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression remediation: customer released k-anonymous (sub-k
+    (nation, segment) classes get their QI values masked)."""
+    from datalake_indexes_spark.operators.discovery import suppress_small_groups
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return suppress_small_groups(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — reconstruct the nation table from the cell index with its
     stored headers reapplied as column names."""
@@ -1917,6 +1926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_groups_planted": q_dup_groups_planted,
     "get_table_pivot": q_get_table_pivot,
     "k_anonymity": q_k_anonymity,
+    "k_suppress": q_k_suppress,
     "add_external_features": q_add_external_features,
     "enrichment_features": q_enrichment_features,
     "mate_join_search_linear": q_mate_linear,
@@ -2074,6 +2084,7 @@ ORACLES: dict[str, str] = {
     "dup_groups_planted": oracle.dup_groups_planted_sql(),
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "k_anonymity": oracle.k_anonymity_sql(k=10),
+    "k_suppress": oracle.k_suppress_sql(k=10),
     "add_external_features": oracle.add_external_features_sql(),
     "enrichment_features": oracle.cocoa_multicolumn_sql(
         "customer", ["c_custkey"], "c_acctbal", ["c_custkey"],

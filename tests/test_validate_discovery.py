@@ -380,3 +380,24 @@ def test_k_anonymity_report_flags(spark):
     out2 = {r["qi_value"]: r for r in
             k_anonymity_report(df, ["country", "seg"], k=3).collect()}
     assert not out2["us|b"]["at_risk"] and out2["us|b"]["n_sensitive"] is None
+
+
+def test_suppress_small_groups_masks_only_risky(spark):
+    """Sub-k rows get EVERY QI col masked and flagged; others pass
+    through with native values stringified only for QI cols."""
+    from datalake_indexes_spark.operators.discovery import suppress_small_groups
+
+    rows = [("us", 1, 10.0), ("us", 1, 11.0), ("us", 1, 12.0), ("de", 2, 9.0)]
+    df = spark.createDataFrame(rows, "country string, region int, val double")
+    out = {(r["val"]): r for r in
+           suppress_small_groups(df, ["country", "region"], k=2).collect()}
+    assert out[9.0]["country"] == "*" and out[9.0]["region"] == "*"
+    assert out[9.0]["suppressed"] is True
+    assert out[10.0]["country"] == "us" and out[10.0]["region"] == "1"
+    assert out[10.0]["suppressed"] is False
+    # after suppression every surviving (country, region) class has >= k
+    # members or is the masked class
+    from collections import Counter
+    sizes = Counter((r["country"], r["region"]) for r in out.values())
+    assert all(n >= 2 or key == ("*", "*") for key, n in sizes.items())
+    assert sizes[("*", "*")] == 1
