@@ -705,3 +705,48 @@ def suppress_small_groups(
         for c in df.columns
     ]
     return flagged.select(*out_cols, suppressed.alias("suppressed"))
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private group counts: Laplace(1/ε) noise on each
+    class count (counts have sensitivity 1), clamped at 0 — the released
+    histogram a governance pipeline publishes instead of raw class
+    sizes.  (group_value '|'-joined, noisy_count).
+
+    The noise uniform is md5(seed|group)-derived, so a given (seed,
+    group) releases ONE fixed draw — deterministic across engines (the
+    DuckDB twin replays it bit-for-bit) and immune to the
+    average-many-queries attack a fresh-noise-per-read implementation
+    invites; rotate ``seed`` only when the privacy budget is charged
+    again.  Inverse-CDF Laplace from the uniform; one hash aggregate +
+    a map-side noise projection, nothing scans twice.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    counts = df.groupBy(key.alias("group_value")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), F.col("group_value"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "group_value",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.round(F.col("__n") + lap + F.lit(1e-9)).cast("long"),
+        ).alias("noisy_count"),
+    )

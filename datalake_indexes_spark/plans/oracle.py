@@ -3423,6 +3423,31 @@ JOIN sz s
 """
 
 
+def dp_counts_sql(epsilon: float = 1.0, seed: str = "dp") -> str:
+    """Twin of :func:`..operators.discovery.dp_group_counts`: identical
+    md5-seeded inverse-CDF Laplace draw per class."""
+    return f"""
+WITH counts AS (
+  SELECT concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+           AS group_value,
+         count(*) AS n
+  FROM customer GROUP BY 1
+),
+noise AS (
+  SELECT group_value, n,
+         ((('0x' || substring(md5('{seed}|' || group_value), 1, 8))::BIGINT
+            + 0.5) / 4294967296.0) - 0.5 AS c
+  FROM counts
+)
+SELECT group_value,
+       greatest(CAST(0 AS BIGINT),
+                CAST(round(n + (-(1.0 / {epsilon}) * sign(c)
+                                * ln(1 - 2 * abs(c))) + 1e-9) AS BIGINT))
+         AS noisy_count
+FROM noise
+"""
+
+
 def events_json_profile_sql() -> str:
     """Twin of :func:`..operators.discovery.json_key_profile` over the
     SAME planted props (tag/score/flag/note derived from event_id)."""

@@ -358,6 +358,17 @@ def q_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suppress_small_groups(cust, ["c_nationkey", "c_mktsegment"], k=10)
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-released class histogram for the customer QI (ε=1, fixed
+    seed) — one deterministic Laplace draw per class."""
+    from datalake_indexes_spark.operators.discovery import dp_group_counts
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return dp_group_counts(
+        cust, ["c_nationkey", "c_mktsegment"], epsilon=1.0, seed="dp"
+    )
+
+
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — reconstruct the nation table from the cell index with its
     stored headers reapplied as column names."""
@@ -1927,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "get_table_pivot": q_get_table_pivot,
     "k_anonymity": q_k_anonymity,
     "k_suppress": q_k_suppress,
+    "dp_group_counts": q_dp_counts,
     "add_external_features": q_add_external_features,
     "enrichment_features": q_enrichment_features,
     "mate_join_search_linear": q_mate_linear,
@@ -2085,6 +2097,7 @@ ORACLES: dict[str, str] = {
     "get_table_pivot": oracle.get_table_pivot_sql("nation"),
     "k_anonymity": oracle.k_anonymity_sql(k=10),
     "k_suppress": oracle.k_suppress_sql(k=10),
+    "dp_group_counts": oracle.dp_counts_sql(epsilon=1.0, seed="dp"),
     "add_external_features": oracle.add_external_features_sql(),
     "enrichment_features": oracle.cocoa_multicolumn_sql(
         "customer", ["c_custkey"], "c_acctbal", ["c_custkey"],

@@ -401,3 +401,24 @@ def test_suppress_small_groups_masks_only_risky(spark):
     sizes = Counter((r["country"], r["region"]) for r in out.values())
     assert all(n >= 2 or key == ("*", "*") for key, n in sizes.items())
     assert sizes[("*", "*")] == 1
+
+
+def test_dp_group_counts_properties(spark):
+    """Determinism (same seed -> same release), seed rotation changes
+    draws, noise is Laplace-bounded-ish and clamped at zero."""
+    from datalake_indexes_spark.operators.discovery import dp_group_counts
+
+    rows = [(f"g{i % 7}", i) for i in range(200)] + [("tiny", 0)]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    a = {r["group_value"]: r["noisy_count"]
+         for r in dp_group_counts(df, ["grp"], epsilon=1.0).collect()}
+    b = {r["group_value"]: r["noisy_count"]
+         for r in dp_group_counts(df, ["grp"], epsilon=1.0).collect()}
+    assert a == b  # fixed seed: one release, replayed identically
+    c = {r["group_value"]: r["noisy_count"]
+         for r in dp_group_counts(df, ["grp"], epsilon=1.0, seed="dp2").collect()}
+    assert c != a  # budget-charged rotation draws fresh noise
+    assert all(v >= 0 for v in a.values())
+    # with eps=1 the true count 29ish gets noise of a few units, not 100s
+    assert all(abs(v - (29 if k != "tiny" else 1)) < 25
+               for k, v in a.items() if k != "tiny")
