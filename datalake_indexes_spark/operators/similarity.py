@@ -1323,3 +1323,68 @@ def cluster_purity_report(
             ).alias("label_entropy"),
         )
     )
+
+
+def hyperplane_lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """OR-amplified LSH top-k: a corpus vector is a candidate for a query
+    if they share a bucket in ANY of ``n_tables`` independent hyperplane
+    tables — the recall knob the single-table
+    :func:`hyperplane_lsh_topk` lacks (1-(1-p^b)^T vs p^b), priced as a
+    T× map-side signature expansion.  Same output contract as
+    ``cosine_topk``; per-table seeds match
+    :func:`cosine_pairs_multiprobe`, so the operator stays
+    deterministic and oracle-checkable.
+
+    Candidates are deduped on (query, neighbor) BEFORE scoring, so a
+    pair colliding in several tables is scored once; every join is a
+    (table, signature) equi-join with the query side broadcast.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    plane_sets = [
+        hyperplanes(dim, n_planes, seed=f"simsearch:{t}") for t in range(n_tables)
+    ]
+    cu = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    )
+    qu = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    c_b = cu.select(
+        "neighbor_id", "__cv",
+        F.posexplode(
+            F.array(*[sign_signature(F.col("__cv"), p) for p in plane_sets])
+        ).alias("__t", "__sig"),
+    )
+    q_b = qu.select(
+        "query_id", "__qv",
+        F.posexplode(
+            F.array(*[sign_signature(F.col("__qv"), p) for p in plane_sets])
+        ).alias("__t", "__sig"),
+    )
+    cand = (
+        c_b.join(F.broadcast(q_b), ["__t", "__sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )

@@ -1346,6 +1346,52 @@ WHERE rank <= {k}
 """
 
 
+def ann_lsh_multiprobe_topk_sql(
+    k: int = 5, n_queries: int = 10, n_tables: int = 4,
+    n_planes: int = 6, dim: int = 64,
+) -> str:
+    """Twin of hyperplane_lsh_topk_multiprobe: per-table md5-seeded
+    planes inlined as literals, OR-of-tables bucket match, distinct
+    candidates, exact per-query top-k."""
+    from datalake_indexes_spark.operators.similarity import hyperplanes
+
+    sig_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=f"simsearch:{t}")
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(e::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+            "THEN '1' ELSE '0' END)".format(
+                arr="[" + ", ".join(repr(w) for w in plane) + "]"
+            )
+            for plane in planes
+        )
+        sig_cols.append(f"{bits} AS s{t}")
+    or_cond = " OR ".join(f"c.s{t} = q.s{t}" for t in range(n_tables))
+    return f"""
+WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e, {", ".join(sig_cols)}
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe,
+             {", ".join(f"s{t}" for t in range(n_tables))}
+      FROM u WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM u c JOIN q ON ({or_cond}) AND c.vec_id != q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(c.e, q.qe) AS c
+  FROM cand
+  JOIN u c ON c.vec_id = cand.neighbor_id
+  JOIN q ON q.query_id = cand.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def corpus_prep_sql(quality_threshold: float = 0.55, jaccard_threshold: float = 0.7) -> str:
     """Composed corpus-prep twin: quality filter + near-dup drop."""
     return f"""

@@ -757,6 +757,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified multi-table LSH top-k (the recall knob over the
+    single-table bucket search)."""
+    from datalake_indexes_spark.operators.similarity import (
+        hyperplane_lsh_topk_multiprobe,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    return hyperplane_lsh_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64
+    )
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (unrefined deterministic codebooks
     so the DuckDB twin replicates the codebook in closed form)."""
@@ -1967,6 +1980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_quantized_topk": q_ann_quantized_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe,
     "ann_pq_topk": q_ann_pq_topk,
     "corpus_prep": q_corpus_prep,
     "corpus_prep_full": q_corpus_prep_full,
@@ -2145,6 +2159,9 @@ WHERE rn = 1
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_quantized_topk": oracle.ann_quantized_topk_sql(k=5, n_queries=10),
     "ann_lsh_topk": oracle.ann_lsh_topk_sql(k=5, n_queries=10, n_planes=6, dim=64),
+    "ann_lsh_multiprobe_topk": oracle.ann_lsh_multiprobe_topk_sql(
+        k=5, n_queries=10, n_tables=4, n_planes=6, dim=64
+    ),
     "corpus_prep": oracle.corpus_prep_sql(),
     "corpus_prep_full": oracle.corpus_prep_full_sql(),
     "corpus_prep_v2": oracle.corpus_prep_v2_sql(modulus=DECONTAM_MODULUS),

@@ -150,3 +150,36 @@ def test_recall_report_pluggable_search(spark):
     )
     lsh_r = ann_recall_report(emb, q, k=3, search_fn=lsh).collect()[0]
     assert 0.0 <= lsh_r["recall"] <= 1.0 and lsh_r["n_hits"] <= lsh_r["n_truth"]
+
+
+def test_lsh_multiprobe_topk_recall_dominates_single(spark):
+    """OR over tables: every query recalls at least as many true
+    neighbors as the single-table bucket search; soundness — reported
+    pairs always carry their exact cosine."""
+    import math
+
+    from datalake_indexes_spark.operators.similarity import (
+        ann_recall_report,
+        hyperplane_lsh_topk,
+        hyperplane_lsh_topk_multiprobe,
+    )
+
+    rows = []
+    for i in range(120):
+        arch = i % 10
+        rows.append(
+            (i, [math.sin(0.4 * (arch + 1) * (d + 1)) + 0.02 *
+                 math.cos(1.3 * i * (d + 2)) for d in range(16)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    q = emb.filter(F.col("vec_id") < 6)
+    single = lambda c, qq, k, vec_col, id_col: hyperplane_lsh_topk(
+        c, qq, k=k, vec_col=vec_col, id_col=id_col, dim=16
+    )
+    multi = lambda c, qq, k, vec_col, id_col: hyperplane_lsh_topk_multiprobe(
+        c, qq, k=k, vec_col=vec_col, id_col=id_col, dim=16, n_tables=4
+    )
+    r_single = ann_recall_report(emb, q, k=3, search_fn=single).collect()[0]
+    r_multi = ann_recall_report(emb, q, k=3, search_fn=multi).collect()[0]
+    assert r_multi["n_hits"] >= r_single["n_hits"]
+    assert r_multi["recall"] > 0.5  # 4 tables on a clustered fixture
