@@ -562,6 +562,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = 500,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram containment pairs — the subset-duplicate
     detector Jaccard structurally misses: a snippet quoted inside a
@@ -575,8 +576,16 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` discipline (cap bounds the d² join;
     verification is exact over the full shingle sets); only the final
     arithmetic differs, so the scale story is shared.
+
+    ``shingles`` lets a caller that already derived the (doc_id,
+    shingle) frame (e.g. :func:`subset_dedup`) pass it in instead of
+    paying a second corpus shingle scan.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    )
     cand_src = sh
     if max_shingle_freq is not None:
         cand_src = sh.join(
@@ -662,11 +671,14 @@ def subset_dedup(
     docs).  Scale shape inherited from :func:`ngram_containment_pairs`
     (capped candidate generation, exact full-set verification).
     """
+    # ONE shingle derivation shared by the pair search and the size
+    # table — without the pass-through the operator would shingle-scan
+    # the corpus twice
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     pairs = ngram_containment_pairs(
         docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col,
-        max_shingle_freq=max_shingle_freq,
+        max_shingle_freq=max_shingle_freq, shingles=sh,
     )
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # directed "x contained in y" edges from the symmetric pair rows
     e1 = pairs.filter(F.col("containment_1_in_2") >= threshold).select(
