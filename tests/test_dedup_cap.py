@@ -231,3 +231,36 @@ class TestContainment:
                                      max_shingle_freq=None).collect()}
         assert out == expected
         assert expected[0] is not None  # planted relation really fired
+
+
+def test_subset_dedup_bulk_with_hot_boilerplate(spark):
+    """5k docs all sharing a boilerplate prefix: the uncapped candidate
+    join would be ~25M shingle pairs through the hot shingles; with the
+    cap, candidates come only from the rare per-doc tails, wall-clock
+    stays sane, and the planted snippet→article subset pairs are still
+    resolved correctly."""
+    import time
+
+    from datalake_indexes_spark.operators.dedup import subset_dedup
+
+    boiler = "terms of service apply to every page on this site"
+    rows = []
+    for i in range(5000):
+        rows.append((i, f"{boiler} unique article body {i} about topic t{i} "
+                        f"with filler f{i} and tail x{i}"))
+    # planted: 50 snippet/article pairs — the snippet is the article's
+    # unique tail quoted alone (plus the boilerplate all docs share)
+    for j in range(50):
+        rows.append((10_000 + j,
+                     f"unique article body {j} about topic t{j}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.time()
+    out = {r["doc_id"]: r for r in
+           subset_dedup(docs, threshold=0.8, max_shingle_freq=100).collect()}
+    secs = time.time() - t0
+    dropped = [d for d, r in out.items() if not r["kept"]]
+    assert len(out) == 5050
+    # every planted snippet is contained in its article and dropped
+    assert set(dropped) == {10_000 + j for j in range(50)}
+    assert all(out[10_000 + j]["container_id"] == j for j in range(50))
+    assert secs < 90, f"bulk subset dedup took {secs:.1f}s"
