@@ -468,3 +468,52 @@ def test_containment_and_subset_dedup_have_no_nested_loops(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round9_operators_plan_shapes(spark):
+    """Blanket plan guard over this round's remaining additions.  The
+    ANN-family ops carry exactly ONE BroadcastNestedLoopJoin each — the
+    sanctioned tiny-side broadcast (query set / centroid table / 1-row
+    total); everything else must be pure equi-join + aggregate."""
+    from datalake_indexes_spark.operators.discovery import (
+        dp_group_counts,
+        json_key_profile,
+        k_anonymity_report,
+        suppress_small_groups,
+    )
+    from datalake_indexes_spark.operators.similarity import (
+        cluster_purity_report,
+        hyperplane_lsh_topk_multiprobe,
+        knn_classify,
+    )
+    from datalake_indexes_spark.operators.text_analysis import content_type_scores
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    tab = spark.createDataFrame([("us", "a", 1.0)], "country string, seg string, v double")
+    js = spark.createDataFrame([(1, '{"k": 1}')], "id long, props string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.0, 1.0], 2)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    zero_nlj = [
+        content_type_scores(docs),
+        k_anonymity_report(tab, ["country", "seg"], "v", k=2),
+        suppress_small_groups(tab, ["country", "seg"], k=2),
+        dp_group_counts(tab, ["country"]),
+        hyperplane_lsh_topk_multiprobe(
+            emb, emb.filter(F.col("vec_id") < 1), k=1, dim=2
+        ),
+    ]
+    for df in zero_nlj:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    one_nlj = [
+        knn_classify(emb, emb.filter(F.col("vec_id") < 1), k=1),
+        cluster_purity_report(emb, n_centroids=1),
+        json_key_profile(js, "props"),
+    ]
+    for df in one_nlj:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
