@@ -49,6 +49,19 @@ PNG_HEADER_HEX = "89504E470D0A1A0A0000000D49484452"
 # placeholder CRC (header probes read fields, they don't checksum)
 PNG_TRAILER_HEX = "080600000000000000"
 PNG_OVERHEAD = len(PNG_HEADER_HEX + "0000000000000000" + PNG_TRAILER_HEX) // 2
+# planted tEXt provenance chunk: len(20) + "tEXt" + "Source\0doc:" +
+# 9 zero-padded id digits + placeholder CRC — fixed width so container
+# overhead stays a constant the oracle can mirror
+PNG_TEXT_KEY = "Source"
+PNG_TEXT_VALUE_PREFIX = "doc:"
+PNG_TEXT_CHUNK_PREFIX_HEX = (
+    "00000014"                  # chunk length 20
+    + "74455874"                # "tEXt"
+    + "536F75726365" + "00"     # "Source" NUL
+    + "646F633A"                # "doc:"
+)
+PNG_TEXT_ID_DIGITS = 9
+PNG_TEXT_CHUNK_BYTES = 4 + 4 + 20 + 4
 
 WAV_SAMPLE_RATE = 16000
 WAV_BLOCK_ALIGN = 2
@@ -283,7 +296,13 @@ def payload_body(b: bytes, modality: str) -> bytes:
         return b
     if len(b) >= 16 and b[:8] == _PNG_SIG:
         ihdr_len = struct.unpack(">I", b[8:12])[0]
-        return b[8 + 4 + 4 + ihdr_len + 4 :]
+        i = 8 + 4 + 4 + ihdr_len + 4
+        # metadata chunks are container, not data: skip them so
+        # re-containerized copies with different provenance hash equal
+        while i + 8 <= len(b) and b[i + 4 : i + 8] in (b"tEXt", b"iTXt", b"zTXt"):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            i += 4 + 4 + clen + 4
+        return b[i:]
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         i = 12
         while i + 8 <= len(b):
@@ -355,6 +374,19 @@ def attach_binary_payload(
                 _be32_hex(width),
                 _be32_hex(height),
                 F.lit(PNG_TRAILER_HEX),
+                # planted provenance tEXt chunk (Source = doc:<id>)
+                F.lit(PNG_TEXT_CHUNK_PREFIX_HEX),
+                F.hex(
+                    F.encode(
+                        F.lpad(
+                            F.col(id_col).cast("string"),
+                            PNG_TEXT_ID_DIGITS,
+                            "0",
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                F.lit("00000000"),  # placeholder CRC
             )
         ),
         text_bytes,
@@ -606,6 +638,93 @@ def extract_png_text(b: bytes) -> list[tuple[str, str]]:
     return out
 
 
+# EXIF IFD0 ASCII tags worth surfacing without a decoder (provenance /
+# tooling signals a multimodal curation pipeline filters on)
+_EXIF_ASCII_TAGS = {
+    0x010E: "ImageDescription",
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0131: "Software",
+    0x0132: "DateTime",
+    0x013B: "Artist",
+    0x8298: "Copyright",
+}
+
+
+def _parse_tiff_ifd0(t: bytes) -> list[tuple[str, str]]:
+    """ASCII tags + Orientation from a TIFF IFD0 (both byte orders);
+    length-directed walking, malformed structures return what parsed."""
+    out: list[tuple[str, str]] = []
+    if len(t) < 8:
+        return out
+    if t[:2] == b"II":
+        end = "<"
+    elif t[:2] == b"MM":
+        end = ">"
+    else:
+        return out
+    (magic,) = struct.unpack(end + "H", t[2:4])
+    if magic != 42:
+        return out
+    (off,) = struct.unpack(end + "I", t[4:8])
+    if off + 2 > len(t):
+        return out
+    (n,) = struct.unpack(end + "H", t[off : off + 2])
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(t):
+            break
+        tag, typ, cnt = struct.unpack(end + "HHI", t[e : e + 8])
+        val = t[e + 8 : e + 12]
+        if tag in _EXIF_ASCII_TAGS and typ == 2:
+            if cnt <= 4:
+                raw = val[:cnt]
+            else:
+                (voff,) = struct.unpack(end + "I", val)
+                if voff + cnt > len(t):
+                    continue
+                raw = t[voff : voff + cnt]
+            out.append(
+                (
+                    _EXIF_ASCII_TAGS[tag],
+                    raw.split(b"\x00")[0].decode("latin-1", "replace"),
+                )
+            )
+        elif tag == 0x0112 and typ == 3 and cnt == 1:
+            (ori,) = struct.unpack(end + "H", val[:2])
+            out.append(("Orientation", str(ori)))
+    return out
+
+
+def extract_jpeg_exif(b: bytes) -> list[tuple[str, str]]:
+    """(key, value) pairs from a JPEG's APP1 Exif segment — the other
+    standard in-container metadata channel (camera make/model, software,
+    timestamps, orientation), read by plain marker-segment walking like
+    the PNG chunk walk: stdlib struct only, no codec, stops at SOS or
+    any malformed length."""
+    out: list[tuple[str, str]] = []
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return out
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # bare markers
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy-coded data follows
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if seglen < 2 or i + 2 + seglen > len(b):
+            break
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            out.extend(_parse_tiff_ifd0(seg[6:]))
+        i += 2 + seglen
+    return out
+
+
 METADATA_SCHEMA = (
     "doc_id long, meta_key string, meta_value string"
 )
@@ -613,10 +732,10 @@ METADATA_SCHEMA = (
 
 def extract_metadata(payloads: DataFrame) -> DataFrame:
     """In-container metadata as long-form rows (doc_id, meta_key,
-    meta_value) — PNG tEXt/iTXt today, one function per container to
-    extend.  Same ``mapInPandas`` Arrow-batch shape as
-    :func:`extract_features`; payloads with no metadata contribute no
-    rows."""
+    meta_value) — PNG tEXt/iTXt and JPEG APP1 EXIF, dispatched by
+    signature; one function per container to extend.  Same
+    ``mapInPandas`` Arrow-batch shape as :func:`extract_features`;
+    payloads with no metadata contribute no rows."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -624,7 +743,13 @@ def extract_metadata(payloads: DataFrame) -> DataFrame:
             keys: list[str] = []
             vals: list[str] = []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                for k, v in extract_png_text(bytes(b)):
+                raw = bytes(b)
+                pairs = (
+                    extract_jpeg_exif(raw)
+                    if raw[:2] == b"\xff\xd8"
+                    else extract_png_text(raw)
+                )
+                for k, v in pairs:
                     ids.append(doc_id)
                     keys.append(k)
                     vals.append(v)

@@ -1717,11 +1717,13 @@ def multimodal_features_sql() -> str:
         MODALITIES,
         MP4_OVERHEAD,
         PNG_OVERHEAD,
+        PNG_TEXT_CHUNK_BYTES,
         WAV_BLOCK_ALIGN,
         WAV_HEADER_BYTES,
         WAV_SAMPLE_RATE,
     )
 
+    png_total = PNG_OVERHEAD + PNG_TEXT_CHUNK_BYTES
     arr = "[" + ", ".join(f"'{m}'" for m in MODALITIES) + "]"
     return f"""
 WITH p AS (
@@ -1732,7 +1734,7 @@ WITH p AS (
   FROM documents
 )
 SELECT doc_id, modality,
-       CAST(n_text + CASE modality WHEN 'image' THEN {PNG_OVERHEAD}
+       CAST(n_text + CASE modality WHEN 'image' THEN {png_total}
                                    WHEN 'audio' THEN {WAV_HEADER_BYTES}
                                    ELSE {MP4_OVERHEAD} END AS INT) AS n_bytes,
        sha256,
@@ -3491,6 +3493,27 @@ SELECT group_value,
                                 * ln(1 - 2 * abs(c))) + 1e-9) AS BIGINT))
          AS noisy_count
 FROM noise
+"""
+
+
+def multimodal_metadata_sql() -> str:
+    """Twin of extract_metadata over the planted payloads: the engine
+    PARSES the PNG tEXt chunk; the oracle recomputes the planted
+    (Source, doc:<id>) pair for exactly the image-modality docs."""
+    from datalake_indexes_spark.operators.multimodal import (
+        MODALITIES,
+        PNG_TEXT_ID_DIGITS,
+        PNG_TEXT_KEY,
+        PNG_TEXT_VALUE_PREFIX,
+    )
+
+    arr = "[" + ", ".join(f"'{m}'" for m in MODALITIES) + "]"
+    return f"""
+SELECT doc_id, '{PNG_TEXT_KEY}' AS meta_key,
+       '{PNG_TEXT_VALUE_PREFIX}' ||
+         lpad(CAST(doc_id AS VARCHAR), {PNG_TEXT_ID_DIGITS}, '0') AS meta_value
+FROM documents
+WHERE {arr}[CAST(doc_id % {len(MODALITIES)} + 1 AS INT)] = 'image'
 """
 
 

@@ -1009,6 +1009,17 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), token_budget=2048)
 
 
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-container metadata extraction: the planted PNG tEXt provenance
+    chunk parsed back out (JPEG EXIF shares the dispatch, unit-pinned)."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_metadata,
+    )
+
+    return extract_metadata(attach_binary_payload(_docs(spark, sf_dir)))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.multimodal import (
         attach_binary_payload,
@@ -1998,6 +2009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
+    "multimodal_metadata": q_multimodal_metadata,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
@@ -2178,6 +2190,7 @@ WHERE rn = 1
     "corpus_sample": oracle.corpus_sample_sql(CORPUS_SAMPLE_FRACTIONS),
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
+    "multimodal_metadata": oracle.multimodal_metadata_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
     "events_json_extract": oracle.events_json_extract_sql(),

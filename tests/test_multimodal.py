@@ -143,8 +143,14 @@ def test_end_to_end_fixture_parses(spark):
         mod = ["image", "audio", "video"][i % 3]
         assert r["modality"] == mod
         if mod == "image":
+            from datalake_indexes_spark.operators.multimodal import (
+                PNG_OVERHEAD,
+                PNG_TEXT_CHUNK_BYTES,
+            )
+
             assert (r["dim_1"], r["dim_2"]) == (64 + n % 577, 64 + (n * 31) % 577)
-            assert r["n_bytes"] == n + 33
+            # PNG container + the planted 32-byte tEXt provenance chunk
+            assert r["n_bytes"] == n + PNG_OVERHEAD + PNG_TEXT_CHUNK_BYTES
         elif mod == "audio":
             assert (r["dim_1"], r["dim_2"]) == (16000, n // 2)
             assert r["n_bytes"] == n + 44
@@ -314,3 +320,54 @@ class TestPngTextMetadata:
         got = [(r["doc_id"], r["meta_key"], r["meta_value"])
                for r in extract_metadata(df).collect()]
         assert got == [(1, "Author", "bob")]
+
+
+class TestJpegExif:
+    @staticmethod
+    def _jpeg_with_exif(endian: str = "<") -> bytes:
+        import struct as st
+
+        tag_order = "II" if endian == "<" else "MM"
+        # IFD0: Make (inline would not fit -> offset), Orientation inline
+        make = b"Acme\x00"
+        n_entries = 2
+        ifd_off = 8
+        data_off = ifd_off + 2 + n_entries * 12 + 4  # after next-IFD ptr
+        tiff = tag_order.encode() + st.pack(endian + "H", 42)
+        tiff += st.pack(endian + "I", ifd_off)
+        tiff += st.pack(endian + "H", n_entries)
+        tiff += st.pack(endian + "HHII", 0x010F, 2, len(make), data_off)
+        tiff += st.pack(endian + "HHI", 0x0112, 3, 1)
+        tiff += st.pack(endian + "H", 6) + b"\x00\x00"  # orientation=6 inline
+        tiff += st.pack(endian + "I", 0)  # no next IFD
+        tiff += make
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+        return b"\xff\xd8" + app1 + b"\xff\xda\x00\x02" + b"entropy..."
+
+    def test_exif_both_endians(self):
+        from datalake_indexes_spark.operators.multimodal import extract_jpeg_exif
+
+        for e in ("<", ">"):
+            got = extract_jpeg_exif(self._jpeg_with_exif(e))
+            assert got == [("Make", "Acme"), ("Orientation", "6")], e
+
+    def test_exif_robustness(self):
+        from datalake_indexes_spark.operators.multimodal import extract_jpeg_exif
+
+        assert extract_jpeg_exif(b"\x89PNG\r\n\x1a\n") == []
+        assert extract_jpeg_exif(self._jpeg_with_exif()[:10]) == []
+        assert extract_jpeg_exif(b"\xff\xd8\xff\xe0\x00\x04ab") == []
+
+    def test_metadata_dispatch(self, spark):
+        from datalake_indexes_spark.operators.multimodal import extract_metadata
+
+        png = TestPngTextMetadata._png_with_chunks([(b"tEXt", b"Author\x00bob")])
+        rows = [(1, png), (2, self._jpeg_with_exif())]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = sorted(
+            (r["doc_id"], r["meta_key"], r["meta_value"])
+            for r in extract_metadata(df).collect()
+        )
+        assert got == [(1, "Author", "bob"), (2, "Make", "Acme"),
+                       (2, "Orientation", "6")]
