@@ -750,3 +750,48 @@ def dp_group_counts(
             F.round(F.col("__n") + lap + F.lit(1e-9)).cast("long"),
         ).alias("noisy_count"),
     )
+
+
+def dp_group_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float = 1.0,
+    seed: str = "dp-sum",
+) -> DataFrame:
+    """Differentially-private group sums with explicit clipping:
+    contributions are clamped to [lo, hi] (the caller-declared
+    sensitivity bound — unbounded-sensitivity DP sums do not exist),
+    then Laplace(max(|lo|,|hi|)/ε) noise is added per class.
+    (group_value, noisy_sum).
+
+    Same seeded one-draw-per-(seed, class) contract as
+    :func:`dp_group_counts`; pair with it for a DP mean
+    (noisy_sum / noisy_count) under ε_total = ε_sum + ε_count.
+    Clipping is a map-side projection, the rest one hash aggregate.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.lit(lo)), F.lit(hi))
+    sums = df.groupBy(key.alias("group_value")).agg(
+        F.sum(clipped).alias("__s")
+    )
+    sens = max(abs(lo), abs(hi))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), F.col("group_value"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.lit(sens / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return sums.select(
+        "group_value",
+        F.round(F.col("__s") + lap + F.lit(1e-9), 4).alias("noisy_sum"),
+    )

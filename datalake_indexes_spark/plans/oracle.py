@@ -3496,6 +3496,32 @@ FROM noise
 """
 
 
+def dp_sums_sql(
+    lo: float = 0.0, hi: float = 10_000.0,
+    epsilon: float = 1.0, seed: str = "dp-sum",
+) -> str:
+    """Twin of :func:`..operators.discovery.dp_group_sums`."""
+    sens = max(abs(lo), abs(hi))
+    return f"""
+WITH sums AS (
+  SELECT concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+           AS group_value,
+         sum(least(greatest(CAST(c_acctbal AS DOUBLE), {lo}), {hi})) AS s
+  FROM customer GROUP BY 1
+),
+noise AS (
+  SELECT group_value, s,
+         ((('0x' || substring(md5('{seed}|' || group_value), 1, 8))::BIGINT
+            + 0.5) / 4294967296.0) - 0.5 AS c
+  FROM sums
+)
+SELECT group_value,
+       round(s + (-({sens} / {epsilon}) * sign(c) * ln(1 - 2 * abs(c)))
+             + 1e-9, 4) AS noisy_sum
+FROM noise
+"""
+
+
 def multimodal_metadata_sql() -> str:
     """Twin of extract_metadata over the planted payloads: the engine
     PARSES the PNG tEXt chunk; the oracle recomputes the planted

@@ -369,6 +369,18 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-released clipped account-balance sums per customer QI class
+    (clip [0, 10000], ε=1, fixed seed)."""
+    from datalake_indexes_spark.operators.discovery import dp_group_sums
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return dp_group_sums(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal",
+        lo=0.0, hi=10_000.0, epsilon=1.0, seed="dp-sum",
+    )
+
+
 def q_get_table_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — reconstruct the nation table from the cell index with its
     stored headers reapplied as column names."""
@@ -1963,6 +1975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "k_suppress": q_k_suppress,
     "dp_group_counts": q_dp_counts,
+    "dp_group_sums": q_dp_sums,
     "add_external_features": q_add_external_features,
     "enrichment_features": q_enrichment_features,
     "mate_join_search_linear": q_mate_linear,
@@ -2124,6 +2137,9 @@ ORACLES: dict[str, str] = {
     "k_anonymity": oracle.k_anonymity_sql(k=10),
     "k_suppress": oracle.k_suppress_sql(k=10),
     "dp_group_counts": oracle.dp_counts_sql(epsilon=1.0, seed="dp"),
+    "dp_group_sums": oracle.dp_sums_sql(
+        lo=0.0, hi=10_000.0, epsilon=1.0, seed="dp-sum"
+    ),
     "add_external_features": oracle.add_external_features_sql(),
     "enrichment_features": oracle.cocoa_multicolumn_sql(
         "customer", ["c_custkey"], "c_acctbal", ["c_custkey"],

@@ -422,3 +422,23 @@ def test_dp_group_counts_properties(spark):
     # with eps=1 the true count 29ish gets noise of a few units, not 100s
     assert all(abs(v - (29 if k != "tiny" else 1)) < 25
                for k, v in a.items() if k != "tiny")
+
+
+def test_dp_group_sums_clipping_and_determinism(spark):
+    """Clipping bounds each contribution (an outlier moves the released
+    sum by at most hi), and the draw is seed-deterministic."""
+    from datalake_indexes_spark.operators.discovery import dp_group_sums
+
+    base = [("a", 10.0)] * 20 + [("b", 10.0)] * 20
+    outlier = base + [("a", 1_000_000.0)]
+    df1 = spark.createDataFrame(base, "grp string, v double")
+    df2 = spark.createDataFrame(outlier, "grp string, v double")
+    r1 = {r["group_value"]: r["noisy_sum"] for r in
+          dp_group_sums(df1, ["grp"], "v", lo=0.0, hi=50.0).collect()}
+    r2 = {r["group_value"]: r["noisy_sum"] for r in
+          dp_group_sums(df2, ["grp"], "v", lo=0.0, hi=50.0).collect()}
+    assert r2["b"] == r1["b"]  # untouched group: identical release
+    assert abs(r2["a"] - r1["a"]) <= 50.0  # outlier clipped to hi
+    # same seed -> same release
+    assert r1 == {r["group_value"]: r["noisy_sum"] for r in
+                  dp_group_sums(df1, ["grp"], "v", lo=0.0, hi=50.0).collect()}
