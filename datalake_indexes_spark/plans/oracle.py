@@ -2529,6 +2529,93 @@ WHERE cc.n_distinct >= {min_distinct}
 """
 
 
+def profile_drift_sql(nbins: int = 10, shift: int = 50) -> str:
+    """Twin of :func:`..operators.cocoa.profile_drift` over the planted
+    supplier shift.  The twin skips tokenization deliberately: the
+    drifted columns are integers whose tokenized form round-trips to the
+    same double, so computing from the raw tables is an INDEPENDENT
+    derivation of the same histogram — agreement proves the engine's
+    tokenize→parse→bucket chain, not a shared shortcut."""
+    va = f"""
+  SELECT 1 AS table_id, 0 AS col_id, CAST(n_nationkey AS DOUBLE) AS v FROM nation
+  UNION ALL SELECT 1, 2, CAST(n_regionkey AS DOUBLE) FROM nation
+  UNION ALL SELECT 3, 0, CAST(s_suppkey AS DOUBLE) FROM supplier
+  UNION ALL SELECT 3, 2, CAST(s_nationkey AS DOUBLE) FROM supplier"""
+    vb = va.replace("CAST(s_suppkey AS DOUBLE)",
+                    f"CAST(s_suppkey + {shift} AS DOUBLE)")
+    return f"""
+WITH va AS ({va}),
+vb AS ({vb}),
+bounds AS (
+  SELECT a.table_id, a.col_id,
+         least(a.lo, b.lo) AS lo, greatest(a.hi, b.hi) AS hi
+  FROM (SELECT table_id, col_id, min(v) AS lo, max(v) AS hi
+        FROM va GROUP BY 1, 2) a
+  JOIN (SELECT table_id, col_id, min(v) AS lo, max(v) AS hi
+        FROM vb GROUP BY 1, 2) b USING (table_id, col_id)
+),
+ha AS (
+  SELECT v.table_id, v.col_id,
+         CASE WHEN (bo.hi - bo.lo) / {nbins} > 0
+              THEN least(CAST(floor((v.v - bo.lo) / ((bo.hi - bo.lo) / {nbins}))
+                         AS INT), {nbins - 1})
+              ELSE 0 END AS b,
+         count(*) AS n_a
+  FROM va v JOIN bounds bo USING (table_id, col_id) GROUP BY 1, 2, 3
+),
+hb AS (
+  SELECT v.table_id, v.col_id,
+         CASE WHEN (bo.hi - bo.lo) / {nbins} > 0
+              THEN least(CAST(floor((v.v - bo.lo) / ((bo.hi - bo.lo) / {nbins}))
+                         AS INT), {nbins - 1})
+              ELSE 0 END AS b,
+         count(*) AS n_b
+  FROM vb v JOIN bounds bo USING (table_id, col_id) GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT coalesce(ha.table_id, hb.table_id) AS table_id,
+         coalesce(ha.col_id, hb.col_id) AS col_id,
+         coalesce(ha.b, hb.b) AS b,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ha FULL OUTER JOIN hb
+    ON ha.table_id = hb.table_id AND ha.col_id = hb.col_id AND ha.b = hb.b
+),
+tot AS (
+  SELECT table_id, col_id, sum(n_a) AS n_a, sum(n_b) AS n_b
+  FROM j GROUP BY 1, 2
+)
+SELECT j.table_id, j.col_id,
+       CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       round(sum(abs(j.n_a * 1.0 / t.n_a - j.n_b * 1.0 / t.n_b)) / 2.0, 4)
+         AS tv_distance
+FROM j JOIN tot t USING (table_id, col_id)
+GROUP BY 1, 2, t.n_a, t.n_b
+"""
+
+
+def column_minhash_sql(k: int = 16, max_token_cols: int = 64) -> str:
+    """Twin of :func:`..operators.discovery.column_minhash_signatures`
+    (signature joined to one string for grading): same j-prefixed md5
+    family over the same capped distinct-token universe."""
+    mins = ", ".join(
+        f"min(md5('{j}:' || tokenized)) AS m{j}" for j in range(k)
+    )
+    sig = " || ',' || ".join(f"m{j}" for j in range(k))
+    return f"""
+WITH {cells_cte()},
+d AS (SELECT DISTINCT table_id, col_id, tokenized FROM cells),
+spread AS (
+  SELECT tokenized FROM d GROUP BY tokenized HAVING count(*) <= {max_token_cols}
+),
+c AS (SELECT d.* FROM d JOIN spread USING (tokenized)),
+m AS (
+  SELECT table_id, col_id, {mins}, count(*) AS n_distinct
+  FROM c GROUP BY 1, 2
+)
+SELECT table_id, col_id, {sig} AS sig, n_distinct FROM m
+"""
+
+
 def column_histograms_sql(nbins: int = 10) -> str:
     """Equi-width histogram twin: identical closed-form bucket
     arithmetic over identical min/max doubles."""

@@ -1523,6 +1523,41 @@ def q_lake_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(fk).unionByName(cov)
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot distribution drift with a PLANTED shift: snapshot
+    B re-ingests supplier with s_suppkey + 50 (nation untouched), so the
+    report must show mass movement exactly where planted and ~0
+    elsewhere."""
+    from datalake_indexes_spark.operators.cocoa import profile_drift
+
+    tbls = load_tables(spark, sf_dir, ["nation", "supplier"])
+    spec = {
+        "nation": TESTDATA_LAKE_SPEC["nation"],
+        "supplier": TESTDATA_LAKE_SPEC["supplier"],
+    }
+    idx_a = build_index(spark, tbls, spec, with_super_keys=False)
+    shifted = tbls["supplier"].withColumn(
+        "s_suppkey", F.col("s_suppkey") + F.lit(50)
+    )
+    idx_b = build_index(
+        spark, {"nation": tbls["nation"], "supplier": shifted}, spec,
+        with_super_keys=False,
+    )
+    return profile_drift(idx_a, idx_b, nbins=10)
+
+
+def q_column_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column MinHash signatures (the sub-quadratic discovery
+    sketch), signature array joined to one string for grading."""
+    from datalake_indexes_spark.operators.discovery import column_minhash_signatures
+
+    idx = testdata_index(spark, sf_dir, with_super_keys=False)
+    out = column_minhash_signatures(idx, k=16)
+    return out.select(
+        "table_id", "col_id", F.array_join("sig", ",").alias("sig"), "n_distinct"
+    )
+
+
 def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-wide inclusion-dependency discovery (FK-candidate column
     pairs by capped distinct-token containment)."""
@@ -2061,6 +2096,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
+    "column_minhash": q_column_minhash,
+    "profile_drift": q_profile_drift,
     "functional_deps": q_functional_deps,
     "join_cardinalities": q_join_cardinalities,
     "column_histograms": q_column_histograms,
@@ -2246,6 +2283,8 @@ WHERE rn = 1
     "events_rolling": oracle.events_rolling_sql(window_rows=3),
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),
+    "column_minhash": oracle.column_minhash_sql(k=16),
+    "profile_drift": oracle.profile_drift_sql(nbins=10, shift=50),
     "functional_deps": oracle.functional_deps_sql(),
     "join_cardinalities": oracle.join_cardinalities_sql(),
     "column_histograms": oracle.column_histograms_sql(nbins=10),
