@@ -1006,3 +1006,58 @@ def content_type_scores(
         .otherwise(F.lit("prose"))
         .alias("content_type"),
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy token-budget selection: take documents in descending score
+    order until the cumulative token count reaches ``budget`` — the
+    "fill the budget with the best data" pass that turns a scored corpus
+    into a training set of a target size.
+
+    (id, score, tokens, cum_tokens) for the selected prefix (inclusive:
+    a document is kept iff the running total THROUGH it fits).  The
+    global running sum is the distributed two-level prefix sum, not a
+    single-partition window: scores live in [0, 1], so a fixed
+    ``n_buckets`` grid buckets monotonically in score, each bucket takes
+    a local ordered window, and the n_buckets-row offset table is
+    broadcast — the corpus never funnels through one task.
+
+    Ties order (score desc, id asc) — fully deterministic.
+    """
+    s = F.col(score_col).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor((F.lit(1.0) - s) * n_buckets)
+    ).cast("int")
+    b = scored.withColumn("__b", bucket)
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__run", F.sum(F.col(token_col)).over(w_local))
+    offsets = (
+        b.groupBy("__b")
+        .agg(F.sum(F.col(token_col)).alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets.select("__b", "__off")), "__b")
+        .withColumn("cum_tokens", (F.col("__off") + F.col("__run")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, score_col, token_col, "cum_tokens")
+    )

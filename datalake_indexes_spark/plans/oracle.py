@@ -1500,6 +1500,26 @@ FROM m
 """
 
 
+def corpus_budget_select_sql(budget: int = 20_000) -> str:
+    """Twin of :func:`..operators.text_analysis.budget_select` over
+    quality_scores: a plain global window here (the oracle runs at test
+    scale; the engine does the two-level distributed prefix sum)."""
+    return f"""
+WITH q AS ({text_quality_sql()}),
+s AS (
+  SELECT doc_id, quality_score, CAST(n_words AS BIGINT) AS n_tokens FROM q
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+              ORDER BY quality_score DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, quality_score, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {budget}
+"""
+
+
 def text_langid_sql() -> str:
     from datalake_indexes_spark.operators.text_analysis import LANG_MARKERS
 

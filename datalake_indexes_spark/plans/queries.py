@@ -897,6 +897,23 @@ def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(scrubbed, token_budget=2048)
 
 
+CORPUS_TOKEN_BUDGET = 20_000
+
+
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: best-quality documents first until
+    20k words — the budget-constrained training-set cut."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        budget_select,
+        quality_scores,
+    )
+
+    scored = quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score", F.col("n_words").cast("long").alias("n_tokens")
+    )
+    return budget_select(scored, CORPUS_TOKEN_BUDGET)
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import token_counts
 
@@ -2045,6 +2062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_prep_full": q_corpus_prep_full,
     "corpus_prep_v2": q_corpus_prep_v2,
     "text_token_counts": q_text_token_counts,
+    "corpus_budget_select": q_corpus_budget_select,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -2231,6 +2249,7 @@ WHERE rn = 1
     "corpus_prep_full": oracle.corpus_prep_full_sql(),
     "corpus_prep_v2": oracle.corpus_prep_v2_sql(modulus=DECONTAM_MODULUS),
     "text_token_counts": oracle.text_token_counts_sql(),
+    "corpus_budget_select": oracle.corpus_budget_select_sql(budget=20_000),
     "text_quality": oracle.text_quality_sql(),
     "text_langid": oracle.text_langid_sql(),
     "text_fingerprint": oracle.text_fingerprint_sql(),

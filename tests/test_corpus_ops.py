@@ -331,3 +331,22 @@ def test_content_type_code_vs_prose(spark):
     assert out[1]["content_type"] == "prose" and out[1]["kw_hits"] == 0
     assert out[2]["content_type"] == "code" and out[2]["kw_hits"] >= 4
     assert out[3]["content_type"] == "code" and out[3]["symbol_ratio"] >= 0.03
+
+
+def test_budget_select_greedy_prefix(spark):
+    """Selection is the exact greedy prefix in (score desc, id) order —
+    inclusive budget, bucket boundaries never reorder."""
+    from datalake_indexes_spark.operators.text_analysis import budget_select
+
+    rows = [
+        (1, 0.9, 10), (2, 0.9, 10),   # tie: id order
+        (3, 0.7, 15), (4, 0.5, 100),  # 4 busts the budget
+        (5, 0.3, 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double, n_tokens long")
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in budget_select(df, budget=40).collect()}
+    assert out == {1: 10, 2: 20, 3: 35}  # 4 would hit 135 > 40; 5 after 4 also out
+    # exact-budget inclusivity
+    out45 = {r["doc_id"] for r in budget_select(df, budget=35).collect()}
+    assert out45 == {1, 2, 3}
