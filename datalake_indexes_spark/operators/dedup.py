@@ -712,3 +712,43 @@ def subset_dedup(
             "container_id",
         )
     )
+
+
+def dedup_recall_report(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recall of the MinHash+LSH near-dup search against the EXACT
+    n-gram Jaccard truth at the same threshold, measured in-engine —
+    the gauge a dedup deployment reads before trusting a banding
+    configuration (k × bands is a recall dial; this is its meter).
+    One row: (threshold, n_truth, n_found, recall).
+
+    Both sides verify candidates against full shingle sets, so LSH
+    output is a SUBSET of the truth (banding only loses candidates,
+    never invents pairs) — recall is the whole story, precision is 1 by
+    construction.  Cost is the two existing operators plus one
+    pair-keyed semi-join.
+    """
+    truth = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    ).select("doc_id_1", "doc_id_2")
+    approx = minhash_lsh_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    ).select("doc_id_1", "doc_id_2")
+    found = truth.join(approx, ["doc_id_1", "doc_id_2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return totals.crossJoin(found).select(
+        F.lit(threshold).alias("threshold"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.when(F.col("n_truth") > 0,
+               F.round(F.col("n_found") / F.col("n_truth"), 6))
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+    )

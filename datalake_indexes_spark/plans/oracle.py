@@ -871,6 +871,38 @@ cand AS (
 """
 
 
+def dedup_recall_report_sql(threshold: float = 0.7) -> str:
+    """Twin of :func:`..operators.dedup.dedup_recall_report`: minhash
+    pairs from the shared CTE chain, truth from an independent exact
+    shingle self-join, one recall row."""
+    return f"""
+WITH {_minhash_pairs_ctes(threshold=threshold)},
+t_inter AS (
+  SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2, count(*) AS i
+  FROM sh s1 JOIN sh s2
+    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_id_1, i.doc_id_2
+  FROM t_inter i
+  JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+  JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+  WHERE i.i * 1.0 / (n1.n + n2.n - i.i) >= {threshold}
+),
+found AS (
+  SELECT count(*) AS n_found FROM truth JOIN pairs USING (doc_id_1, doc_id_2)
+),
+tot AS (SELECT count(*) AS n_truth FROM truth)
+SELECT {threshold} AS threshold,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_found AS BIGINT) AS n_found,
+       CASE WHEN n_truth > 0 THEN round(n_found * 1.0 / n_truth, 6)
+            ELSE 1.0 END AS recall
+FROM tot CROSS JOIN found
+"""
+
+
 def dedup_containment_sql(threshold: float = 0.8, max_freq: int = 500) -> str:
     """Twin of :func:`..operators.dedup.ngram_containment_pairs`:
     capped-shingle candidate generation, FULL-set verification, pair kept

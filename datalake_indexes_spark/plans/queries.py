@@ -566,6 +566,13 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine recall of MinHash-LSH dedup vs the exact n-gram truth."""
+    from datalake_indexes_spark.operators.dedup import dedup_recall_report
+
+    return dedup_recall_report(_docs(spark, sf_dir), threshold=0.7)
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment — the subset-duplicate detector
     (snippet-inside-document pairs that Jaccard structurally misses)."""
@@ -2042,6 +2049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_containment": q_dedup_containment,
+    "dedup_recall_report": q_dedup_recall_report,
     "dedup_subset": q_dedup_subset,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
@@ -2223,6 +2231,7 @@ WHERE rn = 1
     "dedup_ngram_jaccard": oracle.dedup_ngram_jaccard_sql(threshold=0.7),
     "dedup_ngram_capped": oracle.dedup_ngram_capped_sql(threshold=0.7, max_freq=50),
     "dedup_containment": oracle.dedup_containment_sql(threshold=0.8, max_freq=500),
+    "dedup_recall_report": oracle.dedup_recall_report_sql(threshold=0.7),
     "dedup_subset": oracle.dedup_subset_sql(threshold=0.8, max_freq=500),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
