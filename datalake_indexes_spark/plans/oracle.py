@@ -4040,3 +4040,113 @@ FROM (
 )
 GROUP BY label, gs
 """
+
+
+# ---------------------------------------------------------------------------
+# Web / URL curation twins (operators/web.py)
+# ---------------------------------------------------------------------------
+
+_URL_PLANT_CTE = """
+u AS (
+  SELECT doc_id, n_chars,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.com:80/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?utm_source=rss&b=2&a=1#top'
+           WHEN 1 THEN 'https://cdn.' || source || '.example.net/a/b/'
+                       || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://' || source || '.example.co.uk:8443/x?id='
+                       || CAST(doc_id AS VARCHAR) || '&fbclid=abc'
+           ELSE 'http://10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.9/raw/'
+                || CAST(doc_id AS VARCHAR) || '?z=1&y=2'
+         END AS url
+  FROM documents
+)"""
+
+
+def _web_parsed_cte() -> str:
+    """Shared parse/canonicalize CTE chain replicating
+    :func:`..operators.web.canonicalize_urls` component by component
+    (same regexes via the shared module constants)."""
+    from datalake_indexes_spark.operators import web
+
+    return f"""
+parsed AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(url, '{web._SCHEME_RE}', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_extract(regexp_extract(url, '{web._AUTH_RE}', 1),
+                                '{web._HOST_RE}', 1)),
+           '^www\\.', '') AS host,
+         regexp_extract(regexp_extract(url, '{web._AUTH_RE}', 1),
+                        '{web._PORT_RE}', 1) AS port,
+         regexp_extract(url, '{web._PATH_RE}', 1) AS path,
+         regexp_extract(url, '{web._QUERY_RE}', 1) AS query
+  FROM u
+),
+par AS (
+  SELECT *, list_filter(string_split(query, '&'), x -> x <> '') AS params
+  FROM parsed
+),
+kep AS (
+  SELECT *, list_filter(params,
+                        x -> NOT regexp_matches(x, '{web.TRACKING_PARAM_REGEX}')) AS kept,
+         string_split(host, '.') AS labels
+  FROM par
+),
+canon AS (
+  SELECT doc_id, n_chars, host,
+         scheme || '://' || host
+         || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END
+         || CASE WHEN path = '' THEN '/' ELSE path END
+         || CASE WHEN len(kept) = 0
+                 THEN '' ELSE '?' || array_to_string(list_sort(kept), '&') END
+           AS canonical_url,
+         CASE WHEN regexp_matches(host, '{web._IPV4_RE}') THEN host
+              WHEN len(labels) >= 3
+                   AND list_contains({list(web.SECOND_LEVEL_LABELS)}, labels[-2])
+                THEN array_to_string(
+                       list_slice(labels, len(labels) - 2, len(labels)), '.')
+              WHEN len(labels) >= 2
+                THEN array_to_string(
+                       list_slice(labels, len(labels) - 1, len(labels)), '.')
+              ELSE host END AS registered_domain,
+         CAST(len(params) - len(kept) AS BIGINT) AS n_params_dropped
+  FROM kep
+)"""
+
+
+def web_canonical_sql() -> str:
+    """Twin of :func:`..operators.web.canonicalize_urls` over the
+    deterministically planted URL column."""
+    return f"""
+WITH {_URL_PLANT_CTE},
+{_web_parsed_cte()}
+SELECT doc_id, canonical_url, registered_domain, host, n_params_dropped
+FROM canon
+"""
+
+
+def web_domain_stats_sql() -> str:
+    """Twin of :func:`..operators.web.domain_stats`."""
+    return f"""
+WITH {_URL_PLANT_CTE},
+{_web_parsed_cte()}
+SELECT registered_domain,
+       count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM canon GROUP BY registered_domain
+"""
+
+
+def web_blocklist_sql(blocked: list[str]) -> str:
+    """Twin of :func:`..operators.web.filter_blocklist`."""
+    in_list = ", ".join(f"'{d}'" for d in blocked)
+    return f"""
+WITH {_URL_PLANT_CTE},
+{_web_parsed_cte()}
+SELECT doc_id, registered_domain
+FROM canon WHERE registered_domain NOT IN ({in_list})
+"""

@@ -999,6 +999,73 @@ def q_text_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_ratios(docs.withColumn("text", planted))
 
 
+def _with_planted_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL column for the web-curation keys — the synthetic
+    corpus has no provenance URLs, so the fixture plants four URL shapes
+    (doc_id % 4) covering the canonicalization surface: case folding +
+    www-strip + default-port drop + tracking-param drop + param sort +
+    fragment drop (0), bare host/path (1), second-level-registry domain
+    with a non-default port (2), IPv4 host with unsorted params (3).
+    Mirrored byte-for-byte by ``oracle._URL_PLANT_CTE``."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.col("source"), F.lit(".Example.com:80/docs/"),
+                s, F.lit("?utm_source=rss&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("https://cdn."), F.col("source"), F.lit(".example.net/a/b/"), s),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.co.uk:8443/x?id="),
+                s, F.lit("&fbclid=abc"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://10.0."), (did % 200).cast("string"), F.lit(".9/raw/"),
+                s, F.lit("?z=1&y=2"),
+            )
+        )
+    )
+    return docs.withColumn("url", url)
+
+
+WEB_BLOCKLIST = ["example.net", "example.co.uk"]
+
+
+def q_web_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the dedup/join key for web-crawl corpora
+    (lowercase + www-strip + default-port drop + tracking-param removal +
+    param sort + fragment drop), plus registered-domain extraction."""
+    from datalake_indexes_spark.operators.web import canonicalize_urls
+
+    return canonicalize_urls(_with_planted_urls(_docs(spark, sf_dir)))
+
+
+def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus census (doc/host/char counts) feeding
+    domain-level mixing weights and blocklist candidates."""
+    from datalake_indexes_spark.operators.web import domain_stats
+
+    return domain_stats(_with_planted_urls(_docs(spark, sf_dir)))
+
+
+def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist crawl-hygiene gate: documents surviving a broadcast
+    anti-join against a blocked registered-domain list."""
+    from datalake_indexes_spark.operators.web import filter_blocklist
+
+    return filter_blocklist(_with_planted_urls(_docs(spark, sf_dir)), WEB_BLOCKLIST)
+
+
 def q_text_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose classification over documents WITH planted code
     suffixes (doc_id % 5 == 0) — the raw corpus is pure prose, so the
@@ -2077,6 +2144,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
     "text_content_type": q_text_content_type,
+    "web_canonical_urls": q_web_canonical,
+    "web_domain_stats": q_web_domain_stats,
+    "web_blocklist": q_web_blocklist,
     "text_script_ratios": q_text_script_ratios,
     "text_keywords": q_text_keywords,
     "text_entropy": q_text_entropy,
@@ -2265,6 +2335,9 @@ WHERE rn = 1
     "text_pii_scrub": oracle.text_pii_scrub_sql(),
     "text_repetition": oracle.text_repetition_sql(),
     "text_content_type": oracle.text_content_type_sql(),
+    "web_canonical_urls": oracle.web_canonical_sql(),
+    "web_domain_stats": oracle.web_domain_stats_sql(),
+    "web_blocklist": oracle.web_blocklist_sql(WEB_BLOCKLIST),
     "text_script_ratios": oracle.text_script_ratios_sql(),
     "text_keywords": oracle.text_keywords_sql(k=3),
     "text_entropy": oracle.text_entropy_sql(),
