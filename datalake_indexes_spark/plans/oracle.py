@@ -4150,3 +4150,18 @@ WITH {_URL_PLANT_CTE},
 SELECT doc_id, registered_domain
 FROM canon WHERE registered_domain NOT IN ({in_list})
 """
+
+
+def export_shard_manifest_sql(n_shards: int = 8) -> str:
+    """Twin of :func:`..sources.export.shard_manifest` — same md5 bucket
+    rule as hash_split, mod n_shards."""
+    return f"""
+SELECT shard_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {n_shards} AS INTEGER) AS shard_id,
+         n_chars
+  FROM documents
+)
+GROUP BY shard_id
+"""

@@ -1066,6 +1066,15 @@ def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocklist(_with_planted_urls(_docs(spark, sf_dir)), WEB_BLOCKLIST)
 
 
+def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight census of a sharded corpus export: the content-addressed
+    md5-bucket shard assignment every export sink uses, aggregated to
+    (shard_id, n_docs, n_chars)."""
+    from datalake_indexes_spark.sources.export import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_text_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose classification over documents WITH planted code
     suffixes (doc_id % 5 == 0) — the raw corpus is pure prose, so the
@@ -2147,6 +2156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_canonical_urls": q_web_canonical,
     "web_domain_stats": q_web_domain_stats,
     "web_blocklist": q_web_blocklist,
+    "export_shard_manifest": q_export_shard_manifest,
     "text_script_ratios": q_text_script_ratios,
     "text_keywords": q_text_keywords,
     "text_entropy": q_text_entropy,
@@ -2338,6 +2348,7 @@ WHERE rn = 1
     "web_canonical_urls": oracle.web_canonical_sql(),
     "web_domain_stats": oracle.web_domain_stats_sql(),
     "web_blocklist": oracle.web_blocklist_sql(WEB_BLOCKLIST),
+    "export_shard_manifest": oracle.export_shard_manifest_sql(n_shards=8),
     "text_script_ratios": oracle.text_script_ratios_sql(),
     "text_keywords": oracle.text_keywords_sql(k=3),
     "text_entropy": oracle.text_entropy_sql(),

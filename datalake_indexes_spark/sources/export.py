@@ -1,0 +1,186 @@
+"""Sharded training-corpus export sinks (extension surface — the
+reference materializes enriched tables back into PostgreSQL; a training
+pipeline instead delivers the curated corpus as fixed-count shards that a
+data loader streams: JSONL shards for text, WebDataset-style tar shards
+for binary/multimodal payloads).
+
+Shard assignment is content-addressed — the same pure ``md5(id)`` bucket
+rule :func:`..operators.text_analysis.hash_split` uses — so a document
+lands in the same shard on every engine, run, and input partitioning,
+and re-exports after upstream re-shuffles are byte-stable.  Each shard
+is forced into exactly one task (``repartition(n_shards, shard_id)``)
+so the writer emits exactly one file per shard with rows in a
+deterministic id order; at 100 TB that is one shuffle of the corpus,
+identical to any other single-key repartition, and shard skew is the
+md5 uniformity (±O(√(n/shards))), not data skew.
+
+File-size manifests walk the written directory with ``os`` — correct on
+local and NFS-style cluster filesystems; object-store deployments should
+swap the walk for their store's list API (the data path is unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_id_col(id_col: str, n_shards: int) -> F.Column:
+    """Deterministic engine-independent shard id: md5 bucket mod n."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (bucket % n_shards).cast("int")
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """(shard_id, n_docs, n_chars) — the pre-flight census of a sharded
+    export (what lands where, before paying the write).  One hash
+    aggregate over ``n_shards`` keys."""
+    return (
+        df.select(
+            shard_id_col(id_col, n_shards).alias("shard_id"), F.col(chars_col)
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _one_task_per_shard(df: DataFrame, n_shards: int, id_col: str) -> DataFrame:
+    return (
+        df.withColumn("shard_id", shard_id_col(id_col, n_shards))
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", id_col)
+    )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write ``df`` as ``shard_id=K/part-*.json`` — one JSONL file per
+    shard, rows ordered by id — and return the post-write manifest
+    (shard_id, n_rows, n_bytes, n_files) read back from disk.
+
+    The manifest is computed from the WRITTEN files (count from a
+    read-back scan, bytes from the filesystem), not from the input frame,
+    so it doubles as a write-integrity check.
+    """
+    spark = df.sparkSession
+    _one_task_per_shard(df, n_shards, id_col).write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).json(path)
+    counts = (
+        spark.read.json(path)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    sizes = []
+    for entry in os.listdir(path):
+        if not entry.startswith("shard_id="):
+            continue
+        sid = int(entry.split("=", 1)[1])
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, entry))
+            if not f.startswith(("_", "."))
+        ]
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, entry, f)) for f in files
+        )
+        sizes.append((sid, nbytes, len(files)))
+    size_df = spark.createDataFrame(
+        sizes, "shard_id int, n_bytes long, n_files int"
+    )
+    return counts.join(F.broadcast(size_df), "shard_id").orderBy("shard_id")
+
+
+def export_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    payload_col: str = "payload",
+    name_col: str = "member_name",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WebDataset-style tar shard export for binary/multimodal payloads:
+    ``shard-000KK.tar`` with one member per row, members in id order,
+    byte-stable headers (mtime/uid/gid zeroed) so a re-export of the same
+    corpus produces identical tar bytes.
+
+    Runs as ``mapInPandas`` over the one-task-per-shard layout — each
+    task streams its Arrow batches straight into its tarfile, so driver
+    memory holds nothing and executor memory holds one batch.  Returns
+    (shard_id, n_members, n_bytes) collected from the writer tasks
+    themselves (no post-write scan needed for tars).
+    """
+    import io
+    import tarfile
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_shards(batches):
+        import pandas as pd
+
+        tf = None
+        sid = None
+        n = 0
+
+        def close_current():
+            nonlocal tf, sid, n
+            if tf is not None:
+                tf.close()
+                fname = os.path.join(path, f"shard-{sid:05d}.tar")
+                yield pd.DataFrame(
+                    {
+                        "shard_id": [sid],
+                        "n_members": [n],
+                        "n_bytes": [os.path.getsize(fname)],
+                    }
+                )
+                tf, sid, n = None, None, 0
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                row_sid = int(getattr(row, "shard_id"))
+                if sid != row_sid:
+                    yield from close_current()
+                    sid = row_sid
+                    tf = tarfile.open(
+                        os.path.join(path, f"shard-{sid:05d}.tar"), "w"
+                    )
+                payload = bytes(getattr(row, payload_col))
+                info = tarfile.TarInfo(name=str(getattr(row, name_col)))
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(payload))
+                n += 1
+        yield from close_current()
+
+    frame = _one_task_per_shard(
+        df.select(F.col(id_col), F.col(payload_col), F.col(name_col)),
+        n_shards,
+        id_col,
+    )
+    manifest = frame.mapInPandas(
+        write_shards, schema="shard_id int, n_members long, n_bytes long"
+    )
+    # the action below runs the writers; collect the tiny manifest once
+    rows = manifest.collect()
+    return df.sparkSession.createDataFrame(
+        rows or [], "shard_id int, n_members long, n_bytes long"
+    ).orderBy("shard_id")
