@@ -1066,6 +1066,25 @@ def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocklist(_with_planted_urls(_docs(spark, sf_dir)), WEB_BLOCKLIST)
 
 
+_BPE_MERGES: dict[str, list] = {}
+
+
+def q_text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counts under a corpus-trained BPE merge table (the
+    real token denomination for budget/packing stages).  No DuckDB
+    oracle: greedy rank-ordered merge application is an iterative
+    algorithm, not a relational expression — training determinism,
+    textbook merge order, greedy==replay parity and a pure-Python
+    reference apply are pinned in tests/test_bpe.py instead."""
+    from datalake_indexes_spark.functions.bpe import apply_bpe, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = train_bpe(docs, n_merges=64)
+    return apply_bpe(docs, _BPE_MERGES[key])
+
+
 def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight census of a sharded corpus export: the content-addressed
     md5-bucket shard assignment every export sink uses, aggregated to
@@ -2157,6 +2176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_stats": q_web_domain_stats,
     "web_blocklist": q_web_blocklist,
     "export_shard_manifest": q_export_shard_manifest,
+    "text_bpe_counts": q_text_bpe_counts,
     "text_script_ratios": q_text_script_ratios,
     "text_keywords": q_text_keywords,
     "text_entropy": q_text_entropy,
