@@ -4165,3 +4165,22 @@ FROM (
 )
 GROUP BY shard_id
 """
+
+
+def export_shard_fingerprints_sql(n_shards: int = 8) -> str:
+    """Twin of :func:`..sources.export.shard_fingerprints` over
+    (doc_id, text)."""
+    from datalake_indexes_spark.sources.export import FINGERPRINT_MODULUS
+
+    return f"""
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(fp) AS BIGINT) AS fingerprint
+FROM (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {n_shards} AS INTEGER) AS shard_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+           % {FINGERPRINT_MODULUS} AS fp
+  FROM documents
+)
+GROUP BY shard_id
+"""

@@ -1094,6 +1094,17 @@ def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_export_shard_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard content fingerprints (sum of per-row md5 hashes mod a
+    prime) — the change-detection census incremental re-export diffs to
+    rewrite only touched shards."""
+    from datalake_indexes_spark.sources.export import shard_fingerprints
+
+    return shard_fingerprints(
+        _docs(spark, sf_dir), n_shards=8, cols=["doc_id", "text"]
+    )
+
+
 def q_text_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose classification over documents WITH planted code
     suffixes (doc_id % 5 == 0) — the raw corpus is pure prose, so the
@@ -2177,6 +2188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_blocklist": q_web_blocklist,
     "export_shard_manifest": q_export_shard_manifest,
     "text_bpe_counts": q_text_bpe_counts,
+    "export_shard_fingerprints": q_export_shard_fingerprints,
     "text_script_ratios": q_text_script_ratios,
     "text_keywords": q_text_keywords,
     "text_entropy": q_text_entropy,
@@ -2369,6 +2381,7 @@ WHERE rn = 1
     "web_domain_stats": oracle.web_domain_stats_sql(),
     "web_blocklist": oracle.web_blocklist_sql(WEB_BLOCKLIST),
     "export_shard_manifest": oracle.export_shard_manifest_sql(n_shards=8),
+    "export_shard_fingerprints": oracle.export_shard_fingerprints_sql(n_shards=8),
     "text_script_ratios": oracle.text_script_ratios_sql(),
     "text_keywords": oracle.text_keywords_sql(k=3),
     "text_entropy": oracle.text_entropy_sql(),

@@ -184,3 +184,127 @@ def export_tar_shards(
     return df.sparkSession.createDataFrame(
         rows or [], "shard_id int, n_members long, n_bytes long"
     ).orderBy("shard_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (fingerprint-gated) export
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_MODULUS = 1_000_000_007  # keeps per-shard sums far from int64
+# overflow (ANSI mode throws on overflow): ~9e9 rows/shard headroom.
+
+
+def row_fingerprint_col(cols: list[str]) -> F.Column:
+    """Order-independent-summable per-row content hash, engine-portable
+    (md5 prefix as int, mod a prime) — the same cross-engine idiom as the
+    hash_split bucket, widened to all content columns."""
+    parts = [F.col(c).cast("string") for c in cols]
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return h % FINGERPRINT_MODULUS
+
+
+def shard_fingerprints(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """(shard_id, n_docs, fingerprint) — an order-independent content
+    fingerprint per shard (sum of per-row hashes), the change-detection
+    census incremental export diffs against.  One hash aggregate; a
+    same-size edit still flips the fingerprint."""
+    cols = cols or [c for c in df.columns]
+    return (
+        df.select(
+            shard_id_col(id_col, n_shards).alias("shard_id"),
+            row_fingerprint_col(cols).alias("__fp"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__fp").cast("long").alias("fingerprint"),
+        )
+    )
+
+
+def export_jsonl_shards_incremental(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-export that only rewrites shards whose content changed since the
+    last export — at 100 TB a refresh after touching 0.1% of documents
+    rewrites ~0.1% of shards instead of the whole corpus.
+
+    Mechanism: compute the shard fingerprint census (one aggregate over
+    the corpus — the unavoidable read), diff it against the manifest the
+    previous export left at ``path/_MANIFEST.json``, then write ONLY the
+    changed/new shards via dynamic partition overwrite (each untouched
+    ``shard_id=K`` directory keeps its bytes and mtime).  Returns
+    (shard_id, n_docs, fingerprint, status) with status ∈
+    {written, unchanged}.
+
+    The manifest is n_shards rows — driver-side JSON by the same
+    sanctioned-tiny-artifact rule as the version pointer in the
+    snapshot sink.
+    """
+    import json
+
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    previous: dict[int, tuple[int, int]] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            previous = {
+                int(r["shard_id"]): (int(r["n_docs"]), int(r["fingerprint"]))
+                for r in json.load(fh)
+            }
+
+    cols = cols or [c for c in df.columns]
+    current = shard_fingerprints(df, n_shards, id_col, cols).collect()
+    changed = [
+        r["shard_id"]
+        for r in current
+        if previous.get(r["shard_id"]) != (r["n_docs"], r["fingerprint"])
+    ]
+
+    if changed:
+        (
+            _one_task_per_shard(df, n_shards, id_col)
+            .filter(F.col("shard_id").isin(changed))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard_id")
+            .json(path)
+        )
+
+    os.makedirs(path, exist_ok=True)
+    with open(manifest_path, "w") as fh:
+        json.dump(
+            [
+                {
+                    "shard_id": r["shard_id"],
+                    "n_docs": r["n_docs"],
+                    "fingerprint": r["fingerprint"],
+                }
+                for r in sorted(current, key=lambda r: r["shard_id"])
+            ],
+            fh,
+        )
+    spark = df.sparkSession
+    changed_set = set(changed)
+    return spark.createDataFrame(
+        [
+            (
+                r["shard_id"],
+                r["n_docs"],
+                r["fingerprint"],
+                "written" if r["shard_id"] in changed_set else "unchanged",
+            )
+            for r in sorted(current, key=lambda r: r["shard_id"])
+        ],
+        "shard_id int, n_docs long, fingerprint long, status string",
+    )

@@ -94,3 +94,52 @@ def test_export_plan_one_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_incremental_export_skips_unchanged_shards(spark, tmp_path):
+    from datalake_indexes_spark.sources.export import (
+        export_jsonl_shards_incremental,
+    )
+
+    out = str(tmp_path / "inc")
+    docs = _docs(spark)
+    m1 = export_jsonl_shards_incremental(docs, out, n_shards=4)
+    assert {r["status"] for r in m1.collect()} == {"written"}
+
+    def shard_mtimes():
+        return {
+            e: os.path.getmtime(os.path.join(out, e))
+            for e in os.listdir(out)
+            if e.startswith("shard_id=")
+        }
+
+    before = shard_mtimes()
+    # identical corpus -> nothing rewritten, directories untouched
+    m2 = export_jsonl_shards_incremental(docs, out, n_shards=4)
+    assert {r["status"] for r in m2.collect()} == {"unchanged"}
+    assert shard_mtimes() == before
+
+    # same-size edit of ONE document -> exactly that doc's shard rewritten
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("text-X")).otherwise(F.col("text")),
+    )
+    m3 = {r["shard_id"]: r["status"] for r in export_jsonl_shards_incremental(
+        changed, out, n_shards=4
+    ).collect()}
+    from datalake_indexes_spark.sources.export import shard_id_col
+
+    hit = docs.filter(F.col("doc_id") == 7).select(
+        shard_id_col("doc_id", 4).alias("s")
+    ).collect()[0]["s"]
+    assert m3[hit] == "written"
+    assert all(v == "unchanged" for k, v in m3.items() if k != hit)
+    after = shard_mtimes()
+    assert after[f"shard_id={hit}"] != before[f"shard_id={hit}"]
+    assert all(
+        after[k] == before[k] for k in before if k != f"shard_id={hit}"
+    )
+    # read-back reflects the edit
+    back = spark.read.json(out)
+    assert back.filter(F.col("doc_id") == 7).collect()[0]["text"] == "text-X"
+    assert back.count() == 60
