@@ -773,3 +773,68 @@ def seasonal_anomalies(
             F.col("__v").alias("value"), F.round(z, 3).alias("z"),
         )
     )
+
+
+def frequent_event_pairs(
+    events: DataFrame,
+    min_support: int = 2,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Frequent co-occurring event-type pairs per basket (A-priori at
+    k=2): (item_1, item_2, n_baskets, confidence, lift) for every ordered
+    item pair appearing together in >= ``min_support`` baskets.
+
+    Shapes for scale (extension surface — market-basket mining over the
+    event stream, the OLAP companion to ``event_transitions``):
+
+    - baskets reduce to the DISTINCT (basket, item) table first, so the
+      pair expansion is bounded by (items-per-basket)^2 — item vocabulary
+      squared per basket, not events squared;
+    - the A-priori prune runs BEFORE the self-join: only items whose own
+      support clears ``min_support`` enter the pair join (broadcast
+      semi-join, since the frequent-item table is vocabulary-sized);
+    - the pair join is a basket-keyed equi-self-join (shuffle on basket;
+      hot baskets are bounded by the item vocabulary) with ``item_1 <
+      item_2`` so each pair is produced once.
+
+    confidence = P(item_2 | item_1); lift = support / (s1 * s2 / n);
+    both rounded for cross-engine comparability.
+    """
+    bi = (
+        events.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    item_support = bi.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    frequent = item_support.filter(F.col("s") >= min_support)
+    pruned = bi.join(
+        F.broadcast(frequent.select("item")), "item", "left_semi"
+    )
+    a = pruned.select("basket", F.col("item").alias("item_1"))
+    b = pruned.select("basket", F.col("item").alias("item_2"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_1") < F.col("item_2"))
+        .groupBy("item_1", "item_2")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )
+    n_total = bi.select(F.count_distinct("basket").alias("n"))
+    s1 = frequent.select(F.col("item").alias("item_1"), F.col("s").alias("s1"))
+    s2 = frequent.select(F.col("item").alias("item_2"), F.col("s").alias("s2"))
+    return (
+        pairs.join(F.broadcast(s1), "item_1")
+        .join(F.broadcast(s2), "item_2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item_1",
+            "item_2",
+            "n_baskets",
+            F.round(F.col("n_baskets") / F.col("s1"), 6).alias("confidence"),
+            F.round(
+                F.col("n_baskets") * F.col("n") / (F.col("s1") * F.col("s2")), 6
+            ).alias("lift"),
+        )
+    )

@@ -4184,3 +4184,34 @@ FROM (
 )
 GROUP BY shard_id
 """
+
+
+def events_item_pairs_sql(min_support: int = 2) -> str:
+    """Twin of :func:`..operators.events.frequent_event_pairs` over
+    user-id baskets of event types."""
+    return f"""
+WITH bi AS (
+  SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+),
+sup AS (
+  SELECT item, count(*) AS s FROM bi GROUP BY item
+  HAVING count(*) >= {min_support}
+),
+pruned AS (
+  SELECT bi.basket, bi.item FROM bi JOIN sup ON bi.item = sup.item
+),
+pairs AS (
+  SELECT a.item AS item_1, b.item AS item_2, count(*) AS n_baskets
+  FROM pruned a JOIN pruned b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {min_support}
+),
+tot AS (SELECT count(DISTINCT basket) AS n FROM bi)
+SELECT item_1, item_2, n_baskets,
+       round(n_baskets * 1.0 / s1.s, 6) AS confidence,
+       round(n_baskets * 1.0 * tot.n / (s1.s * s2.s), 6) AS lift
+FROM pairs
+JOIN sup s1 ON pairs.item_1 = s1.item
+JOIN sup s2 ON pairs.item_2 = s2.item
+CROSS JOIN tot
+"""

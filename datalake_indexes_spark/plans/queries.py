@@ -1393,6 +1393,16 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn("valid_to", F.coalesce("valid_to", F.lit(-1)))
 
 
+def q_events_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining at k=2: event-type pairs co-occurring in the
+    same user's history, with support / confidence / lift (A-priori prune
+    before the basket self-join)."""
+    from datalake_indexes_spark.operators.events import frequent_event_pairs
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return frequent_event_pairs(ev, min_support=2)
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams."""
     from datalake_indexes_spark.operators.events import event_transitions
@@ -2206,6 +2216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
+    "events_item_pairs": q_events_item_pairs,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
     "events_anomaly_seasonal": q_events_anomaly_seasonal,
@@ -2401,6 +2412,7 @@ WHERE rn = 1
     "events_asof_join": oracle.events_asof_join_sql(),
     "events_scd2": oracle.events_scd2_sql(),
     "events_transitions": oracle.events_transitions_sql(),
+    "events_item_pairs": oracle.events_item_pairs_sql(min_support=2),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),

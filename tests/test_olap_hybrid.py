@@ -297,3 +297,41 @@ class TestTimeWeightedAvg:
                for r in time_weighted_avg(df, seq_col="event_id").collect()}
         assert got[1] == (17.5, 3)
         assert got[2] == (7.0, 1)
+
+
+def test_frequent_event_pairs_hand_example(spark):
+    """3 baskets: u1{a,b,c} u2{a,b} u3{a,c}; min_support=2.
+    Pairs: (a,b)=2 conf=2/3 lift=2*3/(3*2)=1; (a,c)=2 conf=2/3 lift=1;
+    (b,c)=1 pruned by support."""
+    from datalake_indexes_spark.operators.events import frequent_event_pairs
+
+    rows = [
+        ("u1", "a"), ("u1", "b"), ("u1", "c"), ("u1", "a"),  # dup event
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "a"), ("u3", "c"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string")
+    got = {
+        (r["item_1"], r["item_2"]): r
+        for r in frequent_event_pairs(ev, min_support=2).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c")}
+    for pair in got.values():
+        assert pair["n_baskets"] == 2
+        assert pair["confidence"] == 0.666667
+        assert pair["lift"] == 1.0
+
+
+def test_frequent_event_pairs_plan_shape(spark):
+    """Pair join is a basket-keyed equi-join; the only nested-loop is the
+    sanctioned 1-row total broadcast; A-priori prune joins are broadcast."""
+    from datalake_indexes_spark.operators.events import frequent_event_pairs
+
+    ev = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a")], "user_id string, event_type string"
+    )
+    plan = (
+        frequent_event_pairs(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
