@@ -795,3 +795,39 @@ def dp_group_sums(
         "group_value",
         F.round(F.col("__s") + lap + F.lit(1e-9), 4).alias("noisy_sum"),
     )
+
+
+def pseudonymize_columns(
+    df: DataFrame,
+    cols: list[str],
+    secret: str,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization of identifier columns:
+    each value v becomes ``substr(md5(secret || '|' || v), prefix_len)``
+    — the governance release step between suppression (drops rows) and
+    DP noise (perturbs aggregates): joins and group-bys on the
+    pseudonymized key still work (same input → same token, across tables
+    and across runs sharing the secret), but the raw identifier never
+    leaves the engine.
+
+    Pure map-side projection (one md5 per cell, codegen) — a free rider
+    on any scan at lake scale.  NULLs stay NULL (a pseudonymized NULL
+    would otherwise become a linkable constant token).  Re-keying = run
+    again with a new secret; unlinkability across releases follows from
+    distinct secrets.  The secret must be handled like any credential —
+    md5 here is a keyed codebook against casual re-identification, not a
+    cryptographic MAC; swap in a real HMAC via a pandas UDF if the
+    threat model demands one (same column contract).
+    """
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.md5(F.concat_ws("|", F.lit(secret), F.col(c).cast("string"))),
+            1,
+            prefix_len,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None).cast("string")).otherwise(token)
+        )
+    return out

@@ -4215,3 +4215,36 @@ JOIN sup s1 ON pairs.item_1 = s1.item
 JOIN sup s2 ON pairs.item_2 = s2.item
 CROSS JOIN tot
 """
+
+
+def fk_sample_sql(fraction: float = 0.1) -> str:
+    """Twin of :func:`..operators.sampling.fk_consistent_sample` —
+    orders sampled by the md5 key bucket, lineitem semi-joined."""
+    cut = int(round(fraction * 10000))
+    return f"""
+SELECT l_orderkey, l_partkey, l_linenumber
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        % 10000 < {cut}
+)
+"""
+
+
+def governance_pseudonymize_sql(secret: str, prefix_len: int = 16) -> str:
+    """Twin of :func:`..operators.discovery.pseudonymize_columns` over
+    customer (c_custkey, c_name pseudonymized)."""
+    def tok(col: str) -> str:
+        return (
+            f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+            f"substring(md5('{secret}' || '|' || CAST({col} AS VARCHAR)), 1, {prefix_len}) "
+            f"END"
+        )
+
+    return f"""
+SELECT {tok('c_custkey')} AS c_custkey,
+       {tok('c_name')} AS c_name,
+       c_mktsegment, c_acctbal
+FROM customer
+"""

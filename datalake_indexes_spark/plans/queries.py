@@ -1403,6 +1403,36 @@ def q_events_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_event_pairs(ev, min_support=2)
 
 
+def q_fk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key-consistent 10% sample: orders sampled by deterministic
+    key bucket, lineitem semi-joined — every sampled order keeps ALL its
+    lineitems, so join semantics survive on the sample."""
+    from datalake_indexes_spark.operators.sampling import fk_consistent_sample
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = fk_consistent_sample(
+        orders, {"lineitem": (lineitem, "l_orderkey")}, "o_orderkey", 0.1
+    )
+    return out["lineitem"].select("l_orderkey", "l_partkey", "l_linenumber")
+
+
+GOV_PSEUDO_SECRET = "release-2026-08"
+
+
+def q_governance_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of customer identifiers: same input + secret
+    → same token, so joins and group-bys still work on the release."""
+    from datalake_indexes_spark.operators.discovery import pseudonymize_columns
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return pseudonymize_columns(
+        cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+        ["c_custkey", "c_name"],
+        GOV_PSEUDO_SECRET,
+    )
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams."""
     from datalake_indexes_spark.operators.events import event_transitions
@@ -2217,6 +2247,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
     "events_item_pairs": q_events_item_pairs,
+    "fk_sample": q_fk_sample,
+    "governance_pseudonymize": q_governance_pseudonymize,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
     "events_anomaly_seasonal": q_events_anomaly_seasonal,
@@ -2413,6 +2445,8 @@ WHERE rn = 1
     "events_scd2": oracle.events_scd2_sql(),
     "events_transitions": oracle.events_transitions_sql(),
     "events_item_pairs": oracle.events_item_pairs_sql(min_support=2),
+    "fk_sample": oracle.fk_sample_sql(fraction=0.1),
+    "governance_pseudonymize": oracle.governance_pseudonymize_sql(GOV_PSEUDO_SECRET),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),

@@ -442,3 +442,54 @@ def test_dp_group_sums_clipping_and_determinism(spark):
     # same seed -> same release
     assert r1 == {r["group_value"]: r["noisy_sum"] for r in
                   dp_group_sums(df1, ["grp"], "v", lo=0.0, hi=50.0).collect()}
+
+
+def test_fk_consistent_sample_preserves_children(spark):
+    """Every sampled parent keeps ALL its children; no orphan children."""
+    from datalake_indexes_spark.operators.sampling import fk_consistent_sample
+
+    parents = spark.range(100).select(F.col("id").alias("pk"))
+    children = (
+        spark.range(400)
+        .select((F.col("id") % 100).alias("fk"), F.col("id").alias("cid"))
+    )
+    out = fk_consistent_sample(
+        parents, {"kids": (children, "fk")}, "pk", fraction=0.3
+    )
+    sampled_keys = {r["pk"] for r in out["parent"].collect()}
+    kid_rows = out["kids"].collect()
+    assert {r["fk"] for r in kid_rows} == sampled_keys  # no orphans, none lost
+    # each surviving parent keeps its FULL child set (4 each here)
+    from collections import Counter
+
+    per_parent = Counter(r["fk"] for r in kid_rows)
+    assert all(v == 4 for v in per_parent.values())
+    # deterministic: same sample on re-run over re-partitioned input
+    again = fk_consistent_sample(
+        parents.repartition(7), {"kids": (children, "fk")}, "pk", 0.3
+    )
+    assert {r["pk"] for r in again["parent"].collect()} == sampled_keys
+
+
+def test_pseudonymize_properties(spark):
+    """Deterministic tokens, NULL passthrough, join-preservation across
+    tables sharing the secret, and re-keying under a new secret."""
+    from datalake_indexes_spark.operators.discovery import pseudonymize_columns
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (None, "carol")], "uid int, name string"
+    )
+    b = spark.createDataFrame([(1, 9.5), (2, 1.5)], "uid int, score double")
+    pa = pseudonymize_columns(a, ["uid"], "s3cret")
+    pb = pseudonymize_columns(b, ["uid"], "s3cret")
+    # joinable on the token exactly like on the raw key
+    assert pa.join(pb, "uid").count() == 2
+    rows = {r["name"]: r["uid"] for r in pa.collect()}
+    assert rows["alice"] != "1" and len(rows["alice"]) == 16
+    # NULL stays NULL (not a linkable constant)
+    assert rows["carol"] is None
+    # new secret -> disjoint token space (unlinkable releases)
+    pa2 = pseudonymize_columns(a, ["uid"], "other")
+    toks1 = {r["uid"] for r in pa.collect()} - {None}
+    toks2 = {r["uid"] for r in pa2.collect()} - {None}
+    assert toks1.isdisjoint(toks2)
