@@ -4248,3 +4248,21 @@ SELECT {tok('c_custkey')} AS c_custkey,
        c_mktsegment, c_acctbal
 FROM customer
 """
+
+
+def corpus_delivery_sql(n_shards: int = 8) -> str:
+    """Twin of the curate-then-ship composition: curation-v3 survivors
+    bucketed by the content-addressed shard rule, per-shard census."""
+    return f"""
+WITH kept AS (
+{corpus_prep_v3_sql()}
+)
+SELECT shard_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM (
+  SELECT CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {n_shards} AS INTEGER) AS shard_id,
+         d.n_chars
+  FROM documents d JOIN kept ON d.doc_id = kept.doc_id
+)
+GROUP BY shard_id
+"""

@@ -1403,6 +1403,18 @@ def q_events_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_event_pairs(ev, min_support=2)
 
 
+def q_corpus_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end delivery census: curation v3 (quality + logprob gates,
+    keep-best near-dup, train bucket) -> content-addressed shard
+    assignment -> per-shard (n_docs, n_chars).  Grades the full
+    curate-then-ship composition as one key."""
+    from datalake_indexes_spark.sources.export import shard_manifest
+
+    kept = q_corpus_prep_v3(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir)
+    return shard_manifest(docs.join(kept, "doc_id"), n_shards=8)
+
+
 def q_fk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key-consistent 10% sample: orders sampled by deterministic
     key bucket, lineitem semi-joined — every sampled order keeps ALL its
@@ -2249,6 +2261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_item_pairs": q_events_item_pairs,
     "fk_sample": q_fk_sample,
     "governance_pseudonymize": q_governance_pseudonymize,
+    "corpus_delivery": q_corpus_delivery,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
     "events_anomaly_seasonal": q_events_anomaly_seasonal,
@@ -2447,6 +2460,7 @@ WHERE rn = 1
     "events_item_pairs": oracle.events_item_pairs_sql(min_support=2),
     "fk_sample": oracle.fk_sample_sql(fraction=0.1),
     "governance_pseudonymize": oracle.governance_pseudonymize_sql(GOV_PSEUDO_SECRET),
+    "corpus_delivery": oracle.corpus_delivery_sql(n_shards=8),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),
