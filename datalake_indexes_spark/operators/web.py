@@ -173,3 +173,48 @@ def filter_blocklist(
         "registered_domain",
         "left_anti",
     ).select("doc_id", "registered_domain")
+
+
+_HREF_RE = r'<a[^>]*href="([^"]*)"'
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, href, link_domain) — one row per ``<a href="...">`` anchor,
+    with the target's registered domain; the crawl-frontier / link-graph
+    extraction step.  Map-side regex walk + explode (no UDF, no shuffle);
+    the per-row output is bounded by anchor count, so at lake scale this
+    is a flatMap rider on the document scan.
+
+    Scope: double-quoted hrefs only (the regex dialect shared with the
+    oracle has no backreferences, so a single generic quote-matching
+    pattern is out; extend with a second pass for single-quoted anchors
+    if a corpus needs it)."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(hrefs).alias("href")
+    )
+    auth = F.regexp_extract(F.col("href"), _AUTH_RE, 1)
+    host_l = F.regexp_replace(
+        F.lower(F.regexp_extract(auth, _HOST_RE, 1)), r"^www\.", ""
+    )
+    return exploded.select(
+        "doc_id", "href", _registered_domain(host_l).alias("link_domain")
+    )
+
+
+def link_domain_census(
+    df: DataFrame, html_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(link_domain, n_links, n_docs) — aggregate out-link census over the
+    corpus (which domains the corpus points at, and from how many
+    documents).  One hash aggregate over the exploded anchors."""
+    return (
+        extract_links(df, html_col, id_col)
+        .groupBy("link_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )

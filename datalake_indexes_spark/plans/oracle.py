@@ -4266,3 +4266,64 @@ FROM (
 )
 GROUP BY shard_id
 """
+
+
+_LINK_PLANT_CTE = """
+planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+           THEN ' <a href="https://www.ref' || CAST(doc_id % 50 AS VARCHAR)
+                || '.example.com/p?id=' || CAST(doc_id AS VARCHAR)
+                || '">x</a> and <a href="http://peer' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.org:8080/q">y</a>'
+           ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def _link_domain_cte() -> str:
+    from datalake_indexes_spark.operators import web
+
+    rd = f"""CASE WHEN regexp_matches(host, '{web._IPV4_RE}') THEN host
+          WHEN len(labels) >= 3
+               AND list_contains({list(web.SECOND_LEVEL_LABELS)}, labels[-2])
+            THEN array_to_string(list_slice(labels, len(labels) - 2, len(labels)), '.')
+          WHEN len(labels) >= 2
+            THEN array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.')
+          ELSE host END"""
+    return f"""
+h AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{web._HREF_RE}', 1)) AS href
+  FROM planted
+),
+hostc AS (
+  SELECT doc_id, href,
+         regexp_replace(
+           lower(regexp_extract(regexp_extract(href, '{web._AUTH_RE}', 1),
+                                '{web._HOST_RE}', 1)),
+           '^www\\.', '') AS host
+  FROM h
+),
+lab AS (SELECT *, string_split(host, '.') AS labels FROM hostc),
+links AS (SELECT doc_id, href, {rd} AS link_domain FROM lab)"""
+
+
+def web_extract_links_sql() -> str:
+    """Twin of :func:`..operators.web.extract_links` over planted
+    anchors."""
+    return f"""
+WITH {_LINK_PLANT_CTE},
+{_link_domain_cte()}
+SELECT doc_id, href, link_domain FROM links
+"""
+
+
+def web_link_census_sql() -> str:
+    """Twin of :func:`..operators.web.link_domain_census`."""
+    return f"""
+WITH {_LINK_PLANT_CTE},
+{_link_domain_cte()}
+SELECT link_domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM links GROUP BY link_domain
+"""

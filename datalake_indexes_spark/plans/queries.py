@@ -1085,6 +1085,40 @@ def q_text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(docs, _BPE_MERGES[key])
 
 
+def _with_planted_links(docs: DataFrame) -> DataFrame:
+    """Anchor-tag fixture for the link-extraction keys: every even doc
+    gets two planted ``<a href>`` anchors (one https+www+query, one
+    http+port), odd docs none — mirrored by ``oracle._LINK_PLANT_CTE``."""
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(' <a href="https://www.ref'), (did % 50).cast("string"),
+        F.lit('.example.com/p?id='), did.cast("string"),
+        F.lit('">x</a> and <a href="http://peer'), (did % 7).cast("string"),
+        F.lit('.example.org:8080/q">y</a>'),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(did % 2 == 0, F.concat(F.col("text"), suffix)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def q_web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (crawl frontier / link graph): one row per
+    planted anchor with the target's registered domain."""
+    from datalake_indexes_spark.operators.web import extract_links
+
+    return extract_links(_with_planted_links(_docs(spark, sf_dir)))
+
+
+def q_web_link_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-link domain census over the corpus."""
+    from datalake_indexes_spark.operators.web import link_domain_census
+
+    return link_domain_census(_with_planted_links(_docs(spark, sf_dir)))
+
+
 def q_export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight census of a sharded corpus export: the content-addressed
     md5-bucket shard assignment every export sink uses, aggregated to
@@ -2238,6 +2272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_canonical_urls": q_web_canonical,
     "web_domain_stats": q_web_domain_stats,
     "web_blocklist": q_web_blocklist,
+    "web_extract_links": q_web_extract_links,
+    "web_link_census": q_web_link_census,
     "export_shard_manifest": q_export_shard_manifest,
     "text_bpe_counts": q_text_bpe_counts,
     "export_shard_fingerprints": q_export_shard_fingerprints,
@@ -2436,6 +2472,8 @@ WHERE rn = 1
     "web_canonical_urls": oracle.web_canonical_sql(),
     "web_domain_stats": oracle.web_domain_stats_sql(),
     "web_blocklist": oracle.web_blocklist_sql(WEB_BLOCKLIST),
+    "web_extract_links": oracle.web_extract_links_sql(),
+    "web_link_census": oracle.web_link_census_sql(),
     "export_shard_manifest": oracle.export_shard_manifest_sql(n_shards=8),
     "export_shard_fingerprints": oracle.export_shard_fingerprints_sql(n_shards=8),
     "text_script_ratios": oracle.text_script_ratios_sql(),

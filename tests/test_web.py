@@ -132,3 +132,34 @@ def test_web_plans_are_map_only(spark):
         filter_blocklist(df, ["x.com"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in block_plan or "BroadcastExchange" in block_plan
+
+
+def test_extract_links(spark):
+    from datalake_indexes_spark.operators.web import (
+        extract_links,
+        link_domain_census,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, 'see <a class="x" href="https://www.a.example.com/p?q=1">A</a>'
+                ' and <a href="http://b.other.co.uk:8080/q">B</a>'),
+            (1, "no links here"),
+            (2, '<a href="https://192.168.0.1/x">ip</a>'),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["href"], r["link_domain"])
+        for r in extract_links(docs).collect()
+    )
+    assert rows == [
+        (0, "http://b.other.co.uk:8080/q", "other.co.uk"),
+        (0, "https://www.a.example.com/p?q=1", "example.com"),
+        (2, "https://192.168.0.1/x", "192.168.0.1"),
+    ]
+    census = {
+        r["link_domain"]: (r["n_links"], r["n_docs"])
+        for r in link_domain_census(docs).collect()
+    }
+    assert census["example.com"] == (1, 1)
