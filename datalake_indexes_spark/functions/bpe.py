@@ -183,3 +183,18 @@ def apply_bpe(
         F.col(id_col).alias("doc_id"),
         bpe_count(F.col(text_col)).alias("n_bpe_tokens"),
     )
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table (rank, left, right) — the tokenizer
+    artifact a pipeline trains once and ships to every job."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table in training order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

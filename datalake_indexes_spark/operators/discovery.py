@@ -831,3 +831,52 @@ def pseudonymize_columns(
             c, F.when(F.col(c).isNull(), F.lit(None).cast("string")).otherwise(token)
         )
     return out
+
+
+def shuffle_skew_report(
+    df: DataFrame, key_cols: list[str], round_to: int = 4
+) -> DataFrame:
+    """One-row shuffle-skew diagnostic for a prospective groupBy/join key:
+    (n_rows, n_keys, avg_per_key, p50_per_key, p99_per_key, max_per_key,
+    skew_ratio, hottest_key) — the pre-flight check before keying a
+    100 TB shuffle on a column.  ``skew_ratio`` (max/avg) ≫ 1 says one
+    task will straggle: salt the key, or let AQE skew-split and verify
+    it fired.
+
+    Two hash aggregates (per-key counts, then stats over the key-count
+    table — whose size is key cardinality, not row count) plus the
+    sanctioned 1-row broadcast to attach the hottest key (deterministic:
+    ties break on the smallest key string)."""
+    counts = (
+        df.select(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
+                "key"
+            )
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hottest = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(1)
+        .select(F.col("key").alias("hottest_key"), F.col("cnt").alias("max_per_key"))
+    )
+    summary = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("cnt"), round_to).alias("avg_per_key"),
+        F.round(F.expr("percentile(cnt, 0.5)"), round_to).alias("p50_per_key"),
+        F.round(F.expr("percentile(cnt, 0.99)"), round_to).alias("p99_per_key"),
+    )
+    return summary.crossJoin(F.broadcast(hottest)).select(
+        "n_rows",
+        "n_keys",
+        "avg_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        "max_per_key",
+        F.round(F.col("max_per_key") / (F.col("n_rows") / F.col("n_keys")), round_to).alias(
+            "skew_ratio"
+        ),
+        "hottest_key",
+    )

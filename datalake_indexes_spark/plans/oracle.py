@@ -4327,3 +4327,30 @@ WITH {_LINK_PLANT_CTE},
 SELECT link_domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
 FROM links GROUP BY link_domain
 """
+
+
+def skew_report_sql() -> str:
+    """Twin of :func:`..operators.discovery.shuffle_skew_report` keyed on
+    lineitem.l_partkey."""
+    return """
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+hot AS (
+  SELECT key AS hottest_key, cnt AS max_per_key
+  FROM counts ORDER BY cnt DESC, key ASC LIMIT 1
+),
+s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         round(avg(cnt), 4) AS avg_per_key,
+         round(quantile_cont(cnt, 0.5), 4) AS p50_per_key,
+         round(quantile_cont(cnt, 0.99), 4) AS p99_per_key
+  FROM counts
+)
+SELECT n_rows, n_keys, avg_per_key, p50_per_key, p99_per_key,
+       max_per_key,
+       round(max_per_key / (n_rows * 1.0 / n_keys), 4) AS skew_ratio,
+       hottest_key
+FROM s CROSS JOIN hot
+"""

@@ -1449,6 +1449,16 @@ def q_corpus_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(docs.join(kept, "doc_id"), n_shards=8)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight for keying on l_partkey: per-key count
+    stats + the hottest key — the straggler check before a 100 TB
+    shuffle."""
+    from datalake_indexes_spark.operators.discovery import shuffle_skew_report
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return shuffle_skew_report(li, ["l_partkey"])
+
+
 def q_fk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key-consistent 10% sample: orders sampled by deterministic
     key bucket, lineitem semi-joined — every sampled order keeps ALL its
@@ -2298,6 +2308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_sample": q_fk_sample,
     "governance_pseudonymize": q_governance_pseudonymize,
     "corpus_delivery": q_corpus_delivery,
+    "skew_report": q_skew_report,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
     "events_anomaly_seasonal": q_events_anomaly_seasonal,
@@ -2499,6 +2510,7 @@ WHERE rn = 1
     "fk_sample": oracle.fk_sample_sql(fraction=0.1),
     "governance_pseudonymize": oracle.governance_pseudonymize_sql(GOV_PSEUDO_SECRET),
     "corpus_delivery": oracle.corpus_delivery_sql(n_shards=8),
+    "skew_report": oracle.skew_report_sql(),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),

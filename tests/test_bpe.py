@@ -107,3 +107,12 @@ def test_tokens_concatenate_back_to_words(spark):
     for w in ["alpha", "betagamma", "unseen"]:
         toks = encode_word(w, ranks)
         assert "".join(toks).replace("</w>", "") == w
+
+
+def test_merge_table_round_trip(spark, tmp_path):
+    from datalake_indexes_spark.functions.bpe import load_merges, save_merges
+
+    docs = _corpus(spark, ["low lower lowest newest widest " * 3])
+    merges = train_bpe(docs, n_merges=10)
+    save_merges(spark, merges, str(tmp_path / "merges"))
+    assert load_merges(spark, str(tmp_path / "merges")) == merges

@@ -493,3 +493,17 @@ def test_pseudonymize_properties(spark):
     toks1 = {r["uid"] for r in pa.collect()} - {None}
     toks2 = {r["uid"] for r in pa2.collect()} - {None}
     assert toks1.isdisjoint(toks2)
+
+
+def test_shuffle_skew_report_hand_example(spark):
+    """Planted hot key: 10 rows of 'hot', 1 each of 5 cold keys."""
+    from datalake_indexes_spark.operators.discovery import shuffle_skew_report
+
+    rows = [("hot",)] * 10 + [(f"c{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string")
+    r = shuffle_skew_report(df, ["k"]).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_per_key"]) == (15, 6, 10)
+    assert r["hottest_key"] == "hot"
+    assert r["avg_per_key"] == 2.5
+    assert r["skew_ratio"] == 4.0
+    assert r["p50_per_key"] == 1.0
