@@ -11,6 +11,7 @@ definition.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1060,4 +1061,81 @@ def budget_select(
         .withColumn("cum_tokens", (F.col("__off") + F.col("__run")).cast("long"))
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, score_col, token_col, "cum_tokens")
+    )
+
+
+def compression_ratio_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compression_ratio) — zlib
+    compressibility, the classic low-information-content signal (highly
+    compressible text = boilerplate/repetition; incompressible = noise;
+    natural prose sits in a band).  Quality filters cut both tails.
+
+    zlib is not expressible as a relational expression, so this is the
+    sanctioned Arrow-batched Python edge (same contract as XASH/BPE);
+    ratio rounded for stability.  Scale: pure map-side, ~100 MB/s/core —
+    rides the same scan as every other text score."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def zsize(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    nb = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
+    nc = zsize(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        nb.alias("n_bytes"),
+        nc.alias("n_compressed"),
+        F.round(nc / nb, 6).alias("compression_ratio"),
+    )
+
+
+def corpus_data_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(metric, value) — the one-call corpus data card a delivery ships
+    with: volume (docs/chars/tokens), provenance breadth (sources,
+    languages), exact-duplicate rate, and mean quality.
+
+    Each metric is a map-side-combined scalar aggregate; the card unions
+    three 1-row frames (base census, quality census, token census) —
+    report-shaped work, not a hot path, and each leg is one scan with no
+    joins.  Values are DOUBLE with the engine's rounding-tie convention
+    (+1e-9 before round) where averages cross engines."""
+    base = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("n_chars_total"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.md5(F.col(text_col))) / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    qual = quality_scores(docs, text_col, id_col).agg(
+        F.round(F.avg("quality_score") + F.lit(1e-9), 6).alias("avg_quality")
+    )
+    toks = token_counts(docs, text_col, id_col).agg(
+        F.round(F.avg("n_ws_tokens") + F.lit(1e-9), 6).alias("avg_ws_tokens")
+    )
+
+    def unpivot(frame: DataFrame, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', {n}" for n in names)
+        return frame.selectExpr(
+            f"stack({len(names)}, {pairs}) AS (metric, value)"
+        )
+
+    return (
+        unpivot(base, ["n_docs", "n_chars_total", "n_sources", "n_langs", "exact_dup_rate"])
+        .unionAll(unpivot(qual, ["avg_quality"]))
+        .unionAll(unpivot(toks, ["avg_ws_tokens"]))
     )

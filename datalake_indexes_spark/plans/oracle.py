@@ -4354,3 +4354,20 @@ SELECT n_rows, n_keys, avg_per_key, p50_per_key, p99_per_key,
        hottest_key
 FROM s CROSS JOIN hot
 """
+
+
+def corpus_data_card_sql() -> str:
+    """Twin of :func:`..operators.text_analysis.corpus_data_card` —
+    quality/token legs reuse the per-doc twins as subqueries."""
+    return f"""
+WITH q AS ({text_quality_sql()}),
+t AS ({text_token_counts_sql()})
+SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+UNION ALL SELECT 'n_chars_total', CAST(sum(n_chars) AS DOUBLE) FROM documents
+UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+UNION ALL SELECT 'exact_dup_rate',
+  round(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) FROM documents
+UNION ALL SELECT 'avg_quality', round(avg(quality_score) + 1e-9, 6) FROM q
+UNION ALL SELECT 'avg_ws_tokens', round(avg(n_ws_tokens) + 1e-9, 6) FROM t
+"""

@@ -1449,6 +1449,26 @@ def q_corpus_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(docs.join(kept, "doc_id"), n_shards=8)
 
 
+def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (boilerplate compresses,
+    noise doesn't).  No DuckDB oracle: zlib is not a relational
+    expression — direct-zlib parity is pinned in tests/test_corpus_ops.py
+    instead; the driver records the rows-only check."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    return compression_ratio_scores(_docs(spark, sf_dir))
+
+
+def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus data card: volume, provenance breadth, duplicate
+    rate, mean quality — the census a delivery ships with."""
+    from datalake_indexes_spark.operators.text_analysis import corpus_data_card
+
+    return corpus_data_card(_docs(spark, sf_dir))
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew pre-flight for keying on l_partkey: per-key count
     stats + the hottest key — the straggler check before a 100 TB
@@ -2309,6 +2329,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "governance_pseudonymize": q_governance_pseudonymize,
     "corpus_delivery": q_corpus_delivery,
     "skew_report": q_skew_report,
+    "text_compressibility": q_text_compressibility,
+    "corpus_data_card": q_corpus_data_card,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
     "events_anomaly_seasonal": q_events_anomaly_seasonal,
@@ -2511,6 +2533,7 @@ WHERE rn = 1
     "governance_pseudonymize": oracle.governance_pseudonymize_sql(GOV_PSEUDO_SECRET),
     "corpus_delivery": oracle.corpus_delivery_sql(n_shards=8),
     "skew_report": oracle.skew_report_sql(),
+    "corpus_data_card": oracle.corpus_data_card_sql(),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),

@@ -350,3 +350,46 @@ def test_budget_select_greedy_prefix(spark):
     # exact-budget inclusivity
     out45 = {r["doc_id"] for r in budget_select(df, budget=35).collect()}
     assert out45 == {1, 2, 3}
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from datalake_indexes_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    texts = ["abc " * 50, "the quick brown fox jumps over the lazy dog", "x"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        nb = len(t.encode("utf-8"))
+        nc = len(zlib.compress(t.encode("utf-8"), 6))
+        assert rows[i]["n_bytes"] == nb
+        assert rows[i]["n_compressed"] == nc
+        assert rows[i]["compression_ratio"] == round(nc / nb, 6)
+    # the signal orders as expected: boilerplate < prose
+    assert rows[0]["compression_ratio"] < rows[1]["compression_ratio"]
+
+
+def test_corpus_data_card_shape(spark):
+    from datalake_indexes_spark.operators.text_analysis import corpus_data_card
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the fast data", "en", "srcA", 13),
+            (1, "the fast data", "en", "srcA", 13),  # exact dup
+            (2, "other words here", "de", "srcB", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    card = {r["metric"]: r["value"] for r in corpus_data_card(docs).collect()}
+    assert card["n_docs"] == 3.0
+    assert card["n_sources"] == 2.0
+    assert card["n_langs"] == 2.0
+    assert card["exact_dup_rate"] == round(1 - 2 / 3, 6)
+    assert card["n_chars_total"] == 42.0
+    assert 0.0 < card["avg_quality"] <= 1.0
+    assert card["avg_ws_tokens"] == 3.0
