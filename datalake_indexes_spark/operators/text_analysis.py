@@ -1139,3 +1139,89 @@ def corpus_data_card(
         .unionAll(unpivot(qual, ["avg_quality"]))
         .unionAll(unpivot(toks, ["avg_ws_tokens"]))
     )
+
+
+def paragraph_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 3,
+    min_distinct_ratio: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_paragraphs, n_kept, text_filtered) — paragraph-level
+    curation (the CCNet/C4 shape: score each paragraph independently,
+    drop the bad ones, reassemble the document in order).  Doc-level
+    filters can't do this: one boilerplate block shouldn't sink an
+    otherwise good document.
+
+    Kept = paragraph has >= ``min_words`` words AND a distinct-word ratio
+    >= ``min_distinct_ratio`` (kills token-repetition boilerplate).  Pure
+    array expressions — the explode/reassemble happens INSIDE one row via
+    filter/transform over the split array, so there is no shuffle and no
+    per-paragraph row explosion at scale."""
+    paras = F.split(F.col(text_col), sep)
+
+    def keeps(p: F.Column) -> F.Column:
+        words = F.filter(F.split(p, " "), lambda w: w != "")
+        nw = F.size(words)
+        nd = F.size(F.array_distinct(words))
+        return (nw >= min_words) & (nd >= F.lit(min_distinct_ratio) * nw)
+
+    kept = F.filter(paras, keeps)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(paras).cast("long").alias("n_paragraphs"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, sep).alias("text_filtered"),
+    )
+
+
+# C4-style heuristic rule set (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# restricted to rules expressible identically in both regex dialects.
+C4_BAD_PHRASES = ("lorem ipsum", "javascript", "terms of use", "cookie policy")
+
+
+def c4_rule_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 3,
+    min_sentence_words: int = 5,
+) -> DataFrame:
+    """(doc_id, n_sentences, terminal_ratio, has_bad_phrase, has_brace,
+    c4_keep) — the C4 cleaning rules as one codegen projection:
+    sentences are terminal-punctuation-delimited spans; a document keeps
+    iff it has >= ``min_sentences`` sentences, most sentences end in
+    terminal punctuation, no blocklisted boilerplate phrase, and no curly
+    brace (code leakage).  Map-only; rides the corpus scan."""
+    t = F.col(text_col)
+    lower = F.lower(t)
+    # sentence spans = non-empty chunks between terminal punctuation
+    sentences = F.filter(
+        F.split(t, r"[.!?]"), lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != "")) >= min_sentence_words
+    )
+    n_sent = F.size(sentences)
+    n_terminal = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]"), 0))
+    # ratio of terminal marks to sentence spans (>=1 when every span closes)
+    terminal_ratio = F.round(
+        n_terminal / F.greatest(n_sent, F.lit(1)), 4
+    )
+    bad = F.lit(False)
+    for ph in C4_BAD_PHRASES:
+        bad = bad | lower.contains(ph)
+    brace = t.contains("{") | t.contains("}")
+    keep = (
+        (n_sent >= min_sentences)
+        & (terminal_ratio >= 1.0)
+        & ~bad
+        & ~brace
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_sent.cast("long").alias("n_sentences"),
+        terminal_ratio.alias("terminal_ratio"),
+        bad.alias("has_bad_phrase"),
+        brace.alias("has_brace"),
+        keep.alias("c4_keep"),
+    )

@@ -4371,3 +4371,78 @@ UNION ALL SELECT 'exact_dup_rate',
 UNION ALL SELECT 'avg_quality', round(avg(quality_score) + 1e-9, 6) FROM q
 UNION ALL SELECT 'avg_ws_tokens', round(avg(n_ws_tokens) + 1e-9, 6) FROM t
 """
+
+
+def text_paragraph_filter_sql(
+    min_words: int = 3, min_distinct_ratio: float = 0.5
+) -> str:
+    """Twin of :func:`..operators.text_analysis.paragraph_filter` over the
+    planted-paragraph fixture."""
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || 'good paragraph the data model runs well'
+              || chr(10)
+              || CASE WHEN doc_id % 2 = 0 THEN 'spam spam spam spam'
+                      ELSE 'a b' END AS text
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, string_split(text, chr(10)) AS paras FROM planted
+),
+ke AS (
+  SELECT doc_id, paras,
+         list_filter(paras, p ->
+           len(list_filter(string_split(p, ' '), w -> w <> '')) >= {min_words}
+           AND len(list_distinct(list_filter(string_split(p, ' '), w -> w <> '')))
+               >= {min_distinct_ratio} * len(list_filter(string_split(p, ' '), w -> w <> ''))
+         ) AS kept
+  FROM sp
+)
+SELECT doc_id,
+       CAST(len(paras) AS BIGINT) AS n_paragraphs,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, chr(10)) AS text_filtered
+FROM ke
+"""
+
+
+def text_c4_filters_sql(
+    min_sentences: int = 3, min_sentence_words: int = 5
+) -> str:
+    """Twin of :func:`..operators.text_analysis.c4_rule_flags` over the
+    planted sentence/boilerplate fixture."""
+    from datalake_indexes_spark.operators.text_analysis import C4_BAD_PHRASES
+
+    bad = " OR ".join(f"contains(lower(text), '{p}')" for p in C4_BAD_PHRASES)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN text || '. The data runs well every day.'
+                        || ' The model trains fast on data. It works.'
+           WHEN 1 THEN text || ' lorem ipsum dolor'
+           WHEN 2 THEN text || ' if (x) {{ return 1; }}'
+           ELSE text END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(text, '[.!?]'), s ->
+             len(list_filter(string_split(s, ' '), w -> w <> '')) >= {min_sentence_words}
+         )) AS n_sentences,
+         len(regexp_extract_all(text, '[.!?]')) AS n_terminal,
+         ({bad}) AS has_bad_phrase,
+         (contains(text, '{{') OR contains(text, '}}')) AS has_brace
+  FROM planted
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       round(n_terminal * 1.0 / greatest(n_sentences, 1), 4) AS terminal_ratio,
+       has_bad_phrase,
+       has_brace,
+       (n_sentences >= {min_sentences}
+        AND round(n_terminal * 1.0 / greatest(n_sentences, 1), 4) >= 1.0
+        AND NOT has_bad_phrase AND NOT has_brace) AS c4_keep
+FROM m
+"""

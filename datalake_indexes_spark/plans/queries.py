@@ -1449,6 +1449,55 @@ def q_corpus_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(docs.join(kept, "doc_id"), n_shards=8)
 
 
+def q_text_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level curation over documents WITH planted paragraphs
+    (each doc gets one good paragraph and one bad — repetition or
+    too-short, by doc_id parity); unplanted docs are single-paragraph so
+    the filter would grade near-vacuously."""
+    from datalake_indexes_spark.operators.text_analysis import paragraph_filter
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\ngood paragraph the data model runs well\n"),
+            F.when(did % 2 == 0, F.lit("spam spam spam spam")).otherwise(
+                F.lit("a b")
+            ),
+        ),
+    )
+    return paragraph_filter(planted)
+
+
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules over documents WITH planted sentence/boilerplate
+    variants (doc_id % 4: proper sentences / lorem-ipsum / code braces /
+    unchanged)."""
+    from datalake_indexes_spark.operators.text_analysis import c4_rule_flags
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    ". The data runs well every day. The model trains fast"
+                    " on data. It works."
+                ),
+            ),
+        )
+        .when(did % 4 == 1, F.concat(F.col("text"), F.lit(" lorem ipsum dolor")))
+        .when(did % 4 == 2, F.concat(F.col("text"), F.lit(" if (x) { return 1; }")))
+        .otherwise(F.col("text")),
+    )
+    return c4_rule_flags(planted)
+
+
 def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (boilerplate compresses,
     noise doesn't).  No DuckDB oracle: zlib is not a relational
@@ -2331,6 +2380,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "text_compressibility": q_text_compressibility,
     "corpus_data_card": q_corpus_data_card,
+    "text_paragraph_filter": q_text_paragraph_filter,
+    "text_c4_filters": q_text_c4_filters,
     "events_seasonality": q_events_seasonality,
     "events_session_paths": q_events_session_paths,
     "events_anomaly_seasonal": q_events_anomaly_seasonal,
@@ -2534,6 +2585,8 @@ WHERE rn = 1
     "corpus_delivery": oracle.corpus_delivery_sql(n_shards=8),
     "skew_report": oracle.skew_report_sql(),
     "corpus_data_card": oracle.corpus_data_card_sql(),
+    "text_paragraph_filter": oracle.text_paragraph_filter_sql(),
+    "text_c4_filters": oracle.text_c4_filters_sql(),
     "events_seasonality": oracle.events_seasonality_sql(),
     "events_session_paths": oracle.events_session_paths_sql(gap_seconds=1800, n=3, k=20),
     "events_anomaly_seasonal": oracle.events_anomaly_seasonal_sql(),

@@ -393,3 +393,35 @@ def test_corpus_data_card_shape(spark):
     assert card["n_chars_total"] == 42.0
     assert 0.0 < card["avg_quality"] <= 1.0
     assert card["avg_ws_tokens"] == 3.0
+
+
+def test_paragraph_filter_semantics(spark):
+    from datalake_indexes_spark.operators.text_analysis import paragraph_filter
+
+    docs = spark.createDataFrame(
+        [(0, "good words here live\nspam spam spam spam\nab cd ef gh")],
+        "doc_id long, text string",
+    )
+    r = paragraph_filter(docs).collect()[0]
+    assert (r["n_paragraphs"], r["n_kept"]) == (3, 2)
+    assert r["text_filtered"] == "good words here live\nab cd ef gh"
+
+
+def test_c4_rule_flags(spark):
+    from datalake_indexes_spark.operators.text_analysis import c4_rule_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The data runs well every day. The model trains fast on data."
+                " It works fine for everyone."),
+            (1, "please accept our cookie policy to continue reading here"),
+            (2, "func main() { panic() }"),
+            (3, "no punctuation at all just words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_rule_flags(docs).collect()}
+    assert rows[0]["c4_keep"] is True and rows[0]["n_sentences"] == 3
+    assert rows[1]["has_bad_phrase"] is True and rows[1]["c4_keep"] is False
+    assert rows[2]["has_brace"] is True and rows[2]["c4_keep"] is False
+    assert rows[3]["c4_keep"] is False  # too few sentences
