@@ -626,3 +626,45 @@ def profile_drift(index_a, index_b, nbins: int = 10) -> "DataFrame":
             F.round(F.sum("__diff") / 2.0, 4).alias("tv_distance"),
         )
     )
+
+
+def equi_depth_histograms(index, nbuckets: int = 8) -> "DataFrame":
+    """Equi-DEPTH histograms for every numeric lake column — the
+    quantile-bucket twin of :func:`column_histograms`: (table_id, col_id,
+    bucket, lo, hi, n) with each bucket holding ~1/nbuckets of the
+    column's values.  Equi-width buckets starve on skewed columns (one
+    bucket takes 99% of the rows); equi-depth is what zone-map splitting,
+    range-partition planning and drift grids actually want.
+
+    Bucket assignment is ``ntile(nbuckets)`` over a TOTAL order
+    ((value, row_id) — the tie-break makes the split deterministic and
+    engine-portable, since ntile cuts by position, not value).  Scale
+    shape: one window per (table, col) partition — parallelism is column
+    count, each partition one column's cells; then a map-side-combinable
+    count over (table, col, bucket).  No broadcast of per-column stats is
+    needed at all: the quantile boundaries fall out of the bucket
+    min/max.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    num_cells = (
+        index.cells.join(
+            F.broadcast(flags.filter(F.col("is_numeric"))), ["table_id", "col_id"]
+        )
+        .withColumn("__val", _num_value(F.col("tokenized")))
+        .filter(F.col("__val").isNotNull())
+    )
+    w = Window.partitionBy("table_id", "col_id").orderBy(
+        F.asc("__val"), F.asc("row_id")
+    )
+    return (
+        num_cells.withColumn("bucket", F.ntile(nbuckets).over(w))
+        .groupBy("table_id", "col_id", "bucket")
+        .agg(
+            F.round(F.min("__val"), 6).alias("lo"),
+            F.round(F.max("__val"), 6).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -880,3 +880,52 @@ def shuffle_skew_report(
         ),
         "hottest_key",
     )
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 4
+) -> DataFrame:
+    """One-row chi-square test of association between two categorical
+    columns: (n, dof, chi2, cramers_v) -- the categorical-categorical
+    counterpart of COCOA's numeric/one-hot correlation (is `lang`
+    independent of `source`?  is a column pair worth a combined index?).
+
+    Closed form, three map-side-combinable aggregates: the observed
+    contingency table o(a,b) and the two margin tables r(a), c(b);
+    expected e = r*c/n over the FULL margin cross product (zero-observed
+    cells still contribute (0-e)^2/e, which a join on observed cells
+    alone would silently drop).  The cross join is |A|x|B| margin rows --
+    category cardinalities, not data size -- with both margins broadcast.
+    Cramer's V = sqrt(chi2 / (n * min(|A|-1, |B|-1))) normalizes to
+    [0, 1] for comparability across pairs.  NULL categories count as
+    their own level (they are real values to an indexer).  The margin
+    collects are category-cardinality-bounded scalars, the sanctioned
+    driver-side tier.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" null"))
+    pairs = df.select(a.alias("__a"), b.alias("__b"))
+    obs = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("o"))
+    ra = pairs.groupBy("__a").agg(F.count(F.lit(1)).alias("ra"))
+    cb = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("cb"))
+    n = float(ra.agg(F.sum("ra").alias("n")).collect()[0]["n"])
+    k_a = ra.count()
+    k_b = cb.count()
+    grid = (
+        F.broadcast(ra)
+        .crossJoin(F.broadcast(cb))
+        .join(obs, ["__a", "__b"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn("__e", F.col("ra") * F.col("cb") / F.lit(n))
+    )
+    chi = grid.agg(
+        F.sum(F.pow(F.col("o") - F.col("__e"), 2) / F.col("__e")).alias("chi2")
+    )
+    dof = (k_a - 1) * (k_b - 1)
+    denom = n * max(min(k_a - 1, k_b - 1), 1)
+    return chi.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.round(F.col("chi2"), round_to).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / F.lit(denom)), round_to).alias("cramers_v"),
+    )

@@ -838,3 +838,107 @@ def frequent_event_pairs(
             ).alias("lift"),
         )
     )
+
+
+def dedup_bursts(
+    events: DataFrame,
+    tolerance_us: int,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts_us",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Burst deduplication: within each key's timeline, an event arriving
+    within ``tolerance_us`` of the PREVIOUS event (kept or not) joins the
+    same burst, and only the burst's first event survives — the standard
+    duplicate-suppression rule for retried clicks / double-fired beacons
+    (chained gap semantics, same rule sessionization uses, so a slow
+    steady drip of retries collapses into one event even when the burst
+    outlives the tolerance).
+
+    Returns the surviving events as (key cols, ts_col, seq_col,
+    burst_size, burst_span_us): size = events absorbed into the burst,
+    span = last - first arrival.
+
+    Scale shape: one lag() + one running-sum window, both keyed by the
+    entity (per-key partitions, bounded by a key's history — never a
+    global window), then a burst-keyed aggregate; identical partitioning
+    across all three, so the chain is one shuffle.
+    """
+    keys = list(key_cols or ["user_id", "event_type"])
+    order = [F.asc(ts_col), F.asc(seq_col)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+    new_burst = F.when(
+        gap.isNull() | (gap > tolerance_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    bursts = events.withColumn(
+        "__burst", F.sum(new_burst).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        bursts.groupBy(*keys, "__burst")
+        .agg(
+            F.min(F.struct(F.col(ts_col), F.col(seq_col))).alias("__first"),
+            F.count(F.lit(1)).alias("burst_size"),
+            (F.max(ts_col) - F.min(ts_col)).alias("burst_span_us"),
+        )
+        .select(
+            *keys,
+            F.col(f"__first.{ts_col}").alias(ts_col),
+            F.col(f"__first.{seq_col}").alias(seq_col),
+            "burst_size",
+            "burst_span_us",
+        )
+    )
+
+
+def value_trend(
+    events: DataFrame,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    round_to: int = 6,
+    x_origin_us: int = 0,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend of ``value_col`` against
+    time: (group cols, n, slope_per_day, intercept, r2) — the
+    drift/regression detector behind "is this metric trending" alerts.
+
+    Pure closed form from one aggregate pass (n, Σx, Σy, Σxy, Σx², Σy²)
+    with x measured in DAYS since ``x_origin_us``.  Pass an origin near
+    the data's start: the closed form subtracts Σx²-vs-(Σx)²/n, and with
+    x ≈ 19,700 epoch-days that cancellation costs ~8 of a double's 15
+    digits — an origin inside the window keeps x small so the subtraction
+    is exact to rounding.  The intercept is reported AT the origin.
+    Groups with < 2 points or a constant x get NULL slope/r2 (no trend
+    is defined); a constant y gets slope 0 with r2 pinned to 0 (the 0/0
+    case).
+    """
+    groups = list(group_cols or ["event_type"])
+    x = (F.col(ts_col).cast("double") - F.lit(float(x_origin_us))) / F.lit(
+        86400.0 * 1_000_000.0
+    )
+    y = F.col(value_col).cast("double")
+    agg = events.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    ssxx = F.col("sx2") - F.col("sx") * F.col("sx") / n
+    ssyy = F.col("sy2") - F.col("sy") * F.col("sy") / n
+    ssxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    slope = F.when((F.col("n") >= 2) & (ssxx > 0), ssxy / ssxx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(ssyy > 0, (ssxy * ssxy) / (ssxx * ssyy))
+    return agg.select(
+        *groups,
+        "n",
+        F.round(slope, round_to).alias("slope_per_day"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(F.when(slope.isNotNull(), F.coalesce(r2, F.lit(0.0))), round_to).alias("r2"),
+    )

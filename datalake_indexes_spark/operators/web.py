@@ -218,3 +218,50 @@ def link_domain_census(
             F.count_distinct("doc_id").alias("n_docs"),
         )
     )
+
+
+def domain_quota_cap(
+    df: DataFrame,
+    cap: int = 10,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, registered_domain, domain_rank) — per-domain quota
+    capping: keep at most ``cap`` documents per registered domain, the
+    standard over-represented-site control in crawl curation (a handful
+    of mega-domains otherwise dominate the corpus mix).
+
+    Selection is deterministic: by descending ``priority_col`` when
+    given (keep the best copies), else by an md5 shuffle of the doc id
+    (a fair fixed-seed random draw — no engine-dependent rand()).  Ties
+    break on doc_id.
+
+    Scale shape: one window ranked within each registered domain — the
+    shuffle key is the domain, so parallelism is domain cardinality
+    (millions for a web corpus) and the only skewed partition is the
+    hottest domain; the window computes rank in one pass per partition
+    (no per-domain collect, no global sort).  AQE skew-split applies to
+    the exchange like any other keyed shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    canon = canonicalize_urls(df, url_col, id_col).select(
+        "doc_id", "registered_domain"
+    )
+    if priority_col is not None:
+        ranked_src = canon.join(
+            df.select(F.col(id_col).alias("doc_id"), priority_col), "doc_id"
+        )
+        order = [F.desc(priority_col), F.asc("doc_id")]
+    else:
+        ranked_src = canon.withColumn(
+            "__draw", F.md5(F.col("doc_id").cast("string"))
+        )
+        order = [F.asc("__draw"), F.asc("doc_id")]
+    w = Window.partitionBy("registered_domain").orderBy(*order)
+    return (
+        ranked_src.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+        .select("doc_id", "registered_domain", "domain_rank")
+    )

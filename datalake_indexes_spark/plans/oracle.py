@@ -4446,3 +4446,164 @@ SELECT doc_id,
         AND NOT has_bad_phrase AND NOT has_brace) AS c4_keep
 FROM m
 """
+
+
+def web_domain_cap_sql(cap: int = 25) -> str:
+    """Twin of :func:`..operators.web.domain_quota_cap` over the planted
+    URLs — same md5 shuffle draw, same (draw, doc_id) tie-break."""
+    return f"""
+WITH {_URL_PLANT_CTE},
+{_web_parsed_cte()},
+ranked AS (
+  SELECT doc_id, registered_domain,
+         row_number() OVER (
+           PARTITION BY registered_domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS domain_rank
+  FROM canon
+)
+SELECT doc_id, registered_domain, CAST(domain_rank AS INT) AS domain_rank
+FROM ranked WHERE domain_rank <= {cap}
+"""
+
+
+def events_dedup_bursts_sql(tolerance_us: int) -> str:
+    """Twin of :func:`..operators.events.dedup_bursts` on
+    (user_id, event_type) with event_id tie-break."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+g AS (
+  SELECT *,
+         CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {tolerance_us}
+              THEN 1 ELSE 0 END AS nb
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+),
+b AS (
+  SELECT *,
+         sum(nb) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS burst
+  FROM g
+),
+sel AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type, burst
+                            ORDER BY ts_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, burst)
+           AS burst_size,
+         max(ts_us) OVER (PARTITION BY user_id, event_type, burst)
+           - min(ts_us) OVER (PARTITION BY user_id, event_type, burst)
+           AS burst_span_us
+  FROM b
+)
+SELECT user_id, event_type, ts_us, event_id, burst_size, burst_span_us
+FROM sel WHERE rn = 1
+"""
+
+
+def events_trend_sql(x_origin_us: int, round_to: int = 6) -> str:
+    """Twin of :func:`..operators.events.value_trend` — identical closed
+    form over identical doubles (x in days since the shared origin)."""
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS DOUBLE) - {float(x_origin_us)})
+           / (86400.0 * 1000000.0) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+),
+a AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM e GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n,
+         sx2 - sx * sx / n AS ssxx,
+         sy2 - sy * sy / n AS ssyy,
+         sxy - sx * sy / n AS ssxy,
+         sx, sy
+  FROM a
+),
+t AS (
+  SELECT event_type, n,
+         CASE WHEN n >= 2 AND ssxx > 0 THEN ssxy / ssxx END AS slope,
+         ssxx, ssyy, ssxy, sx, sy
+  FROM s
+)
+SELECT event_type, n,
+       round(slope, {round_to}) AS slope_per_day,
+       round((sy - slope * sx) / n, {round_to}) AS intercept,
+       round(CASE WHEN slope IS NULL THEN NULL
+                  WHEN ssyy > 0 THEN (ssxy * ssxy) / (ssxx * ssyy)
+                  ELSE 0.0 END, {round_to}) AS r2
+FROM t
+"""
+
+
+def column_quantile_buckets_sql(nbuckets: int = 8) -> str:
+    """Equi-depth histogram twin: ntile over the same (value, row_id)
+    total order — both engines cut by position with the standard
+    first-buckets-get-the-remainder rule, so identical orders give
+    identical buckets."""
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+nn AS (
+  SELECT cells.table_id, cells.col_id, cells.row_id,
+         TRY_CAST(tokenized AS DOUBLE) AS val
+  FROM cells JOIN flags f
+    ON f.table_id = cells.table_id AND f.col_id = cells.col_id
+  WHERE f.is_numeric AND tokenized NOT IN ('', 'nan')
+        AND TRY_CAST(tokenized AS DOUBLE) IS NOT NULL
+        AND NOT isnan(TRY_CAST(tokenized AS DOUBLE))
+),
+t AS (
+  SELECT table_id, col_id, val,
+         ntile({nbuckets}) OVER (PARTITION BY table_id, col_id
+                                 ORDER BY val, row_id) AS bucket
+  FROM nn
+)
+SELECT table_id, col_id, CAST(bucket AS INT) AS bucket,
+       round(min(val), 6) AS lo, round(max(val), 6) AS hi,
+       count(*) AS n
+FROM t GROUP BY table_id, col_id, bucket
+"""
+
+
+def column_chi2_sql(col_a: str = "lang", col_b: str = "source") -> str:
+    """Twin of :func:`..operators.discovery.categorical_association`
+    over documents(lang, source) — same full-grid expected counts."""
+    return f"""
+WITH p AS (
+  SELECT coalesce(CAST({col_a} AS VARCHAR), ' null') AS a,
+         coalesce(CAST({col_b} AS VARCHAR), ' null') AS b
+  FROM documents
+),
+obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY a, b),
+ra  AS (SELECT a, count(*) AS ra FROM p GROUP BY a),
+cb  AS (SELECT b, count(*) AS cb FROM p GROUP BY b),
+tot AS (SELECT CAST(sum(ra) AS DOUBLE) AS n, count(*) AS k_a FROM ra),
+kb  AS (SELECT count(*) AS k_b FROM cb),
+grid AS (
+  SELECT ra.ra, cb.cb, coalesce(obs.o, 0) AS o,
+         ra.ra * cb.cb / tot.n AS e, tot.n, tot.k_a, kb.k_b
+  FROM ra CROSS JOIN cb CROSS JOIN tot CROSS JOIN kb
+  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n,
+       CAST((any_value(k_a) - 1) * (any_value(k_b) - 1) AS BIGINT) AS dof,
+       round(sum(pow(o - e, 2) / e), 4) AS chi2,
+       round(sqrt(sum(pow(o - e, 2) / e)
+             / (any_value(n) * greatest(least(any_value(k_a) - 1,
+                                              any_value(k_b) - 1), 1))), 4)
+         AS cramers_v
+FROM grid
+"""

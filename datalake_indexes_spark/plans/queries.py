@@ -2278,6 +2278,64 @@ def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping over the planted-URL corpus: at most 25
+    documents survive per registered domain, selected by a deterministic
+    md5 shuffle — the over-represented-site control in crawl curation."""
+    from datalake_indexes_spark.operators.web import domain_quota_cap
+
+    return domain_quota_cap(_with_planted_urls(_docs(spark, sf_dir)), cap=25)
+
+
+# x origin for the trend query: 2024-01-01 00:00:00 UTC in epoch
+# microseconds (the testdata events window starts here; see
+# operators/events.py value_trend for why the origin matters numerically)
+TREND_X_ORIGIN_US = 1_704_067_200_000_000
+BURST_TOLERANCE_US = 21_600_000_000  # 6 hours
+
+
+def q_events_dedup_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst deduplication of the event stream: retried/double-fired
+    events within 6 h of their predecessor (chained) collapse into the
+    burst's first event.  ~10% of the sf0.01 events sit under this
+    tolerance, so the suppression path is genuinely exercised."""
+    from datalake_indexes_spark.operators.events import dedup_bursts
+
+    return dedup_bursts(_events_us(spark, sf_dir), BURST_TOLERANCE_US)
+
+
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (slope per day,
+    intercept at the window origin, r²) — closed form from one aggregate
+    pass."""
+    from datalake_indexes_spark.operators.events import value_trend
+
+    return value_trend(
+        _events_us(spark, sf_dir), x_origin_us=TREND_X_ORIGIN_US
+    )
+
+
+def q_column_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histograms for every numeric lake column —
+    ntile over a (value, row_id) total order, deterministic across
+    engines."""
+    from datalake_indexes_spark.operators.cocoa import equi_depth_histograms
+
+    return equi_depth_histograms(testdata_index(spark, sf_dir), nbuckets=8)
+
+
+def q_column_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association between the documents corpus's two
+    categorical columns (lang × source): is the language mix independent
+    of the source?  The categorical-categorical counterpart of COCOA's
+    correlation ranking."""
+    from datalake_indexes_spark.operators.discovery import (
+        categorical_association,
+    )
+
+    return categorical_association(_docs(spark, sf_dir), "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2353,6 +2411,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_blocklist": q_web_blocklist,
     "web_extract_links": q_web_extract_links,
     "web_link_census": q_web_link_census,
+    "web_domain_cap": q_web_domain_cap,
+    "events_dedup_bursts": q_events_dedup_bursts,
+    "events_trend": q_events_trend,
+    "column_quantile_buckets": q_column_quantile_buckets,
+    "column_chi2": q_column_chi2,
     "export_shard_manifest": q_export_shard_manifest,
     "text_bpe_counts": q_text_bpe_counts,
     "export_shard_fingerprints": q_export_shard_fingerprints,
@@ -2558,6 +2621,11 @@ WHERE rn = 1
     "web_blocklist": oracle.web_blocklist_sql(WEB_BLOCKLIST),
     "web_extract_links": oracle.web_extract_links_sql(),
     "web_link_census": oracle.web_link_census_sql(),
+    "web_domain_cap": oracle.web_domain_cap_sql(cap=25),
+    "events_dedup_bursts": oracle.events_dedup_bursts_sql(BURST_TOLERANCE_US),
+    "events_trend": oracle.events_trend_sql(TREND_X_ORIGIN_US),
+    "column_quantile_buckets": oracle.column_quantile_buckets_sql(nbuckets=8),
+    "column_chi2": oracle.column_chi2_sql("lang", "source"),
     "export_shard_manifest": oracle.export_shard_manifest_sql(n_shards=8),
     "export_shard_fingerprints": oracle.export_shard_fingerprints_sql(n_shards=8),
     "text_script_ratios": oracle.text_script_ratios_sql(),
