@@ -942,3 +942,86 @@ def value_trend(
         F.round(intercept, round_to).alias("intercept"),
         F.round(F.when(slope.isNotNull(), F.coalesce(r2, F.lit(0.0))), round_to).alias("r2"),
     )
+
+
+def interval_join_pairs(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    lookback_us: int = 7_200_000_000,
+    probe_cols: list[str] | None = None,
+    build_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval join: every (probe, build) pair sharing ``key_col`` with
+    the build event inside ``[probe.ts - lookback_us, probe.ts]`` — the
+    candidate set behind attribution, impression-to-click matching and
+    cause-window debugging.  INNER semantics (unmatched probes are the
+    attribution reducer's job, :func:`last_touch_attribution`).
+
+    One equi-join keyed by the entity with the range predicate evaluated
+    inside the join — at scale this shuffles both sides once on the key;
+    the per-key pair blowup is bounded by events-per-key within the
+    lookback, which is what the window bounds.  The streaming twin
+    (:mod:`..streaming.attribution_stream`) runs the IDENTICAL condition
+    as a watermarked stream-stream join.
+    """
+    pcols = probe_cols or [c for c in probe.columns]
+    bcols = build_cols or [c for c in build.columns]
+    p = probe.select(
+        F.col(key_col).alias("__k"), F.col(ts_col).alias("__pts"),
+        F.struct(*pcols).alias("__p"),
+    )
+    b = build.select(
+        F.col(key_col).alias("__k"), F.col(ts_col).alias("__bts"),
+        F.struct(*bcols).alias("__b"),
+    )
+    joined = p.join(
+        b,
+        (p["__k"] == b["__k"])
+        & (F.col("__bts") <= F.col("__pts"))
+        & (F.col("__bts") >= F.col("__pts") - F.lit(lookback_us)),
+    )
+    out = [F.col(f"__p.{c}").alias(c) for c in pcols]
+    out += [F.col(f"__b.{c}").alias(f"b_{c}") for c in bcols]
+    return joined.select(*out)
+
+
+def last_touch_attribution(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    seq_col: str = "event_id",
+    lookback_us: int = 7_200_000_000,
+) -> DataFrame:
+    """Last-touch attribution: each probe event gains the LATEST build
+    event for its key within the lookback window (ties on build ts break
+    to the larger ``seq_col``), NULLs when nothing is in-window — the
+    left-join reduction of :func:`interval_join_pairs`.
+
+    The reduce is ``max_by`` over the pair set grouped by the probe id —
+    map-side-combinable, so the per-key pair blowup collapses before it
+    travels; the unmatched probes come back via one left join on the
+    probe id.
+    """
+    pairs = interval_join_pairs(
+        probe, build, key_col, ts_col, lookback_us,
+        probe_cols=[seq_col],
+        build_cols=[seq_col, ts_col],
+    )
+    best = pairs.groupBy(F.col(seq_col)).agg(
+        F.max_by(
+            F.struct(
+                F.col(f"b_{seq_col}").alias("attr_id"),
+                F.col(f"b_{ts_col}").alias("attr_ts"),
+            ),
+            F.struct(F.col(f"b_{ts_col}"), F.col(f"b_{seq_col}")),
+        ).alias("__w")
+    )
+    return probe.join(best, seq_col, "left").select(
+        *probe.columns,
+        F.col("__w.attr_id").alias("attributed_id"),
+        F.col("__w.attr_ts").alias("attributed_ts_us"),
+        (F.col(ts_col) - F.col("__w.attr_ts")).alias("attribution_lag_us"),
+    )

@@ -4607,3 +4607,31 @@ SELECT CAST(any_value(n) AS BIGINT) AS n,
          AS cramers_v
 FROM grid
 """
+
+
+def events_attribution_sql(lookback_us: int) -> str:
+    """Twin of :func:`..operators.events.last_touch_attribution` —
+    clicks attributed to the latest in-window view (ties to the larger
+    view id), left semantics."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+v AS (SELECT event_id AS vid, user_id, ts_us AS vts
+      FROM e WHERE event_type = 'view'),
+j AS (
+  SELECT c.event_id, v.vid, v.vts,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.vts DESC, v.vid DESC) AS rn
+  FROM c JOIN v
+    ON v.user_id = c.user_id
+   AND v.vts <= c.ts_us AND v.vts >= c.ts_us - {lookback_us}
+),
+w AS (SELECT event_id, vid, vts FROM j WHERE rn = 1)
+SELECT c.event_id, c.user_id, c.ts_us,
+       coalesce(w.vid, -1) AS attributed_id,
+       coalesce(w.vts, -1) AS attributed_ts_us,
+       coalesce(c.ts_us - w.vts, -1) AS attribution_lag_us
+FROM c LEFT JOIN w ON w.event_id = c.event_id
+"""

@@ -2336,6 +2336,29 @@ def q_column_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_association(_docs(spark, sf_dir), "lang", "source")
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every click gains the latest view by the
+    same user within a 2 h lookback (NULLs when cold) — the batch
+    reduction of the streaming interval join."""
+    from datalake_indexes_spark.operators.events import last_touch_attribution
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts_us")
+    views = ev.filter("event_type = 'view'").select("event_id", "user_id", "ts_us")
+    out = last_touch_attribution(clicks, views, lookback_us=7_200_000_000)
+    # unattributed NULLs -> -1 sentinel: a nullable BIGINT round-trips
+    # through the oracle's pandas bridge as float64, which loses epoch-us
+    # precision in the value hash; the sentinel keeps both engines int64
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.coalesce("attributed_id", F.lit(-1)).alias("attributed_id"),
+        F.coalesce("attributed_ts_us", F.lit(-1)).alias("attributed_ts_us"),
+        F.coalesce("attribution_lag_us", F.lit(-1)).alias("attribution_lag_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2413,6 +2436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_link_census": q_web_link_census,
     "web_domain_cap": q_web_domain_cap,
     "events_dedup_bursts": q_events_dedup_bursts,
+    "events_attribution": q_events_attribution,
     "events_trend": q_events_trend,
     "column_quantile_buckets": q_column_quantile_buckets,
     "column_chi2": q_column_chi2,
@@ -2623,6 +2647,7 @@ WHERE rn = 1
     "web_link_census": oracle.web_link_census_sql(),
     "web_domain_cap": oracle.web_domain_cap_sql(cap=25),
     "events_dedup_bursts": oracle.events_dedup_bursts_sql(BURST_TOLERANCE_US),
+    "events_attribution": oracle.events_attribution_sql(7_200_000_000),
     "events_trend": oracle.events_trend_sql(TREND_X_ORIGIN_US),
     "column_quantile_buckets": oracle.column_quantile_buckets_sql(nbuckets=8),
     "column_chi2": oracle.column_chi2_sql("lang", "source"),
