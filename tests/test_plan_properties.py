@@ -517,3 +517,21 @@ def test_round9_operators_plan_shapes(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    """The attribution interval join must extract the key equality as the
+    join keys and keep the time range as a residual condition — a
+    BroadcastNestedLoopJoin here would be quadratic at scale (the classic
+    Spark range-join trap)."""
+    from datalake_indexes_spark.operators.events import interval_join_pairs
+
+    p = spark.range(100).selectExpr(
+        "id as event_id", "id % 10 as user_id", "id * 7 as ts_us"
+    )
+    b = spark.range(100).selectExpr(
+        "id + 1000 as event_id", "id % 10 as user_id", "id * 5 as ts_us"
+    )
+    plan = _plan(interval_join_pairs(p, b, lookback_us=50))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
