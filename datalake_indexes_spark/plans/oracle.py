@@ -4635,3 +4635,28 @@ SELECT c.event_id, c.user_id, c.ts_us,
        coalesce(c.ts_us - w.vts, -1) AS attribution_lag_us
 FROM c LEFT JOIN w ON w.event_id = c.event_id
 """
+
+
+def export_balanced_shards_sql(n_shards: int = 8) -> str:
+    """Twin of :func:`..sources.export.assign_balanced_shards` (weight =
+    n_chars): same exclusive-prefix cut at ceil(total/n)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+),
+tot AS (
+  SELECT greatest(CAST((sum(wt) + {n_shards} - 1) // {n_shards} AS BIGINT), 1)
+           AS target
+  FROM w
+),
+c AS (
+  SELECT doc_id, wt,
+         sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+)
+SELECT doc_id, wt AS weight, cum AS cum_weight,
+       CAST(least({n_shards} - 1,
+                  CAST(floor((cum - wt) * 1.0 / target) AS BIGINT)) AS INT)
+         AS shard_id
+FROM c CROSS JOIN tot
+"""

@@ -2359,6 +2359,17 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced shard assignment over the corpus (weight =
+    n_chars): contiguous doc-id ranges cut at equal cumulative mass —
+    the token-balanced alternative to md5 count-balanced sharding."""
+    from datalake_indexes_spark.sources.export import assign_balanced_shards
+
+    return assign_balanced_shards(
+        _docs(spark, sf_dir), n_shards=8, weight_col="n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2437,6 +2448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_cap": q_web_domain_cap,
     "events_dedup_bursts": q_events_dedup_bursts,
     "events_attribution": q_events_attribution,
+    "export_balanced_shards": q_export_balanced_shards,
     "events_trend": q_events_trend,
     "column_quantile_buckets": q_column_quantile_buckets,
     "column_chi2": q_column_chi2,
@@ -2648,6 +2660,7 @@ WHERE rn = 1
     "web_domain_cap": oracle.web_domain_cap_sql(cap=25),
     "events_dedup_bursts": oracle.events_dedup_bursts_sql(BURST_TOLERANCE_US),
     "events_attribution": oracle.events_attribution_sql(7_200_000_000),
+    "export_balanced_shards": oracle.export_balanced_shards_sql(n_shards=8),
     "events_trend": oracle.events_trend_sql(TREND_X_ORIGIN_US),
     "column_quantile_buckets": oracle.column_quantile_buckets_sql(nbuckets=8),
     "column_chi2": oracle.column_chi2_sql("lang", "source"),

@@ -308,3 +308,82 @@ def export_jsonl_shards_incremental(
         ],
         "shard_id int, n_docs long, fingerprint long, status string",
     )
+
+
+def assign_balanced_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, weight, cum_weight, shard_id) — WEIGHT-balanced shard
+    assignment: contiguous id ranges cut at multiples of
+    ceil(total_weight / n_shards), so every shard carries ~the same token
+    mass.  The md5 sharding of :func:`export_jsonl_shards` balances doc
+    COUNTS; a training loader that steps by tokens wants shards balanced
+    by tokens — long-document corpora can skew md5 shards by 2x+ in mass.
+
+    The global running sum is the distributed two-level prefix sum (the
+    budget_select pattern): value-range buckets over the numeric id are
+    monotone in id, each bucket runs a local ordered window, and the
+    n_buckets-row offset table is broadcast — no single-partition window.
+    Assignment cuts on the EXCLUSIVE prefix (a straddling document joins
+    the shard it starts in); one document heavier than the target still
+    overflows its shard — atomic rows, documented.  Deterministic: the
+    order is (id), the cuts are integer arithmetic.
+    """
+    from pyspark.sql.window import Window
+
+    lo_hi = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, weight long, cum_weight long, shard_id int"
+        )
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = max(hi - lo + 1, 1)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col(id_col) - F.lit(lo)) * n_buckets / F.lit(span)).cast("int"),
+    )
+    b = df.select(
+        F.col(id_col), F.col(weight_col).cast("long").alias("__w")
+    ).withColumn("__b", bucket)
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__run", F.sum("__w").over(w_local))
+    offsets = (
+        b.groupBy("__b")
+        .agg(F.sum("__w").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    total = int(b.agg(F.sum("__w")).collect()[0][0] or 0)
+    target = max((total + n_shards - 1) // n_shards, 1)
+    cum = F.col("__off") + F.col("__run")
+    return (
+        local.join(F.broadcast(offsets.select("__b", "__off")), "__b")
+        .select(
+            F.col(id_col),
+            F.col("__w").alias("weight"),
+            cum.cast("long").alias("cum_weight"),
+            F.least(
+                F.lit(n_shards - 1),
+                ((cum - F.col("__w")) / F.lit(target)).cast("int"),
+            ).alias("shard_id"),
+        )
+    )

@@ -143,3 +143,48 @@ def test_incremental_export_skips_unchanged_shards(spark, tmp_path):
     back = spark.read.json(out)
     assert back.filter(F.col("doc_id") == 7).collect()[0]["text"] == "text-X"
     assert back.count() == 60
+
+
+def test_balanced_shards_mass_balance(spark):
+    """Shards carry near-equal weight (within one max-doc of the target)
+    and assignment is contiguous in id order."""
+    from datalake_indexes_spark.sources.export import assign_balanced_shards
+
+    rows = [(i, 10 + (i % 7) * 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = assign_balanced_shards(df, n_shards=4).collect()
+    total = sum(w for _, w in rows)
+    target = (total + 3) // 4
+    max_w = max(w for _, w in rows)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for sid, members in by_shard.items():
+        mass = sum(m["weight"] for m in members)
+        if sid < 3:
+            assert target <= mass <= target + max_w
+    # contiguity: shard id is monotone in doc_id
+    ordered = sorted(out, key=lambda r: r["doc_id"])
+    sids = [r["shard_id"] for r in ordered]
+    assert sids == sorted(sids)
+    # every doc assigned exactly once, cum_weight is the true prefix sum
+    assert len(out) == 200
+    run = 0
+    for r in ordered:
+        run += r["weight"]
+        assert r["cum_weight"] == run
+
+
+def test_balanced_shards_empty_and_giant_doc(spark):
+    from datalake_indexes_spark.sources.export import assign_balanced_shards
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert assign_balanced_shards(empty, n_shards=4).count() == 0
+    # one doc heavier than the target still lands in exactly one shard
+    df = spark.createDataFrame(
+        [(0, 1000), (1, 1), (2, 1)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r["shard_id"] for r in
+           assign_balanced_shards(df, n_shards=2).collect()}
+    assert out[0] == 0 and out[1] == 1 and out[2] == 1
