@@ -1225,3 +1225,42 @@ def c4_rule_flags(
         brace.alias("has_brace"),
         keep.alias("c4_keep"),
     )
+
+
+def group_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 bucket is computed on
+    the GROUP key (domain, author, source...), so every document of a
+    group lands in the same split — the guard against train/test
+    contamination through near-identical documents from one site, which
+    a per-document split (:func:`hash_split`) cannot give.
+
+    (doc_id, group value, split).  Same pure-md5 determinism contract as
+    hash_split; achieved ratios track the weights only as well as group
+    sizes allow (one mega-group drags its whole mass into one split —
+    that is the point).  Map-only: the bucket is a projection of the
+    group column, no shuffle, no group materialization.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10000
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group_key"),
+        split.alias("split"),
+    )

@@ -4660,3 +4660,21 @@ SELECT doc_id, wt AS weight, cum AS cum_weight,
          AS shard_id
 FROM c CROSS JOIN tot
 """
+
+
+def corpus_group_split_sql(
+    train: float = 0.8, val: float = 0.1
+) -> str:
+    """Twin of :func:`..operators.text_analysis.group_split` on source."""
+    t = int(round(train * 10000))
+    v = int(round((train + val) * 10000))
+    return f"""
+SELECT doc_id,
+       source AS group_key,
+       CASE WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                 % 10000 < {t} THEN 'train'
+            WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                 % 10000 < {v} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

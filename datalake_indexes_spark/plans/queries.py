@@ -2370,6 +2370,14 @@ def q_export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: every document of a source lands in the same
+    train/val/test split (md5 on the source key, not the doc id)."""
+    from datalake_indexes_spark.operators.text_analysis import group_split
+
+    return group_split(_docs(spark, sf_dir), group_col="source")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2449,6 +2457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dedup_bursts": q_events_dedup_bursts,
     "events_attribution": q_events_attribution,
     "export_balanced_shards": q_export_balanced_shards,
+    "corpus_group_split": q_corpus_group_split,
     "events_trend": q_events_trend,
     "column_quantile_buckets": q_column_quantile_buckets,
     "column_chi2": q_column_chi2,
@@ -2661,6 +2670,7 @@ WHERE rn = 1
     "events_dedup_bursts": oracle.events_dedup_bursts_sql(BURST_TOLERANCE_US),
     "events_attribution": oracle.events_attribution_sql(7_200_000_000),
     "export_balanced_shards": oracle.export_balanced_shards_sql(n_shards=8),
+    "corpus_group_split": oracle.corpus_group_split_sql(),
     "events_trend": oracle.events_trend_sql(TREND_X_ORIGIN_US),
     "column_quantile_buckets": oracle.column_quantile_buckets_sql(nbuckets=8),
     "column_chi2": oracle.column_chi2_sql("lang", "source"),

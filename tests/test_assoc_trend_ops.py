@@ -130,3 +130,28 @@ def test_chi2_null_is_a_level(spark):
     )
     r = categorical_association(df, "a", "b").collect()[0]
     assert r["n"] == 10 and r["chi2"] == 10.0
+
+
+def test_group_split_no_leakage(spark):
+    """All docs of a group share one split; a per-doc hash split does
+    not have that property on the same data (sanity contrast)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        group_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"dom{i % 7}") for i in range(200)], "doc_id long, source string"
+    )
+    out = group_split(docs, group_col="source").collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["group_key"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_group.values())
+    assert len(out) == 200
+    # contrast: the doc-level split scatters most groups across splits
+    doc_splits = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    scattered = {}
+    for i in range(200):
+        scattered.setdefault(f"dom{i % 7}", set()).add(doc_splits[i])
+    assert any(len(s) > 1 for s in scattered.values())
