@@ -1,0 +1,232 @@
+"""Declarative curation-pipeline runner (extension surface).
+
+`plans/queries.py` grades several FIXED curation compositions
+(`corpus_prep`, `_v2`, `_v3`, `corpus_delivery`); this module is the
+generic surface behind them: a pipeline is a LIST OF STAGE DICTS
+(`{"stage": <name>, ...params}`), each stage a registered
+filter/transform over the running documents frame, and the runner
+returns both the surviving frame and a per-stage census (docs in/out —
+the funnel report every data card wants).
+
+Design rules:
+
+- **One lazy plan.** Stages compose DataFrame → DataFrame; nothing is
+  materialized between stages.  The census is computed as ONE extra
+  aggregate over a union of per-stage survivor markers — not an action
+  per stage — so the report costs one corpus scan, and only when asked.
+- **Filters keep the document frame's schema.**  A stage may CONSULT a
+  derived frame (quality scores, near-dup pairs...) but always returns
+  the surviving subset of the input documents, so stages compose in any
+  order.
+- **Determinism.**  Every underlying operator is deterministic (md5
+  draws, fixed thresholds), so a pipeline spec is a reproducible corpus
+  definition — rerunning it on the same snapshot yields byte-identical
+  survivors.
+
+Stage registry (params beyond ``stage`` are passed through):
+
+- ``quality_min``: keep docs with quality_score >= ``min_score``
+- ``c4_rules``: keep docs passing the C4 heuristic rule set
+- ``langs``: keep docs whose detected language is in ``keep``
+- ``max_repetition``: keep docs with top-bigram fraction <= ``max_frac``
+- ``pii_scrub``: TRANSFORM — replace text with the scrubbed version
+- ``dedup_exact``: keep the earliest copy of each exact text
+- ``dedup_minhash``: drop near-duplicates (keep the smaller doc_id of
+  each detected pair)
+- ``decontaminate``: drop docs sharing >= ``min_overlap`` n-grams with a
+  benchmark frame (passed as ``benchmark``)
+- ``domain_cap``: keep at most ``cap`` docs per registered domain
+  (needs a ``url`` column)
+- ``group_split_keep``: keep one split of a leakage-safe group split
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationResult:
+    docs: DataFrame        # survivors, input schema preserved
+    census: DataFrame      # (stage_idx, stage, docs_in, docs_out, dropped)
+
+
+def _keep_ids(docs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    return docs.join(ids.select(id_col).distinct(), id_col, "left_semi")
+
+
+def _stage_quality_min(docs, id_col, text_col, min_score: float = 0.5):
+    from datalake_indexes_spark.operators.text_analysis import quality_scores
+
+    scored = quality_scores(docs, text_col=text_col, id_col=id_col)
+    keep = scored.filter(F.col("quality_score") >= min_score).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, keep, id_col)
+
+
+def _stage_c4_rules(docs, id_col, text_col):
+    from datalake_indexes_spark.operators.text_analysis import c4_rule_flags
+
+    flags = c4_rule_flags(docs, text_col=text_col, id_col=id_col)
+    keep = flags.filter(F.col("c4_keep")).select(F.col("doc_id").alias(id_col))
+    return _keep_ids(docs, keep, id_col)
+
+
+def _stage_langs(docs, id_col, text_col, keep: list[str] = ("en",)):
+    from datalake_indexes_spark.operators.text_analysis import language_id
+
+    lid = language_id(docs, text_col=text_col, id_col=id_col)
+    kept = lid.filter(F.col("pred_lang").isin(list(keep))).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, kept, id_col)
+
+
+def _stage_max_repetition(docs, id_col, text_col, max_frac: float = 0.2):
+    from datalake_indexes_spark.operators.text_analysis import repetition_scores
+
+    rep = repetition_scores(docs, text_col=text_col, id_col=id_col)
+    keep = rep.filter(F.col("top_bigram_frac") <= max_frac).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, keep, id_col)
+
+
+def _stage_pii_scrub(docs, id_col, text_col):
+    from datalake_indexes_spark.operators.text_analysis import pii_scrub
+
+    scrubbed = pii_scrub(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias(id_col), F.col("scrubbed")
+    )
+    return docs.drop(text_col).join(scrubbed, id_col).withColumnRenamed(
+        "scrubbed", text_col
+    )
+
+
+def _stage_dedup_exact(docs, id_col, text_col):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _stage_dedup_minhash(docs, id_col, text_col, n: int = 3, threshold: float = 0.7):
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    losers = pairs.select(F.col("doc_id_2").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def _stage_decontaminate(docs, id_col, text_col, benchmark=None,
+                         n: int = 5, min_overlap: int = 3):
+    from datalake_indexes_spark.operators.text_analysis import decontaminate
+
+    if benchmark is None:
+        raise ValueError("decontaminate stage needs a `benchmark` frame")
+    flagged = decontaminate(
+        docs, benchmark, n=n, min_overlap=min_overlap,
+        text_col=text_col, id_col=id_col,
+    )
+    keep = flagged.filter(~F.col("contaminated")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, keep, id_col)
+
+
+def _stage_domain_cap(docs, id_col, text_col, cap: int = 100,
+                      url_col: str = "url"):
+    from datalake_indexes_spark.operators.web import domain_quota_cap
+
+    keep = domain_quota_cap(docs, cap=cap, url_col=url_col, id_col=id_col)
+    return _keep_ids(docs, keep.withColumnRenamed("doc_id", id_col), id_col)
+
+
+def _stage_group_split_keep(docs, id_col, text_col, group_col: str = "source",
+                            split: str = "train",
+                            weights: dict[str, float] | None = None):
+    from datalake_indexes_spark.operators.text_analysis import group_split
+
+    splits = group_split(docs, group_col=group_col, weights=weights,
+                         id_col=id_col)
+    keep = splits.filter(F.col("split") == split).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, keep, id_col)
+
+
+STAGES = {
+    "quality_min": _stage_quality_min,
+    "c4_rules": _stage_c4_rules,
+    "langs": _stage_langs,
+    "max_repetition": _stage_max_repetition,
+    "pii_scrub": _stage_pii_scrub,
+    "dedup_exact": _stage_dedup_exact,
+    "dedup_minhash": _stage_dedup_minhash,
+    "decontaminate": _stage_decontaminate,
+    "domain_cap": _stage_domain_cap,
+    "group_split_keep": _stage_group_split_keep,
+}
+
+
+def run_curation(
+    docs: DataFrame,
+    stages: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> CurationResult:
+    """Compose the configured stages over ``docs`` and return survivors +
+    the per-stage funnel census.
+
+    The census unions one tiny (stage_idx, marker-count) aggregate per
+    stage boundary — len(stages)+1 count aggregates over progressively
+    smaller frames, assembled lazily; reading ``census`` costs the
+    funnel's scans, reading only ``docs`` costs just the final plan.
+    """
+    frames = [docs]
+    cur = docs
+    for spec in stages:
+        spec = dict(spec)
+        name = spec.pop("stage")
+        if name not in STAGES:
+            raise ValueError(
+                f"unknown curation stage {name!r}; known: {sorted(STAGES)}"
+            )
+        cur = STAGES[name](cur, id_col, text_col, **spec)
+        frames.append(cur)
+
+    counts = None
+    for i, frame in enumerate(frames):
+        c = frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).alias("__i"), "n"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    names = ["input"] + [s["stage"] for s in stages]
+    labels = F.array(*[F.lit(n) for n in names])
+    census = (
+        counts.withColumn("stage", labels[F.col("__i")])
+        .withColumn("docs_out", F.col("n"))
+        .withColumn(
+            # global-order window over len(stages)+1 rows — driver-tiny
+            "docs_in",
+            F.coalesce(F.lag("n").over(Window.orderBy("__i")), F.col("n")),
+        )
+        .select(
+            F.col("__i").alias("stage_idx"),
+            "stage",
+            "docs_in",
+            "docs_out",
+            (F.col("docs_in") - F.col("docs_out")).alias("dropped"),
+        )
+    )
+    return CurationResult(docs=cur, census=census)

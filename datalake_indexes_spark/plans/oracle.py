@@ -4678,3 +4678,36 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def corpus_pipeline_census_sql(
+    quality_threshold: float = 0.55, repetition_cap: float = 0.2
+) -> str:
+    """Twin of the declarative runner's funnel census for the graded
+    3-stage config (sequential composition matters: each stage counts
+    against the PREVIOUS stage's survivors)."""
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM ({text_quality_sql()})
+  WHERE quality_score >= {quality_threshold}
+),
+r AS (
+  SELECT doc_id FROM ({text_repetition_sql()})
+  WHERE top_bigram_frac <= {repetition_cap}
+),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN r USING (doc_id)),
+s3 AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+c0 AS (SELECT count(*) AS n FROM documents),
+c1 AS (SELECT count(*) AS n FROM s1),
+c2 AS (SELECT count(*) AS n FROM s2),
+c3 AS (SELECT count(*) AS n FROM s3)
+SELECT 0 AS stage_idx, 'input' AS stage, c0.n AS docs_in, c0.n AS docs_out,
+       0 AS dropped FROM c0
+UNION ALL
+SELECT 1, 'quality_min', c0.n, c1.n, c0.n - c1.n FROM c0, c1
+UNION ALL
+SELECT 2, 'max_repetition', c1.n, c2.n, c1.n - c2.n FROM c1, c2
+UNION ALL
+SELECT 3, 'dedup_exact', c2.n, c3.n, c2.n - c3.n FROM c2, c3
+"""

@@ -2378,6 +2378,23 @@ def q_corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_split(_docs(spark, sf_dir), group_col="source")
 
 
+def q_corpus_pipeline_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative curation runner (pipelines/curation.py) graded by its
+    funnel census: quality gate -> repetition gate -> earliest-keep exact
+    dedup, with per-stage in/out/dropped counts."""
+    from datalake_indexes_spark.pipelines.curation import run_curation
+
+    res = run_curation(
+        _docs(spark, sf_dir),
+        [
+            {"stage": "quality_min", "min_score": 0.55},
+            {"stage": "max_repetition", "max_frac": 0.2},
+            {"stage": "dedup_exact"},
+        ],
+    )
+    return res.census
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2458,6 +2475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution": q_events_attribution,
     "export_balanced_shards": q_export_balanced_shards,
     "corpus_group_split": q_corpus_group_split,
+    "corpus_pipeline_census": q_corpus_pipeline_census,
     "events_trend": q_events_trend,
     "column_quantile_buckets": q_column_quantile_buckets,
     "column_chi2": q_column_chi2,
@@ -2671,6 +2689,7 @@ WHERE rn = 1
     "events_attribution": oracle.events_attribution_sql(7_200_000_000),
     "export_balanced_shards": oracle.export_balanced_shards_sql(n_shards=8),
     "corpus_group_split": oracle.corpus_group_split_sql(),
+    "corpus_pipeline_census": oracle.corpus_pipeline_census_sql(),
     "events_trend": oracle.events_trend_sql(TREND_X_ORIGIN_US),
     "column_quantile_buckets": oracle.column_quantile_buckets_sql(nbuckets=8),
     "column_chi2": oracle.column_chi2_sql("lang", "source"),

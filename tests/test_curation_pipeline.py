@@ -1,0 +1,89 @@
+"""Declarative curation runner (pipelines/curation.py): stage
+composition, census math, transform stages, and config validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.pipelines.curation import STAGES, run_curation
+
+
+def _docs(spark):
+    rows = [
+        # good English-looking docs
+        (0, "the quick brown fox jumps over the lazy dog and runs far. "
+            "the weather is nice today and the market is open. "
+            "we should take the data to the lake before noon."),
+        (1, "a model of the data lake with many tables and the rows "
+            "inside them. the index makes the scan fast and the join "
+            "cheap. every query reads less than it would otherwise."),
+        # exact duplicate of 1 (later id -> dropped by dedup_exact)
+        (2, "a model of the data lake with many tables and the rows "
+            "inside them. the index makes the scan fast and the join "
+            "cheap. every query reads less than it would otherwise."),
+        # low quality: repeated single word
+        (3, "spam spam spam spam spam spam spam spam spam spam"),
+        # PII to scrub, otherwise fine
+        (4, "contact the owner at alice@example.com for the dataset and "
+            "the schedule of the next load. the pipeline is run daily "
+            "and the report lands in the morning."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pipeline_composes_and_census_adds_up(spark):
+    res = run_curation(
+        _docs(spark),
+        [
+            {"stage": "max_repetition", "max_frac": 0.5},
+            {"stage": "dedup_exact"},
+            {"stage": "pii_scrub"},
+        ],
+    )
+    docs = res.docs.collect()
+    ids = sorted(r["doc_id"] for r in docs)
+    assert ids == [0, 1, 4]  # 3 dropped by repetition, 2 by dedup
+    # PII transform applied in place, schema preserved
+    assert {f.name for f in res.docs.schema} == {"doc_id", "text"}
+    scrubbed = {r["doc_id"]: r["text"] for r in docs}[4]
+    assert "<EMAIL>" in scrubbed and "alice@example.com" not in scrubbed
+
+    census = {r["stage_idx"]: r for r in res.census.collect()}
+    assert census[0]["stage"] == "input" and census[0]["docs_out"] == 5
+    assert census[1]["stage"] == "max_repetition"
+    assert census[1]["docs_in"] == 5 and census[1]["docs_out"] == 4
+    assert census[2]["stage"] == "dedup_exact" and census[2]["docs_out"] == 3
+    assert census[3]["dropped"] == 0  # scrub transforms, never drops
+    # funnel invariant: docs_in of stage k == docs_out of stage k-1
+    for i in range(1, 4):
+        assert census[i]["docs_in"] == census[i - 1]["docs_out"]
+
+
+def test_pipeline_decontaminate_needs_benchmark(spark):
+    with pytest.raises(ValueError, match="benchmark"):
+        run_curation(_docs(spark), [{"stage": "decontaminate"}])
+
+
+def test_pipeline_unknown_stage(spark):
+    with pytest.raises(ValueError, match="unknown curation stage"):
+        run_curation(_docs(spark), [{"stage": "nope"}])
+
+
+def test_pipeline_empty_stages_is_identity(spark):
+    docs = _docs(spark)
+    res = run_curation(docs, [])
+    assert res.docs.count() == 5
+    c = res.census.collect()
+    assert len(c) == 1 and c[0]["stage"] == "input"
+
+
+def test_registry_stages_all_runnable(spark):
+    """Every registered filter stage runs on the fixture (smoke; the
+    stages needing extra inputs are exercised elsewhere)."""
+    docs = _docs(spark)
+    for name in ("quality_min", "c4_rules", "langs", "max_repetition",
+                 "dedup_exact", "dedup_minhash"):
+        out = STAGES[name](docs, "doc_id", "text")
+        assert set(out.columns) == {"doc_id", "text"}
+        out.count()
