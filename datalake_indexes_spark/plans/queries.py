@@ -242,8 +242,11 @@ def q_cocoa_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
     mate = MATE(idx)
     customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     inp_ids = with_global_row_number(customer, ["c_custkey"], out_col="mate_row_id")
+    # stats= persists MATE's shared verification output, so the top-k
+    # branch and the join maps both reuse ONE probe/verify execution
     res = mate.join_search(
-        inp_ids, ["c_custkey"], k=5, k_c=500, input_order_by=["c_custkey"]
+        inp_ids, ["c_custkey"], k=5, k_c=500, input_order_by=["c_custkey"],
+        stats={},
     )
     # the correlation job reads the join maps twice (candidate-table
     # distinct + broadcast); cache them so MATE executes once
