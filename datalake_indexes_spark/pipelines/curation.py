@@ -53,6 +53,13 @@ class CurationResult:
     docs: DataFrame        # survivors, input schema preserved
     census: DataFrame      # (stage_idx, stage, docs_in, docs_out, dropped)
 
+    def unpersist(self) -> "CurationResult":
+        """Release frames cached by ``run_curation(persist_stages=True)``
+        (no-op otherwise — unpersist on an uncached frame is free)."""
+        for df in getattr(self, "_cached", []):
+            df.unpersist()
+        return self
+
 
 def _keep_ids(docs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
     return docs.join(ids.select(id_col).distinct(), id_col, "left_semi")
@@ -184,6 +191,7 @@ def run_curation(
     stages: list[dict],
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_stages: bool = False,
 ) -> CurationResult:
     """Compose the configured stages over ``docs`` and return survivors +
     the per-stage funnel census.
@@ -191,9 +199,15 @@ def run_curation(
     The census unions one tiny (stage_idx, marker-count) aggregate per
     stage boundary — len(stages)+1 count aggregates over progressively
     smaller frames, assembled lazily; reading ``census`` costs the
-    funnel's scans, reading only ``docs`` costs just the final plan.
+    funnel's scans (each boundary re-runs its prefix — O(k²) stage
+    executions), reading only ``docs`` costs just the final plan.
+    ``persist_stages=True`` caches each intermediate frame so the census
+    costs one execution per stage instead; call ``result.unpersist()``
+    when done (survivors keep flowing either way — MEMORY_AND_DISK
+    caches evict under pressure, they never fail the job).
     """
     frames = [docs]
+    cached = []
     cur = docs
     for spec in stages:
         spec = dict(spec)
@@ -203,6 +217,9 @@ def run_curation(
                 f"unknown curation stage {name!r}; known: {sorted(STAGES)}"
             )
         cur = STAGES[name](cur, id_col, text_col, **spec)
+        if persist_stages:
+            cur = cur.persist()
+            cached.append(cur)
         frames.append(cur)
 
     counts = None
@@ -229,4 +246,6 @@ def run_curation(
             (F.col("docs_in") - F.col("docs_out")).alias("dropped"),
         )
     )
-    return CurationResult(docs=cur, census=census)
+    result = CurationResult(docs=cur, census=census)
+    result._cached = cached
+    return result

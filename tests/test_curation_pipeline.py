@@ -87,3 +87,20 @@ def test_registry_stages_all_runnable(spark):
         out = STAGES[name](docs, "doc_id", "text")
         assert set(out.columns) == {"doc_id", "text"}
         out.count()
+
+
+def test_pipeline_persist_stages_same_result(spark):
+    """persist_stages changes cost, never results; unpersist releases."""
+    stages = [
+        {"stage": "max_repetition", "max_frac": 0.5},
+        {"stage": "dedup_exact"},
+    ]
+    plain = run_curation(_docs(spark), stages)
+    cached = run_curation(_docs(spark), stages, persist_stages=True)
+    assert sorted(r["doc_id"] for r in plain.docs.collect()) == sorted(
+        r["doc_id"] for r in cached.docs.collect()
+    )
+    assert [tuple(r) for r in plain.census.collect()] == [
+        tuple(r) for r in cached.census.collect()
+    ]
+    cached.unpersist()
