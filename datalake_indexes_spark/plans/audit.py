@@ -1,0 +1,72 @@
+"""Plan introspection — the `.explain` discipline as a queryable API.
+
+Every scale claim in PLANS.md reduces to facts about the physical plan:
+how many Exchanges, which joins broadcast, whether filters reached the
+parquet scan, how wide the codegen spans are.  `plan_report` extracts
+those facts from any DataFrame so pipelines can ASSERT their plan shape
+(the `tests/test_plan_properties.py` guards use the same substrings) and
+users can audit a composed query before paying for it at 100 TB —
+`spark.explain()` output is for eyes; this is for code.
+
+Driver-only and free: reads the already-built physical plan string; no
+job runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Facts about ``df``'s physical plan (AQE initial plan — the
+    pre-runtime shape; AQE may further improve it, never worsen it):
+
+    - ``n_exchanges``: shuffle boundaries (each is a full materialization
+      of its subtree's output — the unit of cost at scale)
+    - ``n_broadcast_joins`` / ``n_sortmerge_joins`` / ``n_hash_joins``:
+      join strategies chosen
+    - ``n_nested_loop_joins``: BroadcastNestedLoop + CartesianProduct —
+      almost always a scale bug unless one side is a literal handful of
+      rows (the sanctioned 1-row broadcast pattern)
+    - ``n_scans``: file-source scans (re-reads of the same data count)
+    - ``has_pushed_filters``: at least one scan received pushed filters
+    - ``n_codegen_spans``: WholeStageCodegen regions (wider = fewer
+      interpreter boundaries)
+    - ``n_inmemory_scans``: cache hits (InMemoryTableScan)
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "n_exchanges": plan.count("Exchange"),
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_sortmerge_joins": plan.count("SortMergeJoin"),
+        "n_hash_joins": plan.count("ShuffledHashJoin"),
+        "n_nested_loop_joins": plan.count("BroadcastNestedLoopJoin")
+        + plan.count("CartesianProduct"),
+        "n_scans": plan.count("FileScan"),
+        "has_pushed_filters": bool(
+            re.search(r"PushedFilters: \[[^\]]", plan)
+        ),
+        "n_codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "n_inmemory_scans": plan.count("InMemoryTableScan"),
+    }
+
+
+def assert_scalable_plan(
+    df: DataFrame, max_exchanges: int | None = None, allow_nested_loop: bool = False
+) -> dict:
+    """Raise AssertionError when the plan has a scale smell; returns the
+    report otherwise.  Use in pipeline code the way tests use the plan
+    guards: fail fast at plan time, not three hours into the shuffle."""
+    rep = plan_report(df)
+    if not allow_nested_loop and rep["n_nested_loop_joins"]:
+        raise AssertionError(
+            f"plan contains {rep['n_nested_loop_joins']} nested-loop/cartesian "
+            f"join(s) — quadratic at scale: {rep}"
+        )
+    if max_exchanges is not None and rep["n_exchanges"] > max_exchanges:
+        raise AssertionError(
+            f"plan has {rep['n_exchanges']} exchanges > budget {max_exchanges}: {rep}"
+        )
+    return rep

@@ -1,0 +1,66 @@
+"""plan_report / assert_scalable_plan (plans/audit.py): the plan facts
+match known shapes, and the guard trips on genuine scale smells."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.plans.audit import assert_scalable_plan, plan_report
+
+
+def test_report_counts_known_shapes(spark):
+    a = spark.range(1000).selectExpr("id", "id % 7 as k")
+    b = spark.range(50).selectExpr("id as k2", "id * 2 as v")
+
+    # map-only projection: no exchange, no join
+    rep = plan_report(a.select("id"))
+    assert rep["n_exchanges"] == 0 and rep["n_nested_loop_joins"] == 0
+
+    # groupBy: exactly one exchange
+    rep = plan_report(a.groupBy("k").count())
+    assert rep["n_exchanges"] == 1
+
+    # broadcast equi-join: a broadcast exchange, a BroadcastHashJoin
+    rep = plan_report(a.join(F.broadcast(b), a["k"] == b["k2"]))
+    assert rep["n_broadcast_joins"] == 1 and rep["n_nested_loop_joins"] == 0
+
+    # cross join: flagged as nested loop
+    rep = plan_report(a.crossJoin(b))
+    assert rep["n_nested_loop_joins"] == 1
+
+
+def test_guard_trips_on_cartesian_and_budget(spark):
+    a = spark.range(100)
+    b = spark.range(100)
+    with pytest.raises(AssertionError, match="nested-loop"):
+        assert_scalable_plan(a.crossJoin(b))
+    # allowed when declared (the sanctioned 1-row broadcast pattern)
+    rep = assert_scalable_plan(a.crossJoin(b), allow_nested_loop=True)
+    assert rep["n_nested_loop_joins"] == 1
+    with pytest.raises(AssertionError, match="exchanges"):
+        assert_scalable_plan(
+            a.selectExpr("id % 3 as k").groupBy("k").count(), max_exchanges=0
+        )
+
+
+def test_pushed_filters_detected(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "id % 5 as k").write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("k") == 3)
+    rep = plan_report(df)
+    assert rep["n_scans"] == 1 and rep["has_pushed_filters"]
+
+
+def test_engine_queries_pass_the_guard(spark, sf_dir):
+    """Spot-check: flagship engine plans clear the no-nested-loop guard
+    (chi2's margin cross product is the one declared exception)."""
+    from datalake_indexes_spark.operators.events import interval_join_pairs
+    from datalake_indexes_spark.operators.text_analysis import group_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_scalable_plan(group_split(docs), max_exchanges=0)
+    ev = spark.range(100).selectExpr(
+        "id as event_id", "id % 5 as user_id", "id * 3 as ts_us"
+    )
+    assert_scalable_plan(interval_join_pairs(ev, ev, lookback_us=10))
