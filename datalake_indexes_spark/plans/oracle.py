@@ -4711,3 +4711,21 @@ SELECT 2, 'max_repetition', c1.n, c2.n, c1.n - c2.n FROM c1, c2
 UNION ALL
 SELECT 3, 'dedup_exact', c2.n, c3.n, c2.n - c3.n FROM c2, c3
 """
+
+
+def events_interval_pairs_sql(lookback_us: int) -> str:
+    """Twin of the stream-stream interval join's candidate pairs."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+c AS (SELECT event_id AS probe_id, user_id AS key, ts_us AS probe_ts_us
+      FROM e WHERE event_type = 'click'),
+v AS (SELECT event_id AS build_id, user_id, ts_us AS build_ts_us
+      FROM e WHERE event_type = 'view')
+SELECT c.probe_id, c.key, c.probe_ts_us, v.build_id, v.build_ts_us
+FROM c JOIN v
+  ON v.user_id = c.key
+ AND v.build_ts_us <= c.probe_ts_us
+ AND v.build_ts_us >= c.probe_ts_us - {lookback_us}
+"""

@@ -2398,6 +2398,23 @@ def q_corpus_pipeline_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.census
 
 
+def q_events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-pair frame of the stream-stream interval join,
+    graded on its batch execution (same plan batch or streaming —
+    streaming/attribution_stream.py; stream==batch pinned in pytest):
+    every (click, view) pair per user within the 2 h lookback."""
+    from datalake_indexes_spark.streaming.attribution_stream import (
+        interval_pairs_streaming,
+    )
+
+    return interval_pairs_streaming(
+        _events_us(spark, sf_dir),
+        "event_type = 'click'",
+        "event_type = 'view'",
+        lookback_us=7_200_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2476,6 +2493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_cap": q_web_domain_cap,
     "events_dedup_bursts": q_events_dedup_bursts,
     "events_attribution": q_events_attribution,
+    "events_interval_pairs": q_events_interval_pairs,
     "export_balanced_shards": q_export_balanced_shards,
     "corpus_group_split": q_corpus_group_split,
     "corpus_pipeline_census": q_corpus_pipeline_census,
@@ -2690,6 +2708,7 @@ WHERE rn = 1
     "web_domain_cap": oracle.web_domain_cap_sql(cap=25),
     "events_dedup_bursts": oracle.events_dedup_bursts_sql(BURST_TOLERANCE_US),
     "events_attribution": oracle.events_attribution_sql(7_200_000_000),
+    "events_interval_pairs": oracle.events_interval_pairs_sql(7_200_000_000),
     "export_balanced_shards": oracle.export_balanced_shards_sql(n_shards=8),
     "corpus_group_split": oracle.corpus_group_split_sql(),
     "corpus_pipeline_census": oracle.corpus_pipeline_census_sql(),
