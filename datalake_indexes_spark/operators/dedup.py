@@ -752,3 +752,106 @@ def dedup_recall_report(
         .otherwise(F.lit(1.0))
         .alias("recall"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_words: int = 10,
+    max_gram_freq: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated SPANS across documents — (doc_id_1, doc_id_2,
+    start_1, start_2, n_words) for every maximal run of >= ``min_words``
+    consecutive words appearing verbatim in both documents (the
+    Lee-et-al. "Deduplicating Training Data" exact-substring signal;
+    suffix arrays do not distribute, k-gram diagonal runs do).
+
+    Construction: word k-grams with positions -> equi-join on the gram
+    between documents (doc_id_1 < doc_id_2) -> matches on the same
+    DIAGONAL (start_1 - start_2) with consecutive positions are one
+    span; the run-merge is the chained-gap rule (lag + running sum)
+    keyed by (pair, diagonal).  A run of m consecutive k-gram hits
+    covers m + k - 1 words.
+
+    Scale shape: the gram join is the only corpus-sized shuffle, keyed
+    by the gram hash; ``max_gram_freq`` drops grams appearing in more
+    documents than the cap BEFORE the self-join (the boilerplate-shingle
+    d-squared guard the n-gram Jaccard path uses — recall loss is
+    bounded to spans made ENTIRELY of ubiquitous grams, documented).
+    The run-merge windows are per (pair, diagonal) partitions — bounded
+    by matched-gram counts, never global.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w")).filter(
+        F.size("__w") >= k
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws("\u0001", F.slice("__w", i + 1, k))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("kg"),
+    ).select("doc_id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+
+    # df cap on distinct docs per gram — kills the boilerplate blowup
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") <= max_gram_freq)
+        .select("g")
+    )
+    g2 = grams.join(rare, "g", "left_semi")
+
+    a, b = g2.alias("a"), g2.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.pos").alias("p1"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id_1", "doc_id_2", "diag").orderBy("p1")
+    runs = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        runs.groupBy("doc_id_1", "doc_id_2", "diag", "__run")
+        .agg(
+            F.min("p1").alias("start_1"),
+            (F.max("p1") - F.min("p1") + k).alias("n_words"),
+        )
+        .filter(F.col("n_words") >= min_words)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "start_1",
+            (F.col("start_1") - F.col("diag")).alias("start_2"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )
+    return spans

@@ -4729,3 +4729,66 @@ FROM c JOIN v
  AND v.build_ts_us <= c.probe_ts_us
  AND v.build_ts_us >= c.probe_ts_us - {lookback_us}
 """
+
+
+def dedup_repeated_spans_sql(
+    span: str, k: int = 5, min_words: int = 10, max_gram_freq: int = 100,
+    modulus: int = 7,
+) -> str:
+    """Twin of :func:`..operators.dedup.repeated_spans` over the
+    planted-span fixture (gram equality on the joined string; the engine
+    joins on xxhash64 of the same string — identical modulo a ~2^-64
+    collision)."""
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = 0
+              THEN text || ' ' || '{span}' ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM planted
+),
+gpos AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - {k} + 1, 0))) AS pos
+  FROM w WHERE len(ws) >= {k}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ws, pos + 1, pos + {k}), chr(1)) AS gram
+  FROM gpos
+),
+rare AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+  ) WHERE df <= {max_gram_freq}
+),
+g2 AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN rare USING (gram)),
+hits AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1,
+         a.pos - b.pos AS diag
+  FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT *,
+         CASE WHEN p1 - lag(p1) OVER win IS NULL
+                   OR p1 - lag(p1) OVER win > 1
+              THEN 1 ELSE 0 END AS nb
+  FROM hits
+  WINDOW win AS (PARTITION BY d1, d2, diag ORDER BY p1)
+),
+rr AS (
+  SELECT *, sum(nb) OVER (PARTITION BY d1, d2, diag ORDER BY p1
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM r
+)
+SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+       CAST(min(p1) AS INT) AS start_1,
+       CAST(min(p1) - diag AS INT) AS start_2,
+       CAST(max(p1) - min(p1) + {k} AS BIGINT) AS n_words
+FROM rr GROUP BY d1, d2, diag, run
+HAVING max(p1) - min(p1) + {k} >= {min_words}
+"""

@@ -2415,6 +2415,30 @@ def q_events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPEAT_SPAN = (
+    "shared boilerplate sentence planted for exact span detection "
+    "across documents twelve words"
+)
+
+
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated spans (Lee-et-al. exact-substring dedup signal)
+    over documents WITH a planted verbatim 13-word span on every 7th doc
+    — the unplanted corpus has no long exact overlaps, so the fixture
+    makes the span/run machinery non-vacuous."""
+    from datalake_indexes_spark.operators.dedup import repeated_spans
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + REPEAT_SPAN)),
+        ).otherwise(F.col("text")),
+    )
+    return repeated_spans(planted, k=5, min_words=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2459,6 +2483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_recall_report": q_dedup_recall_report,
     "dedup_subset": q_dedup_subset,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -2668,6 +2693,7 @@ WHERE rn = 1
     "dedup_containment": oracle.dedup_containment_sql(threshold=0.8, max_freq=500),
     "dedup_recall_report": oracle.dedup_recall_report_sql(threshold=0.7),
     "dedup_subset": oracle.dedup_subset_sql(threshold=0.8, max_freq=500),
+    "dedup_repeated_spans": oracle.dedup_repeated_spans_sql(REPEAT_SPAN),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),

@@ -264,3 +264,56 @@ def test_subset_dedup_bulk_with_hot_boilerplate(spark):
     assert set(dropped) == {10_000 + j for j in range(50)}
     assert all(out[10_000 + j]["container_id"] == j for j in range(50))
     assert secs < 90, f"bulk subset dedup took {secs:.1f}s"
+
+
+class TestRepeatedSpans:
+    def test_planted_exact_span(self, spark):
+        """A verbatim 12-word span shared at different offsets is found
+        with exact starts and length; a 4-word overlap is below
+        min_words and ignored."""
+        from datalake_indexes_spark.operators.dedup import repeated_spans
+
+        span = "one two three four five six seven eight nine ten eleven twelve"
+        docs = spark.createDataFrame(
+            [
+                (1, "intro words here " + span + " tail a b"),
+                (2, span + " totally different ending of course"),
+                (3, "short shared bit one two three four unrelated rest"),
+            ],
+            "doc_id long, text string",
+        )
+        out = repeated_spans(docs, k=3, min_words=10).collect()
+        spans = {(r["doc_id_1"], r["doc_id_2"]): r for r in out}
+        assert set(spans) == {(1, 2)}
+        r = spans[(1, 2)]
+        assert r["start_1"] == 3 and r["start_2"] == 0 and r["n_words"] == 12
+
+    def test_gram_cap_suppresses_boilerplate(self, spark):
+        """A span made of a gram present in MORE docs than the cap
+        generates no candidates (documented recall bound)."""
+        from datalake_indexes_spark.operators.dedup import repeated_spans
+
+        boiler = "all rights reserved by the site owner today ok fine"
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} prefix " + boiler) for i in range(6)],
+            "doc_id long, text string",
+        )
+        hi = repeated_spans(docs, k=3, min_words=5, max_gram_freq=100)
+        lo = repeated_spans(docs, k=3, min_words=5, max_gram_freq=3)
+        assert hi.count() > 0 and lo.count() == 0
+
+    def test_two_separate_spans_two_rows(self, spark):
+        from datalake_indexes_spark.operators.dedup import repeated_spans
+
+        s1 = "alpha beta gamma delta epsilon zeta"
+        s2 = "red orange yellow green blue violet"
+        docs = spark.createDataFrame(
+            [
+                (1, s1 + " filler filler " + s2),
+                (2, s2 + " unrelated middle words " + s1),
+            ],
+            "doc_id long, text string",
+        )
+        out = repeated_spans(docs, k=3, min_words=6).collect()
+        assert len(out) == 2
+        assert sorted(r["n_words"] for r in out) == [6, 6]
