@@ -855,3 +855,61 @@ def repeated_spans(
         )
     )
     return spans
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL action for :func:`repeated_spans` — (doc_id,
+    n_words_before, n_words_removed, text_cleaned): every word covered
+    by a detected span ON THE doc_id_2 SIDE is cut, so of each repeated
+    substring the copy in the smallest doc id survives (the smallest doc
+    of a clique never appears as doc_id_2 — the canonical copy falls out
+    of the pair orientation, no extra election pass).
+
+    Whitespace is normalized to single spaces in the rebuilt text (the
+    span detector's word universe IS the split on whitespace — both
+    stated in its contract).  Overlapping spans need no interval merge:
+    a word is cut iff ANY span covers it.
+
+    Scale shape: the interval list per affected doc is a collect_list
+    bounded by spans-per-doc (pair-oriented: each doc carries only ITS
+    cut list, never the corpus's); the cut itself is a pure array
+    expression riding the corpus scan — one small aggregate + one
+    broadcast-or-shuffle left join, no explode of words to rows.
+    """
+    iv = spans.select(
+        F.col("doc_id_2").alias(id_col),
+        F.struct(
+            F.col("start_2").alias("s"),
+            (F.col("start_2") + F.col("n_words")).alias("e"),
+        ).alias("__iv"),
+    )
+    per_doc = iv.groupBy(id_col).agg(F.collect_list("__iv").alias("__ivs"))
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = (
+        docs.select(F.col(id_col), words.alias("__w"))
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "__ivs",
+            F.coalesce(
+                "__ivs",
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("__w"),
+        lambda w, i: ~F.exists(
+            F.col("__ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_words_before"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_words_removed"),
+        F.array_join(kept, " ").alias("text_cleaned"),
+    )

@@ -4792,3 +4792,54 @@ SELECT d1 AS doc_id_1, d2 AS doc_id_2,
 FROM rr GROUP BY d1, d2, diag, run
 HAVING max(p1) - min(p1) + {k} >= {min_words}
 """
+
+
+def dedup_span_removal_sql(
+    span: str, k: int = 5, min_words: int = 10, max_gram_freq: int = 100,
+    modulus: int = 7,
+) -> str:
+    """Twin of :func:`..operators.dedup.remove_repeated_spans` composed
+    over the span-detection twin (z[1]/z[2] = zipped word/index)."""
+    spans_sql = dedup_repeated_spans_sql(
+        span, k=k, min_words=min_words, max_gram_freq=max_gram_freq,
+        modulus=modulus,
+    )
+    return f"""
+WITH spans AS ({spans_sql}),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = 0
+              THEN text || ' ' || '{span}' ELSE text END AS text
+  FROM documents
+),
+iv AS (
+  SELECT doc_id_2 AS doc_id,
+         start_2 AS s, start_2 + n_words AS e
+  FROM spans
+),
+per_doc AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs FROM iv GROUP BY doc_id
+),
+w AS (
+  SELECT p.doc_id,
+         list_filter(string_split_regex(p.text, '\\s+'), x -> x <> '') AS ws,
+         coalesce(per_doc.ivs, []) AS ivs
+  FROM planted p LEFT JOIN per_doc USING (doc_id)
+),
+cut AS (
+  SELECT doc_id, ws, ivs,
+         list_transform(
+           list_filter(
+             list_zip(ws, range(0, len(ws))),
+             z -> len(list_filter(ivs, v -> z[2] >= v.s AND z[2] < v.e)) = 0
+           ),
+           z -> z[1]
+         ) AS kept
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words_before,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_words_removed,
+       coalesce(array_to_string(kept, ' '), '') AS text_cleaned
+FROM cut
+"""

@@ -2439,6 +2439,27 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(planted, k=5, min_words=10)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL over the planted-span fixture: every planted doc
+    except the clique's smallest id has its 13 repeated words cut; the
+    canonical copy survives by pair orientation."""
+    from datalake_indexes_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + REPEAT_SPAN)),
+        ).otherwise(F.col("text")),
+    )
+    spans = repeated_spans(planted, k=5, min_words=10)
+    return remove_repeated_spans(planted, spans)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2484,6 +2505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_recall_report": q_dedup_recall_report,
     "dedup_subset": q_dedup_subset,
     "dedup_repeated_spans": q_dedup_repeated_spans,
+    "dedup_span_removal": q_dedup_span_removal,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -2694,6 +2716,7 @@ WHERE rn = 1
     "dedup_recall_report": oracle.dedup_recall_report_sql(threshold=0.7),
     "dedup_subset": oracle.dedup_subset_sql(threshold=0.8, max_freq=500),
     "dedup_repeated_spans": oracle.dedup_repeated_spans_sql(REPEAT_SPAN),
+    "dedup_span_removal": oracle.dedup_span_removal_sql(REPEAT_SPAN),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),

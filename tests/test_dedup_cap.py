@@ -317,3 +317,29 @@ class TestRepeatedSpans:
         out = repeated_spans(docs, k=3, min_words=6).collect()
         assert len(out) == 2
         assert sorted(r["n_words"] for r in out) == [6, 6]
+
+    def test_removal_keeps_canonical_copy(self, spark):
+        """doc 1 (smallest id of the clique) keeps the span; 2 and 3
+        lose it; overlapping spans need no merge."""
+        from datalake_indexes_spark.operators.dedup import (
+            remove_repeated_spans,
+            repeated_spans,
+        )
+
+        span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        docs = spark.createDataFrame(
+            [
+                (1, span + " unique one tail"),
+                (2, "head " + span),
+                (3, span),
+            ],
+            "doc_id long, text string",
+        )
+        spans = repeated_spans(docs, k=3, min_words=10)
+        out = {r["doc_id"]: r for r in
+               remove_repeated_spans(docs, spans).collect()}
+        assert out[1]["n_words_removed"] == 0
+        assert out[2]["n_words_removed"] == 10
+        assert out[2]["text_cleaned"] == "head"
+        assert out[3]["n_words_removed"] == 10
+        assert out[3]["text_cleaned"] == ""
