@@ -35,6 +35,10 @@ def plan_report(df: DataFrame) -> dict:
     - ``n_codegen_spans``: WholeStageCodegen regions (wider = fewer
       interpreter boundaries)
     - ``n_inmemory_scans``: cache hits (InMemoryTableScan)
+    - ``n_global_windows``: Window operators with an EMPTY partition
+      spec — every row of the subtree funnels through ONE task (the
+      classic silent scale killer; fine only when the input is already
+      k-bounded, e.g. the rank pass after an ``orderBy().limit(k)``)
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
@@ -50,20 +54,58 @@ def plan_report(df: DataFrame) -> dict:
         ),
         "n_codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         "n_inmemory_scans": plan.count("InMemoryTableScan"),
+        "n_global_windows": _count_global_windows(plan),
     }
 
 
+def _count_global_windows(plan: str) -> int:
+    """Window operators whose partition spec is empty.  The plan line is
+    ``Window [exprs], [partitionSpec], [orderSpec]`` when partitioned but
+    ``Window [exprs], [orderSpec]`` when global — so a global window has
+    exactly TWO top-level bracket groups (nested brackets inside the
+    expressions are skipped by depth tracking)."""
+    n = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        depth = 0
+        groups = 0
+        for ch in line[idx:]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth = max(0, depth - 1)
+        if groups == 2:
+            n += 1
+    return n
+
+
 def assert_scalable_plan(
-    df: DataFrame, max_exchanges: int | None = None, allow_nested_loop: bool = False
+    df: DataFrame,
+    max_exchanges: int | None = None,
+    allow_nested_loop: bool = False,
+    max_global_windows: int | None = None,
 ) -> dict:
     """Raise AssertionError when the plan has a scale smell; returns the
     report otherwise.  Use in pipeline code the way tests use the plan
-    guards: fail fast at plan time, not three hours into the shuffle."""
+    guards: fail fast at plan time, not three hours into the shuffle.
+
+    ``max_global_windows`` is opt-in (global windows over k-bounded
+    inputs — the rank pass after ``orderBy().limit(k)`` — are sanctioned;
+    pass 0 for pipelines whose windows must all ride a partitioning)."""
     rep = plan_report(df)
     if not allow_nested_loop and rep["n_nested_loop_joins"]:
         raise AssertionError(
             f"plan contains {rep['n_nested_loop_joins']} nested-loop/cartesian "
             f"join(s) — quadratic at scale: {rep}"
+        )
+    if max_global_windows is not None and rep["n_global_windows"] > max_global_windows:
+        raise AssertionError(
+            f"plan has {rep['n_global_windows']} single-partition window(s) "
+            f"> budget {max_global_windows}: {rep}"
         )
     if max_exchanges is not None and rep["n_exchanges"] > max_exchanges:
         raise AssertionError(

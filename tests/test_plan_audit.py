@@ -64,3 +64,46 @@ def test_engine_queries_pass_the_guard(spark, sf_dir):
         "id as event_id", "id % 5 as user_id", "id * 3 as ts_us"
     )
     assert_scalable_plan(interval_join_pairs(ev, ev, lookback_us=10))
+
+
+def test_global_window_detection(spark):
+    """A window with no partitionBy funnels every row through one task;
+    the report counts exactly those, never the partitioned ones, and the
+    guard trips when a zero budget is declared."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(1000).selectExpr("id", "id % 7 as k")
+
+    rep = plan_report(df.withColumn("r", F.row_number().over(Window.orderBy("id"))))
+    assert rep["n_global_windows"] == 1
+
+    rep = plan_report(
+        df.withColumn(
+            "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+        )
+    )
+    assert rep["n_global_windows"] == 0
+
+    # running-sum frame over a global order is still global
+    rep = plan_report(
+        df.withColumn(
+            "s",
+            F.sum("id").over(
+                Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    assert rep["n_global_windows"] == 1
+
+    with pytest.raises(AssertionError, match="single-partition window"):
+        assert_scalable_plan(
+            df.withColumn("r", F.row_number().over(Window.orderBy("id"))),
+            max_global_windows=0,
+        )
+    # sanctioned k-bounded rank pass clears a budget of 1
+    topk = df.orderBy(F.desc("id")).limit(5)
+    rep = assert_scalable_plan(
+        topk.withColumn("r", F.row_number().over(Window.orderBy(F.desc("id")))),
+        max_global_windows=1,
+    )
+    assert rep["n_global_windows"] == 1
