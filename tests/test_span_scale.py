@@ -1,0 +1,89 @@
+"""Scale shape of the exact-span dedup (operators/dedup.py
+repeated_spans / remove_repeated_spans): the df cap keeps ubiquitous
+boilerplate grams out of the gram self-join (every doc here shares a
+6-word footer — uncapped, its grams alone would contribute
+~C(20k, 2) join rows), the run-merge windows ride the
+(pair, diagonal) partitioning (0 global windows), and the composed
+detect->remove pass over a 20k-doc corpus cuts exactly the planted
+spans from exactly the non-canonical copies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.dedup import (
+    remove_repeated_spans,
+    repeated_spans,
+)
+from datalake_indexes_spark.plans.audit import plan_report
+
+N_DOCS = 20_000
+PLANT_EVERY = 1_000  # ids 0, 1000, ..., 19000 carry the span
+SPAN = " ".join(f"s{i}" for i in range(12))
+FOOTER = "f0 f1 f2 f3 f4 f5"
+
+
+def _corpus(spark):
+    # prefix: 8 + id%3 doc-unique words (so planted spans sit on
+    # DIFFERENT diagonals); planted docs insert the 12-word span plus a
+    # doc-unique separator (so the span never merges into the footer);
+    # every doc ends with the shared footer (the boilerplate the df cap
+    # must drop before the self-join).
+    return spark.range(N_DOCS).selectExpr(
+        "id as doc_id",
+        f"""
+        concat_ws(' ',
+          concat_ws(' ', transform(sequence(0, 7 + cast(id % 3 as int)),
+                                   i -> concat('d', id, 'x', i))),
+          CASE WHEN id % {PLANT_EVERY} = 0
+               THEN concat('{SPAN}', ' sep', id)
+               ELSE concat('p', id, ' q', id) END,
+          '{FOOTER}') as text
+        """,
+    )
+
+
+def test_planted_spans_20k_docs_with_boilerplate_footer(spark):
+    docs = _corpus(spark)
+    spans = repeated_spans(docs, k=5, min_words=10)
+
+    rep = plan_report(spans)
+    assert rep["n_global_windows"] == 0, rep
+    assert rep["n_nested_loop_joins"] == 0, rep
+
+    rows = spans.collect()
+    planted = [i * PLANT_EVERY for i in range(N_DOCS // PLANT_EVERY)]
+    want_pairs = {
+        (a, b) for i, a in enumerate(planted) for b in planted[i + 1 :]
+    }
+    got = {(r["doc_id_1"], r["doc_id_2"]): r for r in rows}
+    assert set(got) == want_pairs, (len(got), len(want_pairs))
+
+    # every detected span is exactly the planted 12 words at the
+    # doc-dependent prefix offset (8 + id%3)
+    for (a, b), r in got.items():
+        assert r["n_words"] == 12, r
+        assert r["start_1"] == 8 + a % 3, r
+        assert r["start_2"] == 8 + b % 3, r
+
+
+def test_span_removal_cuts_only_non_canonical_copies(spark):
+    docs = _corpus(spark)
+    spans = repeated_spans(docs, k=5, min_words=10)
+    out = remove_repeated_spans(docs, spans)
+
+    removed = {
+        r["doc_id"]: r["n_words_removed"]
+        for r in out.filter(F.col("n_words_removed") > 0).collect()
+    }
+    planted = {i * PLANT_EVERY for i in range(N_DOCS // PLANT_EVERY)}
+    # doc 0 is the smallest of the clique -> never doc_id_2 -> survives
+    assert set(removed) == planted - {0}
+    assert all(v == 12 for v in removed.values()), removed
+
+    # the cleaned text of a cut doc no longer contains the span; the
+    # canonical copy still does
+    sample = out.filter(F.col("doc_id").isin(0, PLANT_EVERY)).collect()
+    by_id = {r["doc_id"]: r["text_cleaned"] for r in sample}
+    assert SPAN in by_id[0]
+    assert SPAN not in by_id[PLANT_EVERY]
