@@ -535,3 +535,36 @@ def test_interval_join_plans_as_equi_join(spark):
     plan = _plan(interval_join_pairs(p, b, lookback_us=50))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dedup_family_has_no_global_windows(spark):
+    """Every corpus-sized dedup pipeline keeps its windows partitioned
+    (run merges ride (pair, diagonal); LSH/simhash/ngram paths have no
+    window at all) — a refactor that introduces an unpartitioned window
+    funnels the corpus through one task at 100 TB."""
+    from datalake_indexes_spark.operators.dedup import (
+        exact_duplicate_groups,
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        repeated_spans,
+        simhash_pairs,
+    )
+    from datalake_indexes_spark.plans.audit import plan_report
+
+    docs = spark.range(200).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(0, 14),"
+        " i -> concat('w', (id*7+i) % 50))) as text",
+    )
+    for op in (
+        exact_duplicate_groups,
+        minhash_lsh_pairs,
+        simhash_pairs,
+        ngram_jaccard_pairs,
+        ngram_containment_pairs,
+        repeated_spans,
+    ):
+        rep = plan_report(op(docs))
+        assert rep["n_global_windows"] == 0, (op.__name__, rep)
+        assert rep["n_nested_loop_joins"] == 0, (op.__name__, rep)
