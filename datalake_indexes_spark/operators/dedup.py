@@ -888,6 +888,17 @@ def remove_repeated_spans(
             (F.col("start_2") + F.col("n_words")).alias("e"),
         ).alias("__iv"),
     )
+    return _cut_word_intervals(docs, iv, text_col, id_col)
+
+
+def _cut_word_intervals(
+    docs: DataFrame, iv: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared cut tail: ``iv`` = (id_col, __iv struct<s,e>) word-index
+    intervals to remove; returns (id, n_words_before, n_words_removed,
+    text_cleaned) for EVERY input doc (uncut docs pass through with 0
+    removed).  One small aggregate + one left join; the cut is a pure
+    array expression riding the corpus scan."""
     per_doc = iv.groupBy(id_col).agg(F.collect_list("__iv").alias("__ivs"))
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     base = (
@@ -913,3 +924,143 @@ def remove_repeated_spans(
         (F.size("__w") - F.size(kept)).cast("long").alias("n_words_removed"),
         F.array_join(kept, " ").alias("text_cleaned"),
     )
+
+
+def cross_repeated_spans(
+    docs: DataFrame,
+    reference: DataFrame,
+    k: int = 5,
+    min_words: int = 10,
+    max_ref_gram_freq: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    ref_id_col: str = "ref_id",
+) -> DataFrame:
+    """Exact verbatim spans shared between a CORPUS and a small
+    REFERENCE set (benchmark suites, eval answers, license boilerplate)
+    — (doc_id, ref_id, start_doc, start_ref, n_words) for every maximal
+    run of >= ``min_words`` consecutive words appearing in both.  The
+    span-level contamination signal: :func:`repeated_spans` restricted
+    to corpus-vs-reference pairs, never corpus-vs-corpus.
+
+    Scale shape — this is the asymmetric win over the self-join variant:
+    the reference side is benchmark-sized, so its grams BROADCAST and
+    the corpus text never shuffles; matches (bounded by reference-gram
+    hits, not corpus size) are the only rows that reach the run-merge
+    windows, which ride the (doc, ref, diagonal) partitioning.
+    ``max_ref_gram_freq`` drops grams occurring more than the cap times
+    WITHIN the reference (stop-phrase guard: a ubiquitous reference gram
+    multiplies every corpus hit by its occurrence count; recall loss is
+    bounded to spans made entirely of such grams)."""
+    from pyspark.sql.window import Window
+
+    def grams_of(df: DataFrame, icol: str, tcol: str, out_id: str) -> DataFrame:
+        words = F.filter(F.split(F.col(tcol), r"\s+"), lambda w: w != "")
+        base = df.select(F.col(icol).alias(out_id), words.alias("__w")).filter(
+            F.size("__w") >= k
+        )
+        return base.select(
+            out_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws("\u0001", F.slice("__w", i + 1, k))
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("kg"),
+        ).select(out_id, F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+
+    ref_g = grams_of(reference, ref_id_col, ref_text_col, "__rid")
+    rare = (
+        ref_g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_ref_gram_freq)
+        .select("g")
+    )
+    ref_g = ref_g.join(rare, "g", "left_semi").withColumnRenamed("pos", "__rpos")
+    doc_g = grams_of(docs, id_col, text_col, "__did")
+
+    hits = (
+        doc_g.join(F.broadcast(ref_g), "g")
+        .select(
+            F.col("__did").alias("doc_id"),
+            F.col("__rid").alias("ref_id"),
+            F.col("pos").alias("p1"),
+            (F.col("pos") - F.col("__rpos")).alias("diag"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id", "ref_id", "diag").orderBy("p1")
+    runs = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "ref_id", "diag", "__run")
+        .agg(
+            F.min("p1").alias("start_doc"),
+            (F.max("p1") - F.min("p1") + k).alias("n_words"),
+        )
+        .filter(F.col("n_words") >= min_words)
+        .select(
+            "doc_id",
+            "ref_id",
+            "start_doc",
+            (F.col("start_doc") - F.col("diag")).alias("start_ref"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    reference: DataFrame,
+    k: int = 5,
+    min_words: int = 10,
+    max_ref_gram_freq: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    ref_id_col: str = "ref_id",
+) -> DataFrame:
+    """Span-level decontamination — cut every verbatim reference span
+    (>= ``min_words`` words) out of the corpus text instead of dropping
+    whole documents: (doc_id, n_words_before, n_words_removed,
+    text_cleaned) for EVERY corpus doc.
+
+    The doc-level :func:`..operators.text_analysis.decontaminate` drops
+    any document sharing n-grams with the benchmark — right for heavy
+    contamination, wasteful when one quoted question sits inside an
+    otherwise-clean document; this keeps the document and removes
+    exactly the leaked words.  Unlike :func:`remove_repeated_spans`
+    there is no canonical-copy survival: reference text is ALWAYS cut."""
+    spans = cross_repeated_spans(
+        docs,
+        reference,
+        k=k,
+        min_words=min_words,
+        max_ref_gram_freq=max_ref_gram_freq,
+        text_col=text_col,
+        id_col=id_col,
+        ref_text_col=ref_text_col,
+        ref_id_col=ref_id_col,
+    )
+    iv = spans.select(
+        F.col("doc_id").alias(id_col),
+        F.struct(
+            F.col("start_doc").alias("s"),
+            (F.col("start_doc") + F.col("n_words")).alias("e"),
+        ).alias("__iv"),
+    )
+    return _cut_word_intervals(docs, iv, text_col, id_col)

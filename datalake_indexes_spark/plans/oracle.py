@@ -4843,3 +4843,139 @@ SELECT doc_id,
        coalesce(array_to_string(kept, ' '), '') AS text_cleaned
 FROM cut
 """
+
+
+def dedup_cross_spans_sql(
+    q1: str, q2: str, k: int = 5, min_words: int = 10,
+    max_ref_gram_freq: int = 100,
+) -> str:
+    """Twin of :func:`..operators.dedup.cross_repeated_spans` over the
+    benchmark-contamination fixture (Q1 suffixed on doc_id%7==0, Q2
+    prefixed on doc_id%11==3; reference = the two sentences, Q1 behind a
+    nonsense 3-word header so start_ref > 0 is exercised)."""
+    return f"""
+WITH reference AS (
+  SELECT CAST(0 AS BIGINT) AS ref_id, 'xqa xqb xqc {q1}' AS text
+  UNION ALL SELECT CAST(1 AS BIGINT), '{q2}'
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN '{q2}' || ' ' || t1 ELSE t1 END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' ' || '{q1}' ELSE text END AS t1
+    FROM documents
+  )
+),
+wd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM planted
+),
+wr AS (
+  SELECT ref_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM reference
+),
+gd AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(ws) - {k} + 1, 0))) AS pos, ws
+  FROM wd WHERE len(ws) >= {k}
+),
+gd2 AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ws, pos + 1, pos + {k}), chr(1)) AS gram
+  FROM gd
+),
+gr AS (
+  SELECT ref_id,
+         unnest(range(0, greatest(len(ws) - {k} + 1, 0))) AS pos, ws
+  FROM wr WHERE len(ws) >= {k}
+),
+gr2 AS (
+  SELECT ref_id, pos,
+         array_to_string(list_slice(ws, pos + 1, pos + {k}), chr(1)) AS gram
+  FROM gr
+),
+rare AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n FROM gr2 GROUP BY gram
+  ) WHERE n <= {max_ref_gram_freq}
+),
+gr3 AS (SELECT gr2.* FROM gr2 JOIN rare USING (gram)),
+hits AS (
+  SELECT DISTINCT d.doc_id, r.ref_id, d.pos AS p1, d.pos - r.pos AS diag
+  FROM gd2 d JOIN gr3 r ON d.gram = r.gram
+),
+rn AS (
+  SELECT *,
+         CASE WHEN p1 - lag(p1) OVER win IS NULL
+                   OR p1 - lag(p1) OVER win > 1
+              THEN 1 ELSE 0 END AS nb
+  FROM hits
+  WINDOW win AS (PARTITION BY doc_id, ref_id, diag ORDER BY p1)
+),
+rr AS (
+  SELECT *, sum(nb) OVER (PARTITION BY doc_id, ref_id, diag ORDER BY p1
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM rn
+)
+SELECT doc_id, ref_id,
+       CAST(min(p1) AS INT) AS start_doc,
+       CAST(min(p1) - diag AS INT) AS start_ref,
+       CAST(max(p1) - min(p1) + {k} AS BIGINT) AS n_words
+FROM rr GROUP BY doc_id, ref_id, diag, run
+HAVING max(p1) - min(p1) + {k} >= {min_words}
+"""
+
+
+def decontaminate_spans_sql(
+    q1: str, q2: str, k: int = 5, min_words: int = 10,
+    max_ref_gram_freq: int = 100,
+) -> str:
+    """Twin of :func:`..operators.dedup.decontaminate_spans` composed
+    over the cross-span twin (cut on the DOC side, no canonical
+    survival)."""
+    spans_sql = dedup_cross_spans_sql(
+        q1, q2, k=k, min_words=min_words, max_ref_gram_freq=max_ref_gram_freq,
+    )
+    return f"""
+WITH spans AS ({spans_sql}),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN '{q2}' || ' ' || t1 ELSE t1 END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' ' || '{q1}' ELSE text END AS t1
+    FROM documents
+  )
+),
+iv AS (
+  SELECT doc_id, start_doc AS s, start_doc + n_words AS e FROM spans
+),
+per_doc AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs FROM iv GROUP BY doc_id
+),
+w AS (
+  SELECT p.doc_id,
+         list_filter(string_split_regex(p.text, '\\s+'), x -> x <> '') AS ws,
+         coalesce(per_doc.ivs, []) AS ivs
+  FROM planted p LEFT JOIN per_doc USING (doc_id)
+),
+cut AS (
+  SELECT doc_id, ws, ivs,
+         list_transform(
+           list_filter(
+             list_zip(ws, range(0, len(ws))),
+             z -> len(list_filter(ivs, v -> z[2] >= v.s AND z[2] < v.e)) = 0
+           ),
+           z -> z[1]
+         ) AS kept
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words_before,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_words_removed,
+       coalesce(array_to_string(kept, ' '), '') AS text_cleaned
+FROM cut
+"""

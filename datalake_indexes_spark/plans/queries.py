@@ -2460,6 +2460,61 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(planted, spans)
 
 
+# benchmark sentences for span-level decontamination (nonsense prefixes in
+# the reference keep boundary grams from matching corpus text by accident)
+XSPAN_Q1 = (
+    "which benchmark question leaked verbatim into the training corpus "
+    "tell me now"
+)
+XSPAN_Q2 = (
+    "evaluation answer text that must never appear inside any training "
+    "document ever"
+)
+
+
+def _xspan_fixture(spark: SparkSession, sf_dir: str):
+    """Corpus with benchmark sentences planted (Q1 as a suffix on every
+    7th doc, Q2 as a prefix on doc_id % 11 == 3 — some docs carry both)
+    plus the 2-row reference set containing those sentences."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + XSPAN_Q1)),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.lit(XSPAN_Q2 + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    ref = spark.createDataFrame(
+        [(0, "xqa xqb xqc " + XSPAN_Q1), (1, XSPAN_Q2)], ["ref_id", "text"]
+    )
+    return planted, ref
+
+
+def q_dedup_cross_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-reference verbatim spans (the contamination signal):
+    the reference side broadcasts, the corpus never shuffles."""
+    from datalake_indexes_spark.operators.dedup import cross_repeated_spans
+
+    planted, ref = _xspan_fixture(spark, sf_dir)
+    return cross_repeated_spans(planted, ref, k=5, min_words=10)
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: cut the leaked reference words out of
+    every corpus doc (vs the doc-level `decontaminate`, which drops the
+    whole document)."""
+    from datalake_indexes_spark.operators.dedup import decontaminate_spans
+
+    planted, ref = _xspan_fixture(spark, sf_dir)
+    return decontaminate_spans(planted, ref, k=5, min_words=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2506,6 +2561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_subset": q_dedup_subset,
     "dedup_repeated_spans": q_dedup_repeated_spans,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_cross_spans": q_dedup_cross_spans,
+    "decontaminate_spans": q_decontaminate_spans,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -2717,6 +2774,8 @@ WHERE rn = 1
     "dedup_subset": oracle.dedup_subset_sql(threshold=0.8, max_freq=500),
     "dedup_repeated_spans": oracle.dedup_repeated_spans_sql(REPEAT_SPAN),
     "dedup_span_removal": oracle.dedup_span_removal_sql(REPEAT_SPAN),
+    "dedup_cross_spans": oracle.dedup_cross_spans_sql(XSPAN_Q1, XSPAN_Q2),
+    "decontaminate_spans": oracle.decontaminate_spans_sql(XSPAN_Q1, XSPAN_Q2),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),

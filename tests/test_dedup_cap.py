@@ -343,3 +343,85 @@ class TestRepeatedSpans:
         assert out[2]["text_cleaned"] == "head"
         assert out[3]["n_words_removed"] == 10
         assert out[3]["text_cleaned"] == ""
+
+
+class TestCrossSpans:
+    Q = (
+        "what is the capital of france and why does it matter to trade"
+    )  # 13 words
+
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "intro text here " + self.Q + " trailing words x y"),
+                (2, "clean document with entirely original content here"),
+                (3, self.Q),  # doc IS the benchmark question
+            ],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(0, "hdr1 hdr2 " + self.Q), (1, "another benchmark question")],
+            "ref_id long, text string",
+        )
+        return docs, ref
+
+    def test_planted_contamination_found_with_offsets(self, spark):
+        from datalake_indexes_spark.operators.dedup import cross_repeated_spans
+
+        docs, ref = self._fixture(spark)
+        out = cross_repeated_spans(docs, ref, k=5, min_words=10).collect()
+        got = {(r["doc_id"], r["ref_id"]): r for r in out}
+        assert set(got) == {(1, 0), (3, 0)}
+        assert got[(1, 0)]["start_doc"] == 3
+        assert got[(1, 0)]["start_ref"] == 2  # behind the 2-word header
+        assert got[(1, 0)]["n_words"] == 13
+        assert got[(3, 0)]["start_doc"] == 0
+
+    def test_reference_side_broadcasts_no_global_windows(self, spark):
+        """The contract that makes this the 100-TB contamination path:
+        reference grams broadcast (the corpus never shuffles for the
+        join) and the run-merge windows stay partitioned."""
+        from datalake_indexes_spark.operators.dedup import cross_repeated_spans
+        from datalake_indexes_spark.plans.audit import plan_report
+
+        docs, ref = self._fixture(spark)
+        rep = plan_report(cross_repeated_spans(docs, ref, k=5, min_words=10))
+        assert rep["n_broadcast_joins"] >= 1, rep
+        assert rep["n_global_windows"] == 0, rep
+        assert rep["n_nested_loop_joins"] == 0, rep
+
+    def test_decontaminate_cuts_every_copy(self, spark):
+        """No canonical survival across corpus docs: reference text is
+        always cut, clean docs pass through untouched."""
+        from datalake_indexes_spark.operators.dedup import decontaminate_spans
+
+        docs, ref = self._fixture(spark)
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate_spans(docs, ref, k=5, min_words=10).collect()
+        }
+        assert out[1]["n_words_removed"] == 13
+        assert self.Q not in out[1]["text_cleaned"]
+        assert out[1]["text_cleaned"] == "intro text here trailing words x y"
+        assert out[2]["n_words_removed"] == 0
+        assert out[3]["n_words_removed"] == 13 and out[3]["text_cleaned"] == ""
+
+    def test_ref_gram_cap_bounds_stop_phrase_blowup(self, spark):
+        """A gram repeated in the reference more often than the cap is
+        dropped from candidate generation (documented recall bound)."""
+        from datalake_indexes_spark.operators.dedup import cross_repeated_spans
+
+        phrase = "the quick brown fox jumps over the lazy dog again today ok"
+        docs = spark.createDataFrame(
+            [(1, "x " + phrase)], "doc_id long, text string"
+        )
+        # reference repeats the phrase 4 times -> every gram occurs 4x
+        ref = spark.createDataFrame(
+            [(0, " ".join([phrase] * 4))], "ref_id long, text string"
+        )
+        hit = cross_repeated_spans(docs, ref, k=5, min_words=10,
+                                   max_ref_gram_freq=10).count()
+        assert hit > 0
+        none = cross_repeated_spans(docs, ref, k=5, min_words=10,
+                                    max_ref_gram_freq=3).count()
+        assert none == 0
