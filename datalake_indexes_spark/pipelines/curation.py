@@ -35,6 +35,8 @@ Stage registry (params beyond ``stage`` are passed through):
   each detected pair)
 - ``decontaminate``: drop docs sharing >= ``min_overlap`` n-grams with a
   benchmark frame (passed as ``benchmark``)
+- ``decontaminate_spans``: cut verbatim benchmark spans out of the text
+  (keep the doc), dropping docs left under ``min_remaining_words``
 - ``domain_cap``: keep at most ``cap`` docs per registered domain
   (needs a ``url`` column)
 - ``group_split_keep``: keep one split of a leakage-safe group split
@@ -151,6 +153,33 @@ def _stage_decontaminate(docs, id_col, text_col, benchmark=None,
     return _keep_ids(docs, keep, id_col)
 
 
+def _stage_decontaminate_spans(docs, id_col, text_col, benchmark=None,
+                               k: int = 5, min_words: int = 10,
+                               min_remaining_words: int = 1):
+    """TRANSFORM + filter: cut verbatim benchmark spans out of the text
+    (span-level decontamination — keeps the document, removes the leaked
+    words), then drop docs left with fewer than ``min_remaining_words``
+    words (a fully-leaked doc becomes empty and is useless downstream)."""
+    from datalake_indexes_spark.operators.dedup import decontaminate_spans
+
+    if benchmark is None:
+        raise ValueError("decontaminate_spans stage needs a `benchmark` frame")
+    cleaned = decontaminate_spans(
+        docs, benchmark, k=k, min_words=min_words,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        F.col(id_col),
+        F.col("text_cleaned"),
+        (F.col("n_words_before") - F.col("n_words_removed")).alias("__left"),
+    )
+    return (
+        docs.drop(text_col)
+        .join(cleaned.filter(F.col("__left") >= min_remaining_words), id_col)
+        .withColumnRenamed("text_cleaned", text_col)
+        .drop("__left")
+    )
+
+
 def _stage_domain_cap(docs, id_col, text_col, cap: int = 100,
                       url_col: str = "url"):
     from datalake_indexes_spark.operators.web import domain_quota_cap
@@ -181,6 +210,7 @@ STAGES = {
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,
+    "decontaminate_spans": _stage_decontaminate_spans,
     "domain_cap": _stage_domain_cap,
     "group_split_keep": _stage_group_split_keep,
 }

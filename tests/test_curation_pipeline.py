@@ -104,3 +104,35 @@ def test_pipeline_persist_stages_same_result(spark):
         tuple(r) for r in cached.census.collect()
     ]
     cached.unpersist()
+
+
+def test_pipeline_decontaminate_spans_stage(spark):
+    """The span stage CUTS the leaked benchmark words, keeps the doc
+    (unlike `decontaminate`, which drops it), and drops docs that end
+    up empty; composes with downstream stages on the cleaned text."""
+    q = "which benchmark question leaked verbatim into the training corpus today"
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and runs far "
+                "while the weather stays nice and the market stays open"),
+            (1, "prefix words here " + q + " suffix words tail"),
+            (2, q),  # fully leaked -> empty after the cut -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, q)], "ref_id long, text string")
+    res = run_curation(
+        docs,
+        [
+            {"stage": "decontaminate_spans", "benchmark": bench,
+             "k": 5, "min_words": 10},
+            {"stage": "dedup_exact"},
+        ],
+    )
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert set(out) == {0, 1}
+    assert q not in out[1]
+    assert out[1] == "prefix words here suffix words tail"
+    census = {r["stage"]: (r["docs_in"], r["docs_out"])
+              for r in res.census.collect()}
+    assert census["decontaminate_spans"] == (3, 2)
