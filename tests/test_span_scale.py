@@ -87,3 +87,54 @@ def test_span_removal_cuts_only_non_canonical_copies(spark):
     by_id = {r["doc_id"]: r["text_cleaned"] for r in sample}
     assert SPAN in by_id[0]
     assert SPAN not in by_id[PLANT_EVERY]
+
+
+def test_cross_span_decontamination_20k_docs(spark):
+    """Corpus-vs-benchmark at the same 20k-doc scale: a 20-question
+    benchmark set against the footer-boilerplate corpus.  The reference
+    side broadcasts (plan-pinned), matches stay bounded by
+    benchmark-gram hits, and the cut removes exactly the leaked
+    sentences from exactly the planted docs."""
+    from datalake_indexes_spark.operators.dedup import (
+        cross_repeated_spans,
+        decontaminate_spans,
+    )
+
+    questions = [
+        " ".join(f"q{j}w{i}" for i in range(12)) for j in range(20)
+    ]
+    # doc id i*500 + j leaks question j (i in 0..1, j in 0..19 -> 40 docs)
+    leaked = {500 * i + j: j for i in range(2) for j in range(20)}
+    case_sql = " ".join(
+        f"WHEN id = {d} THEN concat(t0, ' ', '{questions[j]}')"
+        for d, j in leaked.items()
+    )
+    base = spark.range(N_DOCS).selectExpr(
+        "id",
+        f"""concat_ws(' ',
+            concat_ws(' ', transform(sequence(0, 7 + cast(id % 3 as int)),
+                                     i -> concat('d', id, 'x', i))),
+            '{FOOTER}') as t0""",
+    )
+    docs = base.selectExpr(
+        "id as doc_id", f"CASE {case_sql} ELSE t0 END as text"
+    )
+    ref = spark.createDataFrame(
+        [(j, q) for j, q in enumerate(questions)], "ref_id long, text string"
+    )
+
+    spans = cross_repeated_spans(docs, ref, k=5, min_words=10)
+    rep = plan_report(spans)
+    assert rep["n_broadcast_joins"] >= 1, rep
+    assert rep["n_global_windows"] == 0, rep
+
+    got = {(r["doc_id"], r["ref_id"]) for r in spans.collect()}
+    assert got == {(d, j) for d, j in leaked.items()}
+
+    out = decontaminate_spans(docs, ref, k=5, min_words=10)
+    removed = {
+        r["doc_id"]: r["n_words_removed"]
+        for r in out.filter(F.col("n_words_removed") > 0).collect()
+    }
+    assert set(removed) == set(leaked)
+    assert all(v == 12 for v in removed.values())
