@@ -1064,3 +1064,125 @@ def decontaminate_spans(
         ).alias("__iv"),
     )
     return _cut_word_intervals(docs, iv, text_col, id_col)
+
+
+def self_repeated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_words: int = 10,
+    max_gram_occ: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated spans WITHIN a document — (doc_id, start_1,
+    start_2, n_words), start_1 < start_2, for every maximal run of
+    >= ``min_words`` consecutive words a document repeats verbatim
+    later in itself (navigation blocks, quoted-reply chains, choruses —
+    the intra-doc face of the Lee-et-al. exact-substring signal).
+
+    Same diagonal-run construction as :func:`repeated_spans`, with the
+    gram join restricted to (same doc, pos_1 < pos_2) — so the shuffle
+    key is (doc, gram) and candidate volume is per-gram occurrence
+    pairs WITHIN one document, never cross-corpus.  ``max_gram_occ``
+    drops grams occurring more than the cap times in one document (a
+    degenerate fully-periodic doc would otherwise pair quadratically;
+    the first ``cap`` copies still pair, and such docs are flagged by
+    ``repetition_scores`` regardless — documented recall bound).
+    """
+    from pyspark.sql.window import Window
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w")).filter(
+        F.size("__w") >= k
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws("\u0001", F.slice("__w", i + 1, k))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("kg"),
+    ).select("doc_id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+
+    occ_w = Window.partitionBy("doc_id", "g")
+    g2 = (
+        grams.withColumn("__occ", F.count(F.lit(1)).over(occ_w))
+        .filter(F.col("__occ") <= max_gram_occ)
+        .drop("__occ")
+    )
+
+    a, b = g2.alias("a"), g2.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("p1"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    ).distinct()
+
+    w = Window.partitionBy("doc_id", "diag").orderBy("p1")
+    runs = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "diag", "__run")
+        .agg(
+            F.min("p1").alias("start_1"),
+            (F.max("p1") - F.min("p1") + k).alias("n_words"),
+        )
+        .filter(F.col("n_words") >= min_words)
+        .select(
+            "doc_id",
+            "start_1",
+            (F.col("start_1") - F.col("diag")).alias("start_2"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def remove_self_repetitions(
+    docs: DataFrame,
+    k: int = 5,
+    min_words: int = 10,
+    max_gram_occ: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every LATER copy of a document's self-repeated spans —
+    (doc_id, n_words_before, n_words_removed, text_cleaned) for every
+    doc; the earliest occurrence survives (it is never a ``start_2``).
+    Overlapping or chained repeats (periodic text) need no special
+    casing: a word is cut iff ANY later-copy interval covers it, so a
+    sentence repeated m times keeps exactly its first occurrence."""
+    spans = self_repeated_spans(
+        docs,
+        k=k,
+        min_words=min_words,
+        max_gram_occ=max_gram_occ,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    iv = spans.select(
+        F.col("doc_id").alias(id_col),
+        F.struct(
+            F.col("start_2").alias("s"),
+            (F.col("start_2") + F.col("n_words")).alias("e"),
+        ).alias("__iv"),
+    )
+    return _cut_word_intervals(docs, iv, text_col, id_col)

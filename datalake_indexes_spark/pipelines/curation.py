@@ -37,6 +37,8 @@ Stage registry (params beyond ``stage`` are passed through):
   benchmark frame (passed as ``benchmark``)
 - ``decontaminate_spans``: cut verbatim benchmark spans out of the text
   (keep the doc), dropping docs left under ``min_remaining_words``
+- ``self_span_cleanup``: cut later copies of the spans a doc repeats
+  inside itself (transform; the doc always survives)
 - ``domain_cap``: keep at most ``cap`` docs per registered domain
   (needs a ``url`` column)
 - ``group_split_keep``: keep one split of a leakage-safe group split
@@ -180,6 +182,24 @@ def _stage_decontaminate_spans(docs, id_col, text_col, benchmark=None,
     )
 
 
+def _stage_self_span_cleanup(docs, id_col, text_col, k: int = 5,
+                             min_words: int = 10, max_gram_occ: int = 50):
+    """TRANSFORM: cut later copies of each doc's internally repeated
+    spans (quoted-reply chains, navigation blocks) — the text shrinks,
+    the doc always survives."""
+    from datalake_indexes_spark.operators.dedup import remove_self_repetitions
+
+    cleaned = remove_self_repetitions(
+        docs, k=k, min_words=min_words, max_gram_occ=max_gram_occ,
+        text_col=text_col, id_col=id_col,
+    ).select(F.col(id_col), F.col("text_cleaned"))
+    return (
+        docs.drop(text_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("text_cleaned", text_col)
+    )
+
+
 def _stage_domain_cap(docs, id_col, text_col, cap: int = 100,
                       url_col: str = "url"):
     from datalake_indexes_spark.operators.web import domain_quota_cap
@@ -211,6 +231,7 @@ STAGES = {
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,
     "decontaminate_spans": _stage_decontaminate_spans,
+    "self_span_cleanup": _stage_self_span_cleanup,
     "domain_cap": _stage_domain_cap,
     "group_split_keep": _stage_group_split_keep,
 }

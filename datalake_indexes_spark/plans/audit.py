@@ -60,25 +60,29 @@ def plan_report(df: DataFrame) -> dict:
 
 def _count_global_windows(plan: str) -> int:
     """Window operators whose partition spec is empty.  The plan line is
-    ``Window [exprs], [partitionSpec], [orderSpec]`` when partitioned but
-    ``Window [exprs], [orderSpec]`` when global — so a global window has
-    exactly TWO top-level bracket groups (nested brackets inside the
-    expressions are skipped by depth tracking)."""
+    ``Window [exprs], [partitionSpec], [orderSpec]`` when fully
+    specified; with only TWO top-level bracket groups the second is
+    EITHER an order spec (global window — every row in one task) or a
+    partition spec with no ordering (partitioned, fine) — told apart by
+    the ASC/DESC markers only order specs carry.  Nested brackets inside
+    the expressions are skipped by depth tracking."""
     n = 0
     for line in plan.splitlines():
         idx = line.find("Window [")
         if idx < 0:
             continue
         depth = 0
-        groups = 0
+        groups: list[str] = []
         for ch in line[idx:]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth = max(0, depth - 1)
-        if groups == 2:
+            elif depth > 0:
+                groups[-1] += ch
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
             n += 1
     return n
 

@@ -4979,3 +4979,115 @@ SELECT doc_id,
        coalesce(array_to_string(kept, ' '), '') AS text_cleaned
 FROM cut
 """
+
+
+def dedup_self_spans_sql(
+    sent: str, k: int = 5, min_words: int = 10, max_gram_occ: int = 50,
+    modulus: int = 13, residue: int = 5,
+) -> str:
+    """Twin of :func:`..operators.dedup.self_repeated_spans` over the
+    twice-appended-sentence fixture (gram equality on the joined string,
+    occurrence cap per (doc, gram) as a window count)."""
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = {residue}
+              THEN text || ' ' || '{sent}' || ' zzfill ' || '{sent}'
+              ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM planted
+),
+gpos AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - {k} + 1, 0))) AS pos
+  FROM w WHERE len(ws) >= {k}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ws, pos + 1, pos + {k}), chr(1)) AS gram
+  FROM gpos
+),
+g2 AS (
+  SELECT doc_id, pos, gram FROM (
+    SELECT *, count(*) OVER (PARTITION BY doc_id, gram) AS occ FROM g
+  ) WHERE occ <= {max_gram_occ}
+),
+hits AS (
+  SELECT DISTINCT a.doc_id, a.pos AS p1, a.pos - b.pos AS diag
+  FROM g2 a JOIN g2 b
+    ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+),
+rn AS (
+  SELECT *,
+         CASE WHEN p1 - lag(p1) OVER win IS NULL
+                   OR p1 - lag(p1) OVER win > 1
+              THEN 1 ELSE 0 END AS nb
+  FROM hits
+  WINDOW win AS (PARTITION BY doc_id, diag ORDER BY p1)
+),
+rr AS (
+  SELECT *, sum(nb) OVER (PARTITION BY doc_id, diag ORDER BY p1
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM rn
+)
+SELECT doc_id,
+       CAST(min(p1) AS INT) AS start_1,
+       CAST(min(p1) - diag AS INT) AS start_2,
+       CAST(max(p1) - min(p1) + {k} AS BIGINT) AS n_words
+FROM rr GROUP BY doc_id, diag, run
+HAVING max(p1) - min(p1) + {k} >= {min_words}
+"""
+
+
+def dedup_self_removal_sql(
+    sent: str, k: int = 5, min_words: int = 10, max_gram_occ: int = 50,
+    modulus: int = 13, residue: int = 5,
+) -> str:
+    """Twin of :func:`..operators.dedup.remove_self_repetitions`
+    composed over the self-span twin (cut the start_2 side)."""
+    spans_sql = dedup_self_spans_sql(
+        sent, k=k, min_words=min_words, max_gram_occ=max_gram_occ,
+        modulus=modulus, residue=residue,
+    )
+    return f"""
+WITH spans AS ({spans_sql}),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = {residue}
+              THEN text || ' ' || '{sent}' || ' zzfill ' || '{sent}'
+              ELSE text END AS text
+  FROM documents
+),
+iv AS (
+  SELECT doc_id, start_2 AS s, start_2 + n_words AS e FROM spans
+),
+per_doc AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs FROM iv GROUP BY doc_id
+),
+w AS (
+  SELECT p.doc_id,
+         list_filter(string_split_regex(p.text, '\\s+'), x -> x <> '') AS ws,
+         coalesce(per_doc.ivs, []) AS ivs
+  FROM planted p LEFT JOIN per_doc USING (doc_id)
+),
+cut AS (
+  SELECT doc_id, ws, ivs,
+         list_transform(
+           list_filter(
+             list_zip(ws, range(0, len(ws))),
+             z -> len(list_filter(ivs, v -> z[2] >= v.s AND z[2] < v.e)) = 0
+           ),
+           z -> z[1]
+         ) AS kept
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words_before,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_words_removed,
+       coalesce(array_to_string(kept, ' '), '') AS text_cleaned
+FROM cut
+"""

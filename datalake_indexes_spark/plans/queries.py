@@ -2515,6 +2515,49 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(planted, ref, k=5, min_words=10)
 
 
+SELF_SENT = (
+    "this exact sentence repeats inside the very same document twice "
+    "verbatim here"
+)
+
+
+def _self_span_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 13th doc gets the 12-word sentence appended TWICE (with a
+    separator word) — intra-doc repetition the self-span pass must cut
+    back to one copy; all other docs are untouched."""
+    docs = _docs(spark, sf_dir)
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" " + SELF_SENT + " zzfill " + SELF_SENT),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_dedup_self_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated spans (navigation blocks, quoted-reply
+    chains) — the within-doc face of the exact-substring signal."""
+    from datalake_indexes_spark.operators.dedup import self_repeated_spans
+
+    return self_repeated_spans(
+        _self_span_fixture(spark, sf_dir), k=5, min_words=10
+    )
+
+
+def q_dedup_self_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut the later copies of each doc's self-repeated spans; the
+    earliest occurrence survives."""
+    from datalake_indexes_spark.operators.dedup import remove_self_repetitions
+
+    return remove_self_repetitions(
+        _self_span_fixture(spark, sf_dir), k=5, min_words=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2563,6 +2606,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_cross_spans": q_dedup_cross_spans,
     "decontaminate_spans": q_decontaminate_spans,
+    "dedup_self_spans": q_dedup_self_spans,
+    "dedup_self_removal": q_dedup_self_removal,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -2776,6 +2821,8 @@ WHERE rn = 1
     "dedup_span_removal": oracle.dedup_span_removal_sql(REPEAT_SPAN),
     "dedup_cross_spans": oracle.dedup_cross_spans_sql(XSPAN_Q1, XSPAN_Q2),
     "decontaminate_spans": oracle.decontaminate_spans_sql(XSPAN_Q1, XSPAN_Q2),
+    "dedup_self_spans": oracle.dedup_self_spans_sql(SELF_SENT),
+    "dedup_self_removal": oracle.dedup_self_removal_sql(SELF_SENT),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),

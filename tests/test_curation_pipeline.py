@@ -83,7 +83,7 @@ def test_registry_stages_all_runnable(spark):
     stages needing extra inputs are exercised elsewhere)."""
     docs = _docs(spark)
     for name in ("quality_min", "c4_rules", "langs", "max_repetition",
-                 "dedup_exact", "dedup_minhash"):
+                 "dedup_exact", "dedup_minhash", "self_span_cleanup"):
         out = STAGES[name](docs, "doc_id", "text")
         assert set(out.columns) == {"doc_id", "text"}
         out.count()
@@ -136,3 +136,21 @@ def test_pipeline_decontaminate_spans_stage(spark):
     census = {r["stage"]: (r["docs_in"], r["docs_out"])
               for r in res.census.collect()}
     assert census["decontaminate_spans"] == (3, 2)
+
+
+def test_pipeline_self_span_cleanup_stage(spark):
+    s = "the board meets every other thursday at nine in the main hall"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro " + s + " mid words " + s + " outro"),
+            (1, "a clean doc with no internal repetition whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    res = run_curation(docs, [{"stage": "self_span_cleanup"}])
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert out[0] == "intro " + s + " mid words outro"
+    assert out[1] == "a clean doc with no internal repetition whatsoever here"
+    census = {r["stage"]: (r["docs_in"], r["docs_out"])
+              for r in res.census.collect()}
+    assert census["self_span_cleanup"] == (2, 2)  # transform, never drops

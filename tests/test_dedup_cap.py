@@ -425,3 +425,70 @@ class TestCrossSpans:
         none = cross_repeated_spans(docs, ref, k=5, min_words=10,
                                     max_ref_gram_freq=3).count()
         assert none == 0
+
+
+class TestSelfSpans:
+    def test_planted_self_repetition(self, spark):
+        from datalake_indexes_spark.operators.dedup import (
+            remove_self_repetitions,
+            self_repeated_spans,
+        )
+
+        s = "the board meets every other thursday at nine in the main hall"
+        docs = spark.createDataFrame(
+            [
+                (1, "intro " + s + " mid words " + s + " outro"),
+                (2, "no internal repetition in this document at all ok fine"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = {r["doc_id"]: r for r in
+                 self_repeated_spans(docs, k=5, min_words=10).collect()}
+        assert set(spans) == {1}
+        assert spans[1]["start_1"] == 1
+        assert spans[1]["start_2"] == 15  # after 'intro' + 12 + 'mid words'
+        assert spans[1]["n_words"] == 12
+
+        out = {r["doc_id"]: r for r in
+               remove_self_repetitions(docs, k=5, min_words=10).collect()}
+        assert out[1]["n_words_removed"] == 12
+        assert out[1]["text_cleaned"] == "intro " + s + " mid words outro"
+        assert out[2]["n_words_removed"] == 0
+
+    def test_periodic_text_keeps_one_period(self, spark):
+        """Chained/overlapping repeats collapse to the first occurrence
+        — the union-of-intervals cut needs no interval merge."""
+        from datalake_indexes_spark.operators.dedup import (
+            remove_self_repetitions,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(["x y z"] * 5))], "doc_id long, text string"
+        )
+        out = remove_self_repetitions(docs, k=2, min_words=3).collect()[0]
+        assert out["text_cleaned"] == "x y z"
+        assert out["n_words_removed"] == 12
+
+    def test_gram_occurrence_cap_bounds_degenerate_docs(self, spark):
+        """A doc repeating ONE gram beyond the cap generates no pairs
+        (the quadratic guard; documented recall bound)."""
+        from datalake_indexes_spark.operators.dedup import self_repeated_spans
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(["a"] * 40))], "doc_id long, text string"
+        )
+        # every 2-gram is 'a a' occurring 39 times > cap 10 -> dropped
+        assert self_repeated_spans(
+            docs, k=2, min_words=3, max_gram_occ=10
+        ).count() == 0
+
+    def test_plan_shape(self, spark):
+        from datalake_indexes_spark.operators.dedup import self_repeated_spans
+        from datalake_indexes_spark.plans.audit import plan_report
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        rep = plan_report(self_repeated_spans(docs))
+        assert rep["n_global_windows"] == 0, rep
+        assert rep["n_nested_loop_joins"] == 0, rep

@@ -95,6 +95,13 @@ def test_global_window_detection(spark):
     )
     assert rep["n_global_windows"] == 1
 
+    # partition-only window (no ordering) prints two bracket groups too
+    # but is NOT global — the second group has no ASC/DESC order marker
+    rep = plan_report(
+        df.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k")))
+    )
+    assert rep["n_global_windows"] == 0
+
     with pytest.raises(AssertionError, match="single-partition window"):
         assert_scalable_plan(
             df.withColumn("r", F.row_number().over(Window.orderBy("id"))),
