@@ -114,3 +114,41 @@ def test_cross_spans_match_extension_reference(spark):
         assert got == want
 
     check()
+
+
+def test_self_spans_match_extension_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from datalake_indexes_spark.operators.dedup import self_repeated_spans
+
+    @settings(max_examples=10, deadline=None)
+    @given(docs=_docs_strategy(st))
+    def check(docs):
+        words_by_doc = {i: ws for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in words_by_doc.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["start_1"], r["start_2"], r["n_words"])
+            for r in self_repeated_spans(
+                df, k=2, min_words=3, max_gram_occ=10**9
+            ).collect()
+        }
+        # within-doc pairwise extension, i < j, left-maximal
+        want = set()
+        for did, w in words_by_doc.items():
+            for i in range(len(w)):
+                for j in range(i + 1, len(w)):
+                    if w[i] != w[j]:
+                        continue
+                    if i > 0 and w[i - 1] == w[j - 1]:
+                        continue  # not left-maximal
+                    n = 0
+                    while j + n < len(w) and w[i + n] == w[j + n]:
+                        n += 1
+                    if n >= 3:
+                        want.add((did, i, j, n))
+        assert got == want
+
+    check()
