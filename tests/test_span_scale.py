@@ -138,3 +138,47 @@ def test_cross_span_decontamination_20k_docs(spark):
     }
     assert set(removed) == set(leaked)
     assert all(v == 12 for v in removed.values())
+
+
+def test_self_span_cleanup_20k_docs(spark):
+    """Intra-doc variant at 20k docs: every 400th doc repeats its
+    12-word sentence three times; removal keeps exactly the first copy.
+    The shared footer is NOT intra-doc repetition (one occurrence per
+    doc) and must produce nothing."""
+    from datalake_indexes_spark.operators.dedup import (
+        remove_self_repetitions,
+        self_repeated_spans,
+    )
+    from datalake_indexes_spark.plans.audit import plan_report
+
+    sent = " ".join(f"r{i}" for i in range(12))
+    docs = spark.range(N_DOCS).selectExpr(
+        "id as doc_id",
+        f"""
+        concat_ws(' ',
+          concat_ws(' ', transform(sequence(0, 7 + cast(id % 3 as int)),
+                                   i -> concat('d', id, 'x', i))),
+          CASE WHEN id % 400 = 0
+               THEN '{sent} mid1 {sent} mid2 {sent}'
+               ELSE concat('p', id) END,
+          '{FOOTER}') as text
+        """,
+    )
+    spans = self_repeated_spans(docs, k=5, min_words=10)
+    rep = plan_report(spans)
+    assert rep["n_global_windows"] == 0, rep
+
+    planted = {i * 400 for i in range(N_DOCS // 400)}
+    by_doc = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == planted
+
+    out = remove_self_repetitions(docs, k=5, min_words=10)
+    removed = {
+        r["doc_id"]: r["n_words_removed"]
+        for r in out.filter(F.col("n_words_removed") > 0).collect()
+    }
+    assert set(removed) == planted
+    # copies 2 and 3 are cut: 24 words removed per planted doc
+    assert all(v == 24 for v in removed.values()), sorted(removed.items())[:3]
