@@ -1186,3 +1186,48 @@ def remove_self_repetitions(
         ).alias("__iv"),
     )
     return _cut_word_intervals(docs, iv, text_col, id_col)
+
+
+def contamination_report(
+    docs: DataFrame,
+    reference: DataFrame,
+    k: int = 5,
+    min_words: int = 10,
+    max_ref_gram_freq: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    ref_text_col: str = "text",
+    ref_id_col: str = "ref_id",
+) -> DataFrame:
+    """Data-card contamination matrix — per (corpus ``group_col``,
+    reference item): how many documents leak it and how many words leak
+    in total: (group, ref_id, n_docs, n_spans, words_leaked).  The
+    aggregate every release audit wants next to the per-doc surgical
+    view (:func:`decontaminate_spans` is the FIX; this is the REPORT
+    that says which sources are dirty against which benchmark).
+
+    Scale shape: everything of :func:`cross_repeated_spans` (broadcast
+    reference, corpus never shuffles for the join) plus one group-by
+    over the span rows — bounded by detected contamination, not corpus
+    size."""
+    spans = cross_repeated_spans(
+        docs,
+        reference,
+        k=k,
+        min_words=min_words,
+        max_ref_gram_freq=max_ref_gram_freq,
+        text_col=text_col,
+        id_col=id_col,
+        ref_text_col=ref_text_col,
+        ref_id_col=ref_id_col,
+    )
+    keyed = spans.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("group")),
+        "doc_id",
+    )
+    return keyed.groupBy("group", "ref_id").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("n_words").alias("words_leaked"),
+    )

@@ -5091,3 +5091,23 @@ SELECT doc_id,
        coalesce(array_to_string(kept, ' '), '') AS text_cleaned
 FROM cut
 """
+
+
+def contamination_report_sql(
+    q1: str, q2: str, k: int = 5, min_words: int = 10,
+    max_ref_gram_freq: int = 100,
+) -> str:
+    """Twin of :func:`..operators.dedup.contamination_report` over the
+    cross-span twin joined back to the documents' source column."""
+    spans_sql = dedup_cross_spans_sql(
+        q1, q2, k=k, min_words=min_words, max_ref_gram_freq=max_ref_gram_freq,
+    )
+    return f"""
+WITH spans AS ({spans_sql})
+SELECT d.source AS \"group\", s.ref_id,
+       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(s.n_words) AS BIGINT) AS words_leaked
+FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.source, s.ref_id
+"""

@@ -2515,6 +2515,15 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(planted, ref, k=5, min_words=10)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card contamination matrix over the planted fixture: per
+    (source, benchmark item) doc/span/word leak counts."""
+    from datalake_indexes_spark.operators.dedup import contamination_report
+
+    planted, ref = _xspan_fixture(spark, sf_dir)
+    return contamination_report(planted, ref, k=5, min_words=10)
+
+
 SELF_SENT = (
     "this exact sentence repeats inside the very same document twice "
     "verbatim here"
@@ -2608,6 +2617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_spans": q_decontaminate_spans,
     "dedup_self_spans": q_dedup_self_spans,
     "dedup_self_removal": q_dedup_self_removal,
+    "contamination_report": q_contamination_report,
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
@@ -2823,6 +2833,7 @@ WHERE rn = 1
     "decontaminate_spans": oracle.decontaminate_spans_sql(XSPAN_Q1, XSPAN_Q2),
     "dedup_self_spans": oracle.dedup_self_spans_sql(SELF_SENT),
     "dedup_self_removal": oracle.dedup_self_removal_sql(SELF_SENT),
+    "contamination_report": oracle.contamination_report_sql(XSPAN_Q1, XSPAN_Q2),
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),
