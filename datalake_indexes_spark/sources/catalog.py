@@ -15,7 +15,7 @@ fully available to COCOA/enrichment, which read the raw tables.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
