@@ -754,6 +754,65 @@ def dedup_recall_report(
     )
 
 
+_GRAM_SEP = chr(1)  # joins gram words before hashing (never appears in text)
+
+
+def _word_grams(df: DataFrame, icol: str, tcol: str, out_id: str, k: int) -> DataFrame:
+    """(out_id, pos, g): positional word k-grams — whitespace-split words,
+    g = xxhash64 of the separator-joined gram.  The shared front end of
+    every span detector (inter-doc, corpus-vs-reference, intra-doc)."""
+    words = F.filter(F.split(F.col(tcol), r"\s+"), lambda w: w != "")
+    base = df.select(F.col(icol).alias(out_id), words.alias("__w")).filter(
+        F.size("__w") >= k
+    )
+    return base.select(
+        out_id,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(_GRAM_SEP, F.slice("__w", i + 1, k))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("kg"),
+    ).select(out_id, F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+
+
+def _diagonal_spans(
+    hits: DataFrame, keys: list[str], k: int, min_words: int
+) -> DataFrame:
+    """Merge same-diagonal consecutive gram hits into maximal spans:
+    ``hits`` = (*keys, p1, diag) -> (*keys, diag, start_1, n_words) with
+    n_words >= min_words.  The run-merge is the chained-gap rule (lag +
+    running sum) keyed by (*keys, diag) — windows bounded by matched
+    grams, never global.  A run of m consecutive k-gram hits covers
+    m + k - 1 words."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys, "diag").orderBy("p1")
+    runs = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy(*keys, "diag", "__run")
+        .agg(
+            F.min("p1").alias("start_1"),
+            (F.max("p1") - F.min("p1") + k).alias("n_words"),
+        )
+        .filter(F.col("n_words") >= min_words)
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     k: int = 5,
@@ -771,90 +830,49 @@ def repeated_spans(
     Construction: word k-grams with positions -> equi-join on the gram
     between documents (doc_id_1 < doc_id_2) -> matches on the same
     DIAGONAL (start_1 - start_2) with consecutive positions are one
-    span; the run-merge is the chained-gap rule (lag + running sum)
-    keyed by (pair, diagonal).  A run of m consecutive k-gram hits
-    covers m + k - 1 words.
+    span (``_diagonal_spans``).
 
     Scale shape: the gram join is the only corpus-sized shuffle, keyed
     by the gram hash; ``max_gram_freq`` drops grams appearing in more
     documents than the cap BEFORE the self-join (the boilerplate-shingle
-    d-squared guard the n-gram Jaccard path uses — recall loss is
-    bounded to spans made ENTIRELY of ubiquitous grams, documented).
-    The run-merge windows are per (pair, diagonal) partitions — bounded
-    by matched-gram counts, never global.
+    d-squared guard the n-gram Jaccard path uses).  Recall effect of the
+    cap, stated precisely: a capped gram is invisible to the run merge,
+    so a span is missed entirely when ALL its grams are capped and —
+    subtler — a capped gram in the MIDDLE of a long span splits it into
+    two sub-runs, each of which must clear ``min_words`` on its own.
+    Corpus-wide boilerplate inside an otherwise-rare span is therefore a
+    recall risk worth tuning the cap for.  The run-merge windows are per
+    (pair, diagonal) partitions — bounded by matched grams, never
+    global.
     """
-    from pyspark.sql.window import Window
-
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w")).filter(
-        F.size("__w") >= k
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__w") - k),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(
-                        F.concat_ws("\u0001", F.slice("__w", i + 1, k))
-                    ).alias("g"),
-                ),
-            )
-        ).alias("kg"),
-    ).select("doc_id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
-
-    # df cap on distinct docs per gram — kills the boilerplate blowup
+    g = _word_grams(docs, id_col, text_col, "doc_id", k)
     rare = (
-        grams.groupBy("g")
+        g.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("__df"))
         .filter(F.col("__df") <= max_gram_freq)
         .select("g")
     )
-    g2 = grams.join(rare, "g", "left_semi")
+    g2 = g.join(rare, "g", "left_semi")
 
     a, b = g2.alias("a"), g2.alias("b")
-    hits = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.col("a.pos").alias("p1"),
-            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-        )
-        .distinct()
+    # one row per (position, position) pair -> already distinct
+    hits = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_1"),
+        F.col("b.doc_id").alias("doc_id_2"),
+        F.col("a.pos").alias("p1"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
-    w = Window.partitionBy("doc_id_1", "doc_id_2", "diag").orderBy("p1")
-    runs = hits.withColumn(
-        "__new",
-        F.when(
-            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "__run",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    return _diagonal_spans(hits, ["doc_id_1", "doc_id_2"], k, min_words).select(
+        "doc_id_1",
+        "doc_id_2",
+        "start_1",
+        (F.col("start_1") - F.col("diag")).alias("start_2"),
+        F.col("n_words").cast("long").alias("n_words"),
     )
-    spans = (
-        runs.groupBy("doc_id_1", "doc_id_2", "diag", "__run")
-        .agg(
-            F.min("p1").alias("start_1"),
-            (F.max("p1") - F.min("p1") + k).alias("n_words"),
-        )
-        .filter(F.col("n_words") >= min_words)
-        .select(
-            "doc_id_1",
-            "doc_id_2",
-            "start_1",
-            (F.col("start_1") - F.col("diag")).alias("start_2"),
-            F.col("n_words").cast("long").alias("n_words"),
-        )
-    )
-    return spans
 
 
 def remove_repeated_spans(
@@ -951,31 +969,12 @@ def cross_repeated_spans(
     windows, which ride the (doc, ref, diagonal) partitioning.
     ``max_ref_gram_freq`` drops grams occurring more than the cap times
     WITHIN the reference (stop-phrase guard: a ubiquitous reference gram
-    multiplies every corpus hit by its occurrence count; recall loss is
-    bounded to spans made entirely of such grams)."""
-    from pyspark.sql.window import Window
-
-    def grams_of(df: DataFrame, icol: str, tcol: str, out_id: str) -> DataFrame:
-        words = F.filter(F.split(F.col(tcol), r"\s+"), lambda w: w != "")
-        base = df.select(F.col(icol).alias(out_id), words.alias("__w")).filter(
-            F.size("__w") >= k
-        )
-        return base.select(
-            out_id,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__w") - k),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.xxhash64(
-                            F.concat_ws("\u0001", F.slice("__w", i + 1, k))
-                        ).alias("g"),
-                    ),
-                )
-            ).alias("kg"),
-        ).select(out_id, F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
-
-    ref_g = grams_of(reference, ref_id_col, ref_text_col, "__rid")
+    multiplies every corpus hit by its occurrence count).  Recall
+    effect, stated precisely: a capped gram in the middle of a leaked
+    span splits it into sub-runs that must each clear ``min_words`` —
+    shared instruction boilerplate inside benchmark items is the case to
+    tune for (raise the cap or lower ``min_words``)."""
+    ref_g = _word_grams(reference, ref_id_col, ref_text_col, "__rid", k)
     rare = (
         ref_g.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -983,43 +982,21 @@ def cross_repeated_spans(
         .select("g")
     )
     ref_g = ref_g.join(rare, "g", "left_semi").withColumnRenamed("pos", "__rpos")
-    doc_g = grams_of(docs, id_col, text_col, "__did")
+    doc_g = _word_grams(docs, id_col, text_col, "__did", k)
 
-    hits = (
-        doc_g.join(F.broadcast(ref_g), "g")
-        .select(
-            F.col("__did").alias("doc_id"),
-            F.col("__rid").alias("ref_id"),
-            F.col("pos").alias("p1"),
-            (F.col("pos") - F.col("__rpos")).alias("diag"),
-        )
-        .distinct()
+    # one row per (corpus position, reference position) -> already distinct
+    hits = doc_g.join(F.broadcast(ref_g), "g").select(
+        F.col("__did").alias("doc_id"),
+        F.col("__rid").alias("ref_id"),
+        F.col("pos").alias("p1"),
+        (F.col("pos") - F.col("__rpos")).alias("diag"),
     )
-    w = Window.partitionBy("doc_id", "ref_id", "diag").orderBy("p1")
-    runs = hits.withColumn(
-        "__new",
-        F.when(
-            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "__run",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        runs.groupBy("doc_id", "ref_id", "diag", "__run")
-        .agg(
-            F.min("p1").alias("start_doc"),
-            (F.max("p1") - F.min("p1") + k).alias("n_words"),
-        )
-        .filter(F.col("n_words") >= min_words)
-        .select(
-            "doc_id",
-            "ref_id",
-            "start_doc",
-            (F.col("start_doc") - F.col("diag")).alias("start_ref"),
-            F.col("n_words").cast("long").alias("n_words"),
-        )
+    return _diagonal_spans(hits, ["doc_id", "ref_id"], k, min_words).select(
+        "doc_id",
+        "ref_id",
+        F.col("start_1").alias("start_doc"),
+        (F.col("start_1") - F.col("diag")).alias("start_ref"),
+        F.col("n_words").cast("long").alias("n_words"),
     )
 
 
@@ -1086,30 +1063,13 @@ def self_repeated_spans(
     pairs WITHIN one document, never cross-corpus.  ``max_gram_occ``
     drops grams occurring more than the cap times in one document (a
     degenerate fully-periodic doc would otherwise pair quadratically;
-    the first ``cap`` copies still pair, and such docs are flagged by
-    ``repetition_scores`` regardless — documented recall bound).
+    such docs are flagged by ``repetition_scores`` regardless).  Recall
+    effect, stated precisely: a capped gram splits any span containing
+    it into sub-runs that must each clear ``min_words`` on their own.
     """
     from pyspark.sql.window import Window
 
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w")).filter(
-        F.size("__w") >= k
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__w") - k),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(
-                        F.concat_ws("\u0001", F.slice("__w", i + 1, k))
-                    ).alias("g"),
-                ),
-            )
-        ).alias("kg"),
-    ).select("doc_id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
-
+    grams = _word_grams(docs, id_col, text_col, "doc_id", k)
     occ_w = Window.partitionBy("doc_id", "g")
     g2 = (
         grams.withColumn("__occ", F.count(F.lit(1)).over(occ_w))
@@ -1118,6 +1078,7 @@ def self_repeated_spans(
     )
 
     a, b = g2.alias("a"), g2.alias("b")
+    # one row per (earlier position, later position) -> already distinct
     hits = a.join(
         b,
         (F.col("a.doc_id") == F.col("b.doc_id"))
@@ -1127,32 +1088,12 @@ def self_repeated_spans(
         F.col("a.doc_id").alias("doc_id"),
         F.col("a.pos").alias("p1"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-    ).distinct()
-
-    w = Window.partitionBy("doc_id", "diag").orderBy("p1")
-    runs = hits.withColumn(
-        "__new",
-        F.when(
-            F.lag("p1").over(w).isNull() | (F.col("p1") - F.lag("p1").over(w) > 1),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "__run",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
-        runs.groupBy("doc_id", "diag", "__run")
-        .agg(
-            F.min("p1").alias("start_1"),
-            (F.max("p1") - F.min("p1") + k).alias("n_words"),
-        )
-        .filter(F.col("n_words") >= min_words)
-        .select(
-            "doc_id",
-            "start_1",
-            (F.col("start_1") - F.col("diag")).alias("start_2"),
-            F.col("n_words").cast("long").alias("n_words"),
-        )
+    return _diagonal_spans(hits, ["doc_id"], k, min_words).select(
+        "doc_id",
+        "start_1",
+        (F.col("start_1") - F.col("diag")).alias("start_2"),
+        F.col("n_words").cast("long").alias("n_words"),
     )
 
 

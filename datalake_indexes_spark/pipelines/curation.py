@@ -157,28 +157,38 @@ def _stage_decontaminate(docs, id_col, text_col, benchmark=None,
 
 def _stage_decontaminate_spans(docs, id_col, text_col, benchmark=None,
                                k: int = 5, min_words: int = 10,
+                               max_ref_gram_freq: int = 100,
                                min_remaining_words: int = 1):
     """TRANSFORM + filter: cut verbatim benchmark spans out of the text
     (span-level decontamination — keeps the document, removes the leaked
-    words), then drop docs left with fewer than ``min_remaining_words``
-    words (a fully-leaked doc becomes empty and is useless downstream)."""
+    words), then drop docs the CUT left under ``min_remaining_words``
+    words (a fully-leaked doc becomes empty and is useless downstream).
+    Docs that were never cut pass through whatever their length — an
+    empty doc in is an empty doc out, like every other transform stage
+    (length policy belongs to quality stages, not this one)."""
     from datalake_indexes_spark.operators.dedup import decontaminate_spans
 
     if benchmark is None:
         raise ValueError("decontaminate_spans stage needs a `benchmark` frame")
     cleaned = decontaminate_spans(
         docs, benchmark, k=k, min_words=min_words,
+        max_ref_gram_freq=max_ref_gram_freq,
         text_col=text_col, id_col=id_col,
     ).select(
         F.col(id_col),
         F.col("text_cleaned"),
+        F.col("n_words_removed").alias("__cut"),
         (F.col("n_words_before") - F.col("n_words_removed")).alias("__left"),
+    )
+    # null text is never cut (null in -> null out): coalesce keeps it
+    keep = (F.coalesce(F.col("__cut"), F.lit(0)) == 0) | (
+        F.col("__left") >= min_remaining_words
     )
     return (
         docs.drop(text_col)
-        .join(cleaned.filter(F.col("__left") >= min_remaining_words), id_col)
+        .join(cleaned.filter(keep), id_col)
         .withColumnRenamed("text_cleaned", text_col)
-        .drop("__left")
+        .drop("__left", "__cut")
     )
 
 

@@ -61,11 +61,12 @@ def plan_report(df: DataFrame) -> dict:
 def _count_global_windows(plan: str) -> int:
     """Window operators whose partition spec is empty.  The plan line is
     ``Window [exprs], [partitionSpec], [orderSpec]`` when fully
-    specified; with only TWO top-level bracket groups the second is
-    EITHER an order spec (global window — every row in one task) or a
-    partition spec with no ordering (partitioned, fine) — told apart by
-    the ASC/DESC markers only order specs carry.  Nested brackets inside
-    the expressions are skipped by depth tracking."""
+    specified; Spark omits EMPTY specs entirely, so a global window
+    prints either ONE top-level bracket group (no partition, no order —
+    a frame-only aggregate over the whole input) or TWO groups whose
+    second is an order spec (told apart from a partition-only window by
+    the ASC/DESC markers only order specs carry).  Nested brackets
+    inside the expressions are skipped by depth tracking."""
     n = 0
     for line in plan.splitlines():
         idx = line.find("Window [")
@@ -82,7 +83,9 @@ def _count_global_windows(plan: str) -> int:
                 depth = max(0, depth - 1)
             elif depth > 0:
                 groups[-1] += ch
-        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+        if len(groups) == 1 or (
+            len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1])
+        ):
             n += 1
     return n
 

@@ -66,7 +66,18 @@ def make_decontaminate_processor(
 
 def load_cleaned(spark: SparkSession, out_dir: str) -> DataFrame:
     """All decontaminated documents written so far (batch_id dropped —
-    each doc lives in exactly one batch)."""
+    each doc lives in exactly one batch).  A stream that has only seen
+    empty batches never creates the sink (the processor's isEmpty
+    early-return), so a missing directory reads as an EMPTY frame — the
+    batch twin's output for the same input — not an AnalysisException."""
+    import os
+
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_words_before long, n_words_removed long, "
+            "text_cleaned string",
+        )
     return spark.read.parquet(out_dir).drop("batch_id")
 
 

@@ -102,6 +102,13 @@ def test_global_window_detection(spark):
     )
     assert rep["n_global_windows"] == 0
 
+    # no partition AND no order (frame-only aggregate over everything):
+    # Spark omits both empty specs — one bracket group, still global
+    rep = plan_report(
+        df.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    assert rep["n_global_windows"] == 1
+
     with pytest.raises(AssertionError, match="single-partition window"):
         assert_scalable_plan(
             df.withColumn("r", F.row_number().over(Window.orderBy("id"))),
