@@ -154,3 +154,23 @@ def test_pipeline_self_span_cleanup_stage(spark):
     census = {r["stage"]: (r["docs_in"], r["docs_out"])
               for r in res.census.collect()}
     assert census["self_span_cleanup"] == (2, 2)  # transform, never drops
+
+
+def test_decontaminate_spans_stage_empty_docs_pass_through(spark):
+    """Docs the cut did NOT touch survive whatever their length — empty
+    and null docs included; only docs the cut emptied are dropped.  The
+    stage also forwards the stop-phrase cap knob."""
+    q = "which benchmark question leaked verbatim into the training corpus today"
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, q), (3, "fine doc with original words")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, q)], "ref_id long, text string")
+    res = run_curation(
+        docs,
+        [{"stage": "decontaminate_spans", "benchmark": bench,
+          "max_ref_gram_freq": 500}],  # forwarded, not TypeError
+    )
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert set(out) == {0, 1, 3}  # only the fully-leaked doc 2 dropped
+    assert out[0] == "" and out[1] is None

@@ -91,3 +91,19 @@ def test_available_now_file_stream(spark):
         assert got == _norm(decontaminate_spans(docs, bench).collect())
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_load_cleaned_before_any_write_is_empty(spark):
+    """Only-empty-batches stream: the sink was never created; loading it
+    is the batch twin's answer (an empty frame), not an exception."""
+    work = tempfile.mkdtemp(prefix="decon_empty_")
+    try:
+        process = make_decontaminate_processor(_bench(spark), f"{work}/out")
+        process(_docs(spark).limit(0), 0)  # empty batch -> early return
+        out = load_cleaned(spark, f"{work}/out")
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "doc_id", "n_words_before", "n_words_removed", "text_cleaned"
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -492,3 +492,27 @@ class TestSelfSpans:
         rep = plan_report(self_repeated_spans(docs))
         assert rep["n_global_windows"] == 0, rep
         assert rep["n_nested_loop_joins"] == 0, rep
+
+
+def test_mid_span_capped_gram_splits_the_run(spark):
+    """The documented recall bound, pinned: a capped gram in the MIDDLE
+    of a shared span splits it into two sub-runs, each needing
+    min_words on its own — with min_words spanning the halves the pair
+    is missed entirely; with a smaller min_words both halves emerge."""
+    from datalake_indexes_spark.operators.dedup import repeated_spans
+
+    half1 = "alpha beta gamma delta epsilon"          # 5 words
+    boiler = "x1 x2 x3"                                # capped middle
+    half2 = "zeta eta theta iota kappa"                # 5 words
+    span = f"{half1} {boiler} {half2}"                 # 13 words
+    # the boilerplate TRIGRAM core appears in many other docs so every
+    # k=3 gram fully inside it exceeds the df cap
+    docs = spark.createDataFrame(
+        [(1, "one " + span), (2, span + " two")]
+        + [(10 + i, f"filler{i} {boiler} tail{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    missed = repeated_spans(docs, k=3, min_words=12, max_gram_freq=5)
+    assert missed.filter("doc_id_1 = 1 and doc_id_2 = 2").count() == 0
+    halves = repeated_spans(docs, k=3, min_words=5, max_gram_freq=5)
+    assert halves.filter("doc_id_1 = 1 and doc_id_2 = 2").count() >= 2
