@@ -37,6 +37,8 @@ Stage registry (params beyond ``stage`` are passed through):
   benchmark frame (passed as ``benchmark``)
 - ``decontaminate_spans``: cut verbatim benchmark spans out of the text
   (keep the doc), dropping docs left under ``min_remaining_words``
+- ``span_dedup``: cut spans duplicated across documents, keeping the
+  smallest-id copy (transform; every doc survives, possibly shorter)
 - ``self_span_cleanup``: cut later copies of the spans a doc repeats
   inside itself (transform; the doc always survives)
 - ``domain_cap``: keep at most ``cap`` docs per registered domain
@@ -192,6 +194,30 @@ def _stage_decontaminate_spans(docs, id_col, text_col, benchmark=None,
     )
 
 
+def _stage_span_dedup(docs, id_col, text_col, k: int = 5,
+                      min_words: int = 10, max_gram_freq: int = 100):
+    """TRANSFORM: cut spans duplicated ACROSS documents, keeping the
+    copy in the smallest doc id (pair orientation — see
+    remove_repeated_spans); every doc survives, possibly shorter."""
+    from datalake_indexes_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    spans = repeated_spans(
+        docs, k=k, min_words=min_words, max_gram_freq=max_gram_freq,
+        text_col=text_col, id_col=id_col,
+    )
+    cleaned = remove_repeated_spans(
+        docs, spans, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.col("text_cleaned"))
+    return (
+        docs.drop(text_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("text_cleaned", text_col)
+    )
+
+
 def _stage_self_span_cleanup(docs, id_col, text_col, k: int = 5,
                              min_words: int = 10, max_gram_occ: int = 50):
     """TRANSFORM: cut later copies of each doc's internally repeated
@@ -241,6 +267,7 @@ STAGES = {
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,
     "decontaminate_spans": _stage_decontaminate_spans,
+    "span_dedup": _stage_span_dedup,
     "self_span_cleanup": _stage_self_span_cleanup,
     "domain_cap": _stage_domain_cap,
     "group_split_keep": _stage_group_split_keep,

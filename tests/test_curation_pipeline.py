@@ -174,3 +174,23 @@ def test_decontaminate_spans_stage_empty_docs_pass_through(spark):
     out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
     assert set(out) == {0, 1, 3}  # only the fully-leaked doc 2 dropped
     assert out[0] == "" and out[1] is None
+
+
+def test_pipeline_span_dedup_stage(spark):
+    """Inter-doc span cut inside the runner: the smallest-id copy keeps
+    the span, later copies lose exactly it; doc count is unchanged."""
+    s = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro " + s + " tail"),
+            (1, s + " different ending here"),
+            (2, "unrelated original content in this one entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    res = run_curation(docs, [{"stage": "span_dedup"}])
+    out = {r["doc_id"]: r["text"] for r in res.docs.collect()}
+    assert len(out) == 3
+    assert out[0] == "intro " + s + " tail"       # canonical copy intact
+    assert out[1] == "different ending here"       # span cut
+    assert out[2].startswith("unrelated")
