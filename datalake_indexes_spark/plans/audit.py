@@ -1,8 +1,8 @@
 """Plan introspection — the `.explain` discipline as a queryable API.
 
 Every scale claim in PLANS.md reduces to facts about the physical plan:
-how many Exchanges, which joins broadcast, whether filters reached the
-parquet scan, how wide the codegen spans are.  `plan_report` extracts
+how many shuffle Exchanges, which joins broadcast, whether filters
+reached the parquet scan, which windows are global.  `plan_report` extracts
 those facts from any DataFrame so pipelines can ASSERT their plan shape
 (the `tests/test_plan_properties.py` guards use the same substrings) and
 users can audit a composed query before paying for it at 100 TB —
@@ -32,17 +32,29 @@ def plan_report(df: DataFrame) -> dict:
       rows (the sanctioned 1-row broadcast pattern)
     - ``n_scans``: file-source scans (re-reads of the same data count)
     - ``has_pushed_filters``: at least one scan received pushed filters
-    - ``n_codegen_spans``: WholeStageCodegen regions (wider = fewer
-      interpreter boundaries)
     - ``n_inmemory_scans``: cache hits (InMemoryTableScan)
     - ``n_global_windows``: Window operators with an EMPTY partition
       spec — every row of the subtree funnels through ONE task (the
       classic silent scale killer; fine only when the input is already
       k-bounded, e.g. the rank pass after an ``orderBy().limit(k)``)
+
+    Codegen-region counting is deliberately ABSENT: under AQE (the
+    engine default) WholeStageCodegen subtrees are inserted only when
+    the adaptive plan finalizes at execution, so no pre-execution
+    explain mode can see them — a metric that always reads 0 is worse
+    than none.  Audit codegen width post-hoc via the Spark UI / event
+    log if needed.
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
-        "n_exchanges": plan.count("Exchange"),
+        # SHUFFLE exchanges only: the raw substring also matches
+        # BroadcastExchange (no shuffle — the small side ships to every
+        # executor) and ReusedExchange (a reference to an exchange
+        # already counted), which would overcount the cost metric
+        "n_exchanges": plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange"),
+        "n_broadcast_exchanges": plan.count("BroadcastExchange"),
         "n_broadcast_joins": plan.count("BroadcastHashJoin"),
         "n_sortmerge_joins": plan.count("SortMergeJoin"),
         "n_hash_joins": plan.count("ShuffledHashJoin"),
@@ -52,7 +64,6 @@ def plan_report(df: DataFrame) -> dict:
         "has_pushed_filters": bool(
             re.search(r"PushedFilters: \[[^\]]", plan)
         ),
-        "n_codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         "n_inmemory_scans": plan.count("InMemoryTableScan"),
         "n_global_windows": _count_global_windows(plan),
     }

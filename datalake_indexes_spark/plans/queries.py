@@ -2423,7 +2423,7 @@ REPEAT_SPAN = (
 
 def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated spans (Lee-et-al. exact-substring dedup signal)
-    over documents WITH a planted verbatim 13-word span on every 7th doc
+    over documents WITH a planted verbatim 12-word span on every 7th doc
     — the unplanted corpus has no long exact overlaps, so the fixture
     makes the span/run machinery non-vacuous."""
     from datalake_indexes_spark.operators.dedup import repeated_spans
@@ -2441,7 +2441,7 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span REMOVAL over the planted-span fixture: every planted doc
-    except the clique's smallest id has its 13 repeated words cut; the
+    except the clique's smallest id has its 12 repeated words cut; the
     canonical copy survives by pair orientation."""
     from datalake_indexes_spark.operators.dedup import (
         remove_repeated_spans,

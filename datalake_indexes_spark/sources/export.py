@@ -335,22 +335,29 @@ def assign_balanced_shards(
     """
     from pyspark.sql.window import Window
 
-    lo_hi = df.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    stats = df.agg(
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+        F.sum(F.col(weight_col).cast("long")).alias("total"),
     ).collect()[0]
-    if lo_hi["lo"] is None:
+    if stats["lo"] is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, weight long, cum_weight long, shard_id int"
         )
-    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    # bucket via DIVISION FIRST — (id - lo) * n_buckets overflows long
+    # once the id span exceeds 2^63 / n_buckets (64-bit hash-derived
+    # ids), and id - lo itself overflows when ids straddle more than
+    # half the signed range.  id div width is overflow-free, monotone in
+    # id (trunc division of longs by a positive literal), and yields at
+    # most ~n_buckets + 2 distinct values over [lo, hi]; the Python-side
+    # span/width arithmetic is exact (unbounded ints).
     span = max(hi - lo + 1, 1)
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        ((F.col(id_col) - F.lit(lo)) * n_buckets / F.lit(span)).cast("int"),
-    )
+    width = max(span // n_buckets, 1)
+    loq = -((-lo) // width) if lo < 0 else lo // width  # trunc, like div
     b = df.select(
         F.col(id_col), F.col(weight_col).cast("long").alias("__w")
-    ).withColumn("__b", bucket)
+    ).withColumn("__b", F.expr(f"`{id_col}` div {width}") - F.lit(loq))
     w_local = (
         Window.partitionBy("__b")
         .orderBy(F.asc(id_col))
@@ -372,7 +379,7 @@ def assign_balanced_shards(
             ),
         )
     )
-    total = int(b.agg(F.sum("__w")).collect()[0][0] or 0)
+    total = int(stats["total"] or 0)
     target = max((total + n_shards - 1) // n_shards, 1)
     cum = F.col("__off") + F.col("__run")
     return (

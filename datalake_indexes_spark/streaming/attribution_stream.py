@@ -20,8 +20,13 @@ would warn); the lookback IS the state bound.
 
 Stream == batch parity is pinned by ``tests/test_attribution_stream.py``:
 the streamed pair set equals the batch interval join over the same
-events, including across file boundaries (pairs whose probe and build
-arrive in different micro-batches).
+events, including pairs whose probe and build arrive in DIFFERENT
+micro-batches (forced via ``maxFilesPerTrigger=1``).  The cross-batch
+guarantee is conditional exactly like any watermarked join: the
+watermark delay must cover the probe/build ARRIVAL skew — with a zero
+watermark, a build event arriving a batch after a later-timestamped
+probe is already below the eviction line and the pair is (correctly,
+per late-data semantics) dropped.
 """
 
 from __future__ import annotations
@@ -95,13 +100,19 @@ def attribution_stream(
     lookback_us: int = 7_200_000_000,
     watermark: str = "2 hours",
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
     **kwargs,
 ) -> StreamingQuery:
     """Wire the interval join to a parquet file stream, appending live
     candidate pairs to ``out_dir`` (append mode is exactly right for an
     inner stream-stream join: a pair is emitted once, when both sides
-    have arrived)."""
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    have arrived).  ``max_files_per_trigger`` bounds each micro-batch
+    (availableNow honors it and runs several batches) — the tests use 1
+    to force genuinely cross-batch pairs through the join state."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     pairs = interval_pairs_streaming(
         stream,
         probe_filter,

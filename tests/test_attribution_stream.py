@@ -65,9 +65,13 @@ def test_batch_interval_pairs_semantics(spark):
 
 
 def test_stream_equals_batch_across_files(spark):
-    """Events split into 3 files (probe and matching build in different
-    files for the u2@400 pair); availableNow drains them and the streamed
-    pair set equals the batch join."""
+    """Events split into 3 files, ONE FILE PER MICRO-BATCH
+    (maxFilesPerTrigger=1 — availableNow honors it and runs three
+    batches), so probe/build pairs split across files genuinely cross
+    join-state batch boundaries.  The watermark must cover the arrival
+    skew for the cross-batch guarantee (module docstring): with a large
+    delay no build is evicted before its probe arrives, and the streamed
+    pair set equals the batch join exactly."""
     ev = _events(spark)
     work = tempfile.mkdtemp(prefix="attr_stream_")
     try:
@@ -86,9 +90,10 @@ def test_stream_equals_batch_across_files(spark):
             out_dir=os.path.join(work, "out"),
             checkpoint_dir=os.path.join(work, "ck"),
             lookback_us=LOOKBACK,
-            watermark="0 seconds",
+            watermark="1 hour",
+            max_files_per_trigger=1,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(240)
         got = _norm(spark.read.parquet(os.path.join(work, "out")).collect())
         want = _norm(_batch_pairs(spark, ev).collect())
         assert got == want

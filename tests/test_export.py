@@ -188,3 +188,34 @@ def test_balanced_shards_empty_and_giant_doc(spark):
     out = {r["doc_id"]: r["shard_id"] for r in
            assign_balanced_shards(df, n_shards=2).collect()}
     assert out[0] == 0 and out[1] == 1 and out[2] == 1
+
+
+def test_balanced_shards_hash_range_ids_no_overflow(spark):
+    """64-bit hash-derived doc ids spanning most of the signed range
+    (negative to positive): bucketization must stay monotone in id with
+    no long overflow — cum_weight is the exact prefix sum over id order
+    and shards remain contiguous."""
+    from datalake_indexes_spark.sources.export import assign_balanced_shards
+
+    ids = [
+        -(2**62) - 7, -(2**61), -12345, -1, 0, 999,
+        2**60, 2**61 + 3, 2**62, 2**62 + 11,
+    ]
+    df = spark.createDataFrame(
+        [(i, 10 + j) for j, i in enumerate(ids)], "doc_id long, n_tokens long"
+    )
+    out = sorted(
+        (r["doc_id"], r["cum_weight"], r["shard_id"])
+        for r in assign_balanced_shards(df, n_shards=3).collect()
+    )
+    # exact running sum over ascending id order
+    run = 0
+    want_cum = []
+    for j, i in enumerate(sorted(range(len(ids)), key=lambda j: ids[j])):
+        run += 10 + i
+        want_cum.append(run)
+    assert [c for _, c, _ in out] == want_cum
+    # shards are contiguous in id order and non-decreasing
+    shards = [s for _, _, s in out]
+    assert shards == sorted(shards)
+    assert 0 <= min(shards) and max(shards) <= 2

@@ -21,9 +21,17 @@ def test_report_counts_known_shapes(spark):
     rep = plan_report(a.groupBy("k").count())
     assert rep["n_exchanges"] == 1
 
-    # broadcast equi-join: a broadcast exchange, a BroadcastHashJoin
+    # broadcast equi-join: a broadcast exchange, a BroadcastHashJoin —
+    # and ZERO shuffle exchanges (the metric must not count the
+    # BroadcastExchange as a shuffle)
     rep = plan_report(a.join(F.broadcast(b), a["k"] == b["k2"]))
     assert rep["n_broadcast_joins"] == 1 and rep["n_nested_loop_joins"] == 0
+    assert rep["n_exchanges"] == 0 and rep["n_broadcast_exchanges"] == 1
+
+    # codegen-region counting is deliberately absent (invisible pre-
+    # execution under AQE) — the report must not carry a dead metric
+    rep = plan_report(a.groupBy("k").count())
+    assert "n_codegen_spans" not in rep
 
     # cross join: flagged as nested loop
     rep = plan_report(a.crossJoin(b))
