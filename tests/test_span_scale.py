@@ -182,3 +182,22 @@ def test_self_span_cleanup_20k_docs(spark):
     assert set(removed) == planted
     # copies 2 and 3 are cut: 24 words removed per planted doc
     assert all(v == 24 for v in removed.values()), sorted(removed.items())[:3]
+
+
+def test_approx_df_cap_matches_exact_on_planted_corpus(spark):
+    """The scale path for the df cap: HLL approx_count_distinct gates
+    the same grams as the exact distinct on the 20k-doc corpus (the cap
+    is a threshold, not a statistic — ~2% rsd cannot flip a 20-doc
+    planted gram across a cap of 100 or a 20k-doc footer gram back
+    under it), so the span output is identical."""
+    docs = _corpus(spark)
+    exact = sorted(
+        tuple(r) for r in repeated_spans(docs, k=5, min_words=10).collect()
+    )
+    approx = sorted(
+        tuple(r)
+        for r in repeated_spans(
+            docs, k=5, min_words=10, approx_df=True
+        ).collect()
+    )
+    assert exact == approx and len(exact) > 0
