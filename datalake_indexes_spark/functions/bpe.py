@@ -150,7 +150,7 @@ def apply_bpe(
 
             def enc(text: str) -> list[str]:
                 out: list[str] = []
-                for w in text.split():
+                for w in (text or "").split():
                     if w not in memo:
                         memo[w] = encode_word(w, ranks, end_of_word)
                     out.extend(memo[w])
@@ -171,7 +171,7 @@ def apply_bpe(
 
         def count(text: str) -> int:
             n = 0
-            for w in text.split():
+            for w in (text or "").split():
                 if w not in memo:
                     memo[w] = len(encode_word(w, ranks, end_of_word))
                 n += memo[w]

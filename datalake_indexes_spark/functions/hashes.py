@@ -40,6 +40,24 @@ from datalake_indexes_spark.functions.xash import split128
 _MASK128 = (1 << 128) - 1
 
 
+def md5_bucket(col, modulus: int):
+    """Deterministic, engine-portable bucket of a value: first 8 md5 hex
+    digits as a long, mod ``modulus``.  The ONE definition of the bucket
+    rule shared by hash_split / stratified sampling / group_split /
+    shard assignment / key sampling — change it here (e.g. widen the
+    prefix) and every split, sample, and shard moves consistently; a
+    divergent copy would silently break their mutual determinism
+    contract.  (DuckDB twin: ``CAST(('0x' || substring(md5(v), 1, 8))
+    AS BIGINT) %% modulus`` — see plans/oracle.py.)"""
+    from pyspark.sql import Column
+
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % modulus
+    )
+
+
 def md5_128(token: str) -> int:
     """md5 of the token as a 128-bit int (maco/util.py:227-247)."""
     if not token:

@@ -847,11 +847,20 @@ def shuffle_skew_report(
     table — whose size is key cardinality, not row count) plus the
     sanctioned 1-row broadcast to attach the hottest key (deterministic:
     ties break on the smallest key string)."""
+    # NULL components get a sentinel BEFORE concat — concat_ws silently
+    # collapses NULL into "", which would merge NULL and empty-string
+    # keys in the very skew stats being reported (they hash to different
+    # shuffle partitions in the real groupBy).  Same ' null' sentinel as
+    # categorical_association.
     counts = (
         df.select(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
-                "key"
-            )
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(" null"))
+                    for c in key_cols
+                ],
+            ).alias("key")
         )
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -890,30 +899,42 @@ def categorical_association(
     counterpart of COCOA's numeric/one-hot correlation (is `lang`
     independent of `source`?  is a column pair worth a combined index?).
 
-    Closed form, three map-side-combinable aggregates: the observed
-    contingency table o(a,b) and the two margin tables r(a), c(b);
-    expected e = r*c/n over the FULL margin cross product (zero-observed
-    cells still contribute (0-e)^2/e, which a join on observed cells
-    alone would silently drop).  The cross join is |A|x|B| margin rows --
-    category cardinalities, not data size -- with both margins broadcast.
-    Cramer's V = sqrt(chi2 / (n * min(|A|-1, |B|-1))) normalizes to
-    [0, 1] for comparability across pairs.  NULL categories count as
-    their own level (they are real values to an indexer).  The margin
-    collects are category-cardinality-bounded scalars, the sanctioned
-    driver-side tier.
+    ONE scan: the observed contingency table o(a,b) is a single
+    map-side-combinable aggregate; everything downstream (margins,
+    n, the full |A|x|B| expected grid -- zero-observed cells still
+    contribute (0-e)^2/e, which a join on observed cells alone would
+    silently drop) is arithmetic over the collected table, which is
+    category-cardinality-bounded -- the sanctioned driver-side tier.
+    (The previous form launched three eager jobs plus three scans in
+    the returned plan: six passes over a corpus-sized input for the
+    same one-row answer.)  Cramer's V = sqrt(chi2 / (n * min(|A|-1,
+    |B|-1))) normalizes to [0, 1] for comparability across pairs.
+    NULL categories count as their own level (they are real values to
+    an indexer).  The chi2 sum runs in Spark over the grid built FROM
+    the collected cells so rounding follows the same half-up F.round
+    the oracle mirrors.
     """
     a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
     b = F.coalesce(F.col(col_b).cast("string"), F.lit(" null"))
     pairs = df.select(a.alias("__a"), b.alias("__b"))
-    obs = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("o"))
-    ra = pairs.groupBy("__a").agg(F.count(F.lit(1)).alias("ra"))
-    cb = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("cb"))
-    n = float(ra.agg(F.sum("ra").alias("n")).collect()[0]["n"])
-    k_a = ra.count()
-    k_b = cb.count()
+    cells = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("o")).collect()
+
+    ra: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for r in cells:
+        ra[r["__a"]] = ra.get(r["__a"], 0) + r["o"]
+        cb[r["__b"]] = cb.get(r["__b"], 0) + r["o"]
+    n = float(sum(ra.values()))
+    k_a, k_b = len(ra), len(cb)
+    spark = df.sparkSession
+    obs = spark.createDataFrame(
+        [(r["__a"], r["__b"], r["o"]) for r in cells], "__a string, __b string, o long"
+    )
+    ra_df = spark.createDataFrame(list(ra.items()), "__a string, ra long")
+    cb_df = spark.createDataFrame(list(cb.items()), "__b string, cb long")
     grid = (
-        F.broadcast(ra)
-        .crossJoin(F.broadcast(cb))
+        F.broadcast(ra_df)
+        .crossJoin(F.broadcast(cb_df))
         .join(obs, ["__a", "__b"], "left")
         .withColumn("o", F.coalesce("o", F.lit(0)))
         .withColumn("__e", F.col("ra") * F.col("cb") / F.lit(n))

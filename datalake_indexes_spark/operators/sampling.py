@@ -21,13 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datalake_indexes_spark.functions.hashes import md5_bucket
+
 
 def key_sample_filter(key_col: str, fraction: float) -> F.Column:
     """Deterministic membership predicate: md5 bucket of the key value
     lands under ``fraction`` of the 10000-bucket grid."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("long") % 10000
+    bucket = md5_bucket(key_col, 10000)
     return bucket < int(round(fraction * 10000))
 
 

@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datalake_indexes_spark.functions.hashes import md5_bucket
+
 from datalake_indexes_spark.functions.text import STOPWORDS
 
 # BPE-ish word/number/punct tokenizer (public GPT-2-style shape, simplified
@@ -288,9 +290,7 @@ def stratified_sample(
     ``md5(id) mod 10000 < fraction * 10000``.  Same rows on every run,
     every engine, any partitioning — and the filter is a native expression
     the scan can evaluate, no shuffle at all."""
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 10000
+    bucket = md5_bucket(id_col, 10000)
     frac = F.coalesce(
         *[
             F.when(F.col(stratum_col) == s, F.lit(f))
@@ -470,9 +470,7 @@ def temperature_mix(
             4,
         ).alias("__r"),
     )
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 10000
+    bucket = md5_bucket(id_col, 10000)
     frac_thresh = F.round((F.col("__r") - F.floor(F.col("__r"))) * 10000).cast("long")
     n_rep = (F.floor("__r") + F.when(bucket < frac_thresh, 1).otherwise(0)).cast("int")
     return (
@@ -573,9 +571,7 @@ def hash_split(
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError("split weights must sum to 1")
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 10000
+    bucket = md5_bucket(id_col, 10000)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -1082,8 +1078,13 @@ def compression_ratio_scores(
     def zsize(texts: pd.Series) -> pd.Series:
         import zlib
 
+        # null text passes through as null, like every native-expression
+        # score (the repo's UDF null-guard convention — xash/hashes do
+        # the same); fillna would misreport null as perfectly small
         return texts.map(
-            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), level))
         )
 
     nb = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
@@ -1092,7 +1093,9 @@ def compression_ratio_scores(
         F.col(id_col).alias("doc_id"),
         nb.alias("n_bytes"),
         nc.alias("n_compressed"),
-        F.round(nc / nb, 6).alias("compression_ratio"),
+        # empty text has no meaningful ratio (and 0/0 raises under
+        # ANSI); null text propagates null through every column
+        F.when(nb > 0, F.round(nc / nb, 6)).alias("compression_ratio"),
     )
 
 
@@ -1248,9 +1251,7 @@ def group_split(
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError("split weights must sum to 1")
-    bucket = F.conv(
-        F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
-    ).cast("long") % 10000
+    bucket = md5_bucket(group_col, 10000)
     expr = None
     acc = 0.0
     names = list(weights)

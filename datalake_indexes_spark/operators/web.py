@@ -74,6 +74,19 @@ def parse_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> D
     )
 
 
+def _host_col(url):
+    """Normalized host of a URL column: authority -> host -> lowercase,
+    leading ``www.`` stripped.  The ONE host-normalization rule shared by
+    canonicalize_urls / domain_stats / extract_links — a future change
+    (``www2.``, trailing dots, public-suffix upgrade) lands everywhere at
+    once instead of silently diverging between the census and the
+    canonical key.  (The DuckDB twins mirror this chain in SQL.)"""
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(auth, _HOST_RE, 1)), r"^www\.", ""
+    )
+
+
 def canonicalize_urls(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -91,8 +104,7 @@ def canonicalize_urls(
     u = F.col(url_col)
     auth = F.regexp_extract(u, _AUTH_RE, 1)
     scheme_l = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    host_raw = F.lower(F.regexp_extract(auth, _HOST_RE, 1))
-    host_l = F.regexp_replace(host_raw, r"^www\.", "")
+    host_l = _host_col(u)
     port = F.regexp_extract(auth, _PORT_RE, 1)
     path = F.regexp_extract(u, _PATH_RE, 1)
     query = F.regexp_extract(u, _QUERY_RE, 1)
@@ -129,11 +141,7 @@ def domain_stats(
     audits and blocklist candidates are derived from.  One hash aggregate
     with map-side combine; output is bounded by domain cardinality.
     """
-    u = F.col(url_col)
-    auth = F.regexp_extract(u, _AUTH_RE, 1)
-    host_l = F.regexp_replace(
-        F.lower(F.regexp_extract(auth, _HOST_RE, 1)), r"^www\.", ""
-    )
+    host_l = _host_col(F.col(url_col))
     canon = df.select(
         _registered_domain(host_l).alias("registered_domain"),
         host_l.alias("host"),
@@ -195,10 +203,7 @@ def extract_links(
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(hrefs).alias("href")
     )
-    auth = F.regexp_extract(F.col("href"), _AUTH_RE, 1)
-    host_l = F.regexp_replace(
-        F.lower(F.regexp_extract(auth, _HOST_RE, 1)), r"^www\.", ""
-    )
+    host_l = _host_col(F.col("href"))
     return exploded.select(
         "doc_id", "href", _registered_domain(host_l).alias("link_domain")
     )

@@ -22,17 +22,17 @@ swap the walk for their store's list API (the data path is unchanged).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datalake_indexes_spark.functions.hashes import md5_bucket
+
 
 def shard_id_col(id_col: str, n_shards: int) -> F.Column:
     """Deterministic engine-independent shard id: md5 bucket mod n."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    return (bucket % n_shards).cast("int")
+    return md5_bucket(id_col, n_shards).cast("int")
 
 
 def shard_manifest(
@@ -246,7 +246,9 @@ def export_jsonl_shards_incremental(
     changed/new shards via dynamic partition overwrite (each untouched
     ``shard_id=K`` directory keeps its bytes and mtime).  Returns
     (shard_id, n_docs, fingerprint, status) with status ∈
-    {written, unchanged}.
+    {written, unchanged, removed} — removed rows mark shards whose
+    documents all disappeared (leaf deleted; they vanish from the
+    manifest).
 
     The manifest is n_shards rows — driver-side JSON by the same
     sanctioned-tiny-artifact rule as the version pointer in the
@@ -270,6 +272,14 @@ def export_jsonl_shards_incremental(
         for r in current
         if previous.get(r["shard_id"]) != (r["n_docs"], r["fingerprint"])
     ]
+    # a shard whose documents ALL disappeared is absent from the current
+    # census, so diffing only current would never touch it: its stale
+    # file would keep shipping deleted docs forever.  Dynamic overwrite
+    # cannot delete a partition it receives no rows for — remove the
+    # leaf directly and report it.
+    vanished = sorted(set(previous) - {r["shard_id"] for r in current})
+    for sid in vanished:
+        shutil.rmtree(os.path.join(path, f"shard_id={sid}"), ignore_errors=True)
 
     if changed:
         (
@@ -305,7 +315,8 @@ def export_jsonl_shards_incremental(
                 "written" if r["shard_id"] in changed_set else "unchanged",
             )
             for r in sorted(current, key=lambda r: r["shard_id"])
-        ],
+        ]
+        + [(sid, 0, 0, "removed") for sid in vanished],
         "shard_id int, n_docs long, fingerprint long, status string",
     )
 

@@ -116,3 +116,21 @@ def test_merge_table_round_trip(spark, tmp_path):
     merges = train_bpe(docs, n_merges=10)
     save_merges(spark, merges, str(tmp_path / "merges"))
     assert load_merges(spark, str(tmp_path / "merges")) == merges
+
+
+def test_apply_bpe_null_and_empty_text(spark):
+    """A single null document must not abort the Arrow batch: null and
+    empty text encode to zero tokens (both UDF branches)."""
+    from datalake_indexes_spark.functions.bpe import apply_bpe, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs.filter("text is not null and text <> ''"), n_merges=5)
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in apply_bpe(docs, merges).collect()}
+    assert counts[2] == 0 and counts[3] == 0 and counts[1] > 0
+    toks = {r["doc_id"]: r["bpe_tokens"]
+            for r in apply_bpe(docs, merges, with_tokens=True).collect()}
+    assert toks[2] == [] and toks[3] == []

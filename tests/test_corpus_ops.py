@@ -425,3 +425,20 @@ def test_c4_rule_flags(spark):
     assert rows[1]["has_bad_phrase"] is True and rows[1]["c4_keep"] is False
     assert rows[2]["has_brace"] is True and rows[2]["c4_keep"] is False
     assert rows[3]["c4_keep"] is False  # too few sentences
+
+
+def test_compressibility_null_and_empty_text(spark):
+    """Null text propagates null (the UDF null-guard convention); empty
+    text has no ratio (0/0 raises under ANSI otherwise)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb aaaa bbbb"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio_scores(docs).collect()}
+    assert out[1]["compression_ratio"] is not None
+    assert out[2]["n_bytes"] is None and out[2]["compression_ratio"] is None
+    assert out[3]["n_bytes"] == 0 and out[3]["compression_ratio"] is None

@@ -219,3 +219,39 @@ def test_balanced_shards_hash_range_ids_no_overflow(spark):
     shards = [s for _, _, s in out]
     assert shards == sorted(shards)
     assert 0 <= min(shards) and max(shards) <= 2
+
+
+def test_incremental_export_removes_vanished_shards(spark, tmp_path):
+    """A shard whose documents ALL disappear (blocklist tightening,
+    fewer shards) must be deleted and reported — dynamic overwrite
+    alone would leave its stale file shipping removed docs forever."""
+    import glob
+    import json
+
+    from datalake_indexes_spark.sources.export import (
+        export_jsonl_shards_incremental,
+        shard_id_col,
+    )
+
+    out = str(tmp_path / "delivery")
+    docs = spark.range(60).selectExpr("id as doc_id", "concat('t', id) as text")
+    export_jsonl_shards_incremental(docs, out, n_shards=4)
+
+    # find a real shard's doc set and drop exactly those docs
+    sid = 2
+    survivors = docs.filter(shard_id_col("doc_id", 4) != sid)
+    n_kept = survivors.count()
+    assert 0 < n_kept < 60
+
+    status = {
+        r["shard_id"]: r["status"]
+        for r in export_jsonl_shards_incremental(survivors, out, n_shards=4).collect()
+    }
+    assert status[sid] == "removed"
+    assert not glob.glob(f"{out}/shard_id={sid}/*")
+    # delivery now holds exactly the survivors
+    back = spark.read.json(f"{out}/shard_id=*")
+    assert back.count() == n_kept
+    # manifest no longer lists the vanished shard
+    with open(f"{out}/_MANIFEST.json") as fh:
+        assert sid not in {m["shard_id"] for m in json.load(fh)}
