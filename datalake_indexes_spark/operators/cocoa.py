@@ -668,3 +668,69 @@ def equi_depth_histograms(index, nbuckets: int = 8) -> "DataFrame":
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def column_moments(index) -> "DataFrame":
+    """Centered distribution moments for every numeric lake column:
+    (table_id, col_id, n_values, mean, std, skewness, kurtosis) — the
+    shape profile a histogram can't compress (skew flags long-tailed
+    price/latency columns; excess kurtosis flags heavy tails that make
+    mean/std-based anomaly rules lie).
+
+    Deliberately TWO passes with explicit centered power sums instead of
+    the engines' built-in ``skewness``/``kurtosis`` aggregates: Spark's
+    built-ins are population moments while DuckDB's are sample-adjusted
+    (g1 vs G1), so the built-ins can never hash-agree.  Centering on the
+    per-column mean first also keeps the 3rd/4th power sums small —
+    raw power sums of 1e5-scale values overflow double precision's
+    useful digits at the 4th power, centered ones don't.
+
+    Population formulas (n, not n-1): std = sqrt(m2), skew = m3/m2^1.5,
+    excess kurtosis = m4/m2^2 - 3, with mk = sum((v-mean)^k)/n.
+    Zero-variance columns report std 0 and NULL skew/kurtosis.
+
+    Scale shape: both passes are map-side-combinable per-column
+    aggregates over the cells scan; the per-column means travel back via
+    a broadcast join (column count is catalog-sized).  No window, no
+    row shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    num_cells = (
+        index.cells.join(
+            F.broadcast(flags.filter(F.col("is_numeric"))), ["table_id", "col_id"]
+        )
+        .withColumn("__val", _num_value(F.col("tokenized")))
+        .filter(F.col("__val").isNotNull())
+    )
+    means = num_cells.groupBy("table_id", "col_id").agg(
+        F.avg("__val").alias("__mean")
+    )
+    d = F.col("__val") - F.col("__mean")
+    cent = num_cells.join(F.broadcast(means), ["table_id", "col_id"]).select(
+        "table_id",
+        "col_id",
+        "__mean",
+        (d * d).alias("__d2"),
+        (d * d * d).alias("__d3"),
+        (d * d * d * d).alias("__d4"),
+    )
+    agg = cent.groupBy("table_id", "col_id").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.first("__mean").alias("__mean"),
+        (F.sum("__d2") / F.count(F.lit(1))).alias("__m2"),
+        (F.sum("__d3") / F.count(F.lit(1))).alias("__m3"),
+        (F.sum("__d4") / F.count(F.lit(1))).alias("__m4"),
+    )
+    m2 = F.col("__m2")
+    nz = F.nullif(m2, F.lit(0.0))
+    return agg.select(
+        "table_id",
+        "col_id",
+        "n_values",
+        F.round("__mean", 6).alias("mean"),
+        F.round(F.sqrt(m2), 6).alias("std"),
+        F.round(F.col("__m3") / F.pow(nz, F.lit(1.5)), 6).alias("skewness"),
+        F.round(F.col("__m4") / (nz * nz) - F.lit(3.0), 6).alias("kurtosis"),
+    )

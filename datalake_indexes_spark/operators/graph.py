@@ -270,3 +270,149 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     return closed.select(
         ids[0].alias("node_a"), ids[1].alias("node_b"), ids[2].alias("node_c")
     )
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Dedup'd undirected edge list as (u < v) long pairs, self-loops
+    dropped."""
+    return (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("u"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood-based link prediction over an undirected graph:
+    for every NON-adjacent node pair sharing >= ``min_common`` neighbors,
+    the three classic scores — common-neighbor count, Jaccard coefficient
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, and Adamic-Adar Σ_w 1/ln(deg(w))
+    (Liben-Nowell & Kleinberg, "The link prediction problem for social
+    networks", CIKM'03).  Over a near-duplicate similarity graph this is
+    the "missed pair" detector: two documents never directly matched but
+    sharing many near-dup neighbors are almost surely near-dups the
+    banding missed.
+
+    Returns (node_a, node_b, common_neighbors, jaccard, adamic_adar),
+    node_a < node_b, scores rounded to 6 decimals.
+
+    Scale shape: the candidate pairs come from a wedge self-join of the
+    symmetrized adjacency on the PIVOT node — per-pivot cost is
+    deg(w)^2, so total work is Σ deg(w)^2, concentrated on hubs.
+    ``max_pivot_degree`` drops super-hub pivots from wedge generation
+    (a node adjacent to everything predicts nothing — its wedges are
+    noise), turning the quadratic hub corner into a documented recall
+    cap, the same move as ``dedup.ngram_pairs``' hot-shingle cap.  The
+    adjacency-exclusion check is a left-anti equi-join, the scores are
+    map-side-combinable aggregates, and the degree table is
+    vocabulary-sized (node count), broadcast onto the wedge output.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    pivots = sym.join(F.broadcast(deg), "node")
+    if max_pivot_degree is not None:
+        pivots = pivots.filter(F.col("deg") <= max_pivot_degree)
+    left = pivots.select("node", F.col("nbr").alias("a"))
+    right = pivots.select("node", F.col("nbr").alias("b"), F.col("deg"))
+    wedges = left.join(right, "node").where(F.col("a") < F.col("b"))
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("__aa"),
+    )
+    non_adjacent = scored.join(
+        e, (scored["a"] == e["u"]) & (scored["b"] == e["v"]), "left_anti"
+    ).filter(F.col("common_neighbors") >= min_common)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    return (
+        non_adjacent.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("__da") + F.col("__db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.round("__aa", 6).alias("adamic_adar"),
+        )
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k, computed by iterative peeling — drop all
+    nodes of degree < k, recompute degrees, repeat until a round removes
+    nothing.  The classic dense-cluster extractor: over a near-duplicate
+    graph the 2-core separates genuine duplication CLUSTERS from
+    incidental one-off pair matches (which peel away immediately); cores
+    of template-spam rings survive any k.
+
+    Returns (node, core_degree): surviving nodes with their degree
+    inside the core.
+
+    ``rounds=None`` (the default) peels until the edge-set fingerprint
+    converges — same count+xxhash64-sum convergence detection and
+    per-round ``localCheckpoint`` lineage truncation as
+    :func:`connected_components`; peeling is monotone (the surviving
+    edge set only shrinks) so the fingerprint is exact, not
+    probabilistic-in-spirit.  A fixed ``rounds=r`` runs exactly r peel
+    rounds — the oracle-parity knob (the DuckDB twin unrolls the same r
+    rounds as nested CTEs), correct whenever r covers convergence, which
+    the convergence variant verifies in tests.
+
+    Scale shape: each round is one map-side-combinable degree aggregate
+    plus two broadcast semi-joins of the (node count)-sized low-degree
+    set against the edge list — the edge list itself never shuffles on a
+    skewed key.  Round count is bounded by the graph's degeneracy
+    ordering depth, O(log n) on similarity graphs in practice.
+    """
+    cur = _canonical_edges(edges, src, dst).localCheckpoint()
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    prev_fp = _fingerprint(cur)
+    i = 0
+    while True:
+        i += 1
+        low = _degrees(cur).filter(F.col("deg") < k).select("node")
+        cur = (
+            cur.join(F.broadcast(low.select(F.col("node").alias("u"))), "u", "left_anti")
+            .join(F.broadcast(low.select(F.col("node").alias("v"))), "v", "left_anti")
+            .localCheckpoint()
+        )
+        if rounds is not None:
+            if i >= rounds:
+                break
+        else:
+            fp = _fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    return _degrees(cur).select("node", F.col("deg").alias("core_degree"))

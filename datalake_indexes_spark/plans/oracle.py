@@ -5111,3 +5111,123 @@ SELECT d.source AS \"group\", s.ref_id,
 FROM spans s JOIN documents d ON s.doc_id = d.doc_id
 GROUP BY d.source, s.ref_id
 """
+
+
+def graph_link_prediction_sql(max_hamming: int = 8) -> str:
+    """Link-prediction twin over the simhash near-dup graph.  Same wedge
+    self-join on the pivot node; the engine's hub cap is off for the
+    graded key so both sides enumerate every wedge.  DuckDB ``/`` on
+    integers is float division and ``ln`` is the natural log, matching
+    Spark's ``F.log``."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({dedup_simhash_sql(max_hamming=max_hamming)}) __p
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(doc_id_1, doc_id_2) AS u, greatest(doc_id_1, doc_id_2) AS v
+  FROM pairs WHERE doc_id_1 != doc_id_2
+),
+sym AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+wedges AS (
+  SELECT s1.nbr AS a, s2.nbr AS b, d.deg AS wdeg
+  FROM sym s1
+  JOIN sym s2 ON s2.node = s1.node AND s1.nbr < s2.nbr
+  JOIN deg d ON d.node = s1.node
+),
+scored AS (
+  SELECT a, b, count(*) AS common_neighbors, sum(1.0 / ln(wdeg)) AS aa
+  FROM wedges GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = s.a AND e.v = s.b)
+)
+SELECT n.a AS node_a, n.b AS node_b, n.common_neighbors,
+       round(n.common_neighbors / (da.deg + db.deg - n.common_neighbors), 6) AS jaccard,
+       round(n.aa, 6) AS adamic_adar
+FROM nonadj n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+"""
+
+
+def graph_kcore_sql(k: int = 2, rounds: int = 4, max_hamming: int = 8) -> str:
+    """k-core twin: the same ``rounds`` peel iterations the engine runs
+    with its fixed-rounds knob, unrolled as nested CTEs (the pagerank
+    oracle's fixed-iteration move applied to peeling).
+
+    Every per-round CTE is MATERIALIZED: each round references the
+    previous edge set three times (FROM + two NOT IN), so DuckDB's
+    default inline expansion is 3^rounds subplans — at rounds=8 that is
+    ~6.5k re-reads of the parquet scan and an fd-exhaustion crash.
+    Materialization makes the unrolled chain linear in ``rounds``."""
+    parts = []
+    for i in range(rounds):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}) __n{i}
+  GROUP BY 1
+),
+low{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg < {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{i}
+  WHERE u NOT IN (SELECT node FROM low{i})
+    AND v NOT IN (SELECT node FROM low{i})
+)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({dedup_simhash_sql(max_hamming=max_hamming)}) __p
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(doc_id_1, doc_id_2) AS u, greatest(doc_id_1, doc_id_2) AS v
+  FROM pairs WHERE doc_id_1 != doc_id_2
+),
+{chain}
+SELECT node, count(*) AS core_degree FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds}) __fin
+GROUP BY 1
+"""
+
+
+def column_moments_sql() -> str:
+    """Centered-moments twin: identical two-pass power-sum formulas
+    (population moments), so neither engine's divergent built-in
+    skewness/kurtosis variant is involved."""
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+nn AS (
+  SELECT cells.table_id, cells.col_id, TRY_CAST(tokenized AS DOUBLE) AS val
+  FROM cells JOIN flags f
+    ON f.table_id = cells.table_id AND f.col_id = cells.col_id
+  WHERE f.is_numeric AND tokenized NOT IN ('', 'nan')
+    AND NOT isnan(TRY_CAST(tokenized AS DOUBLE))
+),
+m AS (SELECT table_id, col_id, avg(val) AS mean FROM nn GROUP BY 1, 2),
+c AS (
+  SELECT nn.table_id, nn.col_id, m.mean, (val - m.mean) AS d
+  FROM nn JOIN m ON m.table_id = nn.table_id AND m.col_id = nn.col_id
+),
+agg AS (
+  SELECT table_id, col_id, count(*) AS n_values, any_value(mean) AS mean,
+         sum(d * d) / count(*) AS m2,
+         sum(d * d * d) / count(*) AS m3,
+         sum(d * d * d * d) / count(*) AS m4
+  FROM c GROUP BY 1, 2
+)
+SELECT table_id, col_id, n_values,
+       round(mean, 6) AS mean,
+       round(sqrt(m2), 6) AS std,
+       round(m3 / pow(nullif(m2, 0), 1.5), 6) AS skewness,
+       round(m4 / (nullif(m2, 0) * nullif(m2, 0)) - 3.0, 6) AS kurtosis
+FROM agg
+"""

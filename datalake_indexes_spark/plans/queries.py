@@ -2571,6 +2571,39 @@ def q_dedup_self_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the simhash near-dup graph: non-adjacent
+    document pairs ranked by common-neighbor / Jaccard / Adamic-Adar —
+    the near-dup pairs the banding missed but the neighborhood
+    structure implies."""
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+    from datalake_indexes_spark.operators.graph import link_prediction
+
+    pairs = simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return link_prediction(pairs, src="doc_id_1", dst="doc_id_2")
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the simhash near-dup graph (fixed 8 peel rounds — the
+    oracle-parity knob, above the measured convergence depth: 7 rounds
+    at sf0.001, 6 at sf0.01; equality with the until-converged variant
+    is pinned by tests/test_graph_linkpred.py): genuine duplication
+    clusters survive, one-off pair matches peel."""
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+    from datalake_indexes_spark.operators.graph import k_core
+
+    pairs = simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return k_core(pairs, k=2, rounds=8, src="doc_id_1", dst="doc_id_2")
+
+
+def q_column_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered skewness/kurtosis profile for every numeric lake
+    column (two-pass power sums, population formulas)."""
+    from datalake_indexes_spark.operators.cocoa import column_moments
+
+    return column_moments(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_cells": q_index_cells,
     "index_table_info": q_table_info,
@@ -2713,6 +2746,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_link_prediction": q_graph_link_prediction,
+    "graph_kcore": q_graph_kcore,
+    "column_moments": q_column_moments,
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
@@ -2996,4 +3032,7 @@ WHERE rn = 1
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
     ),
     "text_quality_normalized": oracle.text_quality_normalized_sql(),
+    "graph_link_prediction": oracle.graph_link_prediction_sql(max_hamming=8),
+    "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),
+    "column_moments": oracle.column_moments_sql(),
 }

@@ -1,0 +1,181 @@
+"""Link prediction + k-core + column moments: planted-graph truth vs an
+independent Python reference, and the fixed-rounds k-core knob pinned
+against the until-converged variant (the graded key runs rounds=8)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "src long, dst long"
+    )
+
+
+def _ref_kcore(edges, k):
+    """Sequential peeling reference: dict of surviving node -> core degree."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(s) for n, s in adj.items()}
+
+
+@pytest.mark.spark
+class TestLinkPrediction:
+    def test_path_wedge(self, spark):
+        from datalake_indexes_spark.operators.graph import link_prediction
+
+        out = link_prediction(_edges_df(spark, [(1, 2), (2, 3)])).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert (row.node_a, row.node_b, row.common_neighbors) == (1, 3, 1)
+        assert row.jaccard == 1.0
+        assert abs(row.adamic_adar - 1.0 / math.log(2)) < 1e-6
+
+    def test_square_diagonals(self, spark):
+        from datalake_indexes_spark.operators.graph import link_prediction
+
+        sq = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        out = {(r.node_a, r.node_b): r for r in link_prediction(_edges_df(spark, sq)).collect()}
+        assert set(out) == {(1, 3), (2, 4)}
+        for r in out.values():
+            assert r.common_neighbors == 2
+            assert r.jaccard == 1.0
+            assert abs(r.adamic_adar - 2.0 / math.log(2)) < 1e-6
+
+    def test_triangle_predicts_nothing(self, spark):
+        from datalake_indexes_spark.operators.graph import link_prediction
+
+        tri = [(1, 2), (2, 3), (1, 3)]
+        assert link_prediction(_edges_df(spark, tri)).count() == 0
+
+    def test_hub_cap_drops_star_wedges(self, spark):
+        from datalake_indexes_spark.operators.graph import link_prediction
+
+        star = [(0, i) for i in range(1, 6)]  # hub degree 5
+        assert link_prediction(_edges_df(spark, star)).count() == 10  # 5 choose 2
+        assert link_prediction(_edges_df(spark, star), max_pivot_degree=4).count() == 0
+
+    def test_scores_match_reference_on_two_clusters(self, spark):
+        from datalake_indexes_spark.operators.graph import link_prediction
+
+        # two near-cliques sharing no nodes + a bridge wedge
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (2, 7), (7, 8)]
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        expected = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if b in adj[a]:
+                    continue
+                common = adj[a] & adj[b]
+                if not common:
+                    continue
+                cn = len(common)
+                expected[(a, b)] = (
+                    cn,
+                    round(cn / (len(adj[a]) + len(adj[b]) - cn), 6),
+                    round(sum(1.0 / math.log(len(adj[w])) for w in common), 6),
+                )
+        got = {
+            (r.node_a, r.node_b): (r.common_neighbors, r.jaccard, r.adamic_adar)
+            for r in link_prediction(_edges_df(spark, edges)).collect()
+        }
+        assert got == expected
+
+
+@pytest.mark.spark
+class TestKCore:
+    def test_matches_reference(self, spark):
+        from datalake_indexes_spark.operators.graph import k_core
+
+        # deterministic pseudo-random graph: two dense cores + stragglers
+        edges = [(i, (i * 7 + 3) % 20) for i in range(40)] + [(100, 101), (101, 102)]
+        for k in (2, 3):
+            ref = _ref_kcore(edges, k)
+            got = {r.node: r.core_degree for r in k_core(_edges_df(spark, edges), k=k).collect()}
+            assert got == ref
+
+    def test_fixed_rounds_can_underpeel_a_path(self, spark):
+        from datalake_indexes_spark.operators.graph import k_core
+
+        # a 10-path peels one end pair per round: 2 rounds leave a shorter
+        # path (still nonempty), convergence empties it
+        path = [(i, i + 1) for i in range(10)]
+        assert k_core(_edges_df(spark, path), k=2, rounds=2).count() > 0
+        assert k_core(_edges_df(spark, path), k=2).count() == 0
+
+    def test_graded_rounds_cover_simhash_graph(self, spark, sf_dir):
+        """Pins the graded key's rounds=8 knob: on the real simhash
+        near-dup graph the fixed-rounds result equals full convergence
+        (measured depth: 7 rounds at sf0.001, 6 at sf0.01)."""
+        from datalake_indexes_spark.operators.dedup import simhash_pairs
+        from datalake_indexes_spark.operators.graph import k_core
+        from datalake_indexes_spark.plans.queries import _docs
+
+        pairs = simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+        fixed = {
+            (r.node, r.core_degree)
+            for r in k_core(pairs, k=2, rounds=8, src="doc_id_1", dst="doc_id_2").collect()
+        }
+        converged = {
+            (r.node, r.core_degree)
+            for r in k_core(pairs, k=2, src="doc_id_1", dst="doc_id_2").collect()
+        }
+        assert fixed == converged
+        assert fixed  # non-vacuous: the planted dups form a 2-core
+
+
+@pytest.mark.spark
+class TestColumnMoments:
+    def _idx(self, spark, vals):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+
+        cells = [(1, 0, i, str(v)) for i, v in enumerate(vals)]
+        return LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+
+    def test_matches_numpy_population_moments(self, spark):
+        import numpy as np
+
+        from datalake_indexes_spark.operators.cocoa import column_moments
+
+        vals = list(range(1, 10)) + [20]
+        row = column_moments(self._idx(spark, vals)).collect()[0]
+        a = np.array(vals, dtype=float)
+        d = a - a.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        assert row.n_values == len(vals)
+        assert abs(row.mean - a.mean()) < 1e-6
+        assert abs(row.std - math.sqrt(m2)) < 1e-6
+        assert abs(row.skewness - m3 / m2**1.5) < 1e-6
+        assert abs(row.kurtosis - (m4 / m2**2 - 3.0)) < 1e-6
+
+    def test_zero_variance_column(self, spark):
+        from datalake_indexes_spark.operators.cocoa import column_moments
+
+        row = column_moments(self._idx(spark, [5] * 8)).collect()[0]
+        assert row.std == 0.0
+        assert row.skewness is None and row.kurtosis is None
