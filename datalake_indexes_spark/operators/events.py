@@ -1025,3 +1025,42 @@ def last_touch_attribution(
         F.col("__w.attr_ts").alias("attributed_ts_us"),
         (F.col(ts_col) - F.col("__w.attr_ts")).alias("attribution_lag_us"),
     )
+
+
+def inter_arrival_stats(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts_us",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity inter-arrival profile: the distribution of gaps
+    between an entity's consecutive events — (key cols, n_gaps,
+    mean_gap_s, p50_gap_s, p95_gap_s, max_gap_s).  The cadence
+    fingerprint behind bot detection (machine-regular p50≈p95), churn
+    scoring (growing gaps), and capacity planning (p95 arrival rate);
+    :func:`dedup_bursts` suppresses the sub-tolerance end of exactly
+    this distribution.
+
+    Gap ordering is total — (ts, seq) — so ties are deterministic and
+    the profile is engine-portable; entities with fewer than two events
+    report no row (no gaps is the answer, not zeros).  Seconds as
+    double, rounded to 6.
+
+    Scale shape: one lag() window partitioned by the entity (per-key
+    partitions, never global) feeding a same-key aggregate — the window
+    and the groupBy share partitioning, so the chain is one shuffle.
+    Exact percentiles buffer per-entity gap lists on the reducer,
+    bounded by the busiest single entity; ``approx_percentile`` is the
+    drop-in above that.
+    """
+    keys = list(key_cols or ["user_id"])
+    w = Window.partitionBy(*keys).orderBy(F.asc(ts_col), F.asc(seq_col))
+    gap_s = (F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) / F.lit(1e6)
+    gaps = events.select(*keys, gap_s.alias("__gap")).filter(F.col("__gap").isNotNull())
+    return gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("__gap"), 6).alias("mean_gap_s"),
+        F.round(F.percentile("__gap", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("__gap", F.lit(0.95)), 6).alias("p95_gap_s"),
+        F.round(F.max("__gap"), 6).alias("max_gap_s"),
+    )

@@ -1265,3 +1265,72 @@ def group_split(
         F.col(group_col).alias("group_key"),
         split.alias("split"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    m: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT corpus heavy hitters via a two-pass Misra-Gries sketch:
+    every word whose total count strictly exceeds N/``m`` (N = total
+    word occurrences), with its exact count and corpus share —
+    (word, total_count, share).
+
+    Pass 1 runs Misra-Gries with ``m`` counters per partition
+    (``mapInPandas`` keeping dict state across the partition's Arrow
+    batches): an item with partition frequency > n_p/m always survives
+    the counter set (its decrements are bounded by n_p/m), and an item
+    with GLOBAL frequency > N/m must exceed n_p/m in at least one
+    partition (pigeonhole over N = sum n_p), so the union of
+    per-partition survivors is a guaranteed SUPERSET of the true heavy
+    hitters — at most m * n_partitions candidates of driver-free state,
+    vs the full-vocabulary shuffle a naive groupBy pays.  Pass 2
+    broadcast-semi-joins the candidate set back onto the corpus and
+    counts exactly, so the output is deterministic and
+    sketch-independent (false candidates are filtered, none were
+    missed); N arrives via a scalar-aggregate cross join, no driver
+    action.
+
+    The MG loop is the one deliberately Python-side stage (per-element
+    dict work is the sketch); everything around it is native.  For the
+    same profile without the sketch (exact top-k instead of
+    threshold-exceeders) see :func:`vocab_topk`.
+    """
+    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < m:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"word": list(counters) or pd.Series([], dtype=str)})
+
+    candidates = (
+        words.mapInPandas(_mg, "word string").distinct()
+    )
+    total = words.agg(F.count(F.lit(1)).alias("__N"))
+    return (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("total_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("total_count") * m > F.col("__N"))
+        .select(
+            "word",
+            "total_count",
+            F.round(F.col("total_count") / F.col("__N"), 6).alias("share"),
+        )
+    )

@@ -5231,3 +5231,66 @@ SELECT table_id, col_id, n_values,
        round(m4 / (nullif(m2, 0) * nullif(m2, 0)) - 3.0, 6) AS kurtosis
 FROM agg
 """
+
+
+def column_percentiles_sql(percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Exact-quantile twin: ``quantile_cont`` interpolates at p*(n-1)
+    exactly like Spark's exact ``percentile``."""
+    cols = ",\n       ".join(
+        f"round(quantile_cont(val, {p}), 6) AS p{round(p * 100):d}" for p in percentiles
+    )
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+nn AS (
+  SELECT cells.table_id, cells.col_id, TRY_CAST(tokenized AS DOUBLE) AS val
+  FROM cells JOIN flags f
+    ON f.table_id = cells.table_id AND f.col_id = cells.col_id
+  WHERE f.is_numeric AND tokenized NOT IN ('', 'nan')
+    AND NOT isnan(TRY_CAST(tokenized AS DOUBLE))
+)
+SELECT table_id, col_id, count(*) AS n_values,
+       {cols}
+FROM nn GROUP BY 1, 2
+"""
+
+
+def heavy_hitters_sql(m: int = 200) -> str:
+    """Heavy-hitter twin: the sketch is an engine-side candidate
+    optimization the exact filter erases, so the oracle is the plain
+    threshold aggregate."""
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT word, count(*) AS total_count,
+       round(count(*) * 1.0 / any_value(t.n), 6) AS share
+FROM words, tot t
+GROUP BY word
+HAVING count(*) * {m} > any_value(t.n)
+"""
+
+
+def inter_arrival_stats_sql() -> str:
+    """Inter-arrival twin: identical (ts, event_id) total order for the
+    lag, identical microsecond-to-seconds arithmetic."""
+    return """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         )) / 1000000.0 AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       round(avg(gap), 6) AS mean_gap_s,
+       round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(gap, 0.95), 6) AS p95_gap_s,
+       round(max(gap), 6) AS max_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""

@@ -2604,6 +2604,30 @@ def q_column_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_moments(testdata_index(spark, sf_dir, with_super_keys=False))
 
 
+def q_column_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90/p99 per numeric lake column (linear
+    interpolation at p*(n-1) — quantile_cont-portable)."""
+    from datalake_indexes_spark.operators.cocoa import column_percentiles
+
+    return column_percentiles(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (count > N/m) via the two-pass
+    Misra-Gries candidate sketch + exact recount."""
+    from datalake_indexes_spark.operators.text_analysis import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), m=200)
+
+
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap distribution (mean/p50/p95/max
+    seconds) over a (ts, event_id) total order."""
+    from datalake_indexes_spark.operators.events import inter_arrival_stats
+
+    return inter_arrival_stats(_events_us(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_cells": q_index_cells,
     "index_table_info": q_table_info,
@@ -2749,6 +2773,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_prediction": q_graph_link_prediction,
     "graph_kcore": q_graph_kcore,
     "column_moments": q_column_moments,
+    "column_percentiles": q_column_percentiles,
+    "vocab_heavy_hitters": q_vocab_heavy_hitters,
+    "events_gap_stats": q_events_gap_stats,
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
@@ -3035,4 +3062,7 @@ WHERE rn = 1
     "graph_link_prediction": oracle.graph_link_prediction_sql(max_hamming=8),
     "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),
     "column_moments": oracle.column_moments_sql(),
+    "column_percentiles": oracle.column_percentiles_sql(),
+    "vocab_heavy_hitters": oracle.heavy_hitters_sql(m=200),
+    "events_gap_stats": oracle.inter_arrival_stats_sql(),
 }

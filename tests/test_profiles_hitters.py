@@ -1,0 +1,123 @@
+"""column_percentiles vs numpy, Misra-Gries heavy hitters vs brute-force
+counts (including the superset guarantee under adversarial partitioning),
+inter-arrival stats vs a pandas reference."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.spark
+class TestColumnPercentiles:
+    def _idx(self, spark, vals):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+
+        cells = [(1, 0, i, str(v)) for i, v in enumerate(vals)]
+        return LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+
+    def test_matches_numpy_linear_interpolation(self, spark):
+        from datalake_indexes_spark.operators.cocoa import column_percentiles
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5.5]
+        row = column_percentiles(self._idx(spark, vals)).collect()[0]
+        a = np.array(vals, dtype=float)
+        assert row.n_values == len(vals)
+        for p, col in [(25, "p25"), (50, "p50"), (75, "p75"), (90, "p90"), (99, "p99")]:
+            assert abs(getattr(row, col) - np.percentile(a, p)) < 1e-6, col
+
+    def test_single_value_column(self, spark):
+        from datalake_indexes_spark.operators.cocoa import column_percentiles
+
+        row = column_percentiles(self._idx(spark, [7])).collect()[0]
+        assert (row.p25, row.p50, row.p99) == (7.0, 7.0, 7.0)
+
+
+@pytest.mark.spark
+class TestHeavyHitters:
+    def _docs(self, spark, texts, parts=8):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).repartition(parts)
+
+    def test_exact_vs_brute_force(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import heavy_hitters
+
+        # zipf-ish corpus: a few hot words + a long unique tail
+        texts = []
+        for i in range(60):
+            texts.append("hot " * 20 + f"warm{i % 5} " * 4 + f"tail{i}a tail{i}b")
+        m = 10
+        counts = Counter(w for t in texts for w in t.split(" "))
+        n = sum(counts.values())
+        expected = {
+            w: (c, round(c / n, 6)) for w, c in counts.items() if c * m > n
+        }
+        got = {
+            r.word: (r.total_count, r.share)
+            for r in heavy_hitters(self._docs(spark, texts), m=m).collect()
+        }
+        assert got == expected
+        assert "hot" in got  # non-vacuous
+
+    def test_superset_guarantee_small_m(self, spark):
+        """m barely above the hitter count: the per-partition sketch must
+        still not lose a true hitter under random partitioning."""
+        from datalake_indexes_spark.operators.text_analysis import heavy_hitters
+
+        texts = ["a a a a b b b c c d"] * 40  # a:160 b:120 c:80 d:40, N=400
+        got = {
+            r.word: r.total_count
+            for r in heavy_hitters(self._docs(spark, texts, parts=16), m=3).collect()
+        }
+        # threshold N/m = 133.33 -> only 'a' strictly exceeds
+        assert got == {"a": 160}
+
+    def test_no_hitters_is_empty(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import heavy_hitters
+
+        texts = ["x y z"] * 30  # each word is exactly N/3; m=3 needs strict >
+        assert heavy_hitters(self._docs(spark, texts), m=3).count() == 0
+
+
+@pytest.mark.spark
+class TestInterArrival:
+    def test_matches_pandas_reference(self, spark):
+        from datalake_indexes_spark.operators.events import inter_arrival_stats
+
+        rows = []
+        eid = 0
+        for uid, gaps_s in [(1, [10, 10, 40]), (2, [0.5, 2.5]), (3, [])]:
+            ts = 1_000_000_000
+            rows.append((eid, uid, ts)); eid += 1
+            for g in gaps_s:
+                ts += int(g * 1e6)
+                rows.append((eid, uid, ts)); eid += 1
+        ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+        got = {r.user_id: r for r in inter_arrival_stats(ev).collect()}
+        assert set(got) == {1, 2}  # user 3 has one event, no gaps
+        r1 = got[1]
+        assert (r1.n_gaps, r1.mean_gap_s, r1.max_gap_s) == (3, 20.0, 40.0)
+        assert r1.p50_gap_s == 10.0
+        assert abs(r1.p95_gap_s - np.percentile([10, 10, 40], 95)) < 1e-6
+        r2 = got[2]
+        assert (r2.n_gaps, r2.mean_gap_s) == (2, 1.5)
+
+    def test_tie_break_is_total_order(self, spark):
+        """Two events at the same ts: the gap sequence follows event_id."""
+        from datalake_indexes_spark.operators.events import inter_arrival_stats
+
+        ev = spark.createDataFrame(
+            [(2, 1, 100), (1, 1, 100), (3, 1, 300)],
+            "event_id long, user_id long, ts_us long",
+        )
+        r = inter_arrival_stats(ev).collect()[0]
+        assert r.n_gaps == 2 and r.mean_gap_s == 0.0001  # gaps 0 and 200us
