@@ -30,7 +30,7 @@ round count is O(log n).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -416,3 +416,77 @@ def k_core(
                 break
             prev_fp = fp
     return _degrees(cur).select("node", F.col("deg").alias("core_degree"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts as its own community, then each
+    round adopts the most frequent label among itself and its neighbors
+    (self-vote included), ties to the SMALLEST label.  Communities are
+    finer than :func:`connected_components` — a component containing
+    two dense clusters joined by one bridge edge splits into two —
+    which is the near-dup use: template families inside one giant
+    transitive blob.
+
+    Returns (node, community); deterministic (the tie rule makes each
+    round a pure function of the previous labels).
+
+    ``rounds=None`` iterates until the label assignment's fingerprint
+    converges, hard-capped at ``max_rounds``: synchronous LPA can
+    2-cycle on symmetric bipartite structures, so unlike monotone
+    peeling a cap is semantics, not a knob (the self-vote + min-tie
+    rule breaks the textbook oscillation in practice — distinct initial
+    ids rarely stay symmetric — but the cap makes termination
+    unconditional).  A fixed ``rounds=r`` runs exactly r rounds — the
+    oracle-parity knob, verified against the converged variant in
+    tests.
+
+    Scale shape: each round is one node-keyed equi-join of the label
+    table onto the symmetrized adjacency (edge-sized shuffle — the
+    irreducible LPA cost), a map-side-combinable (node, label) count,
+    and a per-node window over the handful of distinct neighbor labels;
+    ``localCheckpoint`` truncates lineage per round.  No driver-side
+    graph state.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+
+    def _fp(lab: DataFrame) -> tuple[int, int]:
+        row = lab.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("node", "label")), F.lit(0)).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev_fp = _fp(labels)
+    total = rounds if rounds is not None else max_rounds
+    for _ in range(total):
+        nbr_votes = sym.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        votes = nbr_votes.unionByName(labels.select("node", "label"))
+        counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+        if rounds is None:
+            fp = _fp(labels)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    return labels.select("node", F.col("label").alias("community"))

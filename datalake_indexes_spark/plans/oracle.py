@@ -5294,3 +5294,44 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g WHERE gap IS NOT NULL
 GROUP BY 1
 """
+
+
+def graph_label_prop_sql(rounds: int = 6, max_hamming: int = 8) -> str:
+    """Label-propagation twin: the engine's fixed-rounds knob unrolled,
+    one MATERIALIZED vote+argmax pair per round (same 3^rounds inlining
+    hazard as the k-core twin), identical count-desc/label-asc tie rule
+    via row_number."""
+    parts = []
+    for i in range(rounds):
+        parts.append(f"""v{i} AS MATERIALIZED (
+  SELECT node, label, count(*) AS c FROM (
+    SELECT s.node, l.label FROM sym s JOIN l{i} l ON l.node = s.nbr
+    UNION ALL
+    SELECT node, label FROM l{i}
+  ) __v{i} GROUP BY 1, 2
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}) __r{i}
+  WHERE rn = 1
+)""")
+    chain = ",\n".join(parts)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({dedup_simhash_sql(max_hamming=max_hamming)}) __p
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(doc_id_1, doc_id_2) AS u, greatest(doc_id_1, doc_id_2) AS v
+  FROM pairs WHERE doc_id_1 != doc_id_2
+),
+sym AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym),
+{chain}
+SELECT node, label AS community FROM l{rounds}
+"""

@@ -2604,6 +2604,19 @@ def q_column_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_moments(testdata_index(spark, sf_dir, with_super_keys=False))
 
 
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the simhash near-dup graph
+    (fixed 10 rounds — oracle-parity knob above the measured
+    convergence depth: 3 rounds at sf0.001, 8 at sf0.01; past the fixed
+    point extra rounds are no-ops, equality with the converged variant
+    pinned by tests): template families inside one transitive blob."""
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+    from datalake_indexes_spark.operators.graph import label_propagation
+
+    pairs = simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return label_propagation(pairs, rounds=10, src="doc_id_1", dst="doc_id_2")
+
+
 def q_column_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75/p90/p99 per numeric lake column (linear
     interpolation at p*(n-1) — quantile_cont-portable)."""
@@ -2773,6 +2786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_prediction": q_graph_link_prediction,
     "graph_kcore": q_graph_kcore,
     "column_moments": q_column_moments,
+    "graph_label_prop": q_graph_label_prop,
     "column_percentiles": q_column_percentiles,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "events_gap_stats": q_events_gap_stats,
@@ -3062,6 +3076,7 @@ WHERE rn = 1
     "graph_link_prediction": oracle.graph_link_prediction_sql(max_hamming=8),
     "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),
     "column_moments": oracle.column_moments_sql(),
+    "graph_label_prop": oracle.graph_label_prop_sql(rounds=10, max_hamming=8),
     "column_percentiles": oracle.column_percentiles_sql(),
     "vocab_heavy_hitters": oracle.heavy_hitters_sql(m=200),
     "events_gap_stats": oracle.inter_arrival_stats_sql(),
