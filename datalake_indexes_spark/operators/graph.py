@@ -490,3 +490,72 @@ def label_propagation(
                 break
             prev_fp = fp
     return labels.select("node", F.col("label").alias("community"))
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity decomposition of a node partition over an
+    undirected graph: per community c, Q_c = e_c/m − (D_c/2m)² with
+    e_c = intra-community edges, D_c = degree mass, m = total edges —
+    Q = Σ Q_c, the standard "is this partition real structure or
+    degree luck" score.  Fed an ATTRIBUTE as the partition (document
+    source, domain, language) it answers "do near-duplicates stay
+    inside this attribute?" — contribution ≈ 0 means the attribute
+    explains nothing about who duplicates whom.
+
+    Returns (community, n_nodes, intra_edges, degree_sum,
+    contribution), contribution rounded to 6; nodes absent from
+    ``labels`` are excluded from the graph (their edges drop), so pass
+    a total labeling for the textbook score.
+
+    Scale shape: two node-keyed equi-joins of the label table onto the
+    edge list (the labels side is node-sized — no iteration, unlike
+    :func:`label_propagation` which PRODUCES partitions this scores),
+    then community-keyed map-side-combinable aggregates; m and 2m
+    arrive via a scalar-aggregate cross join, no driver action.
+    """
+    e = _canonical_edges(edges, src, dst)
+    lab = labels.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
+    )
+    both = (
+        e.join(lab.select(F.col("__n").alias("u"), F.col("__c").alias("__cu")), "u")
+        .join(lab.select(F.col("__n").alias("v"), F.col("__c").alias("__cv")), "v")
+    )
+    m_total = both.agg(F.count(F.lit(1)).alias("__m"))
+    intra = (
+        both.filter(F.col("__cu") == F.col("__cv"))
+        .groupBy(F.col("__cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    # degrees over the same both-endpoints-labeled edge set as m, so the
+    # score stays internally consistent under a partial labeling
+    sym = both.select(F.col("u").alias("node"), F.col("__cu").alias("__c")).unionByName(
+        both.select(F.col("v").alias("node"), F.col("__cv").alias("__c"))
+    )
+    deg_mass = sym.groupBy(F.col("__c").alias("community")).agg(
+        F.count(F.lit(1)).alias("degree_sum"),
+        F.count_distinct("node").alias("n_nodes"),
+    )
+    return (
+        deg_mass.join(intra, "community", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m_total))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            F.round(
+                F.col("intra_edges") / F.col("__m")
+                - F.pow(F.col("degree_sum") / (F.lit(2.0) * F.col("__m")), F.lit(2.0)),
+                6,
+            ).alias("contribution"),
+        )
+    )

@@ -5335,3 +5335,42 @@ l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym),
 {chain}
 SELECT node, label AS community FROM l{rounds}
 """
+
+
+def graph_modularity_sql(max_hamming: int = 8) -> str:
+    """Modularity twin: per-source Q_c = e_c/m − (D_c/2m)² over the
+    simhash near-dup graph with document ``source`` as the partition;
+    degrees and m both over the both-endpoints-labeled edge set."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({dedup_simhash_sql(max_hamming=max_hamming)}) __p
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(doc_id_1, doc_id_2) AS u, greatest(doc_id_1, doc_id_2) AS v
+  FROM pairs WHERE doc_id_1 != doc_id_2
+),
+lab AS (SELECT doc_id AS n, source AS c FROM documents),
+both_e AS MATERIALIZED (
+  SELECT e.u, e.v, lu.c AS cu, lv.c AS cv
+  FROM edges e JOIN lab lu ON lu.n = e.u JOIN lab lv ON lv.n = e.v
+),
+m AS (SELECT count(*) AS m FROM both_e),
+intra AS (
+  SELECT cu AS community, count(*) AS intra_edges
+  FROM both_e WHERE cu = cv GROUP BY 1
+),
+sym AS (
+  SELECT u AS node, cu AS c FROM both_e
+  UNION ALL
+  SELECT v AS node, cv AS c FROM both_e
+),
+degm AS (
+  SELECT c AS community, count(*) AS degree_sum, count(DISTINCT node) AS n_nodes
+  FROM sym GROUP BY 1
+)
+SELECT d.community, d.n_nodes,
+       coalesce(i.intra_edges, 0) AS intra_edges, d.degree_sum,
+       round(coalesce(i.intra_edges, 0) * 1.0 / m.m
+             - pow(d.degree_sum / (2.0 * m.m), 2), 6) AS contribution
+FROM degm d LEFT JOIN intra i ON i.community = d.community, m
+"""

@@ -2617,6 +2617,19 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, rounds=10, src="doc_id_1", dst="doc_id_2")
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the simhash near-dup graph partitioned by document
+    source — 'do near-duplicates stay inside their source?' (Q_c per
+    source; contribution ≈ 0 means source explains nothing)."""
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+    from datalake_indexes_spark.operators.graph import modularity
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_pairs(docs, max_hamming=8)
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("source").alias("community"))
+    return modularity(pairs, labels, src="doc_id_1", dst="doc_id_2")
+
+
 def q_column_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p25/p50/p75/p90/p99 per numeric lake column (linear
     interpolation at p*(n-1) — quantile_cont-portable)."""
@@ -2787,6 +2800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore": q_graph_kcore,
     "column_moments": q_column_moments,
     "graph_label_prop": q_graph_label_prop,
+    "graph_modularity": q_graph_modularity,
     "column_percentiles": q_column_percentiles,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "events_gap_stats": q_events_gap_stats,
@@ -3077,6 +3091,7 @@ WHERE rn = 1
     "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),
     "column_moments": oracle.column_moments_sql(),
     "graph_label_prop": oracle.graph_label_prop_sql(rounds=10, max_hamming=8),
+    "graph_modularity": oracle.graph_modularity_sql(max_hamming=8),
     "column_percentiles": oracle.column_percentiles_sql(),
     "vocab_heavy_hitters": oracle.heavy_hitters_sql(m=200),
     "events_gap_stats": oracle.inter_arrival_stats_sql(),

@@ -247,3 +247,45 @@ class TestLabelPropagation:
         }
         assert fixed == converged
         assert fixed
+
+
+@pytest.mark.spark
+class TestModularity:
+    def test_matches_hand_reference(self, spark):
+        from datalake_indexes_spark.operators.graph import modularity
+
+        # two triangles + one bridge, labels = the triangles
+        edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+        labels = [(n, "a") for n in (1, 2, 3)] + [(n, "b") for n in (4, 5, 6)]
+        ldf = spark.createDataFrame(labels, "node long, community string")
+        got = {
+            r.community: r
+            for r in modularity(_edges_df(spark, edges), ldf).collect()
+        }
+        # reference: m=7; each community: 3 intra edges, degree mass 7
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v); adj[v].add(u)
+        for c, nodes in (("a", (1, 2, 3)), ("b", (4, 5, 6))):
+            r = got[c]
+            dmass = sum(len(adj[n]) for n in nodes)
+            assert (r.n_nodes, r.intra_edges, r.degree_sum) == (3, 3, dmass)
+            assert abs(r.contribution - (3 / 7 - (dmass / 14) ** 2)) < 1e-6
+        # total Q for this classic partition is positive (real structure)
+        assert sum(r.contribution for r in got.values()) > 0.2
+
+    def test_random_partition_scores_near_zero(self, spark):
+        """Labeling a clique by node parity: no structure, Q ≈ 0⁻."""
+        from datalake_indexes_spark.operators.graph import modularity
+
+        nodes = list(range(8))
+        edges = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+        ldf = spark.createDataFrame(
+            [(n, "even" if n % 2 == 0 else "odd") for n in nodes],
+            "node long, community string",
+        )
+        q = sum(
+            r.contribution
+            for r in modularity(_edges_df(spark, edges), ldf).collect()
+        )
+        assert q < 0  # intra-fraction below the degree-luck expectation
