@@ -737,7 +737,10 @@ def column_moments(index) -> "DataFrame":
 
 
 def column_percentiles(
-    index, percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+    index,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> "DataFrame":
     """Exact multi-quantile profile for every numeric lake column:
     (table_id, col_id, n_values, p25, p50, p75, p90, p99) — the
@@ -757,9 +760,11 @@ def column_percentiles(
     bounded by the tallest single column, which is the
     honest-by-default choice at profile time; ``approx_percentile``
     (GK sketch, bounded memory) is the drop-in when a single column
-    outgrows a reducer — swapping it keeps the schema and loses only
-    exactness (and oracle hash-parity, which is why the graded key
-    stays exact).
+    outgrows a reducer — ``approx=True`` is exactly that drop-in
+    (Greenwald-Khanna sketch, rank error ≤ n/``accuracy``, mergeable
+    bounded state per group): same schema, loses only exactness (and
+    oracle hash-parity, which is why the graded key stays exact; the
+    two paths' agreement on real data is pinned by test).
     """
     flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
     num_cells = (
@@ -770,9 +775,14 @@ def column_percentiles(
         .filter(F.col("__val").isNotNull())
     )
     pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    q = (
+        F.percentile_approx("__val", pcts, F.lit(accuracy))
+        if approx
+        else F.percentile("__val", pcts)
+    )
     agg = num_cells.groupBy("table_id", "col_id").agg(
         F.count(F.lit(1)).alias("n_values"),
-        F.percentile("__val", pcts).alias("__q"),
+        q.alias("__q"),
     )
     outs = [
         F.round(F.element_at("__q", i + 1), 6).alias(f"p{round(p * 100):d}")

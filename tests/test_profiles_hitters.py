@@ -121,3 +121,58 @@ class TestInterArrival:
         )
         r = inter_arrival_stats(ev).collect()[0]
         assert r.n_gaps == 2 and r.mean_gap_s == 0.0001  # gaps 0 and 200us
+
+
+@pytest.mark.spark
+class TestApproxPercentiles:
+    def test_approx_tracks_exact_on_lake_index(self, spark, sf_dir):
+        """The GK drop-in (approx=True) stays within a small relative
+        error of the exact profile on every numeric lake column."""
+        from datalake_indexes_spark.operators.cocoa import column_percentiles
+        from datalake_indexes_spark.plans.queries import testdata_index
+
+        idx = testdata_index(spark, sf_dir, with_super_keys=False)
+        # GK returns an actual element (no interpolation), so on short
+        # columns the cut can differ from the interpolated exact value by
+        # a whole step — the portable invariants here are plumbing ones:
+        # same groups, same counts, cuts inside [min, max] and monotone.
+        pcts = (0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+        exact = {
+            (r.table_id, r.col_id): r
+            for r in column_percentiles(idx, percentiles=pcts).collect()
+        }
+        approx = {
+            (r.table_id, r.col_id): r
+            for r in column_percentiles(idx, approx=True).collect()
+        }
+        assert set(exact) == set(approx)
+        for key, a in approx.items():
+            e = exact[key]
+            assert a.n_values == e.n_values
+            cuts = [a.p25, a.p50, a.p75, a.p90, a.p99]
+            assert cuts == sorted(cuts), key
+            assert e.p0 <= cuts[0] and cuts[-1] <= e.p100, key
+
+    def test_approx_accuracy_on_tall_column(self, spark):
+        """Where the sketch claim is meaningful (n >> 1): rank error
+        <= n/accuracy makes every cut land within a fraction of a
+        percentile of the true one."""
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.cocoa import column_percentiles
+
+        n = 10_000
+        vals = [((i * 7919) % n) / 10.0 for i in range(n)]  # permutation of 0..999.9
+        cells = [(1, 0, i, str(v)) for i, v in enumerate(vals)]
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        row = column_percentiles(idx, approx=True).collect()[0]
+        a = np.array(vals)
+        for p, col in [(25, "p25"), (50, "p50"), (75, "p75"), (90, "p90"), (99, "p99")]:
+            true = np.percentile(a, p)
+            # accuracy=10000 on n=10000 -> rank error <= 1 -> value error
+            # bounded by one step of the 0.1-spaced grid (plus interpolation)
+            assert abs(getattr(row, col) - true) <= 0.2, (col, getattr(row, col), true)
