@@ -1064,3 +1064,58 @@ def inter_arrival_stats(
         F.round(F.percentile("__gap", F.lit(0.95)), 6).alias("p95_gap_s"),
         F.round(F.max("__gap"), 6).alias("max_gap_s"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_periods: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Trailing-window distinct actives per period — the WAU/MAU curve:
+    for every period p, how many distinct users were active in
+    [p − window + 1, p], plus that period's own actives and the
+    stickiness ratio (DAU/WAU).  (period, n_active, rolling_active,
+    stickiness); periods run through the data's last observed period,
+    including mid-range quiet periods the rolling window still covers.
+
+    Distinct-over-a-sliding-window does NOT decompose into per-period
+    partials (distinct is not additive), so instead of a range
+    self-join (|periods| × window scans) each distinct (user, period)
+    activity row CONTRIBUTES itself to the ``window_periods`` periods
+    it keeps alive (``explode(sequence(...))``) and one
+    ``count_distinct`` per period does the rest.
+
+    Scale shape: blowup is exactly ×window on the DEDUPLICATED
+    (user, period) activity set (tiny vs raw events), the aggregates
+    are user-uniform keyed shuffles, and the period bound arrives via a
+    broadcast scalar aggregate — no window function over the full data,
+    no range join, no driver action.
+    """
+    w = int(window_periods)
+    period = ((F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)).cast("long")
+    act = events.select(F.col(key_col).alias("__k"), period.alias("period")).distinct()
+    bounds = act.agg(F.max("period").alias("__hi"))
+    daily = act.groupBy("period").agg(F.count(F.lit(1)).alias("n_active"))
+    contrib = act.select(
+        "__k",
+        F.explode(F.sequence(F.col("period"), F.col("period") + F.lit(w - 1))).alias("period"),
+    )
+    rolling = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("period") <= F.col("__hi"))
+        .groupBy("period")
+        .agg(F.count_distinct("__k").alias("rolling_active"))
+    )
+    return (
+        rolling.join(daily, "period", "left")
+        .select(
+            "period",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            "rolling_active",
+            F.round(
+                F.coalesce("n_active", F.lit(0)) / F.col("rolling_active"), 6
+            ).alias("stickiness"),
+        )
+    )

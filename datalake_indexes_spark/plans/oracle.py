@@ -5374,3 +5374,32 @@ SELECT d.community, d.n_nodes,
              - pow(d.degree_sum / (2.0 * m.m), 2), 6) AS contribution
 FROM degm d LEFT JOIN intra i ON i.community = d.community, m
 """
+
+
+def rolling_active_users_sql(
+    window_periods: int = 7, period_us: int = 86_400_000_000
+) -> str:
+    """WAU twin: same contribute-forward decomposition (each distinct
+    (user, period) row feeds the ``window_periods`` periods it keeps
+    alive), same last-observed-period bound."""
+    w = int(window_periods)
+    return f"""
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / {period_us}) AS BIGINT) AS period
+  FROM events
+),
+bounds AS (SELECT max(period) AS hi FROM act),
+contrib AS (
+  SELECT a.user_id, a.period + o.o AS period
+  FROM act a, (SELECT unnest(generate_series(0, {w - 1})) AS o) o
+),
+daily AS (SELECT period, count(*) AS n_active FROM act GROUP BY 1),
+rolling AS (
+  SELECT c.period, count(DISTINCT c.user_id) AS rolling_active
+  FROM contrib c, bounds b WHERE c.period <= b.hi GROUP BY 1
+)
+SELECT r.period, coalesce(d.n_active, 0) AS n_active, r.rolling_active,
+       round(coalesce(d.n_active, 0) * 1.0 / r.rolling_active, 6) AS stickiness
+FROM rolling r LEFT JOIN daily d ON d.period = r.period
+"""

@@ -2646,6 +2646,14 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_docs(spark, sf_dir), m=200)
 
 
+def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day + stickiness
+    (DAU/WAU) via the contribute-forward decomposition."""
+    from datalake_indexes_spark.operators.events import rolling_active_users
+
+    return rolling_active_users(_events_us(spark, sf_dir), window_periods=7)
+
+
 def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival gap distribution (mean/p50/p95/max
     seconds) over a (ts, event_id) total order."""
@@ -2804,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_percentiles": q_column_percentiles,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "events_gap_stats": q_events_gap_stats,
+    "events_wau": q_events_wau,
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
@@ -3095,4 +3104,5 @@ WHERE rn = 1
     "column_percentiles": oracle.column_percentiles_sql(),
     "vocab_heavy_hitters": oracle.heavy_hitters_sql(m=200),
     "events_gap_stats": oracle.inter_arrival_stats_sql(),
+    "events_wau": oracle.rolling_active_users_sql(window_periods=7),
 }

@@ -176,3 +176,41 @@ class TestApproxPercentiles:
             # accuracy=10000 on n=10000 -> rank error <= 1 -> value error
             # bounded by one step of the 0.1-spaced grid (plus interpolation)
             assert abs(getattr(row, col) - true) <= 0.2, (col, getattr(row, col), true)
+
+
+@pytest.mark.spark
+class TestRollingActiveUsers:
+    def test_matches_python_reference(self, spark):
+        from datalake_indexes_spark.operators.events import rolling_active_users
+
+        day = 86_400_000_000
+        # (user, day): gaps, repeats within a day, a quiet mid-range day
+        activity = [(1, 0), (1, 0), (2, 0), (1, 1), (3, 3), (1, 4), (2, 4)]
+        ev = spark.createDataFrame(
+            [(i, u, d * day + 1000 * i) for i, (u, d) in enumerate(activity)],
+            "event_id long, user_id long, ts_us long",
+        )
+        got = {r.period: r for r in rolling_active_users(ev, window_periods=3).collect()}
+        acts = {(u, d) for u, d in activity}
+        days = range(0, 5)  # through the last observed day
+        for d in days:
+            users = {u for (u, ad) in acts if d - 2 <= ad <= d}
+            today = len({u for (u, ad) in acts if ad == d})
+            r = got[d]
+            assert (r.n_active, r.rolling_active) == (today, len(users)), d
+            assert abs(r.stickiness - today / len(users)) < 1e-6
+        assert set(got) == set(days)
+        # day 2 has no events but the window still covers day 0-1 actives
+        assert got[2].n_active == 0 and got[2].rolling_active == 2
+
+    def test_window_one_is_daily_actives(self, spark):
+        from datalake_indexes_spark.operators.events import rolling_active_users
+
+        day = 86_400_000_000
+        ev = spark.createDataFrame(
+            [(1, 1, 0), (2, 2, 0), (3, 1, day)],
+            "event_id long, user_id long, ts_us long",
+        )
+        rows = {r.period: r for r in rolling_active_users(ev, window_periods=1).collect()}
+        assert rows[0].rolling_active == 2 and rows[1].rolling_active == 1
+        assert all(r.stickiness == 1.0 for r in rows.values())
