@@ -950,3 +950,169 @@ def categorical_association(
         F.round(F.col("chi2"), round_to).alias("chi2"),
         F.round(F.sqrt(F.col("chi2") / F.lit(denom)), round_to).alias("cramers_v"),
     )
+
+
+def cascade_forget(
+    tables: dict[str, DataFrame],
+    root: str,
+    root_key: str,
+    subjects: DataFrame,
+    fk_edges: list[tuple[str, str, str, str]],
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Right-to-be-forgotten cascade: delete every row belonging to the
+    requested subjects from ``tables[root]`` and propagate the deletion
+    through the declared FK graph — a child row is removed iff its
+    foreign key points at a parent row that was itself removed.  The
+    erasure primitive a training-data lake needs to honor deletion
+    requests (GDPR art. 17 / CCPA) without orphaning referential chains:
+    forgetting a customer must also forget their orders and those
+    orders' line items, or the "deleted" subject remains reconstructable
+    from the children.
+
+    ``fk_edges`` rows are ``(child, fk_col, parent, parent_key_col)``:
+    ``child.fk_col`` references ``parent.parent_key_col``.  ``subjects``
+    is a one-column frame of root-key values (a deletion-request list).
+    Returns ``(cleaned, census)`` — the cleaned tables (lazy filtered
+    views, nothing written; callers materialize via their own sink) and a census
+    frame ``(table_name, rows_before, rows_deleted, rows_after)`` with
+    one row per input table, untouched tables reporting 0 deletions.
+
+    Semantics pinned down:
+
+    - Cascade is ROW-driven, not value-driven: a subject key absent from
+      the root table deletes nothing downstream (matches SQL ``ON DELETE
+      CASCADE``, which fires per deleted parent row).
+    - NULL foreign keys never match a deleted parent (SQL join
+      semantics) — orphan-by-NULL rows survive, as they would under
+      ``ON DELETE CASCADE``.
+    - A child with several incoming edges is deleted if ANY edge points
+      at a deleted parent row (markers OR-ed, no double count).
+    - Tables with no path from ``root`` keep all rows; a cycle among
+      reachable tables raises (cascade over a cyclic FK graph needs a
+      fixpoint, which SQL engines refuse too).
+
+    Scale shape: the subject list is broadcast (deletion requests are
+    ~10³-10⁶ keys next to a 100 TB lake); pushed key sets (e.g. every
+    order key of the deleted customers) flow through ordinary equi-joins
+    sized by AQE.  Census and cleaned view share one marker join per
+    table — counting deletions costs no extra scan over performing them.
+    The whole cascade is lazy: nothing runs until the caller writes the
+    cleaned tables or collects the census.
+    """
+    for child, _, parent, _ in fk_edges:
+        if child not in tables or parent not in tables:
+            raise ValueError(f"fk edge references unknown table: {child}->{parent}")
+    if root not in tables:
+        raise ValueError(f"unknown root table {root!r}")
+
+    # reachable subgraph: only edges whose parent can ever see deletions
+    reach = {root}
+    while True:
+        grew = {c for c, _, p, _ in fk_edges if p in reach and c not in reach}
+        if not grew:
+            break
+        reach |= grew
+
+    # structural cycle check up front (Kahn over the reachable subgraph):
+    # an edge back INTO an already-cascaded table (incl. the root) must
+    # refuse loudly, not silently drop — re-entrant deletions need a
+    # fixpoint this operator deliberately doesn't compute
+    live = [(c, p) for c, _, p, _ in fk_edges if p in reach]
+    indeg = {n: 0 for n in reach}
+    for c, _ in live:
+        indeg[c] += 1
+    frontier = sorted(n for n, d in indeg.items() if d == 0)
+    ordered = 0
+    while frontier:
+        n = frontier.pop()
+        ordered += 1
+        for c, p in live:
+            if p == n:
+                indeg[c] -= 1
+                if indeg[c] == 0:
+                    frontier.append(c)
+    if ordered != len(reach):
+        cyc = sorted(n for n, d in indeg.items() if d > 0)
+        raise ValueError(f"FK cycle among reachable tables: {cyc}")
+    if indeg[root] != 0:  # unreachable given the check above, kept for clarity
+        raise ValueError("root table has incoming FK edges from the cascade")
+
+    subj = (
+        subjects.select(F.col(subjects.columns[0]).cast("string").alias("__fk_val"))
+        .distinct()
+    )
+
+    # deleted-rows view per reachable table, children after all their
+    # (reachable) parents — resolved in dependency order, per the sort above
+    deleted: dict[str, DataFrame] = {}
+    marked: dict[str, DataFrame] = {}
+
+    def _mark(table: str, pushes: list[DataFrame]) -> None:
+        """Left-join each pushed key set as a 0/1 marker, OR them."""
+        m = tables[table]
+        flags = []
+        for i, push in enumerate(pushes):
+            flag = f"__del_{i}"
+            m = m.join(push.withColumnRenamed("__fk_val", f"__fk_{i}").withColumn(flag, F.lit(1)),
+                       m[_mark_keys[table][i]].cast("string") == F.col(f"__fk_{i}"),
+                       "left").drop(f"__fk_{i}")
+            flags.append(flag)
+        any_del = F.greatest(*[F.coalesce(F.col(fl), F.lit(0)) for fl in flags]) if len(flags) > 1 else F.coalesce(F.col(flags[0]), F.lit(0))
+        marked[table] = m.withColumn("__del", any_del).drop(*flags)
+        deleted[table] = marked[table].filter(F.col("__del") == 1).drop("__del")
+
+    _mark_keys: dict[str, list[str]] = {root: [root_key]}
+    _mark(root, [F.broadcast(subj)])
+
+    pending = [(c, fk, p, pk) for (c, fk, p, pk) in fk_edges if p in reach]
+    while pending:
+        # a child is ready when every one of ITS pending incoming edges
+        # has a resolved parent
+        ready = sorted(
+            c
+            for c in {c for c, _, _, _ in pending}
+            if all(p in deleted for cc, _, p, _ in pending if cc == c)
+        )
+        if not ready:
+            raise ValueError(f"FK cycle among reachable tables: {sorted({c for c, *_ in pending})}")
+        for child in ready:
+            mine = [(fk, p, pk) for cc, fk, p, pk in pending if cc == child]
+            _mark_keys[child] = [fk for fk, _, _ in mine]
+            pushes = [
+                deleted[p].select(F.col(pk).cast("string").alias("__fk_val")).distinct()
+                for _, p, pk in mine
+            ]
+            _mark(child, pushes)
+        pending = [e for e in pending if e[0] not in deleted]
+
+    cleaned: dict[str, DataFrame] = {}
+    census_rows = []
+    for name in sorted(tables):
+        if name in marked:
+            cleaned[name] = marked[name].filter(F.col("__del") == 0).drop("__del")
+            census_rows.append(
+                marked[name].agg(
+                    F.lit(name).alias("table_name"),
+                    F.count(F.lit(1)).cast("long").alias("rows_before"),
+                    F.sum("__del").cast("long").alias("rows_deleted"),
+                )
+            )
+        else:
+            cleaned[name] = tables[name]
+            census_rows.append(
+                tables[name].agg(
+                    F.lit(name).alias("table_name"),
+                    F.count(F.lit(1)).cast("long").alias("rows_before"),
+                    F.lit(0).cast("long").alias("rows_deleted"),
+                )
+            )
+    census = census_rows[0]
+    for extra in census_rows[1:]:
+        census = census.unionByName(extra)
+    census = census.select(
+        "table_name",
+        "rows_before",
+        F.coalesce("rows_deleted", F.lit(0)).alias("rows_deleted"),
+        (F.col("rows_before") - F.coalesce("rows_deleted", F.lit(0))).alias("rows_after"),
+    ).orderBy("table_name")
+    return cleaned, census

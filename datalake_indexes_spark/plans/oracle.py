@@ -5403,3 +5403,43 @@ SELECT r.period, coalesce(d.n_active, 0) AS n_active, r.rolling_active,
        round(coalesce(d.n_active, 0) * 1.0 / r.rolling_active, 6) AS stickiness
 FROM rolling r LEFT JOIN daily d ON d.period = r.period
 """
+
+
+def cascade_forget_sql(modulus: int = 37) -> str:
+    """Twin of :func:`..operators.discovery.cascade_forget` over the
+    customer -> orders -> lineitem FK chain (row-driven cascade: EXISTS
+    against the deleted parent rows, so NULL FKs and dangling subjects
+    delete nothing), nation pinned as the untouched table."""
+    return f"""
+WITH del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {modulus} = 0
+),
+del_ord AS (
+  SELECT o_orderkey FROM orders o
+  WHERE EXISTS (SELECT 1 FROM del_cust d WHERE d.c_custkey = o.o_custkey)
+),
+del_li AS (
+  SELECT 1 FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM del_ord d WHERE d.o_orderkey = l.l_orderkey)
+)
+SELECT table_name,
+       CAST(rows_before AS BIGINT) AS rows_before,
+       CAST(rows_deleted AS BIGINT) AS rows_deleted,
+       CAST(rows_before - rows_deleted AS BIGINT) AS rows_after
+FROM (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS rows_before,
+         (SELECT count(*) FROM del_cust) AS rows_deleted
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM del_li)
+  UNION ALL
+  SELECT 'nation', (SELECT count(*) FROM nation), 0
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM del_ord)
+) t
+ORDER BY table_name
+"""

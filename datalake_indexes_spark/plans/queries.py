@@ -1707,6 +1707,34 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(_docs(spark, sf_dir), alpha=0.5, max_repeat=4.0)
 
 
+
+def q_governance_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade census: forget every 37th customer,
+    cascading through orders to lineitem (nation rides along untouched
+    to pin the zero-deletion path).  Grades the erasure bookkeeping a
+    lake owner files with the deletion request."""
+    from datalake_indexes_spark.operators.discovery import cascade_forget
+
+    t = {
+        n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        for n in ("customer", "orders", "lineitem", "nation")
+    }
+    subjects = t["customer"].select("c_custkey").filter(
+        F.col("c_custkey") % 37 == 0
+    )
+    _, census = cascade_forget(
+        t,
+        root="customer",
+        root_key="c_custkey",
+        subjects=subjects,
+        fk_edges=[
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    return census
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup over (event_type, hour): totals per type+hour, per
     type, and grand total in ONE Expand+aggregate pass."""
@@ -2813,6 +2841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "events_gap_stats": q_events_gap_stats,
     "events_wau": q_events_wau,
+    "governance_forget": q_governance_forget,
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
@@ -3105,4 +3134,5 @@ WHERE rn = 1
     "vocab_heavy_hitters": oracle.heavy_hitters_sql(m=200),
     "events_gap_stats": oracle.inter_arrival_stats_sql(),
     "events_wau": oracle.rolling_active_users_sql(window_periods=7),
+    "governance_forget": oracle.cascade_forget_sql(modulus=37),
 }
