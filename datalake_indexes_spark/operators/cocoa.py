@@ -789,3 +789,152 @@ def column_percentiles(
         for i, p in enumerate(percentiles)
     ]
     return agg.select("table_id", "col_id", "n_values", *outs)
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9 — inlined as
+# full-precision literals so the engine and the DuckDB oracle multiply the
+# SAME doubles (both sides import this table; no engine-side log evaluation).
+BENFORD_EXPECTED: tuple[float, ...] = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829993,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+# chi-square critical value, df = 8, alpha = 0.05
+BENFORD_CHI2_CRIT = 15.507
+
+
+def benford_audit(index) -> "DataFrame":
+    """Benford's-law first-digit audit for every numeric lake column:
+    (table_id, col_id, n_values, chi2, benford_flag, p1..p9) — the
+    classic fabricated/synthetic-data screen (naturally-grown magnitude
+    data follows log10(1+1/d); uniform ids, fixed price grids and
+    made-up figures don't).
+
+    The first significant digit comes from the TOKENIZED string
+    (``regexp_extract(tokenized, '[1-9]', 0)``) — no float re-formatting
+    is involved, so both engines read the identical character (sign,
+    leading zeros and the decimal point are skipped by construction;
+    all-zero tokens contribute nothing).  chi2 = Σ (cnt_d − n·e_d)² /
+    (n·e_d) over d = 1..9 with e_d from :data:`BENFORD_EXPECTED`, summed
+    in fixed d-order in both engines; ``benford_flag`` is chi2 >
+    :data:`BENFORD_CHI2_CRIT` (df = 8, α = 0.05).
+
+    Scale shape: one map-side-combinable aggregate over the
+    numeric-flagged cells scan, grouped by the catalog-sized
+    (table_id, col_id) key — the digit counts are conditional sums in
+    the same pass, no second scan, no window, no row shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    flags = index.col_flags if index.col_flags is not None else is_numeric_flags(index.cells)
+    digits = (
+        index.cells.join(
+            F.broadcast(flags.filter(F.col("is_numeric"))), ["table_id", "col_id"]
+        )
+        .withColumn("__d", F.regexp_extract(F.col("tokenized"), "[1-9]", 0))
+        .filter(F.col("__d") != "")
+    )
+    cnt_cols = [
+        F.sum((F.col("__d") == str(d)).cast("long")).alias(f"__c{d}")
+        for d in range(1, 10)
+    ]
+    agg = digits.groupBy("table_id", "col_id").agg(
+        F.count(F.lit(1)).alias("n_values"), *cnt_cols
+    )
+    n = F.col("n_values")
+    chi2 = None
+    for d, e in enumerate(BENFORD_EXPECTED, start=1):
+        exp = n * F.lit(e)
+        term = (F.col(f"__c{d}") - exp) * (F.col(f"__c{d}") - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    shares = [
+        F.round(F.col(f"__c{d}") / n, 6).alias(f"p{d}") for d in range(1, 10)
+    ]
+    return agg.select(
+        "table_id",
+        "col_id",
+        "n_values",
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > F.lit(BENFORD_CHI2_CRIT)).alias("benford_flag"),
+        *shares,
+    )
+
+
+# two-sample KS critical-value coefficient at alpha = 0.05
+KS_ALPHA_COEF = 1.358
+
+
+def ks_drift(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    columns: list[str],
+) -> "DataFrame":
+    """Exact two-sample Kolmogorov–Smirnov drift test per numeric column:
+    (column, n_a, n_b, ks_stat, threshold, drift_flag) — the
+    distribution-shape complement to a binned TV distance
+    (:func:`profile_drift`): KS is binning-free and exact, so a pure
+    location shift smaller than a histogram bin still registers.
+
+    D = max over observed values of |F_a(v) − F_b(v)| with the empirical
+    CDFs evaluated at the pooled distinct values (ties handled by
+    grouping, cumulative counts are ≤ v by construction).  The flag
+    compares D against the large-sample α = 0.05 critical value
+    c(α)·sqrt((n_a+n_b)/(n_a·n_b)), c = :data:`KS_ALPHA_COEF`.
+
+    Scale shape: one union scan unpivoted to (column, value), ONE
+    shuffle keyed by (column, value) for the tie-group counts, then a
+    per-COLUMN ordered window for the running CDFs — partitioned by
+    column name (catalog-sized, never a global single-partition window)
+    — and a final tiny per-column aggregate.  Column count bounds the
+    window parallelism, which is the schema's width, not the data size.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def _long(df: "DataFrame", tag: str) -> "DataFrame":
+        pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+        return (
+            df.selectExpr(f"stack({len(columns)}, {pairs}) as (column_name, val)")
+            .filter(F.col("val").isNotNull())
+            .withColumn("__side", F.lit(tag))
+        )
+
+    both = _long(df_a, "a").unionByName(_long(df_b, "b"))
+    counts = both.groupBy("column_name", "val").agg(
+        F.sum((F.col("__side") == "a").cast("long")).alias("__ca"),
+        F.sum((F.col("__side") == "b").cast("long")).alias("__cb"),
+    )
+    w = Window.partitionBy("column_name").orderBy("val")
+    tot = Window.partitionBy("column_name")
+    cdf = counts.select(
+        "column_name",
+        F.sum("__ca").over(w).alias("__cum_a"),
+        F.sum("__cb").over(w).alias("__cum_b"),
+        F.sum("__ca").over(tot).alias("__na"),
+        F.sum("__cb").over(tot).alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__cum_a") / F.col("__na") - F.col("__cum_b") / F.col("__nb")
+    )
+    agg = cdf.groupBy("column_name").agg(
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.max(gap).alias("__d"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    thr = F.lit(KS_ALPHA_COEF) * F.sqrt((na + nb) / (na * nb))
+    return agg.select(
+        "column_name",
+        "n_a",
+        "n_b",
+        F.round("__d", 6).alias("ks_stat"),
+        F.round(thr, 6).alias("threshold"),
+        (F.col("__d") > thr).alias("drift_flag"),
+    )

@@ -1119,3 +1119,110 @@ def rolling_active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def rolling_forecast_backtest(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-key one-step-ahead forecast backtest: fit an OLS trend line
+    over the ``window_rows`` PRECEDING observations (current excluded —
+    no label leakage), predict the current value, and score the errors
+    per key: (key, n_forecasts, mae, rmse, bias, naive_mae, skill).
+
+    ``skill`` = 1 − mae/naive_mae against the lag-1 persistence
+    forecast — the honest baseline every forecaster must beat; > 0 means
+    the trend extrapolation adds information for that key.  Only rows
+    with a FULL trailing window forecast (count == window_rows), so the
+    fit is always over the same sample size.
+
+    The regressor is the per-key event sequence number, so Sx/Sxx are
+    integer window sums, and the value-side sums Sy/Sxy run over an
+    exact DECIMAL image of the values — every window sum is exact in any
+    summation order, hence engine-portable by construction.  Closed form:
+    slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²), intercept = (Sy − slope·Sx)/n,
+    forecast at the current sequence number.
+
+    Scale shape: ONE shuffle keyed by ``key_col`` (uniform user
+    cardinality); all five window sums, the lag and the row number come
+    out of a single sorted WindowExec run, then one map-side-combinable
+    per-key aggregate.  No global window, no self-join, no iteration.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    trail = w.rowsBetween(-window_rows, -1)
+    seq = F.row_number().over(w).cast("long")
+    y = F.col(value_col).cast("double")
+    scored = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+            y.alias("__y"),
+        )
+        .select(
+            "key",
+            "__y",
+            F.row_number()
+            .over(Window.partitionBy("key").orderBy("__ts", "__id"))
+            .cast("long")
+            .alias("__x"),
+            F.lag("__y", 1)
+            .over(Window.partitionBy("key").orderBy("__ts", "__id"))
+            .alias("__prev"),
+        )
+    )
+    tw = Window.partitionBy("key").orderBy("__x").rowsBetween(-window_rows, -1)
+    # value-side window sums run over an exact DECIMAL image of the
+    # (rounded) values: decimal addition is order-independent, so the
+    # sliding sums are bit-identical whether the engine replays the frame
+    # (Spark) or merges a segment tree (DuckDB); the closed form below
+    # then starts from exactly-equal doubles in both engines
+    yd = F.round("__y", 6).cast("decimal(28,6)")
+    fitted = scored.withColumn("__yd", yd).select(
+        "key",
+        "__y",
+        "__x",
+        "__prev",
+        F.count(F.lit(1)).over(tw).alias("__n"),
+        F.sum("__x").over(tw).alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).over(tw).alias("__sxx"),
+        F.sum("__yd").over(tw).alias("__syd"),
+        F.sum(F.col("__x") * F.col("__yd")).over(tw).alias("__sxyd"),
+    ).filter(F.col("__n") == window_rows)
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__syd").cast("double")
+    sxy = F.col("__sxyd").cast("double")
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    err = F.col("__y") - (intercept + slope * F.col("__x").cast("double"))
+    naive_err = F.col("__y") - F.col("__prev")
+    per_row = fitted.select(
+        "key",
+        err.alias("__err"),
+        naive_err.alias("__nerr"),
+    ).filter(F.col("__err").isNotNull())
+    agg = per_row.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.avg(F.abs("__err")).alias("__mae"),
+        F.sqrt(F.avg(F.col("__err") * F.col("__err"))).alias("__rmse"),
+        F.avg("__err").alias("__bias"),
+        F.avg(F.abs("__nerr")).alias("__nmae"),
+    )
+    return agg.select(
+        "key",
+        "n_forecasts",
+        F.round("__mae", 4).alias("mae"),
+        F.round("__rmse", 4).alias("rmse"),
+        F.round("__bias", 4).alias("bias"),
+        F.round("__nmae", 4).alias("naive_mae"),
+        F.round(
+            F.lit(1.0) - F.col("__mae") / F.nullif(F.col("__nmae"), F.lit(0.0)), 4
+        ).alias("skill"),
+    )

@@ -1334,3 +1334,80 @@ def heavy_hitters(
             F.round(F.col("total_count") / F.col("__N"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization — shared rule tables (the DuckDB oracle builds
+# its SQL from these same constants, so engine and oracle can never drift).
+# Patterns restrict to syntax RE2 and Java regex evaluate identically
+# (\x{hhhh} escapes, explicit character classes, no \s/\p shorthands).
+# ---------------------------------------------------------------------------
+
+# literal single-char folds, applied in order (smart quotes, dashes, ellipsis)
+NORMALIZE_CHAR_MAP: tuple[tuple[str, str], ...] = (
+    ("‘", "'"),
+    ("’", "'"),
+    ("“", '"'),
+    ("”", '"'),
+    ("–", "-"),
+    ("—", "-"),
+    ("…", "..."),
+)
+
+# regex rules, applied in order AFTER the char map
+NORMALIZE_REGEX_RULES: tuple[tuple[str, str], ...] = (
+    # zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) vanish
+    ("[\\x{200B}-\\x{200D}\\x{FEFF}]", ""),
+    # C0 control chars (except \t \n) and DEL vanish
+    ("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]", ""),
+    # unicode space separators fold to ASCII space
+    ("[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " "),
+    # space/tab runs collapse
+    ("[ \\t]+", " "),
+    # trailing spaces before a newline drop
+    (" \\n", "\n"),
+    # 3+ blank-line runs collapse to one paragraph break
+    ("\\n{3,}", "\n\n"),
+)
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, normalized, n_chars_before, n_chars_after) — deterministic
+    unicode cleanup, the first stage of every pretraining-corpus pipeline:
+    smart quotes/dashes/ellipsis fold to ASCII, zero-width and C0 control
+    characters vanish, unicode space separators become plain spaces,
+    space runs and blank-line runs collapse, edges trim.
+
+    Rule tables (:data:`NORMALIZE_CHAR_MAP`, :data:`NORMALIZE_REGEX_RULES`)
+    are shared with the DuckDB oracle twin, and every pattern sticks to
+    syntax RE2 and Java regex agree on — no ``\\s``/``\\p`` shorthands
+    (ASCII-only in one engine, unicode-aware in the other).
+
+    Pure native expression chain (replace + regexp_replace) — runs inside
+    whole-stage codegen, map-only, no UDF, no shuffle.
+    """
+    t = F.col(text_col)
+    out = t
+    for src, dst in NORMALIZE_CHAR_MAP:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    for pat, rep in NORMALIZE_REGEX_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.trim(out)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("normalized"),
+        F.length(t).cast("long").alias("n_chars_before"),
+        F.length(out).cast("long").alias("n_chars_after"),
+    )
+
+
+# deterministic noise the normalize_text driver query wraps around every
+# 4th document (the synthetic corpus is clean ASCII, so grading the raw
+# table would verify zero changes -- the J5/J6 vacuity trap); mirrored by
+# the oracle via chr() codes.  Exercises: curly quotes, NBSP, em-dash,
+# tab+space runs, ellipsis, zero-width space, a C0 control char, trailing
+# space-before-newline and a 4-newline run.
+PLANT_NOISE_PREFIX = "\u201CQ\u201D\u00A0\u2014\t "
+PLANT_NOISE_SUFFIX = " \u2026\u200B\u0001  end \n\n\n\nfin"

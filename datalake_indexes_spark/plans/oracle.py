@@ -5443,3 +5443,209 @@ FROM (
 ) t
 ORDER BY table_name
 """
+
+
+def benford_audit_sql() -> str:
+    """Benford first-digit audit twin: digit from the tokenized STRING
+    (no float re-formatting), expected shares imported from the engine's
+    :data:`..operators.cocoa.BENFORD_EXPECTED` literal table, chi2 summed
+    in the same fixed d-order."""
+    from datalake_indexes_spark.operators.cocoa import (
+        BENFORD_CHI2_CRIT,
+        BENFORD_EXPECTED,
+    )
+
+    cnts = ",\n         ".join(
+        f"sum(CASE WHEN d = '{d}' THEN 1 ELSE 0 END) AS c{d}" for d in range(1, 10)
+    )
+    # CAST the expected-share literals to DOUBLE: DuckDB parses bare float
+    # literals as DECIMAL, and squaring a DECIMAL(38) difference overflows
+    chi2 = " + ".join(
+        f"(c{d} - n_values * CAST({e!r} AS DOUBLE))"
+        f" * (c{d} - n_values * CAST({e!r} AS DOUBLE))"
+        f" / (n_values * CAST({e!r} AS DOUBLE))"
+        for d, e in enumerate(BENFORD_EXPECTED, start=1)
+    )
+    shares = ",\n       ".join(
+        f"round(c{d} * 1.0 / n_values, 6) AS p{d}" for d in range(1, 10)
+    )
+    return f"""
+WITH {cells_cte()},
+flags AS (
+  SELECT table_id, col_id, bool_and({_NUMERIC_TOKEN}) AS is_numeric
+  FROM cells GROUP BY table_id, col_id
+),
+digits AS (
+  SELECT cells.table_id, cells.col_id,
+         regexp_extract(tokenized, '[1-9]') AS d
+  FROM cells JOIN flags f
+    ON f.table_id = cells.table_id AND f.col_id = cells.col_id
+  WHERE f.is_numeric AND regexp_extract(tokenized, '[1-9]') <> ''
+),
+agg AS (
+  SELECT table_id, col_id, count(*) AS n_values,
+         {cnts}
+  FROM digits GROUP BY 1, 2
+)
+SELECT table_id, col_id, n_values,
+       round({chi2}, 4) AS chi2,
+       ({chi2}) > CAST({BENFORD_CHI2_CRIT!r} AS DOUBLE) AS benford_flag,
+       {shares}
+FROM agg
+"""
+
+
+def ks_drift_sql(
+    table: str,
+    split_predicate: str,
+    columns: tuple[str, ...],
+) -> str:
+    """Exact two-sample KS twin: tie-grouped counts, running CDFs via
+    per-column ordered windows (no ties within a partition, so the
+    engines' shared RANGE default frame equals ROWS), same α = 0.05
+    critical-value coefficient."""
+    from datalake_indexes_spark.operators.cocoa import KS_ALPHA_COEF
+
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS val,\n"
+        f"         CASE WHEN {split_predicate} THEN 'a' ELSE 'b' END AS side\n"
+        f"  FROM {table} WHERE {c} IS NOT NULL"
+        for c in columns
+    )
+    return f"""
+WITH longv AS (
+  {arms}
+),
+counts AS (
+  SELECT column_name, val,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM longv GROUP BY 1, 2
+),
+cdf AS (
+  SELECT column_name,
+         sum(ca) OVER (PARTITION BY column_name ORDER BY val) AS cum_a,
+         sum(cb) OVER (PARTITION BY column_name ORDER BY val) AS cum_b,
+         sum(ca) OVER (PARTITION BY column_name) AS na,
+         sum(cb) OVER (PARTITION BY column_name) AS nb
+  FROM counts
+),
+agg AS (
+  SELECT column_name, any_value(na) AS n_a, any_value(nb) AS n_b,
+         max(abs(cum_a * 1.0 / na - cum_b * 1.0 / nb)) AS d
+  FROM cdf GROUP BY 1
+)
+SELECT column_name,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(d, 6) AS ks_stat,
+       round({KS_ALPHA_COEF!r} * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6)
+         AS threshold,
+       d > {KS_ALPHA_COEF!r} * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)) AS drift_flag
+FROM agg
+"""
+
+
+def rolling_forecast_backtest_sql(window_rows: int = 5) -> str:
+    """Per-key rolling-OLS backtest twin: identical sequence-number
+    regressor, identical exact-DECIMAL value-side window sums (order-
+    independent, so DuckDB's segment-tree sliding frames agree with
+    Spark's frame replay bit for bit), identical closed form in doubles."""
+    w = int(window_rows)
+    return f"""
+WITH base AS (
+  SELECT user_id AS key, CAST(value AS DOUBLE) AS y,
+         epoch_us(ts) AS tsu, event_id
+  FROM events
+),
+seqd AS (
+  SELECT key, y,
+         CAST(row_number() OVER (PARTITION BY key ORDER BY tsu, event_id) AS BIGINT) AS x,
+         lag(y, 1) OVER (PARTITION BY key ORDER BY tsu, event_id) AS prev
+  FROM base
+),
+fitted AS (
+  SELECT key, y, x, prev,
+         count(*) OVER tw AS n,
+         sum(x) OVER tw AS sx,
+         sum(x * x) OVER tw AS sxx,
+         sum(CAST(round(y, 6) AS DECIMAL(28,6))) OVER tw AS syd,
+         sum(x * CAST(round(y, 6) AS DECIMAL(28,6))) OVER tw AS sxyd
+  FROM seqd
+  WINDOW tw AS (PARTITION BY key ORDER BY x
+                ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT key,
+         y - ((CAST(syd AS DOUBLE)
+               - ((CAST(n AS DOUBLE) * CAST(sxyd AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(syd AS DOUBLE))
+                  / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+              + ((CAST(n AS DOUBLE) * CAST(sxyd AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(syd AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                * CAST(x AS DOUBLE)) AS err,
+         y - prev AS nerr
+  FROM fitted WHERE n = {w}
+),
+agg AS (
+  SELECT key, count(*) AS n_forecasts,
+         avg(abs(err)) AS mae0,
+         sqrt(avg(err * err)) AS rmse0,
+         avg(err) AS bias0,
+         avg(abs(nerr)) AS nmae0
+  FROM scored WHERE err IS NOT NULL GROUP BY 1
+)
+SELECT key, CAST(n_forecasts AS BIGINT) AS n_forecasts,
+       round(mae0, 4) AS mae,
+       round(rmse0, 4) AS rmse,
+       round(bias0, 4) AS bias,
+       round(nmae0, 4) AS naive_mae,
+       round(1.0 - mae0 / nullif(nmae0, 0.0), 4) AS skill
+FROM agg
+"""
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression via chr() concat —
+    sidesteps every literal-escaping concern for control/unicode chars."""
+    if not s:
+        return "''"
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+def normalize_text_sql() -> str:
+    """Unicode-normalization twin: replace/regexp chains generated from
+    the engine's shared rule tables (NORMALIZE_CHAR_MAP /
+    NORMALIZE_REGEX_RULES), planted noise mirrored via chr() codes."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        NORMALIZE_CHAR_MAP,
+        NORMALIZE_REGEX_RULES,
+        PLANT_NOISE_PREFIX,
+        PLANT_NOISE_SUFFIX,
+    )
+
+    expr = "text"
+    for src, dst in NORMALIZE_CHAR_MAP:
+        expr = f"replace({expr}, {_sql_str(src)}, {_sql_str(dst)})"
+    for pat, rep in NORMALIZE_REGEX_RULES:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', {_sql_str(rep)}, 'g')"
+    expr = f"trim({expr})"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN {_sql_str(PLANT_NOISE_PREFIX)} || text || {_sql_str(PLANT_NOISE_SUFFIX)}
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {expr} AS normalized,
+       CAST(len(text) AS BIGINT) AS n_chars_before,
+       CAST(len({expr}) AS BIGINT) AS n_chars_after
+FROM p
+"""

@@ -2632,6 +2632,59 @@ def q_column_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_moments(testdata_index(spark, sf_dir, with_super_keys=False))
 
 
+def q_column_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit for every numeric lake column (first
+    significant digit read from the tokenized string, chi2 vs log10(1+1/d))."""
+    from datalake_indexes_spark.operators.cocoa import benford_audit
+
+    return benford_audit(testdata_index(spark, sf_dir, with_super_keys=False))
+
+
+KS_DRIFT_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift between returned (l_returnflag = 'R') and
+    kept lineitem rows over the four numeric measure columns."""
+    from datalake_indexes_spark.operators.cocoa import ks_drift
+
+    _ensure_session_confs(spark)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return ks_drift(
+        li.filter(F.col("l_returnflag") == "R"),
+        li.filter(F.col("l_returnflag") != "R"),
+        list(KS_DRIFT_COLUMNS),
+    )
+
+
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-step-ahead rolling-OLS forecast backtest (window 5)
+    with lag-1 persistence skill score."""
+    from datalake_indexes_spark.operators.events import rolling_forecast_backtest
+
+    return rolling_forecast_backtest(_events_us(spark, sf_dir), window_rows=5)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization over documents WITH planted noise -- the
+    synthetic corpus is clean ASCII, so every 4th doc is wrapped in the
+    shared PLANT_NOISE_PREFIX/SUFFIX (smart quotes, NBSP, em-dash, tab
+    runs, ellipsis, zero-width space, a control char, trailing spaces and
+    a 4-newline run), mirrored by the oracle via chr() codes."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        PLANT_NOISE_PREFIX,
+        PLANT_NOISE_SUFFIX,
+        normalize_text,
+    )
+
+    docs = _docs(spark, sf_dir)
+    noisy = F.concat(F.lit(PLANT_NOISE_PREFIX), F.col("text"), F.lit(PLANT_NOISE_SUFFIX))
+    planted = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 4 == 0, noisy).otherwise(F.col("text"))
+    )
+    return normalize_text(planted)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -2835,6 +2888,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_prediction": q_graph_link_prediction,
     "graph_kcore": q_graph_kcore,
     "column_moments": q_column_moments,
+    "column_benford": q_column_benford,
+    "profile_ks_drift": q_profile_ks_drift,
+    "events_forecast_backtest": q_events_forecast_backtest,
+    "text_normalize": q_text_normalize,
     "graph_label_prop": q_graph_label_prop,
     "graph_modularity": q_graph_modularity,
     "column_percentiles": q_column_percentiles,
@@ -3128,6 +3185,12 @@ WHERE rn = 1
     "graph_link_prediction": oracle.graph_link_prediction_sql(max_hamming=8),
     "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),
     "column_moments": oracle.column_moments_sql(),
+    "column_benford": oracle.benford_audit_sql(),
+    "profile_ks_drift": oracle.ks_drift_sql(
+        "lineitem", "l_returnflag = \'R\'", KS_DRIFT_COLUMNS
+    ),
+    "events_forecast_backtest": oracle.rolling_forecast_backtest_sql(window_rows=5),
+    "text_normalize": oracle.normalize_text_sql(),
     "graph_label_prop": oracle.graph_label_prop_sql(rounds=10, max_hamming=8),
     "graph_modularity": oracle.graph_modularity_sql(max_hamming=8),
     "column_percentiles": oracle.column_percentiles_sql(),

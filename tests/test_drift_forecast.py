@@ -1,0 +1,235 @@
+"""Benford audit vs scipy-free closed-form chi2, exact two-sample KS vs a
+brute-force numpy reference, rolling-OLS forecast backtest vs a pandas
+reference, unicode normalization invariants."""
+
+from __future__ import annotations
+
+import math
+import random
+import unicodedata
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.spark
+class TestBenfordAudit:
+    def _idx(self, spark, vals):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+
+        cells = [(1, 0, i, str(v)) for i, v in enumerate(vals)]
+        return LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+
+    def test_benford_like_data_not_flagged(self, spark):
+        """Exponential growth is the canonical Benford generator."""
+        from datalake_indexes_spark.operators.cocoa import benford_audit
+
+        # span EXACTLY three decades (1 → 1000): a geometric series over
+        # whole decades is the canonical Benford generator; a partial
+        # decade would bias the digit shares and chi2 flags it at this n
+        k_max = int(3 * math.log(10) / math.log(1.002))
+        vals = [round(1.002 ** k, 4) for k in range(k_max)]
+        row = benford_audit(self._idx(spark, vals)).collect()[0]
+        assert row.n_values == len(vals)
+        assert not row.benford_flag
+        # p1 should be near log10(2) ~ 0.301
+        assert abs(row.p1 - 0.301) < 0.03
+
+    def test_uniform_digits_flagged(self, spark):
+        from datalake_indexes_spark.operators.cocoa import benford_audit
+
+        # uniform over [100, 999]: first digits uniform, wildly non-Benford
+        rng = random.Random(7)
+        vals = [rng.randint(100, 999) for _ in range(2000)]
+        row = benford_audit(self._idx(spark, vals)).collect()[0]
+        assert row.benford_flag
+        assert row.chi2 > 100
+
+    def test_chi2_closed_form(self, spark):
+        """chi2 matches the hand-computed statistic on a tiny fixed set."""
+        from datalake_indexes_spark.operators.cocoa import (
+            BENFORD_EXPECTED,
+            benford_audit,
+        )
+
+        vals = ["1", "1.5", "-2", "0.003", "9", "19", "0", "0.0"]  # digits 1,1,2,3,9,1
+        row = benford_audit(self._idx(spark, vals)).collect()[0]
+        counts = {1: 3, 2: 1, 3: 1, 9: 1}
+        n = 6
+        chi2 = sum(
+            (counts.get(d, 0) - n * e) ** 2 / (n * e)
+            for d, e in enumerate(BENFORD_EXPECTED, start=1)
+        )
+        assert row.n_values == n  # "0"/"0.0" contribute no significant digit
+        assert abs(row.chi2 - chi2) < 1e-3
+        assert abs(row.p1 - 0.5) < 1e-6
+
+    def test_negative_and_decimal_tokens(self, spark):
+        from datalake_indexes_spark.operators.cocoa import benford_audit
+
+        row = benford_audit(self._idx(spark, ["-703", "0.042", "12"])).collect()[0]
+        # digits 7, 4, 1
+        assert row.p7 == pytest.approx(1 / 3, abs=1e-6)
+        assert row.p4 == pytest.approx(1 / 3, abs=1e-6)
+        assert row.p1 == pytest.approx(1 / 3, abs=1e-6)
+
+
+@pytest.mark.spark
+class TestKsDrift:
+    def _frames(self, spark, a, b):
+        fa = spark.createDataFrame([(float(v),) for v in a], "x double")
+        fb = spark.createDataFrame([(float(v),) for v in b], "x double")
+        return fa, fb
+
+    @staticmethod
+    def _ks_brute(a, b):
+        pooled = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+
+        return max(
+            abs(bisect.bisect_right(sa, v) / na - bisect.bisect_right(sb, v) / nb)
+            for v in pooled
+        )
+
+    def test_matches_brute_force(self, spark):
+        from datalake_indexes_spark.operators.cocoa import ks_drift
+
+        rng = random.Random(3)
+        a = [rng.gauss(0, 1) for _ in range(300)]
+        b = [rng.gauss(0.5, 1.3) for _ in range(200)]
+        fa, fb = self._frames(spark, a, b)
+        row = ks_drift(fa, fb, ["x"]).collect()[0]
+        assert row.n_a == 300 and row.n_b == 200
+        assert row.ks_stat == pytest.approx(self._ks_brute(a, b), abs=1e-6)
+        assert row.drift_flag  # half-sigma shift at n=500 is detectable
+
+    def test_identical_distributions_not_flagged(self, spark):
+        from datalake_indexes_spark.operators.cocoa import ks_drift
+
+        rng = random.Random(11)
+        a = [rng.gauss(0, 1) for _ in range(400)]
+        fa, fb = self._frames(spark, a, a)
+        row = ks_drift(fa, fb, ["x"]).collect()[0]
+        assert row.ks_stat == 0.0
+        assert not row.drift_flag
+
+    def test_ties_grouped(self, spark):
+        """Heavy ties: KS over {1,1,2} vs {1,2,2} = 1/3 exactly."""
+        from datalake_indexes_spark.operators.cocoa import ks_drift
+
+        fa, fb = self._frames(spark, [1, 1, 2], [1, 2, 2])
+        row = ks_drift(fa, fb, ["x"]).collect()[0]
+        assert row.ks_stat == pytest.approx(1 / 3, abs=1e-6)
+
+
+@pytest.mark.spark
+class TestRollingForecastBacktest:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_id long, value double"
+        )
+
+    def test_perfect_linear_series_zero_error(self, spark):
+        """A perfectly linear series extrapolates exactly: mae = 0 and the
+        skill vs the (always-one-step-behind) persistence forecast is 1."""
+        from datalake_indexes_spark.operators.events import rolling_forecast_backtest
+
+        rows = [(1, t * 10, t, 3.0 + 2.0 * t) for t in range(1, 21)]
+        out = rolling_forecast_backtest(
+            self._events(spark, rows), window_rows=5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_forecasts == 20 - 5
+        assert r.mae == 0.0
+        assert r.naive_mae == pytest.approx(2.0, abs=1e-9)
+        assert r.skill == 1.0
+
+    def test_matches_pandas_reference(self, spark):
+        from datalake_indexes_spark.operators.events import rolling_forecast_backtest
+
+        rng = random.Random(5)
+        rows = [(7, t * 100, t, round(rng.uniform(0, 50), 2)) for t in range(1, 40)]
+        r = rolling_forecast_backtest(
+            self._events(spark, rows), window_rows=5
+        ).collect()[0]
+
+        ys = [v for (_, _, _, v) in rows]
+        errs, nerrs = [], []
+        for i in range(5, len(ys)):  # 0-based current index, x = i+1
+            xs = np.arange(i - 4, i + 1, dtype=float)  # the 5 preceding seqs
+            yw = np.array(ys[i - 5 : i])
+            slope, intercept = np.polyfit(xs, yw, 1)
+            errs.append(ys[i] - (intercept + slope * (i + 1)))
+            nerrs.append(ys[i] - ys[i - 1])
+        assert r.n_forecasts == len(errs)
+        assert r.mae == pytest.approx(np.mean(np.abs(errs)), abs=1e-3)
+        assert r.rmse == pytest.approx(math.sqrt(np.mean(np.square(errs))), abs=1e-3)
+        assert r.naive_mae == pytest.approx(np.mean(np.abs(nerrs)), abs=1e-3)
+
+    def test_short_series_produces_nothing(self, spark):
+        from datalake_indexes_spark.operators.events import rolling_forecast_backtest
+
+        rows = [(1, t, t, float(t)) for t in range(1, 5)]  # 4 < window+1
+        assert rolling_forecast_backtest(self._events(spark, rows), window_rows=5).count() == 0
+
+
+@pytest.mark.spark
+class TestNormalizeText:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_folds_and_collapses(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import normalize_text
+
+        raw = "“Hi” — a\t\tb \nc​d …\n\n\n\ne"
+        out = normalize_text(self._docs(spark, [raw])).collect()[0]
+        assert out.normalized == '"Hi" - a b\ncd ...\n\ne'
+        assert out.n_chars_before == len(raw)
+        assert out.n_chars_after == len(out.normalized)
+
+    def test_clean_ascii_is_fixed_point(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import normalize_text
+
+        clean = "plain text with single spaces\nand one newline"
+        out = normalize_text(self._docs(spark, [clean])).collect()[0]
+        assert out.normalized == clean
+
+    def test_idempotent(self, spark):
+        """normalize(normalize(x)) == normalize(x) for noisy input."""
+        from datalake_indexes_spark.operators.text_analysis import (
+            PLANT_NOISE_PREFIX,
+            PLANT_NOISE_SUFFIX,
+            normalize_text,
+        )
+
+        raw = PLANT_NOISE_PREFIX + "body  text" + PLANT_NOISE_SUFFIX
+        once = normalize_text(self._docs(spark, [raw])).collect()[0].normalized
+        twice = normalize_text(self._docs(spark, [once])).collect()[0].normalized
+        assert twice == once
+
+    def test_output_has_no_targets_left(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import (
+            NORMALIZE_CHAR_MAP,
+            PLANT_NOISE_PREFIX,
+            PLANT_NOISE_SUFFIX,
+            normalize_text,
+        )
+
+        raw = PLANT_NOISE_PREFIX + "x" + PLANT_NOISE_SUFFIX
+        out = normalize_text(self._docs(spark, [raw])).collect()[0].normalized
+        for src, _ in NORMALIZE_CHAR_MAP:
+            assert src not in out
+        for ch in ("\u00A0", "\u200B", "\u0001", "\t"):
+            assert ch not in out
+        assert "  " not in out and "\n\n\n" not in out and " \n" not in out
+        assert not any(unicodedata.category(c) == "Cc" and c != "\n" for c in out)
