@@ -233,3 +233,54 @@ class TestNormalizeText:
             assert ch not in out
         assert "  " not in out and "\n\n\n" not in out and " \n" not in out
         assert not any(unicodedata.category(c) == "Cc" and c != "\n" for c in out)
+
+
+@pytest.mark.spark
+class TestNewOpPlanShapes:
+    """Scale-shape guard: none of the round-4 operators may plan a
+    global (unpartitioned) window or a nested-loop join."""
+
+    def test_ks_drift_windows_are_per_column(self, spark):
+        from datalake_indexes_spark.operators.cocoa import ks_drift
+        from datalake_indexes_spark.plans.audit import assert_scalable_plan
+
+        df = spark.range(200).selectExpr(
+            "cast(id as double) a", "cast(id % 7 as double) b"
+        )
+        out = ks_drift(df.filter("id % 2 = 0"), df.filter("id % 2 = 1"), ["a", "b"])
+        assert_scalable_plan(out, max_global_windows=0)
+
+    def test_benford_is_one_aggregate_no_window(self, spark):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+        from datalake_indexes_spark.operators.cocoa import benford_audit
+        from datalake_indexes_spark.plans.audit import assert_scalable_plan, plan_report
+
+        idx = LakeIndex(
+            cells=spark.createDataFrame(
+                [(1, 0, i, str(i + 1)) for i in range(50)],
+                "table_id int, col_id int, row_id int, tokenized string",
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+        out = benford_audit(idx)
+        assert_scalable_plan(out, max_global_windows=0)
+        assert plan_report(out)["n_global_windows"] == 0
+
+    def test_forecast_windows_partitioned_by_key(self, spark):
+        from datalake_indexes_spark.operators.events import rolling_forecast_backtest
+        from datalake_indexes_spark.plans.audit import assert_scalable_plan
+
+        ev = spark.range(300).selectExpr(
+            "id % 9 as user_id", "id as ts_us", "id as event_id",
+            "cast(id % 13 as double) as value",
+        )
+        assert_scalable_plan(
+            rolling_forecast_backtest(ev, window_rows=5), max_global_windows=0
+        )
+
+    def test_normalize_text_is_map_only(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import normalize_text
+        from datalake_indexes_spark.plans.audit import assert_scalable_plan
+
+        docs = spark.range(20).selectExpr("id as doc_id", "repeat('a ', 30) as text")
+        assert_scalable_plan(normalize_text(docs), max_exchanges=0)
