@@ -1116,3 +1116,88 @@ def cascade_forget(
         (F.col("rows_before") - F.coalesce("rows_deleted", F.lit(0))).alias("rows_after"),
     ).orderBy("table_name")
     return cleaned, census
+
+
+def categorical_mutual_info(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 6
+) -> DataFrame:
+    """One-row mutual information between two categorical columns:
+    (n, mi, h_a, h_b, nmi) — the information-theoretic complement of
+    :func:`categorical_association`'s chi2 (chi2 answers "is there ANY
+    dependence"; MI measures HOW MUCH knowing one column tells you about
+    the other, in nats, and normalized MI = mi/sqrt(h_a·h_b) makes it
+    comparable across column pairs like Cramér's V).
+
+    MI = Σ_observed (o/n)·ln(n·o/(ra·cb)) — zero-observed cells
+    contribute exactly 0, so unlike chi2 the full |A|×|B| expected grid
+    is never needed and the whole computation stays distributed: one
+    contingency aggregate, two margin re-aggregates of IT (not of the
+    input), broadcast-joined back.  NULL categories count as their own
+    level.  One scan of the input, shuffles keyed by category values
+    (category-cardinality-bounded), no collect, no cross join.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" null"))
+    cells = (
+        df.select(a.alias("__a"), b.alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = cells.groupBy("__a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("__b").agg(F.sum("o").alias("cb"))
+    joined = cells.join(F.broadcast(ra), "__a").join(F.broadcast(cb), "__b")
+    n = F.sum("o")
+    # margins multiply as DOUBLES: ra*cb as int64 overflows once margins
+    # pass ~3e9 rows (real at corpus scale); both engines round the
+    # product once, so parity holds below 2^53 and degrades together above
+    mi_term = (
+        F.col("o")
+        * F.ln(
+            F.col("o").cast("double")
+            / (F.col("ra").cast("double") * F.col("cb").cast("double"))
+        )
+    )
+    # Σ o·ln(o/(ra·cb)) + ln(n)·Σo, all divided by n at the end — one
+    # aggregate, and the ln(n) factor lands once (n·o/(ra·cb) split out)
+    agg = joined.agg(
+        n.alias("__n"),
+        F.sum(mi_term).alias("__mi_part"),
+    )
+    ha = (
+        ra.agg(
+            F.sum("ra").alias("__n"),
+            F.sum(F.col("ra") * F.ln(F.col("ra").cast("double"))).alias("__s"),
+        )
+        .select(
+            (F.ln(F.col("__n").cast("double")) - F.col("__s") / F.col("__n")).alias("h_a")
+        )
+    )
+    hb = (
+        cb.agg(
+            F.sum("cb").alias("__n"),
+            F.sum(F.col("cb") * F.ln(F.col("cb").cast("double"))).alias("__s"),
+        )
+        .select(
+            (F.ln(F.col("__n").cast("double")) - F.col("__s") / F.col("__n")).alias("h_b")
+        )
+    )
+    nd = F.col("__n").cast("double")
+    mi = F.col("__mi_part") / nd + F.ln(nd)
+    out = (
+        agg.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("__n").alias("n"),
+            F.round(mi, round_to).alias("mi"),
+            F.round("h_a", round_to).alias("h_a"),
+            F.round("h_b", round_to).alias("h_b"),
+            F.round(
+                mi
+                / F.nullif(
+                    F.sqrt(F.col("h_a") * F.col("h_b")), F.lit(0.0)
+                ),
+                round_to,
+            ).alias("nmi"),
+        )
+    )
+    return out

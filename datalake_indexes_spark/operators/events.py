@@ -1226,3 +1226,85 @@ def rolling_forecast_backtest(
             F.lit(1.0) - F.col("__mae") / F.nullif(F.col("__nmae"), F.lit(0.0)), 4
         ).alias("skill"),
     )
+
+
+def survival_curve(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+    censor_horizon_periods: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime: for every
+    observed activity-span length (in periods), (duration, n_at_risk,
+    n_events, n_censored, survival, is_event_time) — the
+    retention/churn curve with honest right-censoring, which a naive
+    "average lifetime" silently gets wrong (users still active at the
+    end of the observation window haven't churned; dropping OR counting
+    them as churned both bias the estimate).
+
+    Per key: duration = (last − first) div period (exact integer math).
+    A key whose last event falls within ``censor_horizon_periods`` of
+    the corpus's last timestamp is CENSORED (its span may continue).
+    KM: S(t) = Π_{event durations d ≤ t} (1 − events_d / at_risk_d),
+    with at_risk_d = keys whose duration ≥ d; computed as
+    exp(Σ ln(1 − d/n)) over the duration-ordered cumulative window.
+
+    Scale shape: one per-key aggregate (uniform key shuffle), one
+    count aggregate per DURATION — whose cardinality is bounded by the
+    observation span in periods (calendar-bounded, not data-bounded) —
+    then the cumulative window runs over that tiny aggregated frame:
+    a global-order window over a calendar-sized input, the sanctioned
+    k-bounded tier (same as a post-limit rank).  The corpus max
+    timestamp travels via a broadcast scalar.
+    """
+    spans = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
+    )
+    last_seen = events.agg(F.max(ts_col).alias("__corpus_last"))
+    per_key = spans.crossJoin(F.broadcast(last_seen)).select(
+        # integer floor division — no double rounding at period boundaries
+        F.expr(
+            f"(__last - __first - pmod(__last - __first, {int(period_us)}))"
+            f" div {int(period_us)}"
+        ).alias("duration"),
+        (
+            F.col("__last")
+            >= F.col("__corpus_last") - F.lit(int(censor_horizon_periods) * period_us)
+        ).alias("__censored"),
+    )
+    counts = per_key.groupBy("duration").agg(
+        F.sum((~F.col("__censored")).cast("long")).alias("n_events"),
+        F.sum(F.col("__censored").cast("long")).alias("n_censored"),
+    )
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    run = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    leave = F.col("n_events") + F.col("n_censored")
+    at_risk = F.sum(leave).over(tot) - F.coalesce(F.sum(leave).over(w), F.lit(0))
+    # ln(1 - d/n) per duration, cumulative-summed in duration order; rows
+    # with zero events contribute ln(1) = 0 exactly in both engines.  The
+    # d == n step (everyone at risk churns) would be ln(0) — NULL in
+    # Spark, which sum() silently SKIPS — so it is excluded from the log
+    # sum and tracked as an explicit "curve hit zero" cumulative flag.
+    dead = (F.col("n_events") == F.col("__at_risk")).cast("long")
+    step = F.when(
+        F.col("n_events") < F.col("__at_risk"),
+        F.ln(F.lit(1.0) - F.col("n_events") / F.col("__at_risk")),
+    )
+    curve = (
+        counts.withColumn("__at_risk", at_risk)
+        .withColumn("__logs", F.coalesce(F.sum(step).over(run), F.lit(0.0)))
+        .withColumn("__dead", F.sum(dead).over(run))
+    )
+    survival = F.when(F.col("__dead") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp("__logs"), 6)
+    )
+    return curve.select(
+        "duration",
+        F.col("__at_risk").alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+        survival.alias("survival"),
+        (F.col("n_events") > 0).alias("is_event_time"),
+    )

@@ -5649,3 +5649,98 @@ SELECT doc_id,
        CAST(len({expr}) AS BIGINT) AS n_chars_after
 FROM p
 """
+
+
+def survival_curve_sql(
+    period_us: int = 86_400_000_000, censor_horizon_periods: int = 7
+) -> str:
+    """Kaplan–Meier twin: identical integer-floor durations, identical
+    censoring rule, identical exp(Σ ln(1−d/n)) cumulative form with the
+    d == n step excluded from the log sum and tracked as a zero flag
+    (Spark's ln(0) is NULL and sum() skips it — both engines must agree
+    on the explicit handling instead)."""
+    p = int(period_us)
+    h = int(censor_horizon_periods) * p
+    return f"""
+WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+planted AS (
+  SELECT e.user_id, epoch_us(e.ts) AS tsu
+  FROM events e, t0
+  WHERE epoch_us(e.ts) < t0.t0 + ((e.user_id % 40) + 1) * 86400000000
+),
+spans AS (
+  SELECT user_id, min(tsu) AS first_ts, max(tsu) AS last_ts
+  FROM planted GROUP BY 1
+),
+bounds AS (SELECT max(last_ts) AS corpus_last FROM spans),
+per_key AS (
+  SELECT (last_ts - first_ts - ((last_ts - first_ts) % {p})) // {p} AS duration,
+         (last_ts >= b.corpus_last - {h}) AS censored
+  FROM spans, bounds b
+),
+counts AS (
+  SELECT duration,
+         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS n_events,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+  FROM per_key GROUP BY 1
+),
+risk AS (
+  SELECT duration, n_events, n_censored,
+         sum(n_events + n_censored) OVER () -
+           coalesce(sum(n_events + n_censored) OVER (
+             ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS at_risk
+  FROM counts
+),
+curve AS (
+  SELECT duration, at_risk, n_events, n_censored,
+         coalesce(sum(CASE WHEN n_events < at_risk
+                           THEN ln(1.0 - n_events * 1.0 / at_risk) END)
+           OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+           AS logs,
+         sum(CASE WHEN n_events = at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead
+  FROM risk
+)
+SELECT duration,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CASE WHEN dead > 0 THEN 0.0 ELSE round(exp(logs), 6) END AS survival,
+       n_events > 0 AS is_event_time
+FROM curve
+"""
+
+
+def categorical_mutual_info_sql(col_a: str, col_b: str, table: str = "documents") -> str:
+    """Mutual-information twin: same observed-cells-only decomposition
+    MI = Σ o·ln(o/(ra·cb))/n + ln(n), same margin-entropy closed forms,
+    rounding only at the output."""
+    return f"""
+WITH cells AS (
+  SELECT coalesce(CAST({col_a} AS VARCHAR), ' null') AS a,
+         coalesce(CAST({col_b} AS VARCHAR), ' null') AS b,
+         count(*) AS o
+  FROM {table} GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+agg AS (
+  SELECT sum(c.o) AS n,
+         sum(c.o * ln(c.o * 1.0 / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)))) AS mi_part
+  FROM cells c JOIN ra ON ra.a = c.a JOIN cb ON cb.b = c.b
+),
+ha AS (
+  SELECT ln(sum(ra) * 1.0) - sum(ra * ln(ra * 1.0)) / sum(ra) AS h_a FROM ra
+),
+hb AS (
+  SELECT ln(sum(cb) * 1.0) - sum(cb * ln(cb * 1.0)) / sum(cb) AS h_b FROM cb
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(mi_part / n + ln(n * 1.0), 6) AS mi,
+       round(h_a, 6) AS h_a,
+       round(h_b, 6) AS h_b,
+       round((mi_part / n + ln(n * 1.0)) / nullif(sqrt(h_a * h_b), 0.0), 6) AS nmi
+FROM agg, ha, hb
+"""

@@ -2685,6 +2685,35 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(planted)
 
 
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user activity-span lifetimes
+    (1-day periods, 7-day right-censoring horizon) over events WITH
+    planted churn -- every user in the synthetic stream spans the whole
+    window (all censored, survival identically 1: the J5/J6 vacuity
+    trap), so each user's stream is truncated at a deterministic
+    per-user cutoff of (user_id % 40 + 1) days from the corpus start,
+    mirrored by the oracle: ~3/4 of users churn at varied durations,
+    the rest stay censored."""
+    from datalake_indexes_spark.operators.events import survival_curve
+
+    day_us = 86_400_000_000
+    ev = _events_us(spark, sf_dir)
+    t0 = ev.agg(F.min("ts_us").alias("__t0"))
+    cutoff = F.col("__t0") + ((F.col("user_id") % 40) + 1) * F.lit(day_us)
+    planted = (
+        ev.crossJoin(F.broadcast(t0)).filter(F.col("ts_us") < cutoff).drop("__t0")
+    )
+    return survival_curve(planted)
+
+
+def q_column_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the documents corpus's lang and source
+    columns -- how much does the source tell you about the language?"""
+    from datalake_indexes_spark.operators.discovery import categorical_mutual_info
+
+    return categorical_mutual_info(_docs(spark, sf_dir), "lang", "source")
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -2892,6 +2921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_ks_drift": q_profile_ks_drift,
     "events_forecast_backtest": q_events_forecast_backtest,
     "text_normalize": q_text_normalize,
+    "events_survival": q_events_survival,
+    "column_mutual_info": q_column_mutual_info,
     "graph_label_prop": q_graph_label_prop,
     "graph_modularity": q_graph_modularity,
     "column_percentiles": q_column_percentiles,
@@ -3191,6 +3222,8 @@ WHERE rn = 1
     ),
     "events_forecast_backtest": oracle.rolling_forecast_backtest_sql(window_rows=5),
     "text_normalize": oracle.normalize_text_sql(),
+    "events_survival": oracle.survival_curve_sql(),
+    "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
     "graph_label_prop": oracle.graph_label_prop_sql(rounds=10, max_hamming=8),
     "graph_modularity": oracle.graph_modularity_sql(max_hamming=8),
     "column_percentiles": oracle.column_percentiles_sql(),

@@ -284,3 +284,86 @@ class TestNewOpPlanShapes:
 
         docs = spark.range(20).selectExpr("id as doc_id", "repeat('a ', 30) as text")
         assert_scalable_plan(normalize_text(docs), max_exchanges=0)
+
+
+@pytest.mark.spark
+class TestSurvivalCurve:
+    def test_km_hand_computed(self, spark):
+        """Five users: churn at 2,2,5; censored at 8,9 (horizon 2, unit
+        periods).  KM: S(2)=3/5, S(5)=3/5*(2/3)=2/5, flat after."""
+        from datalake_indexes_spark.operators.events import survival_curve
+
+        rows = []
+        for uid, (first, last) in enumerate([(0, 2), (0, 2), (0, 5), (0, 8), (0, 9)]):
+            rows += [(uid, first), (uid, last)]
+        ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+        out = {
+            r.duration: r
+            for r in survival_curve(
+                ev, period_us=1, censor_horizon_periods=2
+            ).collect()
+        }
+        assert sorted(out) == [2, 5, 8, 9]
+        assert out[2].n_at_risk == 5 and out[2].n_events == 2
+        assert out[2].survival == pytest.approx(0.6, abs=1e-6)
+        assert out[5].n_at_risk == 3 and out[5].survival == pytest.approx(0.4, abs=1e-6)
+        assert out[8].n_censored == 1 and out[8].survival == pytest.approx(0.4, abs=1e-6)
+        assert out[9].survival == pytest.approx(0.4, abs=1e-6)
+        assert not out[8].is_event_time and out[2].is_event_time
+
+    def test_all_churn_hits_zero(self, spark):
+        """No censoring at all: the curve must reach exactly 0 (the
+        ln(0)-is-NULL-in-Spark trap)."""
+        from datalake_indexes_spark.operators.events import survival_curve
+
+        rows = []
+        for uid, last in enumerate([3, 3, 6]):
+            rows += [(uid, 0), (uid, last)]
+        # corpus_last=6, horizon 0 periods would censor last=6; use a
+        # synthetic extra user far in the future so horizon misses everyone
+        rows += [(99, 0), (99, 100)]
+        ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+        out = {
+            r.duration: r
+            for r in survival_curve(ev, period_us=1, censor_horizon_periods=1).collect()
+        }
+        # users 0,1 churn at 3 (at_risk 4): S=0.5; user 2 at 6 (at_risk 2): S=0.25;
+        # user 99 censored at 100
+        assert out[3].survival == pytest.approx(0.5, abs=1e-6)
+        assert out[6].survival == pytest.approx(0.25, abs=1e-6)
+        assert out[100].n_censored == 1
+
+
+@pytest.mark.spark
+class TestCategoricalMutualInfo:
+    def test_perfect_dependence(self, spark):
+        from datalake_indexes_spark.operators.discovery import categorical_mutual_info
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")], "a string, b string"
+        )
+        r = categorical_mutual_info(df, "a", "b").collect()[0]
+        assert r.n == 4
+        assert r.mi == pytest.approx(math.log(2), abs=1e-6)
+        assert r.h_a == pytest.approx(math.log(2), abs=1e-6)
+        assert r.nmi == pytest.approx(1.0, abs=1e-6)
+
+    def test_independence_is_zero(self, spark):
+        from datalake_indexes_spark.operators.discovery import categorical_mutual_info
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3, "a string, b string"
+        )
+        r = categorical_mutual_info(df, "a", "b").collect()[0]
+        assert r.mi == pytest.approx(0.0, abs=1e-9)
+        assert r.nmi == pytest.approx(0.0, abs=1e-9)
+
+    def test_nulls_are_a_level(self, spark):
+        from datalake_indexes_spark.operators.discovery import categorical_mutual_info
+
+        df = spark.createDataFrame(
+            [("x", None), ("x", None), ("y", "q"), ("y", "q")], "a string, b string"
+        )
+        r = categorical_mutual_info(df, "a", "b").collect()[0]
+        # NULL b perfectly tracks a=x: full dependence again
+        assert r.nmi == pytest.approx(1.0, abs=1e-6)
