@@ -938,3 +938,4 @@ def ks_drift(
         F.round(thr, 6).alias("threshold"),
         (F.col("__d") > thr).alias("drift_flag"),
     )
+

@@ -1308,3 +1308,71 @@ def survival_curve(
         survival.alias("survival"),
         (F.col("n_events") > 0).alias("is_event_time"),
     )
+
+
+def ab_conversion_test(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    baseline_type: str = "click",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion A/B conversion test: users are deterministically
+    split into variants by the engine-portable md5 bucket rule
+    (:func:`..functions.hashes.md5_bucket` — the same one definition
+    every split/sample/shard in the package shares), conversion = the
+    user emitted MORE ``convert_type`` than ``baseline_type`` events
+    (a scale-free outcome: an absolute threshold would saturate to
+    all-converted or none-converted as the corpus grows, degenerating
+    the test), and the pooled two-proportion z-statistic decides
+    significance at α = 0.05 (two-sided).  One row: (n_a, n_b, conv_a,
+    conv_b, rate_a, rate_b, lift, z_score, significant).
+
+    z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)), p̂ pooled — the
+    standard experimentation-platform readout; the md5 assignment makes
+    the "experiment" reproducible on any engine, run and partitioning.
+    A degenerate experiment (p̂ ∈ {0, 1}: zero pooled variance) reports
+    z = NaN, the package's cross-engine convention for undefined
+    doubles, with significant = false.
+
+    Scale shape: one per-key aggregate (uniform user shuffle) then one
+    two-group aggregate — both map-side combinable; the final row is
+    arithmetic over four counters.  No window, no join, no collect.
+    """
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    per_user = events.groupBy(F.col(key_col).alias("__k")).agg(
+        (
+            F.sum((F.col(type_col) == convert_type).cast("long"))
+            > F.sum((F.col(type_col) == baseline_type).cast("long"))
+        ).cast("long").alias("__conv")
+    )
+    tagged = per_user.withColumn("__v", md5_bucket("__k", 2))
+    agg = tagged.agg(
+        F.sum((F.col("__v") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("__v") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__conv")).otherwise(0)).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pooled = (ca + cb) / (na + nb)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (pa - pb) / se).otherwise(F.lit(float("nan")))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pa / F.nullif(pb, F.lit(0.0)) - F.lit(1.0), 6).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+        # NaN compares GREATER than everything in both engines, so the
+        # degenerate (zero-variance) case must gate on se > 0 explicitly
+        F.when(se > 0, F.abs(z) > F.lit(z_crit)).otherwise(F.lit(False)).alias(
+            "significant"
+        ),
+    )

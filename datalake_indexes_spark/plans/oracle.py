@@ -5744,3 +5744,49 @@ SELECT CAST(n AS BIGINT) AS n,
        round((mi_part / n + ln(n * 1.0)) / nullif(sqrt(h_a * h_b), 0.0), 6) AS nmi
 FROM agg, ha, hb
 """
+
+
+def ab_conversion_test_sql(
+    convert_type: str = "purchase",
+    baseline_type: str = "click",
+    z_crit: float = 1.959963984540054,
+) -> str:
+    """Two-proportion z twin: same md5-bucket variant assignment (the
+    package's shared bucket rule), same scale-free more-X-than-Y
+    conversion, same pooled-SE closed form, NaN on zero pooled
+    variance."""
+    se = ("sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))"
+          " * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))"
+          " * (1.0 / n_a + 1.0 / n_b))")
+    z = (f"CASE WHEN {se} > 0 THEN"
+         f" (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) / {se}"
+         f" ELSE 'NaN'::DOUBLE END")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = '{convert_type}' THEN 1 ELSE 0 END)
+                 > sum(CASE WHEN event_type = '{baseline_type}' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1
+),
+tagged AS (
+  SELECT conv,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS v
+  FROM per_user
+),
+agg AS (
+  SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS conv_a,
+         sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM tagged
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       round(conv_a * 1.0 / n_a, 6) AS rate_a,
+       round(conv_b * 1.0 / n_b, 6) AS rate_b,
+       round((conv_a * 1.0 / n_a) / nullif(conv_b * 1.0 / n_b, 0.0) - 1.0, 6) AS lift,
+       round({z}, 4) AS z_score,
+       CASE WHEN {se} > 0 THEN abs({z}) > CAST({z_crit!r} AS DOUBLE) ELSE false END AS significant
+FROM agg
+"""

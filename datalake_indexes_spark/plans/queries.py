@@ -2714,6 +2714,14 @@ def q_column_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_mutual_info(_docs(spark, sf_dir), "lang", "source")
 
 
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: md5-split user variants,
+    purchase conversion, pooled z at alpha = 0.05."""
+    from datalake_indexes_spark.operators.events import ab_conversion_test
+
+    return ab_conversion_test(_events_us(spark, sf_dir))
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -2923,6 +2931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "events_survival": q_events_survival,
     "column_mutual_info": q_column_mutual_info,
+    "events_ab_test": q_events_ab_test,
     "graph_label_prop": q_graph_label_prop,
     "graph_modularity": q_graph_modularity,
     "column_percentiles": q_column_percentiles,
@@ -3224,6 +3233,7 @@ WHERE rn = 1
     "text_normalize": oracle.normalize_text_sql(),
     "events_survival": oracle.survival_curve_sql(),
     "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
+    "events_ab_test": oracle.ab_conversion_test_sql(),
     "graph_label_prop": oracle.graph_label_prop_sql(rounds=10, max_hamming=8),
     "graph_modularity": oracle.graph_modularity_sql(max_hamming=8),
     "column_percentiles": oracle.column_percentiles_sql(),

@@ -367,3 +367,56 @@ class TestCategoricalMutualInfo:
         r = categorical_mutual_info(df, "a", "b").collect()[0]
         # NULL b perfectly tracks a=x: full dependence again
         assert r.nmi == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.spark
+class TestAbConversionTest:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, event_type string")
+
+    @staticmethod
+    def _variant(uid: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    def test_z_matches_closed_form(self, spark):
+        from datalake_indexes_spark.operators.events import ab_conversion_test
+
+        rows = []
+        # planted: even uids convert (more purchases than clicks), odd don't
+        for uid in range(200):
+            if uid % 2 == 0:
+                rows += [(uid, "purchase"), (uid, "purchase"), (uid, "click")]
+            else:
+                rows += [(uid, "purchase"), (uid, "click"), (uid, "click")]
+        r = ab_conversion_test(self._events(spark, rows)).collect()[0]
+        # recompute from the known md5 assignment
+        na = sum(1 for u in range(200) if self._variant(u) == 0)
+        ca = sum(1 for u in range(200) if self._variant(u) == 0 and u % 2 == 0)
+        nb, cb = 200 - na, sum(1 for u in range(200) if self._variant(u) == 1 and u % 2 == 0)
+        assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (na, ca, nb, cb)
+        pa, pb, pool = ca / na, cb / nb, (ca + cb) / 200
+        z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+        assert r.z_score == pytest.approx(z, abs=1e-3)
+
+    def test_degenerate_experiment_reports_nan(self, spark):
+        from datalake_indexes_spark.operators.events import ab_conversion_test
+
+        rows = [(u, "purchase") for u in range(40)]  # everyone converts
+        r = ab_conversion_test(self._events(spark, rows)).collect()[0]
+        assert r.rate_a == 1.0 and r.rate_b == 1.0
+        assert math.isnan(r.z_score)
+        assert r.significant is False
+
+    def test_strong_effect_is_significant(self, spark):
+        from datalake_indexes_spark.operators.events import ab_conversion_test
+
+        rows = []
+        for uid in range(400):
+            # variant decides conversion almost perfectly: huge effect
+            conv = self._variant(uid) == 0
+            rows += [(uid, "purchase" if conv else "click")]
+        r = ab_conversion_test(self._events(spark, rows)).collect()[0]
+        assert r.significant
+        assert abs(r.z_score) > 10
