@@ -1340,14 +1340,22 @@ def ab_conversion_test(
     two-group aggregate — both map-side combinable; the final row is
     arithmetic over four counters.  No window, no join, no collect.
     """
-    from datalake_indexes_spark.functions.hashes import md5_bucket
-
     per_user = events.groupBy(F.col(key_col).alias("__k")).agg(
         (
             F.sum((F.col(type_col) == convert_type).cast("long"))
             > F.sum((F.col(type_col) == baseline_type).cast("long"))
         ).cast("long").alias("__conv")
     )
+    return ab_readout(per_user, z_crit=z_crit)
+
+
+def ab_readout(per_user: DataFrame, z_crit: float = 1.959963984540054) -> DataFrame:
+    """The z-test readout over a per-key conversion frame (__k, __conv ∈
+    {0,1}) — shared by the batch test above and the streaming monitor
+    (:mod:`..streaming.ab_stream`), so both surface the identical
+    statistic from the identical variant assignment."""
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
     tagged = per_user.withColumn("__v", md5_bucket("__k", 2))
     agg = tagged.agg(
         F.sum((F.col("__v") == 0).cast("long")).alias("n_a"),
