@@ -1384,3 +1384,109 @@ def ab_readout(per_user: DataFrame, z_crit: float = 1.959963984540054) -> DataFr
             "significant"
         ),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+    score_crit: float = 1.358,
+) -> DataFrame:
+    """Event-rate changepoint detection per type — CUSUM over the dense
+    per-period count series: (event_type, n_periods, change_period,
+    max_cusum_abs, score, change_flag).
+
+    CUSUM_t = Σ_{p ≤ t} c_p − t·(total/n): the cumulative surplus of
+    observed counts over the constant-rate expectation; its |max| peaks
+    AT the changepoint when the rate shifts once.  ``score`` normalizes
+    by σ_c·√n (population std of the period counts) — a Brownian-bridge
+    style statistic with the α = 0.05 KS critical value as the flag
+    heuristic (documented approximation; CUSUM significance is
+    classically bootstrap-calibrated).  Ties in |CUSUM| resolve to the
+    earliest period, so argmax is deterministic even under exact ties.
+
+    Quiet periods count as ZERO events (a type that stops emitting IS
+    the changepoint), via a dense per-type period grid exploded from the
+    corpus's global period bounds — calendar-bounded, not data-bounded.
+
+    Engine parity is structural: period counts are integers, so every
+    cumulative sum is exact; the only doubles are the final ratios.
+
+    Scale shape: one (type, period) count aggregate over the scan, the
+    dense grid is |types| × |periods| (catalog × calendar), the CUSUM
+    window partitions by type, and the argmax is a per-type aggregate
+    with min-period tie-break.  No global window, no self-join.
+    """
+    period = (
+        (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    ).cast("long")
+    counts = events.select(
+        F.col(type_col).alias("event_type"), period.alias("period")
+    ).groupBy("event_type", "period").agg(F.count(F.lit(1)).alias("c"))
+    bounds = counts.agg(
+        F.min("period").alias("__lo"), F.max("period").alias("__hi")
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("period"),
+        )
+    )
+    dense = grid.join(counts, ["event_type", "period"], "left").select(
+        "event_type", "period", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("period")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("event_type")
+    cum = F.sum("c").over(run)
+    t = F.row_number().over(w).cast("long")
+    total = F.sum("c").over(tot)
+    n = F.count(F.lit(1)).over(tot)
+    sq = F.sum(F.col("c") * F.col("c")).over(tot)
+    cusum = cum.cast("double") - t.cast("double") * (
+        total.cast("double") / n.cast("double")
+    )
+    scored = dense.select(
+        "event_type",
+        "period",
+        F.abs(cusum).alias("__a"),
+        n.alias("__n"),
+        total.alias("__tot"),
+        sq.alias("__sq"),
+    )
+    best = scored.groupBy("event_type").agg(
+        F.first("__n").alias("n_periods"),
+        F.max("__a").alias("__amax"),
+        F.first("__tot").alias("__tot"),
+        F.first("__sq").alias("__sq"),
+    )
+    # argmax with earliest-period tie-break: min(period) among rows whose
+    # |cusum| equals the per-type max — a semi-join-free second aggregate
+    # over the same scored frame
+    arg = (
+        scored.join(
+            best.select("event_type", "__amax"), "event_type"
+        )
+        .filter(F.col("__a") == F.col("__amax"))
+        .groupBy("event_type")
+        .agg(F.min("period").alias("change_period"))
+    )
+    nd = F.col("n_periods").cast("double")
+    mean = F.col("__tot").cast("double") / nd
+    var = F.col("__sq").cast("double") / nd - mean * mean
+    score = F.col("__amax") / F.nullif(F.sqrt(var) * F.sqrt(nd), F.lit(0.0))
+    return (
+        best.join(arg, "event_type")
+        .select(
+            "event_type",
+            "n_periods",
+            "change_period",
+            F.round("__amax", 6).alias("max_cusum_abs"),
+            F.round(score, 6).alias("score"),
+            F.coalesce(score > F.lit(score_crit), F.lit(False)).alias("change_flag"),
+        )
+    )

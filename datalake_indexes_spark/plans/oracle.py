@@ -5790,3 +5790,75 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CASE WHEN {se} > 0 THEN abs({z}) > CAST({z_crit!r} AS DOUBLE) ELSE false END AS significant
 FROM agg
 """
+
+
+def cusum_changepoints_sql(
+    period_us: int = 86_400_000_000,
+    score_crit: float = 1.358,
+    plant_predicate: str | None = None,
+) -> str:
+    """CUSUM twin: identical dense per-type period grid, identical
+    integer-exact cumulative counts, identical surplus/score closed
+    forms, earliest-period argmax tie-break.  ``plant_predicate``
+    optionally filters the events first (mirrors a planted rate
+    shift)."""
+    p = int(period_us)
+    where = f"WHERE {plant_predicate}" if plant_predicate else ""
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) - (epoch_us(ts) % {p})) // {p} AS period
+  FROM events {where}
+),
+counts AS (
+  SELECT event_type, period, count(*) AS c FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT min(period) AS lo, max(period) AS hi FROM counts),
+grid AS (
+  SELECT t.event_type, g.period
+  FROM (SELECT DISTINCT event_type FROM counts) t,
+       (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds))) AS period) g
+),
+dense AS (
+  SELECT g.event_type, g.period, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.period = g.period
+),
+scored AS (
+  SELECT event_type, period,
+         abs(CAST(sum(c) OVER (PARTITION BY event_type ORDER BY period
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             - CAST(row_number() OVER (PARTITION BY event_type ORDER BY period) AS DOUBLE)
+               * (CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE)
+                  / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE))) AS a,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS tot,
+         sum(c * c) OVER (PARTITION BY event_type) AS sq
+  FROM dense
+),
+best AS (
+  SELECT event_type, any_value(n) AS n_periods, max(a) AS amax,
+         any_value(tot) AS tot, any_value(sq) AS sq
+  FROM scored GROUP BY 1
+),
+arg AS (
+  SELECT s.event_type, min(s.period) AS change_period
+  FROM scored s JOIN best b ON b.event_type = s.event_type AND s.a = b.amax
+  GROUP BY 1
+)
+SELECT b.event_type,
+       CAST(b.n_periods AS BIGINT) AS n_periods,
+       a.change_period,
+       round(b.amax, 6) AS max_cusum_abs,
+       round(b.amax / nullif(sqrt(CAST(b.sq AS DOUBLE) / b.n_periods
+                                  - (CAST(b.tot AS DOUBLE) / b.n_periods)
+                                    * (CAST(b.tot AS DOUBLE) / b.n_periods))
+                             * sqrt(CAST(b.n_periods AS DOUBLE)), 0.0), 6) AS score,
+       coalesce(b.amax / nullif(sqrt(CAST(b.sq AS DOUBLE) / b.n_periods
+                                     - (CAST(b.tot AS DOUBLE) / b.n_periods)
+                                       * (CAST(b.tot AS DOUBLE) / b.n_periods))
+                                * sqrt(CAST(b.n_periods AS DOUBLE)), 0.0)
+                  > CAST({score_crit!r} AS DOUBLE), false) AS change_flag
+FROM best b JOIN arg a ON a.event_type = b.event_type
+"""

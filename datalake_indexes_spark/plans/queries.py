@@ -2722,6 +2722,31 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_conversion_test(_events_us(spark, sf_dir))
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM event-rate changepoint per type over events WITH a planted
+    rate shift -- the synthetic stream is rate-uniform (no changepoint
+    anywhere: near-vacuous flags), so click events in the LATER half of
+    the corpus are thinned to 1-in-5 by the deterministic rule
+    (event_id % 5 = 0), mirrored by the oracle: the click series gains a
+    real mid-corpus changepoint, every other series stays honest-null."""
+    from datalake_indexes_spark.operators.events import cusum_changepoints
+
+    ev = _events_us(spark, sf_dir)
+    # integer midpoint: min+max ~ 3.4e18 exceeds double's 2^53 exact
+    # range, so float division here could disagree with the oracle's
+    # integer // near the boundary
+    mid = ev.agg(F.min("ts_us").alias("__lo"), F.max("ts_us").alias("__hi")).select(
+        F.expr("(__lo + __hi) div 2").alias("__mid")
+    )
+    keep = (
+        (F.col("event_type") != "click")
+        | (F.col("ts_us") < F.col("__mid"))
+        | (F.col("event_id") % 5 == 0)
+    )
+    planted = ev.crossJoin(F.broadcast(mid)).filter(keep)
+    return cusum_changepoints(planted)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -2932,6 +2957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_survival": q_events_survival,
     "column_mutual_info": q_column_mutual_info,
     "events_ab_test": q_events_ab_test,
+    "events_changepoint": q_events_changepoint,
     "graph_label_prop": q_graph_label_prop,
     "graph_modularity": q_graph_modularity,
     "column_percentiles": q_column_percentiles,
@@ -3234,6 +3260,9 @@ WHERE rn = 1
     "events_survival": oracle.survival_curve_sql(),
     "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
     "events_ab_test": oracle.ab_conversion_test_sql(),
+    "events_changepoint": oracle.cusum_changepoints_sql(
+        plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
+    ),
     "graph_label_prop": oracle.graph_label_prop_sql(rounds=10, max_hamming=8),
     "graph_modularity": oracle.graph_modularity_sql(max_hamming=8),
     "column_percentiles": oracle.column_percentiles_sql(),

@@ -420,3 +420,61 @@ class TestAbConversionTest:
         r = ab_conversion_test(self._events(spark, rows)).collect()[0]
         assert r.significant
         assert abs(r.z_score) > 10
+
+
+@pytest.mark.spark
+class TestCusumChangepoints:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, ts_us long")
+
+    def test_clean_step_detected_at_the_step(self, spark):
+        """Rate 10/period for 20 periods then 2/period for 20: |CUSUM|
+        peaks at the last high-rate period and the score clears the
+        threshold."""
+        from datalake_indexes_spark.operators.events import cusum_changepoints
+
+        rows = []
+        for p in range(40):
+            n = 10 if p < 20 else 2
+            rows += [("a", p * 100 + i) for i in range(n)]
+        out = cusum_changepoints(self._events(spark, rows), period_us=100).collect()
+        r = out[0]
+        assert r.n_periods == 40
+        assert r.change_period == 19
+        # exact: mean 6, surplus 4/period for 20 periods = 80
+        assert r.max_cusum_abs == pytest.approx(80.0, abs=1e-6)
+        assert r.change_flag
+
+    def test_constant_rate_not_flagged(self, spark):
+        from datalake_indexes_spark.operators.events import cusum_changepoints
+
+        rows = [("a", p * 100 + i) for p in range(30) for i in range(5)]
+        r = cusum_changepoints(self._events(spark, rows), period_us=100).collect()[0]
+        # perfectly constant: every CUSUM is exactly 0, score undefined (σ=0)
+        assert r.max_cusum_abs == 0.0
+        assert not r.change_flag
+
+    def test_quiet_periods_count_as_zero(self, spark):
+        """A type that stops emitting entirely IS a changepoint; the dense
+        grid must include its silent tail."""
+        from datalake_indexes_spark.operators.events import cusum_changepoints
+
+        rows = [("a", p * 100 + i) for p in range(10) for i in range(8)]
+        # keep the corpus alive for 10 more periods via another type
+        rows += [("b", p * 100) for p in range(20)]
+        out = {r.event_type: r for r in cusum_changepoints(
+            self._events(spark, rows), period_us=100
+        ).collect()}
+        assert out["a"].n_periods == 20
+        assert out["a"].change_period == 9
+        assert out["a"].change_flag
+
+    def test_tie_breaks_to_earliest_period(self, spark):
+        from datalake_indexes_spark.operators.events import cusum_changepoints
+
+        # symmetric single spike: |CUSUM| hits the same max before and
+        # after the spike period; earliest wins
+        rows = [("a", p * 100 + i) for p in range(5) for i in range(2)]
+        rows += [("a", 200 + 50 + i) for i in range(6)]  # extra 6 in period 2
+        r = cusum_changepoints(self._events(spark, rows), period_us=100).collect()[0]
+        assert r.change_period <= 2
