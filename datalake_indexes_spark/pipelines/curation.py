@@ -30,6 +30,8 @@ Stage registry (params beyond ``stage`` are passed through):
 - ``langs``: keep docs whose detected language is in ``keep``
 - ``max_repetition``: keep docs with top-bigram fraction <= ``max_frac``
 - ``pii_scrub``: TRANSFORM — replace text with the scrubbed version
+- ``normalize``: TRANSFORM — unicode-normalize the text (the usual
+  FIRST stage: quote/dash folds, control strip, space collapse)
 - ``dedup_exact``: keep the earliest copy of each exact text
 - ``dedup_minhash``: drop near-duplicates (keep the smaller doc_id of
   each detected pair)
@@ -117,6 +119,20 @@ def _stage_pii_scrub(docs, id_col, text_col):
     )
     return docs.drop(text_col).join(scrubbed, id_col).withColumnRenamed(
         "scrubbed", text_col
+    )
+
+
+def _stage_normalize(docs, id_col, text_col):
+    # TRANSFORM — deterministic unicode cleanup (quotes/dashes/ellipsis
+    # fold, control/zero-width strip, space collapse); map-only, so the
+    # stage adds zero shuffles to the composed plan
+    from datalake_indexes_spark.operators.text_analysis import normalize_text
+
+    normed = normalize_text(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias(id_col), F.col("normalized")
+    )
+    return docs.drop(text_col).join(normed, id_col).withColumnRenamed(
+        "normalized", text_col
     )
 
 
@@ -264,6 +280,7 @@ STAGES = {
     "langs": _stage_langs,
     "max_repetition": _stage_max_repetition,
     "pii_scrub": _stage_pii_scrub,
+    "normalize": _stage_normalize,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,

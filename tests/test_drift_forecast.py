@@ -478,3 +478,37 @@ class TestCusumChangepoints:
         rows += [("a", 200 + 50 + i) for i in range(6)]  # extra 6 in period 2
         r = cusum_changepoints(self._events(spark, rows), period_us=100).collect()[0]
         assert r.change_period <= 2
+
+
+@pytest.mark.spark
+class TestNormalizeCurationStage:
+    def test_normalize_stage_composes(self, spark):
+        """normalize as the first stage of a pipeline: the dirty duplicate
+        only collapses onto the clean copy AFTER normalization."""
+        from datalake_indexes_spark.operators.text_analysis import (
+            PLANT_NOISE_PREFIX,
+        )
+        from datalake_indexes_spark.pipelines.curation import run_curation
+
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        docs = spark.createDataFrame(
+            [
+                (1, base.strip()),
+                (2, PLANT_NOISE_PREFIX + base.strip()),  # dirty variant
+                (3, "completely different text about spark pipelines " * 3),
+            ],
+            "doc_id long, text string",
+        )
+        res = run_curation(docs, [{"stage": "normalize"}, {"stage": "dedup_exact"}])
+        out = {r.doc_id: r.text for r in res.docs.collect()}
+        # doc 2 normalizes to '"Q" - <base>' (prefix keeps quotes/dash) —
+        # NOT equal to doc 1, so it survives; but a pure-noise wrapper that
+        # normalizes to the same text must collapse:
+        assert set(out) == {1, 2, 3}
+        docs2 = spark.createDataFrame(
+            [(1, base.strip()), (2, base.strip() + "  ​ "), (3, "x")],
+            "doc_id long, text string",
+        )
+        res2 = run_curation(docs2, [{"stage": "normalize"}, {"stage": "dedup_exact"}])
+        ids = {r.doc_id for r in res2.docs.collect()}
+        assert ids == {1, 3}  # dirty twin collapsed onto the clean copy
