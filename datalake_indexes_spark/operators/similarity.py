@@ -1388,3 +1388,64 @@ def hyperplane_lsh_topk_multiprobe(
             F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )
+
+
+def embedding_drift(
+    emb_a: DataFrame, emb_b: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row embedding-space drift report between two snapshots/cohorts:
+    (n_a, n_b, dim, centroid_cosine, mean_norm_a, mean_norm_b,
+    norm_ratio) — the monitoring signal for an embedding pipeline (a new
+    encoder checkpoint, a corpus mix change, or a silent preprocessing
+    regression all move the centroid direction and/or the norm scale
+    long before top-k quality visibly degrades).
+
+    centroid_cosine = cos(mean_a, mean_b): 1.0 means the cohorts point
+    the same way on average; mean_norm ratio catches pure rescaling that
+    cosine is blind to.
+
+    Scale shape: each side is ONE posexplode + per-position average —
+    a map-side-combinable aggregate grouped by a dim-bounded key (64
+    positions, not rows) — plus one norm aggregate; the centroid cosine
+    is computed by joining the two dim-sized mean frames.  No pairwise
+    anything, no collect.
+    """
+    def mean_vec(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("pos", "__x"))
+            .groupBy("pos")
+            .agg(F.avg(F.col("__x").cast("double")).alias(f"__m_{tag}"))
+        )
+
+    def side_stats(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg(_norm(F.col(vec_col))).alias(f"__mean_norm_{tag}"),
+        )
+
+    means = mean_vec(emb_a, "a").join(mean_vec(emb_b, "b"), "pos")
+    cen = means.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(F.col("__m_a") * F.col("__m_b")).alias("__dot"),
+        F.sum(F.col("__m_a") * F.col("__m_a")).alias("__na2"),
+        F.sum(F.col("__m_b") * F.col("__m_b")).alias("__nb2"),
+    )
+    out = (
+        side_stats(emb_a, "a")
+        .crossJoin(F.broadcast(side_stats(emb_b, "b")))
+        .crossJoin(F.broadcast(cen))
+    )
+    cosine = F.col("__dot") / F.nullif(
+        F.sqrt(F.col("__na2") * F.col("__nb2")), F.lit(0.0)
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "dim",
+        F.round(cosine, 6).alias("centroid_cosine"),
+        F.round("__mean_norm_a", 6).alias("mean_norm_a"),
+        F.round("__mean_norm_b", 6).alias("mean_norm_b"),
+        F.round(
+            F.col("__mean_norm_b") / F.nullif(F.col("__mean_norm_a"), F.lit(0.0)), 6
+        ).alias("norm_ratio"),
+    )

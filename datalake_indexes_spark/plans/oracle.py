@@ -5862,3 +5862,112 @@ SELECT b.event_type,
                   > CAST({score_crit!r} AS DOUBLE), false) AS change_flag
 FROM best b JOIN arg a ON a.event_type = b.event_type
 """
+
+
+def profile_psi_sql(nbins: int = 10, shift: int = 50, eps: float = 0.5) -> str:
+    """PSI twin over the same planted supplier shift and the same
+    independent raw-table derivation as profile_drift_sql; Laplace
+    smoothing p = (n + eps)/(N + eps·nbins) keeps empty buckets finite."""
+    va = f"""
+  SELECT 1 AS table_id, 0 AS col_id, CAST(n_nationkey AS DOUBLE) AS v FROM nation
+  UNION ALL SELECT 1, 2, CAST(n_regionkey AS DOUBLE) FROM nation
+  UNION ALL SELECT 3, 0, CAST(s_suppkey AS DOUBLE) FROM supplier
+  UNION ALL SELECT 3, 2, CAST(s_nationkey AS DOUBLE) FROM supplier"""
+    vb = va.replace("CAST(s_suppkey AS DOUBLE)",
+                    f"CAST(s_suppkey + {shift} AS DOUBLE)")
+    pa = f"(j.n_a + {eps!r}) / (t.n_a + {eps * nbins!r})"
+    pb = f"(j.n_b + {eps!r}) / (t.n_b + {eps * nbins!r})"
+    return f"""
+WITH va AS ({va}),
+vb AS ({vb}),
+bounds AS (
+  SELECT a.table_id, a.col_id,
+         least(a.lo, b.lo) AS lo, greatest(a.hi, b.hi) AS hi
+  FROM (SELECT table_id, col_id, min(v) AS lo, max(v) AS hi
+        FROM va GROUP BY 1, 2) a
+  JOIN (SELECT table_id, col_id, min(v) AS lo, max(v) AS hi
+        FROM vb GROUP BY 1, 2) b USING (table_id, col_id)
+),
+ha AS (
+  SELECT v.table_id, v.col_id,
+         CASE WHEN (bo.hi - bo.lo) / {nbins} > 0
+              THEN least(CAST(floor((v.v - bo.lo) / ((bo.hi - bo.lo) / {nbins}))
+                         AS INT), {nbins - 1})
+              ELSE 0 END AS b,
+         count(*) AS n_a
+  FROM va v JOIN bounds bo USING (table_id, col_id) GROUP BY 1, 2, 3
+),
+hb AS (
+  SELECT v.table_id, v.col_id,
+         CASE WHEN (bo.hi - bo.lo) / {nbins} > 0
+              THEN least(CAST(floor((v.v - bo.lo) / ((bo.hi - bo.lo) / {nbins}))
+                         AS INT), {nbins - 1})
+              ELSE 0 END AS b,
+         count(*) AS n_b
+  FROM vb v JOIN bounds bo USING (table_id, col_id) GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT coalesce(ha.table_id, hb.table_id) AS table_id,
+         coalesce(ha.col_id, hb.col_id) AS col_id,
+         coalesce(ha.b, hb.b) AS b,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ha FULL OUTER JOIN hb
+    ON ha.table_id = hb.table_id AND ha.col_id = hb.col_id AND ha.b = hb.b
+),
+tot AS (
+  SELECT table_id, col_id, sum(n_a) AS n_a, sum(n_b) AS n_b
+  FROM j GROUP BY 1, 2
+)
+SELECT j.table_id, j.col_id,
+       CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       round(sum(({pa} - {pb}) * ln({pa} / {pb})), 6) AS psi
+FROM j JOIN tot t USING (table_id, col_id)
+GROUP BY 1, 2, t.n_a, t.n_b
+"""
+
+
+def embedding_drift_sql(plant_shift: float = 0.35) -> str:
+    """Embedding-drift twin: even/odd vec_id cohorts, the odd cohort's
+    FIRST component shifted by ``plant_shift`` at the unnested level
+    (mirrors the engine's indexed transform), identical centroid-cosine
+    and mean-norm closed forms."""
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+tagged AS (
+  SELECT vec_id, pos,
+         CASE WHEN vec_id % 2 = 1 AND pos = 1 THEN x + {plant_shift!r} ELSE x END AS x,
+         vec_id % 2 AS side
+  FROM flat
+),
+norms AS (
+  SELECT vec_id, side, sqrt(sum(x * x)) AS nrm FROM tagged GROUP BY 1, 2
+),
+sides AS (
+  SELECT side, count(*) AS n, avg(nrm) AS mean_norm FROM norms GROUP BY 1
+),
+means AS (
+  SELECT pos,
+         avg(CASE WHEN side = 0 THEN x END) AS m_a,
+         avg(CASE WHEN side = 1 THEN x END) AS m_b
+  FROM tagged GROUP BY 1
+),
+cen AS (
+  SELECT count(*) AS dim, sum(m_a * m_b) AS dot,
+         sum(m_a * m_a) AS na2, sum(m_b * m_b) AS nb2
+  FROM means
+)
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       CAST(c.dim AS BIGINT) AS dim,
+       round(c.dot / nullif(sqrt(c.na2 * c.nb2), 0.0), 6) AS centroid_cosine,
+       round(a.mean_norm, 6) AS mean_norm_a,
+       round(b.mean_norm, 6) AS mean_norm_b,
+       round(b.mean_norm / nullif(a.mean_norm, 0.0), 6) AS norm_ratio
+FROM (SELECT * FROM sides WHERE side = 0) a,
+     (SELECT * FROM sides WHERE side = 1) b,
+     cen c
+"""

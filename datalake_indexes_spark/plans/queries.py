@@ -2747,6 +2747,49 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(planted)
 
 
+def q_profile_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the SAME planted supplier shift as
+    profile_drift -- the log-ratio drift metric next to the TV distance."""
+    from datalake_indexes_spark.operators.cocoa import profile_psi
+
+    tbls = load_tables(spark, sf_dir, ["nation", "supplier"])
+    spec = {
+        "nation": TESTDATA_LAKE_SPEC["nation"],
+        "supplier": TESTDATA_LAKE_SPEC["supplier"],
+    }
+    idx_a = build_index(spark, tbls, spec, with_super_keys=False)
+    shifted = tbls["supplier"].withColumn(
+        "s_suppkey", F.col("s_suppkey") + F.lit(50)
+    )
+    idx_b = build_index(
+        spark, {"nation": tbls["nation"], "supplier": shifted}, spec,
+        with_super_keys=False,
+    )
+    return profile_psi(idx_a, idx_b, nbins=10)
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between the even and odd vec_id cohorts WITH
+    a planted directional shift (+0.35 on the odd cohort's first
+    component, mirrored by the oracle) -- centroid cosine departs from
+    1.0, norm ratio reports the scale change."""
+    from datalake_indexes_spark.operators.similarity import embedding_drift
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.35)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return embedding_drift(a, b)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -2958,6 +3001,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_mutual_info": q_column_mutual_info,
     "events_ab_test": q_events_ab_test,
     "events_changepoint": q_events_changepoint,
+    "profile_psi": q_profile_psi,
+    "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
     "graph_modularity": q_graph_modularity,
     "column_percentiles": q_column_percentiles,
@@ -3191,6 +3236,8 @@ WHERE rn = 1
     "inclusion_deps": oracle.inclusion_deps_sql(),
     "column_minhash": oracle.column_minhash_sql(k=16),
     "profile_drift": oracle.profile_drift_sql(nbins=10, shift=50),
+    "profile_psi": oracle.profile_psi_sql(nbins=10, shift=50),
+    "embedding_drift": oracle.embedding_drift_sql(plant_shift=0.35),
     "functional_deps": oracle.functional_deps_sql(),
     "join_cardinalities": oracle.join_cardinalities_sql(),
     "column_histograms": oracle.column_histograms_sql(nbins=10),

@@ -512,3 +512,88 @@ class TestNormalizeCurationStage:
         res2 = run_curation(docs2, [{"stage": "normalize"}, {"stage": "dedup_exact"}])
         ids = {r.doc_id for r in res2.docs.collect()}
         assert ids == {1, 3}  # dirty twin collapsed onto the clean copy
+
+
+@pytest.mark.spark
+class TestProfilePsi:
+    def _idx(self, spark, vals):
+        from datalake_indexes_spark.index.lake_index import LakeIndex
+
+        cells = [(1, 0, i, str(v)) for i, v in enumerate(vals)]
+        return LakeIndex(
+            cells=spark.createDataFrame(
+                cells, "table_id int, col_id int, row_id int, tokenized string"
+            ),
+            row_keys=None, column_headers=None, table_info=None,
+        )
+
+    def test_identical_snapshots_near_zero(self, spark):
+        from datalake_indexes_spark.operators.cocoa import profile_psi
+
+        vals = list(range(100))
+        a, b = self._idx(spark, vals), self._idx(spark, vals)
+        r = profile_psi(a, b).collect()[0]
+        assert abs(r.psi) < 1e-9
+
+    def test_shift_raises_psi_above_alert(self, spark):
+        """A full-range shift (values +80 of a 0..99 base) moves most
+        mass across buckets: PSI far above the 0.25 alert threshold."""
+        from datalake_indexes_spark.operators.cocoa import profile_psi
+
+        a = self._idx(spark, list(range(100)))
+        b = self._idx(spark, [v + 80 for v in range(100)])
+        r = profile_psi(a, b).collect()[0]
+        assert r.psi > 0.25
+
+    def test_matches_hand_computed(self, spark):
+        """Two buckets, known masses: PSI = Σ (pa-pb)·ln(pa/pb) with
+        eps smoothing, hand-checked."""
+        from datalake_indexes_spark.operators.cocoa import profile_psi
+
+        # range 0..10, nbins=2 → buckets [0,5) and [5,10]; a: 8 low 2 high,
+        # b: 2 low 8 high
+        a = self._idx(spark, [0, 1, 2, 3, 4, 0, 1, 2, 9, 10])
+        b = self._idx(spark, [0, 1, 9, 10, 10, 9, 8, 7, 6, 10])
+        r = profile_psi(a, b, nbins=2, eps=0.5).collect()[0]
+        pa = [(8 + 0.5) / 11, (2 + 0.5) / 11]
+        pb = [(2 + 0.5) / 11, (8 + 0.5) / 11]
+        want = sum((x - y) * math.log(x / y) for x, y in zip(pa, pb))
+        assert r.psi == pytest.approx(want, abs=1e-6)
+
+
+@pytest.mark.spark
+class TestEmbeddingDrift:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_identical_cohorts(self, spark):
+        from datalake_indexes_spark.operators.similarity import embedding_drift
+
+        vecs = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [0.5, 0.5, 0.5]]
+        a = self._emb(spark, vecs)
+        r = embedding_drift(a, a).collect()[0]
+        assert r.centroid_cosine == pytest.approx(1.0, abs=1e-9)
+        assert r.norm_ratio == pytest.approx(1.0, abs=1e-9)
+        assert r.dim == 3 and r.n_a == 3
+
+    def test_orthogonal_centroids(self, spark):
+        from datalake_indexes_spark.operators.similarity import embedding_drift
+
+        a = self._emb(spark, [[1.0, 0.0], [1.0, 0.0]])
+        b = self._emb(spark, [[0.0, 1.0], [0.0, 1.0]])
+        r = embedding_drift(a, b).collect()[0]
+        assert r.centroid_cosine == pytest.approx(0.0, abs=1e-9)
+
+    def test_pure_rescale_caught_by_norm_ratio(self, spark):
+        """Doubling every vector: cosine stays 1 (blind), norm ratio 2."""
+        from datalake_indexes_spark.operators.similarity import embedding_drift
+
+        vecs = [[1.0, 2.0], [3.0, 4.0]]
+        a = self._emb(spark, vecs)
+        b = self._emb(spark, [[2 * x for x in v] for v in vecs])
+        r = embedding_drift(a, b).collect()[0]
+        assert r.centroid_cosine == pytest.approx(1.0, abs=1e-9)
+        assert r.norm_ratio == pytest.approx(2.0, abs=1e-9)
