@@ -1424,6 +1424,14 @@ def cusum_changepoints(
     counts = events.select(
         F.col(type_col).alias("event_type"), period.alias("period")
     ).groupBy("event_type", "period").agg(F.count(F.lit(1)).alias("c"))
+    return cusum_readout(counts, score_crit=score_crit)
+
+
+def cusum_readout(counts: DataFrame, score_crit: float = 1.358) -> DataFrame:
+    """The CUSUM scan over an already-aggregated (event_type, period, c)
+    count frame — shared by the batch detector above and the streaming
+    monitor (:mod:`..streaming.changepoint_stream`), whose per-batch
+    partials fold into exactly this shape."""
     bounds = counts.agg(
         F.min("period").alias("__lo"), F.max("period").alias("__hi")
     )
