@@ -1498,3 +1498,109 @@ def cusum_readout(counts: DataFrame, score_crit: float = 1.358) -> DataFrame:
             F.coalesce(score > F.lit(score_crit), F.lit(False)).alias("change_flag"),
         )
     )
+
+
+def ab_cuped_test(
+    events: DataFrame,
+    metric_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """CUPED variance-reduced A/B test on a count metric: per user, the
+    PRE-period metric count (before the corpus's integer midpoint) is
+    the covariate x, the POST-period count is the outcome y, variants
+    come from the package's md5 bucket rule, and the readout compares
+    adjusted means y′ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled —
+    the industry-standard experimentation trick (Deng et al., WSDM'13):
+    pre-period behavior soaks up between-user variance the treatment
+    can't explain, shrinking the CI at identical sample size.
+
+    One row: (n_a, n_b, theta, var_reduction, mean_adj_a, mean_adj_b,
+    z_raw, z_adj, significant) — ``var_reduction`` = var(y′)/var(y)
+    pooled (< 1 when the covariate helps), ``z_adj`` the Welch-style
+    statistic on adjusted means (population variances; large-n), with
+    ``z_raw`` alongside so the reduction is visible.
+
+    Engine parity is structural: x and y are integer counts, so every
+    moment sum (Σx, Σy, Σx², Σy², Σxy per variant) is EXACT — θ,
+    adjusted means and variances expand algebraically from those sums
+    (ȳ′_v = ȳ_v − θ(x̄_v − x̄); var_v(y′) = var_v(y) − 2θ·cov_v +
+    θ²·var_v(x)), so no per-row double ever accumulates.
+
+    Scale shape: one per-user aggregate (uniform key shuffle), then ONE
+    global aggregate of twelve conditional integer sums; the statistic
+    is arithmetic over that single row.  No window, no join, no collect.
+    """
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    mid = events.agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    ).select(F.expr("(__lo + __hi) div 2").alias("__mid"))
+    is_metric = (F.col(type_col) == metric_type).cast("long")
+    per_user = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.sum(F.when(F.col(ts_col) < F.col("__mid"), is_metric).otherwise(0)).alias("__x"),
+            F.sum(F.when(F.col(ts_col) >= F.col("__mid"), is_metric).otherwise(0)).alias("__y"),
+        )
+        .withColumn("__v", md5_bucket("__k", 2))
+    )
+
+    def sums(side: int, tag: str):
+        inv = F.col("__v") == side
+        return [
+            F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(inv, F.col("__x")).otherwise(0)).alias(f"__sx_{tag}"),
+            F.sum(F.when(inv, F.col("__y")).otherwise(0)).alias(f"__sy_{tag}"),
+            F.sum(F.when(inv, F.col("__x") * F.col("__x")).otherwise(0)).alias(f"__sxx_{tag}"),
+            F.sum(F.when(inv, F.col("__y") * F.col("__y")).otherwise(0)).alias(f"__syy_{tag}"),
+            F.sum(F.when(inv, F.col("__x") * F.col("__y")).otherwise(0)).alias(f"__sxy_{tag}"),
+        ]
+
+    agg = per_user.agg(*sums(0, "a"), *sums(1, "b"))
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    na, nb = d("n_a"), d("n_b")
+    n = na + nb
+    sx = d("__sx_a") + d("__sx_b")
+    sy = d("__sy_a") + d("__sy_b")
+    sxx = d("__sxx_a") + d("__sxx_b")
+    syy = d("__syy_a") + d("__syy_b")
+    sxy = d("__sxy_a") + d("__sxy_b")
+    xbar, ybar = sx / n, sy / n
+    var_x = sxx / n - xbar * xbar
+    var_y = syy / n - ybar * ybar
+    cov = sxy / n - xbar * ybar
+    theta = cov / F.nullif(var_x, F.lit(0.0))
+    var_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+
+    def variant(tag: str):
+        nv = d(f"n_{tag}")
+        xv, yv = d(f"__sx_{tag}") / nv, d(f"__sy_{tag}") / nv
+        mean_adj = yv - theta * (xv - xbar)
+        var_yv = d(f"__syy_{tag}") / nv - yv * yv
+        var_xv = d(f"__sxx_{tag}") / nv - xv * xv
+        cov_v = d(f"__sxy_{tag}") / nv - xv * yv
+        var_adj_v = var_yv - F.lit(2.0) * theta * cov_v + theta * theta * var_xv
+        return nv, yv, mean_adj, var_yv, var_adj_v
+
+    na_, ya, ma, vya, vaa = variant("a")
+    nb_, yb, mb, vyb, vab = variant("b")
+    z_raw = (ya - yb) / F.nullif(F.sqrt(vya / na_ + vyb / nb_), F.lit(0.0))
+    z_adj = (ma - mb) / F.nullif(F.sqrt(vaa / na_ + vab / nb_), F.lit(0.0))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(var_adj / F.nullif(var_y, F.lit(0.0)), 6).alias("var_reduction"),
+        F.round(ma, 6).alias("mean_adj_a"),
+        F.round(mb, 6).alias("mean_adj_b"),
+        F.round(z_raw, 4).alias("z_raw"),
+        F.round(z_adj, 4).alias("z_adj"),
+        F.coalesce(F.abs(z_adj) > F.lit(z_crit), F.lit(False)).alias("significant"),
+    )

@@ -5971,3 +5971,113 @@ FROM (SELECT * FROM sides WHERE side = 0) a,
      (SELECT * FROM sides WHERE side = 1) b,
      cen c
 """
+
+
+def ab_cuped_test_sql(
+    metric_type: str = "purchase", z_crit: float = 1.959963984540054
+) -> str:
+    """CUPED twin: same integer midpoint split, same md5 variant rule,
+    same exact integer moment sums, same algebraic expansion of the
+    adjusted means/variances (expression trees mirrored term for term)."""
+    return f"""
+WITH mid AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events
+),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) < mid.m
+                  AND event_type = '{metric_type}' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN epoch_us(ts) >= mid.m
+                  AND event_type = '{metric_type}' THEN 1 ELSE 0 END) AS y
+  FROM events, mid GROUP BY user_id, mid.m
+),
+tagged AS (
+  SELECT x, y,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS v
+  FROM per_user
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+    sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sx_a,
+    sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sy_a,
+    sum(CASE WHEN v = 0 THEN x * x ELSE 0 END) AS sxx_a,
+    sum(CASE WHEN v = 0 THEN y * y ELSE 0 END) AS syy_a,
+    sum(CASE WHEN v = 0 THEN x * y ELSE 0 END) AS sxy_a,
+    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+    sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sx_b,
+    sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS sy_b,
+    sum(CASE WHEN v = 1 THEN x * x ELSE 0 END) AS sxx_b,
+    sum(CASE WHEN v = 1 THEN y * y ELSE 0 END) AS syy_b,
+    sum(CASE WHEN v = 1 THEN x * y ELSE 0 END) AS sxy_b
+  FROM tagged
+),
+pooled AS (
+  SELECT *,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+    (CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE))
+      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS xbar,
+    (CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE))
+      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS ybar
+  FROM agg
+),
+stats AS (
+  SELECT *,
+    (CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE)) / n - xbar * xbar AS var_x,
+    (CAST(syy_a AS DOUBLE) + CAST(syy_b AS DOUBLE)) / n - ybar * ybar AS var_y,
+    (CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE)) / n - xbar * ybar AS cov
+  FROM pooled
+),
+theta_t AS (SELECT *, cov / nullif(var_x, 0.0) AS theta FROM stats),
+var_t AS (
+  SELECT *, var_y - 2.0 * theta * cov + theta * theta * var_x AS var_adj
+  FROM theta_t
+),
+sides AS (
+  SELECT *,
+    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar) AS ma,
+    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar) AS mb,
+    CAST(syy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        * (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS vya,
+    CAST(syy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        * (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vyb,
+    CAST(sxx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS vxa,
+    CAST(sxx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vxb,
+    CAST(sxy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      - (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        * (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS cva,
+    CAST(sxy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        * (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS cvb
+  FROM var_t
+),
+final AS (
+  SELECT *,
+    vya - 2.0 * theta * cva + theta * theta * vxa AS vaa,
+    vyb - 2.0 * theta * cvb + theta * theta * vxb AS vab
+  FROM sides
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(theta, 6) AS theta,
+       round(var_adj / nullif(var_y, 0.0), 6) AS var_reduction,
+       round(ma, 6) AS mean_adj_a,
+       round(mb, 6) AS mean_adj_b,
+       round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / nullif(sqrt(vya / CAST(n_a AS DOUBLE)
+                           + vyb / CAST(n_b AS DOUBLE)), 0.0), 4) AS z_raw,
+       round((ma - mb) / nullif(sqrt(vaa / CAST(n_a AS DOUBLE)
+                                     + vab / CAST(n_b AS DOUBLE)), 0.0), 4) AS z_adj,
+       coalesce(abs((ma - mb) / nullif(sqrt(vaa / CAST(n_a AS DOUBLE)
+                                            + vab / CAST(n_b AS DOUBLE)), 0.0))
+                  > CAST({z_crit!r} AS DOUBLE), false) AS significant
+FROM final
+"""

@@ -2790,6 +2790,15 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(a, b)
 
 
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B test on the purchase-count metric:
+    pre-midpoint counts as the covariate, md5 variants, Welch-style z on
+    adjusted means."""
+    from datalake_indexes_spark.operators.events import ab_cuped_test
+
+    return ab_cuped_test(_events_us(spark, sf_dir))
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3001,6 +3010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_mutual_info": q_column_mutual_info,
     "events_ab_test": q_events_ab_test,
     "events_changepoint": q_events_changepoint,
+    "events_ab_cuped": q_events_ab_cuped,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3307,6 +3317,7 @@ WHERE rn = 1
     "events_survival": oracle.survival_curve_sql(),
     "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
     "events_ab_test": oracle.ab_conversion_test_sql(),
+    "events_ab_cuped": oracle.ab_cuped_test_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

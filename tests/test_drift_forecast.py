@@ -597,3 +597,52 @@ class TestEmbeddingDrift:
         r = embedding_drift(a, b).collect()[0]
         assert r.centroid_cosine == pytest.approx(1.0, abs=1e-9)
         assert r.norm_ratio == pytest.approx(2.0, abs=1e-9)
+
+
+@pytest.mark.spark
+class TestAbCupedTest:
+    @staticmethod
+    def _variant(uid: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    def test_cuped_recovers_effect_raw_misses(self, spark):
+        """Heterogeneous per-user base rates drown a small treatment
+        effect in the raw comparison; the pre-period covariate absorbs
+        them, so the adjusted z flags the effect with high variance
+        reduction."""
+        from datalake_indexes_spark.operators.events import ab_cuped_test
+
+        rows = []
+        for uid in range(300):
+            base = (uid % 20) * 2  # 0..38 purchases, per period
+            effect = 3 if self._variant(uid) == 0 else 0
+            # pre period: ts < 1000; post: ts >= 1000 (corpus spans 0..2000)
+            rows += [(uid, "purchase", 10 + i) for i in range(base)]
+            rows += [(uid, "purchase", 1500 + i) for i in range(base + effect)]
+            rows += [(uid, "view", 0), (uid, "view", 2000)]  # pin the bounds
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+        r = ab_cuped_test(ev).collect()[0]
+        # theta ~ 1 (y = x + effect), variance reduction enormous
+        assert r.theta == pytest.approx(1.0, abs=0.05)
+        assert r.var_reduction < 0.05
+        assert abs(r.z_adj) > abs(r.z_raw)
+        assert r.significant
+        # adjusted means differ by ~the planted effect
+        assert (r.mean_adj_a - r.mean_adj_b) == pytest.approx(3.0, abs=0.5)
+
+    def test_no_effect_is_null(self, spark):
+        from datalake_indexes_spark.operators.events import ab_cuped_test
+
+        rows = []
+        for uid in range(200):
+            base = (uid % 10) * 3
+            rows += [(uid, "purchase", 10 + i) for i in range(base)]
+            rows += [(uid, "purchase", 1500 + i) for i in range(base)]
+            rows += [(uid, "view", 0), (uid, "view", 2000)]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+        r = ab_cuped_test(ev).collect()[0]
+        # y == x exactly: perfect covariate, adjusted means equal
+        assert r.var_reduction == pytest.approx(0.0, abs=1e-9)
+        assert not r.significant
