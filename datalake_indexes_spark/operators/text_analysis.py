@@ -1411,3 +1411,77 @@ def normalize_text(
 # space-before-newline and a 4-newline run.
 PLANT_NOISE_PREFIX = "\u201CQ\u201D\u00A0\u2014\t "
 PLANT_NOISE_SUFFIX = " \u2026\u200B\u0001  end \n\n\n\nfin"
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row Zipf's-law fit over the corpus vocabulary: (n_tokens,
+    vocab_size, top_n, slope, intercept, r2) — OLS of ln(freq) on
+    ln(rank) over the ``top_n`` most frequent words.  Natural language
+    sits near slope −1; a corpus drifting toward templated/generated
+    boilerplate flattens the head (slope → 0 over the top ranks), and a
+    dedup bug shows up as a violently steepened head — a cheap
+    whole-corpus health gauge next to per-doc quality scores.
+
+    Ranking is deterministic: count DESC, word ASC on ties, taken with
+    ``orderBy().limit(top_n)`` (TakeOrderedAndProject — distributed
+    partial top-k, no global window over the vocabulary), then ranked
+    by a window over the top_n-bounded frame (the sanctioned k-bounded
+    tier).  Whitespace tokenization matches :func:`vocab_topk`.
+
+    Scale shape: one word-count aggregate (vocabulary-keyed shuffle),
+    a distributed top-k, then arithmetic over ≤ top_n rows.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    ).filter(F.col("__w") != "")
+    counts = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = counts.orderBy(F.desc("__c"), F.asc("__w")).limit(top_n)
+    ranked = top.select(
+        F.ln(
+            F.row_number()
+            .over(Window.orderBy(F.desc("__c"), F.asc("__w")))
+            .cast("double")
+        ).alias("__lr"),
+        F.ln(F.col("__c").cast("double")).alias("__lf"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__lr").alias("__sx"),
+        F.sum("__lf").alias("__sy"),
+        F.sum(F.col("__lr") * F.col("__lr")).alias("__sxx"),
+        F.sum(F.col("__lf") * F.col("__lf")).alias("__syy"),
+        F.sum(F.col("__lr") * F.col("__lf")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxx, syy, sxy = F.col("__sxx"), F.col("__syy"), F.col("__sxy")
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r_den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r2 = (r_num / F.nullif(r_den, F.lit(0.0))) * (
+        r_num / F.nullif(r_den, F.lit(0.0))
+    )
+    return (
+        fit.crossJoin(F.broadcast(totals))
+        .select(
+            "n_tokens",
+            "vocab_size",
+            F.col("__n").alias("top_n"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+    )

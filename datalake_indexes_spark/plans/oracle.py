@@ -6081,3 +6081,48 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                   > CAST({z_crit!r} AS DOUBLE), false) AS significant
 FROM final
 """
+
+
+def zipf_fit_sql(top_n: int = 1000) -> str:
+    """Zipf twin: same whitespace tokenization as vocab_topk, same
+    deterministic (count DESC, word ASC) top-n, same ln-ln OLS closed
+    form."""
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM counts
+),
+top AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT {int(top_n)}
+),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS DOUBLE)) AS lr,
+         ln(CAST(c AS DOUBLE)) AS lf
+  FROM top
+),
+fit AS (
+  SELECT count(*) AS n, sum(lr) AS sx, sum(lf) AS sy,
+         sum(lr * lr) AS sxx, sum(lf * lf) AS syy, sum(lr * lf) AS sxy
+  FROM ranked
+)
+SELECT t.n_tokens, t.vocab_size, CAST(f.n AS BIGINT) AS top_n,
+       round((CAST(f.n AS DOUBLE) * f.sxy - f.sx * f.sy)
+             / nullif(CAST(f.n AS DOUBLE) * f.sxx - f.sx * f.sx, 0.0), 6) AS slope,
+       round((f.sy - ((CAST(f.n AS DOUBLE) * f.sxy - f.sx * f.sy)
+                      / nullif(CAST(f.n AS DOUBLE) * f.sxx - f.sx * f.sx, 0.0))
+                     * f.sx) / CAST(f.n AS DOUBLE), 6) AS intercept,
+       round(((CAST(f.n AS DOUBLE) * f.sxy - f.sx * f.sy)
+              / nullif(sqrt((CAST(f.n AS DOUBLE) * f.sxx - f.sx * f.sx)
+                            * (CAST(f.n AS DOUBLE) * f.syy - f.sy * f.sy)), 0.0))
+             * ((CAST(f.n AS DOUBLE) * f.sxy - f.sx * f.sy)
+                / nullif(sqrt((CAST(f.n AS DOUBLE) * f.sxx - f.sx * f.sx)
+                              * (CAST(f.n AS DOUBLE) * f.syy - f.sy * f.sy)), 0.0)), 6) AS r2
+FROM fit f, totals t
+"""

@@ -2799,6 +2799,14 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_cuped_test(_events_us(spark, sf_dir))
 
 
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the documents vocabulary (ln-ln OLS on the
+    top-1000 word frequencies) -- the whole-corpus health gauge."""
+    from datalake_indexes_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=1000)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3006,6 +3014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_ks_drift": q_profile_ks_drift,
     "events_forecast_backtest": q_events_forecast_backtest,
     "text_normalize": q_text_normalize,
+    "text_zipf": q_text_zipf,
     "events_survival": q_events_survival,
     "column_mutual_info": q_column_mutual_info,
     "events_ab_test": q_events_ab_test,
@@ -3314,6 +3323,7 @@ WHERE rn = 1
     ),
     "events_forecast_backtest": oracle.rolling_forecast_backtest_sql(window_rows=5),
     "text_normalize": oracle.normalize_text_sql(),
+    "text_zipf": oracle.zipf_fit_sql(top_n=1000),
     "events_survival": oracle.survival_curve_sql(),
     "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
     "events_ab_test": oracle.ab_conversion_test_sql(),

@@ -646,3 +646,38 @@ class TestAbCupedTest:
         # y == x exactly: perfect covariate, adjusted means equal
         assert r.var_reduction == pytest.approx(0.0, abs=1e-9)
         assert not r.significant
+
+
+@pytest.mark.spark
+class TestZipfFit:
+    def test_exact_power_law_recovered(self, spark):
+        """Plant freq(rank) = round(10000 * rank^-1): the ln-ln OLS must
+        recover slope ~ -1 with r2 ~ 1."""
+        from datalake_indexes_spark.operators.text_analysis import zipf_fit
+
+        text = " ".join(
+            " ".join([f"w{r:03d}"] * round(10000 / r)) for r in range(1, 51)
+        )
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = zipf_fit(docs, top_n=50).collect()[0]
+        assert r.top_n == 50 and r.vocab_size == 50
+        assert r.slope == pytest.approx(-1.0, abs=0.01)
+        assert r.r2 > 0.999
+
+    def test_uniform_frequencies_flat(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import zipf_fit
+
+        text = " ".join(" ".join([f"w{r}"] * 20) for r in range(30))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = zipf_fit(docs, top_n=30).collect()[0]
+        assert r.slope == pytest.approx(0.0, abs=1e-9)
+
+    def test_deterministic_tie_ranks(self, spark):
+        """All-tied counts rank by word ASC — two runs agree exactly."""
+        from datalake_indexes_spark.operators.text_analysis import zipf_fit
+
+        text = "b a c b a c"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r1 = zipf_fit(docs, top_n=3).collect()[0]
+        r2 = zipf_fit(docs, top_n=3).collect()[0]
+        assert r1 == r2 and r1.n_tokens == 6
