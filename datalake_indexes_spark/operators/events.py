@@ -1604,3 +1604,58 @@ def ab_cuped_test(
         F.round(z_adj, 4).alias("z_adj"),
         F.coalesce(F.abs(z_adj) > F.lit(z_crit), F.lit(False)).alias("significant"),
     )
+
+
+def funnel_timing(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-transition funnel summary over :func:`funnel`'s per-user
+    first-reach times: (transition, n_from, n_to, conversion_rate,
+    median_s, p95_s) for every consecutive step pair — the report a
+    growth team actually reads (WHERE the funnel leaks and HOW LONG
+    converts take), where the raw funnel emits one row per user.
+
+    Timing is over converters only (to-step reached), in seconds with
+    exact percentiles (same p·(n−1) interpolation rule as
+    column_percentiles, engine-portable).
+
+    Scale shape: the funnel's per-user frame unpivots via ``stack`` —
+    (steps−1)× row expansion of a USER-cardinality frame, not the event
+    stream — then ONE aggregate grouped by the transition label
+    (constant cardinality).  Exact percentiles buffer per-transition
+    gap lists on the reducer; at extreme user counts swap
+    ``percentile`` for ``percentile_approx`` (same shape as
+    inter_arrival_stats' documented trade).
+    """
+    f = funnel(events, steps, key_col=key_col, ts_col=ts_col, type_col=type_col)
+    n = len(steps)
+    pairs = []
+    for i in range(1, n):
+        label = f"{i}:{steps[i - 1]}->{steps[i]}"
+        pairs.append(f"'{label}', step{i}_us, step{i + 1}_us")
+    stacked = f.selectExpr(
+        f"stack({n - 1}, {', '.join(pairs)}) as (transition, __from, __to)"
+    )
+    gap_s = (F.col("__to") - F.col("__from")) / F.lit(1_000_000.0)
+    converted = F.col("__to") != -1
+    return (
+        stacked.filter(F.col("__from") != -1)
+        .groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).alias("n_from"),
+            F.sum(converted.cast("long")).alias("n_to"),
+            F.round(
+                F.sum(converted.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+            F.round(
+                F.percentile(F.when(converted, gap_s), F.lit(0.5)), 6
+            ).alias("median_s"),
+            F.round(
+                F.percentile(F.when(converted, gap_s), F.lit(0.95)), 6
+            ).alias("p95_s"),
+        )
+    )

@@ -6126,3 +6126,33 @@ SELECT t.n_tokens, t.vocab_size, CAST(f.n AS BIGINT) AS top_n,
                               * (CAST(f.n AS DOUBLE) * f.syy - f.sy * f.sy)), 0.0)), 6) AS r2
 FROM fit f, totals t
 """
+
+
+def funnel_timing_sql(steps: list[str]) -> str:
+    """Funnel-timing twin: the funnel CTE chain unpivoted to transitions,
+    same converters-only exact-percentile gap stats."""
+    inner = events_funnel_sql(steps).strip().rstrip()
+    arms = []
+    for i in range(1, len(steps)):
+        label = f"{i}:{steps[i - 1]}->{steps[i]}"
+        arms.append(
+            f"SELECT '{label}' AS transition, step{i}_us AS f, step{i + 1}_us AS t FROM fn"
+        )
+    return f"""
+WITH fn AS ({inner}),
+stacked AS (
+  {'  UNION ALL  '.join(arms)}
+)
+SELECT transition,
+       CAST(count(*) AS BIGINT) AS n_from,
+       CAST(sum(CASE WHEN t <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_to,
+       round(sum(CASE WHEN t <> -1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS conversion_rate,
+       round(quantile_cont(CASE WHEN t <> -1
+                           THEN (t - f) / 1000000.0 END, 0.5), 6) AS median_s,
+       round(quantile_cont(CASE WHEN t <> -1
+                           THEN (t - f) / 1000000.0 END, 0.95), 6) AS p95_s
+FROM stacked
+WHERE f <> -1
+GROUP BY transition
+"""

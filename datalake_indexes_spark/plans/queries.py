@@ -2807,6 +2807,14 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_docs(spark, sf_dir), top_n=1000)
 
 
+def q_events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition funnel conversion + time-to-convert percentiles
+    over the view -> click -> purchase funnel."""
+    from datalake_indexes_spark.operators.events import funnel_timing
+
+    return funnel_timing(_events_us(spark, sf_dir), FUNNEL_STEPS)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3020,6 +3028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_test": q_events_ab_test,
     "events_changepoint": q_events_changepoint,
     "events_ab_cuped": q_events_ab_cuped,
+    "events_funnel_timing": q_events_funnel_timing,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3328,6 +3337,7 @@ WHERE rn = 1
     "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
     "events_ab_test": oracle.ab_conversion_test_sql(),
     "events_ab_cuped": oracle.ab_cuped_test_sql(),
+    "events_funnel_timing": oracle.funnel_timing_sql(list(FUNNEL_STEPS)),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

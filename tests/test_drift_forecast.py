@@ -681,3 +681,31 @@ class TestZipfFit:
         r1 = zipf_fit(docs, top_n=3).collect()[0]
         r2 = zipf_fit(docs, top_n=3).collect()[0]
         assert r1 == r2 and r1.n_tokens == 6
+
+
+@pytest.mark.spark
+class TestFunnelTiming:
+    def test_hand_computed_transitions(self, spark):
+        from datalake_indexes_spark.operators.events import funnel_timing
+
+        rows = [
+            # user 1: full funnel, 10s then 20s gaps
+            (1, "view", 0), (1, "click", 10_000_000), (1, "purchase", 30_000_000),
+            # user 2: view → click only (5s)
+            (2, "view", 0), (2, "click", 5_000_000),
+            # user 3: view only
+            (3, "view", 0),
+            # user 4: click with no prior view — outside the funnel
+            (4, "click", 0),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+        out = {r.transition: r for r in funnel_timing(
+            ev, ["view", "click", "purchase"]
+        ).collect()}
+        t1 = out["1:view->click"]
+        assert (t1.n_from, t1.n_to) == (3, 2)
+        assert t1.conversion_rate == pytest.approx(2 / 3, abs=1e-6)
+        assert t1.median_s == pytest.approx(7.5, abs=1e-6)  # median of {10, 5}
+        t2 = out["2:click->purchase"]
+        assert (t2.n_from, t2.n_to) == (2, 1)
+        assert t2.median_s == pytest.approx(20.0, abs=1e-6)
