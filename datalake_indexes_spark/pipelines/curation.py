@@ -355,3 +355,53 @@ def run_curation(
     result = CurationResult(docs=cur, census=census)
     result._cached = cached
     return result
+
+
+def drop_audit(
+    docs: DataFrame,
+    stages: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document curation lineage: (doc_id, dropped_at) with
+    ``dropped_at`` = the FIRST stage that removed the doc, or
+    ``'survived'`` — the "why is doc X missing from the corpus?" answer
+    the census's aggregate funnel can't give.  Transform stages
+    (pii_scrub/normalize) never drop, so they pass through the audit.
+
+    Scale shape: the composed funnel runs once per stage boundary (the
+    same O(k) cost profile as the census), each boundary reduced to an
+    id-marker frame; the audit is then k broadcast-sized id joins onto
+    the input's id column and one chained CASE.  Output is one row per
+    INPUT document — the id column only, never the text.
+    """
+    cur = docs
+    marks: list[tuple[str, DataFrame]] = []
+    for i, spec in enumerate(stages):
+        spec = dict(spec)
+        name = spec.pop("stage")
+        if name not in STAGES:
+            raise ValueError(
+                f"unknown curation stage {name!r}; known: {sorted(STAGES)}"
+            )
+        cur = STAGES[name](cur, id_col, text_col, **spec)
+        marks.append(
+            (name, cur.select(F.col(id_col)).withColumn(f"__s{i}", F.lit(1)))
+        )
+    audit = docs.select(F.col(id_col).alias("doc_id"))
+    for i, (_, m) in enumerate(marks):
+        audit = audit.join(
+            m.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else m,
+            "doc_id",
+            "left",
+        )
+    dropped = None
+    for i, (name, _) in enumerate(marks):
+        cond = F.col(f"__s{i}").isNull()
+        dropped = (
+            F.when(cond, F.lit(name))
+            if dropped is None
+            else dropped.when(cond, F.lit(name))
+        )
+    label = F.lit("survived") if dropped is None else dropped.otherwise("survived")
+    return audit.select("doc_id", label.alias("dropped_at"))

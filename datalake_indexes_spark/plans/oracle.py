@@ -6156,3 +6156,36 @@ FROM stacked
 WHERE f <> -1
 GROUP BY transition
 """
+
+
+def corpus_drop_audit_sql(
+    quality_threshold: float = 0.55, repetition_cap: float = 0.2
+) -> str:
+    """Twin of the per-document drop audit for the graded 3-stage config:
+    first failing stage wins; quality and repetition are per-doc
+    independent, dedup keepers are computed over the stage-2 survivors
+    exactly like the runner composes them."""
+    return f"""
+WITH q AS (
+  SELECT doc_id FROM ({text_quality_sql()})
+  WHERE quality_score >= {quality_threshold}
+),
+r AS (
+  SELECT doc_id FROM ({text_repetition_sql()})
+  WHERE top_bigram_frac <= {repetition_cap}
+),
+s2 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN q USING (doc_id) JOIN r USING (doc_id)
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text))
+SELECT d.doc_id,
+       CASE WHEN q.doc_id IS NULL THEN 'quality_min'
+            WHEN r.doc_id IS NULL THEN 'max_repetition'
+            WHEN k.doc_id IS NULL THEN 'dedup_exact'
+            ELSE 'survived' END AS dropped_at
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN r ON r.doc_id = d.doc_id
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+"""

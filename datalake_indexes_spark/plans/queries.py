@@ -2815,6 +2815,21 @@ def q_events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_timing(_events_us(spark, sf_dir), FUNNEL_STEPS)
 
 
+def q_corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation lineage over the SAME 3-stage config the
+    census grades: which stage dropped each doc (or 'survived')."""
+    from datalake_indexes_spark.pipelines.curation import drop_audit
+
+    return drop_audit(
+        _docs(spark, sf_dir),
+        [
+            {"stage": "quality_min", "min_score": 0.55},
+            {"stage": "max_repetition", "max_frac": 0.2},
+            {"stage": "dedup_exact"},
+        ],
+    )
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3029,6 +3044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": q_events_changepoint,
     "events_ab_cuped": q_events_ab_cuped,
     "events_funnel_timing": q_events_funnel_timing,
+    "corpus_drop_audit": q_corpus_drop_audit,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3338,6 +3354,7 @@ WHERE rn = 1
     "events_ab_test": oracle.ab_conversion_test_sql(),
     "events_ab_cuped": oracle.ab_cuped_test_sql(),
     "events_funnel_timing": oracle.funnel_timing_sql(list(FUNNEL_STEPS)),
+    "corpus_drop_audit": oracle.corpus_drop_audit_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -709,3 +709,48 @@ class TestFunnelTiming:
         t2 = out["2:click->purchase"]
         assert (t2.n_from, t2.n_to) == (2, 1)
         assert t2.median_s == pytest.approx(20.0, abs=1e-6)
+
+
+@pytest.mark.spark
+class TestDropAudit:
+    def test_first_failing_stage_wins(self, spark):
+        from datalake_indexes_spark.pipelines.curation import drop_audit
+
+        good = (
+            "many developers write careful tests because reliable software "
+            "needs the discipline of checking every assumption against real "
+            "behavior over time with diverse tools and honest reviews"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, good),                        # survives (score ~0.89)
+                (2, good),                        # exact dup of 1 -> dedup_exact
+                (3, "aa aa aa aa aa " * 20),      # score ~0.28 -> quality gate
+                (4, "spam ham spam ham " * 20),   # 0.35 quality, 0.5 bigram -> repetition
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.dropped_at for r in drop_audit(
+            docs,
+            [
+                {"stage": "quality_min", "min_score": 0.3},
+                {"stage": "max_repetition", "max_frac": 0.2},
+                {"stage": "dedup_exact"},
+            ],
+        ).collect()}
+        assert out[1] == "survived"
+        assert out[2] == "dedup_exact"
+        assert out[3] == "quality_min"
+        assert out[4] == "max_repetition"
+        assert len(out) == 4  # one row per INPUT doc
+
+    def test_transform_stages_never_drop(self, spark):
+        from datalake_indexes_spark.pipelines.curation import drop_audit
+
+        docs = spark.createDataFrame(
+            [(1, "reach me at a@b.co please " * 10)], "doc_id long, text string"
+        )
+        out = drop_audit(
+            docs, [{"stage": "normalize"}, {"stage": "pii_scrub"}]
+        ).collect()
+        assert out[0].dropped_at == "survived"
