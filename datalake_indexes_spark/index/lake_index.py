@@ -456,6 +456,40 @@ class LakeIndex:
         )
 
     @classmethod
+    def diff_rows(
+        cls,
+        spark: SparkSession,
+        path: str,
+        v_from: int,
+        v_to: int,
+        table_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level snapshot diff — the drill-down under
+        :meth:`diff_versions` (which reports WHICH tables changed, this
+        reports the exact cells): (change ∈ {added, removed}, table_id,
+        col_id, row_id, tokenized) for every cell present in one
+        snapshot but not the other.
+
+        Two hash anti-joins on the full cell tuple — co-keyed, skew
+        follows the cell distribution (uniform), no collect.  Pass
+        ``table_id`` to prune both scans to one table's partition
+        (the usual flow: diff_versions finds the changed table,
+        diff_rows shows its edits)."""
+        a = cls.load(spark, path, version=v_from).cells
+        b = cls.load(spark, path, version=v_to).cells
+        if table_id is not None:
+            a = a.filter(F.col("table_id") == table_id)
+            b = b.filter(F.col("table_id") == table_id)
+        cols = ["table_id", "col_id", "row_id", "tokenized"]
+        added = b.select(cols).join(a.select(cols), cols, "left_anti").select(
+            F.lit("added").alias("change"), *cols
+        )
+        removed = a.select(cols).join(b.select(cols), cols, "left_anti").select(
+            F.lit("removed").alias("change"), *cols
+        )
+        return added.unionByName(removed)
+
+    @classmethod
     def current_version(cls, path: str) -> int | None:
         ptr = os.path.join(path, cls._CURRENT)
         if not os.path.isfile(ptr):

@@ -105,3 +105,40 @@ def test_vacuum_with_time_traveled_current(spark, small_index):
         assert LakeIndex.load(spark, work).cells.count() > 0  # current=v1
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_diff_rows_reports_exact_cell_edits(spark, small_index):
+    """diff_versions says WHICH table changed; diff_rows shows the exact
+    cells: one edited value surfaces as one removed + one added row, and
+    an appended row as its width in added cells."""
+    work = tempfile.mkdtemp(prefix="diffrows_")
+    try:
+        small_index.save_version(work)  # v0
+        edited = LakeIndex(
+            cells=small_index.cells.withColumn(
+                "tokenized",
+                F.when(
+                    (F.col("row_id") == 0) & (F.col("col_id") == 1),
+                    F.lit("renamed nation"),
+                ).otherwise(F.col("tokenized")),
+            ),
+            row_keys=small_index.row_keys,
+            column_headers=small_index.column_headers,
+            table_info=small_index.table_info,
+            col_flags=small_index.col_flags,
+        )
+        edited.save_version(work)  # v1
+        out = LakeIndex.diff_rows(spark, work, 0, 1).collect()
+        changes = {(r.change, r.col_id, r.row_id) for r in out}
+        assert len(out) == 2
+        assert ("added", 1, 0) in changes and ("removed", 1, 0) in changes
+        added_vals = {r.tokenized for r in out if r.change == "added"}
+        assert added_vals == {"renamed nation"}
+        # table_id pruning path returns the same rows
+        tid = out[0].table_id
+        pruned = LakeIndex.diff_rows(spark, work, 0, 1, table_id=tid).count()
+        assert pruned == 2
+        # no-change diff is empty
+        assert LakeIndex.diff_rows(spark, work, 1, 1).count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
