@@ -1156,6 +1156,9 @@ def rolling_forecast_backtest(
     trail = w.rowsBetween(-window_rows, -1)
     seq = F.row_number().over(w).cast("long")
     y = F.col(value_col).cast("double")
+    # NULL values would silently bias the fit (window sum skips NULLs
+    # while count counts the row) — they are not observations, drop them
+    events = events.filter(F.col(value_col).isNotNull())
     scored = (
         events.select(
             F.col(key_col).alias("key"),

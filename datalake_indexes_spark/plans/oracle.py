@@ -5556,7 +5556,7 @@ def rolling_forecast_backtest_sql(window_rows: int = 5) -> str:
 WITH base AS (
   SELECT user_id AS key, CAST(value AS DOUBLE) AS y,
          epoch_us(ts) AS tsu, event_id
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 seqd AS (
   SELECT key, y,
