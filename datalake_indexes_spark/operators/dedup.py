@@ -1183,3 +1183,46 @@ def contamination_report(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("n_words").alias("words_leaked"),
     )
+
+
+def doc_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty: (doc_id, n_shingles, novel_frac) —
+    the fraction of a document's distinct word n-grams that appear in NO
+    other document.  The inverse view of the pairwise dedup family: a
+    data-mixing pipeline upsamples high-novelty sources and a boilerplate
+    census reads the low end, without ever materializing candidate pairs.
+
+    novel_frac = |{g ∈ shingles(d) : df(g) = 1}| / |shingles(d)| over
+    DISTINCT shingles per doc (:func:`word_shingles`); documents shorter
+    than ``n`` words report 0 shingles and NULL novelty.
+
+    Scale shape: one distinct-shingle frame, ONE document-frequency
+    aggregate keyed by shingle (uniform md5-like text keys — no hot-key
+    risk beyond genuinely corpus-wide boilerplate, which is exactly what
+    the metric measures), one broadcast-free join back on shingle and a
+    per-doc aggregate.  No pair join anywhere, O(distinct shingles)
+    shuffle volume.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("__novel"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.round(
+                F.col("__novel") / F.nullif(F.col("n_shingles"), F.lit(0)), 6
+            ).alias("novel_frac"),
+        )
+    )

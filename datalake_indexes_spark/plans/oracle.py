@@ -6189,3 +6189,39 @@ LEFT JOIN q ON q.doc_id = d.doc_id
 LEFT JOIN r ON r.doc_id = d.doc_id
 LEFT JOIN keepers k ON k.doc_id = d.doc_id
 """
+
+
+def doc_novelty_sql(n: int = 3, modulus: int = 6) -> str:
+    """Novelty twin over the planted-duplication corpus (every
+    ``modulus``-th doc is replaced by a shared boilerplate text, mirrored
+    by the query): distinct word n-grams per doc, df = 1 share."""
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {modulus} = 0
+              THEN 'shared boilerplate header applies to every mirrored document in this synthetic corpus'
+              ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM planted
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[pos + 1 : pos + {n}], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws, unnest(range(0, len(ws) - {n} + 1)) AS pos
+    FROM w WHERE len(ws) >= {n}
+  )
+),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS novel
+  FROM sh JOIN dfc USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       round(p.novel * 1.0 / nullif(p.n_shingles, 0), 6) AS novel_frac
+FROM planted d LEFT JOIN per_doc p USING (doc_id)
+"""

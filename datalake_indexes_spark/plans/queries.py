@@ -2830,6 +2830,25 @@ def q_corpus_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty over documents WITH planted duplication --
+    every 6th doc is replaced by one shared boilerplate text (mirrored by
+    the oracle), so the metric must report 0 novelty exactly there and
+    high novelty elsewhere."""
+    from datalake_indexes_spark.operators.dedup import doc_novelty
+
+    boiler = (
+        "shared boilerplate header applies to every mirrored document "
+        "in this synthetic corpus"
+    )
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 6 == 0, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    return doc_novelty(planted, n=3)
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3045,6 +3064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_cuped": q_events_ab_cuped,
     "events_funnel_timing": q_events_funnel_timing,
     "corpus_drop_audit": q_corpus_drop_audit,
+    "corpus_novelty": q_corpus_novelty,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3355,6 +3375,7 @@ WHERE rn = 1
     "events_ab_cuped": oracle.ab_cuped_test_sql(),
     "events_funnel_timing": oracle.funnel_timing_sql(list(FUNNEL_STEPS)),
     "corpus_drop_audit": oracle.corpus_drop_audit_sql(),
+    "corpus_novelty": oracle.doc_novelty_sql(n=3, modulus=6),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -754,3 +754,36 @@ class TestDropAudit:
             docs, [{"stage": "normalize"}, {"stage": "pii_scrub"}]
         ).collect()
         assert out[0].dropped_at == "survived"
+
+
+@pytest.mark.spark
+class TestDocNovelty:
+    def test_planted_duplicates_score_zero(self, spark):
+        from datalake_indexes_spark.operators.dedup import doc_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),  # exact twin
+                (3, "one two three four five six seven"),     # unique
+                (4, "xy"),                                    # too short for n=3
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in doc_novelty(docs, n=3).collect()}
+        assert out[1].novel_frac == 0.0 and out[2].novel_frac == 0.0
+        assert out[3].novel_frac == 1.0
+        assert out[4].n_shingles == 0 and out[4].novel_frac is None
+
+    def test_partial_overlap(self, spark):
+        """Doc sharing half its shingles with another scores 0.5."""
+        from datalake_indexes_spark.operators.dedup import doc_novelty
+
+        # doc 1: grams {a b c, b c d} — 'a b c' shared with doc 2
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in doc_novelty(docs, n=3).collect()}
+        assert out[1].n_shingles == 2
+        assert out[1].novel_frac == pytest.approx(0.5, abs=1e-9)
+        assert out[2].novel_frac == 0.0
