@@ -1201,3 +1201,121 @@ def categorical_mutual_info(
         )
     )
     return out
+
+
+def pareto_report(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    targets: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Concentration (Pareto) report: for each coverage target, how many
+    of the heaviest keys it takes to cover that share of the total
+    weight — "the top N domains hold 80% of the tokens", the question
+    every data-mixing and quota-capping decision starts from.
+
+    (target_share, n_keys, share_reached, key_frac): ``n_keys`` = the
+    smallest prefix of keys (weight desc, key asc — fully deterministic)
+    whose cumulative share ≥ target; ``share_reached`` its exact share;
+    ``key_frac`` = n_keys / total keys.
+
+    Scale shape: one per-key weight aggregate, then the cumulative rank
+    runs as a TWO-LEVEL prefix sum — keys bucket by floor(log2(weight))
+    (monotone with the weight order, so bucket offsets + within-bucket
+    ordered windows compose to the global order), the bucket offset
+    table is broadcast — the key frame never funnels through one task,
+    the same pattern as budget_select.  The final report is
+    len(targets) rows from a broadcast threshold join.  Zero/negative
+    weights sort last in a single catch-all bucket.
+    """
+    w = F.col("__w")
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__w")
+    )
+    bucket = F.when(w > 0, -F.floor(F.log2(w))).otherwise(F.lit(10**9)).cast("long")
+    b = per_key.withColumn("__b", bucket)
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc("__w"), F.asc("__k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__run_w", F.sum("__w").over(w_local)).withColumn(
+        "__run_n", F.count(F.lit(1)).over(w_local)
+    )
+    offsets = (
+        b.groupBy("__b")
+        .agg(F.sum("__w").alias("__tw"), F.count(F.lit(1)).alias("__tn"))
+        .withColumn(
+            "__off_w",
+            F.coalesce(
+                F.sum("__tw").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "__off_n",
+            F.coalesce(
+                F.sum("__tn").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    totals = per_key.agg(
+        F.sum("__w").alias("__total_w"), F.count(F.lit(1)).alias("__total_n")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets.select("__b", "__off_w", "__off_n")), "__b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.col("__off_n") + F.col("__run_n")).cast("long").alias("__rank"),
+            ((F.col("__off_w") + F.col("__run_w")) / F.col("__total_w")).alias(
+                "__cum_share"
+            ),
+            "__total_n",
+        )
+    )
+    # one filtered aggregate per target (len(targets) is a constant):
+    # keeps the plan equi/aggregate-only — a cum_share >= target theta
+    # join would plan as a nested loop over the full key frame.  The
+    # aggregates land eagerly (len(targets) scalar rows — the sanctioned
+    # driver-side tier) so the ranked frame is persisted for exactly the
+    # union's one execution and released before returning.
+    ranked = ranked.persist()
+    try:
+        out = None
+        for t in targets:
+            hit = ranked.filter(F.col("__cum_share") >= float(t)).agg(
+                F.lit(float(t)).alias("target_share"),
+                F.min("__rank").alias("n_keys"),
+                F.min_by("__cum_share", "__rank").alias("__share"),
+                F.first("__total_n").alias("__tn"),
+            )
+            out = hit if out is None else out.unionByName(hit)
+        rows = out.collect()
+    finally:
+        ranked.unpersist()
+    spark = df.sparkSession
+    report = spark.createDataFrame(
+        [
+            (
+                r["target_share"],
+                r["n_keys"],
+                r["__share"],
+                (r["n_keys"] / r["__tn"]) if r["n_keys"] is not None else None,
+            )
+            for r in rows
+        ],
+        "target_share double, n_keys long, share_reached double, key_frac double",
+    )
+    # round in Spark (HALF_UP) so the report matches the oracle's rounding
+    # convention, not Python's banker's rounding
+    return report.select(
+        "target_share",
+        "n_keys",
+        F.round("share_reached", 6).alias("share_reached"),
+        F.round("key_frac", 6).alias("key_frac"),
+    ).orderBy("target_share")

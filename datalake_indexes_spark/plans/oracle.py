@@ -6225,3 +6225,41 @@ SELECT d.doc_id,
        round(p.novel * 1.0 / nullif(p.n_shingles, 0), 6) AS novel_frac
 FROM planted d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def pareto_report_sql(
+    targets: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95, 0.99),
+) -> str:
+    """Pareto twin over per-document character weight — an INDEPENDENT
+    derivation: plain global cumulative window (fine at oracle scale)
+    vs the engine's two-level bucket prefix sum; agreement proves the
+    decomposition."""
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({t!r} AS DOUBLE) AS target_share,"
+        f" min(rnk) AS n_keys,"
+        f" min_by(cum_share, rnk) AS share"
+        f" FROM ranked WHERE cum_share >= {t!r}"
+        for t in targets
+    )
+    return f"""
+WITH per_key AS (
+  SELECT doc_id AS k, CAST(len(text) AS DOUBLE) AS w FROM documents
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY w DESC, k ASC) AS rnk,
+         sum(w) OVER (ORDER BY w DESC, k ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (SELECT sum(w) FROM per_key) AS cum_share
+  FROM per_key
+),
+tot AS (SELECT count(*) AS n FROM per_key),
+hits AS (
+  {arms}
+)
+SELECT h.target_share,
+       CAST(h.n_keys AS BIGINT) AS n_keys,
+       round(h.share, 6) AS share_reached,
+       round(h.n_keys * 1.0 / t.n, 6) AS key_frac
+FROM hits h, tot t
+ORDER BY h.target_share
+"""

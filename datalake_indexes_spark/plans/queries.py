@@ -2849,6 +2849,16 @@ def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_novelty(planted, n=3)
 
 
+def q_corpus_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration report: how many of the heaviest documents (by
+    character weight) cover 50/80/90/95/99% of the corpus -- engine uses
+    the distributed two-level prefix sum, oracle a plain window."""
+    from datalake_indexes_spark.operators.discovery import pareto_report
+
+    docs = _docs(spark, sf_dir).withColumn("__chars", F.length("text"))
+    return pareto_report(docs, "doc_id", "__chars")
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3065,6 +3075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_timing": q_events_funnel_timing,
     "corpus_drop_audit": q_corpus_drop_audit,
     "corpus_novelty": q_corpus_novelty,
+    "corpus_pareto": q_corpus_pareto,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3376,6 +3387,7 @@ WHERE rn = 1
     "events_funnel_timing": oracle.funnel_timing_sql(list(FUNNEL_STEPS)),
     "corpus_drop_audit": oracle.corpus_drop_audit_sql(),
     "corpus_novelty": oracle.doc_novelty_sql(n=3, modulus=6),
+    "corpus_pareto": oracle.pareto_report_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -787,3 +787,59 @@ class TestDocNovelty:
         assert out[1].n_shingles == 2
         assert out[1].novel_frac == pytest.approx(0.5, abs=1e-9)
         assert out[2].novel_frac == 0.0
+
+
+@pytest.mark.spark
+class TestParetoReport:
+    def test_hand_computed_concentration(self, spark):
+        """Weights 50, 30, 10, 5, 5 (total 100): 50% needs 1 key, 80%
+        needs 2, 90% needs 3, 99% needs 5."""
+        from datalake_indexes_spark.operators.discovery import pareto_report
+
+        df = spark.createDataFrame(
+            [("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 5.0), ("e", 5.0)],
+            "k string, w double",
+        )
+        out = {r.target_share: r for r in pareto_report(df, "k", "w").collect()}
+        assert out[0.5].n_keys == 1 and out[0.5].share_reached == 0.5
+        assert out[0.8].n_keys == 2 and out[0.8].share_reached == 0.8
+        assert out[0.9].n_keys == 3
+        assert out[0.99].n_keys == 5 and out[0.99].key_frac == 1.0
+
+    def test_matches_plain_sort_reference(self, spark):
+        """The two-level prefix sum equals the obvious single-sort
+        cumulative on randomized weights, including duplicate weights
+        (tie-broken by key)."""
+        import random
+
+        from datalake_indexes_spark.operators.discovery import pareto_report
+
+        rng = random.Random(13)
+        rows = [(f"k{i:03d}", float(rng.randint(1, 40))) for i in range(120)]
+        df = spark.createDataFrame(rows, "k string, w double")
+        got = {r.target_share: (r.n_keys, r.share_reached) for r in
+               pareto_report(df, "k", "w").collect()}
+        # reference: plain sorted cumulative
+        ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+        total = sum(w for _, w in rows)
+        cum, ref = 0.0, {}
+        shares = []
+        for i, (_, w) in enumerate(ordered, start=1):
+            cum += w
+            shares.append((i, cum / total))
+        for t in (0.5, 0.8, 0.9, 0.95, 0.99):
+            n, s = next((i, sh) for i, sh in shares if sh >= t)
+            ref[t] = (n, round(s, 6))
+        for t, want in ref.items():
+            assert got[t][0] == want[0], t
+            assert got[t][1] == pytest.approx(want[1], abs=2e-6)
+
+    def test_per_key_aggregation_first(self, spark):
+        """Multiple rows per key sum before ranking."""
+        from datalake_indexes_spark.operators.discovery import pareto_report
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 40.0), ("b", 50.0)], "k string, w double"
+        )
+        out = {r.target_share: r for r in pareto_report(df, "k", "w").collect()}
+        assert out[0.5].n_keys == 1  # both keys weigh 50 — one suffices
