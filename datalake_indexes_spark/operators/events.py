@@ -1662,3 +1662,47 @@ def funnel_timing(
             ).alias("p95_s"),
         )
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time dimension lookup — the consumption half of
+    :func:`scd2_history`: every fact row gains ``prefix+attr`` and
+    ``prefix+version`` from the dimension interval VALID AT its
+    timestamp (the feature-store primitive that makes training joins
+    leakage-free: a fact never sees a dimension version from its
+    future).
+
+    Facts before the key's first interval get NULLs; facts falling in a
+    GAP of a custom (non-contiguous) history also get NULLs — the
+    interval end is checked, not just the as-of start.
+
+    Scale shape: delegates to :func:`asof_join`'s tagged union-window —
+    ONE shuffle keyed by the dimension key, no row expansion, no range
+    join (histories produced by :func:`scd2_history` are per-key
+    ordered; ``version`` breaks same-timestamp ties deterministically).
+    """
+    build = history.withColumnRenamed("valid_from", ts_col)
+    out = asof_join(
+        facts,
+        build,
+        key_col,
+        ts_col,
+        list(attr_cols) + ["valid_to", "version"],
+        seq_col="version",
+        prefix=prefix,
+    )
+    in_interval = F.col(f"{prefix}valid_to").isNull() | (
+        F.col(ts_col) < F.col(f"{prefix}valid_to")
+    )
+    for c in list(attr_cols) + ["version"]:
+        out = out.withColumn(
+            f"{prefix}{c}", F.when(in_interval, F.col(f"{prefix}{c}"))
+        )
+    return out.drop(f"{prefix}valid_to")

@@ -6263,3 +6263,44 @@ SELECT h.target_share,
 FROM hits h, tot t
 ORDER BY h.target_share
 """
+
+
+def scd2_lookup_sql() -> str:
+    """Point-in-time lookup twin: the signup-tier SCD2 history (same
+    lag/lead CTE as events_scd2_sql) consumed via DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — an independent engine feature standing in for
+    the package's tagged union-window — plus the same interval-end
+    check."""
+    return """
+WITH obs AS (
+  SELECT user_id, CAST(floor(value / 20.0) AS BIGINT) AS tier,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'signup'
+),
+ordered AS (
+  SELECT user_id, tier, ts_us, event_id,
+         lag(tier) OVER w AS prev, row_number() OVER w AS rn
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (
+  SELECT user_id, tier, ts_us FROM ordered
+  WHERE rn = 1 OR prev IS DISTINCT FROM tier
+),
+hist AS (
+  SELECT user_id, tier, ts_us AS valid_from,
+         lead(ts_us) OVER w2 AS valid_to,
+         row_number() OVER w2 AS version
+  FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+),
+facts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_us,
+       coalesce(CASE WHEN h.valid_to IS NULL OR f.ts_us < h.valid_to
+                     THEN h.tier END, -1) AS dim_tier,
+       CAST(coalesce(CASE WHEN h.valid_to IS NULL OR f.ts_us < h.valid_to
+                          THEN h.version END, -1) AS INT) AS dim_version
+FROM facts f ASOF LEFT JOIN hist h
+  ON f.user_id = h.user_id AND f.ts_us >= h.valid_from
+"""

@@ -2859,6 +2859,34 @@ def q_corpus_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_report(docs, "doc_id", "__chars")
 
 
+def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase event gains the
+    user's signup-value tier (SCD2 interval) valid AT the purchase
+    timestamp -- leakage-free feature-store join; DuckDB's native ASOF
+    JOIN is the independent oracle."""
+    from datalake_indexes_spark.operators.events import scd2_history, scd2_lookup
+
+    ev = _events_us(spark, sf_dir)
+    obs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.floor(F.col("value") / 20.0).cast("long").alias("tier"),
+        "ts_us",
+        "event_id",
+    )
+    hist = scd2_history(obs, ["user_id"], ["tier"], ts_col="ts_us", seq_col="event_id")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = scd2_lookup(facts, hist, "user_id", "ts_us", ["tier"])
+    # -1 sentinels instead of NULLs (same reason as q_events_asof_join:
+    # pandas promotes nullable ints to float64+NaN on the oracle side)
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce("dim_tier", F.lit(-1)).cast("long").alias("dim_tier"),
+        F.coalesce("dim_version", F.lit(-1)).cast("int").alias("dim_version"),
+    )
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3076,6 +3104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drop_audit": q_corpus_drop_audit,
     "corpus_novelty": q_corpus_novelty,
     "corpus_pareto": q_corpus_pareto,
+    "events_scd2_lookup": q_events_scd2_lookup,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3388,6 +3417,7 @@ WHERE rn = 1
     "corpus_drop_audit": oracle.corpus_drop_audit_sql(),
     "corpus_novelty": oracle.doc_novelty_sql(n=3, modulus=6),
     "corpus_pareto": oracle.pareto_report_sql(),
+    "events_scd2_lookup": oracle.scd2_lookup_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -843,3 +843,54 @@ class TestParetoReport:
         )
         out = {r.target_share: r for r in pareto_report(df, "k", "w").collect()}
         assert out[0.5].n_keys == 1  # both keys weigh 50 — one suffices
+
+
+@pytest.mark.spark
+class TestScd2Lookup:
+    def test_point_in_time_semantics(self, spark):
+        """Facts see the dimension version valid AT their ts: before the
+        first interval → NULL, at a boundary → the new version, in a
+        custom GAP → NULL (interval end checked, not just as-of start)."""
+        from datalake_indexes_spark.operators.events import scd2_lookup
+
+        hist = spark.createDataFrame(
+            [
+                (1, "bronze", 100, 200, 1),
+                (1, "gold", 200, None, 2),
+                # key 2: gapped custom history [100,150) then [300,...)
+                (2, "silver", 100, 150, 1),
+                (2, "gold", 300, None, 2),
+            ],
+            "user_id long, tier string, valid_from long, valid_to long, version int",
+        )
+        facts = spark.createDataFrame(
+            [(10, 1, 50), (11, 1, 150), (12, 1, 200), (13, 1, 999),
+             (20, 2, 120), (21, 2, 200), (22, 2, 350)],
+            "event_id long, user_id long, ts_us long",
+        )
+        out = {r.event_id: (r.dim_tier, r.dim_version) for r in scd2_lookup(
+            facts, hist, "user_id", "ts_us", ["tier"]
+        ).collect()}
+        assert out[10] == (None, None)          # before first interval
+        assert out[11] == ("bronze", 1)
+        assert out[12] == ("gold", 2)           # boundary: new version
+        assert out[13] == ("gold", 2)           # open-ended current
+        assert out[20] == ("silver", 1)
+        assert out[21] == (None, None)          # the gap
+        assert out[22] == ("gold", 2)
+
+    def test_roundtrip_with_history_builder(self, spark):
+        """scd2_history → scd2_lookup round trip: looking up each source
+        observation returns its own attribute value."""
+        from datalake_indexes_spark.operators.events import scd2_history, scd2_lookup
+
+        obs = spark.createDataFrame(
+            [(1, "a", 10, 1), (1, "a", 20, 2), (1, "b", 30, 3), (1, "a", 40, 4)],
+            "user_id long, attr string, ts_us long, event_id long",
+        )
+        hist = scd2_history(obs, ["user_id"], ["attr"], seq_col="event_id")
+        facts = obs.select("event_id", "user_id", "ts_us")
+        out = {r.event_id: r.dim_attr for r in scd2_lookup(
+            facts, hist, "user_id", "ts_us", ["attr"]
+        ).collect()}
+        assert out == {1: "a", 2: "a", 3: "b", 4: "a"}
