@@ -1706,3 +1706,74 @@ def scd2_lookup(
             f"{prefix}{c}", F.when(in_interval, F.col(f"{prefix}{c}"))
         )
     return out.drop(f"{prefix}valid_to")
+
+
+def rfm_segments(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    n_tiles: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """RFM segmentation: (key, recency_us, frequency, monetary, r, f, m,
+    segment) — the classic customer-value grid (recency = time from the
+    key's last purchase to the corpus's last timestamp; frequency =
+    purchase count; monetary = summed value), each dimension cut into
+    ``n_tiles`` equal-count tiles (5 = best) and concatenated into the
+    familiar segment code ("555" = recent, frequent, big).
+
+    Tiling is ``ntile`` over a TOTAL order ((metric, key) — ties break
+    by key, so tiles are engine-exact like equi_depth_histograms);
+    recency orders ASCENDING (most recent = tile 5 after flipping),
+    frequency/monetary descending metrics order so higher = better tile.
+
+    Scale shape: one per-key aggregate, then three ntile windows over
+    the SAME per-key frame — unpartitioned windows over the key
+    cardinality: correct-but-single-task at extreme user counts, the
+    documented trade equi_depth_histograms makes; swap in the
+    budget_select two-level pattern when keys outgrow one task.
+    """
+    last_seen = events.agg(F.max(ts_col).alias("__last"))
+    per_key = (
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.max(ts_col).alias("__last_p"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col(value_col).cast("double")), 6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(last_seen))
+        .withColumn("recency_us", (F.col("__last") - F.col("__last_p")).cast("long"))
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy(F.asc("recency_us"), F.asc("key"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("key"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("key"))
+    out = per_key.select(
+        "key",
+        "recency_us",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(r_w).alias("__r"),
+        F.ntile(n_tiles).over(f_w).alias("__f"),
+        F.ntile(n_tiles).over(m_w).alias("__m"),
+    )
+    # flip so n_tiles = best on every axis
+    flip = lambda c: (F.lit(n_tiles + 1) - F.col(c)).cast("int")  # noqa: E731
+    return out.select(
+        "key",
+        "recency_us",
+        "frequency",
+        "monetary",
+        flip("__r").alias("r"),
+        flip("__f").alias("f"),
+        flip("__m").alias("m"),
+        F.concat(
+            flip("__r").cast("string"),
+            flip("__f").cast("string"),
+            flip("__m").cast("string"),
+        ).alias("segment"),
+    )

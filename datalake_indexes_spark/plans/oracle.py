@@ -6304,3 +6304,38 @@ SELECT f.event_id, f.user_id, f.ts_us,
 FROM facts f ASOF LEFT JOIN hist h
   ON f.user_id = h.user_id AND f.ts_us >= h.valid_from
 """
+
+
+def rfm_segments_sql(purchase_type: str = "purchase", n_tiles: int = 5) -> str:
+    """RFM twin: same per-key aggregates, same (metric, key) total-order
+    ntile cuts, same flipped best-is-5 convention."""
+    n = int(n_tiles)
+    return f"""
+WITH bounds AS (SELECT max(epoch_us(ts)) AS last FROM events),
+per_key AS (
+  SELECT user_id AS key,
+         max(epoch_us(ts)) AS last_p,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(CAST(value AS DOUBLE)), 6) AS monetary
+  FROM events WHERE event_type = '{purchase_type}' GROUP BY 1
+),
+m AS (
+  SELECT key, CAST(b.last - last_p AS BIGINT) AS recency_us,
+         frequency, monetary
+  FROM per_key, bounds b
+),
+tiled AS (
+  SELECT key, recency_us, frequency, monetary,
+         ntile({n}) OVER (ORDER BY recency_us ASC, key ASC) AS tr,
+         ntile({n}) OVER (ORDER BY frequency DESC, key ASC) AS tf,
+         ntile({n}) OVER (ORDER BY monetary DESC, key ASC) AS tm
+  FROM m
+)
+SELECT key, recency_us, frequency, monetary,
+       CAST({n + 1} - tr AS INT) AS r,
+       CAST({n + 1} - tf AS INT) AS f,
+       CAST({n + 1} - tm AS INT) AS m,
+       CAST({n + 1} - tr AS VARCHAR) || CAST({n + 1} - tf AS VARCHAR)
+         || CAST({n + 1} - tm AS VARCHAR) AS segment
+FROM tiled
+"""

@@ -2887,6 +2887,14 @@ def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events (quintile grid,
+    555 = recent + frequent + big spender)."""
+    from datalake_indexes_spark.operators.events import rfm_segments
+
+    return rfm_segments(_events_us(spark, sf_dir))
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3105,6 +3113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_novelty": q_corpus_novelty,
     "corpus_pareto": q_corpus_pareto,
     "events_scd2_lookup": q_events_scd2_lookup,
+    "events_rfm": q_events_rfm,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3418,6 +3427,7 @@ WHERE rn = 1
     "corpus_novelty": oracle.doc_novelty_sql(n=3, modulus=6),
     "corpus_pareto": oracle.pareto_report_sql(),
     "events_scd2_lookup": oracle.scd2_lookup_sql(),
+    "events_rfm": oracle.rfm_segments_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -894,3 +894,30 @@ class TestScd2Lookup:
             facts, hist, "user_id", "ts_us", ["attr"]
         ).collect()}
         assert out == {1: "a", 2: "a", 3: "b", 4: "a"}
+
+
+@pytest.mark.spark
+class TestRfmSegments:
+    def test_known_grid(self, spark):
+        """Five users with strictly ordered R/F/M: each lands in its own
+        quintile, best user reads 555."""
+        from datalake_indexes_spark.operators.events import rfm_segments
+
+        rows = []
+        for uid in range(1, 6):
+            # uid 5: most recent (latest last-purchase), most frequent,
+            # biggest spender
+            for k in range(uid):
+                rows.append((uid, "purchase", uid * 100 + k, 10.0 * uid))
+        rows.append((9, "view", 1000, 0.0))  # pins corpus last timestamp
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_us long, value double"
+        )
+        out = {r.key: r for r in rfm_segments(ev).collect()}
+        assert len(out) == 5  # the view-only user has no purchases
+        assert out[5].segment == "555"
+        assert out[1].segment == "111"
+        assert out[3].r == 3 and out[3].f == 3 and out[3].m == 3
+        assert out[5].recency_us == 1000 - (5 * 100 + 4)
+        assert out[4].frequency == 4
+        assert out[2].monetary == pytest.approx(40.0)
