@@ -78,3 +78,44 @@ class TestForecastScale:
         )
         plan = _plan(rolling_forecast_backtest(ev, window_rows=5))
         assert plan.count("Exchange") == 1
+
+
+@pytest.mark.spark
+class TestMonitoringScale:
+    def test_cusum_1m_events_planted_shift(self, spark):
+        """1M events, 5 types, 100 periods; one type's rate drops 80% at
+        period 60 — detected there (±2), others stay honest-null, and
+        the dense grid is types × periods, never event-sized."""
+        from datalake_indexes_spark.operators.events import cusum_changepoints
+
+        n = 1_000_000
+        ev = spark.range(n).selectExpr(
+            "concat('t', id % 5) as event_type",
+            # type t0 thinned 5x for ids landing past period 60
+            "CASE WHEN id % 5 = 0 AND (id % 100000) >= 60000 AND id % 5000 != 0 "
+            "THEN NULL ELSE (id % 100000) * 10 END as ts_us",
+        ).filter("ts_us is not null")
+        out = {r.event_type: r for r in cusum_changepoints(
+            ev, period_us=10_000
+        ).collect()}
+        assert out["t0"].change_flag
+        assert abs(out["t0"].change_period - 59) <= 2
+        for t in ("t1", "t2", "t3", "t4"):
+            assert not out[t].change_flag
+
+    def test_survival_100k_users(self, spark):
+        """100k users with varied span lengths: the duration-count frame
+        stays calendar-bounded and the curve is monotone non-increasing."""
+        from datalake_indexes_spark.operators.events import survival_curve
+
+        ev = spark.range(200_000).selectExpr(
+            "id % 100000 as user_id",
+            # each user: one event at 0, one at (uid % 50) periods
+            "CASE WHEN id < 100000 THEN 0 ELSE ((id % 100000) % 50) * 100 END as ts_us",
+        )
+        curve = survival_curve(ev, period_us=100, censor_horizon_periods=2).collect()
+        assert len(curve) <= 50  # calendar-bounded rows
+        ordered = sorted(curve, key=lambda r: r.duration)
+        survs = [r.survival for r in ordered]
+        assert all(a >= b - 1e-9 for a, b in zip(survs, survs[1:]))
+        assert ordered[0].n_at_risk == 100_000
