@@ -1777,3 +1777,77 @@ def rfm_segments(
             flip("__m").cast("string"),
         ).alias("segment"),
     )
+
+
+def rate_cross_correlation(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two event-rate series:
+    (lag, n_periods, corr) for lag ∈ [−max_lag, max_lag], correlating
+    a's per-period count at t with b's at t+lag over the shared dense
+    period grid — "does signup lead purchase by N days?" answered as
+    the lag maximizing corr.  Positive lag = a LEADS b.
+
+    Quiet periods count as zero on both sides (a rate series has a
+    value everywhere), and both series share the corpus's global period
+    bounds, so every lag compares the same grid shifted — n_periods =
+    grid − |lag|.  Pearson from raw integer sums (period counts are
+    exact, so Σa, Σb, Σab, Σa², Σb² are order-independent in any
+    engine); zero-variance windows report NULL corr.
+
+    Scale shape: one (type, period) count aggregate, dense grids are
+    calendar-bounded, the lag expansion is ×(2·max_lag+1) on the GRID
+    (not the events), one equi-join on the shifted period, one
+    per-lag aggregate.  No window at all.
+    """
+    period = (
+        (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    ).cast("long")
+    counts = (
+        events.filter(F.col(type_col).isin(type_a, type_b))
+        .select(F.col(type_col).alias("__t"), period.alias("period"))
+        .groupBy("__t", "period")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = counts.agg(F.min("period").alias("__lo"), F.max("period").alias("__hi"))
+
+    def dense(t: str, out: str) -> DataFrame:
+        grid = bounds.select(
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("period")
+        )
+        return grid.join(
+            counts.filter(F.col("__t") == t).select("period", "c"), "period", "left"
+        ).select("period", F.coalesce("c", F.lit(0)).alias(out))
+
+    a, b = dense(type_a, "a"), dense(type_b, "b")
+    lags = F.explode(
+        F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+    ).alias("lag")
+    a_l = a.select("period", "a", lags)
+    joined = a_l.join(
+        b.withColumnRenamed("period", "__bp"),
+        F.col("__bp") == F.col("period") + F.col("lag"),
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum("a").alias("__sa"),
+        F.sum("b").alias("__sb"),
+        F.sum(F.col("a") * F.col("b")).alias("__sab"),
+        F.sum(F.col("a") * F.col("a")).alias("__saa"),
+        F.sum(F.col("b") * F.col("b")).alias("__sbb"),
+    )
+    n = F.col("n_periods").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    sab = F.col("__sab").cast("double")
+    saa, sbb = F.col("__saa").cast("double"), F.col("__sbb").cast("double")
+    denom = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    corr = (n * sab - sa * sb) / F.nullif(denom, F.lit(0.0))
+    return agg.select(
+        "lag", "n_periods", F.round(corr, 6).alias("corr")
+    ).orderBy("lag")

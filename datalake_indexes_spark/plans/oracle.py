@@ -6339,3 +6339,54 @@ SELECT key, recency_us, frequency, monetary,
          || CAST({n + 1} - tm AS VARCHAR) AS segment
 FROM tiled
 """
+
+
+def rate_cross_correlation_sql(
+    type_a: str, type_b: str, max_lag: int = 7, period_us: int = 86_400_000_000
+) -> str:
+    """Cross-correlation twin: same shared dense grid, same lag-shifted
+    equi-join, same integer-sum Pearson closed form."""
+    p = int(period_us)
+    L = int(max_lag)
+    return f"""
+WITH counts AS (
+  SELECT event_type AS t,
+         (epoch_us(ts) - (epoch_us(ts) % {p})) // {p} AS period,
+         count(*) AS c
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(period) AS lo, max(period) AS hi FROM counts),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds))) AS period
+),
+a AS (
+  SELECT g.period, coalesce(c.c, 0) AS a FROM grid g
+  LEFT JOIN counts c ON c.period = g.period AND c.t = '{type_a}'
+),
+b AS (
+  SELECT g.period, coalesce(c.c, 0) AS b FROM grid g
+  LEFT JOIN counts c ON c.period = g.period AND c.t = '{type_b}'
+),
+lagged AS (
+  SELECT l.lag, a.a, b.b
+  FROM a, (SELECT unnest(generate_series(-{L}, {L})) AS lag) l
+  JOIN b ON b.period = a.period + l.lag
+),
+agg AS (
+  SELECT lag, count(*) AS n_periods,
+         sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+         sum(a * a) AS saa, sum(b * b) AS sbb
+  FROM lagged GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n_periods AS BIGINT) AS n_periods,
+       round((CAST(n_periods AS DOUBLE) * sab - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / nullif(sqrt((CAST(n_periods AS DOUBLE) * saa
+                            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                           * (CAST(n_periods AS DOUBLE) * sbb
+                              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0.0), 6)
+         AS corr
+FROM agg ORDER BY lag
+"""

@@ -2895,6 +2895,14 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_events_us(spark, sf_dir))
 
 
+def q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the signup and purchase daily
+    rate series (does one lead the other?)."""
+    from datalake_indexes_spark.operators.events import rate_cross_correlation
+
+    return rate_cross_correlation(_events_us(spark, sf_dir), "signup", "purchase")
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3114,6 +3122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pareto": q_corpus_pareto,
     "events_scd2_lookup": q_events_scd2_lookup,
     "events_rfm": q_events_rfm,
+    "events_xcorr": q_events_xcorr,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3428,6 +3437,7 @@ WHERE rn = 1
     "corpus_pareto": oracle.pareto_report_sql(),
     "events_scd2_lookup": oracle.scd2_lookup_sql(),
     "events_rfm": oracle.rfm_segments_sql(),
+    "events_xcorr": oracle.rate_cross_correlation_sql("signup", "purchase"),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

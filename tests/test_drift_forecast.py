@@ -921,3 +921,38 @@ class TestRfmSegments:
         assert out[5].recency_us == 1000 - (5 * 100 + 4)
         assert out[4].frequency == 4
         assert out[2].monetary == pytest.approx(40.0)
+
+
+@pytest.mark.spark
+class TestRateCrossCorrelation:
+    def test_planted_lead_detected(self, spark):
+        """b's series is a's shifted by +2 periods: corr peaks at lag 2
+        with corr ~ 1 (a LEADS b)."""
+        from datalake_indexes_spark.operators.events import rate_cross_correlation
+
+        rows = []
+        # a: a varied rate pattern over 30 periods; b mirrors it 2 later
+        for p in range(30):
+            n = (p * 7) % 5 + 1
+            rows += [("a", p * 100 + i) for i in range(n)]
+            rows += [("b", (p + 2) * 100 + i) for i in range(n)]
+        ev = spark.createDataFrame(rows, "event_type string, ts_us long")
+        out = {r.lag: r for r in rate_cross_correlation(
+            ev, "a", "b", max_lag=4, period_us=100
+        ).collect()}
+        assert len(out) == 9
+        best = max(out.values(), key=lambda r: (r.corr if r.corr is not None else -2))
+        assert best.lag == 2
+        assert best.corr > 0.95
+        # overlap shrinks with |lag|
+        assert out[4].n_periods == out[0].n_periods - 4
+
+    def test_self_correlation_is_one_at_zero_lag(self, spark):
+        from datalake_indexes_spark.operators.events import rate_cross_correlation
+
+        rows = [("a", p * 100 + i) for p in range(20) for i in range((p % 4) + 1)]
+        ev = spark.createDataFrame(rows, "event_type string, ts_us long")
+        out = {r.lag: r.corr for r in rate_cross_correlation(
+            ev, "a", "a", max_lag=2, period_us=100
+        ).collect()}
+        assert out[0] == pytest.approx(1.0, abs=1e-9)
