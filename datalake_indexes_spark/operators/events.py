@@ -1724,17 +1724,25 @@ def rfm_segments(
     ``n_tiles`` equal-count tiles (5 = best) and concatenated into the
     familiar segment code ("555" = recent, frequent, big).
 
-    Tiling is ``ntile`` over a TOTAL order ((metric, key) — ties break
-    by key, so tiles are engine-exact like equi_depth_histograms);
-    recency orders ASCENDING (most recent = tile 5 after flipping),
-    frequency/monetary descending metrics order so higher = better tile.
+    Tiles follow the engines' exact NTILE allocation over the TOTAL
+    order (metric, key) — but computed as a distributed
+    :func:`..functions.ranking.global_rank` plus the closed-form
+    :func:`..functions.ranking.ntile_from_rank`, so no ntile window ever
+    funnels the key frame through one task.  Recency ranks ascending
+    (then flips so 5 = most recent); frequency/monetary rank descending.
 
-    Scale shape: one per-key aggregate, then three ntile windows over
-    the SAME per-key frame — unpartitioned windows over the key
-    cardinality: correct-but-single-task at extreme user counts, the
-    documented trade equi_depth_histograms makes; swap in the
-    budget_select two-level pattern when keys outgrow one task.
+    Scale shape: one per-key aggregate, three bucketed global ranks
+    (two-level prefix sum each), one broadcast scalar count.
+    Parallelism within a rank is bounded below by the largest TIED
+    metric group (e.g. billions of frequency-1 customers sort in one
+    bucket) — the documented bound every value-ordered total ranking
+    shares; pre-bucketize the metric if that tier dominates.
     """
+    from datalake_indexes_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+
     last_seen = events.agg(F.max(ts_col).alias("__last"))
     per_key = (
         events.filter(F.col(type_col) == purchase_type)
@@ -1746,35 +1754,29 @@ def rfm_segments(
         )
         .crossJoin(F.broadcast(last_seen))
         .withColumn("recency_us", (F.col("__last") - F.col("__last_p")).cast("long"))
+        .select("key", "recency_us", "frequency", "monetary")
     )
-    from pyspark.sql import Window
-
-    r_w = Window.orderBy(F.asc("recency_us"), F.asc("key"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("key"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("key"))
-    out = per_key.select(
-        "key",
-        "recency_us",
-        "frequency",
-        "monetary",
-        F.ntile(n_tiles).over(r_w).alias("__r"),
-        F.ntile(n_tiles).over(f_w).alias("__f"),
-        F.ntile(n_tiles).over(m_w).alias("__m"),
-    )
-    # flip so n_tiles = best on every axis
-    flip = lambda c: (F.lit(n_tiles + 1) - F.col(c)).cast("int")  # noqa: E731
+    ranked = global_rank(per_key, "recency_us", "key", ascending=True, out_col="__rr")
+    ranked = global_rank(ranked, "frequency", "key", ascending=False, out_col="__rf")
+    ranked = global_rank(ranked, "monetary", "key", ascending=False, out_col="__rm")
+    total = per_key.agg(F.count(F.lit(1)).alias("__n"))
+    out = ranked.crossJoin(F.broadcast(total))
+    n = F.col("__n").cast("long")
+    flip = lambda c: (  # noqa: E731
+        F.lit(n_tiles + 1) - ntile_from_rank(F.col(c), n, n_tiles)
+    ).cast("int")
     return out.select(
         "key",
         "recency_us",
         "frequency",
         "monetary",
-        flip("__r").alias("r"),
-        flip("__f").alias("f"),
-        flip("__m").alias("m"),
+        flip("__rr").alias("r"),
+        flip("__rf").alias("f"),
+        flip("__rm").alias("m"),
         F.concat(
-            flip("__r").cast("string"),
-            flip("__f").cast("string"),
-            flip("__m").cast("string"),
+            flip("__rr").cast("string"),
+            flip("__rf").cast("string"),
+            flip("__rm").cast("string"),
         ).alias("segment"),
     )
 

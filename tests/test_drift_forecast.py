@@ -956,3 +956,54 @@ class TestRateCrossCorrelation:
             ev, "a", "a", max_lag=2, period_us=100
         ).collect()}
         assert out[0] == pytest.approx(1.0, abs=1e-9)
+
+
+@pytest.mark.spark
+class TestGlobalRank:
+    def test_matches_window_row_number(self, spark):
+        """The bucketed two-level rank equals row_number() over the same
+        total order, including duplicates, negatives and zeros."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from datalake_indexes_spark.functions.ranking import global_rank
+
+        rng = random.Random(17)
+        rows = [(f"k{i:03d}", float(rng.choice([-5, -1, 0, 0, 2, 2, 7, 100])))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        for asc in (True, False):
+            got = {
+                r.k: r.rank
+                for r in global_rank(df, "v", "k", ascending=asc).collect()
+            }
+            order = F.asc("v") if asc else F.desc("v")
+            want = {
+                r.k: r.rn
+                for r in df.withColumn(
+                    "rn", F.row_number().over(Window.orderBy(order, F.asc("k")))
+                ).collect()
+            }
+            assert got == want, f"ascending={asc}"
+
+    def test_ntile_from_rank_matches_engine_ntile(self, spark):
+        """Closed-form allocation == ntile() for every (n, t) shape
+        including n < t, n % t != 0 and exact division."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from datalake_indexes_spark.functions.ranking import ntile_from_rank
+
+        for n, t in [(10, 5), (11, 5), (7, 5), (3, 5), (5, 5), (23, 4)]:
+            df = spark.range(1, n + 1).withColumnRenamed("id", "rank")
+            got = df.select(
+                "rank",
+                ntile_from_rank(F.col("rank"), F.lit(n).cast("long"), t).alias("tile"),
+            )
+            want = spark.range(1, n + 1).select(
+                F.col("id").alias("rank"),
+                F.ntile(t).over(Window.orderBy("id")).alias("tile"),
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            ), (n, t)

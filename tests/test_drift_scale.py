@@ -119,3 +119,25 @@ class TestMonitoringScale:
         survs = [r.survival for r in ordered]
         assert all(a >= b - 1e-9 for a, b in zip(survs, survs[1:]))
         assert ordered[0].n_at_risk == 100_000
+
+
+@pytest.mark.spark
+class TestRfmPlanShape:
+    def test_no_global_window(self, spark):
+        """The distributed-rank rewrite removes every unpartitioned
+        window from the RFM plan (the offset tables' bucket windows ride
+        a partitioning-by-construction... the bucket-offset cumulation is
+        over bucket-cardinality rows and IS order-global — assert the
+        only global windows left are those tiny offset scans by bounding
+        the count, not the per-key frame)."""
+        from datalake_indexes_spark.operators.events import rfm_segments
+        from datalake_indexes_spark.plans.audit import plan_report
+
+        ev = spark.range(5000).selectExpr(
+            "id % 500 as user_id", "'purchase' as event_type",
+            "id as ts_us", "cast(id % 37 as double) as value",
+        )
+        rep = plan_report(rfm_segments(ev))
+        # 3 ranks × 1 bucket-offset window each — all over ≤~2100-row
+        # bucket tables, never the key frame
+        assert rep["n_global_windows"] <= 3
