@@ -39,12 +39,20 @@ def global_rank(
     affect the result: equal values always share a bucket, and any
     boundary wobble only moves a value between ADJACENT buckets whose
     offsets still compose to the same global order.
+    NULL/NaN values carry no rank: those rows come back with ``out_col``
+    NULL and ranks 1..n run over the ranked rows only (a NULL value
+    would otherwise fall out of the bucket equi-join while still
+    shifting the offset table — silently corrupting every other rank).
     """
     v = F.col(value_col).cast("double")
+    ranked_rows = df.filter(v.isNotNull() & ~F.isnan(v))
+    skipped = df.filter(v.isNull() | F.isnan(v)).withColumn(
+        out_col, F.lit(None).cast("long")
+    )
     order_v = v if ascending else -v
-    bounds = df.agg(F.min(order_v).alias("__vmin"))
+    bounds = ranked_rows.agg(F.min(order_v).alias("__vmin"))
     b = (
-        df.crossJoin(F.broadcast(bounds))
+        ranked_rows.crossJoin(F.broadcast(bounds))
         .withColumn("__ov", order_v)
         .withColumn(
             "__bkt",
@@ -70,11 +78,12 @@ def global_rank(
             ),
         )
     )
-    return (
+    ranked = (
         local.join(F.broadcast(offsets.select("__bkt", "__off")), "__bkt")
         .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__bkt", "__ov", "__vmin", "__rn", "__off")
     )
+    return ranked.unionByName(skipped.select(*ranked.columns))
 
 
 def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:

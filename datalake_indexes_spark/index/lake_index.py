@@ -481,12 +481,19 @@ class LakeIndex:
             a = a.filter(F.col("table_id") == table_id)
             b = b.filter(F.col("table_id") == table_id)
         cols = ["table_id", "col_id", "row_id", "tokenized"]
-        added = b.select(cols).join(a.select(cols), cols, "left_anti").select(
-            F.lit("added").alias("change"), *cols
-        )
-        removed = a.select(cols).join(b.select(cols), cols, "left_anti").select(
-            F.lit("removed").alias("change"), *cols
-        )
+
+        def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
+            # null-safe tuple equality: a NULL tokenized present in BOTH
+            # snapshots must compare equal, not phantom as added+removed
+            l, r = left.select(cols).alias("l"), right.select(cols).alias("r")
+            cond = None
+            for c in cols:
+                eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+                cond = eq if cond is None else cond & eq
+            return l.join(r, cond, "left_anti")
+
+        added = _anti(b, a).select(F.lit("added").alias("change"), *cols)
+        removed = _anti(a, b).select(F.lit("removed").alias("change"), *cols)
         return added.unionByName(removed)
 
     @classmethod

@@ -899,7 +899,10 @@ def ks_drift(
     from pyspark.sql.window import Window
 
     def _long(df: "DataFrame", tag: str) -> "DataFrame":
-        pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+        pairs = ", ".join(
+            "'{0}', cast(`{1}` as double)".format(c.replace("'", "\\'"), c)
+            for c in columns
+        )
         return (
             df.selectExpr(f"stack({len(columns)}, {pairs}) as (column_name, val)")
             .filter(F.col("val").isNotNull())

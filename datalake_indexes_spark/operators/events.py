@@ -1152,9 +1152,6 @@ def rolling_forecast_backtest(
     out of a single sorted WindowExec run, then one map-side-combinable
     per-key aggregate.  No global window, no self-join, no iteration.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
-    trail = w.rowsBetween(-window_rows, -1)
-    seq = F.row_number().over(w).cast("long")
     y = F.col(value_col).cast("double")
     # NULL values would silently bias the fit (window sum skips NULLs
     # while count counts the row) — they are not observations, drop them
@@ -1489,7 +1486,10 @@ def cusum_readout(counts: DataFrame, score_crit: float = 1.358) -> DataFrame:
     nd = F.col("n_periods").cast("double")
     mean = F.col("__tot").cast("double") / nd
     var = F.col("__sq").cast("double") / nd - mean * mean
-    score = F.col("__amax") / F.nullif(F.sqrt(var) * F.sqrt(nd), F.lit(0.0))
+    # gate on var > 0: the power-sum cancellation can land epsilon-negative
+    # at huge counts, and sqrt(neg) = NaN would flip the flag TRUE (NaN
+    # compares greater than everything) — the ab_readout hazard
+    score = F.when(var > 0, F.col("__amax") / (F.sqrt(var) * F.sqrt(nd)))
     return (
         best.join(arg, "event_type")
         .select(
@@ -1594,8 +1594,12 @@ def ab_cuped_test(
 
     na_, ya, ma, vya, vaa = variant("a")
     nb_, yb, mb, vyb, vab = variant("b")
-    z_raw = (ya - yb) / F.nullif(F.sqrt(vya / na_ + vyb / nb_), F.lit(0.0))
-    z_adj = (ma - mb) / F.nullif(F.sqrt(vaa / na_ + vab / nb_), F.lit(0.0))
+    # gate each z on a strictly positive combined variance: epsilon-negative
+    # power-sum cancellation would make sqrt() NaN, and NaN > crit is TRUE
+    se2_raw = vya / na_ + vyb / nb_
+    se2_adj = vaa / na_ + vab / nb_
+    z_raw = F.when(se2_raw > 0, (ya - yb) / F.sqrt(se2_raw))
+    z_adj = F.when(se2_adj > 0, (ma - mb) / F.sqrt(se2_adj))
     return agg.select(
         "n_a",
         "n_b",
@@ -1605,7 +1609,9 @@ def ab_cuped_test(
         F.round(mb, 6).alias("mean_adj_b"),
         F.round(z_raw, 4).alias("z_raw"),
         F.round(z_adj, 4).alias("z_adj"),
-        F.coalesce(F.abs(z_adj) > F.lit(z_crit), F.lit(False)).alias("significant"),
+        F.coalesce(F.when(se2_adj > 0, F.abs(z_adj) > F.lit(z_crit)), F.lit(False)).alias(
+            "significant"
+        ),
     )
 
 
@@ -1638,7 +1644,7 @@ def funnel_timing(
     n = len(steps)
     pairs = []
     for i in range(1, n):
-        label = f"{i}:{steps[i - 1]}->{steps[i]}"
+        label = f"{i}:{steps[i - 1]}->{steps[i]}".replace("'", "\\'")
         pairs.append(f"'{label}', step{i}_us, step{i + 1}_us")
     stacked = f.selectExpr(
         f"stack({n - 1}, {', '.join(pairs)}) as (transition, __from, __to)"

@@ -1358,8 +1358,9 @@ NORMALIZE_CHAR_MAP: tuple[tuple[str, str], ...] = (
 NORMALIZE_REGEX_RULES: tuple[tuple[str, str], ...] = (
     # zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) vanish
     ("[\\x{200B}-\\x{200D}\\x{FEFF}]", ""),
-    # C0 control chars (except \t \n) and DEL vanish
-    ("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]", ""),
+    # C0 control chars (except \t \n) and DEL vanish; \r included, so
+    # CRLF text normalizes to LF BEFORE the whitespace-collapse rules
+    ("[\\x{00}-\\x{08}\\x{0B}-\\x{0D}\\x{0E}-\\x{1F}\\x{7F}]", ""),
     # unicode space separators fold to ASCII space
     ("[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " "),
     # space/tab runs collapse

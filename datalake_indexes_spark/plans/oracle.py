@@ -5851,15 +5851,21 @@ SELECT b.event_type,
        CAST(b.n_periods AS BIGINT) AS n_periods,
        a.change_period,
        round(b.amax, 6) AS max_cusum_abs,
-       round(b.amax / nullif(sqrt(CAST(b.sq AS DOUBLE) / b.n_periods
-                                  - (CAST(b.tot AS DOUBLE) / b.n_periods)
-                                    * (CAST(b.tot AS DOUBLE) / b.n_periods))
-                             * sqrt(CAST(b.n_periods AS DOUBLE)), 0.0), 6) AS score,
-       coalesce(b.amax / nullif(sqrt(CAST(b.sq AS DOUBLE) / b.n_periods
-                                     - (CAST(b.tot AS DOUBLE) / b.n_periods)
-                                       * (CAST(b.tot AS DOUBLE) / b.n_periods))
-                                * sqrt(CAST(b.n_periods AS DOUBLE)), 0.0)
-                  > CAST({score_crit!r} AS DOUBLE), false) AS change_flag
+       round(CASE WHEN CAST(b.sq AS DOUBLE) / b.n_periods
+                       - (CAST(b.tot AS DOUBLE) / b.n_periods)
+                         * (CAST(b.tot AS DOUBLE) / b.n_periods) > 0
+                  THEN b.amax / (sqrt(CAST(b.sq AS DOUBLE) / b.n_periods
+                                      - (CAST(b.tot AS DOUBLE) / b.n_periods)
+                                        * (CAST(b.tot AS DOUBLE) / b.n_periods))
+                                 * sqrt(CAST(b.n_periods AS DOUBLE))) END, 6) AS score,
+       coalesce(CASE WHEN CAST(b.sq AS DOUBLE) / b.n_periods
+                          - (CAST(b.tot AS DOUBLE) / b.n_periods)
+                            * (CAST(b.tot AS DOUBLE) / b.n_periods) > 0
+                     THEN b.amax / (sqrt(CAST(b.sq AS DOUBLE) / b.n_periods
+                                         - (CAST(b.tot AS DOUBLE) / b.n_periods)
+                                           * (CAST(b.tot AS DOUBLE) / b.n_periods))
+                                    * sqrt(CAST(b.n_periods AS DOUBLE)))
+                          > CAST({score_crit!r} AS DOUBLE) END, false) AS change_flag
 FROM best b JOIN arg a ON a.event_type = b.event_type
 """
 
@@ -6070,15 +6076,18 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(var_adj / nullif(var_y, 0.0), 6) AS var_reduction,
        round(ma, 6) AS mean_adj_a,
        round(mb, 6) AS mean_adj_b,
-       round((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-              - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-             / nullif(sqrt(vya / CAST(n_a AS DOUBLE)
-                           + vyb / CAST(n_b AS DOUBLE)), 0.0), 4) AS z_raw,
-       round((ma - mb) / nullif(sqrt(vaa / CAST(n_a AS DOUBLE)
-                                     + vab / CAST(n_b AS DOUBLE)), 0.0), 4) AS z_adj,
-       coalesce(abs((ma - mb) / nullif(sqrt(vaa / CAST(n_a AS DOUBLE)
-                                            + vab / CAST(n_b AS DOUBLE)), 0.0))
-                  > CAST({z_crit!r} AS DOUBLE), false) AS significant
+       round(CASE WHEN vya / CAST(n_a AS DOUBLE) + vyb / CAST(n_b AS DOUBLE) > 0
+                  THEN (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / sqrt(vya / CAST(n_a AS DOUBLE)
+                              + vyb / CAST(n_b AS DOUBLE)) END, 4) AS z_raw,
+       round(CASE WHEN vaa / CAST(n_a AS DOUBLE) + vab / CAST(n_b AS DOUBLE) > 0
+                  THEN (ma - mb) / sqrt(vaa / CAST(n_a AS DOUBLE)
+                                        + vab / CAST(n_b AS DOUBLE)) END, 4) AS z_adj,
+       coalesce(CASE WHEN vaa / CAST(n_a AS DOUBLE) + vab / CAST(n_b AS DOUBLE) > 0
+                     THEN abs((ma - mb) / sqrt(vaa / CAST(n_a AS DOUBLE)
+                                               + vab / CAST(n_b AS DOUBLE)))
+                            > CAST({z_crit!r} AS DOUBLE) END, false) AS significant
 FROM final
 """
 

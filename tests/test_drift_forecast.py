@@ -1007,3 +1007,63 @@ class TestGlobalRank:
             assert sorted(map(tuple, got.collect())) == sorted(
                 map(tuple, want.collect())
             ), (n, t)
+
+
+@pytest.mark.spark
+class TestReviewFixes:
+    """Regression tests for the round's code-review findings."""
+
+    def test_global_rank_null_values_do_not_corrupt(self, spark):
+        from datalake_indexes_spark.functions.ranking import global_rank
+
+        df = spark.createDataFrame(
+            [("k1", 10.0), ("k2", None), ("k3", 5.0), ("k4", float("nan"))],
+            "k string, v double",
+        )
+        out = {r.k: r.rank for r in global_rank(df, "v", "k").collect()}
+        assert out == {"k3": 1, "k1": 2, "k2": None, "k4": None}
+
+    def test_cusum_constant_series_never_flags(self, spark):
+        """Perfectly constant rate: var == 0 exactly → score NULL,
+        flag false (the NaN>crit trap)."""
+        from datalake_indexes_spark.operators.events import cusum_changepoints
+
+        rows = [("a", p * 100 + i) for p in range(20) for i in range(4)]
+        ev = spark.createDataFrame(rows, "event_type string, ts_us long")
+        r = cusum_changepoints(ev, period_us=100).collect()[0]
+        assert r.score is None and not r.change_flag
+
+    def test_cuped_zero_variance_not_significant(self, spark):
+        from datalake_indexes_spark.operators.events import ab_cuped_test
+
+        # every user identical: all variances 0 → z NULL, significant false
+        rows = []
+        for uid in range(50):
+            rows += [(uid, "purchase", 10), (uid, "purchase", 1500),
+                     (uid, "view", 0), (uid, "view", 2000)]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+        r = ab_cuped_test(ev).collect()[0]
+        assert r.z_adj is None and r.significant is False
+
+    def test_normalize_crlf_text(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import normalize_text
+
+        raw = "a \r\nb\r\n\r\n\r\n\r\nc"
+        docs = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+        out = normalize_text(docs).collect()[0].normalized
+        assert out == "a\nb\n\nc"
+
+    def test_funnel_timing_quoted_step_name(self, spark):
+        from datalake_indexes_spark.operators.events import funnel_timing
+
+        rows = [(1, "view", 0), (1, "add's", 10), (2, "view", 5)]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+        out = funnel_timing(ev, ["view", "add's"]).collect()
+        assert len(out) == 1 and out[0].n_from == 2 and out[0].n_to == 1
+
+    def test_ks_drift_quoted_column_name(self, spark):
+        from datalake_indexes_spark.operators.cocoa import ks_drift
+
+        df = spark.range(10).selectExpr("cast(id as double) as `odd'name`")
+        row = ks_drift(df, df, ["odd'name"]).collect()[0]
+        assert row.ks_stat == 0.0
