@@ -76,3 +76,69 @@ def validate_existence(
         F.lit(rule).alias("rule"),
         F.col(parent_key).cast("long").alias("entity_id"),
     )
+
+
+def frame_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    tol: float = 0.0,
+) -> DataFrame:
+    """Distributed regression diff between two keyed frames: one row per
+    compared column — (column_name, n_only_a, n_only_b, n_compared,
+    n_mismatch, example_key) — the "did my pipeline change produce the
+    same table?" answer without collecting either side.
+
+    Keys only in one frame count per column as ``n_only_a``/``n_only_b``
+    (identical for every column — repeated so each row reads
+    standalone).  Numeric columns compare within ``tol`` (absolute);
+    everything else null-safely exact.  ``example_key`` carries the
+    smallest mismatching key per column for the human reading the
+    report — a min aggregate, so the evidence stays bounded no matter
+    how many rows mismatch (a collect_list here would gather every
+    mismatching key onto one reducer).
+
+    Scale shape: ONE full-outer co-keyed join (the only shuffle), one
+    aggregate over comparison flags; the per-column expansion happens in
+    the aggregate's expression list, not as row blowup.
+    """
+    from pyspark.sql import functions as F
+
+    common = [c for c in a.columns if c in set(b.columns) and c not in key_cols]
+    la = a.alias("a")
+    lb = b.alias("b")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = la.join(lb, cond, "full_outer")
+    in_a = F.col(f"a.{key_cols[0]}").isNotNull()
+    in_b = F.col(f"b.{key_cols[0]}").isNotNull()
+    numeric_types = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    dtypes = dict(a.dtypes)
+    key_repr = F.concat_ws(
+        "|", *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).cast("string") for k in key_cols]
+    )
+    rows = []
+    for c in common:
+        va, vb = F.col(f"a.{c}"), F.col(f"b.{c}")
+        if dtypes.get(c) in numeric_types and tol > 0:
+            same = (
+                (va.isNull() & vb.isNull())
+                | (F.abs(va.cast("double") - vb.cast("double")) <= tol)
+            )
+        else:
+            same = va.eqNullSafe(vb)
+        mismatch = in_a & in_b & ~same
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.sum((in_a & ~in_b).cast("long")).alias("n_only_a"),
+                F.sum((~in_a & in_b).cast("long")).alias("n_only_b"),
+                F.sum((in_a & in_b).cast("long")).alias("n_compared"),
+                F.sum(mismatch.cast("long")).alias("n_mismatch"),
+                F.min(F.when(mismatch, key_repr)).alias("example_key"),
+            )
+        )
+    agg = joined.agg(F.array(*rows).alias("__r"))
+    return agg.select(F.explode("__r").alias("__p")).select("__p.*")

@@ -1067,3 +1067,32 @@ class TestReviewFixes:
         df = spark.range(10).selectExpr("cast(id as double) as `odd'name`")
         row = ks_drift(df, df, ["odd'name"]).collect()[0]
         assert row.ks_stat == 0.0
+
+
+@pytest.mark.spark
+class TestFrameDiff:
+    def test_reports_mismatch_and_presence(self, spark):
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "k long, s string, v double"
+        )
+        b = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.5), (4, "w", 4.0)], "k long, s string, v double"
+        )
+        out = {r.column_name: r for r in frame_diff(a, b, ["k"]).collect()}
+        assert out["v"].n_only_a == 1 and out["v"].n_only_b == 1
+        assert out["v"].n_compared == 2 and out["v"].n_mismatch == 1
+        assert out["v"].example_key == "2"
+        assert out["s"].n_mismatch == 0
+
+    def test_tolerance_and_null_safety(self, spark):
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(1, 1.0), (2, None), (3, 5.0)], "k long, v double")
+        b = spark.createDataFrame([(1, 1.0005), (2, None), (3, 6.0)], "k long, v double")
+        strict = {r.column_name: r.n_mismatch for r in frame_diff(a, b, ["k"]).collect()}
+        assert strict["v"] == 2  # 1 vs 1.0005 and 5 vs 6 (NULL==NULL ok)
+        loose = {r.column_name: r.n_mismatch for r in
+                 frame_diff(a, b, ["k"], tol=0.001).collect()}
+        assert loose["v"] == 1  # only 5 vs 6 survives the tolerance
