@@ -1261,7 +1261,23 @@ def survival_curve(
     spans = events.groupBy(F.col(key_col).alias("__k")).agg(
         F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
     )
-    last_seen = events.agg(F.max(ts_col).alias("__corpus_last"))
+    return survival_from_spans(
+        spans,
+        period_us=period_us,
+        censor_horizon_periods=censor_horizon_periods,
+    )
+
+
+def survival_from_spans(
+    spans: DataFrame,
+    period_us: int = 86_400_000_000,
+    censor_horizon_periods: int = 7,
+) -> DataFrame:
+    """The KM scan over an already-aggregated per-key span frame
+    (__k, __first, __last) — shared by the batch estimator above and the
+    streaming monitor (:mod:`..streaming.survival_stream`), whose
+    per-batch min/max partials fold into exactly this shape."""
+    last_seen = spans.agg(F.max("__last").alias("__corpus_last"))
     per_key = spans.crossJoin(F.broadcast(last_seen)).select(
         # integer floor division — no double rounding at period boundaries
         F.expr(
