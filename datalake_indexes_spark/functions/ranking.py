@@ -40,23 +40,26 @@ def global_rank(
     boundary wobble only moves a value between ADJACENT buckets whose
     offsets still compose to the same global order.
     NULL/NaN values carry no rank: those rows come back with ``out_col``
-    NULL and ranks 1..n run over the ranked rows only (a NULL value
-    would otherwise fall out of the bucket equi-join while still
-    shifting the offset table — silently corrupting every other rank).
+    NULL and ranks 1..n run over the ranked rows only — handled via a
+    sentinel NULL bucket excluded from the offset table (NOT a
+    filter+union, which would duplicate the upstream plan once per
+    chained rank and re-execute it per branch).
     """
     v = F.col(value_col).cast("double")
-    ranked_rows = df.filter(v.isNotNull() & ~F.isnan(v))
-    skipped = df.filter(v.isNull() | F.isnan(v)).withColumn(
-        out_col, F.lit(None).cast("long")
-    )
+    valid = v.isNotNull() & ~F.isnan(v)
     order_v = v if ascending else -v
-    bounds = ranked_rows.agg(F.min(order_v).alias("__vmin"))
+    bounds = df.filter(valid).agg(F.min(order_v).alias("__vmin"))
     b = (
-        ranked_rows.crossJoin(F.broadcast(bounds))
-        .withColumn("__ov", order_v)
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__ov", F.when(valid, order_v))
         .withColumn(
             "__bkt",
-            F.floor(F.log2(F.col("__ov") - F.col("__vmin") + F.lit(1.0))).cast("long"),
+            F.when(
+                valid,
+                F.floor(
+                    F.log2(F.col("__ov") - F.col("__vmin") + F.lit(1.0))
+                ).cast("long"),
+            ),
         )
     )
     w_local = (
@@ -66,7 +69,8 @@ def global_rank(
     )
     local = b.withColumn("__rn", F.count(F.lit(1)).over(w_local))
     offsets = (
-        b.groupBy("__bkt")
+        b.filter(F.col("__bkt").isNotNull())
+        .groupBy("__bkt")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn(
             "__off",
@@ -78,12 +82,17 @@ def global_rank(
             ),
         )
     )
-    ranked = (
-        local.join(F.broadcast(offsets.select("__bkt", "__off")), "__bkt")
-        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
+    return (
+        local.join(F.broadcast(offsets.select("__bkt", "__off")), "__bkt", "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__bkt").isNotNull(),
+                (F.col("__off") + F.col("__rn")).cast("long"),
+            ),
+        )
         .drop("__bkt", "__ov", "__vmin", "__rn", "__off")
     )
-    return ranked.unionByName(skipped.select(*ranked.columns))
 
 
 def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
