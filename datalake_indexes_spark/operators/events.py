@@ -1875,3 +1875,80 @@ def rate_cross_correlation(
     return agg.select(
         "lag", "n_periods", F.round(corr, 6).alias("corr")
     ).orderBy("lag")
+
+
+END_STATE = "__END__"
+
+
+def markov_absorption(
+    events: DataFrame,
+    absorb_type: str = "purchase",
+    steps: int = 50,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Markov absorption probabilities: for every event type, the
+    probability that a user in that state reaches ``absorb_type`` before
+    their stream ends — (state, n_out, p_absorb).  This is the quantity
+    behind Markov attribution and "how close is this action to
+    converting" scoring; a plain next-step transition matrix
+    (:func:`event_transitions`) can't see past one hop.
+
+    The chain: first-order transitions over each key's total-ordered
+    timeline, plus one terminal ``__END__`` transition after the last
+    event; ``absorb_type`` and ``__END__`` absorb (p = 1 / 0).
+    p is computed by ``steps`` fixed-point iterations of
+    p(s) ← Σ_t P(s,t)·v(t) — geometric convergence, and the FIXED
+    iteration count is the cross-engine parity contract (the DuckDB twin
+    unrolls the same count in a recursive CTE; a closed-form matrix
+    inverse would never hash-match an iterative oracle).
+
+    Scale shape: the distributed work is exactly
+    :func:`event_transitions`' one lag pass + |types|²-group count; the
+    iteration runs driver-side over the collected ≤ (|types|+1)² matrix
+    — the sanctioned catalog-sized tier (same as
+    categorical_association's grid).  No per-row work scales with steps.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.col(type_col)).over(w)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.coalesce(nxt, F.lit(END_STATE)).alias("to_type"),
+    ).filter(F.col("from_type") != absorb_type)
+    counts = (
+        pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    ).collect()
+
+    out_n: dict[str, int] = {}
+    for r in counts:
+        out_n[r["from_type"]] = out_n.get(r["from_type"], 0) + r["n"]
+    trans: dict[str, list[tuple[str, float]]] = {}
+    for r in sorted(counts, key=lambda r: (r["from_type"], r["to_type"])):
+        trans.setdefault(r["from_type"], []).append(
+            (r["to_type"], r["n"] / out_n[r["from_type"]])
+        )
+    p = {s: 0.0 for s in trans}
+    for _ in range(int(steps)):
+        new_p = {}
+        for s, outs in trans.items():
+            acc = 0.0
+            for t, pr in outs:  # fixed (to_type-sorted) summation order
+                if t == absorb_type:
+                    acc += pr
+                elif t != END_STATE:
+                    acc += pr * p.get(t, 0.0)
+            new_p[s] = acc
+        p = new_p
+
+    spark = events.sparkSession
+    rows = [(st, out_n[st], p[st]) for st in sorted(trans)]
+    rows.append((absorb_type, 0, 1.0))
+    raw = spark.createDataFrame(rows, "state string, n_out long, p_absorb double")
+    # round in Spark (HALF_UP) to match the oracle's rounding convention,
+    # not Python's banker's rounding
+    return raw.select(
+        "state", "n_out", F.round("p_absorb", 6).alias("p_absorb")
+    )

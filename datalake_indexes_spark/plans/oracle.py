@@ -6399,3 +6399,50 @@ SELECT CAST(lag AS BIGINT) AS lag,
          AS corr
 FROM agg ORDER BY lag
 """
+
+
+def markov_absorption_sql(absorb_type: str = "purchase", steps: int = 50) -> str:
+    """Absorption twin: same chain (consecutive pairs + __END__ terminal,
+    absorb-state outgoing rows pruned), same FIXED iteration count as a
+    recursive CTE — absorbing states ride the working table as
+    self-loop rows with constant p, so every update is one pure
+    matrix-vector join."""
+    k = int(steps)
+    return f"""
+WITH RECURSIVE nxt AS (
+  SELECT event_type AS from_type,
+         coalesce(lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ), '__END__') AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM nxt WHERE from_type <> '{absorb_type}' GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1),
+probs AS (
+  -- CAST to DOUBLE: bare 1.0 literals are DECIMAL in DuckDB and the
+  -- decimal scale would quantize every iterated probability
+  SELECT t.from_type, t.to_type, CAST(t.n AS DOUBLE) / o.tot AS pr
+  FROM trans t JOIN tot o USING (from_type)
+  UNION ALL SELECT '{absorb_type}', '{absorb_type}', CAST(1.0 AS DOUBLE)
+  UNION ALL SELECT '__END__', '__END__', CAST(1.0 AS DOUBLE)
+),
+step AS (
+  SELECT 0 AS k, from_type AS state,
+         CAST(CASE WHEN from_type = '{absorb_type}' THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS p
+  FROM (SELECT DISTINCT from_type FROM probs)
+  UNION ALL
+  SELECT max(s.k) + 1, p2.from_type, sum(p2.pr * s.p)
+  FROM probs p2 JOIN step s ON s.state = p2.to_type
+  WHERE s.k < {k}
+  GROUP BY p2.from_type
+)
+SELECT st.state,
+       CAST(coalesce(o.tot, 0) AS BIGINT) AS n_out,
+       round(st.p, 6) AS p_absorb
+FROM step st LEFT JOIN tot o ON o.from_type = st.state
+WHERE st.k = {k} AND st.state <> '__END__'
+"""

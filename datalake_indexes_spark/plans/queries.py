@@ -2903,6 +2903,15 @@ def q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_cross_correlation(_events_us(spark, sf_dir), "signup", "purchase")
 
 
+def q_events_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov absorption: per event type, the probability of reaching a
+    purchase before the user's stream ends (50 fixed-point iterations,
+    the cross-engine parity contract)."""
+    from datalake_indexes_spark.operators.events import markov_absorption
+
+    return markov_absorption(_events_us(spark, sf_dir), seq_col="event_id")
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3123,6 +3132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_scd2_lookup": q_events_scd2_lookup,
     "events_rfm": q_events_rfm,
     "events_xcorr": q_events_xcorr,
+    "events_absorption": q_events_absorption,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3438,6 +3448,7 @@ WHERE rn = 1
     "events_scd2_lookup": oracle.scd2_lookup_sql(),
     "events_rfm": oracle.rfm_segments_sql(),
     "events_xcorr": oracle.rate_cross_correlation_sql("signup", "purchase"),
+    "events_absorption": oracle.markov_absorption_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -1096,3 +1096,45 @@ class TestFrameDiff:
         loose = {r.column_name: r.n_mismatch for r in
                  frame_diff(a, b, ["k"], tol=0.001).collect()}
         assert loose["v"] == 1  # only 5 vs 6 survives the tolerance
+
+
+@pytest.mark.spark
+class TestMarkovAbsorption:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+
+    def test_hand_computed_chain(self, spark):
+        """Two-state chain: from 'a', 50% → purchase, 50% → end.
+        From 'b', always → a.  p(a) = 0.5, p(b) = 0.5."""
+        from datalake_indexes_spark.operators.events import markov_absorption
+
+        rows = []
+        # user 1: a → purchase; user 2: a (→ END); users 3,4: b → a → ...
+        rows += [(1, "a", 0), (1, "purchase", 1)]
+        rows += [(2, "a", 0)]
+        rows += [(3, "b", 0), (3, "a", 1), (3, "purchase", 2)]
+        rows += [(4, "b", 0), (4, "a", 1)]
+        out = {r.state: r for r in markov_absorption(self._ev(spark, rows)).collect()}
+        assert out["purchase"].p_absorb == 1.0
+        assert out["a"].p_absorb == pytest.approx(0.5, abs=1e-6)
+        assert out["b"].p_absorb == pytest.approx(0.5, abs=1e-6)
+        assert out["a"].n_out == 4 and out["b"].n_out == 2
+
+    def test_multi_hop_converges(self, spark):
+        """Deterministic chain c → b → a → purchase: every state 1.0."""
+        from datalake_indexes_spark.operators.events import markov_absorption
+
+        rows = [(1, "c", 0), (1, "b", 1), (1, "a", 2), (1, "purchase", 3)]
+        out = {r.state: r.p_absorb for r in markov_absorption(
+            self._ev(spark, rows)
+        ).collect()}
+        assert out == {"c": 1.0, "b": 1.0, "a": 1.0, "purchase": 1.0}
+
+    def test_unreachable_state_is_zero(self, spark):
+        from datalake_indexes_spark.operators.events import markov_absorption
+
+        rows = [(1, "dead", 0), (2, "a", 0), (2, "purchase", 1)]
+        out = {r.state: r.p_absorb for r in markov_absorption(
+            self._ev(spark, rows)
+        ).collect()}
+        assert out["dead"] == 0.0 and out["a"] == 1.0
