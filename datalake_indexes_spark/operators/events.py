@@ -1952,3 +1952,116 @@ def markov_absorption(
     return raw.select(
         "state", "n_out", F.round("p_absorb", 6).alias("p_absorb")
     )
+
+
+def markov_removal_effects(
+    events: DataFrame,
+    absorb_type: str = "purchase",
+    steps: int = 50,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Markov-chain attribution by removal effect: for every non-absorbing
+    channel, how much of the baseline conversion probability disappears
+    when that channel is removed from the chain — (channel, p_base,
+    p_removed, removal_effect), the data-driven alternative to last-touch
+    attribution (:func:`last_touch_attribution` credits one touch; the
+    removal effect credits a channel by what conversion it actually
+    carries, multi-hop paths included).
+
+    Chain and conversion: same construction as :func:`markov_absorption`
+    (consecutive pairs + ``__END__``), baseline conversion = the
+    start-distribution-weighted absorption Σ_s π(s)·p(s) with π = the
+    distribution of users' FIRST events.  Removing channel c: edges INTO
+    c re-route to ``__END__`` (the user journey dies there), edges OUT of
+    c are dropped, and starts at c count as immediate non-conversion —
+    the standard removal-effect convention.  removal_effect =
+    1 − p_removed/p_base.  Same fixed ``steps`` iteration contract as
+    markov_absorption (the DuckDB twin runs ONE recursive CTE over
+    (channel, state) pairs).
+
+    Scale shape: identical distributed footprint to markov_absorption —
+    one lag pass + |types|²-group count + one first-event aggregate; the
+    per-channel iterations run driver-side over ≤ |types| copies of the
+    catalog-sized matrix.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.col(type_col)).over(w)
+    rn = F.row_number().over(w)
+    base = events.select(
+        F.col(type_col).alias("from_type"),
+        F.coalesce(nxt, F.lit(END_STATE)).alias("to_type"),
+        rn.alias("__rn"),
+    )
+    counts = (
+        base.filter(F.col("from_type") != absorb_type)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).collect()
+    starts = (
+        base.filter(F.col("__rn") == 1)
+        .groupBy("from_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).collect()
+
+    out_n: dict[str, int] = {}
+    for r in counts:
+        out_n[r["from_type"]] = out_n.get(r["from_type"], 0) + r["n"]
+    edges = sorted(
+        (r["from_type"], r["to_type"], r["n"]) for r in counts
+    )
+    n_starts = sum(r["n"] for r in starts)
+    pi = {r["from_type"]: r["n"] / n_starts for r in starts}
+
+    def absorb_p(removed: str | None) -> dict[str, float]:
+        trans: dict[str, list[tuple[str, float]]] = {}
+        for f, t, n in edges:
+            if removed is not None and f == removed:
+                continue
+            t2 = END_STATE if (removed is not None and t == removed) else t
+            trans.setdefault(f, []).append((t2, n / out_n[f]))
+        p = {s: 0.0 for s in trans}
+        for _ in range(int(steps)):
+            p = {
+                s: sum(
+                    pr
+                    if t == absorb_type
+                    else (0.0 if t == END_STATE else pr * p.get(t, 0.0))
+                    for t, pr in outs
+                )
+                for s, outs in trans.items()
+            }
+        return p
+
+    def conversion(p: dict[str, float], removed: str | None) -> float:
+        acc = 0.0
+        for s in sorted(pi):  # fixed order
+            if s == absorb_type:
+                acc += pi[s]
+            elif removed is not None and s == removed:
+                acc += 0.0
+            else:
+                acc += pi[s] * p.get(s, 0.0)
+        return acc
+
+    p_base = conversion(absorb_p(None), None)
+    channels = sorted(
+        {f for f, _, _ in edges} - {absorb_type, END_STATE}
+    )
+    rows = []
+    for c in channels:
+        pc = conversion(absorb_p(c), c)
+        rows.append((c, p_base, pc))
+    spark = events.sparkSession
+    raw = spark.createDataFrame(rows, "channel string, p_base double, p_removed double")
+    return raw.select(
+        "channel",
+        F.round("p_base", 6).alias("p_base"),
+        F.round("p_removed", 6).alias("p_removed"),
+        F.round(
+            F.lit(1.0) - F.col("p_removed") / F.nullif(F.col("p_base"), F.lit(0.0)), 6
+        ).alias("removal_effect"),
+    )

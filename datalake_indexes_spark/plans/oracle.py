@@ -6446,3 +6446,86 @@ SELECT st.state,
 FROM step st LEFT JOIN tot o ON o.from_type = st.state
 WHERE st.k = {k} AND st.state <> '__END__'
 """
+
+
+def markov_removal_effects_sql(
+    absorb_type: str = "purchase", steps: int = 50
+) -> str:
+    """Removal-effect twin: one recursive CTE iterates EVERY variant
+    (baseline + each removed channel) simultaneously over (variant,
+    state) pairs; per-edge rows are kept un-reaggregated after the
+    remap so the iteration sums the same terms as the engine."""
+    k = int(steps)
+    return f"""
+WITH RECURSIVE nxt AS (
+  SELECT event_type AS from_type,
+         coalesce(lead(event_type) OVER w, '__END__') AS to_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+trans AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM nxt WHERE from_type <> '{absorb_type}' GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1),
+starts AS (
+  SELECT from_type, count(*) AS n FROM nxt WHERE rn = 1 GROUP BY 1
+),
+probs0 AS (
+  SELECT t.from_type, t.to_type, CAST(t.n AS DOUBLE) / o.tot AS pr
+  FROM trans t JOIN tot o USING (from_type)
+),
+channels AS (
+  SELECT DISTINCT from_type AS ch FROM trans
+),
+variants AS (
+  SELECT '__BASE__' AS ch, from_type, to_type, pr FROM probs0
+  UNION ALL
+  SELECT c.ch, p.from_type,
+         CASE WHEN p.to_type = c.ch THEN '__END__' ELSE p.to_type END,
+         p.pr
+  FROM probs0 p, channels c WHERE p.from_type <> c.ch
+),
+loops AS (
+  SELECT ch, '{absorb_type}' AS from_type, '{absorb_type}' AS to_type,
+         CAST(1.0 AS DOUBLE) AS pr
+  FROM (SELECT '__BASE__' AS ch UNION ALL SELECT ch FROM channels)
+  UNION ALL
+  SELECT ch, '__END__', '__END__', CAST(1.0 AS DOUBLE)
+  FROM (SELECT '__BASE__' AS ch UNION ALL SELECT ch FROM channels)
+),
+all_edges AS (SELECT * FROM variants UNION ALL SELECT * FROM loops),
+step AS (
+  SELECT 0 AS k, ch, from_type AS state,
+         CAST(CASE WHEN from_type = '{absorb_type}' THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS p
+  FROM (SELECT DISTINCT ch, from_type FROM all_edges)
+  UNION ALL
+  SELECT max(s.k) + 1, e.ch, e.from_type, sum(e.pr * s.p)
+  FROM all_edges e JOIN step s ON s.ch = e.ch AND s.state = e.to_type
+  WHERE s.k < {k}
+  GROUP BY e.ch, e.from_type
+),
+final AS (SELECT ch, state, p FROM step WHERE k = {k}),
+pi AS (
+  SELECT from_type, CAST(n AS DOUBLE) / (SELECT sum(n) FROM starts) AS pi
+  FROM starts
+),
+conv AS (
+  SELECT v.ch,
+         sum(pi.pi * CASE WHEN pi.from_type = '{absorb_type}' THEN 1.0
+                          WHEN pi.from_type = v.ch THEN 0.0
+                          ELSE coalesce(f.p, 0.0) END) AS conv
+  FROM (SELECT '__BASE__' AS ch UNION ALL SELECT ch FROM channels) v
+  CROSS JOIN pi
+  LEFT JOIN final f ON f.ch = v.ch AND f.state = pi.from_type
+  GROUP BY v.ch
+)
+SELECT c.ch AS channel,
+       round(b.conv, 6) AS p_base,
+       round(c.conv, 6) AS p_removed,
+       round(1.0 - c.conv / nullif(b.conv, 0.0), 6) AS removal_effect
+FROM conv c, (SELECT conv FROM conv WHERE ch = '__BASE__') b
+WHERE c.ch <> '__BASE__'
+"""

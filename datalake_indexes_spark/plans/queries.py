@@ -2912,6 +2912,15 @@ def q_events_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_absorption(_events_us(spark, sf_dir), seq_col="event_id")
 
 
+def q_events_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution: per channel, the conversion probability
+    lost when that channel is removed (50 fixed-point iterations per
+    variant, recursive-CTE oracle)."""
+    from datalake_indexes_spark.operators.events import markov_removal_effects
+
+    return markov_removal_effects(_events_us(spark, sf_dir), seq_col="event_id")
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities over the simhash near-dup graph
     (fixed 10 rounds — oracle-parity knob above the measured
@@ -3133,6 +3142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rfm": q_events_rfm,
     "events_xcorr": q_events_xcorr,
     "events_absorption": q_events_absorption,
+    "events_removal_effects": q_events_removal_effects,
     "profile_psi": q_profile_psi,
     "embedding_drift": q_embedding_drift,
     "graph_label_prop": q_graph_label_prop,
@@ -3449,6 +3459,7 @@ WHERE rn = 1
     "events_rfm": oracle.rfm_segments_sql(),
     "events_xcorr": oracle.rate_cross_correlation_sql("signup", "purchase"),
     "events_absorption": oracle.markov_absorption_sql(),
+    "events_removal_effects": oracle.markov_removal_effects_sql(),
     "events_changepoint": oracle.cusum_changepoints_sql(
         plant_predicate="event_type <> 'click' OR epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events) OR event_id % 5 = 0"
     ),

@@ -1138,3 +1138,43 @@ class TestMarkovAbsorption:
             self._ev(spark, rows)
         ).collect()}
         assert out["dead"] == 0.0 and out["a"] == 1.0
+
+
+@pytest.mark.spark
+class TestMarkovRemovalEffects:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+
+    def test_sole_gateway_channel_carries_everything(self, spark):
+        """All conversion paths run through 'b': removing it kills
+        conversion entirely; removing the side channel 'c' changes
+        nothing."""
+        from datalake_indexes_spark.operators.events import markov_removal_effects
+
+        rows = []
+        for uid in range(10):
+            rows += [(uid, "a", 0), (uid, "b", 1), (uid, "purchase", 2)]
+        rows += [(100, "c", 0)]  # a dead-end side channel
+        out = {r.channel: r for r in markov_removal_effects(
+            self._ev(spark, rows)
+        ).collect()}
+        assert out["b"].removal_effect == pytest.approx(1.0, abs=1e-6)
+        assert out["c"].removal_effect == pytest.approx(0.0, abs=1e-6)
+        # removing 'a' also kills it (every journey starts there)
+        assert out["a"].removal_effect == pytest.approx(1.0, abs=1e-6)
+
+    def test_redundant_channels_split_credit(self, spark):
+        """Two parallel paths a→purchase and b→purchase, equal traffic:
+        removing either halves conversion."""
+        from datalake_indexes_spark.operators.events import markov_removal_effects
+
+        rows = []
+        for uid in range(10):
+            ch = "a" if uid % 2 == 0 else "b"
+            rows += [(uid, ch, 0), (uid, "purchase", 1)]
+        out = {r.channel: r for r in markov_removal_effects(
+            self._ev(spark, rows)
+        ).collect()}
+        assert out["a"].p_base == pytest.approx(1.0, abs=1e-6)
+        assert out["a"].removal_effect == pytest.approx(0.5, abs=1e-6)
+        assert out["b"].removal_effect == pytest.approx(0.5, abs=1e-6)
