@@ -40,10 +40,12 @@ def global_rank(
     boundary wobble only moves a value between ADJACENT buckets whose
     offsets still compose to the same global order.
     NULL/NaN values carry no rank: those rows come back with ``out_col``
-    NULL and ranks 1..n run over the ranked rows only — handled via a
-    sentinel NULL bucket excluded from the offset table (NOT a
-    filter+union, which would duplicate the upstream plan once per
-    chained rank and re-execute it per branch).
+    NULL and ranks 1..n run over the ranked rows only — handled via
+    SALTED negative sentinel buckets excluded from the offset table (NOT
+    a filter+union, which would duplicate the upstream plan once per
+    chained rank and re-execute it per branch; and not one shared NULL
+    bucket, which would funnel a heavily-NULL column's rows through a
+    single discarded window partition).
     """
     v = F.col(value_col).cast("double")
     valid = v.isNotNull() & ~F.isnan(v)
@@ -59,6 +61,10 @@ def global_rank(
                 F.floor(
                     F.log2(F.col("__ov") - F.col("__vmin") + F.lit(1.0))
                 ).cast("long"),
+            ).otherwise(
+                # valid buckets are >= 0 (min-shifted); invalid rows salt
+                # across 64 negative buckets their discarded window rides
+                -(F.pmod(F.xxhash64(F.col(tie_col)), F.lit(64)) + F.lit(1))
             ),
         )
     )
@@ -69,7 +75,7 @@ def global_rank(
     )
     local = b.withColumn("__rn", F.count(F.lit(1)).over(w_local))
     offsets = (
-        b.filter(F.col("__bkt").isNotNull())
+        b.filter(F.col("__bkt") >= 0)
         .groupBy("__bkt")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn(
@@ -87,7 +93,7 @@ def global_rank(
         .withColumn(
             out_col,
             F.when(
-                F.col("__bkt").isNotNull(),
+                F.col("__bkt") >= 0,
                 (F.col("__off") + F.col("__rn")).cast("long"),
             ),
         )

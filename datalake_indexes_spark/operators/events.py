@@ -1921,6 +1921,12 @@ def markov_absorption(
     counts = (
         pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
     ).collect()
+    if any(r["from_type"] == END_STATE for r in counts):
+        raise ValueError(
+            f"markov_absorption: the data contains an event type equal to "
+            f"the terminal sentinel {END_STATE!r} — rename it first (a "
+            "silent collision would merge real transitions with stream ends)"
+        )
 
     out_n: dict[str, int] = {}
     for r in counts:
@@ -1996,25 +2002,36 @@ def markov_removal_effects(
         F.coalesce(nxt, F.lit(END_STATE)).alias("to_type"),
         rn.alias("__rn"),
     )
-    counts = (
-        base.filter(F.col("from_type") != absorb_type)
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE aggregation job over the single lag pass: transition counts and
+    # first-event (start) counts share the same grouped frame — two
+    # collect()s on separate aggregates would re-run the user-keyed
+    # window shuffle twice
+    grouped = (
+        base.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_start"),
+        )
     ).collect()
-    starts = (
-        base.filter(F.col("__rn") == 1)
-        .groupBy("from_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    ).collect()
+    if any(r["from_type"] == END_STATE for r in grouped):
+        raise ValueError(
+            f"markov_removal_effects: the data contains an event type equal "
+            f"to the terminal sentinel {END_STATE!r} — rename it first"
+        )
 
     out_n: dict[str, int] = {}
-    for r in counts:
-        out_n[r["from_type"]] = out_n.get(r["from_type"], 0) + r["n"]
+    start_n: dict[str, int] = {}
+    for r in grouped:
+        start_n[r["from_type"]] = start_n.get(r["from_type"], 0) + r["n_start"]
     edges = sorted(
-        (r["from_type"], r["to_type"], r["n"]) for r in counts
+        (r["from_type"], r["to_type"], r["n"])
+        for r in grouped
+        if r["from_type"] != absorb_type
     )
-    n_starts = sum(r["n"] for r in starts)
-    pi = {r["from_type"]: r["n"] / n_starts for r in starts}
+    for f, _, n in edges:
+        out_n[f] = out_n.get(f, 0) + n
+    n_starts = sum(start_n.values())
+    pi = {s_: n / n_starts for s_, n in start_n.items() if n > 0}
 
     def absorb_p(removed: str | None) -> dict[str, float]:
         trans: dict[str, list[tuple[str, float]]] = {}

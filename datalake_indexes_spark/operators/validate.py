@@ -83,6 +83,7 @@ def frame_diff(
     b: DataFrame,
     key_cols: list[str],
     tol: float = 0.0,
+    allow_asymmetric_columns: bool = False,
 ) -> DataFrame:
     """Distributed regression diff between two keyed frames: one row per
     compared column — (column_name, n_only_a, n_only_b, n_compared,
@@ -91,41 +92,65 @@ def frame_diff(
 
     Keys only in one frame count per column as ``n_only_a``/``n_only_b``
     (identical for every column — repeated so each row reads
-    standalone).  Numeric columns compare within ``tol`` (absolute);
-    everything else null-safely exact.  ``example_key`` carries the
-    smallest mismatching key per column for the human reading the
-    report — a min aggregate, so the evidence stays bounded no matter
-    how many rows mismatch (a collect_list here would gather every
-    mismatching key onto one reducer).
+    standalone).  Numeric (including decimal) columns compare within
+    ``tol`` (absolute) when tol > 0, with NULL==NULL and NaN==NaN
+    matching exactly as in the strict branch — the predicate is built
+    null-free, so a NULL-vs-value pair always COUNTS as a mismatch
+    instead of vanishing from the sums.  NULL key components are legal:
+    presence comes from per-side marker columns, not key nullability.
+    ``example_key`` carries the smallest mismatching key per column —
+    a min aggregate, so the evidence stays bounded no matter how many
+    rows mismatch.
+
+    A column present in only one frame is itself a regression; by
+    default it raises (``allow_asymmetric_columns=True`` skips them) —
+    silently ignoring a dropped column would report "identical".
 
     Scale shape: ONE full-outer co-keyed join (the only shuffle), one
     aggregate over comparison flags; the per-column expansion happens in
     the aggregate's expression list, not as row blowup.
     """
-    from pyspark.sql import functions as F
-
+    only_a = [c for c in a.columns if c not in set(b.columns)]
+    only_b = [c for c in b.columns if c not in set(a.columns)]
+    if (only_a or only_b) and not allow_asymmetric_columns:
+        raise ValueError(
+            f"frame_diff: asymmetric columns (only in a: {only_a}, "
+            f"only in b: {only_b}) — a dropped/renamed column is a "
+            "regression; pass allow_asymmetric_columns=True to skip them"
+        )
     common = [c for c in a.columns if c in set(b.columns) and c not in key_cols]
-    la = a.alias("a")
-    lb = b.alias("b")
+    la = a.withColumn("__in_a", F.lit(1)).alias("a")
+    lb = b.withColumn("__in_b", F.lit(1)).alias("b")
     cond = None
     for k in key_cols:
         eq = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
         cond = eq if cond is None else cond & eq
     joined = la.join(lb, cond, "full_outer")
-    in_a = F.col(f"a.{key_cols[0]}").isNotNull()
-    in_b = F.col(f"b.{key_cols[0]}").isNotNull()
-    numeric_types = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    in_a = F.col("a.__in_a").isNotNull()
+    in_b = F.col("b.__in_b").isNotNull()
     dtypes = dict(a.dtypes)
+
+    def _is_numeric(dt: str | None) -> bool:
+        return dt in {"int", "bigint", "smallint", "tinyint", "float", "double"} or (
+            dt is not None and dt.startswith("decimal")
+        )
+
     key_repr = F.concat_ws(
         "|", *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).cast("string") for k in key_cols]
     )
     rows = []
     for c in common:
         va, vb = F.col(f"a.{c}"), F.col(f"b.{c}")
-        if dtypes.get(c) in numeric_types and tol > 0:
+        if _is_numeric(dtypes.get(c)) and tol > 0:
+            da, db = va.cast("double"), vb.cast("double")
+            # null-free predicate: every branch is a definite boolean
             same = (
                 (va.isNull() & vb.isNull())
-                | (F.abs(va.cast("double") - vb.cast("double")) <= tol)
+                | (
+                    va.isNotNull()
+                    & vb.isNotNull()
+                    & ((F.isnan(da) & F.isnan(db)) | (F.abs(da - db) <= tol))
+                )
             )
         else:
             same = va.eqNullSafe(vb)

@@ -90,6 +90,17 @@ def runtime_report(df: DataFrame, min_stage_ms: int = 0) -> dict:
     finally:
         sc.setJobGroup(None, None)
     wall = time.time() - t0
+    # the AppStatusStore is fed by the ASYNC listener bus; the action
+    # returning does not mean the final TaskEnd/StageCompleted events
+    # have been applied — drain the bus before reading, or stages can
+    # show zero complete tasks / stale summaries under load
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(30_000)
+    except Exception:
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            time.sleep(0.5)  # best-effort on API drift
     tracker = sc.statusTracker()
     stage_ids: set[int] = set()
     job_ids = tracker.getJobIdsForGroup(tag)

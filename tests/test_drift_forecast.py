@@ -1178,3 +1178,83 @@ class TestMarkovRemovalEffects:
         assert out["a"].p_base == pytest.approx(1.0, abs=1e-6)
         assert out["a"].removal_effect == pytest.approx(0.5, abs=1e-6)
         assert out["b"].removal_effect == pytest.approx(0.5, abs=1e-6)
+
+
+@pytest.mark.spark
+class TestSecondReviewFixes:
+    """Regression tests for the second review batch."""
+
+    def test_frame_diff_null_vs_value_counts_under_tolerance(self, spark):
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(3, 5.0)], "k long, v double")
+        b = spark.createDataFrame([(3, None)], "k long, v double")
+        r = frame_diff(a, b, ["k"], tol=0.001).collect()[0]
+        assert r.n_mismatch == 1
+
+    def test_frame_diff_null_keys_are_compared(self, spark):
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(None, 1.0), (2, 2.0)], "k long, v double")
+        b = spark.createDataFrame([(None, 9.0), (2, 2.0)], "k long, v double")
+        r = frame_diff(a, b, ["k"]).collect()[0]
+        assert r.n_compared == 2 and r.n_mismatch == 1
+
+    def test_frame_diff_nan_equal_under_tolerance(self, spark):
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        nan = float("nan")
+        a = spark.createDataFrame([(1, nan)], "k long, v double")
+        r0 = frame_diff(a, a, ["k"]).collect()[0]
+        r1 = frame_diff(a, a, ["k"], tol=0.001).collect()[0]
+        assert r0.n_mismatch == 0 and r1.n_mismatch == 0
+
+    def test_frame_diff_asymmetric_columns_raise(self, spark):
+        import pytest as _pytest
+
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(1, 1.0, "x")], "k long, v double, extra string")
+        b = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with _pytest.raises(ValueError, match="asymmetric"):
+            frame_diff(a, b, ["k"])
+        ok = frame_diff(a, b, ["k"], allow_asymmetric_columns=True).collect()
+        assert [r.column_name for r in ok] == ["v"]
+
+    def test_frame_diff_decimal_tolerance(self, spark):
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(1, "1.000001")], "k long, v string").selectExpr(
+            "k", "cast(v as decimal(18,6)) as v"
+        )
+        b = spark.createDataFrame([(1, "1.000002")], "k long, v string").selectExpr(
+            "k", "cast(v as decimal(18,6)) as v"
+        )
+        assert frame_diff(a, b, ["k"], tol=1e-5).collect()[0].n_mismatch == 0
+        assert frame_diff(a, b, ["k"]).collect()[0].n_mismatch == 1
+
+    def test_markov_sentinel_collision_raises(self, spark):
+        import pytest as _pytest
+
+        from datalake_indexes_spark.operators.events import markov_absorption
+
+        ev = spark.createDataFrame(
+            [(1, "__END__", 0), (1, "purchase", 1)],
+            "user_id long, event_type string, ts_us long",
+        )
+        with _pytest.raises(ValueError, match="sentinel"):
+            markov_absorption(ev)
+
+    def test_global_rank_null_rows_salted_not_single_partition(self, spark):
+        """The invalid-row buckets spread across 64 salts (plan-level:
+        no all-NULL single window partition)."""
+        from datalake_indexes_spark.functions.ranking import global_rank
+
+        df = spark.createDataFrame(
+            [(f"k{i}", None if i % 2 else float(i)) for i in range(200)],
+            "k string, v double",
+        )
+        out = global_rank(df, "v", "k").collect()
+        ranked = sorted(r.rank for r in out if r.rank is not None)
+        assert ranked == list(range(1, 101))
+        assert sum(1 for r in out if r.rank is None) == 100
