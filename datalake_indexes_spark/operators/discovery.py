@@ -891,6 +891,17 @@ def shuffle_skew_report(
     )
 
 
+def _level(col: str) -> "F.Column":
+    """Collision-free categorical level key: NULL -> 'n', value x ->
+    'v'+str(x).  A plain ' null' sentinel would merge a genuine string
+    value ' null' with NULLs; prefixing every real value removes the
+    collision entirely.  Internal grouping key only — never emitted."""
+    c = F.col(col)
+    return F.when(c.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), c.cast("string"))
+    )
+
+
 def categorical_association(
     df: DataFrame, col_a: str, col_b: str, round_to: int = 4
 ) -> DataFrame:
@@ -914,8 +925,8 @@ def categorical_association(
     the collected cells so rounding follows the same half-up F.round
     the oracle mirrors.
     """
-    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
-    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" null"))
+    a = _level(col_a)
+    b = _level(col_b)
     pairs = df.select(a.alias("__a"), b.alias("__b"))
     cells = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("o")).collect()
 
@@ -1136,8 +1147,8 @@ def categorical_mutual_info(
     level.  One scan of the input, shuffles keyed by category values
     (category-cardinality-bounded), no collect, no cross join.
     """
-    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" null"))
-    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" null"))
+    a = _level(col_a)
+    b = _level(col_b)
     cells = (
         df.select(a.alias("__a"), b.alias("__b"))
         .groupBy("__a", "__b")

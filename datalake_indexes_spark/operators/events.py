@@ -1772,7 +1772,12 @@ def rfm_segments(
         .agg(
             F.max(ts_col).alias("__last_p"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum(F.col(value_col).cast("double")), 6).alias("monetary"),
+            # all-NULL purchase values -> 0, not NULL: a NULL metric would
+            # leave the global rank (and the m tile / segment code) NULL
+            # while a native ntile orders it NULLS LAST — diverging engines
+            F.round(
+                F.coalesce(F.sum(F.col(value_col).cast("double")), F.lit(0.0)), 6
+            ).alias("monetary"),
         )
         .crossJoin(F.broadcast(last_seen))
         .withColumn("recency_us", (F.col("__last") - F.col("__last_p")).cast("long"))
@@ -2017,6 +2022,14 @@ def markov_removal_effects(
         raise ValueError(
             f"markov_removal_effects: the data contains an event type equal "
             f"to the terminal sentinel {END_STATE!r} — rename it first"
+        )
+    # '__BASE__' tags the no-removal variant in the removal-effect sweep
+    # (and in the DuckDB twin's variant CTE); an event type with that
+    # literal name would silently merge with the baseline there.
+    if any(r["from_type"] == "__BASE__" for r in grouped):
+        raise ValueError(
+            "markov_removal_effects: the data contains an event type equal "
+            "to the baseline sentinel '__BASE__' — rename it first"
         )
 
     out_n: dict[str, int] = {}

@@ -119,6 +119,32 @@ def frame_diff(
             "regression; pass allow_asymmetric_columns=True to skip them"
         )
     common = [c for c in a.columns if c in set(b.columns) and c not in key_cols]
+    a_types, b_types = dict(a.dtypes), dict(b.dtypes)
+
+    def _is_numeric(dt: str | None) -> bool:
+        return dt in {"int", "bigint", "smallint", "tinyint", "float", "double"} or (
+            dt is not None and dt.startswith("decimal")
+        )
+
+    # A dtype drift between frames is itself a regression: casting the
+    # drifted side to double would NULL out non-castable values and the
+    # tolerance predicate would silently under-count mismatches.  Numeric
+    # widening (int vs bigint vs double) is fine — both sides cast to
+    # double losslessly for the tol comparison — but numeric-vs-non-numeric
+    # or two differing non-numeric types must surface, not vanish.
+    drifted = [
+        c
+        for c in common
+        if a_types[c] != b_types[c]
+        and not (_is_numeric(a_types[c]) and _is_numeric(b_types[c]))
+    ]
+    if drifted:
+        raise ValueError(
+            "frame_diff: dtype drift on common columns "
+            + str({c: (a_types[c], b_types[c]) for c in drifted})
+            + " — cast both frames to a shared type first; comparing "
+            "across these types would silently drop rows from n_mismatch"
+        )
     la = a.withColumn("__in_a", F.lit(1)).alias("a")
     lb = b.withColumn("__in_b", F.lit(1)).alias("b")
     cond = None
@@ -128,12 +154,7 @@ def frame_diff(
     joined = la.join(lb, cond, "full_outer")
     in_a = F.col("a.__in_a").isNotNull()
     in_b = F.col("b.__in_b").isNotNull()
-    dtypes = dict(a.dtypes)
-
-    def _is_numeric(dt: str | None) -> bool:
-        return dt in {"int", "bigint", "smallint", "tinyint", "float", "double"} or (
-            dt is not None and dt.startswith("decimal")
-        )
+    dtypes = a_types
 
     key_repr = F.concat_ws(
         "|", *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).cast("string") for k in key_cols]
@@ -144,13 +165,14 @@ def frame_diff(
         if _is_numeric(dtypes.get(c)) and tol > 0:
             da, db = va.cast("double"), vb.cast("double")
             # null-free predicate: every branch is a definite boolean
-            same = (
+            same = F.coalesce(
                 (va.isNull() & vb.isNull())
                 | (
                     va.isNotNull()
                     & vb.isNotNull()
                     & ((F.isnan(da) & F.isnan(db)) | (F.abs(da - db) <= tol))
-                )
+                ),
+                F.lit(False),
             )
         else:
             same = va.eqNullSafe(vb)

@@ -91,7 +91,7 @@ c AS (
 )
 SELECT table_id, col_id,
        count(*) AS n_cells,
-       sum(CASE WHEN tokenized IN ('', 'nan') THEN 1 ELSE 0 END) AS n_null,
+       count(*) FILTER (WHERE tokenized IN ('', 'nan')) AS n_null,
        count(DISTINCT tokenized) AS n_distinct,
        bool_and(is_numeric) AS is_numeric,
        coalesce(round(min(val), 6), 'NaN'::DOUBLE) AS min_val,
@@ -4583,8 +4583,8 @@ def column_chi2_sql(col_a: str = "lang", col_b: str = "source") -> str:
     over documents(lang, source) — same full-grid expected counts."""
     return f"""
 WITH p AS (
-  SELECT coalesce(CAST({col_a} AS VARCHAR), ' null') AS a,
-         coalesce(CAST({col_b} AS VARCHAR), ' null') AS b
+  SELECT CASE WHEN {col_a} IS NULL THEN 'n' ELSE 'v' || CAST({col_a} AS VARCHAR) END AS a,
+         CASE WHEN {col_b} IS NULL THEN 'n' ELSE 'v' || CAST({col_b} AS VARCHAR) END AS b
   FROM documents
 ),
 obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY a, b),
@@ -5719,8 +5719,8 @@ def categorical_mutual_info_sql(col_a: str, col_b: str, table: str = "documents"
     rounding only at the output."""
     return f"""
 WITH cells AS (
-  SELECT coalesce(CAST({col_a} AS VARCHAR), ' null') AS a,
-         coalesce(CAST({col_b} AS VARCHAR), ' null') AS b,
+  SELECT CASE WHEN {col_a} IS NULL THEN 'n' ELSE 'v' || CAST({col_a} AS VARCHAR) END AS a,
+         CASE WHEN {col_b} IS NULL THEN 'n' ELSE 'v' || CAST({col_b} AS VARCHAR) END AS b,
          count(*) AS o
   FROM {table} GROUP BY 1, 2
 ),
@@ -6325,7 +6325,7 @@ per_key AS (
   SELECT user_id AS key,
          max(epoch_us(ts)) AS last_p,
          CAST(count(*) AS BIGINT) AS frequency,
-         round(sum(CAST(value AS DOUBLE)), 6) AS monetary
+         coalesce(round(sum(CAST(value AS DOUBLE)), 6), 0.0) AS monetary
   FROM events WHERE event_type = '{purchase_type}' GROUP BY 1
 ),
 m AS (

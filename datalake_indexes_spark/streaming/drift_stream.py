@@ -33,8 +33,10 @@ def histogram_counts(
     width = (hi - lo) / nbins
     raw = F.floor((v - F.lit(lo)) / F.lit(width))
     bucket = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw)).cast("int")
+    # NaN passes isNotNull but floor(NaN) would land in an edge bucket,
+    # counting NaN rows the batch baseline excludes — drop it like NULL.
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -19,26 +19,35 @@ def duckdb_run(sql: str, sf_dir: str):
     return con.execute(sql).fetch_df()
 
 
-def _norm_cell(v):
+def _norm_cell(v, strict: bool = True):
+    """Canonical cell string.  ``strict`` keeps the int/float distinction
+    (0 vs 0.0 hash differently) — round 4 showed the driver's value hash
+    is dtype-strict: a DuckDB HUGEINT sum surfacing as pandas float64
+    mismatched the Spark long even though every value compared equal.
+    Non-strict (legacy) folds whole floats to ints and trims precision."""
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if strict:
+            return repr(v)
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
     return str(v)
 
 
-def canonical_rows(rows, columns):
+def canonical_rows(rows, columns, strict: bool = True):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for r in rows:
         vals = list(r)
-        out.append("\x01".join(_norm_cell(vals[i]) for i in order))
+        out.append("\x01".join(_norm_cell(vals[i], strict) for i in order))
     out.sort()
     return out
 
@@ -61,6 +70,12 @@ def compare(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
     b = canonical_rows(dk_rows, dk_cols)
     result["values_match"] = a == b
     if not result["values_match"]:
+        # distinguish a representational (dtype/precision) split from a
+        # genuine value divergence — the former still fails the driver's
+        # strict hash but is fixed on the oracle side, not the engine
+        la = canonical_rows([tuple(r) for r in sp_rows], sp_cols, strict=False)
+        lb = canonical_rows(dk_rows, dk_cols, strict=False)
+        result["loose_match"] = la == lb
         diff_a = [x for x in a if x not in set(b)][:5]
         diff_b = [x for x in b if x not in set(a)][:5]
         result["spark_only"] = diff_a

@@ -1258,3 +1258,73 @@ class TestSecondReviewFixes:
         ranked = sorted(r.rank for r in out if r.rank is not None)
         assert ranked == list(range(1, 101))
         assert sum(1 for r in out if r.rank is None) == 100
+
+
+@pytest.mark.spark
+class TestAdviceRegressionsR5:
+    def test_frame_diff_dtype_drift_raises(self, spark):
+        """A numeric column drifting to string in `b` must raise, not
+        silently NULL-cast into an under-counted n_mismatch."""
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+        b = spark.createDataFrame([(1, "1.0"), (2, "oops")], "k long, v string")
+        with pytest.raises(ValueError, match="dtype drift"):
+            frame_diff(a, b, ["k"], tol=0.001)
+
+    def test_frame_diff_numeric_widening_allowed(self, spark):
+        """int vs double is lossless under the tol cast — no raise, and
+        the comparison still counts real mismatches."""
+        from datalake_indexes_spark.operators.validate import frame_diff
+
+        a = spark.createDataFrame([(1, 1), (2, 2)], "k long, v int")
+        b = spark.createDataFrame([(1, 1.0), (2, 3.0)], "k long, v double")
+        out = {r.column_name: r for r in frame_diff(a, b, ["k"], tol=0.5).collect()}
+        assert out["v"].n_mismatch == 1
+
+    def test_mutual_info_null_level_does_not_collide(self, spark):
+        """A genuine string value ' null' stays a distinct level from
+        NULL: two separate levels of b => b fully determined by a only
+        if they really align."""
+        from datalake_indexes_spark.operators.discovery import categorical_mutual_info
+
+        # b has three distinct levels: ' null' (string), NULL, 'q'
+        df = spark.createDataFrame(
+            [("x", " null"), ("y", None), ("z", "q")], "a string, b string"
+        )
+        r = categorical_mutual_info(df, "a", "b").collect()[0]
+        assert r.h_b == pytest.approx(math.log(3), abs=1e-6)
+
+    def test_chi2_null_level_does_not_collide(self, spark):
+        from datalake_indexes_spark.operators.discovery import categorical_association
+
+        df = spark.createDataFrame(
+            [("x", " null"), ("x", None), ("y", "q"), ("y", "q")], "a string, b string"
+        )
+        r = categorical_association(df, "a", "b").collect()[0]
+        # 3 levels of b, 2 of a -> dof = (2-1)*(3-1) = 2 (merged would be 1)
+        assert r.dof == 2
+
+    def test_rfm_all_null_monetary_gets_tile(self, spark):
+        """A key whose purchase values are all NULL ranks as monetary 0,
+        not NULL — the m tile and segment code stay populated."""
+        from datalake_indexes_spark.operators.events import rfm_segments
+
+        rows = [(1, "purchase", 100, None), (2, "purchase", 200, 50.0)]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_us long, value double"
+        )
+        out = {r.key: r for r in rfm_segments(ev).collect()}
+        assert out[1].monetary == 0.0
+        assert out[1].m is not None and out[1].segment is not None
+        assert out[2].m > out[1].m or out[2].m == out[1].m  # ranked, not NULL
+
+    def test_markov_removal_base_sentinel_guard(self, spark):
+        from datalake_indexes_spark.operators.events import markov_removal_effects
+
+        ev = spark.createDataFrame(
+            [(1, "__BASE__", 0), (1, "purchase", 1)],
+            "user_id long, event_type string, ts_us long",
+        )
+        with pytest.raises(ValueError, match="__BASE__"):
+            markov_removal_effects(ev)

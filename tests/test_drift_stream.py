@@ -103,3 +103,14 @@ def test_retry_idempotent_and_available_now(spark):
 def test_missing_state_raises(spark):
     with pytest.raises(FileNotFoundError):
         drift_estimate(spark, "/tmp/no-such-drift-state", _frame(spark, [1.0]))
+
+
+def test_nan_rows_excluded_like_null(spark):
+    """NaN passes isNotNull but must not be bucketed: the frozen batch
+    baseline excludes NaN, so counting it live would bias PSI/TV."""
+    vals = [5.0, float("nan"), 95.0, float("nan")]
+    counts = {
+        r.bucket: r.c
+        for r in histogram_counts(_frame(spark, vals), "v", LO, HI, NBINS).collect()
+    }
+    assert sum(counts.values()) == 2
