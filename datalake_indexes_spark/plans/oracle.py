@@ -2893,7 +2893,7 @@ SELECT nn.table_id, nn.col_id,
        round(any_value(q3r), 6) AS q3,
        round(any_value(lo), 6) AS lo_fence,
        round(any_value(hi), 6) AS hi_fence,
-       sum(CASE WHEN nn.val < lo OR nn.val > hi THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) FILTER (WHERE nn.val < lo OR nn.val > hi) AS n_outliers,
        count(*) AS n_values
 FROM nn JOIN fenced ON fenced.table_id = nn.table_id AND fenced.col_id = nn.col_id
 GROUP BY nn.table_id, nn.col_id
@@ -3952,7 +3952,8 @@ deltas AS (
   ) GROUP BY ts_us
 )
 SELECT ts_us,
-       sum(delta) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS concurrent
+       CAST(sum(delta) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS concurrent
 FROM deltas
 """
 
@@ -4651,7 +4652,8 @@ tot AS (
 ),
 c AS (
   SELECT doc_id, wt,
-         sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
   FROM w
 )
 SELECT doc_id, wt AS weight, cum AS cum_weight,
