@@ -198,3 +198,136 @@ def entity_resolution(
             F.coalesce("representative", F.col(id_col)).alias("entity_id"),
         )
     )
+
+
+def fs_field_u_probabilities(
+    a: DataFrame, b: DataFrame, fields: list[str]
+) -> DataFrame:
+    """Per-field u-probabilities for Fellegi–Sunter record linkage:
+    u_f = P(field f agrees | a random (a, b) pair) = Σ_v p_a(v)·p_b(v),
+    estimated from the full frames' value frequencies — the standard
+    frequency-based u estimate (Fellegi & Sunter 1969; Winkler's
+    practice), computable WITHOUT sampling pairs.
+
+    Returns (field, u) with u clamped to [1e-9, 1 - 1e-9] so the log
+    weights stay finite even for a constant column.  NULLs are excluded
+    from both margins (a NULL comparison is "missing", neither agreement
+    nor disagreement, and contributes no weight downstream).
+
+    Scale shape: both sides melt to (field, value) in ONE projection each
+    (stack stays in codegen), one count aggregate per side keyed by
+    (field, value), one equi-join on (field, value) — value-frequency
+    sized, not pair sized — and a per-field sum.  No cross join ever
+    materializes: the random-pair expectation is algebra over margins.
+    """
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(f"'{f}', cast(`{f}` as string)" for f in fields)
+        return df.selectExpr(
+            f"stack({len(fields)}, {pairs}) as (__field, __val)"
+        ).filter(F.col("__val").isNotNull())
+
+    ca = melt(a).groupBy("__field", "__val").agg(F.count(F.lit(1)).alias("__ca"))
+    cb = melt(b).groupBy("__field", "__val").agg(F.count(F.lit(1)).alias("__cb"))
+    na = melt(a).groupBy("__field").agg(F.count(F.lit(1)).alias("__na"))
+    nb = melt(b).groupBy("__field").agg(F.count(F.lit(1)).alias("__nb"))
+    return (
+        ca.join(cb, ["__field", "__val"])
+        .groupBy("__field")
+        .agg(F.sum(F.col("__ca").cast("double") * F.col("__cb")).alias("__hits"))
+        .join(F.broadcast(na), "__field")
+        .join(F.broadcast(nb), "__field")
+        .select(
+            F.col("__field").alias("field"),
+            F.least(
+                F.lit(1.0 - 1e-9),
+                F.greatest(
+                    F.lit(1e-9),
+                    F.col("__hits") / (F.col("__na").cast("double") * F.col("__nb")),
+                ),
+            ).alias("u"),
+        )
+    )
+
+
+def fs_record_linkage(
+    a: DataFrame,
+    b: DataFrame,
+    fields: list[str],
+    block_on: str,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    m: float | dict[str, float] = 0.95,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage: score blocked
+    candidate pairs by the sum of per-field log-likelihood weights —
+    agree on f → ln(m_f/u_f), disagree → ln((1−m_f)/(1−u_f)), either
+    side NULL → 0 — and keep pairs with weight ≥ ``threshold``.
+
+    (a_id, b_id, n_agree, n_compared, weight) sorted nowhere (caller
+    orders); weight rounded to 6 for cross-engine parity.  ``m`` (the
+    P(agree | true match) prior) is a scalar or per-field dict — the
+    deterministic-parameter formulation (no EM), which keeps the
+    operator a pure closed form the DuckDB twin reproduces exactly.
+    u_f comes from :func:`fs_field_u_probabilities` — frequency-based,
+    never pair-sampled.
+
+    The probabilistic complement of :func:`fuzzy_join`: edit-distance
+    joins answer "which strings are ≤ d apart"; FS linkage answers
+    "which RECORD pairs are the same entity" across several partially
+    reliable fields, weighting rare-value agreement (low u) far above
+    common-value agreement — the property exact/fuzzy equality cannot
+    express.
+
+    Scale shape: u estimation is margin algebra (no pair blowup); the
+    pair space is ONE equi-join on ``block_on`` (caller picks blocking
+    density exactly like the LSH band key in minhash dedup); weights are
+    pure column expressions over the joined row — no UDF, no collect of
+    anything pair-sized (only the ≤ |fields| u rows come to the driver,
+    the sanctioned scalar tier).
+    """
+    m_map = {f: (m[f] if isinstance(m, dict) else float(m)) for f in fields}
+    for f, mf in m_map.items():
+        if not 0.0 < mf < 1.0:
+            raise ValueError(f"fs_record_linkage: m[{f!r}]={mf} must be in (0, 1)")
+    u_rows = fs_field_u_probabilities(a, b, fields).collect()
+    u_map = {r["field"]: float(r["u"]) for r in u_rows}
+    missing = [f for f in fields if f not in u_map]
+    if missing:
+        # a field whose margins never intersect: u clamps to the floor
+        for f in missing:
+            u_map[f] = 1e-9
+
+    import math as _math
+
+    la = a.select(F.col(a_id).alias("__aid"), F.col(block_on).alias("__blk"),
+                  *[F.col(f).cast("string").alias(f"__a_{f}") for f in fields])
+    lb = b.select(F.col(b_id).alias("__bid"), F.col(block_on).alias("__blk"),
+                  *[F.col(f).cast("string").alias(f"__b_{f}") for f in fields])
+    pairs = la.join(lb, "__blk")
+
+    weight = F.lit(0.0)
+    agree_n = F.lit(0)
+    comp_n = F.lit(0)
+    for f in fields:
+        va, vb = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        both = va.isNotNull() & vb.isNotNull()
+        agree = both & (va == vb)
+        w_agree = _math.log(m_map[f] / u_map[f])
+        w_dis = _math.log((1.0 - m_map[f]) / (1.0 - u_map[f]))
+        weight = weight + F.when(agree, F.lit(w_agree)).when(
+            both, F.lit(w_dis)
+        ).otherwise(F.lit(0.0))
+        agree_n = agree_n + agree.cast("int")
+        comp_n = comp_n + both.cast("int")
+
+    return (
+        pairs.select(
+            F.col("__aid").alias(a_id),
+            F.col("__bid").alias(b_id),
+            agree_n.alias("n_agree"),
+            comp_n.alias("n_compared"),
+            F.round(weight, 6).alias("weight"),
+        )
+        .filter(F.col("weight") >= threshold)
+    )

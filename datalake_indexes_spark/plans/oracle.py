@@ -6531,3 +6531,100 @@ SELECT c.ch AS channel,
 FROM conv c, (SELECT conv FROM conv WHERE ch = '__BASE__') b
 WHERE c.ch <> '__BASE__'
 """
+
+
+def fs_record_linkage_sql(m: float = 0.95, threshold: float = 0.0) -> str:
+    """Twin of :func:`..operators.fuzzy.fs_record_linkage` on the graded
+    customer-vs-perturbed-copy config: same frequency-based u estimate
+    (Σ p_a(v)·p_b(v) over non-null margins, clamped), same per-field
+    log-likelihood weights, same round-then-threshold.  All probability
+    literals are written as the same arithmetic the engine performs
+    ((1.0 - m), 1.0 - 0.000000001) so both sides evaluate identical
+    doubles before the logarithm."""
+    return f"""
+WITH a AS (
+  SELECT c_custkey AS a_id, c_nationkey AS blk,
+         c_name AS name,
+         CAST(c_custkey % 9973 AS VARCHAR) AS code,
+         c_mktsegment AS seg
+  FROM customer
+),
+b AS (
+  SELECT c_custkey + 1000000 AS b_id, c_nationkey AS blk,
+         CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN CAST((c_custkey + 1) % 9973 AS VARCHAR)
+              ELSE CAST(c_custkey % 9973 AS VARCHAR) END AS code,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+),
+am AS (
+  SELECT f, v FROM (
+    SELECT 'name' AS f, name AS v FROM a UNION ALL
+    SELECT 'code', code FROM a UNION ALL
+    SELECT 'seg', seg FROM a
+  ) WHERE v IS NOT NULL
+),
+bm AS (
+  SELECT f, v FROM (
+    SELECT 'name' AS f, name AS v FROM b UNION ALL
+    SELECT 'code', code FROM b UNION ALL
+    SELECT 'seg', seg FROM b
+  ) WHERE v IS NOT NULL
+),
+ca AS (SELECT f, v, count(*) AS c FROM am GROUP BY 1, 2),
+cb AS (SELECT f, v, count(*) AS c FROM bm GROUP BY 1, 2),
+na AS (SELECT f, count(*) AS n FROM am GROUP BY 1),
+nb AS (SELECT f, count(*) AS n FROM bm GROUP BY 1),
+u AS (
+  SELECT ca.f,
+         least(1.0 - 0.000000001,
+               greatest(0.000000001,
+                        sum(ca.c * 1.0 * cb.c)
+                          / (any_value(na.n) * 1.0 * any_value(nb.n)))) AS uv
+  FROM ca JOIN cb ON ca.f = cb.f AND ca.v = cb.v
+          JOIN na ON na.f = ca.f JOIN nb ON nb.f = ca.f
+  GROUP BY ca.f
+),
+uw AS (
+  SELECT max(CASE WHEN f = 'name' THEN uv END) AS u_name,
+         max(CASE WHEN f = 'code' THEN uv END) AS u_code,
+         max(CASE WHEN f = 'seg'  THEN uv END) AS u_seg
+  FROM u
+),
+p AS (
+  SELECT a.a_id, b.b_id,
+         a.name AS an, b.name AS bn,
+         a.code AS ac, b.code AS bc,
+         a.seg  AS asg, b.seg  AS bsg
+  FROM a JOIN b ON a.blk = b.blk
+),
+scored AS (
+  SELECT a_id, b_id,
+    CAST(
+      (CASE WHEN an IS NOT NULL AND bn IS NOT NULL AND an = bn THEN 1 ELSE 0 END)
+      + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL AND ac = bc THEN 1 ELSE 0 END)
+      + (CASE WHEN asg IS NOT NULL AND bsg IS NOT NULL AND asg = bsg THEN 1 ELSE 0 END)
+      AS INT) AS n_agree,
+    CAST(
+      (CASE WHEN an IS NOT NULL AND bn IS NOT NULL THEN 1 ELSE 0 END)
+      + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL THEN 1 ELSE 0 END)
+      + (CASE WHEN asg IS NOT NULL AND bsg IS NOT NULL THEN 1 ELSE 0 END)
+      AS INT) AS n_compared,
+    round(
+      (CASE WHEN an IS NOT NULL AND bn IS NOT NULL
+            THEN CASE WHEN an = bn THEN ln({m} / u_name)
+                      ELSE ln((1.0 - {m}) / (1.0 - u_name)) END
+            ELSE 0.0 END)
+      + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL
+              THEN CASE WHEN ac = bc THEN ln({m} / u_code)
+                        ELSE ln((1.0 - {m}) / (1.0 - u_code)) END
+              ELSE 0.0 END)
+      + (CASE WHEN asg IS NOT NULL AND bsg IS NOT NULL
+              THEN CASE WHEN asg = bsg THEN ln({m} / u_seg)
+                        ELSE ln((1.0 - {m}) / (1.0 - u_seg)) END
+              ELSE 0.0 END), 6) AS weight
+  FROM p CROSS JOIN uw
+)
+SELECT a_id, b_id, n_agree, n_compared, weight
+FROM scored WHERE weight >= {threshold}
+"""

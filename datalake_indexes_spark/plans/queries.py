@@ -638,6 +638,45 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_resolution(cust, "c_name", "c_custkey", max_distance=1)
 
 
+def q_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage of customer against a
+    deterministically perturbed copy: name uppercased every 5th key,
+    code shifted every 3rd, segment dropped every 11th — blocked on
+    nationkey, scored by frequency-estimated log-likelihood weights.
+    The rare-value fields (name, code) dominate; the 5-value segment
+    contributes little even when it agrees — the u-weighting FS exists
+    for."""
+    from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name"),
+        (F.col("c_custkey") % 9973).cast("string").alias("code"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("b_id"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(F.col("c_custkey") % 5 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            ((F.col("c_custkey") + 1) % 9973).cast("string"),
+        )
+        .otherwise((F.col("c_custkey") % 9973).cast("string"))
+        .alias("code"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    return fs_record_linkage(
+        a, b, ["name", "code", "seg"], block_on="blk", m=0.95, threshold=0.0
+    )
+
+
 def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import simhash_signatures
 
@@ -3029,6 +3068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_chunks": q_dedup_chunks,
     "fuzzy_join_names": q_fuzzy_join_names,
     "entity_resolution": q_entity_resolution,
+    "fs_record_linkage": q_fs_record_linkage,
     "text_simhash": q_text_simhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -3276,6 +3316,7 @@ WHERE rn = 1
     "dedup_chunks": oracle.dedup_chunks_sql(chunk_words=4, min_doc_freq=2),
     "fuzzy_join_names": oracle.fuzzy_join_names_sql(max_distance=1),
     "entity_resolution": oracle.entity_resolution_sql(max_distance=1),
+    "fs_record_linkage": oracle.fs_record_linkage_sql(),
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
     "graph_triangles": oracle.graph_triangles_sql(max_hamming=8),
@@ -3499,7 +3540,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cocoa_enrich",
     "cocoa_enrich_multicolumn",
     # duplicate detection (planted variants grade non-vacuously)
-    "dup_row_groups",
     "dup_row_groups_planted",
     "dup_table_relations_planted",
     "dup_groups_planted",
@@ -3543,6 +3583,7 @@ _DRIVER_PRIORITY: list[str] = [
     # graph + fuzzy matching
     "graph_pagerank",
     "fuzzy_join_names",
+    "fs_record_linkage",
 ]
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from datalake_indexes_spark.operators.fuzzy import entity_resolution, fuzzy_join
@@ -141,3 +142,88 @@ def test_max_distance_cap(spark):
     df = spark.createDataFrame([(0, "abc")], "a_id long, a_v string")
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_candidates(df, df, "a_v", "a_v", "a_id", "a_id", max_distance=3)
+
+
+@pytest.mark.spark
+class TestFellegiSunter:
+    def _ab(self, spark):
+        a = spark.createDataFrame(
+            [(1, 0, "ann", "x1", "A"), (2, 0, "bob", "x2", "A"),
+             (3, 1, "cat", "x3", "B"), (4, 1, "dan", "x4", "B")],
+            "a_id long, blk int, name string, code string, seg string",
+        )
+        b = spark.createDataFrame(
+            [(11, 0, "ann", "x1", "A"), (12, 0, "BOB", "x2", "A"),
+             (13, 1, "cat", None, "B"), (14, 1, "eve", "x9", "B")],
+            "b_id long, blk int, name string, code string, seg string",
+        )
+        return a, b
+
+    def test_u_probabilities_hand_computed(self, spark):
+        from datalake_indexes_spark.operators.fuzzy import fs_field_u_probabilities
+
+        a, b = self._ab(spark)
+        u = {r.field: r.u for r in fs_field_u_probabilities(a, b, ["name", "seg"]).collect()}
+        # name: shared values ann(1·1) + cat(1·1) over 4·4 pairs
+        assert u["name"] == pytest.approx(2 / 16)
+        # seg: A(2·2) + B(2·2) over 16
+        assert u["seg"] == pytest.approx(8 / 16)
+
+    def test_u_excludes_nulls_from_margins(self, spark):
+        from datalake_indexes_spark.operators.fuzzy import fs_field_u_probabilities
+
+        a, b = self._ab(spark)
+        u = {r.field: r.u for r in fs_field_u_probabilities(a, b, ["code"]).collect()}
+        # b has 3 non-null codes; shared x1(1·1) + x2(1·1) over 4·3
+        assert u["code"] == pytest.approx(2 / 12)
+
+    def test_weights_rank_true_pairs_first(self, spark):
+        import math
+
+        from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+        a, b = self._ab(spark)
+        out = {
+            (r.a_id, r.b_id): r
+            for r in fs_record_linkage(
+                a, b, ["name", "code", "seg"], "blk", m=0.9, threshold=-1e9
+            ).collect()
+        }
+        # blocked: only same-blk pairs exist
+        assert set(out) == {(1, 11), (1, 12), (2, 11), (2, 12),
+                            (3, 13), (3, 14), (4, 13), (4, 14)}
+        # (1,11) agrees on all three; (1,12) only on seg
+        assert out[(1, 11)].n_agree == 3 and out[(1, 12)].n_agree == 1
+        assert out[(1, 11)].weight > out[(1, 12)].weight
+        # hand-check (1,11): ln(.9/u_name)+ln(.9/u_code)+ln(.9/u_seg)
+        w = (math.log(0.9 / (2 / 16)) + math.log(0.9 / (2 / 12))
+             + math.log(0.9 / 0.5))
+        assert out[(1, 11)].weight == pytest.approx(w, abs=1e-5)
+        # NULL code on (3,13): compared 2, agreed 2 (name+seg), code adds 0
+        assert out[(3, 13)].n_compared == 2 and out[(3, 13)].n_agree == 2
+
+    def test_threshold_filters_post_rounding(self, spark):
+        from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+        a, b = self._ab(spark)
+        kept = fs_record_linkage(a, b, ["name", "code", "seg"], "blk", m=0.9,
+                                 threshold=0.0).collect()
+        assert all(r.weight >= 0.0 for r in kept)
+        assert {(r.a_id, r.b_id) for r in kept} >= {(1, 11), (3, 13)}
+
+    def test_invalid_m_raises(self, spark):
+        from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+        a, b = self._ab(spark)
+        with pytest.raises(ValueError, match="must be in"):
+            fs_record_linkage(a, b, ["name"], "blk", m=1.0)
+
+    def test_no_udf_no_cartesian(self, spark):
+        from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+        a, b = self._ab(spark)
+        plan = fs_record_linkage(
+            a, b, ["name", "code", "seg"], "blk"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
