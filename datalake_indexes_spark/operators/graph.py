@@ -559,3 +559,81 @@ def modularity(
             ).alias("contribution"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hub/authority scores by power iteration — (node, hub,
+    authority), each L1-normalized per round (Kleinberg 1999).  On a link
+    graph, authorities are the pages good hubs point AT and hubs are the
+    pages that point at good authorities — the mutually recursive pair
+    PageRank's single score cannot separate; on the lake's join graph it
+    splits "tables many others join INTO" from "tables that join into
+    many others".
+
+    Semantics: 0/1 adjacency (duplicate edges collapse), hub and
+    authority start at 1; each round computes authority(n) =
+    Σ_{s→n} hub(s) then normalizes to Σ=1, then hub(n) = Σ_{n→d}
+    authority(d) then normalizes.  Nodes without in-edges carry
+    authority 0 (without out-edges, hub 0) — present in the output, not
+    dropped.  L1 normalization (not the also-common L2) keeps the twin's
+    arithmetic division-by-a-sum, exactly reproducible in SQL.
+
+    Scale shape per round: two equi-joins of the (checkpointed, distinct)
+    edge list against the score frames — both keyed shuffles AQE reuses —
+    each followed by a map-side-combined sum per endpoint; the
+    normalizer is a broadcast scalar aggregate that stays IN the plan (no
+    per-round driver action).  ``localCheckpoint`` truncates the
+    iterative lineage every round like :func:`pagerank` and
+    :func:`connected_components`; fixed ``iters`` bounds the loop.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for _ in range(iters):
+        a_raw = (
+            nodes.join(
+                e.join(scores, e.src == scores.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("__s")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("__s", F.lit(0.0)).alias("__v"))
+        )
+        a_tot = F.broadcast(a_raw.agg(F.sum("__v").alias("__t")))
+        auth = a_raw.crossJoin(a_tot).select(
+            "node", (F.col("__v") / F.col("__t")).alias("auth")
+        )
+        h_raw = (
+            nodes.join(
+                e.join(auth, e.dst == auth.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").alias("__s")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("__s", F.lit(0.0)).alias("__v"))
+        )
+        h_tot = F.broadcast(h_raw.agg(F.sum("__v").alias("__t")))
+        hub = h_raw.crossJoin(h_tot).select(
+            "node", (F.col("__v") / F.col("__t")).alias("hub")
+        )
+        scores = hub.join(auth, "node").localCheckpoint()
+    return scores.select("node", "hub", F.col("auth").alias("authority"))

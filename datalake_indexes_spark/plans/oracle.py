@@ -6628,3 +6628,55 @@ scored AS (
 SELECT a_id, b_id, n_agree, n_compared, weight
 FROM scored WHERE weight >= {threshold}
 """
+
+
+def graph_hits_sql(iters: int = 4) -> str:
+    """HITS twin over the planted link graph: same distinct 0/1
+    adjacency, same L1-normalize-authority-then-hub round structure as
+    :func:`..operators.graph.hits`, unrolled into ``iters`` chained CTE
+    rounds like the pagerank twin."""
+    parts = [
+        f"WITH {_LINK_PLANT_CTE}",
+        _link_domain_cte(),
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, link_domain AS dst FROM links
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+s0 AS (SELECT node, 1.0 AS hub FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            # every per-round CTE is MATERIALIZED: the scalar-subquery
+            # normalizer references its _raw twin a second time, and
+            # inlining would re-evaluate the whole previous round per
+            # reference — exponential across rounds
+            f"""a{i}_raw AS MATERIALIZED (
+  SELECT nd.node, coalesce(x.s, 0.0) AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS s
+    FROM edges e JOIN {prev} h ON h.node = e.src GROUP BY e.dst
+  ) x ON x.node = nd.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node, v / (SELECT sum(v) FROM a{i}_raw) AS auth FROM a{i}_raw
+),
+h{i}_raw AS MATERIALIZED (
+  SELECT nd.node, coalesce(x.s, 0.0) AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth) AS s
+    FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+  ) x ON x.node = nd.node
+),
+s{i} AS MATERIALIZED (
+  SELECT h.node, h.v / (SELECT sum(v) FROM h{i}_raw) AS hub, a.auth
+  FROM h{i}_raw h JOIN a{i} a ON a.node = h.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+{body}
+SELECT node, round(hub, 8) AS hub, round(auth, 8) AS authority FROM s{iters}
+"""

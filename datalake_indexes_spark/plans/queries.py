@@ -1846,6 +1846,25 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the extracted link graph (docs as hubs, planted target
+    domains as authorities) — the mutually recursive centrality pair on
+    the graph HITS was designed for."""
+    from datalake_indexes_spark.operators.graph import hits
+    from datalake_indexes_spark.operators.web import extract_links
+
+    links = extract_links(_with_planted_links(_docs(spark, sf_dir)))
+    edges = links.select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.col("link_domain").alias("dst"),
+    )
+    return hits(edges, iters=4).select(
+        "node",
+        F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"),
+    )
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered rolling features (lag / trailing mean / running
     max) — the feature-store transform."""
@@ -3160,6 +3179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort": q_events_cohort,
     "events_anomaly": q_events_anomaly,
     "graph_pagerank": q_graph_pagerank,
+    "graph_hits": q_graph_hits,
     "graph_triangles": q_graph_triangles,
     "graph_link_prediction": q_graph_link_prediction,
     "graph_kcore": q_graph_kcore,
@@ -3414,6 +3434,7 @@ WHERE rn = 1
     "events_cohort": oracle.events_cohort_sql(),
     "events_anomaly": oracle.events_anomaly_sql(),
     "graph_pagerank": oracle.graph_pagerank_sql(damping=0.85, iters=6, threshold=0.7),
+    "graph_hits": oracle.graph_hits_sql(iters=4),
     "events_rolling": oracle.events_rolling_sql(window_rows=3),
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),

@@ -62,3 +62,58 @@ class TestPageRank:
 
     def test_empty_graph(self, spark):
         assert self._run(spark, [], iters=2) == {}
+
+
+@pytest.mark.spark
+class TestHits:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_matches_reference_power_iteration(self, spark):
+        """Hand-run HITS (L1-normalized, auth-then-hub per round) on a
+        small digraph and compare every score."""
+        from datalake_indexes_spark.operators.graph import hits
+
+        pairs = [("a", "c"), ("b", "c"), ("c", "d"), ("a", "d"), ("d", "a")]
+        out = {r.node: (r.hub, r.authority) for r in
+               hits(self._edges(spark, pairs), iters=5).collect()}
+
+        # NumPy-free reference
+        nodes = sorted({x for p in pairs for x in p})
+        hub = {n: 1.0 for n in nodes}
+        for _ in range(5):
+            auth = {n: sum(hub[s] for s, d in pairs if d == n) for n in nodes}
+            t = sum(auth.values())
+            auth = {n: v / t for n, v in auth.items()}
+            h = {n: sum(auth[d] for s, d in pairs if s == n) for n in nodes}
+            t = sum(h.values())
+            hub = {n: v / t for n, v in h.items()}
+        for n in nodes:
+            assert out[n][0] == pytest.approx(hub[n], abs=1e-12), n
+            assert out[n][1] == pytest.approx(auth[n], abs=1e-12), n
+
+    def test_bipartite_separation(self, spark):
+        """Pure hubs (only out-edges) carry authority 0; pure
+        authorities (only in-edges) carry hub 0; both normalize to 1."""
+        from datalake_indexes_spark.operators.graph import hits
+
+        pairs = [("h1", "a1"), ("h1", "a2"), ("h2", "a1")]
+        rows = hits(self._edges(spark, pairs), iters=3).collect()
+        out = {r.node: r for r in rows}
+        assert out["h1"].authority == 0.0 and out["h2"].authority == 0.0
+        assert out["a1"].hub == 0.0 and out["a2"].hub == 0.0
+        assert sum(r.hub for r in rows) == pytest.approx(1.0)
+        assert sum(r.authority for r in rows) == pytest.approx(1.0)
+        # h1 links to both authorities -> the better hub; a1 has two
+        # in-links -> the better authority
+        assert out["h1"].hub > out["h2"].hub
+        assert out["a1"].authority > out["a2"].authority
+
+    def test_duplicate_edges_collapse(self, spark):
+        from datalake_indexes_spark.operators.graph import hits
+
+        once = hits(self._edges(spark, [("a", "b"), ("b", "c")]), iters=3).collect()
+        dup = hits(
+            self._edges(spark, [("a", "b"), ("a", "b"), ("b", "c")]), iters=3
+        ).collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, dup))
