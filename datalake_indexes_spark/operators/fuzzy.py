@@ -253,7 +253,7 @@ def fs_record_linkage(
     a: DataFrame,
     b: DataFrame,
     fields: list[str],
-    block_on: str,
+    block_on: str | list[str],
     a_id: str = "a_id",
     b_id: str = "b_id",
     m: float | dict[str, float] = 0.95,
@@ -280,11 +280,18 @@ def fs_record_linkage(
     express.
 
     Scale shape: u estimation is margin algebra (no pair blowup); the
-    pair space is ONE equi-join on ``block_on`` (caller picks blocking
+    pair space is one equi-join per blocking rule (caller picks blocking
     density exactly like the LSH band key in minhash dedup); weights are
     pure column expressions over the joined row — no UDF, no collect of
     anything pair-sized (only the ≤ |fields| u rows come to the driver,
     the sanctioned scalar tier).
+
+    ``block_on`` takes one column or several: with a list, candidates
+    are the UNION of the per-rule equi-joins deduplicated on
+    (a_id, b_id) — Splink-style multi-rule blocking, because any single
+    rule misses exactly the matches whose block key is the dirty field.
+    Records NULL on a rule's key produce no candidates under that rule
+    (equi-join semantics), which is the standard behavior.
     """
     m_map = {f: (m[f] if isinstance(m, dict) else float(m)) for f in fields}
     for f, mf in m_map.items():
@@ -300,11 +307,30 @@ def fs_record_linkage(
 
     import math as _math
 
-    la = a.select(F.col(a_id).alias("__aid"), F.col(block_on).alias("__blk"),
+    rules = [block_on] if isinstance(block_on, str) else list(block_on)
+    if not rules:
+        raise ValueError("fs_record_linkage: at least one blocking rule required")
+    la = a.select(F.col(a_id).alias("__aid"),
+                  *[F.col(r).alias(f"__blk_{i}") for i, r in enumerate(rules)],
                   *[F.col(f).cast("string").alias(f"__a_{f}") for f in fields])
-    lb = b.select(F.col(b_id).alias("__bid"), F.col(block_on).alias("__blk"),
+    lb = b.select(F.col(b_id).alias("__bid"),
+                  *[F.col(r).alias(f"__blk_{i}") for i, r in enumerate(rules)],
                   *[F.col(f).cast("string").alias(f"__b_{f}") for f in fields])
-    pairs = la.join(lb, "__blk")
+    per_rule = [
+        la.join(
+            lb.select(f"__blk_{i}", "__bid", *[f"__b_{f}" for f in fields]),
+            f"__blk_{i}",
+        ).select(
+            "__aid", "__bid",
+            *[f"__a_{f}" for f in fields], *[f"__b_{f}" for f in fields],
+        )
+        for i in range(len(rules))
+    ]
+    pairs = per_rule[0]
+    for p in per_rule[1:]:
+        pairs = pairs.unionByName(p)
+    if len(per_rule) > 1:
+        pairs = pairs.dropDuplicates(["__aid", "__bid"])
 
     weight = F.lit(0.0)
     agree_n = F.lit(0)

@@ -227,3 +227,28 @@ class TestFellegiSunter:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_multi_rule_blocking_unions_and_dedups(self, spark):
+        """A second blocking rule recovers pairs whose first block key is
+        dirty; pairs caught by both rules score once."""
+        from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+        a = spark.createDataFrame(
+            [(1, 0, "x", "ann", "p1"), (2, 0, "y", "bob", "p2")],
+            "a_id long, blk int, blk2 string, name string, code string",
+        )
+        b = spark.createDataFrame(
+            # 11 matches 1 on both rules; 12 matches 2 only via blk2
+            [(11, 0, "x", "ann", "p1"), (12, 9, "y", "bob", "p2")],
+            "b_id long, blk int, blk2 string, name string, code string",
+        )
+        single = fs_record_linkage(a, b, ["name", "code"], "blk",
+                                   m=0.9, threshold=-1e9).collect()
+        multi = fs_record_linkage(a, b, ["name", "code"], ["blk", "blk2"],
+                                  m=0.9, threshold=-1e9).collect()
+        assert {(r.a_id, r.b_id) for r in single} == {(1, 11), (2, 11)}
+        out = {(r.a_id, r.b_id): r for r in multi}
+        # blk2 recovers (2, 12), whose blk key is dirty (0 vs 9)
+        assert set(out) == {(1, 11), (2, 11), (2, 12)}
+        # pairs caught by both rules appear exactly once
+        assert len(multi) == 3
