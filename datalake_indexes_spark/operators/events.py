@@ -2095,3 +2095,112 @@ def markov_removal_effects(
             F.lit(1.0) - F.col("p_removed") / F.nullif(F.col("p_base"), F.lit(0.0)), 6
         ).alias("removal_effect"),
     )
+
+
+def holt_forecast(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing over each key's per-period
+    event-count series: (key, n_periods, level, trend, rmse, forecast) —
+    the classic double-exponential forecaster next to the window-OLS
+    :func:`rolling_forecast_backtest` (which extrapolates a FIXED trailing
+    window; Holt's level/trend pair discounts ALL history geometrically).
+
+    Recurrence (Holt 1957), per key over the sequence of OBSERVED periods
+    (gaps are skipped, not zero-filled — documented; zero-fill upstream
+    if quiet periods should decay the trend), standard init l₁ = y₁,
+    b₁ = y₂ − y₁:
+
+        e_t = y_t − (l_{t−1} + b_{t−1})
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    rmse = sqrt(Σ e_t² / (n−1)) over the one-step-ahead errors (e₂ ≡ 0
+    under this init), forecast = l_n + horizon·b_n.  Keys with a single
+    observed period are dropped (the init needs two).
+
+    The recursion is inherently sequential IN t but embarrassingly
+    parallel ACROSS keys — exactly the applyInPandas tier (the per-key
+    series is period-count-bounded, thousands of rows at most, and the
+    counts are integers so y is exact on both engines).  The DuckDB twin
+    runs the SAME arithmetic, in the same order, as one recursive CTE
+    stepping every key simultaneously; parity is float-exact because
+    both engines execute identical IEEE double chains, and the oracle
+    writes (1.0 − α) as arithmetic rather than a literal so the
+    discount factors match bit-for-bit.
+
+    Scale shape: one (key, period) count aggregate, one shuffle keyed by
+    ``key_col`` into applyInPandas, a per-key numpy loop over its own
+    series — no global window, no driver-side state, no cross-key
+    dependency.
+    """
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("holt_forecast: need 0 < alpha <= 1 and 0 <= beta <= 1")
+    import pandas as pd
+
+    key_dtype = dict(events.dtypes)[key_col]
+    series = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            # exact integer floor-div (float division could truncate the
+            # wrong side of a boundary for quotients near an integer)
+            ((F.col(ts_col) - F.pmod(ts_col, F.lit(int(period_us))))
+             / F.lit(int(period_us))).cast("long").alias("__p"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__y"))
+    )
+
+    out_schema = (
+        f"key {key_dtype}, n_periods int, level double, trend double, "
+        "rmse double, forecast double"
+    )
+    a, bt, h = float(alpha), float(beta), int(horizon)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__p")
+        y = pdf["__y"].to_numpy(dtype="float64")
+        n = len(y)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["key", "n_periods", "level", "trend", "rmse", "forecast"]
+            )
+        lvl = y[0]
+        b = y[1] - y[0]
+        se = 0.0
+        for t in range(1, n):
+            pred = lvl + b
+            e = y[t] - pred
+            se += e * e
+            l_new = a * y[t] + (1.0 - a) * (lvl + b)
+            b = bt * (l_new - lvl) + (1.0 - bt) * b
+            lvl = l_new
+        import math as _math
+
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n_periods": [n],
+                "level": [lvl],
+                "trend": [b],
+                "rmse": [_math.sqrt(se / (n - 1))],
+                "forecast": [lvl + h * b],
+            }
+        )
+
+    out = series.groupBy("key").applyInPandas(fit, out_schema)
+    # round OUTSIDE the UDF with F.round (half away from zero, like the
+    # DuckDB twin) — Python's round() is banker's rounding
+    return out.select(
+        "key",
+        "n_periods",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("forecast", 6).alias("forecast"),
+    )

@@ -6680,3 +6680,52 @@ s{i} AS MATERIALIZED (
 {body}
 SELECT node, round(hub, 8) AS hub, round(auth, 8) AS authority FROM s{iters}
 """
+
+
+def holt_forecast_sql(
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+    period_us: int = 86_400_000_000,
+) -> str:
+    """Holt double-exponential-smoothing twin: one recursive CTE steps
+    EVERY key's series simultaneously, executing the identical IEEE
+    double chain as the engine's per-key loop (same operand order;
+    discount factors written as (1.0 - α) arithmetic, not literals)."""
+    # bare decimal literals are DECIMAL in DuckDB and would quantize the
+    # iterated state (the Markov-twin trap) — force DOUBLE
+    a = f"CAST({float(alpha)!r} AS DOUBLE)"
+    bt = f"CAST({float(beta)!r} AS DOUBLE)"
+    h, p = int(horizon), int(period_us)
+    return f"""
+WITH RECURSIVE series AS MATERIALIZED (
+  SELECT user_id AS key, epoch_us(ts) // {p} AS period,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS MATERIALIZED (
+  SELECT key, y,
+         row_number() OVER (PARTITION BY key ORDER BY period) AS seq,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM series
+  QUALIFY count(*) OVER (PARTITION BY key) >= 2
+),
+rec AS (
+  SELECT b1.key, 1 AS seq, b1.n,
+         b1.y AS l, b2.y - b1.y AS b, CAST(0.0 AS DOUBLE) AS se
+  FROM base b1 JOIN base b2 ON b2.key = b1.key AND b2.seq = 2
+  WHERE b1.seq = 1
+  UNION ALL
+  SELECT r.key, r.seq + 1, r.n,
+         {a} * p.y + (1.0 - {a}) * (r.l + r.b) AS l,
+         {bt} * (({a} * p.y + (1.0 - {a}) * (r.l + r.b)) - r.l)
+           + (1.0 - {bt}) * r.b AS b,
+         r.se + (p.y - (r.l + r.b)) * (p.y - (r.l + r.b)) AS se
+  FROM rec r JOIN base p ON p.key = r.key AND p.seq = r.seq + 1
+)
+SELECT key, CAST(n AS INT) AS n_periods,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(sqrt(se / (n - 1)), 6) AS rmse,
+       round(l + {h} * b, 6) AS forecast
+FROM rec WHERE seq = n
+"""

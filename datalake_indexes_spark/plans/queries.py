@@ -2723,6 +2723,16 @@ def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_forecast_backtest(_events_us(spark, sf_dir), window_rows=5)
 
 
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing of each user's daily
+    event-count series — level/trend/rmse and a 3-period-ahead
+    forecast, the geometric-discount forecaster next to the
+    window-OLS backtest."""
+    from datalake_indexes_spark.operators.events import holt_forecast
+
+    return holt_forecast(_events_us(spark, sf_dir), alpha=0.5, beta=0.3, horizon=3)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization over documents WITH planted noise -- the
     synthetic corpus is clean ASCII, so every 4th doc is wrapped in the
@@ -3187,6 +3197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_benford": q_column_benford,
     "profile_ks_drift": q_profile_ks_drift,
     "events_forecast_backtest": q_events_forecast_backtest,
+    "events_holt": q_events_holt,
     "text_normalize": q_text_normalize,
     "text_zipf": q_text_zipf,
     "events_survival": q_events_survival,
@@ -3507,6 +3518,7 @@ WHERE rn = 1
         "lineitem", "l_returnflag = \'R\'", KS_DRIFT_COLUMNS
     ),
     "events_forecast_backtest": oracle.rolling_forecast_backtest_sql(window_rows=5),
+    "events_holt": oracle.holt_forecast_sql(),
     "text_normalize": oracle.normalize_text_sql(),
     "text_zipf": oracle.zipf_fit_sql(top_n=1000),
     "events_survival": oracle.survival_curve_sql(),

@@ -1328,3 +1328,60 @@ class TestAdviceRegressionsR5:
         )
         with pytest.raises(ValueError, match="__BASE__"):
             markov_removal_effects(ev)
+
+
+@pytest.mark.spark
+class TestHoltForecast:
+    def test_hand_computed_series(self, spark):
+        """Two users, one with a clean +1/day trend (level tracks the
+        last value, trend -> 1, rmse 0), one hand-stepped."""
+        from datalake_indexes_spark.operators.events import holt_forecast
+
+        day = 86_400_000_000
+        rows = []
+        # user 1: k events on day k (counts 1,2,3,4,5)
+        for d in range(1, 6):
+            rows += [(1, "e", d * day + i) for i in range(d)]
+        # user 2: counts 4, 1, 7
+        for d, c in [(1, 4), (2, 1), (3, 7)]:
+            rows += [(2, "e", d * day + i) for i in range(c)]
+        ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+        out = {r.key: r for r in
+               holt_forecast(ev, alpha=0.5, beta=0.3, horizon=3).collect()}
+
+        # linear series: one-step preds are exact every step
+        assert out[1].rmse == 0.0
+        assert out[1].level == pytest.approx(5.0)
+        assert out[1].trend == pytest.approx(1.0)
+        assert out[1].forecast == pytest.approx(8.0)
+
+        # hand-step user 2: l1=4, b1=-3
+        a, b_ = 0.5, 0.3
+        lvl, tr, se = 4.0, -3.0, 0.0
+        for y in [1.0, 7.0]:
+            e = y - (lvl + tr)
+            se += e * e
+            l_new = a * y + (1 - a) * (lvl + tr)
+            tr = b_ * (l_new - lvl) + (1 - b_) * tr
+            lvl = l_new
+        assert out[2].level == pytest.approx(lvl, abs=1e-6)
+        assert out[2].trend == pytest.approx(tr, abs=1e-6)
+        assert out[2].rmse == pytest.approx((se / 2) ** 0.5, abs=1e-6)
+        assert out[2].forecast == pytest.approx(lvl + 3 * tr, abs=1e-6)
+
+    def test_single_period_key_dropped(self, spark):
+        from datalake_indexes_spark.operators.events import holt_forecast
+
+        ev = spark.createDataFrame(
+            [(1, "e", 10), (1, "e", 20), (2, "e", 99)],
+            "user_id long, event_type string, ts_us long",
+        )
+        # user 1's two events share day 0 -> one period -> dropped too
+        assert holt_forecast(ev).count() == 0
+
+    def test_invalid_params_raise(self, spark):
+        from datalake_indexes_spark.operators.events import holt_forecast
+
+        ev = spark.createDataFrame([(1, "e", 0)], "user_id long, event_type string, ts_us long")
+        with pytest.raises(ValueError, match="alpha"):
+            holt_forecast(ev, alpha=0.0)
