@@ -2204,3 +2204,53 @@ def holt_forecast(
         F.round("rmse", 6).alias("rmse"),
         F.round("forecast", 6).alias("forecast"),
     )
+
+
+def decay_weighted_stats(
+    events: DataFrame,
+    half_life_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponential time-decay aggregates per key: every observation is
+    weighted by w = exp(−ln2·(T−t)/half_life) with T the corpus's last
+    timestamp, so yesterday counts ~2× last week at a 7-day half-life —
+    (key, n, weight_sum, decayed_value, ewm_mean).  The recency-weighted
+    "current customer value" every activation/churn model starts from,
+    without the arbitrary hard cutoff of a trailing window.
+
+    ``weight_sum`` is the key's decayed activity mass (all events);
+    ``decayed_value``/``ewm_mean`` run over non-NULL values only (a NULL
+    value is not an observation — same rule as the forecast operators).
+
+    Scale shape: ONE scan, one broadcast scalar (T), one map-side-
+    combinable aggregate keyed by ``key_col``; the weights are pure
+    expressions, commutative sums, no window, no order dependency.
+    Unlike a per-row running EWMA this closed form needs no sequential
+    pass — decay from a FIXED anchor is order-independent algebra, which
+    is also what makes the partials mergeable across batches (rescale by
+    exp(−ln2·Δ/half_life) when the anchor advances).
+    """
+    if half_life_us <= 0:
+        raise ValueError("decay_weighted_stats: half_life_us must be positive")
+    import math as _math
+
+    lam = _math.log(2.0) / float(half_life_us)
+    t_max = events.agg(F.max(ts_col).alias("__T"))
+    w = F.exp(-F.lit(lam) * (F.col("__T") - F.col(ts_col)))
+    v = F.col(value_col).cast("double")
+    return (
+        events.crossJoin(F.broadcast(t_max))
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(w), 6).alias("weight_sum"),
+            F.round(F.sum(F.when(v.isNotNull(), w * v)), 6).alias("decayed_value"),
+            F.round(
+                F.sum(F.when(v.isNotNull(), w * v))
+                / F.nullif(F.sum(F.when(v.isNotNull(), w)), F.lit(0.0)),
+                6,
+            ).alias("ewm_mean"),
+        )
+    )

@@ -6729,3 +6729,27 @@ SELECT key, CAST(n AS INT) AS n_periods,
        round(l + {h} * b, 6) AS forecast
 FROM rec WHERE seq = n
 """
+
+
+def decay_weighted_stats_sql(half_life_us: int = 7 * 86_400_000_000) -> str:
+    """Decay-stats twin: same fixed-anchor closed form, λ embedded as the
+    identical Python-computed double so exp() sees the same argument."""
+    import math as _math
+
+    lam = repr(_math.log(2.0) / float(half_life_us))
+    return f"""
+WITH t AS (SELECT max(epoch_us(ts)) AS T FROM events),
+w AS (
+  SELECT user_id AS key,
+         exp(-CAST({lam} AS DOUBLE) * (t.T - epoch_us(ts))) AS w,
+         CAST(value AS DOUBLE) AS v
+  FROM events, t
+)
+SELECT key,
+       count(*) AS n,
+       round(sum(w), 6) AS weight_sum,
+       round(sum(CASE WHEN v IS NOT NULL THEN w * v END), 6) AS decayed_value,
+       round(sum(CASE WHEN v IS NOT NULL THEN w * v END)
+             / nullif(sum(CASE WHEN v IS NOT NULL THEN w END), 0.0), 6) AS ewm_mean
+FROM w GROUP BY key
+"""

@@ -2733,6 +2733,14 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(_events_us(spark, sf_dir), alpha=0.5, beta=0.3, horizon=3)
 
 
+def q_events_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay per-user activity mass and recency-weighted
+    mean value (7-day half-life from the corpus's last timestamp)."""
+    from datalake_indexes_spark.operators.events import decay_weighted_stats
+
+    return decay_weighted_stats(_events_us(spark, sf_dir))
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization over documents WITH planted noise -- the
     synthetic corpus is clean ASCII, so every 4th doc is wrapped in the
@@ -3198,6 +3206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_ks_drift": q_profile_ks_drift,
     "events_forecast_backtest": q_events_forecast_backtest,
     "events_holt": q_events_holt,
+    "events_decay_stats": q_events_decay_stats,
     "text_normalize": q_text_normalize,
     "text_zipf": q_text_zipf,
     "events_survival": q_events_survival,
@@ -3519,6 +3528,7 @@ WHERE rn = 1
     ),
     "events_forecast_backtest": oracle.rolling_forecast_backtest_sql(window_rows=5),
     "events_holt": oracle.holt_forecast_sql(),
+    "events_decay_stats": oracle.decay_weighted_stats_sql(),
     "text_normalize": oracle.normalize_text_sql(),
     "text_zipf": oracle.zipf_fit_sql(top_n=1000),
     "events_survival": oracle.survival_curve_sql(),

@@ -4,6 +4,8 @@ hypothesis pattern the other suites use)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datalake_indexes_spark.operators.events import (
     dedup_bursts,
     last_touch_attribution,
@@ -115,3 +117,49 @@ def test_attribution_matches_reference_property(spark):
         assert got == _ref_attribution(c_rows, v_rows, lookback)
 
     check()
+
+
+@pytest.mark.spark
+class TestDecayWeightedStats:
+    def test_hand_computed_weights(self, spark):
+        import math
+
+        from datalake_indexes_spark.operators.events import decay_weighted_stats
+
+        hl = 100
+        ev = spark.createDataFrame(
+            [(1, "e", 0, 10.0), (1, "e", 100, 20.0), (2, "e", 100, None)],
+            "user_id long, event_type string, ts_us long, value double",
+        )
+        out = {r.key: r for r in decay_weighted_stats(ev, half_life_us=hl).collect()}
+        # T = 100: weights exp(-ln2*1)=0.5 and 1.0
+        assert out[1].weight_sum == pytest.approx(1.5, abs=1e-6)
+        assert out[1].decayed_value == pytest.approx(0.5 * 10 + 1.0 * 20, abs=1e-6)
+        assert out[1].ewm_mean == pytest.approx(25.0 / 1.5, abs=1e-6)
+        # all-NULL-value key: mass counted, value stats NULL
+        assert out[2].weight_sum == pytest.approx(1.0, abs=1e-6)
+        assert out[2].decayed_value is None and out[2].ewm_mean is None
+
+    def test_recency_dominates(self, spark):
+        """Same totals, different timing: the recently-active key carries
+        the higher decayed mass."""
+        from datalake_indexes_spark.operators.events import decay_weighted_stats
+
+        day = 86_400_000_000
+        rows = [(1, "e", 30 * day, 1.0)] + [(2, "e", 1 * day, 1.0)]
+        rows.append((3, "e", 30 * day, 1.0))  # pins T
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_us long, value double"
+        )
+        out = {r.key: r.weight_sum
+               for r in decay_weighted_stats(ev, half_life_us=7 * day).collect()}
+        assert out[1] > out[2]
+
+    def test_invalid_half_life_raises(self, spark):
+        from datalake_indexes_spark.operators.events import decay_weighted_stats
+
+        ev = spark.createDataFrame(
+            [(1, "e", 0, 1.0)], "user_id long, event_type string, ts_us long, value double"
+        )
+        with pytest.raises(ValueError, match="half_life"):
+            decay_weighted_stats(ev, half_life_us=0)
