@@ -226,10 +226,21 @@ def fs_field_u_probabilities(
             f"stack({len(fields)}, {pairs}) as (__field, __val)"
         ).filter(F.col("__val").isNotNull())
 
-    ca = melt(a).groupBy("__field", "__val").agg(F.count(F.lit(1)).alias("__ca"))
-    cb = melt(b).groupBy("__field", "__val").agg(F.count(F.lit(1)).alias("__cb"))
-    na = melt(a).groupBy("__field").agg(F.count(F.lit(1)).alias("__na"))
-    nb = melt(b).groupBy("__field").agg(F.count(F.lit(1)).alias("__nb"))
+    # counted frames are localCheckpoint'ed (lazily) because each feeds
+    # BOTH the intersection join and its own margin re-aggregate — without
+    # materialization the second reference would re-run the input scan
+    ca = (
+        melt(a).groupBy("__field", "__val").agg(F.count(F.lit(1)).alias("__ca"))
+        .localCheckpoint(eager=False)
+    )
+    cb = (
+        melt(b).groupBy("__field", "__val").agg(F.count(F.lit(1)).alias("__cb"))
+        .localCheckpoint(eager=False)
+    )
+    # margins re-aggregate the COUNTED frames (value-cardinality sized),
+    # not the inputs — one scan per side total
+    na = ca.groupBy("__field").agg(F.sum("__ca").alias("__na"))
+    nb = cb.groupBy("__field").agg(F.sum("__cb").alias("__nb"))
     return (
         ca.join(cb, ["__field", "__val"])
         .groupBy("__field")
