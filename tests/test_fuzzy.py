@@ -252,3 +252,42 @@ class TestFellegiSunter:
         assert set(out) == {(1, 11), (2, 11), (2, 12)}
         # pairs caught by both rules appear exactly once
         assert len(multi) == 3
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fs_linkage_scale_200k_blocked(spark):
+    """200k × 200k records under 2k-way blocking: the candidate space is
+    ~20M pairs, never the 4·10¹⁰ cross product — completes in seconds
+    with the true matches' invariants intact, and the plan holds no
+    cartesian product or Python eval."""
+    from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+    n = 200_000
+    a = spark.range(n).selectExpr(
+        "id as a_id",
+        "id % 2000 as blk",
+        "concat('name', id) as name",
+        "cast(id % 9973 as string) as code",
+    )
+    # perturbed copy: 20% of names dirtied
+    b = spark.range(n).selectExpr(
+        "id + 10000000 as b_id",
+        "id % 2000 as blk",
+        "CASE WHEN id % 5 = 0 THEN concat('NAME', id) ELSE concat('name', id) END as name",
+        "cast(id % 9973 as string) as code",
+    )
+    out = fs_record_linkage(a, b, ["name", "code"], "blk", m=0.9, threshold=0.0)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # clean true pairs agree on both fields and survive; sample-check one
+    sample = out.filter(F.col("a_id") == 7).collect()
+    assert len(sample) >= 1
+    top = [r for r in sample if r.b_id == 10000007]
+    assert top and top[0].n_agree == 2
+    # dirty-name true pairs still agree on code; a full count stays
+    # candidate-bounded (every a matches its twin at minimum)
+    assert out.count() >= n * 0.99
