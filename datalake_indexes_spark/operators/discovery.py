@@ -1330,3 +1330,70 @@ def pareto_report(
         F.round("share_reached", 6).alias("share_reached"),
         F.round("key_frac", 6).alias("key_frac"),
     ).orderBy("target_share")
+
+
+def join_paths(
+    deps: DataFrame,
+    src_table: int,
+    dst_table: int,
+    max_hops: int = 4,
+    min_containment: float = 0.999,
+) -> DataFrame:
+    """Join-path discovery over the inclusion-dependency graph: every
+    acyclic column-level path from ``src_table`` to ``dst_table`` within
+    ``max_hops`` — (hops, path) with path =
+    "tA.cA>tB.cB|tB.cC>tC.cD|…" — the "how do I even join these two
+    tables" answer a dataset-search UI builds its join wizard from
+    (Aurum-style discovery; the reference's joinability search ranks
+    single hops, this composes them).
+
+    ``deps`` is :func:`inclusion_dependencies` output (or any frame with
+    table_a/col_a/table_b/col_b/containment); edges keep pairs at
+    ``min_containment`` or above.  Cycle rule: a path never revisits a
+    table (tracked as an array column, checked with array_contains).
+
+    Scale shape: the edge list is CATALOG-sized (column pairs, not
+    rows); each hop is one equi-join of the frontier against the edges —
+    ``max_hops`` joins total in one lazy plan, no per-hop action, no
+    collect.  Frontier width is bounded by the acyclic path count, which
+    the hop cap controls; the caller picks the cap exactly like a graph
+    traversal depth limit.
+    """
+    if max_hops < 1:
+        raise ValueError("join_paths: max_hops must be >= 1")
+    edges = (
+        deps.filter(F.col("containment") >= min_containment)
+        .select("table_a", "col_a", "table_b", "col_b")
+        .distinct()
+    )
+    step = F.format_string(
+        "%d.%d>%d.%d",
+        F.col("table_a"), F.col("col_a"), F.col("table_b"), F.col("col_b"),
+    )
+    frontier = (
+        edges.filter(F.col("table_a") == src_table)
+        .select(
+            F.col("table_b").alias("__end"),
+            step.alias("path"),
+            F.array(F.lit(src_table), F.col("table_b")).alias("__seen"),
+            F.lit(1).cast("int").alias("hops"),
+        )
+    )
+    results = frontier.filter(F.col("__end") == dst_table).select("hops", "path")
+    for h in range(2, max_hops + 1):
+        grow = (
+            frontier.filter(F.col("__end") != dst_table)
+            .join(edges, F.col("__end") == F.col("table_a"))
+            .filter(~F.array_contains(F.col("__seen"), F.col("table_b")))
+            .select(
+                F.col("table_b").alias("__end"),
+                F.concat_ws("|", F.col("path"), step).alias("path"),
+                F.array_append(F.col("__seen"), F.col("table_b")).alias("__seen"),
+                F.lit(h).cast("int").alias("hops"),
+            )
+        )
+        results = results.unionByName(
+            grow.filter(F.col("__end") == dst_table).select("hops", "path")
+        )
+        frontier = grow
+    return results

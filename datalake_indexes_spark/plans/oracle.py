@@ -6753,3 +6753,41 @@ SELECT key,
              / nullif(sum(CASE WHEN v IS NOT NULL THEN w END), 0.0), 6) AS ewm_mean
 FROM w GROUP BY key
 """
+
+
+def join_paths_sql(
+    src_table: int = 6,
+    dst_table: int = 0,
+    max_hops: int = 4,
+    min_containment: float = 0.999,
+) -> str:
+    """Join-path twin: the edge list is the inclusion-deps query reused
+    verbatim, the traversal a recursive CTE with the SAME cycle rule
+    (visited-table list) and the same hop cap and path rendering."""
+    deps = inclusion_deps_sql()
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT table_a, col_a, table_b, col_b
+  FROM ({deps}) __d
+  WHERE containment >= {min_containment}
+),
+walk AS (
+  SELECT table_b AS e,
+         concat(CAST(table_a AS VARCHAR), '.', CAST(col_a AS VARCHAR), '>',
+                CAST(table_b AS VARCHAR), '.', CAST(col_b AS VARCHAR)) AS path,
+         [table_a, table_b] AS seen,
+         1 AS hops
+  FROM edges WHERE table_a = {src_table}
+  UNION ALL
+  SELECT g.table_b,
+         concat(w.path, '|', CAST(g.table_a AS VARCHAR), '.',
+                CAST(g.col_a AS VARCHAR), '>',
+                CAST(g.table_b AS VARCHAR), '.', CAST(g.col_b AS VARCHAR)),
+         list_append(w.seen, g.table_b),
+         w.hops + 1
+  FROM walk w JOIN edges g ON g.table_a = w.e
+  WHERE w.hops < {max_hops} AND w.e <> {dst_table}
+        AND NOT list_contains(w.seen, g.table_b)
+)
+SELECT CAST(hops AS INT) AS hops, path FROM walk WHERE e = {dst_table}
+"""

@@ -1952,6 +1952,19 @@ def q_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acyclic join paths lineitem -> region over the discovered
+    inclusion-dependency graph (both the orders->customer and the
+    supplier route surface at 4 hops)."""
+    from datalake_indexes_spark.operators.discovery import (
+        inclusion_dependencies,
+        join_paths,
+    )
+
+    deps = inclusion_dependencies(testdata_index(spark, sf_dir, with_super_keys=False))
+    return join_paths(deps, src_table=6, dst_table=0, max_hops=4)
+
+
 def q_join_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What-if join sizing: exact |A ⋈ B| per cross-table column pair
     over the informative-token universe."""
@@ -3235,6 +3248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling": q_events_rolling,
     "lake_validate": q_lake_validate,
     "inclusion_deps": q_inclusion_deps,
+    "join_paths": q_join_paths,
     "column_minhash": q_column_minhash,
     "profile_drift": q_profile_drift,
     "functional_deps": q_functional_deps,
@@ -3458,6 +3472,7 @@ WHERE rn = 1
     "events_rolling": oracle.events_rolling_sql(window_rows=3),
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),
+    "join_paths": oracle.join_paths_sql(src_table=6, dst_table=0, max_hops=4),
     "column_minhash": oracle.column_minhash_sql(k=16),
     "profile_drift": oracle.profile_drift_sql(nbins=10, shift=50),
     "profile_psi": oracle.profile_psi_sql(nbins=10, shift=50),

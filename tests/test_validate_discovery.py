@@ -507,3 +507,46 @@ def test_shuffle_skew_report_hand_example(spark):
     assert r["avg_per_key"] == 2.5
     assert r["skew_ratio"] == 4.0
     assert r["p50_per_key"] == 1.0
+
+
+@pytest.mark.spark
+class TestJoinPaths:
+    def _deps(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "table_a int, col_a int, table_b int, col_b int, containment double"
+        )
+
+    def test_enumerates_acyclic_paths(self, spark):
+        from datalake_indexes_spark.operators.discovery import join_paths
+
+        deps = self._deps(spark, [
+            (0, 0, 1, 0, 1.0),   # 0 -> 1
+            (1, 1, 2, 0, 1.0),   # 1 -> 2
+            (0, 1, 2, 1, 1.0),   # direct 0 -> 2
+            (2, 0, 0, 0, 1.0),   # back edge (cycle bait)
+            (1, 0, 3, 0, 0.5),   # below containment threshold
+        ])
+        out = sorted((r.hops, r.path) for r in
+                     join_paths(deps, 0, 2, max_hops=3).collect())
+        assert out == [
+            (1, "0.1>2.1"),
+            (2, "0.0>1.0|1.1>2.0"),
+        ]
+
+    def test_hop_cap_and_no_revisit(self, spark):
+        from datalake_indexes_spark.operators.discovery import join_paths
+
+        # ring 0->1->2->3->0: only path 0->3 is 3 hops; cap 2 finds none
+        ring = [(i, 0, (i + 1) % 4, 0, 1.0) for i in range(4)]
+        deps = self._deps(spark, ring)
+        assert join_paths(deps, 0, 3, max_hops=2).count() == 0
+        three = join_paths(deps, 0, 3, max_hops=5).collect()
+        # exactly one acyclic route despite the cycle
+        assert [(r.hops, r.path) for r in three] == [(3, "0.0>1.0|1.0>2.0|2.0>3.0")]
+
+    def test_invalid_hops_raise(self, spark):
+        from datalake_indexes_spark.operators.discovery import join_paths
+
+        deps = self._deps(spark, [(0, 0, 1, 0, 1.0)])
+        with pytest.raises(ValueError, match="max_hops"):
+            join_paths(deps, 0, 1, max_hops=0)
