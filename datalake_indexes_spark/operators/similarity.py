@@ -1449,3 +1449,63 @@ def embedding_drift(
             F.col("__mean_norm_b") / F.nullif(F.col("__mean_norm_a"), F.lit(0.0)), 6
         ).alias("norm_ratio"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    exclude_pairs: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining: the top-``k`` cosine neighbors of each query
+    that are NOT in ``exclude_pairs`` — the contrastive-training data
+    generator (embedding-similar but known-distinct examples are the
+    negatives that teach a model the decision boundary; near-duplicates
+    must be excluded or they poison the negatives with actual positives).
+
+    ``exclude_pairs`` is any (id_1, id_2) frame — typically
+    :func:`..dedup.minhash_lsh_pairs` output — treated as UNDIRECTED:
+    both orientations are dropped.  Exclusion happens BEFORE the
+    per-query rank, so the k survivors are the true top-k of the allowed
+    set (post-filtering a pre-cut top-k would silently return < k rows
+    and lose recall).
+
+    Scale shape: identical to :func:`cosine_topk` (broadcast queries,
+    one corpus scan, per-query rank window) plus ONE left-anti join
+    against the symmetrized exclusion pairs keyed on (query, neighbor).
+    """
+    ex = exclude_pairs.select(
+        F.col(exclude_pairs.columns[0]).alias("query_id"),
+        F.col(exclude_pairs.columns[1]).alias("neighbor_id"),
+    )
+    ex_sym = ex.unionByName(
+        ex.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+        )
+    )
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(ex_sym, ["query_id", "neighbor_id"], "left_anti")
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )

@@ -6791,3 +6791,35 @@ walk AS (
 )
 SELECT CAST(hops AS INT) AS hops, path FROM walk WHERE e = {dst_table}
 """
+
+
+def ann_hard_negatives_sql(
+    k: int = 5, n_queries: int = 10, threshold: float = 0.4, n_planes: int = 4
+) -> str:
+    """Hard-negative twin: brute-force cosine scores minus the symmetrized
+    LSH-blocked near-dup pairs (the embedding-dedup query reused
+    verbatim), ranked per query AFTER the exclusion."""
+    pairs = dedup_embedding_cosine_sql(threshold=threshold, n_planes=n_planes)
+    return f"""
+WITH px AS MATERIALIZED (SELECT vec_id_1, vec_id_2 FROM ({pairs}) __p),
+ex AS (
+  SELECT vec_id_1 AS query_id, vec_id_2 AS neighbor_id FROM px
+  UNION ALL
+  SELECT vec_id_2, vec_id_1 FROM px
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+    AND NOT EXISTS (SELECT 1 FROM ex
+                    WHERE ex.query_id = q.query_id
+                      AND ex.neighbor_id = e.vec_id)
+)
+SELECT query_id, neighbor_id, rank, round(c, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""

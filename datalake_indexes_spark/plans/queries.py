@@ -705,6 +705,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_embeddings(spark, sf_dir), threshold=0.4, n_planes=4, dim=64)
 
 
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-5 cosine neighbors of each query vector
+    excluding the LSH-blocked near-duplicate pairs — embedding-similar
+    but known-distinct, the contrastive-negative generator."""
+    from datalake_indexes_spark.operators.similarity import (
+        cosine_pairs,
+        hard_negatives,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    near = cosine_pairs(emb, threshold=0.4, n_planes=4, dim=64).select(
+        "vec_id_1", "vec_id_2"
+    )
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), near, k=5)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import cosine_topk
 
@@ -3123,6 +3139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_hard_negatives": q_ann_hard_negatives,
     "ann_knn_classify": q_ann_knn_classify,
     "ann_cluster_purity": q_ann_cluster_purity,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3376,6 +3393,7 @@ WHERE rn = 1
     "graph_triangles": oracle.graph_triangles_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
+    "ann_hard_negatives": oracle.ann_hard_negatives_sql(),
     "ann_knn_classify": oracle.ann_knn_classify_sql(k=5, n_queries=10),
     "ann_cluster_purity": oracle.ann_cluster_purity_sql(n_centroids=16),
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),

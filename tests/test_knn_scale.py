@@ -183,3 +183,33 @@ def test_lsh_multiprobe_topk_recall_dominates_single(spark):
     r_multi = ann_recall_report(emb, q, k=3, search_fn=multi).collect()[0]
     assert r_multi["n_hits"] >= r_single["n_hits"]
     assert r_multi["recall"] > 0.5  # 4 tables on a clustered fixture
+
+
+def test_hard_negatives_excludes_pairs_before_rank(spark):
+    """Exclusion happens pre-rank: dropping the top neighbor promotes the
+    next one into rank 1 and k rows still come back."""
+    from pyspark.sql import functions as F
+
+    from datalake_indexes_spark.operators.similarity import cosine_topk, hard_negatives
+
+    import math
+    rows = []
+    for i in range(20):
+        ang = i * 0.1
+        rows.append((i, [math.cos(ang), math.sin(ang)] + [0.0] * 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+
+    base = cosine_topk(emb, q, k=3).collect()
+    top1 = [r.neighbor_id for r in base if r.rank == 1][0]
+    ex = spark.createDataFrame([(0, top1)], "a long, b long")
+    out = hard_negatives(emb, q, ex, k=3).collect()
+    assert len(out) == 3
+    assert top1 not in {r.neighbor_id for r in out}
+    # old rank-2 neighbor is the new rank 1
+    old2 = [r.neighbor_id for r in base if r.rank == 2][0]
+    assert [r.neighbor_id for r in out if r.rank == 1] == [old2]
+    # symmetric orientation also excluded
+    ex_rev = spark.createDataFrame([(top1, 0)], "a long, b long")
+    out_rev = hard_negatives(emb, q, ex_rev, k=3).collect()
+    assert top1 not in {r.neighbor_id for r in out_rev}
