@@ -637,3 +637,83 @@ def hits(
         )
         scores = hub.join(auth, "node").localCheckpoint()
     return scores.select("node", "hub", F.col("auth").alias("authority"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_modulus: int = 10,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling mass) return to a
+    SEED set instead of the uniform vector, so rank measures proximity to
+    the seeds — "documents related to THIS cluster", "tables relevant to
+    THIS table", the query-biased variant every discovery UI needs next
+    to the global :func:`pagerank`.
+
+    The seed set is data-driven (nodes with ``node % seed_modulus == 0``)
+    rather than a literal id list, so both engines derive it from the
+    graph itself; Σ rank = 1 holds every iteration because all teleport
+    and dangling mass lands on seeds that exist by construction.
+
+    Update (standard PPR): rank = (1−d)·p0 + d·(contrib + dm·p0), with
+    p0 the uniform-over-seeds vector and dm the dangling mass.  Scale
+    shape identical to :func:`pagerank`: one co-keyed contribution join +
+    two scalar aggregates per round, localCheckpoint lineage truncation.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    is_seed = F.pmod(F.col("node"), F.lit(int(seed_modulus))) == 0
+    n_seeds = F.broadcast(
+        nodes.agg(F.sum(is_seed.cast("long")).cast("double").alias("__ns"))
+    )
+    if nodes.filter(is_seed).count() == 0:
+        raise ValueError(
+            f"personalized_pagerank: no seed nodes (node % {seed_modulus} == 0)"
+        )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
+    w = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
+    ).localCheckpoint()
+
+    p0 = F.when(is_seed, F.lit(1.0) / F.col("__ns")).otherwise(F.lit(0.0))
+    ranks = nodes.crossJoin(n_seeds).select("node", p0.alias("rank")).localCheckpoint()
+    d = float(damping)
+    for _ in range(iters):
+        contrib = (
+            w.join(ranks, w.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("__w")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        dangling = F.broadcast(
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)
+            .crossJoin(n_seeds)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - d) + F.lit(d) * F.col("__dm")) * p0
+                    + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

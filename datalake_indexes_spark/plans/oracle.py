@@ -6823,3 +6823,60 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighb
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+def graph_ppr_sql(
+    seed_modulus: int = 10,
+    damping: float = 0.85,
+    iters: int = 6,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """Personalized-PageRank twin over the near-dup graph: same
+    data-driven seed set (node % modulus == 0), same
+    (1-d)·p0 + d·(contrib + dm·p0) update, unrolled rounds."""
+    pairs = dedup_minhash_lsh_sql(k=k, bands=bands, threshold=threshold)
+    d = repr(float(damping))
+    parts = [
+        f"WITH pairs AS MATERIALIZED (SELECT * FROM ({pairs}) __p)",
+        f"""edges AS MATERIALIZED (
+  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+ns AS MATERIALIZED (
+  SELECT CAST(count(*) FILTER (WHERE node % {seed_modulus} = 0) AS DOUBLE) AS s
+  FROM nodes
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node,
+         CASE WHEN node % {seed_modulus} = 0 THEN 1.0 / ns.s ELSE 0.0 END AS rank
+  FROM nodes, ns
+)""",
+    ]
+    # the symmetric near-dup graph has no dangling nodes, so dm = 0 every
+    # round on both engines — the dm·p0 term stays in the engine for
+    # general graphs but is exactly zero here
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {d}) * (CASE WHEN nd.node % {seed_modulus} = 0
+                             THEN 1.0 / ns.s ELSE 0.0 END)
+           + {d} * coalesce(c.s, 0.0) AS rank
+  FROM nodes nd CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * (1.0 / dg.dg)) AS s
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+{body}
+SELECT node AS doc_id, round(rank, 8) AS rank FROM r{iters}
+"""

@@ -1881,6 +1881,23 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the near-dup graph, teleporting to the
+    node%10==0 seed set — rank as proximity to the seeds."""
+    from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
+    from datalake_indexes_spark.operators.graph import personalized_pagerank
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+    edges = pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    )
+    return personalized_pagerank(edges, seed_modulus=10, damping=0.85, iters=6).select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    )
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered rolling features (lag / trailing mean / running
     max) — the feature-store transform."""
@@ -3228,6 +3245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "graph_pagerank": q_graph_pagerank,
     "graph_hits": q_graph_hits,
+    "graph_ppr": q_graph_ppr,
     "graph_triangles": q_graph_triangles,
     "graph_link_prediction": q_graph_link_prediction,
     "graph_kcore": q_graph_kcore,
@@ -3487,6 +3505,7 @@ WHERE rn = 1
     "events_anomaly": oracle.events_anomaly_sql(),
     "graph_pagerank": oracle.graph_pagerank_sql(damping=0.85, iters=6, threshold=0.7),
     "graph_hits": oracle.graph_hits_sql(iters=4),
+    "graph_ppr": oracle.graph_ppr_sql(iters=6),
     "events_rolling": oracle.events_rolling_sql(window_rows=3),
     "lake_validate": oracle.lake_validate_sql(total_cap=300_000.0),
     "inclusion_deps": oracle.inclusion_deps_sql(),

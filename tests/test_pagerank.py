@@ -117,3 +117,53 @@ class TestHits:
             self._edges(spark, [("a", "b"), ("a", "b"), ("b", "c")]), iters=3
         ).collect()
         assert sorted(map(tuple, once)) == sorted(map(tuple, dup))
+
+
+@pytest.mark.spark
+class TestPersonalizedPageRank:
+    def test_mass_conserved_and_seed_proximity(self, spark):
+        """Σ rank = 1; nodes near the seed outrank equally-connected
+        nodes far from it."""
+        from datalake_indexes_spark.operators.graph import personalized_pagerank
+
+        # chain 0-1-2-3-4-5 (symmetrized): seed (mod 10) is node 0
+        pairs = [(i, i + 1) for i in range(5)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+        out = {r.node: r.rank for r in
+               personalized_pagerank(edges, seed_modulus=10, iters=20).collect()}
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+        # hand reference: r = (1-d)·p0 + d·(contrib + dm·p0), dm = 0 here
+        d = 0.85
+        deg = {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 1}
+        nbrs = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+        r = {n: (1.0 if n == 0 else 0.0) for n in deg}
+        for _ in range(20):
+            r = {
+                n: (0.15 if n == 0 else 0.0)
+                + d * sum(r[m] / deg[m] for m in nbrs[n])
+                for n in deg
+            }
+        for n in deg:
+            assert out[n] == pytest.approx(r[n], abs=1e-9), n
+        # proximity: the seed end of the chain dominates the far end
+        assert out[0] > out[5] and out[1] > out[4]
+
+    def test_dangling_mass_returns_to_seeds(self, spark):
+        """Directed edge into a sink: the sink's rank mass teleports back
+        to the seed set, total still 1."""
+        from datalake_indexes_spark.operators.graph import personalized_pagerank
+
+        edges = spark.createDataFrame([(0, 7)], "src long, dst long")
+        out = {r.node: r.rank for r in
+               personalized_pagerank(edges, seed_modulus=10, iters=15).collect()}
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+        assert out[0] > out[7] > 0.0
+
+    def test_no_seeds_raises(self, spark):
+        from datalake_indexes_spark.operators.graph import personalized_pagerank
+
+        edges = spark.createDataFrame([(1, 3)], "src long, dst long")
+        with pytest.raises(ValueError, match="no seed"):
+            personalized_pagerank(edges, seed_modulus=10)
