@@ -1486,3 +1486,46 @@ def zipf_fit(
             F.round(r2, 6).alias("r2"),
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document readability: (doc_id, n_words, n_sentences,
+    n_syllables, flesch, fk_grade) — Flesch reading ease and
+    Flesch-Kincaid grade from the classic closed forms, with the standard
+    vowel-group syllable heuristic (a run of [aeiouy] ≈ one syllable; a
+    word with no vowels counts one).  The quality-filter feature next to
+    :func:`quality_scores`' length/punct ratios: corpus curation gates on
+    "too hard / too degenerate" text bands.
+
+    Pure native expressions (split / regexp_count / higher-order array
+    filters) — one scan, no UDF, no shuffle.  Sentences split on [.!?]+
+    runs (unterminated text counts as one sentence); empty-word docs
+    carry NULL scores rather than dividing by zero.
+    """
+    txt = F.col(text_col)
+    low = F.lower(txt)
+    words = F.filter(F.split(low, " "), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sents = F.filter(F.split(txt, r"[.!?]+"), lambda s: F.trim(s) != F.lit(""))
+    n_sent = F.greatest(F.size(sents).cast("long"), F.lit(1))
+    vowel_runs = F.regexp_count(low, F.lit(r"[aeiouy]+")).cast("long")
+    no_vowel = F.size(
+        F.filter(words, lambda w: ~w.rlike("[aeiouy]"))
+    ).cast("long")
+    n_syll = vowel_runs + no_vowel
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )

@@ -6880,3 +6880,34 @@ r0 AS (
 {body}
 SELECT node AS doc_id, round(rank, 8) AS rank FROM r{iters}
 """
+
+
+def readability_scores_sql() -> str:
+    """Readability twin: same word/sentence splits, same vowel-run
+    syllable heuristic, same closed forms (coefficients written
+    identically so the doubles match)."""
+    return """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS words,
+         len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS raw_sent,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vruns
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(greatest(raw_sent, 1) AS BIGINT) AS n_sentences,
+         CAST(vruns + len(list_filter(words,
+              w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT) AS n_syllables
+  FROM w
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+             - 84.6 * (n_syllables * 1.0 / nullif(n_words * 1.0, 0.0)), 4) AS flesch,
+       round(0.39 * (n_words * 1.0 / n_sentences)
+             + 11.8 * (n_syllables * 1.0 / nullif(n_words * 1.0, 0.0))
+             - 15.59, 4) AS fk_grade
+FROM c
+"""

@@ -2787,6 +2787,14 @@ def q_events_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decay_weighted_stats(_events_us(spark, sf_dir))
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability per document (vowel-run
+    syllable heuristic, native expressions only)."""
+    from datalake_indexes_spark.operators.text_analysis import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir))
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization over documents WITH planted noise -- the
     synthetic corpus is clean ASCII, so every 4th doc is wrapped in the
@@ -3257,6 +3265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decay_stats": q_events_decay_stats,
     "text_normalize": q_text_normalize,
     "text_zipf": q_text_zipf,
+    "text_readability": q_text_readability,
     "events_survival": q_events_survival,
     "column_mutual_info": q_column_mutual_info,
     "events_ab_test": q_events_ab_test,
@@ -3583,6 +3592,7 @@ WHERE rn = 1
     "events_decay_stats": oracle.decay_weighted_stats_sql(),
     "text_normalize": oracle.normalize_text_sql(),
     "text_zipf": oracle.zipf_fit_sql(top_n=1000),
+    "text_readability": oracle.readability_scores_sql(),
     "events_survival": oracle.survival_curve_sql(),
     "column_mutual_info": oracle.categorical_mutual_info_sql("lang", "source"),
     "events_ab_test": oracle.ab_conversion_test_sql(),

@@ -442,3 +442,26 @@ def test_compressibility_null_and_empty_text(spark):
     assert out[1]["compression_ratio"] is not None
     assert out[2]["n_bytes"] is None and out[2]["compression_ratio"] is None
     assert out[3]["n_bytes"] == 0 and out[3]["compression_ratio"] is None
+
+
+@pytest.mark.spark
+class TestReadabilityScores:
+    def test_hand_computed(self, spark):
+        from datalake_indexes_spark.operators.text_analysis import readability_scores
+
+        docs = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"),
+             (2, "xyz"),                       # no vowels: 1 word, 1 syllable
+             (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in readability_scores(docs).collect()}
+        r1 = out[1]
+        # 6 words, 2 sentences; syllables: each word one vowel run = 6
+        assert r1.n_words == 6 and r1.n_sentences == 2 and r1.n_syllables == 6
+        wps, spw = 6 / 2, 6 / 6
+        assert r1.flesch == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw, abs=1e-3)
+        assert r1.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59, abs=1e-3)
+        assert out[2].n_syllables == 1 and out[2].n_words == 1
+        # empty text: no words -> NULL scores, min one sentence
+        assert out[3].n_words == 0 and out[3].flesch is None
