@@ -717,3 +717,60 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: (node, degree, n_triangles,
+    local_cc) with local_cc = 2·tri / (deg·(deg−1)) — how close each
+    node's neighborhood is to a clique.  On a near-dup graph a high-cc
+    node sits inside a dense duplication blob (safe to collapse); a
+    high-degree low-cc node is a hub stitching unrelated clusters — the
+    classic false-merge suspect worth human review before dedup collapses
+    its component.
+
+    Triangle counts come from :func:`triangles` (degree-oriented, skew-
+    proof); degrees from the distinct undirected edge list; nodes with
+    degree < 2 report cc = 0.0.  One explode of the (small) triangle set
+    + one keyed aggregate on top of the triangle enumeration's cost.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("u"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles(edges, src, dst)
+    per_node = (
+        tri.select(F.explode(F.array("node_a", "node_b", "node_c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+    )

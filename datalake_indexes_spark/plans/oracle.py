@@ -6911,3 +6911,36 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
              - 15.59, 4) AS fk_grade
 FROM c
 """
+
+
+def graph_clustering_sql(max_hamming: int = 8) -> str:
+    """Clustering-coefficient twin: the naive triangle query reused
+    verbatim, exploded per corner, joined onto the degree census."""
+    tri = graph_triangles_sql(max_hamming=max_hamming)
+    return f"""
+WITH tri AS MATERIALIZED (SELECT * FROM ({tri}) __t),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(doc_id_1, doc_id_2) AS u, greatest(doc_id_1, doc_id_2) AS v
+  FROM ({dedup_simhash_sql(max_hamming=max_hamming)}) __p
+  WHERE doc_id_1 != doc_id_2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT node_a AS node FROM tri
+    UNION ALL SELECT node_b FROM tri
+    UNION ALL SELECT node_c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(p.n_triangles, 0)
+                       / (d.degree * 1.0 * (d.degree - 1)), 6)
+            ELSE 0.0 END AS local_cc
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""

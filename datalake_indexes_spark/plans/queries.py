@@ -1898,6 +1898,18 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the simhash near-dup graph
+    (dense-blob vs cluster-stitching-hub separation)."""
+    from datalake_indexes_spark.operators.dedup import simhash_pairs
+    from datalake_indexes_spark.operators.graph import clustering_coefficients
+
+    pairs = simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return clustering_coefficients(
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+    )
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered rolling features (lag / trailing mean / running
     max) — the feature-store transform."""
@@ -3255,6 +3267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_hits": q_graph_hits,
     "graph_ppr": q_graph_ppr,
     "graph_triangles": q_graph_triangles,
+    "graph_clustering": q_graph_clustering,
     "graph_link_prediction": q_graph_link_prediction,
     "graph_kcore": q_graph_kcore,
     "column_moments": q_column_moments,
@@ -3418,6 +3431,7 @@ WHERE rn = 1
     "text_simhash": oracle.text_simhash_sql(),
     "dedup_simhash": oracle.dedup_simhash_sql(max_hamming=8),
     "graph_triangles": oracle.graph_triangles_sql(max_hamming=8),
+    "graph_clustering": oracle.graph_clustering_sql(max_hamming=8),
     "dedup_embedding_cosine": oracle.dedup_embedding_cosine_sql(threshold=0.4, n_planes=4),
     "ann_cosine_topk": oracle.ann_cosine_topk_sql(k=5, n_queries=10),
     "ann_hard_negatives": oracle.ann_hard_negatives_sql(),

@@ -4,6 +4,8 @@ DataFrame-scale edge set generated with no driver collect."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -105,3 +107,18 @@ def test_triangles_planted_k4_star_and_orientation(spark):
         (r.node_a, r.node_b, r.node_c) for r in triangles(edges).collect()
     )
     assert out == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    """Triangle 0-1-2 plus pendant 3 off node 0: cc(1)=cc(2)=1,
+    cc(0)=1/3 (deg 3, one triangle), cc(3)=0 (deg 1)."""
+    from datalake_indexes_spark.operators.graph import clustering_coefficients
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = {r.node: r for r in clustering_coefficients(edges).collect()}
+    assert out[1].local_cc == 1.0 and out[2].local_cc == 1.0
+    assert out[0].degree == 3 and out[0].n_triangles == 1
+    assert out[0].local_cc == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3].local_cc == 0.0 and out[3].n_triangles == 0
