@@ -1043,8 +1043,16 @@ def inter_arrival_stats(
 
     Gap ordering is total — (ts, seq) — so ties are deterministic and
     the profile is engine-portable; entities with fewer than two events
-    report no row (no gaps is the answer, not zeros).  Seconds as
-    double, rounded to 6.
+    report no row (no gaps is the answer, not zeros).  All stats are in
+    exact MICROSECONDS, unrounded: the mean is an exact-integer-sum
+    division (consecutive gaps telescope to last−first, far below 2^53),
+    and the percentiles are hand-rolled lo + frac·(hi − lo)
+    interpolations over the sorted integer gaps — every output double is
+    bit-identical across engines, with no round() call whose
+    half-boundary semantics could diverge (Spark rounds the shortest
+    decimal repr HALF_UP; DuckDB rounds in binary — they disagree
+    whenever the repr ends in 5 at the cut digit, which integer-µs
+    medians hit EXACTLY at .5 µs).
 
     Scale shape: one lag() window partitioned by the entity (per-key
     partitions, never global) feeding a same-key aggregate — the window
@@ -1055,14 +1063,38 @@ def inter_arrival_stats(
     """
     keys = list(key_cols or ["user_id"])
     w = Window.partitionBy(*keys).orderBy(F.asc(ts_col), F.asc(seq_col))
-    gap_s = (F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) / F.lit(1e6)
-    gaps = events.select(*keys, gap_s.alias("__gap")).filter(F.col("__gap").isNotNull())
-    return gaps.groupBy(*keys).agg(
+    gap_us = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+    gaps = events.select(*keys, gap_us.alias("__us")).filter(F.col("__us").isNotNull())
+    # percentile interpolation is hand-rolled over the sorted INTEGER
+    # microsecond gaps (lo + frac·(hi − lo), identical operand order in
+    # the DuckDB twin): engines' built-in continuous quantiles use
+    # different but equivalent formulas whose last-ulp disagreement
+    # surfaces under 6-decimal rounding at scale
+    agg = gaps.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.avg("__gap"), 6).alias("mean_gap_s"),
-        F.round(F.percentile("__gap", F.lit(0.5)), 6).alias("p50_gap_s"),
-        F.round(F.percentile("__gap", F.lit(0.95)), 6).alias("p95_gap_s"),
-        F.round(F.max("__gap"), 6).alias("max_gap_s"),
+        F.avg("__us").alias("__mean_us"),
+        F.max("__us").alias("__max_us"),
+        F.sort_array(F.collect_list("__us")).alias("__gl"),
+    )
+
+    def _interp(q: float) -> "F.Column":
+        n = F.col("n_gaps")
+        pos = F.lit(q) * (n - F.lit(1)).cast("double")
+        lo = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        lov = F.element_at("__gl", lo + F.lit(1)).cast("double")
+        hiv = F.element_at(
+            "__gl", F.least(lo + F.lit(2), n.cast("int"))
+        ).cast("double")
+        return lov + frac * (hiv - lov)
+
+    return agg.select(
+        *keys,
+        "n_gaps",
+        F.col("__mean_us").alias("mean_gap_us"),
+        _interp(0.5).alias("p50_gap_us"),
+        _interp(0.95).alias("p95_gap_us"),
+        F.col("__max_us").cast("double").alias("max_gap_us"),
     )
 
 
@@ -1220,10 +1252,15 @@ def rolling_forecast_backtest(
         "n_forecasts",
         F.round("__mae", 4).alias("mae"),
         F.round("__rmse", 4).alias("rmse"),
-        F.round("__bias", 4).alias("bias"),
+        # +0.0 normalizes IEEE -0.0 (a tiny negative bias/skill rounding
+        # to zero keeps the sign bit and hashes differently otherwise)
+        (F.round("__bias", 4) + F.lit(0.0)).alias("bias"),
         F.round("__nmae", 4).alias("naive_mae"),
-        F.round(
-            F.lit(1.0) - F.col("__mae") / F.nullif(F.col("__nmae"), F.lit(0.0)), 4
+        (
+            F.round(
+                F.lit(1.0) - F.col("__mae") / F.nullif(F.col("__nmae"), F.lit(0.0)), 4
+            )
+            + F.lit(0.0)
         ).alias("skill"),
     )
 

@@ -1067,6 +1067,9 @@ def embedding_covariance(
     cov = F.covar_pop("__xi", "__xj")
     if round_to is not None:
         cov = F.round(cov, round_to)
+    # IEEE -0.0 normalizes to +0.0 under addition: a zero covariance must
+    # hash identically whichever sign the engine's summation produced
+    cov = cov + F.lit(0.0)
     return pairs.groupBy(
         F.col("dim_i").cast("long").alias("dim_i"),
         F.col("dim_j").cast("long").alias("dim_j"),

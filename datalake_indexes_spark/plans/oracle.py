@@ -1342,7 +1342,7 @@ x AS (
   FROM v
 )
 SELECT a.dim AS dim_i, b.dim AS dim_j,
-       round(covar_pop(a.x, b.x), 6) AS cov
+       round(covar_pop(a.x, b.x), 6) + 0.0 AS cov
 FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
 GROUP BY 1, 2
 """
@@ -5279,22 +5279,41 @@ HAVING count(*) * {m} > any_value(t.n)
 
 def inter_arrival_stats_sql() -> str:
     """Inter-arrival twin: identical (ts, event_id) total order for the
-    lag, identical microsecond-to-seconds arithmetic."""
-    return """
+    lag, the SAME hand-rolled lo + frac·(hi − lo) interpolation over
+    sorted integer microsecond gaps, and NO rounding anywhere — every
+    output double is the identical IEEE value on both engines (round()
+    half-boundary semantics differ between them)."""
+
+    def interp(qlit: str) -> str:
+        # CAST the quantile literal to DOUBLE: DuckDB parses 0.95 as
+        # DECIMAL, whose exact frac diverges from Spark's double 0.95
+        q = f"CAST({qlit} AS DOUBLE)"
+        return f"""(CAST(gl[CAST(floor({q} * (n_gaps - 1)) AS INT) + 1] AS DOUBLE)
+        + ({q} * (n_gaps - 1) - floor({q} * (n_gaps - 1)))
+          * (CAST(gl[least(CAST(floor({q} * (n_gaps - 1)) AS INT) + 2,
+                           CAST(n_gaps AS INT))] AS DOUBLE)
+             - CAST(gl[CAST(floor({q} * (n_gaps - 1)) AS INT) + 1] AS DOUBLE)))"""
+
+    return f"""
 WITH g AS (
   SELECT user_id,
-         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-         )) / 1000000.0 AS gap
+         ) AS gap_us
   FROM events
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         avg(gap_us) AS mean_us, max(gap_us) AS max_us,
+         list_sort(list(gap_us)) AS gl
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1
 )
-SELECT user_id, count(*) AS n_gaps,
-       round(avg(gap), 6) AS mean_gap_s,
-       round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
-       round(quantile_cont(gap, 0.95), 6) AS p95_gap_s,
-       round(max(gap), 6) AS max_gap_s
-FROM g WHERE gap IS NOT NULL
-GROUP BY 1
+SELECT user_id, n_gaps,
+       mean_us AS mean_gap_us,
+       {interp("0.5")} AS p50_gap_us,
+       {interp("0.95")} AS p95_gap_us,
+       CAST(max_us AS DOUBLE) AS max_gap_us
+FROM a
 """
 
 
@@ -5604,9 +5623,9 @@ agg AS (
 SELECT key, CAST(n_forecasts AS BIGINT) AS n_forecasts,
        round(mae0, 4) AS mae,
        round(rmse0, 4) AS rmse,
-       round(bias0, 4) AS bias,
+       round(bias0, 4) + 0.0 AS bias,
        round(nmae0, 4) AS naive_mae,
-       round(1.0 - mae0 / nullif(nmae0, 0.0), 4) AS skill
+       round(1.0 - mae0 / nullif(nmae0, 0.0), 4) + 0.0 AS skill
 FROM agg
 """
 

@@ -105,11 +105,11 @@ class TestInterArrival:
         got = {r.user_id: r for r in inter_arrival_stats(ev).collect()}
         assert set(got) == {1, 2}  # user 3 has one event, no gaps
         r1 = got[1]
-        assert (r1.n_gaps, r1.mean_gap_s, r1.max_gap_s) == (3, 20.0, 40.0)
-        assert r1.p50_gap_s == 10.0
-        assert abs(r1.p95_gap_s - np.percentile([10, 10, 40], 95)) < 1e-6
+        assert (r1.n_gaps, r1.mean_gap_us, r1.max_gap_us) == (3, 20e6, 40e6)
+        assert r1.p50_gap_us == 10e6
+        assert abs(r1.p95_gap_us - np.percentile([10e6, 10e6, 40e6], 95)) < 1e-3
         r2 = got[2]
-        assert (r2.n_gaps, r2.mean_gap_s) == (2, 1.5)
+        assert (r2.n_gaps, r2.mean_gap_us) == (2, 1.5e6)
 
     def test_tie_break_is_total_order(self, spark):
         """Two events at the same ts: the gap sequence follows event_id."""
@@ -120,7 +120,7 @@ class TestInterArrival:
             "event_id long, user_id long, ts_us long",
         )
         r = inter_arrival_stats(ev).collect()[0]
-        assert r.n_gaps == 2 and r.mean_gap_s == 0.0001  # gaps 0 and 200us
+        assert r.n_gaps == 2 and r.mean_gap_us == 100.0  # gaps 0 and 200us
 
 
 @pytest.mark.spark
