@@ -5,6 +5,8 @@ without a nested loop."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_indexes_spark.operators.events import (
@@ -72,3 +74,56 @@ def test_burst_and_attribution_1m_events_hot_key(spark):
     for r in sample:
         assert 0 <= r["attribution_lag_us"] <= 5000
         assert r["attributed_ts_us"] <= r["ts_us"]
+
+
+def test_decay_stats_one_shuffle_1m_events(spark):
+    """1M events over 10k keys (10% on one hot user): the whole chain is
+    the keyed aggregate plus the broadcast anchor — ONE real exchange —
+    and the hot key changes nothing (commutative sums, no window)."""
+    from datalake_indexes_spark.operators.events import decay_weighted_stats
+
+    n = 1_000_000
+    ev = spark.range(n).selectExpr(
+        "id as event_id",
+        "CASE WHEN id % 10 = 0 THEN 0 ELSE id % 10000 END as user_id",
+        "'e' as event_type",
+        "id * 1000 as ts_us",
+        "cast(id % 97 as double) as value",
+    )
+    out = decay_weighted_stats(ev, half_life_us=100_000_000)
+    plan = _plan(out)
+    # exactly ONE keyed exchange; the anchor is a scalar aggregate whose
+    # tiny single-partition exchanges don't move the corpus
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = out.collect()
+    # ids with id%10000 divisible by 10 remap onto the hot key 0:
+    # 10000 - 1000 + 1 distinct keys survive
+    assert len(rows) == 9_001
+    hot = {r.key: r for r in rows}[0]
+    assert hot.n == n // 10
+    # most-recent event is user 0's (id 999990): its weight ~1 dominates
+    assert hot.weight_sum > 1.0
+
+
+def test_holt_1m_events_10k_keys(spark):
+    """Holt over 10k per-key series (1M events, ~100 periods each)
+    completes with per-key outputs and sane levels (counts ~ constant
+    10/period -> trend ~ 0, level ~ 10)."""
+    from datalake_indexes_spark.operators.events import holt_forecast
+
+    n = 1_000_000
+    day = 86_400_000_000
+    ev = spark.range(n).selectExpr(
+        "id % 10000 as user_id",
+        "'e' as event_type",
+        # each user: one event per day-slot, 10 slots per day
+        f"(id div 10000) * {day // 10} as ts_us",
+    )
+    out = holt_forecast(ev, alpha=0.5, beta=0.3, horizon=3)
+    rows = out.collect()
+    assert len(rows) == 10_000
+    import statistics
+
+    levels = [r.level for r in rows]
+    assert statistics.median(levels) == pytest.approx(10.0, abs=1.0)
+    assert all(abs(r.trend) < 1.0 for r in rows)
