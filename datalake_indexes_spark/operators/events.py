@@ -2291,3 +2291,91 @@ def decay_weighted_stats(
             ).alias("ewm_mean"),
         )
     )
+
+
+def _portable_median(list_col: str, n_col: "F.Column") -> "F.Column":
+    """Median of a SORTED array column via the hand-rolled
+    lo + frac·(hi − lo) interpolation — identical operand order to the
+    DuckDB twins, no round() whose half-boundary semantics could diverge
+    (see inter_arrival_stats)."""
+    pos = F.lit(0.5) * (n_col - F.lit(1)).cast("double")
+    lo = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    lov = F.element_at(list_col, lo + F.lit(1)).cast("double")
+    hiv = F.element_at(
+        list_col, F.least(lo + F.lit(2), n_col.cast("int"))
+    ).cast("double")
+    return lov + frac * (hiv - lov)
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Theil–Sen robust trend of each key's per-period event counts:
+    (key, n_periods, n_pairs, slope, intercept) with slope = the median
+    of all pairwise slopes (y_j−y_i)/(x_j−x_i) and intercept = the
+    median of y_i − slope·x_i — the estimator that shrugs off the
+    outlier days OLS (and Holt) get dragged by, at a guaranteed 29.3%
+    breakdown point.  Keys need ≥ 2 observed periods.
+
+    Scale shape: the pairwise expansion is per-key over the PERIOD
+    series (calendar-bounded — p periods → p(p−1)/2 pairs, ~5k at a
+    quarter of daily data), one self-equi-join on the key, two keyed
+    aggregates.  Medians use the portable interpolation over sorted
+    lists, and every output double is unrounded — bit-identical across
+    engines by operand-order construction.
+    """
+    period = (
+        (F.col(ts_col) - F.pmod(ts_col, F.lit(int(period_us))))
+        / F.lit(int(period_us))
+    ).cast("long")
+    series = (
+        events.groupBy(F.col(key_col).alias("key"), period.alias("__p"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__y"))
+        .localCheckpoint(eager=False)  # consumed by the pair join twice + residuals
+    )
+    a = series.select("key", F.col("__p").alias("__p1"), F.col("__y").alias("__y1"))
+    b = series.select("key", F.col("__p").alias("__p2"), F.col("__y").alias("__y2"))
+    slopes = (
+        a.join(b, "key")
+        .filter(F.col("__p2") > F.col("__p1"))
+        .select(
+            "key",
+            (
+                (F.col("__y2") - F.col("__y1"))
+                / (F.col("__p2") - F.col("__p1")).cast("double")
+            ).alias("__s"),
+        )
+    )
+    med = slopes.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sort_array(F.collect_list("__s")).alias("__sl"),
+    ).select(
+        "key",
+        "n_pairs",
+        _portable_median("__sl", F.col("n_pairs")).alias("slope"),
+    )
+    resid = (
+        series.join(med, "key")
+        .select(
+            "key",
+            "n_pairs",
+            "slope",
+            (F.col("__y") - F.col("slope") * F.col("__p").cast("double")).alias("__r"),
+        )
+        .groupBy("key", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            F.sort_array(F.collect_list("__r")).alias("__rl"),
+        )
+    )
+    return resid.select(
+        "key",
+        F.col("n_periods").cast("int").alias("n_periods"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "slope",
+        _portable_median("__rl", F.col("n_periods").cast("long")).alias("intercept"),
+    )

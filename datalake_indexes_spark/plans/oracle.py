@@ -6963,3 +6963,48 @@ SELECT d.node, d.degree,
             ELSE 0.0 END AS local_cc
 FROM deg d LEFT JOIN per_node p ON p.node = d.node
 """
+
+
+def theil_sen_trend_sql(period_us: int = 86_400_000_000) -> str:
+    """Theil–Sen twin: same per-period count series, same pairwise slope
+    set, same portable median interpolation (quantile literal cast to
+    DOUBLE), no rounding anywhere."""
+    p = int(period_us)
+
+    def med(list_col: str, n_col: str) -> str:
+        q = "CAST(0.5 AS DOUBLE)"
+        return f"""(CAST({list_col}[CAST(floor({q} * ({n_col} - 1)) AS INT) + 1] AS DOUBLE)
+        + ({q} * ({n_col} - 1) - floor({q} * ({n_col} - 1)))
+          * (CAST({list_col}[least(CAST(floor({q} * ({n_col} - 1)) AS INT) + 2,
+                                   CAST({n_col} AS INT))] AS DOUBLE)
+             - CAST({list_col}[CAST(floor({q} * ({n_col} - 1)) AS INT) + 1] AS DOUBLE)))"""
+
+    return f"""
+WITH series AS MATERIALIZED (
+  SELECT user_id AS key, epoch_us(ts) // {p} AS p,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.key, (b.y - a.y) / CAST(b.p - a.p AS DOUBLE) AS s
+  FROM series a JOIN series b ON b.key = a.key AND b.p > a.p
+),
+med AS MATERIALIZED (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+         list_sort(list(s)) AS sl
+  FROM slopes GROUP BY 1
+),
+sl AS MATERIALIZED (
+  SELECT key, n_pairs, {med("sl", "n_pairs")} AS slope FROM med
+),
+resid AS (
+  SELECT s.key, m.n_pairs, m.slope,
+         CAST(count(*) AS BIGINT) AS n_periods,
+         list_sort(list(s.y - m.slope * CAST(s.p AS DOUBLE))) AS rl
+  FROM series s JOIN sl m ON m.key = s.key
+  GROUP BY 1, 2, 3
+)
+SELECT key, CAST(n_periods AS INT) AS n_periods, n_pairs, slope,
+       {med("rl", "n_periods")} AS intercept
+FROM resid
+"""

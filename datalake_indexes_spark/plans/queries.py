@@ -2791,6 +2791,14 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(_events_us(spark, sf_dir), alpha=0.5, beta=0.3, horizon=3)
 
 
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust per-user daily-count trend (median of pairwise
+    slopes; outlier days can't drag it the way they drag OLS)."""
+    from datalake_indexes_spark.operators.events import theil_sen_trend
+
+    return theil_sen_trend(_events_us(spark, sf_dir))
+
+
 def q_events_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential time-decay per-user activity mass and recency-weighted
     mean value (7-day half-life from the corpus's last timestamp)."""
@@ -3276,6 +3284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_forecast_backtest": q_events_forecast_backtest,
     "events_holt": q_events_holt,
     "events_decay_stats": q_events_decay_stats,
+    "events_theil_sen": q_events_theil_sen,
     "text_normalize": q_text_normalize,
     "text_zipf": q_text_zipf,
     "text_readability": q_text_readability,
@@ -3604,6 +3613,7 @@ WHERE rn = 1
     "events_forecast_backtest": oracle.rolling_forecast_backtest_sql(window_rows=5),
     "events_holt": oracle.holt_forecast_sql(),
     "events_decay_stats": oracle.decay_weighted_stats_sql(),
+    "events_theil_sen": oracle.theil_sen_trend_sql(),
     "text_normalize": oracle.normalize_text_sql(),
     "text_zipf": oracle.zipf_fit_sql(top_n=1000),
     "text_readability": oracle.readability_scores_sql(),

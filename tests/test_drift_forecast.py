@@ -1385,3 +1385,51 @@ class TestHoltForecast:
         ev = spark.createDataFrame([(1, "e", 0)], "user_id long, event_type string, ts_us long")
         with pytest.raises(ValueError, match="alpha"):
             holt_forecast(ev, alpha=0.0)
+
+
+@pytest.mark.spark
+class TestTheilSenTrend:
+    def _ev(self, spark, day_counts, uid=1):
+        day = 86_400_000_000
+        rows = [
+            (uid, "e", d * day + i)
+            for d, c in day_counts
+            for i in range(c)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_us long"
+        )
+
+    def test_outlier_day_ignored(self, spark):
+        """y = x (counts 1..7) with one wild outlier day: the median
+        slope stays 1 where OLS would tilt."""
+        from datalake_indexes_spark.operators.events import theil_sen_trend
+
+        days = [(d, d) for d in range(1, 8)]
+        days[3] = (4, 100)  # outlier
+        r = theil_sen_trend(self._ev(spark, days)).collect()[0]
+        assert r.slope == pytest.approx(1.0, abs=1e-9)
+        assert r.n_periods == 7 and r.n_pairs == 21
+
+    def test_hand_computed_median_of_slopes(self, spark):
+        import itertools
+        import statistics
+
+        from datalake_indexes_spark.operators.events import theil_sen_trend
+
+        days = [(1, 3), (2, 1), (4, 9), (5, 2)]
+        r = theil_sen_trend(self._ev(spark, days)).collect()[0]
+        pts = [(p, float(c)) for p, c in days]
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for (x1, y1), (x2, y2) in itertools.combinations(pts, 2)
+        )
+        want_slope = statistics.median(slopes)
+        assert r.slope == pytest.approx(want_slope, abs=1e-9)
+        resid = sorted(y - want_slope * x for x, y in pts)
+        assert r.intercept == pytest.approx(statistics.median(resid), abs=1e-9)
+
+    def test_single_period_key_dropped(self, spark):
+        from datalake_indexes_spark.operators.events import theil_sen_trend
+
+        assert theil_sen_trend(self._ev(spark, [(1, 4)])).count() == 0
