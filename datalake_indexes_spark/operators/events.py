@@ -2379,3 +2379,82 @@ def theil_sen_trend(
         "slope",
         _portable_median("__rl", F.col("n_periods").cast("long")).alias("intercept"),
     )
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per key over the per-period event
+    counts: (key, n_periods, s_stat, var_s, z) — S = Σ_{i<j}
+    sign(y_j − y_i), tie-corrected variance
+    (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, and the continuity-corrected
+    normal score z = (S∓1)/√var (0 when S = 0).  The non-parametric
+    significance companion to :func:`theil_sen_trend`: Theil–Sen says how
+    steep, Mann–Kendall says whether the monotone trend is real —
+    together the standard robust trend kit.
+
+    Everything is integer arithmetic until the final division and sqrt —
+    S and both variance terms are exact counts, so cross-engine parity is
+    by construction, with no rounding anywhere.  Keys need ≥ 2 periods;
+    an all-tied key has S = 0 (zero variance implies zero S) and reports
+    z = 0 — no evidence of trend.
+
+    Scale shape: the same per-key calendar-bounded pair join as
+    Theil–Sen plus one (key, count-value) tie census — two keyed
+    aggregates, no window, no collect.
+    """
+    period = (
+        (F.col(ts_col) - F.pmod(ts_col, F.lit(int(period_us))))
+        / F.lit(int(period_us))
+    ).cast("long")
+    series = (
+        events.groupBy(F.col(key_col).alias("key"), period.alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__y"))
+        .localCheckpoint(eager=False)  # pair join + tie census + n
+    )
+    a = series.select("key", F.col("__p").alias("__p1"), F.col("__y").alias("__y1"))
+    b = series.select("key", F.col("__p").alias("__p2"), F.col("__y").alias("__y2"))
+    s_stat = (
+        a.join(b, "key")
+        .filter(F.col("__p2") > F.col("__p1"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.signum((F.col("__y2") - F.col("__y1")).cast("double")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n_per = series.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
+    ties = (
+        series.groupBy("key", "__y")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tie_term")
+        )
+    )
+    n = F.col("__n")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tie_term")).cast("double") / F.lit(18.0)
+    )
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double")).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double")
+    ).otherwise(F.lit(0.0)) / F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0)))
+    return (
+        n_per.filter(n >= 2)
+        .join(s_stat, "key")
+        .join(ties, "key")
+        .withColumn("var_s", var_s)
+        .select(
+            "key",
+            n.cast("int").alias("n_periods"),
+            "s_stat",
+            "var_s",
+            F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(z).alias("z"),
+        )
+    )

@@ -7008,3 +7008,40 @@ SELECT key, CAST(n_periods AS INT) AS n_periods, n_pairs, slope,
        {med("rl", "n_periods")} AS intercept
 FROM resid
 """
+
+
+def mann_kendall_trend_sql(period_us: int = 86_400_000_000) -> str:
+    """Mann–Kendall twin: same integer S / tie census / variance closed
+    form, same continuity-corrected z, no rounding."""
+    p = int(period_us)
+    return f"""
+WITH series AS MATERIALIZED (
+  SELECT user_id AS key, epoch_us(ts) // {p} AS p, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.key,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM series a JOIN series b ON b.key = a.key AND b.p > a.p
+  GROUP BY 1
+),
+n AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM series GROUP BY 1),
+ties AS (
+  SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT key, y, count(*) AS t FROM series GROUP BY 1, 2)
+  GROUP BY 1
+),
+j AS (
+  SELECT n.key, n.n, s.s_stat, ties.tie_term,
+         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS DOUBLE)
+           / 18.0 AS var_s
+  FROM n JOIN s ON s.key = n.key JOIN ties ON ties.key = n.key
+  WHERE n.n >= 2
+)
+SELECT key, CAST(n AS INT) AS n_periods, s_stat, var_s,
+       CASE WHEN s_stat = 0 THEN 0.0
+            WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(nullif(var_s, 0.0))
+            ELSE CAST(s_stat + 1 AS DOUBLE) / sqrt(nullif(var_s, 0.0)) END AS z
+FROM j
+"""

@@ -2799,6 +2799,14 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(_events_us(spark, sf_dir))
 
 
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend significance per user's daily counts
+    (integer S, tie-corrected variance, continuity-corrected z)."""
+    from datalake_indexes_spark.operators.events import mann_kendall_trend
+
+    return mann_kendall_trend(_events_us(spark, sf_dir))
+
+
 def q_events_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential time-decay per-user activity mass and recency-weighted
     mean value (7-day half-life from the corpus's last timestamp)."""
@@ -3285,6 +3293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holt": q_events_holt,
     "events_decay_stats": q_events_decay_stats,
     "events_theil_sen": q_events_theil_sen,
+    "events_mann_kendall": q_events_mann_kendall,
     "text_normalize": q_text_normalize,
     "text_zipf": q_text_zipf,
     "text_readability": q_text_readability,
@@ -3614,6 +3623,7 @@ WHERE rn = 1
     "events_holt": oracle.holt_forecast_sql(),
     "events_decay_stats": oracle.decay_weighted_stats_sql(),
     "events_theil_sen": oracle.theil_sen_trend_sql(),
+    "events_mann_kendall": oracle.mann_kendall_trend_sql(),
     "text_normalize": oracle.normalize_text_sql(),
     "text_zipf": oracle.zipf_fit_sql(top_n=1000),
     "text_readability": oracle.readability_scores_sql(),

@@ -1433,3 +1433,42 @@ class TestTheilSenTrend:
         from datalake_indexes_spark.operators.events import theil_sen_trend
 
         assert theil_sen_trend(self._ev(spark, [(1, 4)])).count() == 0
+
+
+@pytest.mark.spark
+class TestMannKendall:
+    def _ev(self, spark, day_counts, uid=1):
+        day = 86_400_000_000
+        return spark.createDataFrame(
+            [(uid, "e", d * day + i) for d, c in day_counts for i in range(c)],
+            "user_id long, event_type string, ts_us long",
+        )
+
+    def test_strictly_increasing(self, spark):
+        """Counts 1..6: S = C(6,2) = 15, no ties, var = 6*5*17/18."""
+        from datalake_indexes_spark.operators.events import mann_kendall_trend
+
+        r = mann_kendall_trend(self._ev(spark, [(d, d) for d in range(1, 7)])).collect()[0]
+        assert r.s_stat == 15 and r.n_periods == 6
+        var = 6 * 5 * 17 / 18
+        assert r.var_s == pytest.approx(var)
+        assert r.z == pytest.approx(14 / var ** 0.5, abs=1e-9)
+
+    def test_tie_correction_and_flat_series(self, spark):
+        from datalake_indexes_spark.operators.events import mann_kendall_trend
+
+        # all-tied: S = 0, var = 0, z = 0
+        r = mann_kendall_trend(self._ev(spark, [(d, 3) for d in range(4)])).collect()[0]
+        assert r.s_stat == 0 and r.var_s == 0.0 and r.z == 0.0
+        # one tie pair: counts 1,2,2,5 -> tie term 2*1*9 = 18
+        r2 = mann_kendall_trend(
+            self._ev(spark, [(0, 1), (1, 2), (2, 2), (3, 5)])
+        ).collect()[0]
+        assert r2.s_stat == 5
+        assert r2.var_s == pytest.approx((4 * 3 * 13 - 18) / 18)
+
+    def test_decreasing_is_negative(self, spark):
+        from datalake_indexes_spark.operators.events import mann_kendall_trend
+
+        r = mann_kendall_trend(self._ev(spark, [(d, 7 - d) for d in range(1, 7)])).collect()[0]
+        assert r.s_stat == -15 and r.z < 0
