@@ -2458,3 +2458,83 @@ def mann_kendall_trend(
             F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(z).alias("z"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups: one
+    row (n_0, n_1, u_1, mu, sigma, z) — the nonparametric "did variant B
+    shift the value DISTRIBUTION" answer, robust where the two-sample
+    z/t on means is wrecked by heavy tails.  Completes the package's
+    nonparametric kit: Theil–Sen (robust slope), Mann–Kendall (monotone
+    trend), Mann–Whitney (group shift).
+
+    Mid-ranks per tied value come from the distributed
+    :func:`..functions.ranking.global_rank` — mid = (min+max)/2 over a
+    value's contiguous rank block, invariant to tie ordering, so any
+    unique ``id_col`` works as the tie-breaker.  U₁ = R₁ − n₁(n₁+1)/2,
+    σ carries the standard tie correction, z is continuity-corrected
+    (±0.5), all-tied data reports z = 0.  Mid-ranks are exact halves and
+    every sum stays below 2^53, so the statistic is bit-portable with no
+    rounding.
+
+    Scale shape: one global_rank (two-level bucket prefix sum, no
+    single-partition window), one value-keyed aggregate, one scalar
+    aggregate.  Groups must be 0/1 (e.g. the shared md5 bucket rule);
+    NULL/NaN values are not observations.
+    """
+    from datalake_indexes_spark.functions.ranking import global_rank
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isin(0, 1)
+    ).select(
+        F.col(group_col).cast("long").alias("__g"),
+        v.alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = global_rank(base, "__v", "__id", ascending=True, out_col="__rk")
+    per_val = ranked.groupBy("__v").agg(
+        F.min("__rk").alias("__mn"),
+        F.max("__rk").alias("__mx"),
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__g").alias("__t1"),
+    )
+    mid = (F.col("__mn") + F.col("__mx")).cast("double") / F.lit(2.0)
+    s = per_val.agg(
+        F.sum("__t").alias("__n"),
+        F.sum("__t1").alias("__n1"),
+        F.sum(F.col("__t1").cast("double") * mid).alias("__r1"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias("__tie"),
+    )
+    n = F.col("__n")
+    n1 = F.col("__n1")
+    n0 = n - n1
+    u1 = F.col("__r1") - (n1 * (n1 + 1)).cast("double") / F.lit(2.0)
+    mu = (n0 * n1).cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        (n0 * n1).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("__tie").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    diff = u1 - mu
+    z = (
+        F.when(diff > 0, diff - F.lit(0.5))
+        .when(diff < 0, diff + F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    ) / F.nullif(sigma, F.lit(0.0))
+    return s.select(
+        n0.alias("n_0"),
+        n1.alias("n_1"),
+        u1.alias("u_1"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        F.when(diff == 0, F.lit(0.0)).otherwise(z).alias("z"),
+    )

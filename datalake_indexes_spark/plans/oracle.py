@@ -7045,3 +7045,57 @@ SELECT key, CAST(n AS INT) AS n_periods, s_stat, var_s,
             ELSE CAST(s_stat + 1 AS DOUBLE) / sqrt(nullif(var_s, 0.0)) END AS z
 FROM j
 """
+
+
+def mann_whitney_u_sql() -> str:
+    """Mann–Whitney twin on the md5-variant split of event values: same
+    mid-rank construction ((min+max)/2 over each value's rank block — tie
+    ordering irrelevant), same U/μ/σ/z closed forms with identical
+    operand order, no rounding."""
+    return """
+WITH base AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 AS g,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+rk AS (
+  SELECT g, v, row_number() OVER (ORDER BY v) AS rk FROM base
+),
+pv AS (
+  SELECT v, min(rk) AS mn, max(rk) AS mx,
+         CAST(count(*) AS BIGINT) AS t, CAST(sum(g) AS BIGINT) AS t1
+  FROM rk GROUP BY v
+),
+s AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t1) AS BIGINT) AS n1,
+         sum(CAST(t1 AS DOUBLE) * (CAST(mn + mx AS DOUBLE) / 2.0)) AS r1,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie
+  FROM pv
+)
+SELECT (n - n1) AS n_0,
+       n1 AS n_1,
+       r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_1,
+       CAST((n - n1) * n1 AS DOUBLE) / 2.0 AS mu,
+       sqrt(CAST((n - n1) * n1 AS DOUBLE) / 12.0
+            * (CAST(n + 1 AS DOUBLE)
+               - CAST(tie AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))) AS sigma,
+       CASE WHEN r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 - CAST((n - n1) * n1 AS DOUBLE) / 2.0 = 0 THEN 0.0
+            WHEN r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 - CAST((n - n1) * n1 AS DOUBLE) / 2.0 > 0
+            THEN (r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST((n - n1) * n1 AS DOUBLE) / 2.0 - 0.5)
+                 / nullif(sqrt(CAST((n - n1) * n1 AS DOUBLE) / 12.0
+                      * (CAST(n + 1 AS DOUBLE)
+                         - CAST(tie AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))), 0.0)
+            ELSE (r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST((n - n1) * n1 AS DOUBLE) / 2.0 + 0.5)
+                 / nullif(sqrt(CAST((n - n1) * n1 AS DOUBLE) / 12.0
+                      * (CAST(n + 1 AS DOUBLE)
+                         - CAST(tie AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))), 0.0)
+       END AS z
+FROM s
+"""

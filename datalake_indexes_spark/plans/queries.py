@@ -2807,6 +2807,16 @@ def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_trend(_events_us(spark, sf_dir))
 
 
+def q_events_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test: does the md5 B variant shift the
+    event-value distribution (nonparametric A/B)."""
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+    from datalake_indexes_spark.operators.events import mann_whitney_u
+
+    ev = _events_us(spark, sf_dir).withColumn("__variant", md5_bucket("user_id", 2))
+    return mann_whitney_u(ev, "__variant", "value")
+
+
 def q_events_decay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential time-decay per-user activity mass and recency-weighted
     mean value (7-day half-life from the corpus's last timestamp)."""
@@ -3294,6 +3304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decay_stats": q_events_decay_stats,
     "events_theil_sen": q_events_theil_sen,
     "events_mann_kendall": q_events_mann_kendall,
+    "events_mwu": q_events_mwu,
     "text_normalize": q_text_normalize,
     "text_zipf": q_text_zipf,
     "text_readability": q_text_readability,
@@ -3624,6 +3635,7 @@ WHERE rn = 1
     "events_decay_stats": oracle.decay_weighted_stats_sql(),
     "events_theil_sen": oracle.theil_sen_trend_sql(),
     "events_mann_kendall": oracle.mann_kendall_trend_sql(),
+    "events_mwu": oracle.mann_whitney_u_sql(),
     "text_normalize": oracle.normalize_text_sql(),
     "text_zipf": oracle.zipf_fit_sql(top_n=1000),
     "text_readability": oracle.readability_scores_sql(),

@@ -1472,3 +1472,48 @@ class TestMannKendall:
 
         r = mann_kendall_trend(self._ev(spark, [(d, 7 - d) for d in range(1, 7)])).collect()[0]
         assert r.s_stat == -15 and r.z < 0
+
+
+@pytest.mark.spark
+class TestMannWhitneyU:
+    def _df(self, spark, a_vals, b_vals):
+        rows = [(i, 0, float(v)) for i, v in enumerate(a_vals)]
+        rows += [(1000 + i, 1, float(v)) for i, v in enumerate(b_vals)]
+        return spark.createDataFrame(rows, "event_id long, g int, value double")
+
+    def test_matches_scipy_style_reference(self, spark):
+        """Hand-computed U with ties against the closed forms."""
+        from datalake_indexes_spark.operators.events import mann_whitney_u
+
+        a, b = [1.0, 2.0, 3.0, 3.0], [3.0, 4.0, 5.0]
+        r = mann_whitney_u(self._df(spark, a, b), "g", "value").collect()[0]
+        # pooled sorted: 1,2,3,3,3,4,5 -> mid-ranks 1,2,4,4,4,6,7
+        # R1 (group b) = 4 + 6 + 7 = 17; U1 = 17 - 3*4/2 = 11
+        assert (r.n_0, r.n_1) == (4, 3)
+        assert r.u_1 == pytest.approx(11.0)
+        assert r.mu == pytest.approx(6.0)
+        n, tie = 7, (3 ** 3 - 3)
+        var = 4 * 3 / 12 * ((n + 1) - tie / (n * (n - 1)))
+        assert r.sigma == pytest.approx(var ** 0.5, abs=1e-12)
+        assert r.z == pytest.approx((11 - 6 - 0.5) / var ** 0.5, abs=1e-12)
+
+    def test_identical_groups_z_zero_direction(self, spark):
+        from datalake_indexes_spark.operators.events import mann_whitney_u
+
+        r = mann_whitney_u(
+            self._df(spark, [1, 2, 3], [1, 2, 3]), "g", "value"
+        ).collect()[0]
+        assert abs(r.z) < 1.0  # no real shift
+        shifted = mann_whitney_u(
+            self._df(spark, [1, 2, 3, 4], [10, 11, 12, 13]), "g", "value"
+        ).collect()[0]
+        assert shifted.u_1 == pytest.approx(16.0)  # complete separation
+        assert shifted.z > 2.0
+
+    def test_all_tied_reports_zero(self, spark):
+        from datalake_indexes_spark.operators.events import mann_whitney_u
+
+        r = mann_whitney_u(
+            self._df(spark, [5, 5], [5, 5]), "g", "value"
+        ).collect()[0]
+        assert r.z == 0.0
