@@ -291,3 +291,28 @@ def test_fs_linkage_scale_200k_blocked(spark):
     # dirty-name true pairs still agree on code; a full count stays
     # candidate-bounded (every a matches its twin at minimum)
     assert out.count() >= n * 0.99
+
+
+def test_fs_linkage_hot_block_completes(spark):
+    """One block holds 10% of both sides (the skewed-city case): the pair
+    space concentrates but AQE's skew split keeps the join balanced — the
+    run completes and true-pair invariants hold inside the hot block."""
+    from datalake_indexes_spark.operators.fuzzy import fs_record_linkage
+
+    n = 50_000
+    a = spark.range(n).selectExpr(
+        "id as a_id",
+        "CASE WHEN id % 10 = 0 THEN 0 ELSE id % 500 END as blk",
+        "concat('n', id) as name",
+    )
+    b = spark.range(n).selectExpr(
+        "id + 10000000 as b_id",
+        "CASE WHEN id % 10 = 0 THEN 0 ELSE id % 500 END as blk",
+        "concat('n', id) as name",
+    )
+    out = fs_record_linkage(a, b, ["name"], "blk", m=0.9, threshold=0.0)
+    # hot-block member keeps its twin as a positive-weight match
+    hit = out.filter(F.col("a_id") == 100).collect()  # 100 % 10 == 0 -> hot block
+    assert any(r.b_id == 10000100 and r.n_agree == 1 for r in hit)
+    # names are unique, so positives are exactly the n true pairs
+    assert out.count() == n
