@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _period_bucket(ts_col: str, period_us: int):
+    """Exact integer floor-div period bucket: ``(ts - pmod(ts, p)) div p``.
+
+    ``div`` is Spark's true integer division (LONG for integral inputs),
+    exact for every long timestamp.  The earlier double-division form
+    ``((ts - pmod) / p).cast('long')`` is only exact while the numerator
+    stays below 2**53 — a latent cross-engine divergence vs the DuckDB
+    twins' integer ``//`` for very large timestamp values.
+    """
+    p = int(period_us)
+    return F.expr(f"((`{ts_col}` - pmod(`{ts_col}`, {p})) div {p})")
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,
@@ -251,7 +264,7 @@ def cohort_retention(
     broadcast hint: user cardinality is unbounded; AQE downgrades when
     small).  The output is cohort x offset — bounded by time², not data.
     """
-    period = (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    period = _period_bucket(ts_col, period_us)
     activity = events.select(
         F.col(key_col).alias("__k"), period.cast("long").alias("__p")
     ).distinct()
@@ -359,7 +372,7 @@ def growth_accounting(
     Scale shape: the same two uniform user-keyed aggregates as
     :func:`cohort_retention`; the final cumulative sum is a window over
     per-PERIOD rows (bounded by time, not data)."""
-    period = (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    period = _period_bucket(ts_col, period_us)
     act = events.select(
         F.col(key_col).alias("__k"), period.cast("long").alias("period")
     ).distinct()
@@ -395,7 +408,7 @@ def resample_forward_fill(
     up front), the fill is one `last(ignorenulls)` window per key over
     that grid, and the only data-sized shuffle is the initial (key,
     period) aggregate."""
-    period = (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
+    period = _period_bucket(ts_col, period_us)
     daily = (
         events.select(
             F.col(key_col).alias("key"),
@@ -1126,7 +1139,7 @@ def rolling_active_users(
     no range join, no driver action.
     """
     w = int(window_periods)
-    period = ((F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)).cast("long")
+    period = _period_bucket(ts_col, period_us).cast("long")
     act = events.select(F.col(key_col).alias("__k"), period.alias("period")).distinct()
     bounds = act.agg(F.max("period").alias("__hi"))
     daily = act.groupBy("period").agg(F.count(F.lit(1)).alias("n_active"))
@@ -1471,9 +1484,7 @@ def cusum_changepoints(
     window partitions by type, and the argmax is a per-type aggregate
     with min-period tie-break.  No global window, no self-join.
     """
-    period = (
-        (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
-    ).cast("long")
+    period = _period_bucket(ts_col, period_us).cast("long")
     counts = events.select(
         F.col(type_col).alias("event_type"), period.alias("period")
     ).groupBy("event_type", "period").agg(F.count(F.lit(1)).alias("c"))
@@ -1872,9 +1883,7 @@ def rate_cross_correlation(
     (not the events), one equi-join on the shifted period, one
     per-lag aggregate.  No window at all.
     """
-    period = (
-        (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
-    ).cast("long")
+    period = _period_bucket(ts_col, period_us).cast("long")
     counts = (
         events.filter(F.col(type_col).isin(type_a, type_b))
         .select(F.col(type_col).alias("__t"), period.alias("period"))
@@ -2185,10 +2194,7 @@ def holt_forecast(
     series = (
         events.groupBy(
             F.col(key_col).alias("key"),
-            # exact integer floor-div (float division could truncate the
-            # wrong side of a boundary for quotients near an integer)
-            ((F.col(ts_col) - F.pmod(ts_col, F.lit(int(period_us))))
-             / F.lit(int(period_us))).cast("long").alias("__p"),
+            _period_bucket(ts_col, period_us).cast("long").alias("__p"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("__y"))
     )
@@ -2328,10 +2334,7 @@ def theil_sen_trend(
     lists, and every output double is unrounded — bit-identical across
     engines by operand-order construction.
     """
-    period = (
-        (F.col(ts_col) - F.pmod(ts_col, F.lit(int(period_us))))
-        / F.lit(int(period_us))
-    ).cast("long")
+    period = _period_bucket(ts_col, period_us).cast("long")
     series = (
         events.groupBy(F.col(key_col).alias("key"), period.alias("__p"))
         .agg(F.count(F.lit(1)).cast("double").alias("__y"))
@@ -2406,10 +2409,7 @@ def mann_kendall_trend(
     Theil–Sen plus one (key, count-value) tie census — two keyed
     aggregates, no window, no collect.
     """
-    period = (
-        (F.col(ts_col) - F.pmod(ts_col, F.lit(int(period_us))))
-        / F.lit(int(period_us))
-    ).cast("long")
+    period = _period_bucket(ts_col, period_us).cast("long")
     series = (
         events.groupBy(F.col(key_col).alias("key"), period.alias("__p"))
         .agg(F.count(F.lit(1)).alias("__y"))

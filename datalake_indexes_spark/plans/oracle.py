@@ -6595,9 +6595,11 @@ cb AS (SELECT f, v, count(*) AS c FROM bm GROUP BY 1, 2),
 na AS (SELECT f, count(*) AS n FROM am GROUP BY 1),
 nb AS (SELECT f, count(*) AS n FROM bm GROUP BY 1),
 u AS (
+  -- clamp bounds computed in DOUBLE arithmetic (1.0 - CAST(eps)) so they
+  -- equal the engine's Python double 1.0 - 1e-9, not the exact DECIMAL
   SELECT ca.f,
-         least(1.0 - 0.000000001,
-               greatest(0.000000001,
+         least(1.0 - CAST(0.000000001 AS DOUBLE),
+               greatest(CAST(0.000000001 AS DOUBLE),
                         sum(ca.c * 1.0 * cb.c)
                           / (any_value(na.n) * 1.0 * any_value(nb.n)))) AS uv
   FROM ca JOIN cb ON ca.f = cb.f AND ca.v = cb.v
@@ -6605,9 +6607,15 @@ u AS (
   GROUP BY ca.f
 ),
 uw AS (
-  SELECT max(CASE WHEN f = 'name' THEN uv END) AS u_name,
-         max(CASE WHEN f = 'code' THEN uv END) AS u_code,
-         max(CASE WHEN f = 'seg'  THEN uv END) AS u_seg
+  -- a field whose two margins never intersect has no u row; the engine
+  -- floors such fields to 1e-9 (fuzzy.py fs_record_linkage) — coalesce
+  -- the pivot to the same floor instead of poisoning every weight NULL
+  SELECT coalesce(max(CASE WHEN f = 'name' THEN uv END),
+                  CAST(0.000000001 AS DOUBLE)) AS u_name,
+         coalesce(max(CASE WHEN f = 'code' THEN uv END),
+                  CAST(0.000000001 AS DOUBLE)) AS u_code,
+         coalesce(max(CASE WHEN f = 'seg'  THEN uv END),
+                  CAST(0.000000001 AS DOUBLE)) AS u_seg
   FROM u
 ),
 p AS (
@@ -6629,18 +6637,20 @@ scored AS (
       + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL THEN 1 ELSE 0 END)
       + (CASE WHEN asg IS NOT NULL AND bsg IS NOT NULL THEN 1 ELSE 0 END)
       AS INT) AS n_compared,
+    -- disagreement numerator 1.0 - m computed in DOUBLE (cast first) so it
+    -- matches the engine's Python double 1.0 - m, not exact DECIMAL
     round(
       (CASE WHEN an IS NOT NULL AND bn IS NOT NULL
             THEN CASE WHEN an = bn THEN ln({m} / u_name)
-                      ELSE ln((1.0 - {m}) / (1.0 - u_name)) END
+                      ELSE ln((1.0 - CAST({m} AS DOUBLE)) / (1.0 - u_name)) END
             ELSE 0.0 END)
       + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL
               THEN CASE WHEN ac = bc THEN ln({m} / u_code)
-                        ELSE ln((1.0 - {m}) / (1.0 - u_code)) END
+                        ELSE ln((1.0 - CAST({m} AS DOUBLE)) / (1.0 - u_code)) END
               ELSE 0.0 END)
       + (CASE WHEN asg IS NOT NULL AND bsg IS NOT NULL
               THEN CASE WHEN asg = bsg THEN ln({m} / u_seg)
-                        ELSE ln((1.0 - {m}) / (1.0 - u_seg)) END
+                        ELSE ln((1.0 - CAST({m} AS DOUBLE)) / (1.0 - u_seg)) END
               ELSE 0.0 END), 6) AS weight
   FROM p CROSS JOIN uw
 )
@@ -6883,7 +6893,7 @@ r0 AS (
         parts.append(
             f"""r{i} AS MATERIALIZED (
   SELECT nd.node,
-         (1.0 - {d}) * (CASE WHEN nd.node % {seed_modulus} = 0
+         (1.0 - CAST({d} AS DOUBLE)) * (CASE WHEN nd.node % {seed_modulus} = 0
                              THEN 1.0 / ns.s ELSE 0.0 END)
            + {d} * coalesce(c.s, 0.0) AS rank
   FROM nodes nd CROSS JOIN ns

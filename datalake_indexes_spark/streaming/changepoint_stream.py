@@ -22,13 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.events import _period_bucket
+
 
 def _partial(
     df: DataFrame, period_us: int, type_col: str, ts_col: str
 ) -> DataFrame:
-    period = (
-        (F.col(ts_col) - F.pmod(ts_col, F.lit(period_us))) / F.lit(period_us)
-    ).cast("long")
+    period = _period_bucket(ts_col, period_us).cast("long")
     return df.select(
         F.col(type_col).alias("event_type"), period.alias("period")
     ).groupBy("event_type", "period").agg(F.count(F.lit(1)).alias("c"))
