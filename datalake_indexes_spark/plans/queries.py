@@ -1129,11 +1129,12 @@ _BPE_MERGES: dict[str, list] = {}
 
 def q_text_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword token counts under a corpus-trained BPE merge table (the
-    real token denomination for budget/packing stages).  No DuckDB
-    oracle: greedy rank-ordered merge application is an iterative
-    algorithm, not a relational expression — training determinism,
-    textbook merge order, greedy==replay parity and a pure-Python
-    reference apply are pinned in tests/test_bpe.py instead."""
+    real token denomination for budget/packing stages).  Oracled since
+    round 6: ``oracle.text_bpe_counts_sql`` replays the full train+apply
+    loop as 64 unrolled merge rounds in DuckDB (the pagerank-twin move),
+    exact because greedy apply == training replay — the parity
+    tests/test_bpe.py pins, together with training determinism and the
+    pure-Python reference apply."""
     from datalake_indexes_spark.functions.bpe import apply_bpe, train_bpe
 
     docs = _docs(spark, sf_dir)
@@ -3481,6 +3482,7 @@ WHERE rn = 1
     "corpus_prep_full": oracle.corpus_prep_full_sql(),
     "corpus_prep_v2": oracle.corpus_prep_v2_sql(modulus=DECONTAM_MODULUS),
     "text_token_counts": oracle.text_token_counts_sql(),
+    "text_bpe_counts": oracle.text_bpe_counts_sql(n_merges=64),
     "corpus_budget_select": oracle.corpus_budget_select_sql(budget=20_000),
     "text_quality": oracle.text_quality_sql(),
     "text_langid": oracle.text_langid_sql(),
