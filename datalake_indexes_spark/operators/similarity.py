@@ -1169,6 +1169,91 @@ def pca_project(
     )
 
 
+def pca_identity_report(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-engine-checkable contract report for :func:`pca_project` —
+    the strict-oracle surface for the one genuinely non-relational step
+    in the package (the driver-side d×d numpy eigendecomposition).
+
+    Per component: the covariance TRACE (computable relationally from
+    the raw embeddings on both engines) plus algebraic identities of a
+    correct eigendecomposition whose values are known a priori:
+
+    - ``var_residual``   = var_pop(projection) − explained_ratio·trace
+      (projected variance must equal its eigenvalue)         → 0.0
+    - ``max_abs_xcov``   = max |covar_pop(proj_i, proj_j)|, i≠j
+      (principal axes decorrelate the data)                  → 0.0
+    - ``mean_residual``  = avg(projection) (centering)        → 0.0
+    - ``ratio_monotone`` = ratios non-increasing in rank      → true
+
+    A wrong eigenvalue, eigenvector, sign fix, centering or ordering
+    flips a residual off exactly-0.0 / true, so the DuckDB twin pins the
+    identities as literals and computes only the trace — an exact-hash
+    oracle without expressing eigen in SQL.  Residual rounding (4–5 dp)
+    sits ~2 orders above the noise floor of the operator's 6-dp value
+    rounding and ~6 above eigensolver error, and `+ 0.0` normalizes any
+    IEEE −0.0.
+
+    Scale shape: one covariance pass (diagonal only), one per-component
+    aggregate, one 28-pair covariance aggregate over the pivoted top-8
+    projections — all map-side-combinable; the only window orders the 8
+    final component rows.
+    """
+    n = int(n_components)
+    proj = pca_project(
+        embeddings, n_components=n, vec_col=vec_col, id_col=id_col
+    )
+    stats = proj.groupBy("component").agg(
+        F.var_pop("value").alias("__var"),
+        F.avg("value").alias("__mean"),
+        F.first("explained_ratio").alias("__ratio"),
+    )
+    trace_df = (
+        embedding_covariance(
+            embeddings, vec_col=vec_col, id_col=id_col, round_to=None
+        )
+        .filter(F.col("dim_i") == F.col("dim_j"))
+        .agg(F.sum("cov").alias("__trace"))
+    )
+    wide = (
+        proj.groupBy("vec_id")
+        .pivot("component", list(range(n)))
+        .agg(F.first("value"))
+    )
+    xcov = wide.agg(
+        F.greatest(
+            *[
+                F.abs(F.covar_pop(F.col(str(i)), F.col(str(j))))
+                for i in range(n)
+                for j in range(i + 1, n)
+            ]
+        ).alias("__xmax")
+    )
+    w = Window.orderBy("component")  # 8 component rows — bounded by rank
+    return (
+        stats.crossJoin(F.broadcast(trace_df))
+        .crossJoin(F.broadcast(xcov))
+        .withColumn("__prev", F.lag("__ratio").over(w))
+        .select(
+            F.col("component").cast("long").alias("component"),
+            (F.round(F.col("__trace"), 6) + F.lit(0.0)).alias("trace_cov"),
+            (
+                F.round(F.col("__var") - F.col("__ratio") * F.col("__trace"), 4)
+                + F.lit(0.0)
+            ).alias("var_residual"),
+            (F.round(F.col("__xmax"), 4) + F.lit(0.0)).alias("max_abs_xcov"),
+            (F.round(F.col("__mean"), 5) + F.lit(0.0)).alias("mean_residual"),
+            (
+                F.col("__prev").isNull() | (F.col("__ratio") <= F.col("__prev"))
+            ).alias("ratio_monotone"),
+        )
+    )
+
+
 def ann_recall_report(
     corpus: DataFrame,
     queries: DataFrame,

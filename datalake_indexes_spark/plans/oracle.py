@@ -1348,6 +1348,31 @@ GROUP BY 1, 2
 """
 
 
+def pca_identity_sql(n_components: int = 8) -> str:
+    """Twin of ``similarity.pca_identity_report`` — the strict-hash
+    oracle for the PCA eigen step.  The covariance trace is relational
+    (per-dim var_pop summed, rounded like the engine); every other
+    column is an algebraic identity of a CORRECT eigendecomposition
+    whose value is known a priori (zero residuals, monotone ratios), so
+    the twin pins them as literals.  If the engine's eigenvalues,
+    eigenvectors, centering, sign fix or rank order were wrong, its
+    residuals leave exactly-0.0/true and the hash fails — eigen never
+    needs to be expressed in SQL."""
+    return f"""
+WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM v),
+t AS (SELECT sum(vv) AS tr FROM (SELECT var_pop(x) AS vv FROM x GROUP BY dim))
+SELECT CAST(r.i AS BIGINT) AS component,
+       round(t.tr, 6) + 0.0 AS trace_cov,
+       0.0 AS var_residual,
+       0.0 AS max_abs_xcov,
+       0.0 AS mean_residual,
+       TRUE AS ratio_monotone
+FROM range({int(n_components)}) r(i), t
+ORDER BY component
+"""
+
+
 def ann_lsh_topk_sql(
     k: int = 5, n_queries: int = 10, n_planes: int = 6, dim: int = 64
 ) -> str:

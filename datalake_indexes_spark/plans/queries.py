@@ -772,12 +772,26 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-8 principal components (whitening prep
-    for ANN).  No DuckDB oracle: the driver-side numpy eigen step over the
-    model-constant d×d covariance is the one genuinely non-SQL link —
-    algebraic contracts are unit-pinned in tests/test_ml.py instead."""
+    for ANN).  The raw projections carry no direct DuckDB oracle (the
+    numpy eigen step over the model-constant d×d covariance is genuinely
+    non-SQL), but since round 6 the eigen step is strict-hash-graded via
+    the companion ``ml_pca_identity`` key (projected-variance ==
+    ratio·trace, axis decorrelation, centering, rank order — identities
+    a wrong decomposition cannot satisfy); numpy parity stays unit-pinned
+    in tests/test_ml.py."""
     from datalake_indexes_spark.operators.similarity import pca_project
 
     return pca_project(_embeddings(spark, sf_dir), n_components=8)
+
+
+def q_ml_pca_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-oracle contract report for the PCA eigen step: relational
+    covariance trace + a-priori-zero identity residuals (projected
+    variance == ratio*trace, axis decorrelation, centering, rank
+    monotonicity) — see ``similarity.pca_identity_report``."""
+    from datalake_indexes_spark.operators.similarity import pca_identity_report
+
+    return pca_identity_report(_embeddings(spark, sf_dir), n_components=8)
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3276,6 +3290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_graph": q_ann_knn_graph,
     "ml_embedding_cov": q_embedding_covariance,
     "ml_pca_project": q_ml_pca_project,
+    "ml_pca_identity": q_ml_pca_identity,
     "ann_recall_report": q_ann_recall_report,
     "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
@@ -3470,6 +3485,7 @@ WHERE rn = 1
     "ann_ivf_topk": oracle.ann_ivf_topk_sql(k=5, n_queries=10),
     "ann_knn_graph": oracle.ann_knn_graph_sql(k=5),
     "ml_embedding_cov": oracle.embedding_covariance_sql(),
+    "ml_pca_identity": oracle.pca_identity_sql(n_components=8),
     "ann_recall_report": oracle.ann_recall_report_sql(k=5, n_queries=10),
     # identical contract to the inline path — same oracle
     "ann_ivf_indexed": oracle.ann_ivf_topk_sql(k=5, n_queries=10),

@@ -207,3 +207,29 @@ def test_pca_project_matches_numpy_and_contracts(spark):
         assert abs(got[:, c].var() - vals[idx]) < 1e-3 * max(vals[idx], 1)
     # orthogonality of the two projected coordinates
     assert abs(np.corrcoef(got[:, 0], got[:, 1])[0, 1]) < 1e-6
+
+
+def test_pca_identity_report_pins_zero_residuals(spark):
+    """The strict-oracle surface for the eigen step: residual columns sit
+    at exactly 0.0 / true after rounding (what the DuckDB twin pins as
+    literals), and trace_cov equals the summed per-dim variance."""
+    import numpy as np
+
+    from datalake_indexes_spark.operators.similarity import pca_identity_report
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(150, 2) @ np.array([[4.0, 0, 0, 0], [0, 1.5, 0, 0]])
+    mat = base + 0.05 * rng.randn(150, 4) + np.array([0.5, -1.0, 2.0, 0.0])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pca_identity_report(emb, n_components=3).collect()
+    assert [r.component for r in sorted(rows, key=lambda r: r.component)] == [0, 1, 2]
+    expected_trace = round(float(np.cov(mat, rowvar=False, bias=True).trace()), 6)
+    for r in rows:
+        assert r.var_residual == 0.0
+        assert r.max_abs_xcov == 0.0
+        assert r.mean_residual == 0.0
+        assert r.ratio_monotone is True
+        assert abs(r.trace_cov - expected_trace) < 1e-9
