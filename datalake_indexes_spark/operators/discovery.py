@@ -903,7 +903,11 @@ def _level(col: str) -> "F.Column":
 
 
 def categorical_association(
-    df: DataFrame, col_a: str, col_b: str, round_to: int = 4
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 4,
+    max_levels: int = 1000,
 ) -> DataFrame:
     """One-row chi-square test of association between two categorical
     columns: (n, dof, chi2, cramers_v) -- the categorical-categorical
@@ -924,10 +928,30 @@ def categorical_association(
     an indexer).  The chi2 sum runs in Spark over the grid built FROM
     the collected cells so rounding follows the same half-up F.round
     the oracle mirrors.
+
+    The "category-cardinality-bounded" contract is ENFORCED, not
+    assumed: a one-aggregate ``approx_count_distinct`` probe raises
+    above ``max_levels`` per side BEFORE anything is collected — the
+    same never-collect-unbounded discipline as the union-find edge
+    guard (duplicates.py) — so pointing this at a free-text column
+    fails fast instead of OOMing the driver on the contingency table.
+    Raise ``max_levels`` only when the |A|x|B| grid is genuinely small
+    enough to broadcast (the grid costs |A|x|B| rows).
     """
     a = _level(col_a)
     b = _level(col_b)
     pairs = df.select(a.alias("__a"), b.alias("__b"))
+    card = pairs.agg(
+        F.approx_count_distinct("__a").alias("ka"),
+        F.approx_count_distinct("__b").alias("kb"),
+    ).collect()[0]
+    if card["ka"] > max_levels or card["kb"] > max_levels:
+        raise ValueError(
+            f"categorical_association: ~{card['ka']} x ~{card['kb']} category "
+            f"levels exceed max_levels={max_levels}; the contingency table is "
+            "not category-bounded (is this really a categorical column?). "
+            "Raise max_levels only if the |A|x|B| grid is truly broadcastable."
+        )
     cells = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("o")).collect()
 
     ra: dict[str, int] = {}

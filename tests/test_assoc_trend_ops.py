@@ -155,3 +155,18 @@ def test_group_split_no_leakage(spark):
     for i in range(200):
         scattered.setdefault(f"dom{i % 7}", set()).add(doc_splits[i])
     assert any(len(s) > 1 for s in scattered.values())
+
+
+def test_chi2_cardinality_guard(spark):
+    """Pointing the association test at a free-text-cardinality column
+    raises before anything is collected; raising max_levels readmits it."""
+    import pytest
+
+    wide = spark.range(300).selectExpr(
+        "concat('t', id) AS a", "CAST(id % 3 AS STRING) AS b"
+    )
+    with pytest.raises(ValueError, match="max_levels"):
+        categorical_association(wide, "a", "b", max_levels=100)
+    # same data under an explicit higher cap still computes
+    r = categorical_association(wide, "a", "b", max_levels=1000).collect()[0]
+    assert r["n"] == 300
