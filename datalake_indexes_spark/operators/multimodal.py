@@ -19,8 +19,11 @@ document's bytes in a *real* PNG or WAV container built from native Spark
 expressions, so the end-to-end query exercises the genuine header parse and
 the DuckDB oracle can reconstruct byte-identical payloads.
 
-Full pixel/sample decode (PIL/soundfile/av) remains stubbed behind
-:func:`decode_payload`."""
+Full IMAGE pixel decode is real since round 6 — :func:`decode_png` is
+pure stdlib (IDAT = zlib + per-scanline unfilter, no codec library) and
+:func:`image_pixel_stats` runs it Arrow-batched over a lake column;
+audio/video SAMPLE decode (soundfile/av) remains gated behind
+:func:`decode_payload`'s import probe."""
 
 from __future__ import annotations
 
@@ -314,16 +317,99 @@ def payload_body(b: bytes, modality: str) -> bytes:
     return b
 
 
-def decode_payload(payload: bytes, modality: str):
-    """Full pixel/sample decode — STUB (container probes above are real).
+def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG pixel decode: chunk walk → IDAT concat → zlib
+    inflate → per-scanline unfilter (filter types 0–4 per the PNG spec).
+    Returns (width, height, channels, pixel bytes, row-major).
 
-    Real decoders (PIL, soundfile, av) are not available in this
-    environment; when they are, this is the single function to replace.
+    No codec library needed — IDAT is just a zlib stream over filtered
+    scanlines.  Supports 8-bit grayscale / RGB / RGBA, non-interlaced
+    (the overwhelming training-corpus shape); 16-bit, palette and Adam7
+    raise ``NotImplementedError`` with the exact feature named.
+
+    The zlib stream is inflated RAW (``wbits=-15`` after the 2-byte zlib
+    header) so the Adler-32 trailer is not VERIFIED — the synthetic
+    fixture plants placeholder checksums under the same
+    probe-don't-checksum discipline as its chunk CRCs, and real PNGs
+    inflate identically (their Adler simply goes unchecked).
     """
+    import zlib
+
+    if bytes(b[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    i = 8
+    w = h = bd = ct = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        clen = struct.unpack(">I", b[i : i + 4])[0]
+        ctype = bytes(b[i + 4 : i + 8])
+        data = b[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bd, ct, interlace = data[8], data[9], data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if bd != 8:
+        raise NotImplementedError(f"PNG bit depth {bd} (only 8 supported)")
+    if ct not in (0, 2, 6):
+        raise NotImplementedError(f"PNG color type {ct} (gray/RGB/RGBA only)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    channels = {0: 1, 2: 3, 6: 4}[ct]
+    raw = zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                up = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out += row
+        prev = bytes(row)
+    return int(w), int(h), channels, bytes(out)
+
+
+def decode_payload(payload: bytes, modality: str):
+    """Full pixel/sample decode.  The IMAGE path is real since round 6 —
+    :func:`decode_png` is pure stdlib (zlib inflate + scanline unfilter),
+    returning (width, height, channels, pixels).  Audio/video sample
+    decode still needs a codec library (soundfile / av), absent in this
+    environment; those modalities stay gated behind an import probe with
+    an actionable error."""
+    if modality == "image":
+        return decode_png(bytes(payload))
     try:  # pragma: no cover - decoders absent in this container
-        if modality == "image":
-            import PIL.Image  # noqa: F401
-        elif modality == "audio":
+        if modality == "audio":
             import soundfile  # noqa: F401
         else:
             import av  # noqa: F401
@@ -444,6 +530,109 @@ def attach_binary_payload(
             F.octet_length(payload).alias("n_bytes"),
             F.lit("synthetic/v1").alias("codec"),
         ).alias("meta"),
+    )
+
+
+# Real-IDAT grayscale PNG fixture: 16x4, bit depth 8, color type 0.  The
+# IDAT is a genuine zlib stream — 0x78 0x01 header, ONE stored-deflate
+# block (BFINAL=1, BTYPE=00, LEN=68, NLEN=~68) over the 4 scanlines
+# (filter byte 0 + 16 pixel bytes each), Adler-32 placeholder (same
+# probe-don't-checksum discipline as the fixture's chunk CRCs — the
+# decoder inflates raw).  Pixels are the doc's first 64 printable-ASCII
+# text bytes space-padded, so the DuckDB twin recomputes the stats from
+# ``text`` without ever touching a PNG.
+REAL_PNG_W, REAL_PNG_H = 16, 4
+REAL_PNG_IHDR_HEX = (
+    PNG_HEADER_HEX + "00000010" + "00000004" + "080000000000000000"
+)
+REAL_PNG_IDAT_PREFIX_HEX = (
+    "0000004F"      # chunk length: 2 zlib hdr + 5 stored hdr + 68 data + 4 adler
+    + "49444154"    # "IDAT"
+    + "7801"        # zlib header (deflate, default window)
+    + "01"          # stored block, BFINAL=1
+    + "4400" + "BBFF"  # LEN=68 LE, NLEN=~LEN LE
+)
+REAL_PNG_SUFFIX_HEX = (
+    "00000000"      # Adler-32 placeholder
+    + "00000000"    # IDAT CRC placeholder
+    + "0000000049454E44AE426082"  # IEND (its CRC is a real constant)
+)
+
+
+def attach_real_png(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL decodable 16x4 grayscale
+    PNG (valid signature/IHDR/IDAT framing, genuine stored-deflate zlib
+    stream) whose pixel bytes are the doc's first 64 printable-ASCII text
+    characters space-padded — built entirely from native expressions, no
+    UDF on the construction side."""
+    px = F.rpad(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^\x20-\x7E]", " "),
+        REAL_PNG_W * REAL_PNG_H,
+        " ",
+    )
+    hx = F.hex(F.encode(px, "UTF-8"))  # 128 hex chars, 2 per pixel byte
+    scanlines = F.concat(
+        *[
+            F.concat(F.lit("00"), F.substring(hx, r * REAL_PNG_W * 2 + 1, REAL_PNG_W * 2))
+            for r in range(REAL_PNG_H)
+        ]
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit(REAL_PNG_IHDR_HEX),
+            F.lit(REAL_PNG_IDAT_PREFIX_HEX),
+            scanlines,
+            F.lit(REAL_PNG_SUFFIX_HEX),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+
+
+def image_pixel_stats(
+    images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-image pixel statistics through the REAL stdlib decode path:
+    (doc_id, width, height, n_px, px_min, px_max, px_mean) with the mean
+    over all channel values.  One Arrow-batched pandas UDF per payload —
+    the sanctioned Python edge for a genuinely non-relational step —
+    everything after the struct is native column arithmetic.  Undecodable
+    or unsupported payloads yield NULL stats rather than failing the job
+    (crawl corpora contain garbage).  The mean is emitted as an exact
+    double (sum / n) — for the 64-pixel fixture n is a power of two, so
+    the quotient is dyadic and bit-identical across engines with no
+    rounding step."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<width:int,height:int,channels:int,px_sum:long,px_min:int,px_max:int>"
+    )
+    def _px(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            try:
+                w, h, ch, pix = decode_png(bytes(p))
+                rows.append(
+                    (w, h, ch, int(sum(pix)), int(min(pix)), int(max(pix)))
+                )
+            except (ValueError, NotImplementedError, IndexError):
+                rows.append((None, None, None, None, None, None))
+        return pd.DataFrame(
+            rows,
+            columns=["width", "height", "channels", "px_sum", "px_min", "px_max"],
+        )
+
+    s = images.select(F.col(id_col).alias("doc_id"), _px(F.col(payload_col)).alias("s"))
+    n_px = (F.col("s.width") * F.col("s.height") * F.col("s.channels")).cast("int")
+    return s.select(
+        "doc_id",
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        n_px.alias("n_px"),
+        F.col("s.px_min").alias("px_min"),
+        F.col("s.px_max").alias("px_max"),
+        (F.col("s.px_sum").cast("double") / n_px.cast("double")).alias("px_mean"),
     )
 
 

@@ -1875,6 +1875,38 @@ FROM documents
 """
 
 
+def multimodal_pixel_stats_sql() -> str:
+    """Twin of ``image_pixel_stats(attach_real_png(documents))`` — the
+    engine inflates and unfilters a REAL PNG IDAT; the oracle recomputes
+    the stats straight from the planted pixel source (first 64
+    printable-ASCII text chars, space-padded), never touching a PNG.
+    The mean is sum/64 — a dyadic quotient, exact on both engines with
+    no rounding step."""
+    from datalake_indexes_spark.operators.multimodal import REAL_PNG_H, REAL_PNG_W
+
+    n = REAL_PNG_W * REAL_PNG_H
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         rpad(regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g'),
+              {n}, ' ') AS px
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ord(c) AS v
+  FROM (SELECT doc_id, unnest(string_split(px, '')) AS c FROM s)
+)
+SELECT doc_id,
+       CAST({REAL_PNG_W} AS INT) AS width,
+       CAST({REAL_PNG_H} AS INT) AS height,
+       CAST({n} AS INT) AS n_px,
+       CAST(min(v) AS INT) AS px_min,
+       CAST(max(v) AS INT) AS px_max,
+       CAST(sum(v) AS DOUBLE) / {n} AS px_mean
+FROM b GROUP BY doc_id
+"""
+
+
 def multimodal_features_sql() -> str:
     """Twin of extract_features over attach_binary_payload's containers.
 

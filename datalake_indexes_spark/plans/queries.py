@@ -1278,6 +1278,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end-to-end: every doc gets a genuine 16x4
+    grayscale PNG (valid zlib stored-deflate IDAT) whose pixels are its
+    first 64 text bytes; the engine inflates + unfilters with the pure
+    stdlib :func:`multimodal.decode_png` and reports per-image pixel
+    stats.  The DuckDB twin recomputes the stats straight from ``text``
+    — if the decoder misreads a single byte, the hash fails."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_png,
+        image_pixel_stats,
+    )
+
+    return image_pixel_stats(attach_real_png(_docs(spark, sf_dir)))
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window aggregation over events (streaming-shaped agg on
     the batch table; the same plan runs under Structured Streaming)."""
@@ -3261,6 +3276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
+    "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_metadata": q_multimodal_metadata,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -3529,6 +3545,7 @@ WHERE rn = 1
     "corpus_sample": oracle.corpus_sample_sql(CORPUS_SAMPLE_FRACTIONS),
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
+    "multimodal_pixel_stats": oracle.multimodal_pixel_stats_sql(),
     "multimodal_metadata": oracle.multimodal_metadata_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),
@@ -3690,69 +3707,80 @@ WHERE rn = 1
 # events/streaming twins, graph and fuzzy matching — instead of whatever
 # insertion order accumulated.  Everything else keeps its original
 # relative order after the priority block.
+#
+# ROTATION DISCIPLINE (round 6+): ~27 flagship keys stay pinned so every
+# CORRECTNESS file re-grades the core; the remaining slots rotate to keys
+# the driver has NEVER graded (here: the round-6 graph/trend/profile/
+# discovery/retrieval batch incl. the two new round-6 oracles), so
+# successive CORRECTNESS files cumulatively cover the registry.  Keys
+# rotated OUT remain strict-green in the full-registry sf0.01 sweep and
+# in prior CORRECTNESS_r files.
 _DRIVER_PRIORITY: list[str] = [
-    # reference core: cell index + precomputes
+    # reference core: cell index + precomputes (pinned)
     "index_cells",
     "index_table_info",
-    "index_is_numeric",
-    "index_column_profiles",
     "header_search",
     "cocoa_order_index",
-    # MATE joinability search (the reference's headline operator)
+    # MATE joinability search (the reference's headline operator, pinned)
     "mate_join_search_single",
     "mate_join_search_multi",
     "mate_join_search_triple",
-    "mate_join_search_ratio",
     "mate_join_search_bloom",
-    "mate_join_search_batch",
-    # COCOA correlation enrichment
+    # COCOA correlation enrichment (pinned)
     "cocoa_enrich",
     "cocoa_enrich_multicolumn",
-    # duplicate detection (planted variants grade non-vacuously)
+    # duplicate detection (planted variants grade non-vacuously, pinned)
     "dup_row_groups_planted",
     "dup_table_relations_planted",
     "dup_groups_planted",
-    # reconstruction + enrichment materialization
+    # reconstruction (pinned)
     "get_table_pivot",
-    "add_external_features",
-    "enrichment_features",
-    # dedup family
+    # one pinned flagship per pipeline family
     "dedup_exact",
-    "dedup_earliest",
     "dedup_minhash_lsh",
     "dedup_clusters_distributed",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "decontaminate_spans",
-    "dedup_embedding_cosine",
-    # similarity / ANN
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    # text analysis
-    "text_token_counts",
     "text_quality",
-    "text_langid",
-    "text_pii_scrub",
-    # retrieval + corpus pipeline
     "bm25_topk",
     "corpus_prep_full",
-    "corpus_mix",
-    "export_balanced_shards",
-    # multimodal
     "multimodal_features",
-    # events + streaming twins
     "events_window_agg",
     "events_sessionize",
-    "events_asof_join",
-    "events_funnel",
-    "events_removal_effects",
-    "events_rfm",
-    # graph + fuzzy matching
     "graph_pagerank",
-    "fuzzy_join_names",
     "fs_record_linkage",
+    # --- rotating slots: never-driver-graded keys (round-6 batch) ---
+    # new round-6 oracles
+    "text_bpe_counts",
+    "ml_pca_identity",
+    # graph family beyond pagerank
+    "graph_hits",
+    "graph_ppr",
+    "graph_kcore",
+    "graph_modularity",
+    # trend / test kit
+    "events_holt",
+    "events_theil_sen",
+    "events_mwu",
+    "events_survival",
+    "events_scd2",
+    # profiling / discovery
+    "profile_psi",
+    "union_search_sketch",
+    "inclusion_deps",
+    "functional_deps",
+    # corpus pipeline depth
+    "corpus_audit",
+    "corpus_prep_v3",
+    # ANN depth
+    "ann_ivf_pq",
+    "ann_hard_negatives",
+    "semantic_dedup",
+    # retrieval + text depth
+    "hybrid_rrf",
+    "text_pmi",
+    # real stdlib PNG pixel decode (new round-6 path)
+    "multimodal_pixel_stats",
 ]
 
 
