@@ -399,15 +399,53 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     return int(w), int(h), channels, bytes(out)
 
 
+def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib WAV sample decode: chunk walk → 16-bit PCM LE frames.
+    Returns (sample_rate, n_channels, samples as signed ints, channel-
+    interleaved).  PCM needs no codec library — the data chunk IS the
+    samples; compressed formats (format codes other than 1) and other
+    bit depths raise ``NotImplementedError`` naming the feature.  A
+    trailing odd byte (half a sample) is ignored, the standard reader
+    behavior for a truncated final frame."""
+    if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_code = ch = rate = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = bytes(b[i : i + 4])
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_code, ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code != 1:
+        raise NotImplementedError(f"WAV format code {fmt_code} (PCM only)")
+    if bits != 16:
+        raise NotImplementedError(f"WAV bit depth {bits} (16-bit only)")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", bytes(data[: 2 * n])))
+    return int(rate), int(ch), samples
+
+
 def decode_payload(payload: bytes, modality: str):
-    """Full pixel/sample decode.  The IMAGE path is real since round 6 —
-    :func:`decode_png` is pure stdlib (zlib inflate + scanline unfilter),
-    returning (width, height, channels, pixels).  Audio/video sample
-    decode still needs a codec library (soundfile / av), absent in this
-    environment; those modalities stay gated behind an import probe with
-    an actionable error."""
+    """Full pixel/sample decode.  The IMAGE and (PCM) AUDIO paths are
+    real since round 6 — :func:`decode_png` (zlib inflate + scanline
+    unfilter) and :func:`decode_wav` (16-bit PCM frames), both pure
+    stdlib.  Compressed audio and video frame decode still need a codec
+    library (soundfile / av), absent in this environment; those paths
+    stay gated behind an import probe with an actionable error."""
     if modality == "image":
         return decode_png(bytes(payload))
+    if modality == "audio":
+        b = bytes(payload)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return decode_wav(b)
     try:  # pragma: no cover - decoders absent in this container
         if modality == "audio":
             import soundfile  # noqa: F401
@@ -588,6 +626,87 @@ def attach_real_png(
         )
     )
     return docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+
+
+def attach_real_wav(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL decodable 16-bit mono
+    PCM WAV whose data chunk is the doc's printable-ASCII text bytes —
+    every consecutive byte pair is one little-endian sample (ASCII hi
+    bytes < 0x80, so samples land in [0x2020, 0x7E7E], always positive).
+    Built from native expressions like :func:`attach_real_png`; a
+    trailing odd byte is half a frame, which :func:`decode_wav` ignores."""
+    txt = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"[^\x20-\x7E]", " "
+    )
+    data = F.encode(txt, "UTF-8")
+    n = F.octet_length(data)
+    payload = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("52494646"),                      # RIFF
+                _le32_hex((n + F.lit(36)).cast("int")),
+                F.lit("57415645"),                      # WAVE
+                F.lit("666D7420"), F.lit("10000000"),   # "fmt ", size 16
+                F.lit("0100"), F.lit("0100"),           # PCM, mono
+                _le32_hex(F.lit(WAV_SAMPLE_RATE)),
+                _le32_hex(F.lit(WAV_SAMPLE_RATE * WAV_BLOCK_ALIGN)),
+                F.lit("0200"), F.lit("1000"),           # block align 2, 16-bit
+                F.lit("64617461"),                      # data
+                _le32_hex(n.cast("int")),
+            )
+        ),
+        data,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+
+
+def audio_sample_stats(
+    audio: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-clip sample statistics through the REAL stdlib PCM decode
+    path: (doc_id, sample_rate, n_samples, amp_min, amp_max, amp_mean).
+    Same contract shape as :func:`image_pixel_stats` — one Arrow-batched
+    UDF for the non-relational step, native arithmetic after; clips with
+    no complete frame (or undecodable bytes) yield NULL amplitude stats.
+    amp_mean = exact-integer sum / count is ONE IEEE division on both
+    engines, so the twin matches bit-for-bit with no rounding."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<sample_rate:int,n_samples:int,amp_sum:long,amp_min:int,amp_max:int>"
+    )
+    def _smp(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            try:
+                rate, _ch, samples = decode_wav(bytes(p))
+                if samples:
+                    rows.append(
+                        (rate, len(samples), int(sum(samples)),
+                         int(min(samples)), int(max(samples)))
+                    )
+                else:
+                    rows.append((rate, 0, None, None, None))
+            except (ValueError, NotImplementedError, struct.error):
+                rows.append((None, None, None, None, None))
+        return pd.DataFrame(
+            rows, columns=["sample_rate", "n_samples", "amp_sum", "amp_min", "amp_max"]
+        )
+
+    s = audio.select(F.col(id_col).alias("doc_id"), _smp(F.col(payload_col)).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.sample_rate").alias("sample_rate"),
+        F.col("s.n_samples").alias("n_samples"),
+        F.col("s.amp_min").alias("amp_min"),
+        F.col("s.amp_max").alias("amp_max"),
+        F.when(
+            F.col("s.n_samples") > 0,
+            F.col("s.amp_sum").cast("double") / F.col("s.n_samples").cast("double"),
+        ).alias("amp_mean"),
+    )
 
 
 def image_pixel_stats(

@@ -1907,6 +1907,42 @@ FROM b GROUP BY doc_id
 """
 
 
+def multimodal_sample_stats_sql() -> str:
+    """Twin of ``audio_sample_stats(attach_real_wav(documents))`` — the
+    engine unpacks real 16-bit PCM frames; the oracle recomputes the
+    amplitudes from consecutive byte PAIRS of the planted text
+    (little-endian: lo + 256·hi; printable ASCII keeps every sample
+    positive).  The mean is one IEEE division of an exact integer sum —
+    bit-identical across engines, no rounding."""
+    from datalake_indexes_spark.operators.multimodal import WAV_SAMPLE_RATE
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g') AS t
+  FROM documents
+),
+p AS (SELECT doc_id, t, CAST(length(t) // 2 AS INT) AS ns FROM s),
+i AS (SELECT doc_id, t, unnest(range(1, ns + 1)) AS k FROM p),
+v AS (
+  SELECT doc_id, ord(t[CAST(2 * k - 1 AS INT)]) + 256 * ord(t[CAST(2 * k AS INT)]) AS a
+  FROM i
+),
+g AS (
+  SELECT doc_id,
+         CAST(min(a) AS INT) AS amp_min,
+         CAST(max(a) AS INT) AS amp_max,
+         CAST(sum(a) AS DOUBLE) / count(*) AS amp_mean
+  FROM v GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST({WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+       p.ns AS n_samples,
+       g.amp_min, g.amp_max, g.amp_mean
+FROM p LEFT JOIN g USING (doc_id)
+"""
+
+
 def multimodal_features_sql() -> str:
     """Twin of extract_features over attach_binary_payload's containers.
 

@@ -1293,6 +1293,20 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(attach_real_png(_docs(spark, sf_dir)))
 
 
+def q_multimodal_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode end-to-end: every doc gets a genuine 16-bit
+    mono WAV whose data chunk is its text bytes; the engine unpacks the
+    frames with the pure stdlib :func:`multimodal.decode_wav` and reports
+    amplitude stats the DuckDB twin recomputes from byte pairs of
+    ``text`` — one IEEE division for the mean, no rounding."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_wav,
+        audio_sample_stats,
+    )
+
+    return audio_sample_stats(attach_real_wav(_docs(spark, sf_dir)))
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window aggregation over events (streaming-shaped agg on
     the batch table; the same plan runs under Structured Streaming)."""
@@ -3277,6 +3291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_sample_stats": q_multimodal_sample_stats,
     "multimodal_metadata": q_multimodal_metadata,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -3546,6 +3561,7 @@ WHERE rn = 1
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
     "multimodal_pixel_stats": oracle.multimodal_pixel_stats_sql(),
+    "multimodal_sample_stats": oracle.multimodal_sample_stats_sql(),
     "multimodal_metadata": oracle.multimodal_metadata_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
     "events_sessionize": oracle.events_sessionize_sql(gap_seconds=1800),

@@ -471,3 +471,72 @@ class TestPngPixelDecode:
         w, h, ch, pix = decode_payload(bytes(payload), "image")
         assert (w, h, ch) == (16, 4, 1)
         assert pix == ("hello world" + " " * 64)[:64].encode()
+
+
+class TestWavSampleDecode:
+    """The real stdlib PCM decode path."""
+
+    def test_roundtrip_against_stdlib_wave_writer(self, tmp_path):
+        """A WAV written by Python's own `wave` module (real canonical
+        PCM file) decodes to the exact samples, mono and stereo."""
+        import io
+        import wave
+
+        from datalake_indexes_spark.operators.multimodal import decode_wav
+
+        for ch in (1, 2):
+            samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7] * ch
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(2)
+                w.setframerate(22050)
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            rate, got_ch, got = decode_wav(buf.getvalue())
+            assert (rate, got_ch, got) == (22050, ch, samples)
+
+    def test_unsupported_features_named(self):
+        import pytest
+
+        from datalake_indexes_spark.operators.multimodal import decode_wav
+
+        # 8-bit PCM header
+        hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+               + b"data" + struct.pack("<I", 0))
+        with pytest.raises(NotImplementedError, match="bit depth"):
+            decode_wav(hdr)
+        # mu-law format code
+        hdr2 = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", 7, 1, 8000, 8000, 2, 16)
+                + b"data" + struct.pack("<I", 0))
+        with pytest.raises(NotImplementedError, match="format code"):
+            decode_wav(hdr2)
+
+    def test_fixture_roundtrip_via_spark(self, spark):
+        from datalake_indexes_spark.operators.multimodal import (
+            attach_real_wav,
+            audio_sample_stats,
+            decode_payload,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world!"), (2, "x"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in audio_sample_stats(attach_real_wav(docs)).collect()}
+        b = b"hello world!"
+        exp = [b[2 * i] + 256 * b[2 * i + 1] for i in range(6)]
+        r = out[1]
+        assert r.sample_rate == 16000 and r.n_samples == 6
+        assert (r.amp_min, r.amp_max) == (min(exp), max(exp))
+        assert r.amp_mean == sum(exp) / 6
+        # 1-byte and empty texts: no complete frame -> NULL stats
+        assert out[2].n_samples == 0 and out[2].amp_mean is None
+        assert out[3].n_samples == 0 and out[3].amp_min is None
+        # decode through the public dispatch
+        payload = attach_real_wav(docs).filter("doc_id = 1").collect()[0]["payload"]
+        rate, ch, samples = decode_payload(bytes(payload), "audio")
+        assert (rate, ch, samples) == (16000, 1, exp)
