@@ -328,10 +328,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     raise ``NotImplementedError`` with the exact feature named.
 
     The zlib stream is inflated RAW (``wbits=-15`` after the 2-byte zlib
-    header) so the Adler-32 trailer is not VERIFIED — the synthetic
-    fixture plants placeholder checksums under the same
-    probe-don't-checksum discipline as its chunk CRCs, and real PNGs
-    inflate identically (their Adler simply goes unchecked).
+    header) so the Adler-32 trailer is not VERIFIED — a deliberate
+    robustness choice for crawl corpora, where truncated/checksum-broken
+    images should still yield pixels; valid streams (including the
+    fixture's, whose Adler and CRCs are real) inflate identically.
     """
     import zlib
 
@@ -574,40 +574,54 @@ def attach_binary_payload(
 # Real-IDAT grayscale PNG fixture: 16x4, bit depth 8, color type 0.  The
 # IDAT is a genuine zlib stream — 0x78 0x01 header, ONE stored-deflate
 # block (BFINAL=1, BTYPE=00, LEN=68, NLEN=~68) over the 4 scanlines
-# (filter byte 0 + 16 pixel bytes each), Adler-32 placeholder (same
-# probe-don't-checksum discipline as the fixture's chunk CRCs — the
-# decoder inflates raw).  Pixels are the doc's first 64 printable-ASCII
-# text bytes space-padded, so the DuckDB twin recomputes the stats from
-# ``text`` without ever touching a PNG.
+# (filter byte 0 + 16 pixel bytes each).  Every checksum is REAL and
+# computed natively: chunk CRCs via Spark's crc32 (same polynomial as
+# PNG), the Adler-32 via its closed form — s2 = n + Σ (n−j+1)·d_j lets
+# the position-weighted sum collapse to one zip_with over a constant
+# weight array, since the filter bytes contribute zero.  The payloads
+# therefore pass an external `pngcheck`/PIL open, not just our probes.
+# Pixels are the doc's first 64 printable-ASCII text bytes space-padded,
+# so the DuckDB twin recomputes the stats from ``text`` without ever
+# touching a PNG.
 REAL_PNG_W, REAL_PNG_H = 16, 4
-REAL_PNG_IHDR_HEX = (
-    PNG_HEADER_HEX + "00000010" + "00000004" + "080000000000000000"
-)
+_REAL_PNG_DATA_LEN = REAL_PNG_H * (REAL_PNG_W + 1)  # 68: filter byte + row, x4
+
+
+def _real_png_ihdr_hex() -> str:
+    import zlib
+
+    body = struct.pack(">IIBBBBB", REAL_PNG_W, REAL_PNG_H, 8, 0, 0, 0, 0)
+    return (
+        PNG_HEADER_HEX
+        + body.hex().upper()
+        + format(zlib.crc32(b"IHDR" + body), "08X")
+    )
+
+
+REAL_PNG_IHDR_HEX = _real_png_ihdr_hex()
+REAL_PNG_IDAT_LEN_HEX = "0000004F"  # 2 zlib hdr + 5 stored hdr + 68 data + 4 adler
 REAL_PNG_IDAT_PREFIX_HEX = (
-    "0000004F"      # chunk length: 2 zlib hdr + 5 stored hdr + 68 data + 4 adler
-    + "49444154"    # "IDAT"
+    "49444154"      # "IDAT"
     + "7801"        # zlib header (deflate, default window)
     + "01"          # stored block, BFINAL=1
     + "4400" + "BBFF"  # LEN=68 LE, NLEN=~LEN LE
 )
-REAL_PNG_SUFFIX_HEX = (
-    "00000000"      # Adler-32 placeholder
-    + "00000000"    # IDAT CRC placeholder
-    + "0000000049454E44AE426082"  # IEND (its CRC is a real constant)
-)
+REAL_PNG_IEND_HEX = "0000000049454E44AE426082"
 
 
 def attach_real_png(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, payload) where payload is a REAL decodable 16x4 grayscale
-    PNG (valid signature/IHDR/IDAT framing, genuine stored-deflate zlib
-    stream) whose pixel bytes are the doc's first 64 printable-ASCII text
-    characters space-padded — built entirely from native expressions, no
-    UDF on the construction side."""
+    """(doc_id, payload) where payload is a REAL, externally-valid 16x4
+    grayscale PNG — correct signature/IHDR/IDAT/IEND framing, a genuine
+    stored-deflate zlib stream, and REAL CRC-32 / Adler-32 checksums —
+    whose pixel bytes are the doc's first 64 printable-ASCII text
+    characters space-padded.  Built entirely from native expressions
+    (crc32 + closed-form Adler), no UDF on the construction side."""
+    n_px = REAL_PNG_W * REAL_PNG_H
     px = F.rpad(
         F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^\x20-\x7E]", " "),
-        REAL_PNG_W * REAL_PNG_H,
+        n_px,
         " ",
     )
     hx = F.hex(F.encode(px, "UTF-8"))  # 128 hex chars, 2 per pixel byte
@@ -617,12 +631,41 @@ def attach_real_png(
             for r in range(REAL_PNG_H)
         ]
     )
+    # Adler-32 over the 68 raw deflate bytes: s1 = 1 + Σ d_j; the filter
+    # bytes are zero, so s2 = 68 + Σ w_i·pixel_i with w_i = 68 − pos_i + 1
+    # precomputed per pixel slot (pos_i = row·17 + 2 + col, 1-based)
+    # split("(?!^)") keeps a trailing '' element — slice to exactly the 64
+    # pixel slots or zip_with would NULL-pad against the weight array
+    ords = F.slice(
+        F.transform(F.split(px, "(?!^)"), lambda c: F.ascii(c).cast("long")),
+        1,
+        n_px,
+    )
+    weights = F.array(
+        *[
+            F.lit(_REAL_PNG_DATA_LEN - ((i // REAL_PNG_W) * (REAL_PNG_W + 1) + 2 + i % REAL_PNG_W) + 1).cast("long")
+            for i in range(n_px)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    s1 = (
+        F.lit(1).cast("long")
+        + F.aggregate(ords, zero, lambda a, x: a + x)
+    ) % 65521
+    s2 = (
+        F.lit(_REAL_PNG_DATA_LEN).cast("long")
+        + F.aggregate(F.zip_with(ords, weights, lambda o, w: o * w), zero, lambda a, x: a + x)
+    ) % 65521
+    adler_hex = F.lpad(F.hex(s2 * F.lit(65536) + s1), 8, "0")
+    idat_body_hex = F.concat(F.lit(REAL_PNG_IDAT_PREFIX_HEX), scanlines, adler_hex)
+    idat_crc_hex = F.lpad(F.hex(F.crc32(F.unhex(idat_body_hex))), 8, "0")
     payload = F.unhex(
         F.concat(
             F.lit(REAL_PNG_IHDR_HEX),
-            F.lit(REAL_PNG_IDAT_PREFIX_HEX),
-            scanlines,
-            F.lit(REAL_PNG_SUFFIX_HEX),
+            F.lit(REAL_PNG_IDAT_LEN_HEX),
+            idat_body_hex,
+            idat_crc_hex,
+            F.lit(REAL_PNG_IEND_HEX),
         )
     )
     return docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))

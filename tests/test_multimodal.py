@@ -540,3 +540,31 @@ class TestWavSampleDecode:
         payload = attach_real_wav(docs).filter("doc_id = 1").collect()[0]["payload"]
         rate, ch, samples = decode_payload(bytes(payload), "audio")
         assert (rate, ch, samples) == (16000, 1, exp)
+
+
+def test_real_png_fixture_is_externally_valid(spark):
+    """The planted PNGs carry REAL checksums: every chunk CRC matches
+    zlib.crc32 and strict zlib.decompress (which VERIFIES Adler-32)
+    accepts the IDAT — an external pngcheck/PIL would open these."""
+    import zlib
+
+    from datalake_indexes_spark.operators.multimodal import attach_real_png
+
+    docs = spark.createDataFrame(
+        [(1, "checksummed!"), (2, "y" * 300), (3, None)],
+        "doc_id long, text string",
+    )
+    for r in attach_real_png(docs).collect():
+        b = bytes(r["payload"])
+        i, idat = 8, b""
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            t, d = b[i + 4 : i + 8], b[i + 8 : i + 8 + clen]
+            crc = struct.unpack(">I", b[i + 8 + clen : i + 12 + clen])[0]
+            assert crc == zlib.crc32(t + d), (r["doc_id"], t)
+            if t == b"IDAT":
+                idat += d
+            i += 12 + clen
+            if t == b"IEND":
+                break
+        assert len(zlib.decompress(idat)) == 68  # strict: Adler verified
