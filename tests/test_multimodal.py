@@ -568,3 +568,62 @@ def test_real_png_fixture_is_externally_valid(spark):
             if t == b"IEND":
                 break
         assert len(zlib.decompress(idat)) == 68  # strict: Adler verified
+
+
+def test_decode_png_hypothesis_roundtrip():
+    """Property fuzz: arbitrary dims/channels/pixels under a per-row
+    random filter assignment round-trip through the real decoder (the
+    encode side is an independent implementation of the PNG filters)."""
+    from hypothesis import given, settings, strategies as st
+
+    from datalake_indexes_spark.operators.multimodal import decode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 12),      # width
+        st.integers(1, 8),       # height
+        st.sampled_from([1, 3, 4]),
+        st.data(),
+    )
+    def check(w, h, ch, data):
+        pixels = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        png = TestPngPixelDecode._real_png(w, h, ch, pixels, filters)
+        assert decode_png(png) == (w, h, ch, pixels)
+
+    check()
+
+
+def test_decode_wav_hypothesis_roundtrip():
+    """Property fuzz: arbitrary 16-bit samples/channel counts round-trip
+    through the stdlib-wave-written container."""
+    import io
+    import wave
+
+    from hypothesis import given, settings, strategies as st
+
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 3),
+        st.integers(8000, 48000),
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    )
+    def check(ch, rate, samples):
+        samples = samples[: len(samples) - len(samples) % ch]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(ch)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        assert decode_wav(buf.getvalue()) == (rate, ch, samples)
+
+    check()
