@@ -351,7 +351,7 @@ def cocoa_multicolumn_sql(
         + [f"'_' || array_to_string(m{i}, '_')" for i in verify_idx]
     )
     qcols = ", ".join(f"h.q{i}" for i in range(degree))
-    return f"""
+    sql = f"""
 WITH {cells_cte()},
 {_input_cte(input_table, query_columns, input_order_by, extra_cols=[target_column])},
 hits AS (
@@ -511,6 +511,13 @@ GROUP BY 1, 2
         if materialize
         else "SELECT table_col_id, corr, is_numeric FROM winners"
     )
+    # DuckDB inlines non-MATERIALIZED CTEs per reference (the HITS-twin
+    # trap, PLANS.md round 5): this chain re-references its expensive
+    # frames up to 4x — measured 18.7 s at sf0.01, 2.2 s with the hot
+    # CTEs materialized, results bit-identical (purely physical hint).
+    for nm in ("cells", "hits", "matches", "pairs", "tr", "numeric", "matched"):
+        sql = sql.replace(f"\n{nm} AS (", f"\n{nm} AS MATERIALIZED (", 1)
+    return sql
 
 
 def dup_row_groups_sql() -> str:
