@@ -215,7 +215,7 @@ def cocoa_enrich_sql(
     semantics — see operators/cocoa.py for the full semantics statement."""
     qtok = tokenize_sql(query_column, "duckdb")
     order = ", ".join(input_order_by)
-    return f"""
+    sql = f"""
 WITH {cells_cte()},
 input AS (
   SELECT row_number() OVER (ORDER BY {order}) - 1 AS rid,
@@ -317,6 +317,12 @@ ORDER BY abs(CASE WHEN a.corr IS NULL OR isnan(a.corr) THEN 0.0 ELSE a.corr END)
          table_col_id
 LIMIT {k_c}
 """
+    # same CTE-inlining trap as the multicolumn twin: the multiply-
+    # referenced frames measured 5.8 s inlined vs 1.0 s materialized at
+    # sf0.01, bit-identical results
+    for nm in ("cells", "matched", "tr", "numeric", "pairs", "input"):
+        sql = sql.replace(f"\n{nm} AS (", f"\n{nm} AS MATERIALIZED (", 1)
+    return sql
 
 
 def cocoa_multicolumn_sql(
