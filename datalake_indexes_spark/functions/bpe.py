@@ -30,9 +30,27 @@ and engine.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# One whitespace definition for the WHOLE BPE surface (train + apply +
+# the DuckDB oracle twin): the explicit ASCII class Java's \s denotes.
+# Python str.split() splits on UNICODE whitespace (U+00A0, U+2028, ...)
+# and RE2's \s omits \x0B — mixing the three made n_bpe_tokens diverge
+# on documents containing exotic whitespace.  Spelling the class out
+# pins all engines to identical word boundaries.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _ws_words(text: str) -> list[str]:
+    """Split on the shared ASCII whitespace class, dropping empties —
+    the Python-side twin of ``F.split(col, WS_CLASS)`` + non-empty
+    filter used in :func:`word_type_counts`."""
+    return [w for w in _WS_RE.split(text or "") if w]
 
 
 def word_type_counts(
@@ -41,7 +59,7 @@ def word_type_counts(
     """(word, freq) over whitespace-split words — the corpus-sized
     aggregate BPE training consumes."""
     return (
-        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.col(text_col), WS_CLASS)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -150,7 +168,7 @@ def apply_bpe(
 
             def enc(text: str) -> list[str]:
                 out: list[str] = []
-                for w in (text or "").split():
+                for w in _ws_words(text):
                     if w not in memo:
                         memo[w] = encode_word(w, ranks, end_of_word)
                     out.extend(memo[w])
@@ -171,7 +189,7 @@ def apply_bpe(
 
         def count(text: str) -> int:
             n = 0
-            for w in (text or "").split():
+            for w in _ws_words(text):
                 if w not in memo:
                     memo[w] = len(encode_word(w, ranks, end_of_word))
                 n += memo[w]

@@ -945,13 +945,35 @@ def categorical_association(
         F.approx_count_distinct("__a").alias("ka"),
         F.approx_count_distinct("__b").alias("kb"),
     ).collect()[0]
-    if card["ka"] > max_levels or card["kb"] > max_levels:
+    # approx_count_distinct is an HLL estimate (~5% rsd): a hard compare
+    # would spuriously reject legit columns whose true cardinality sits
+    # just under max_levels.  Only the cheap sketch probe gets slack; a
+    # sketch inside the slack band is confirmed with an EXACT distinct
+    # count (still one bounded aggregate) before deciding, so the raise
+    # is never an estimator artifact and slightly-over columns can't
+    # slip through on a low estimate either.
+    slack = 1.10
+    if card["ka"] > max_levels * slack or card["kb"] > max_levels * slack:
         raise ValueError(
-            f"categorical_association: ~{card['ka']} x ~{card['kb']} category "
-            f"levels exceed max_levels={max_levels}; the contingency table is "
-            "not category-bounded (is this really a categorical column?). "
+            f"categorical_association: ~{card['ka']} x ~{card['kb']} estimated "
+            f"category levels (approx_count_distinct, ~5% rsd) exceed "
+            f"max_levels={max_levels}; the contingency table is not "
+            "category-bounded (is this really a categorical column?). "
             "Raise max_levels only if the |A|x|B| grid is truly broadcastable."
         )
+    if card["ka"] > max_levels / slack or card["kb"] > max_levels / slack:
+        exact = pairs.agg(
+            F.countDistinct("__a").alias("ka"),
+            F.countDistinct("__b").alias("kb"),
+        ).collect()[0]
+        if exact["ka"] > max_levels or exact["kb"] > max_levels:
+            raise ValueError(
+                f"categorical_association: {exact['ka']} x {exact['kb']} exact "
+                f"category levels exceed max_levels={max_levels}; the "
+                "contingency table is not category-bounded (is this really a "
+                "categorical column?). Raise max_levels only if the |A|x|B| "
+                "grid is truly broadcastable."
+            )
     cells = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("o")).collect()
 
     ra: dict[str, int] = {}

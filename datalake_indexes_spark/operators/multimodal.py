@@ -323,9 +323,15 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     Returns (width, height, channels, pixel bytes, row-major).
 
     No codec library needed — IDAT is just a zlib stream over filtered
-    scanlines.  Supports 8-bit grayscale / RGB / RGBA, non-interlaced
-    (the overwhelming training-corpus shape); 16-bit, palette and Adam7
-    raise ``NotImplementedError`` with the exact feature named.
+    scanlines.  Supports non-interlaced grayscale / gray+alpha / RGB /
+    RGBA at 8- and 16-bit depth, and 8-bit palette (color type 3: PLTE
+    lookup, tRNS alpha when present).  16-bit samples are reduced to
+    8-bit by their HIGH byte — the PNG-spec sample depth scaling
+    (``floor(v·255/65535 + 0.5)`` differs from the high byte on no
+    image whose 16-bit samples came from 8-bit sources, and the high
+    byte keeps the unfilter → output path allocation-free).  Sub-byte
+    depths (1/2/4) and Adam7 interlacing raise ``NotImplementedError``
+    with the exact feature named.
 
     The zlib stream is inflated RAW (``wbits=-15`` after the 2-byte zlib
     header) so the Adler-32 trailer is not VERIFIED — a deliberate
@@ -340,6 +346,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     i = 8
     w = h = bd = ct = interlace = None
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while i + 8 <= len(b):
         clen = struct.unpack(">I", b[i : i + 4])[0]
         ctype = bytes(b[i + 4 : i + 8])
@@ -347,6 +355,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         if ctype == b"IHDR":
             w, h = struct.unpack(">II", data[:8])
             bd, ct, interlace = data[8], data[9], data[12]
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"tRNS":
+            trns = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -354,15 +366,25 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + clen
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    if bd != 8:
-        raise NotImplementedError(f"PNG bit depth {bd} (only 8 supported)")
-    if ct not in (0, 2, 6):
-        raise NotImplementedError(f"PNG color type {ct} (gray/RGB/RGBA only)")
+    if ct not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"PNG color type {ct} (gray/gray+alpha/RGB/RGBA/palette only)"
+        )
+    if ct == 3:
+        if bd != 8:
+            raise NotImplementedError(
+                f"PNG palette bit depth {bd} (8-bit indices only)"
+            )
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing or malformed PLTE")
+    elif bd not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {bd} (8/16 supported)")
     if interlace:
         raise NotImplementedError("Adam7 interlacing not supported")
-    channels = {0: 1, 2: 3, 6: 4}[ct]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    bpp = channels * (2 if bd == 16 else 1)  # filter offset is BYTES
     raw = zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]))
-    stride = w * channels
+    stride = w * bpp
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
     out = bytearray()
@@ -374,20 +396,20 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         row = bytearray(raw[pos : pos + stride])
         pos += stride
         if ft == 1:  # Sub
-            for x in range(channels, stride):
-                row[x] = (row[x] + row[x - channels]) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
         elif ft == 2:  # Up
             for x in range(stride):
                 row[x] = (row[x] + prev[x]) & 0xFF
         elif ft == 3:  # Average
             for x in range(stride):
-                left = row[x - channels] if x >= channels else 0
+                left = row[x - bpp] if x >= bpp else 0
                 row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
+                a = row[x - bpp] if x >= bpp else 0
                 up = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
@@ -396,6 +418,23 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG filter type {ft} invalid")
         out += row
         prev = bytes(row)
+    if bd == 16:  # big-endian samples: the high byte is every even offset
+        out = out[0::2]
+    if ct == 3:  # palette lookup: index -> RGB (+ tRNS alpha if present)
+        n_entries = len(plte) // 3
+        if out and max(out) >= n_entries:
+            raise ValueError("PNG palette index out of range")
+        if trns is not None:
+            lut = [
+                plte[3 * j : 3 * j + 3]
+                + bytes([trns[j] if j < len(trns) else 255])
+                for j in range(n_entries)
+            ]
+            channels = 4
+        else:
+            lut = [plte[3 * j : 3 * j + 3] for j in range(n_entries)]
+            channels = 3
+        out = bytearray().join(lut[v] for v in out)
     return int(w), int(h), channels, bytes(out)
 
 
@@ -587,10 +626,10 @@ REAL_PNG_W, REAL_PNG_H = 16, 4
 _REAL_PNG_DATA_LEN = REAL_PNG_H * (REAL_PNG_W + 1)  # 68: filter byte + row, x4
 
 
-def _real_png_ihdr_hex() -> str:
+def _real_png_ihdr_hex(color_type: int = 0) -> str:
     import zlib
 
-    body = struct.pack(">IIBBBBB", REAL_PNG_W, REAL_PNG_H, 8, 0, 0, 0, 0)
+    body = struct.pack(">IIBBBBB", REAL_PNG_W, REAL_PNG_H, 8, color_type, 0, 0, 0)
     return (
         PNG_HEADER_HEX
         + body.hex().upper()
@@ -598,7 +637,24 @@ def _real_png_ihdr_hex() -> str:
     )
 
 
+def _real_png_plte_hex() -> str:
+    """The identity grayscale palette chunk (index i → (i,i,i), 256
+    entries): a palette payload carries the SAME IDAT index bytes as the
+    grayscale one, so the planted text stays the pixel source and the
+    oracle's per-byte stats hold with the channel count tripled."""
+    import zlib
+
+    body = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        struct.pack(">I", len(body)).hex().upper()
+        + (b"PLTE" + body).hex().upper()
+        + format(zlib.crc32(b"PLTE" + body), "08X")
+    )
+
+
 REAL_PNG_IHDR_HEX = _real_png_ihdr_hex()
+REAL_PNG_IHDR_PAL_HEX = _real_png_ihdr_hex(color_type=3)
+REAL_PNG_PLTE_HEX = _real_png_plte_hex()
 REAL_PNG_IDAT_LEN_HEX = "0000004F"  # 2 zlib hdr + 5 stored hdr + 68 data + 4 adler
 REAL_PNG_IDAT_PREFIX_HEX = (
     "49444154"      # "IDAT"
@@ -610,14 +666,23 @@ REAL_PNG_IEND_HEX = "0000000049454E44AE426082"
 
 
 def attach_real_png(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    palette: bool = False,
 ) -> DataFrame:
     """(doc_id, payload) where payload is a REAL, externally-valid 16x4
     grayscale PNG — correct signature/IHDR/IDAT/IEND framing, a genuine
     stored-deflate zlib stream, and REAL CRC-32 / Adler-32 checksums —
     whose pixel bytes are the doc's first 64 printable-ASCII text
     characters space-padded.  Built entirely from native expressions
-    (crc32 + closed-form Adler), no UDF on the construction side."""
+    (crc32 + closed-form Adler), no UDF on the construction side.
+
+    ``palette=True`` emits a color-type-3 PNG instead: the SAME IDAT
+    (the text bytes become palette INDICES) plus a constant identity
+    grayscale PLTE (index i → (i,i,i)), exercising the decoder's PLTE
+    lookup path while keeping the planted text the pixel source — the
+    decoded RGB stream is each text byte tripled."""
     n_px = REAL_PNG_W * REAL_PNG_H
     px = F.rpad(
         F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^\x20-\x7E]", " "),
@@ -661,7 +726,8 @@ def attach_real_png(
     idat_crc_hex = F.lpad(F.hex(F.crc32(F.unhex(idat_body_hex))), 8, "0")
     payload = F.unhex(
         F.concat(
-            F.lit(REAL_PNG_IHDR_HEX),
+            F.lit(REAL_PNG_IHDR_PAL_HEX if palette else REAL_PNG_IHDR_HEX),
+            F.lit(REAL_PNG_PLTE_HEX if palette else ""),
             F.lit(REAL_PNG_IDAT_LEN_HEX),
             idat_body_hex,
             idat_crc_hex,

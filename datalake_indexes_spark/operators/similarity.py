@@ -1198,6 +1198,18 @@ def pca_identity_report(
     rounding and ~6 above eigensolver error, and `+ 0.0` normalizes any
     IEEE −0.0.
 
+    The REPORTED ``trace_cov`` is bit-deterministic cross-engine: a
+    driver-side left fold in dim order over the 6-dp-rounded diagonal
+    cells of :func:`embedding_covariance` (the surface whose rounded
+    cells are already strict-hash parity-proven via ``ml_embedding_cov``)
+    — the twin replays the same fold as a recursive CTE, so both engines
+    sum IDENTICAL doubles in IDENTICAL order and no final round ever
+    sits on a half boundary.  Rounding ``round(sum(var_pop), 6)`` on two
+    engines instead compares two different aggregation orders at a
+    6-dp cut — a data-dependent half-boundary coin flip.  The RAW trace
+    still feeds ``var_residual`` (its identity needs the same unrounded
+    trace ``explained_ratio`` was normalized by).
+
     Scale shape: one covariance pass (diagonal only), one per-component
     aggregate, one 28-pair covariance aggregate over the pivoted top-8
     projections — all map-side-combinable; the only window orders the 8
@@ -1219,6 +1231,17 @@ def pca_identity_report(
         .filter(F.col("dim_i") == F.col("dim_j"))
         .agg(F.sum("cov").alias("__trace"))
     )
+    # reported trace: left fold in dim order over the parity-proven
+    # 6-dp-rounded diagonal cells (d rows — dimension-bounded collect)
+    cells = (
+        embedding_covariance(embeddings, vec_col=vec_col, id_col=id_col, round_to=6)
+        .filter(F.col("dim_i") == F.col("dim_j"))
+        .select("dim_i", "cov")
+        .collect()
+    )
+    trace_cov = 0.0
+    for r in sorted(cells, key=lambda r: r["dim_i"]):
+        trace_cov = trace_cov + r["cov"]
     wide = (
         proj.groupBy("vec_id")
         .pivot("component", list(range(n)))
@@ -1240,7 +1263,7 @@ def pca_identity_report(
         .withColumn("__prev", F.lag("__ratio").over(w))
         .select(
             F.col("component").cast("long").alias("component"),
-            (F.round(F.col("__trace"), 6) + F.lit(0.0)).alias("trace_cov"),
+            (F.lit(float(trace_cov)) + F.lit(0.0)).alias("trace_cov"),
             (
                 F.round(F.col("__var") - F.col("__ratio") * F.col("__trace"), 4)
                 + F.lit(0.0)

@@ -1363,20 +1363,38 @@ GROUP BY 1, 2
 
 def pca_identity_sql(n_components: int = 8) -> str:
     """Twin of ``similarity.pca_identity_report`` — the strict-hash
-    oracle for the PCA eigen step.  The covariance trace is relational
-    (per-dim var_pop summed, rounded like the engine); every other
-    column is an algebraic identity of a CORRECT eigendecomposition
-    whose value is known a priori (zero residuals, monotone ratios), so
-    the twin pins them as literals.  If the engine's eigenvalues,
-    eigenvectors, centering, sign fix or rank order were wrong, its
-    residuals leave exactly-0.0/true and the hash fails — eigen never
-    needs to be expressed in SQL."""
+    oracle for the PCA eigen step.  Every identity column is known a
+    priori (zero residuals, monotone ratios), so the twin pins them as
+    literals; only the covariance trace is computed.  If the engine's
+    eigenvalues, eigenvectors, centering, sign fix or rank order were
+    wrong, its residuals leave exactly-0.0/true and the hash fails —
+    eigen never needs to be expressed in SQL.
+
+    ``trace_cov`` is bit-deterministic, not a round-off comparison:
+    the 6-dp-rounded diagonal covar_pop cells (the exact cells the
+    strict-green ``ml_embedding_cov`` twin already proves equal across
+    engines) are summed by a recursive-CTE LEFT FOLD in dim order —
+    the same sequential fold the engine runs driver-side — so both
+    engines add IDENTICAL doubles in IDENTICAL order and the unrounded
+    sum matches bit-for-bit.  ``round(sum(var_pop), 6)`` on two engines
+    would instead round two differently-ordered aggregations at a 6-dp
+    cut — a data-dependent half-boundary coin flip."""
     return f"""
-WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-x AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM v),
-t AS (SELECT sum(vv) AS tr FROM (SELECT var_pop(x) AS vv FROM x GROUP BY dim))
+WITH RECURSIVE
+v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+             unnest(v) AS x FROM v),
+c AS MATERIALIZED (
+  SELECT dim, round(covar_pop(x, x), 6) + 0.0 AS cell FROM x GROUP BY dim
+),
+fold AS (
+  SELECT CAST(-1 AS BIGINT) AS dim, CAST(0.0 AS DOUBLE) AS acc
+  UNION ALL
+  SELECT c.dim, fold.acc + c.cell FROM fold JOIN c ON c.dim = fold.dim + 1
+),
+t AS (SELECT acc AS tr FROM fold ORDER BY dim DESC LIMIT 1)
 SELECT CAST(r.i AS BIGINT) AS component,
-       round(t.tr, 6) + 0.0 AS trace_cov,
+       t.tr + 0.0 AS trace_cov,
        0.0 AS var_residual,
        0.0 AS max_abs_xcov,
        0.0 AS mean_residual,
@@ -1570,10 +1588,15 @@ def text_bpe_counts_sql(n_merges: int = 64, max_types: int = 50_000) -> str:
     SFs — the synthetic corpus has ~31 word types); the engine encodes
     capped-out words with the same ranks anyway.
     """
+    # the explicit ASCII class shared with functions/bpe.py (WS_CLASS):
+    # RE2's \\s omits \\x0B and Python str.split() is Unicode-wide, so
+    # all three surfaces spell the class out to pin identical word
+    # boundaries on any corpus
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
     parts = [
         f"""WITH w AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents
+    SELECT unnest(regexp_split_to_array(text, '{ws}')) AS word FROM documents
   ) WHERE word <> '' GROUP BY word
 ),
 types AS MATERIALIZED (
@@ -1625,7 +1648,7 @@ v{i} AS MATERIALIZED (
 {body},
 wl AS MATERIALIZED (SELECT word, len(syms) AS n FROM v{n_merges}),
 dw AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{ws}')) AS word
   FROM documents
 ),
 dt AS (
@@ -1889,12 +1912,15 @@ FROM documents
 
 
 def multimodal_pixel_stats_sql() -> str:
-    """Twin of ``image_pixel_stats(attach_real_png(documents))`` — the
-    engine inflates and unfilters a REAL PNG IDAT; the oracle recomputes
-    the stats straight from the planted pixel source (first 64
-    printable-ASCII text chars, space-padded), never touching a PNG.
-    The mean is sum/64 — a dyadic quotient, exact on both engines with
-    no rounding step."""
+    """Twin of ``image_pixel_stats`` over the planted PNGs — grayscale
+    for most docs, color-type-3 palette (identity grayscale PLTE) for
+    ``doc_id % 4 == 0``.  The engine inflates and unfilters a REAL PNG
+    IDAT (and walks the PLTE lookup on palette rows); the oracle
+    recomputes the stats straight from the planted pixel source (first
+    64 printable-ASCII text chars, space-padded) — palette rows carry
+    the SAME bytes tripled across RGB, so n_px gains a x3 and min/max/
+    mean are unchanged.  The mean is sum/64 — a dyadic quotient, exact
+    on both engines with no rounding step."""
     from datalake_indexes_spark.operators.multimodal import REAL_PNG_H, REAL_PNG_W
 
     n = REAL_PNG_W * REAL_PNG_H
@@ -1902,21 +1928,22 @@ def multimodal_pixel_stats_sql() -> str:
 WITH s AS (
   SELECT doc_id,
          rpad(regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g'),
-              {n}, ' ') AS px
+              {n}, ' ') AS px,
+         CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS nch
   FROM documents
 ),
 b AS (
   SELECT doc_id, ord(c) AS v
   FROM (SELECT doc_id, unnest(string_split(px, '')) AS c FROM s)
 )
-SELECT doc_id,
+SELECT b.doc_id,
        CAST({REAL_PNG_W} AS INT) AS width,
        CAST({REAL_PNG_H} AS INT) AS height,
-       CAST({n} AS INT) AS n_px,
+       CAST({n} * s.nch AS INT) AS n_px,
        CAST(min(v) AS INT) AS px_min,
        CAST(max(v) AS INT) AS px_max,
        CAST(sum(v) AS DOUBLE) / {n} AS px_mean
-FROM b GROUP BY doc_id
+FROM b JOIN s USING (doc_id) GROUP BY b.doc_id, s.nch
 """
 
 

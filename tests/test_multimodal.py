@@ -377,7 +377,10 @@ class TestPngPixelDecode:
     """The real stdlib decode path: zlib inflate + scanline unfilter."""
 
     @staticmethod
-    def _real_png(w, h, ch, pixels, filters):
+    def _real_png(w, h, ch, pixels, filters, bd=8, palette=None, trns=None):
+        """Independent PNG encoder: ``pixels`` is the FILTER-INPUT byte
+        stream (8-bit: one byte per sample; 16-bit: big-endian sample
+        pairs; palette: one index byte per pixel with ``ch == 1``)."""
         import zlib
 
         def chunk(t, d):
@@ -386,9 +389,10 @@ class TestPngPixelDecode:
                 + struct.pack(">I", zlib.crc32(t + d))
             )
 
-        ct = {1: 0, 3: 2, 4: 6}[ch]
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
-        stride = w * ch
+        ct = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, bd, ct, 0, 0, 0)
+        bpp = ch * (2 if bd == 16 else 1)
+        stride = w * bpp
         raw = b""
         prev = bytes(stride)
         for r in range(h):
@@ -396,9 +400,9 @@ class TestPngPixelDecode:
             ft = filters[r % len(filters)]
             enc = bytearray()
             for x in range(stride):
-                a = row[x - ch] if x >= ch else 0
+                a = row[x - bpp] if x >= bpp else 0
                 up = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if ft == 0:
                     v = row[x]
                 elif ft == 1:
@@ -415,24 +419,70 @@ class TestPngPixelDecode:
                 enc.append(v)
             raw += bytes([ft]) + bytes(enc)
             prev = row
+        extra = b""
+        if palette is not None:
+            extra += chunk(b"PLTE", palette)
+        if trns is not None:
+            extra += chunk(b"tRNS", trns)
         return (
-            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
         )
 
     def test_roundtrip_all_filters_and_channels(self):
-        """Real compressed IDATs, every filter type, gray/RGB/RGBA."""
+        """Real compressed IDATs, every filter type, gray/GA/RGB/RGBA."""
         import random
 
         from datalake_indexes_spark.operators.multimodal import decode_png
 
         rng = random.Random(7)
-        for ch in (1, 3, 4):
+        for ch in (1, 2, 3, 4):
             for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
                 w, h = 13, 9
                 pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
                 got = decode_png(self._real_png(w, h, ch, pixels, filters))
                 assert got == (w, h, ch, pixels), (ch, filters)
+
+    def test_roundtrip_palette(self):
+        """Color type 3: PLTE lookup (RGB), and tRNS alpha (RGBA); the
+        filter runs over index bytes (bpp=1), the lookup after it."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_png
+
+        rng = random.Random(11)
+        plte = bytes(rng.randrange(256) for _ in range(256 * 3))
+        w, h = 13, 9
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(self._real_png(w, h, 1, idx, filters, palette=plte))
+            exp = b"".join(plte[3 * v : 3 * v + 3] for v in idx)
+            assert got == (w, h, 3, exp), filters
+        # tRNS: first 40 entries get explicit alpha, the rest default 255
+        trns = bytes(rng.randrange(256) for _ in range(40))
+        got = decode_png(
+            self._real_png(w, h, 1, idx, [4], palette=plte, trns=trns)
+        )
+        exp = b"".join(
+            plte[3 * v : 3 * v + 3] + bytes([trns[v] if v < 40 else 255])
+            for v in idx
+        )
+        assert got == (w, h, 4, exp)
+
+    def test_roundtrip_16bit(self):
+        """16-bit samples: the byte-level filters run at bpp=2·ch and the
+        decoder reduces to 8-bit by the high (big-endian first) byte."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_png
+
+        rng = random.Random(13)
+        w, h = 7, 5
+        for ch in (1, 2, 3, 4):
+            raw = bytes(rng.randrange(256) for _ in range(w * h * ch * 2))
+            for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+                got = decode_png(self._real_png(w, h, ch, raw, filters, bd=16))
+                assert got == (w, h, ch, raw[0::2]), (ch, filters)
 
     def test_unsupported_features_named(self):
         import pytest
@@ -440,11 +490,21 @@ class TestPngPixelDecode:
         from datalake_indexes_spark.operators.multimodal import decode_png
 
         png = bytearray(self._real_png(4, 4, 1, bytes(16), [0]))
-        png[24] = 16  # bit depth byte inside IHDR
+        png[24] = 4  # bit depth byte inside IHDR: sub-byte still gated
         with pytest.raises(NotImplementedError, match="bit depth"):
             decode_png(bytes(png))
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"GIF89a")
+        # palette with a sub-byte index depth stays gated too
+        plte = bytes(range(48))
+        png = bytearray(self._real_png(4, 4, 1, bytes(16), [0], palette=plte))
+        png[24] = 4
+        with pytest.raises(NotImplementedError, match="palette bit depth"):
+            decode_png(bytes(png))
+        # palette index beyond the 16-entry PLTE is data corruption
+        png = self._real_png(2, 2, 1, bytes([0, 1, 2, 20]), [0], palette=plte)
+        with pytest.raises(ValueError, match="palette index"):
+            decode_png(png)
 
     def test_fixture_roundtrip_via_spark(self, spark):
         """attach_real_png -> image_pixel_stats recovers the exact planted
@@ -471,6 +531,33 @@ class TestPngPixelDecode:
         w, h, ch, pix = decode_payload(bytes(payload), "image")
         assert (w, h, ch) == (16, 4, 1)
         assert pix == ("hello world" + " " * 64)[:64].encode()
+
+    def test_palette_fixture_roundtrip_via_spark(self, spark):
+        """attach_real_png(palette=True) plants a color-type-3 PNG whose
+        identity-grayscale PLTE makes the decoded RGB stream each text
+        byte tripled — stats keep min/max/mean, n_px gains x3."""
+        from datalake_indexes_spark.operators.multimodal import (
+            attach_real_png,
+            decode_payload,
+            image_pixel_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, None)], "doc_id long, text string"
+        )
+        pal = attach_real_png(docs, palette=True)
+        out = {r["doc_id"]: r for r in image_pixel_stats(pal).collect()}
+        for did, text in [(1, "hello world"), (2, "")]:
+            px = (text[:64] + " " * 64)[:64].encode()
+            r = out[did]
+            assert (r.width, r.height, r.n_px) == (16, 4, 192)
+            assert r.px_min == min(px) and r.px_max == max(px)
+            assert r.px_mean == sum(px) / 64
+        payload = bytes(pal.filter("doc_id = 1").collect()[0]["payload"])
+        w, h, ch, pix = decode_payload(payload, "image")
+        assert (w, h, ch) == (16, 4, 3)
+        exp = ("hello world" + " " * 64)[:64].encode()
+        assert pix == bytes(v for b in exp for v in (b, b, b))
 
 
 class TestWavSampleDecode:
@@ -554,48 +641,91 @@ def test_real_png_fixture_is_externally_valid(spark):
         [(1, "checksummed!"), (2, "y" * 300), (3, None)],
         "doc_id long, text string",
     )
-    for r in attach_real_png(docs).collect():
-        b = bytes(r["payload"])
-        i, idat = 8, b""
-        while i + 8 <= len(b):
-            clen = struct.unpack(">I", b[i : i + 4])[0]
-            t, d = b[i + 4 : i + 8], b[i + 8 : i + 8 + clen]
-            crc = struct.unpack(">I", b[i + 8 + clen : i + 12 + clen])[0]
-            assert crc == zlib.crc32(t + d), (r["doc_id"], t)
-            if t == b"IDAT":
-                idat += d
-            i += 12 + clen
-            if t == b"IEND":
-                break
-        assert len(zlib.decompress(idat)) == 68  # strict: Adler verified
+    for palette in (False, True):
+        for r in attach_real_png(docs, palette=palette).collect():
+            b = bytes(r["payload"])
+            i, idat, kinds = 8, b"", []
+            while i + 8 <= len(b):
+                clen = struct.unpack(">I", b[i : i + 4])[0]
+                t, d = b[i + 4 : i + 8], b[i + 8 : i + 8 + clen]
+                crc = struct.unpack(">I", b[i + 8 + clen : i + 12 + clen])[0]
+                assert crc == zlib.crc32(t + d), (r["doc_id"], t)
+                kinds.append(t)
+                if t == b"IDAT":
+                    idat += d
+                i += 12 + clen
+                if t == b"IEND":
+                    break
+            assert (b"PLTE" in kinds) == palette
+            assert len(zlib.decompress(idat)) == 68  # strict: Adler verified
 
 
 def test_decode_png_hypothesis_roundtrip():
-    """Property fuzz: arbitrary dims/channels/pixels under a per-row
-    random filter assignment round-trip through the real decoder (the
-    encode side is an independent implementation of the PNG filters)."""
+    """Property fuzz: arbitrary dims/pixels under a per-row random
+    filter assignment round-trip through the real decoder (the encode
+    side is an independent implementation of the PNG filters) — every
+    supported mode: gray/GA/RGB/RGBA at 8 and 16 bit, palette with and
+    without tRNS."""
     from hypothesis import given, settings, strategies as st
 
     from datalake_indexes_spark.operators.multimodal import decode_png
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=60, deadline=None)
     @given(
         st.integers(1, 12),      # width
         st.integers(1, 8),       # height
-        st.sampled_from([1, 3, 4]),
+        st.sampled_from(
+            [(ch, bd) for ch in (1, 2, 3, 4) for bd in (8, 16)] + [("p", 8), ("pt", 8)]
+        ),
         st.data(),
     )
-    def check(w, h, ch, data):
-        pixels = bytes(
-            data.draw(
-                st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)
+    def check(w, h, mode, data):
+        ch, bd = mode
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        byte = st.integers(0, 255)
+        if ch in ("p", "pt"):
+            n_entries = data.draw(st.integers(1, 256))
+            plte = bytes(
+                data.draw(
+                    st.lists(byte, min_size=n_entries * 3, max_size=n_entries * 3)
+                )
             )
-        )
-        filters = data.draw(
-            st.lists(st.integers(0, 4), min_size=h, max_size=h)
-        )
-        png = TestPngPixelDecode._real_png(w, h, ch, pixels, filters)
-        assert decode_png(png) == (w, h, ch, pixels)
+            idx = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, n_entries - 1),
+                        min_size=w * h,
+                        max_size=w * h,
+                    )
+                )
+            )
+            trns = None
+            if ch == "pt":
+                n_trns = data.draw(st.integers(0, n_entries))
+                trns = bytes(
+                    data.draw(st.lists(byte, min_size=n_trns, max_size=n_trns))
+                )
+            png = TestPngPixelDecode._real_png(
+                w, h, 1, idx, filters, palette=plte, trns=trns
+            )
+            if trns is None:
+                exp = (3, b"".join(plte[3 * v : 3 * v + 3] for v in idx))
+            else:
+                exp = (
+                    4,
+                    b"".join(
+                        plte[3 * v : 3 * v + 3]
+                        + bytes([trns[v] if v < len(trns) else 255])
+                        for v in idx
+                    ),
+                )
+            assert decode_png(png) == (w, h, *exp)
+            return
+        n = w * h * ch * (2 if bd == 16 else 1)
+        pixels = bytes(data.draw(st.lists(byte, min_size=n, max_size=n)))
+        png = TestPngPixelDecode._real_png(w, h, ch, pixels, filters, bd=bd)
+        expected = pixels[0::2] if bd == 16 else pixels
+        assert decode_png(png) == (w, h, ch, expected)
 
     check()
 
