@@ -76,18 +76,47 @@ class COCOA:
         self.index = index
 
     # ------------------------------------------------------------------
-    def joinable_columns(self, input_tokens: DataFrame, k_t: int) -> DataFrame:
+    def joinable_columns(
+        self,
+        input_tokens: DataFrame,
+        k_t: int,
+        approx: bool = False,
+        approx_rsd: float = 0.01,
+    ) -> DataFrame:
         """A1 — top-k_t lake columns by distinct-token overlap with the
         query column (maco/data_handler.py:714-723).
 
         ``input_tokens``: single-column DataFrame ``token``.
         Returns (table_id, col_id, overlap).
+
+        Two tiers, mirroring the profiler's sketch tier (SURVEY flags
+        this aggregate as the 100-TB pressure point of COCOA):
+
+        - **exact** (default): ``count_distinct`` — the shuffle carries
+          one (table_id, col_id, token) tuple per matched DISTINCT cell.
+          Correct at any scale, but the shuffle width is the match
+          volume.
+        - **approx** (``approx=True``): ``approx_count_distinct`` — one
+          map-side-combinable HyperLogLog++ sketch per column; the
+          shuffle carries a fixed-size sketch per (table_id, col_id)
+          regardless of match volume.  Error contract: relative standard
+          deviation ≤ ``approx_rsd`` per column (Spark's HLL++ is exact
+          for small cardinalities via sparse/linear counting, so
+          fixture-scale overlaps agree bit-for-bit); near-tied columns
+          within ~rsd·overlap of the k_t boundary may swap in or out.
+          Opt-in because the top-k_t CUT feeds correlation enrichment —
+          the default keeps the reference's exact semantics.
         """
         toks = F.broadcast(input_tokens.select(F.col("token")).where(F.col("token").isNotNull()).distinct())
+        overlap_agg = (
+            F.approx_count_distinct("tokenized", float(approx_rsd))
+            if approx
+            else F.count_distinct("tokenized")
+        )
         overlaps = (
             self.index.cells.join(toks, self.index.cells["tokenized"] == toks["token"], "inner")
             .groupBy("table_id", "col_id")
-            .agg(F.count_distinct("tokenized").alias("overlap"))
+            .agg(overlap_agg.alias("overlap"))
         )
         # TakeOrderedAndProject (distributed partial top-k) — an
         # empty-partition row_number window would funnel every candidate

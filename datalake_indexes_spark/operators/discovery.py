@@ -100,7 +100,7 @@ def union_search(
     k: int = 10,
     min_distinct: int = 5,
     min_jaccard: float = 0.2,
-    max_token_cols: int = 64,
+    max_token_cols: int | None = 64,
 ) -> DataFrame:
     """Table-union search: rank lake tables by how unionable they are
     with ``query_table_id`` — the discovery question next to MATE's
@@ -118,13 +118,23 @@ def union_search(
     tokens, spread-capped before the token equi-join, then uniform
     (query_col, lake_table, lake_col) aggregates.  The per-query-column
     max and per-table sum run over column-pair rows (schema-sized, not
-    data-sized)."""
+    data-sized).
+
+    ``max_token_cols=None`` disables the spread cap — the EXACT search
+    whose token equi-join is quadratic in the hottest token's column
+    spread; :func:`union_search_recall_report` is the meter that says
+    what the cap costs against it."""
     dcells = index.cells.select("table_id", "col_id", "tokenized").distinct()
-    spread = dcells.groupBy("tokenized").agg(F.count(F.lit(1)).alias("__cols"))
-    capped = dcells.join(
-        spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
-        "tokenized",
-    )
+    if max_token_cols is None:
+        capped = dcells
+    else:
+        spread = dcells.groupBy("tokenized").agg(
+            F.count(F.lit(1)).alias("__cols")
+        )
+        capped = dcells.join(
+            spread.filter(F.col("__cols") <= max_token_cols).select("tokenized"),
+            "tokenized",
+        )
     counts = capped.groupBy("table_id", "col_id").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -164,6 +174,51 @@ def union_search(
     )
     w = Window.orderBy(F.desc("score"), F.asc("table_id"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def union_search_recall_report(
+    index,
+    query_table_id: int,
+    k: int = 10,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> DataFrame:
+    """Recall of the spread-capped union search against the EXACT
+    (uncapped) search at the same k — the meter for the cap that bounds
+    the token equi-join's quadratic term, the same contract
+    :func:`..operators.dedup.dedup_recall_report` gives MinHash banding.
+    One row: (k, max_token_cols, n_truth, n_found, recall) where truth
+    is the uncapped top-k table set and found is its overlap with the
+    capped top-k.  Unlike LSH banding the cap is not one-sided (removing
+    a stopword-ish token changes Jaccard on both sides), so this meters
+    set agreement, not subset recall.  Cost: the two searches (the
+    uncapped one is the expensive side — run this as a gauge, not in
+    the per-query path)."""
+    truth = union_search(
+        index, query_table_id, k=k, min_distinct=min_distinct,
+        min_jaccard=min_jaccard, max_token_cols=None,
+    ).select("table_id")
+    capped = union_search(
+        index, query_table_id, k=k, min_distinct=min_distinct,
+        min_jaccard=min_jaccard, max_token_cols=max_token_cols,
+    ).select("table_id")
+    found = truth.join(capped, "table_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    totals = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return totals.crossJoin(found).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.lit(int(max_token_cols)).cast("long").alias("max_token_cols"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_found") / F.col("n_truth"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+    )
 
 
 def column_minhash_signatures(

@@ -2977,6 +2977,38 @@ QUALIFY rank <= {k}
 """
 
 
+def union_search_recall_sql(
+    query_table_id: int,
+    k: int = 10,
+    min_distinct: int = 5,
+    min_jaccard: float = 0.2,
+    max_token_cols: int = 64,
+) -> str:
+    """Recall-gauge twin: the union-search twin reused verbatim as two
+    derived tables — uncapped truth (spread cap lifted via an
+    unreachable bound) vs the capped default — joined on table_id."""
+    uncapped = union_search_sql(
+        query_table_id, k, min_distinct, min_jaccard, max_token_cols=1 << 62
+    )
+    capped = union_search_sql(
+        query_table_id, k, min_distinct, min_jaccard, max_token_cols
+    )
+    return f"""
+WITH truth AS (SELECT table_id FROM ({uncapped}) __t),
+capped AS (SELECT table_id FROM ({capped}) __c),
+h AS (SELECT count(*) AS n_found FROM truth JOIN capped USING (table_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST({max_token_cols} AS BIGINT) AS max_token_cols,
+       CAST(t.n_truth AS BIGINT) AS n_truth,
+       CAST(h.n_found AS BIGINT) AS n_found,
+       CASE WHEN t.n_truth > 0
+            THEN round(h.n_found / CAST(t.n_truth AS DOUBLE), 6)
+            ELSE 1.0 END AS recall
+FROM t CROSS JOIN h
+"""
+
+
 def semantic_types_sql(
     table: str, columns: list[str], threshold: float = 0.9
 ) -> str:

@@ -2096,6 +2096,20 @@ def q_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for the union-search spread cap: capped top-k table
+    set vs the exact (uncapped) top-k."""
+    from datalake_indexes_spark.operators.discovery import (
+        union_search_recall_report,
+    )
+    from datalake_indexes_spark.sources.catalog import TESTDATA_LAKE_SPEC
+
+    qid = TESTDATA_LAKE_SPEC["customer"].table_id
+    return union_search_recall_report(
+        testdata_index(spark, sf_dir, with_super_keys=False), qid, k=10
+    )
+
+
 def q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-type inference over the orders table's stringified
     values (integer / decimal / date / text shapes)."""
@@ -3394,6 +3408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_cardinalities": q_join_cardinalities,
     "column_histograms": q_column_histograms,
     "union_search": q_union_search,
+    "union_search_recall": q_union_search_recall,
     "semantic_types": q_semantic_types,
     "events_growth": q_events_growth,
     "events_resample": q_events_resample,
@@ -3627,6 +3642,9 @@ WHERE rn = 1
     "join_cardinalities": oracle.join_cardinalities_sql(),
     "column_histograms": oracle.column_histograms_sql(nbins=10),
     "union_search": oracle.union_search_sql(
+        TESTDATA_LAKE_SPEC["customer"].table_id, k=10
+    ),
+    "union_search_recall": oracle.union_search_recall_sql(
         TESTDATA_LAKE_SPEC["customer"].table_id, k=10
     ),
     "semantic_types": oracle.semantic_types_sql(

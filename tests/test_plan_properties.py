@@ -111,6 +111,29 @@ def test_cocoa_joinable_columns_is_distributed_topk(planted):
         assert "overlap#" not in frag.splitlines()[0]
 
 
+def test_cocoa_joinable_columns_approx_tier(planted):
+    """The opt-in A1 approx tier (HLL++ sketch instead of the per-token
+    distinct expansion): at fixture scale the sketch is exact (sparse /
+    linear-counting regime), so the two tiers must return identical
+    (table_id, col_id, overlap) rows — and the approx plan must carry
+    the sketch aggregate, not a distinct re-shuffle."""
+    from datalake_indexes_spark.operators.cocoa import COCOA
+
+    toks = planted["index"].cells.select(
+        F.col("tokenized").alias("token")
+    ).limit(20)
+    cocoa = COCOA(planted["index"])
+    exact = cocoa.joinable_columns(toks, k_t=5)
+    approx = cocoa.joinable_columns(toks, k_t=5, approx=True)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["table_id"], r["col_id"], r["overlap"]) for r in df.collect()
+    )
+    assert norm(exact) == norm(approx)
+    plan = _plan(approx)
+    assert "approx_count_distinct" in plan
+    assert "count(distinct" not in plan.lower()
+
+
 def test_minhash_band_join_is_equi_join(spark):
     from datalake_indexes_spark.operators.dedup import minhash_lsh_pairs
 
