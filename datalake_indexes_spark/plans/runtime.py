@@ -80,13 +80,24 @@ def runtime_report(df: DataFrame, min_stage_ms: int = 0) -> dict:
     stages out of the skew statistic (a 3 ms stage's 3× "skew" is
     scheduling noise, not data skew).
     """
-    spark = df.sparkSession
+    return runtime_report_of(
+        lambda: df, df.sparkSession, min_stage_ms=min_stage_ms
+    )
+
+
+def runtime_report_of(build, spark, min_stage_ms: int = 0) -> dict:
+    """:func:`runtime_report` for a plan whose CONSTRUCTION runs jobs —
+    iterative operators (connected components, k-means) execute actions
+    while building their result DataFrame, which a profile scoped to the
+    final noop write would miss entirely.  ``build`` is a zero-arg
+    callable returning the DataFrame; both the call and the final write
+    run inside the profiled job group."""
     sc = spark.sparkContext
     tag = f"runtime-report-{uuid.uuid4().hex[:8]}"
     t0 = time.time()
     sc.setJobGroup(tag, "runtime_report", interruptOnCancel=False)
     try:
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
     finally:
         sc.setJobGroup(None, None)
     wall = time.time() - t0

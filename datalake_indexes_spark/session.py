@@ -32,6 +32,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size reducers by BYTES, not by a fixed count: shuffles start at
+        # initialPartitionNum and AQE coalesces to ~advisory-sized (64 MB)
+        # partitions per stage.  With a bare shuffle.partitions=N every
+        # shuffle gets exactly N reducers no matter how big it is — the
+        # round-7 10x exercise caught cocoa_enrich_multicolumn spilling
+        # 12 GB through 32 evenly-loaded reducers whose sort buffers
+        # outgrew their memory share (examples/scale10x_exercise.py).
+        # 8x the base count keeps small stages cheap (AQE coalesces them
+        # right back down) while letting big stages fan out.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, shuffle_partitions * 8)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
