@@ -317,21 +317,35 @@ def payload_body(b: bytes, modality: str) -> bytes:
     return b
 
 
+# Adam7 pass origins and strides: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG pixel decode: chunk walk → IDAT concat → zlib
     inflate → per-scanline unfilter (filter types 0–4 per the PNG spec).
     Returns (width, height, channels, pixel bytes, row-major).
 
     No codec library needed — IDAT is just a zlib stream over filtered
-    scanlines.  Supports non-interlaced grayscale / gray+alpha / RGB /
-    RGBA at 8- and 16-bit depth, and 8-bit palette (color type 3: PLTE
-    lookup, tRNS alpha when present).  16-bit samples are reduced to
-    8-bit by their HIGH byte — the PNG-spec sample depth scaling
-    (``floor(v·255/65535 + 0.5)`` differs from the high byte on no
-    image whose 16-bit samples came from 8-bit sources, and the high
-    byte keeps the unfilter → output path allocation-free).  Sub-byte
-    depths (1/2/4) and Adam7 interlacing raise ``NotImplementedError``
-    with the exact feature named.
+    scanlines.  EVERY valid PNG format decodes: grayscale at depth
+    1/2/4/8/16, gray+alpha / RGB / RGBA at 8/16, palette at 1/2/4/8
+    (PLTE lookup, tRNS alpha when present), both non-interlaced and
+    Adam7-interlaced (seven independently filtered sub-images scattered
+    back onto the pixel grid).  Output samples are always 8-bit:
+    16-bit reduces by its HIGH byte (the spec's
+    ``floor(v·255/65535 + 0.5)`` differs from the high byte on no image
+    whose 16-bit samples came from 8-bit sources, and the high byte
+    keeps the path allocation-free); sub-byte grayscale scales by the
+    exact spec factor 255/(2^depth − 1) — an integer (255/85/17), so
+    scaling is lossless; palette indices are never scaled.
 
     The zlib stream is inflated RAW (``wbits=-15`` after the 2-byte zlib
     header) so the Adler-32 trailer is not VERIFIED — a deliberate
@@ -366,60 +380,96 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + clen
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    if ct not in (0, 2, 3, 4, 6):
-        raise NotImplementedError(
-            f"PNG color type {ct} (gray/gray+alpha/RGB/RGBA/palette only)"
-        )
-    if ct == 3:
-        if bd != 8:
-            raise NotImplementedError(
-                f"PNG palette bit depth {bd} (8-bit indices only)"
-            )
-        if plte is None or len(plte) % 3:
-            raise ValueError("palette PNG missing or malformed PLTE")
-    elif bd not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {bd} (8/16 supported)")
-    if interlace:
-        raise NotImplementedError("Adam7 interlacing not supported")
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if ct not in valid_depths:
+        raise ValueError(f"PNG color type {ct} invalid")
+    if bd not in valid_depths[ct]:
+        raise ValueError(f"PNG bit depth {bd} invalid for color type {ct}")
+    if ct == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing or malformed PLTE")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
-    bpp = channels * (2 if bd == 16 else 1)  # filter offset is BYTES
     raw = zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]))
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG pixel data truncated")
-    out = bytearray()
-    prev = bytes(stride)
-    pos = 0
-    for _ in range(h):
-        ft = raw[pos]
-        pos += 1
-        row = bytearray(raw[pos : pos + stride])
-        pos += stride
-        if ft == 1:  # Sub
-            for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
-                up = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"PNG filter type {ft} invalid")
-        out += row
-        prev = bytes(row)
-    if bd == 16:  # big-endian samples: the high byte is every even offset
-        out = out[0::2]
+    scale = 255 // ((1 << bd) - 1) if (bd < 8 and ct == 0) else 1
+
+    def decode_pass(pos: int, pw: int, ph: int) -> tuple[list[bytes], int]:
+        """Unfilter one (sub)image of pw x ph pixels starting at ``pos``
+        in the inflated stream; returns its rows as 8-bit sample bytes
+        (pw * channels each) plus the new stream position.  The filters
+        run over the PACKED scanline bytes with the spec's byte offset
+        ``bpp = max(1, channels*depth/8)``; bit unpacking and depth
+        scaling happen after."""
+        if pw == 0 or ph == 0:
+            return [], pos
+        stride = (pw * channels * bd + 7) // 8
+        bpp = max(1, (channels * bd) // 8)
+        if len(raw) - pos < ph * (stride + 1):
+            raise ValueError("PNG pixel data truncated")
+        rows: list[bytes] = []
+        prev = bytes(stride)
+        for _ in range(ph):
+            ft = raw[pos]
+            pos += 1
+            row = bytearray(raw[pos : pos + stride])
+            pos += stride
+            if ft == 1:  # Sub
+                for x in range(bpp, stride):
+                    row[x] = (row[x] + row[x - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for x in range(stride):
+                    row[x] = (row[x] + prev[x]) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    left = row[x - bpp] if x >= bpp else 0
+                    row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = row[x - bpp] if x >= bpp else 0
+                    up = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    )
+                    row[x] = (row[x] + pred) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"PNG filter type {ft} invalid")
+            prev = bytes(row)
+            if bd == 16:  # big-endian: the high byte is every even offset
+                rows.append(bytes(row[0::2]))
+            elif bd == 8:
+                rows.append(bytes(row))
+            else:  # 1/2/4-bit: unpack MSB-first, drop row-pad bits
+                mask = (1 << bd) - 1
+                per_byte = 8 // bd
+                samples = bytearray()
+                for byte in row:
+                    for k in range(per_byte - 1, -1, -1):
+                        samples.append(((byte >> (k * bd)) & mask) * scale)
+                rows.append(bytes(samples[: pw * channels]))
+        return rows, pos
+
+    if interlace == 0:
+        rows, _ = decode_pass(0, w, h)
+        out = bytearray().join(rows)
+    else:  # Adam7: seven sub-images scattered back onto the grid
+        grid = [bytearray(w * channels) for _ in range(h)]
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            rows, pos = decode_pass(pos, pw, ph)
+            for j, r in enumerate(rows):
+                y = y0 + j * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    grid[y][x * channels : (x + 1) * channels] = r[
+                        px * channels : (px + 1) * channels
+                    ]
+        out = bytearray().join(bytes(g) for g in grid)
     if ct == 3:  # palette lookup: index -> RGB (+ tRNS alpha if present)
         n_entries = len(plte) // 3
         if out and max(out) >= n_entries:

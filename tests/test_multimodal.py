@@ -377,29 +377,15 @@ class TestPngPixelDecode:
     """The real stdlib decode path: zlib inflate + scanline unfilter."""
 
     @staticmethod
-    def _real_png(w, h, ch, pixels, filters, bd=8, palette=None, trns=None):
-        """Independent PNG encoder: ``pixels`` is the FILTER-INPUT byte
-        stream (8-bit: one byte per sample; 16-bit: big-endian sample
-        pairs; palette: one index byte per pixel with ``ch == 1``)."""
-        import zlib
-
-        def chunk(t, d):
-            return (
-                struct.pack(">I", len(d)) + t + d
-                + struct.pack(">I", zlib.crc32(t + d))
-            )
-
-        ct = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-        ihdr = struct.pack(">IIBBBBB", w, h, bd, ct, 0, 0, 0)
-        bpp = ch * (2 if bd == 16 else 1)
-        stride = w * bpp
+    def _filter_rows(rows, bpp, filters):
+        """Independent implementation of the five PNG filters over
+        packed scanline bytes (one sub-image's worth)."""
         raw = b""
-        prev = bytes(stride)
-        for r in range(h):
-            row = pixels[r * stride:(r + 1) * stride]
+        prev = bytes(len(rows[0])) if rows else b""
+        for r, row in enumerate(rows):
             ft = filters[r % len(filters)]
             enc = bytearray()
-            for x in range(stride):
+            for x in range(len(row)):
                 a = row[x - bpp] if x >= bpp else 0
                 up = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
@@ -419,6 +405,72 @@ class TestPngPixelDecode:
                 enc.append(v)
             raw += bytes([ft]) + bytes(enc)
             prev = row
+        return raw
+
+    @staticmethod
+    def _real_png(w, h, ch, pixels, filters, bd=8, palette=None, trns=None,
+                  interlace=0):
+        """Independent PNG encoder.  ``pixels`` semantics by depth:
+        bd=16 → the big-endian byte stream (2 bytes per sample);
+        bd=8 → one byte per sample; bd<8 → a sequence of sample VALUES
+        in [0, 2^bd) (one per pixel; ch must be 1), packed MSB-first
+        here.  ``interlace=1`` emits Adam7: the seven sub-images are
+        extracted, packed and filtered independently."""
+        import zlib
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        ct = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, bd, ct, 0, 0, 1 if interlace else 0)
+        bytes_pp = 2 if bd == 16 else 1  # input units per sample (bd>=8)
+
+        def pack_row(samples):
+            """One scanline of per-pixel sample units -> packed bytes."""
+            if bd >= 8:
+                return bytes(samples)
+            out = bytearray()
+            acc = nbits = 0
+            for v in samples:
+                acc = (acc << bd) | v
+                nbits += bd
+                if nbits == 8:
+                    out.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                out.append(acc << (8 - nbits))
+            return bytes(out)
+
+        unit = ch * bytes_pp if bd >= 8 else ch  # input units per pixel
+
+        def grid_row(y):
+            return pixels[y * w * unit : (y + 1) * w * unit]
+
+        bpp = max(1, (ch * bd) // 8)
+        if not interlace:
+            rows = [pack_row(grid_row(y)) for y in range(h)]
+            raw = TestPngPixelDecode._filter_rows(rows, bpp, filters)
+        else:
+            raw = b""
+            passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+            for x0, y0, dx, dy in passes:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                rows = []
+                for j in range(ph):
+                    gr = grid_row(y0 + j * dy)
+                    samples = []
+                    for px in range(pw):
+                        x = x0 + px * dx
+                        samples.extend(gr[x * unit : (x + 1) * unit])
+                    rows.append(pack_row(samples))
+                raw += TestPngPixelDecode._filter_rows(rows, bpp, filters)
         extra = b""
         if palette is not None:
             extra += chunk(b"PLTE", palette)
@@ -484,22 +536,125 @@ class TestPngPixelDecode:
                 got = decode_png(self._real_png(w, h, ch, raw, filters, bd=16))
                 assert got == (w, h, ch, raw[0::2]), (ch, filters)
 
-    def test_unsupported_features_named(self):
+    def test_roundtrip_subbyte_gray(self):
+        """1/2/4-bit grayscale: filters run over PACKED bytes (bpp=1),
+        bit unpacking + the exact 255/(2^bd−1) scaling after."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_png
+
+        rng = random.Random(17)
+        for bd, scale in [(1, 255), (2, 85), (4, 17)]:
+            # widths that do AND don't fill the last byte (row padding)
+            for w in (8, 13):
+                h = 9
+                vals = [rng.randrange(1 << bd) for _ in range(w * h)]
+                for filters in ([0], [2], [0, 1, 2, 3, 4]):
+                    got = decode_png(
+                        self._real_png(w, h, 1, vals, filters, bd=bd)
+                    )
+                    assert got == (w, h, 1, bytes(v * scale for v in vals)), (
+                        bd, w, filters,
+                    )
+
+    def test_roundtrip_subbyte_palette(self):
+        """1/2/4-bit palette indices: packed filtering, unscaled indices,
+        PLTE lookup after."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_png
+
+        rng = random.Random(19)
+        for bd in (1, 2, 4):
+            n_entries = 1 << bd
+            plte = bytes(rng.randrange(256) for _ in range(n_entries * 3))
+            w, h = 13, 6
+            idx = [rng.randrange(n_entries) for _ in range(w * h)]
+            got = decode_png(
+                self._real_png(w, h, 1, idx, [0, 1, 2, 3, 4], bd=bd, palette=plte)
+            )
+            exp = b"".join(plte[3 * v : 3 * v + 3] for v in idx)
+            assert got == (w, h, 3, exp), bd
+
+    def test_adam7_pass_table_matches_spec(self):
+        """The pass table must PARTITION the pixel grid and reproduce the
+        spec's 8x8 pass-number pattern — a roundtrip can't catch a wrong
+        table because the test encoder shares it."""
+        from datalake_indexes_spark.operators.multimodal import _ADAM7
+
+        spec = [
+            "16462646",
+            "77777777",
+            "56565656",
+            "77777777",
+            "36463646",
+            "77777777",
+            "56565656",
+            "77777777",
+        ]
+        grid = [[0] * 8 for _ in range(8)]
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+            for y in range(y0, 8, dy):
+                for x in range(x0, 8, dx):
+                    assert grid[y][x] == 0, "pass table double-covers a pixel"
+                    grid[y][x] = p
+        assert ["".join(map(str, row)) for row in grid] == spec
+
+    def test_roundtrip_adam7(self):
+        """Adam7: seven independently filtered sub-images scatter back to
+        the full grid — every color mode, including dims < 8 where some
+        passes are empty."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_png
+
+        rng = random.Random(23)
+        for w, h in [(13, 9), (16, 8), (3, 2), (1, 1), (8, 5)]:
+            for ch in (1, 2, 3, 4):
+                pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+                got = decode_png(
+                    self._real_png(w, h, ch, pixels, [0, 1, 2, 3, 4], interlace=1)
+                )
+                assert got == (w, h, ch, pixels), (w, h, ch)
+        # 16-bit + Adam7 (high-byte reduction after per-pass unfilter)
+        raw = bytes(rng.randrange(256) for _ in range(13 * 9 * 3 * 2))
+        got = decode_png(
+            self._real_png(13, 9, 3, raw, [4, 3], bd=16, interlace=1)
+        )
+        # expected: high byte of each pixel's samples, in grid order
+        exp = raw[0::2]
+        assert got == (13, 9, 3, exp)
+        # sub-byte + Adam7 (packed per-pass scanlines)
+        vals = [rng.randrange(4) for _ in range(13 * 9)]
+        got = decode_png(
+            self._real_png(13, 9, 1, vals, [2, 0, 1], bd=2, interlace=1)
+        )
+        assert got == (13, 9, 1, bytes(v * 85 for v in vals))
+        # palette + Adam7
+        plte = bytes(rng.randrange(256) for _ in range(16 * 3))
+        idx = [rng.randrange(16) for _ in range(13 * 9)]
+        got = decode_png(
+            self._real_png(13, 9, 1, idx, [1, 4], bd=4, palette=plte, interlace=1)
+        )
+        assert got == (13, 9, 3, b"".join(plte[3 * v : 3 * v + 3] for v in idx))
+
+    def test_invalid_formats_named(self):
         import pytest
 
         from datalake_indexes_spark.operators.multimodal import decode_png
 
-        png = bytearray(self._real_png(4, 4, 1, bytes(16), [0]))
-        png[24] = 4  # bit depth byte inside IHDR: sub-byte still gated
-        with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_png(bytes(png))
         with pytest.raises(ValueError, match="signature"):
             decode_png(b"GIF89a")
-        # palette with a sub-byte index depth stays gated too
+        # RGB at sub-byte depth is not a valid PNG combination
+        png = bytearray(self._real_png(4, 4, 3, bytes(48), [0]))
+        png[24] = 4  # bit depth byte inside IHDR
+        with pytest.raises(ValueError, match="invalid for color type"):
+            decode_png(bytes(png))
+        # 16-bit palette indices don't exist either
         plte = bytes(range(48))
         png = bytearray(self._real_png(4, 4, 1, bytes(16), [0], palette=plte))
-        png[24] = 4
-        with pytest.raises(NotImplementedError, match="palette bit depth"):
+        png[24] = 16
+        with pytest.raises(ValueError, match="invalid for color type"):
             decode_png(bytes(png))
         # palette index beyond the 16-entry PLTE is data corruption
         png = self._real_png(2, 2, 1, bytes([0, 1, 2, 20]), [0], palette=plte)
@@ -664,39 +819,42 @@ def test_decode_png_hypothesis_roundtrip():
     """Property fuzz: arbitrary dims/pixels under a per-row random
     filter assignment round-trip through the real decoder (the encode
     side is an independent implementation of the PNG filters) — every
-    supported mode: gray/GA/RGB/RGBA at 8 and 16 bit, palette with and
-    without tRNS."""
+    valid mode: gray at 1/2/4/8/16 bit, GA/RGB/RGBA at 8/16, palette at
+    1/2/4/8 with and without tRNS, non-interlaced AND Adam7."""
     from hypothesis import given, settings, strategies as st
 
     from datalake_indexes_spark.operators.multimodal import decode_png
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=80, deadline=None)
     @given(
         st.integers(1, 12),      # width
-        st.integers(1, 8),       # height
+        st.integers(1, 10),      # height
         st.sampled_from(
-            [(ch, bd) for ch in (1, 2, 3, 4) for bd in (8, 16)] + [("p", 8), ("pt", 8)]
+            [(ch, bd) for ch in (1, 2, 3, 4) for bd in (8, 16)]
+            + [(1, bd) for bd in (1, 2, 4)]
+            + [("p", bd) for bd in (1, 2, 4, 8)]
+            + [("pt", 8)]
         ),
+        st.booleans(),           # Adam7
         st.data(),
     )
-    def check(w, h, mode, data):
+    def check(w, h, mode, adam7, data):
         ch, bd = mode
-        filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        interlace = 1 if adam7 else 0
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=max(h, 1), max_size=max(h, 1))
+        )
         byte = st.integers(0, 255)
         if ch in ("p", "pt"):
-            n_entries = data.draw(st.integers(1, 256))
+            n_entries = data.draw(st.integers(1, 1 << bd))
             plte = bytes(
                 data.draw(
                     st.lists(byte, min_size=n_entries * 3, max_size=n_entries * 3)
                 )
             )
-            idx = bytes(
-                data.draw(
-                    st.lists(
-                        st.integers(0, n_entries - 1),
-                        min_size=w * h,
-                        max_size=w * h,
-                    )
+            idx = data.draw(
+                st.lists(
+                    st.integers(0, n_entries - 1), min_size=w * h, max_size=w * h
                 )
             )
             trns = None
@@ -706,7 +864,8 @@ def test_decode_png_hypothesis_roundtrip():
                     data.draw(st.lists(byte, min_size=n_trns, max_size=n_trns))
                 )
             png = TestPngPixelDecode._real_png(
-                w, h, 1, idx, filters, palette=plte, trns=trns
+                w, h, 1, idx if bd < 8 else bytes(idx), filters,
+                bd=bd, palette=plte, trns=trns, interlace=interlace,
             )
             if trns is None:
                 exp = (3, b"".join(plte[3 * v : 3 * v + 3] for v in idx))
@@ -721,9 +880,21 @@ def test_decode_png_hypothesis_roundtrip():
                 )
             assert decode_png(png) == (w, h, *exp)
             return
+        if bd < 8:  # sub-byte grayscale: values in [0, 2^bd)
+            vals = data.draw(
+                st.lists(st.integers(0, (1 << bd) - 1), min_size=w * h, max_size=w * h)
+            )
+            png = TestPngPixelDecode._real_png(
+                w, h, 1, vals, filters, bd=bd, interlace=interlace
+            )
+            scale = 255 // ((1 << bd) - 1)
+            assert decode_png(png) == (w, h, 1, bytes(v * scale for v in vals))
+            return
         n = w * h * ch * (2 if bd == 16 else 1)
         pixels = bytes(data.draw(st.lists(byte, min_size=n, max_size=n)))
-        png = TestPngPixelDecode._real_png(w, h, ch, pixels, filters, bd=bd)
+        png = TestPngPixelDecode._real_png(
+            w, h, ch, pixels, filters, bd=bd, interlace=interlace
+        )
         expected = pixels[0::2] if bd == 16 else pixels
         assert decode_png(png) == (w, h, ch, expected)
 
