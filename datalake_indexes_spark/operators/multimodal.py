@@ -488,14 +488,24 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     return int(w), int(h), channels, bytes(out)
 
 
-def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
-    """Pure-stdlib WAV sample decode: chunk walk → 16-bit PCM LE frames.
-    Returns (sample_rate, n_channels, samples as signed ints, channel-
-    interleaved).  PCM needs no codec library — the data chunk IS the
-    samples; compressed formats (format codes other than 1) and other
-    bit depths raise ``NotImplementedError`` naming the feature.  A
-    trailing odd byte (half a sample) is ignored, the standard reader
-    behavior for a truncated final frame."""
+def decode_wav(b: bytes) -> tuple[int, int, list]:
+    """Pure-stdlib WAV sample decode: chunk walk → LE frames.  Returns
+    (sample_rate, n_channels, samples, channel-interleaved).  The whole
+    uncompressed family decodes — no codec library needed, the data
+    chunk IS the samples:
+
+    - integer PCM (format code 1) at 8/16/24/32 bit.  8-bit WAV is
+      UNSIGNED by spec; it is recentred to signed (v − 128) so every
+      integer width shares the signed-around-zero convention readers
+      expect.  24-bit frames are sign-extended by hand (no struct code).
+    - IEEE float (format code 3) at 32/64 bit — samples come back as
+      Python floats in their native [−1, 1] domain, not rescaled.
+    - WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
+      tag to either of the above.
+
+    Truly compressed codings (ADPCM, MP3, …) raise
+    ``NotImplementedError`` naming the format code.  A trailing partial
+    frame is ignored, the standard reader behavior for truncation."""
     if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     fmt_code = ch = rate = bits = None
@@ -508,18 +518,47 @@ def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
         if cid == b"fmt " and len(body) >= 16:
             fmt_code, ch, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code == 0xFFFE and len(body) >= 26:
+                # EXTENSIBLE: the real coding is the SubFormat GUID's
+                # leading 16-bit tag (offset 24 of the fmt body)
+                fmt_code = struct.unpack("<H", body[24:26])[0]
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)
     if fmt_code is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    data = bytes(data)
+    if fmt_code == 3:  # IEEE float
+        if bits not in (32, 64):
+            raise ValueError(f"WAV float bit depth {bits} invalid (32/64)")
+        width = bits // 8
+        n = len(data) // width
+        return (
+            int(rate),
+            int(ch),
+            list(struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * width])),
+        )
     if fmt_code != 1:
-        raise NotImplementedError(f"WAV format code {fmt_code} (PCM only)")
-    if bits != 16:
-        raise NotImplementedError(f"WAV bit depth {bits} (16-bit only)")
-    n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", bytes(data[: 2 * n])))
-    return int(rate), int(ch), samples
+        raise NotImplementedError(
+            f"WAV format code {fmt_code} (PCM/float only; compressed codings "
+            "need an audio codec library)"
+        )
+    if bits == 8:  # unsigned by spec -> recentred signed
+        return int(rate), int(ch), [v - 128 for v in data]
+    if bits == 16:
+        n = len(data) // 2
+        return int(rate), int(ch), list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    if bits == 24:  # no struct code: assemble + sign-extend by hand
+        n = len(data) // 3
+        samples = []
+        for j in range(n):
+            v = data[3 * j] | (data[3 * j + 1] << 8) | (data[3 * j + 2] << 16)
+            samples.append(v - (1 << 24) if v & 0x800000 else v)
+        return int(rate), int(ch), samples
+    if bits == 32:
+        n = len(data) // 4
+        return int(rate), int(ch), list(struct.unpack(f"<{n}i", data[: 4 * n]))
+    raise ValueError(f"WAV PCM bit depth {bits} invalid (8/16/24/32)")
 
 
 def decode_payload(payload: bytes, modality: str):

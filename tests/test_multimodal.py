@@ -718,44 +718,98 @@ class TestPngPixelDecode:
 class TestWavSampleDecode:
     """The real stdlib PCM decode path."""
 
+    @staticmethod
+    def _wav(fmt_code, ch, rate, bits, data, extensible=False):
+        if extensible:
+            # fmt body: WAVE_FORMAT_EXTENSIBLE + cbSize(22) + validBits +
+            # channelMask + SubFormat GUID whose leading u16 is the code
+            body = struct.pack(
+                "<HHIIHHHHI", 0xFFFE, ch, rate, rate * ch * bits // 8,
+                ch * bits // 8, bits, 22, bits, 0,
+            ) + struct.pack("<H", fmt_code) + bytes(14)
+        else:
+            body = struct.pack(
+                "<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8,
+                ch * bits // 8, bits,
+            )
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(body) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
     def test_roundtrip_against_stdlib_wave_writer(self, tmp_path):
-        """A WAV written by Python's own `wave` module (real canonical
-        PCM file) decodes to the exact samples, mono and stereo."""
+        """WAVs written by Python's own `wave` module (real canonical
+        PCM files) decode to the exact samples at EVERY integer width it
+        writes (8 unsigned / 16 / 24 / 32), mono and stereo."""
         import io
         import wave
 
         from datalake_indexes_spark.operators.multimodal import decode_wav
 
-        for ch in (1, 2):
-            samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7] * ch
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as w:
-                w.setnchannels(ch)
-                w.setsampwidth(2)
-                w.setframerate(22050)
-                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
-            rate, got_ch, got = decode_wav(buf.getvalue())
-            assert (rate, got_ch, got) == (22050, ch, samples)
+        cases = {
+            1: ([0, 1, 255, 128, 7], lambda s: bytes(s), lambda s: [v - 128 for v in s]),
+            2: (
+                [0, 1, -1, 32767, -32768, 12345, -12345, 7],
+                lambda s: struct.pack(f"<{len(s)}h", *s),
+                lambda s: s,
+            ),
+            3: (
+                [0, 1, -1, 8388607, -8388608, 123456, -123456],
+                lambda s: b"".join(
+                    (v & 0xFFFFFF).to_bytes(3, "little") for v in s
+                ),
+                lambda s: s,
+            ),
+            4: (
+                [0, 1, -1, 2147483647, -2147483648, 1234567, -7],
+                lambda s: struct.pack(f"<{len(s)}i", *s),
+                lambda s: s,
+            ),
+        }
+        for width, (base, pack, expect) in cases.items():
+            for ch in (1, 2):
+                samples = base * ch
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(width)
+                    w.setframerate(22050)
+                    w.writeframes(pack(samples))
+                rate, got_ch, got = decode_wav(buf.getvalue())
+                assert (rate, got_ch, got) == (22050, ch, expect(samples)), width
+
+    def test_float_and_extensible(self):
+        """IEEE-float WAV (format 3, 32/64-bit) returns native floats;
+        WAVE_FORMAT_EXTENSIBLE resolves through its SubFormat tag."""
+        from datalake_indexes_spark.operators.multimodal import decode_wav
+
+        vals = [0.0, 1.0, -1.0, 0.25, -0.3125]
+        f32 = self._wav(3, 1, 48000, 32, struct.pack("<5f", *vals))
+        assert decode_wav(f32) == (48000, 1, vals)
+        f64 = self._wav(3, 1, 8000, 64, struct.pack("<5d", *vals))
+        assert decode_wav(f64) == (8000, 1, vals)
+        # extensible wrapping PCM-16 and float-32
+        pcm = self._wav(1, 2, 44100, 16, struct.pack("<4h", 5, -5, 700, -700),
+                        extensible=True)
+        assert decode_wav(pcm) == (44100, 2, [5, -5, 700, -700])
+        fx = self._wav(3, 1, 16000, 32, struct.pack("<2f", 0.5, -0.5),
+                       extensible=True)
+        assert decode_wav(fx) == (16000, 1, [0.5, -0.5])
 
     def test_unsupported_features_named(self):
         import pytest
 
         from datalake_indexes_spark.operators.multimodal import decode_wav
 
-        # 8-bit PCM header
-        hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-               + b"fmt " + struct.pack("<I", 16)
-               + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
-               + b"data" + struct.pack("<I", 0))
-        with pytest.raises(NotImplementedError, match="bit depth"):
-            decode_wav(hdr)
-        # mu-law format code
-        hdr2 = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-                + b"fmt " + struct.pack("<I", 16)
-                + struct.pack("<HHIIHH", 7, 1, 8000, 8000, 2, 16)
-                + b"data" + struct.pack("<I", 0))
+        # mu-law format code stays gated (a real codec)
         with pytest.raises(NotImplementedError, match="format code"):
-            decode_wav(hdr2)
+            decode_wav(self._wav(7, 1, 8000, 16, b""))
+        # nonsense PCM width is data corruption, not a gate
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_wav(self._wav(1, 1, 8000, 12, b""))
+        with pytest.raises(ValueError, match="float bit depth"):
+            decode_wav(self._wav(3, 1, 8000, 16, b""))
 
     def test_fixture_roundtrip_via_spark(self, spark):
         from datalake_indexes_spark.operators.multimodal import (
@@ -902,8 +956,9 @@ def test_decode_png_hypothesis_roundtrip():
 
 
 def test_decode_wav_hypothesis_roundtrip():
-    """Property fuzz: arbitrary 16-bit samples/channel counts round-trip
-    through the stdlib-wave-written container."""
+    """Property fuzz: arbitrary samples/channel counts at every integer
+    width the stdlib `wave` module writes (8 unsigned / 16 / 24 / 32)
+    round-trip through the written container."""
     import io
     import wave
 
@@ -911,20 +966,28 @@ def test_decode_wav_hypothesis_roundtrip():
 
     from datalake_indexes_spark.operators.multimodal import decode_wav
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=60, deadline=None)
     @given(
         st.integers(1, 3),
         st.integers(8000, 48000),
-        st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+        st.sampled_from([1, 2, 3, 4]),
+        st.data(),
     )
-    def check(ch, rate, samples):
+    def check(ch, rate, width, data):
+        lo, hi = (0, 255) if width == 1 else (
+            -(1 << (8 * width - 1)), (1 << (8 * width - 1)) - 1
+        )
+        samples = data.draw(st.lists(st.integers(lo, hi), min_size=0, max_size=120))
         samples = samples[: len(samples) - len(samples) % ch]
+        mask = (1 << (8 * width)) - 1
+        frames = b"".join((v & mask).to_bytes(width, "little") for v in samples)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wv:
             wv.setnchannels(ch)
-            wv.setsampwidth(2)
+            wv.setsampwidth(width)
             wv.setframerate(rate)
-            wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
-        assert decode_wav(buf.getvalue()) == (rate, ch, samples)
+            wv.writeframes(frames)
+        expect = [v - 128 for v in samples] if width == 1 else samples
+        assert decode_wav(buf.getvalue()) == (rate, ch, expect)
 
     check()
