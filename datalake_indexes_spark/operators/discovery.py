@@ -888,6 +888,57 @@ def pseudonymize_columns(
     return out
 
 
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """One-row release audit for a prospective data publication: group
+    by the quasi-identifier combination and report what anonymity the
+    release ACTUALLY has — the governance check between
+    :func:`pseudonymize_columns` (which hides direct identifiers) and
+    the decision to ship (quasi-identifiers can still re-identify via
+    linkage; Sweeney 2002).
+
+    Columns: ``k_required`` (the policy), ``n_rows``, ``n_groups``,
+    ``k_anonymity`` (min equivalence-class size — the k the release
+    satisfies), ``n_rows_below_k`` / ``frac_rows_below_k`` (re-identify-
+    able exposure under the policy), and, when ``sensitive_col`` is
+    given, ``l_diversity`` (min distinct sensitive values within any
+    class — k-anonymous classes with one sensitive value still leak it;
+    Machanavajjhala 2007).
+
+    NULL quasi-values form their own class (they are real, linkable
+    values to an adversary).  Scale shape: ONE map-side-combinable
+    groupBy over the quasi columns, then one aggregate over the class
+    table (class-count-sized, not data-sized); ``frac_rows_below_k`` is
+    a single IEEE division of exact longs — bit-stable cross-engine.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("__l"))
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out_aggs = [
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__n").cast("long").alias("k_anonymity"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, F.col("__n"))), F.lit(0)
+        ).cast("long").alias("n_rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(F.min("__l").cast("long").alias("l_diversity"))
+    rep = classes.agg(*out_aggs).select(
+        F.lit(int(k)).cast("long").alias("k_required"),
+        "*",
+    )
+    return rep.withColumn(
+        "frac_rows_below_k",
+        F.col("n_rows_below_k").cast("double") / F.col("n_rows").cast("double"),
+    )
+
+
 def shuffle_skew_report(
     df: DataFrame, key_cols: list[str], round_to: int = 4
 ) -> DataFrame:

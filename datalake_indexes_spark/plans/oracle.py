@@ -4491,6 +4491,30 @@ WHERE l_orderkey IN (
 """
 
 
+def governance_k_anonymity_sql(k: int = 5) -> str:
+    """Twin of :func:`..operators.discovery.k_anonymity_report` over
+    customer with the (c_nationkey, c_mktsegment) quasi-identifier and
+    c_acctbal sensitive.  frac is one IEEE division of exact longs."""
+    return f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST({int(k)} AS BIGINT) AS k_required,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n) AS BIGINT) AS k_anonymity,
+       CAST(coalesce(sum(CASE WHEN n < {int(k)} THEN n END), 0) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(min(l) AS BIGINT) AS l_diversity,
+       CAST(coalesce(sum(CASE WHEN n < {int(k)} THEN n END), 0) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS frac_rows_below_k
+FROM cls
+"""
+
+
 def governance_pseudonymize_sql(secret: str, prefix_len: int = 16) -> str:
     """Twin of :func:`..operators.discovery.pseudonymize_columns` over
     customer (c_custkey, c_name pseudonymized)."""

@@ -1666,6 +1666,17 @@ def q_governance_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit: k-anonymity + l-diversity of customer under the
+    (c_nationkey, c_mktsegment) quasi-identifier, c_acctbal sensitive."""
+    from datalake_indexes_spark.operators.discovery import k_anonymity_report
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal"
+    )
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams."""
     from datalake_indexes_spark.operators.events import event_transitions
@@ -3326,6 +3337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_item_pairs": q_events_item_pairs,
     "fk_sample": q_fk_sample,
     "governance_pseudonymize": q_governance_pseudonymize,
+    "governance_k_anonymity": q_governance_k_anonymity,
     "corpus_delivery": q_corpus_delivery,
     "skew_report": q_skew_report,
     "text_compressibility": q_text_compressibility,
@@ -3599,6 +3611,7 @@ WHERE rn = 1
     "events_item_pairs": oracle.events_item_pairs_sql(min_support=2),
     "fk_sample": oracle.fk_sample_sql(fraction=0.1),
     "governance_pseudonymize": oracle.governance_pseudonymize_sql(GOV_PSEUDO_SECRET),
+    "governance_k_anonymity": oracle.governance_k_anonymity_sql(k=5),
     "corpus_delivery": oracle.corpus_delivery_sql(n_shards=8),
     "skew_report": oracle.skew_report_sql(),
     "corpus_data_card": oracle.corpus_data_card_sql(),

@@ -550,3 +550,35 @@ class TestJoinPaths:
         deps = self._deps(spark, [(0, 0, 1, 0, 1.0)])
         with pytest.raises(ValueError, match="max_hops"):
             join_paths(deps, 0, 1, max_hops=0)
+
+
+class TestKAnonymityReport:
+    def test_planted_classes(self, spark):
+        """Known equivalence classes: sizes 3/2/1 with a NULL quasi class
+        of its own, and one class whose sensitive value never varies."""
+        from datalake_indexes_spark.operators.discovery import k_anonymity_report
+
+        rows = [
+            # class (a, x): 3 rows, sensitive {10, 10, 20} -> l = 2
+            ("a", "x", 10), ("a", "x", 10), ("a", "x", 20),
+            # class (a, y): 2 rows, one sensitive value -> l = 1
+            ("a", "y", 5), ("a", "y", 5),
+            # class (NULL, x): its own class, 1 row -> k_anonymity = 1
+            (None, "x", 7),
+        ]
+        df = spark.createDataFrame(rows, "q1 string, q2 string, s long")
+        r = k_anonymity_report(df, ["q1", "q2"], k=2, sensitive_col="s").collect()[0]
+        assert (r.k_required, r.n_rows, r.n_groups) == (2, 6, 3)
+        assert r.k_anonymity == 1          # the NULL singleton class
+        assert r.n_rows_below_k == 1
+        assert r.l_diversity == 1          # the (a, y) class leaks s
+        assert r.frac_rows_below_k == 1 / 6
+
+    def test_without_sensitive_and_all_safe(self, spark):
+        from datalake_indexes_spark.operators.discovery import k_anonymity_report
+
+        rows = [("a", 1)] * 4 + [("b", 2)] * 5
+        df = spark.createDataFrame(rows, "q string, v long")
+        r = k_anonymity_report(df, ["q"], k=3).collect()[0]
+        assert (r.k_anonymity, r.n_rows_below_k, r.frac_rows_below_k) == (4, 0, 0.0)
+        assert "l_diversity" not in r.asDict()
