@@ -488,6 +488,295 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     return int(w), int(h), channels, bytes(out)
 
 
+def _zigzag_order() -> list[int]:
+    """The 64 natural-order indices in JPEG zigzag sequence, generated by
+    the diagonal walk (no transcribed table to typo)."""
+    order = []
+    for s in range(15):
+        if s % 2 == 0:
+            for y in range(min(s, 7), max(0, s - 7) - 1, -1):
+                order.append(y * 8 + (s - y))
+        else:
+            for x in range(min(s, 7), max(0, s - 7) - 1, -1):
+                order.append((s - x) * 8 + x)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment: unstuffs
+    0xFF00, stops at any other marker, byte-aligns across restarts."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("JPEG entropy data truncated")
+            byte = self.d[self.i]
+            if byte == 0xFF:
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else None
+                if nxt != 0x00:  # a real marker: no more entropy bits here
+                    raise ValueError("JPEG entropy data truncated at marker")
+                self.i += 2
+            else:
+                self.i += 1
+            self.buf = byte
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG invalid Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.n = 0
+        if (
+            self.i + 2 > len(self.d)
+            or self.d[self.i] != 0xFF
+            or not 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            raise ValueError("JPEG missing restart marker")
+        self.i += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG magnitude decoding (spec EXTEND): t-bit value -> signed."""
+    if t and v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
+    """Pure stdlib+numpy baseline JPEG pixel decode: marker walk → DQT /
+    DHT / SOF0-1 / DRI / SOS → per-MCU Huffman entropy decode →
+    dequantize → dezigzag → 8x8 IDCT (one numpy matrix triple-product
+    per block) → level shift → sample-replication chroma upsample →
+    JFIF YCbCr→RGB.  Returns (width, height, channels, pixel bytes,
+    row-major interleaved) — the same contract as :func:`decode_png`.
+
+    Supports baseline and extended-sequential Huffman JPEG (SOF0/SOF1),
+    grayscale and 3-component YCbCr at any integer sampling ratio
+    (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), 8/16-bit quant tables, restart
+    intervals.  Progressive (SOF2), hierarchical, arithmetic-coded and
+    lossless SOFs, 12-bit precision and 4-component (CMYK) scans raise
+    ``NotImplementedError`` naming the feature.  A DC-only block (flat
+    8x8 tile) decodes BIT-EXACTLY (the IDCT of a lone DC term is the
+    constant DC/8, exact in doubles), which is what lets the planted
+    fixture's DuckDB twin recompute pixel stats straight from text.
+    """
+    import numpy as np
+
+    if len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[dict] | None = None
+    w = h = None
+    ri = 0
+    i = 2
+    while i + 2 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if i + 4 > len(b):
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        seg = bytes(b[i + 4 : i + 2 + seglen])
+        if marker == 0xDB:  # DQT (one or more tables)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:  # 16-bit table
+                    vals = list(struct.unpack(">64H", seg[j : j + 128]))
+                    j += 128
+                else:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):  # baseline / ext. sequential Huffman
+            if seg[0] != 8:
+                raise NotImplementedError(f"JPEG precision {seg[0]} (8 only)")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG {nc}-component scan (grayscale/YCbCr only)"
+                )
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 15,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} coding (baseline/ext-sequential only)"
+            )
+        elif marker == 0xC4:  # DHT (one or more tables)
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = seg[j + 17 : j + 17 + nvals]
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                j += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — decode the scan and return
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError("JPEG multi-scan file")
+            tabs = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                tabs[cs] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+            return _decode_jpeg_scan(
+                np, b, i + 2 + seglen, w, h, comps, tabs, qt, huff, ri
+            )
+        i += 2 + seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError("JPEG non-integer chroma sampling ratio")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # IDCT basis: M[x, u] = c(u)/2 * cos((2x+1) u pi / 16)
+    u = np.arange(8)
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    m[:, 0] *= 1 / np.sqrt(2.0)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    quant = []
+    dc_tbl = []
+    ac_tbl = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing quantization table")
+        quant.append(qt[c["tq"]])
+        td, ta = tabs[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG missing Huffman table")
+        dc_tbl.append(huff[(0, td)])
+        ac_tbl.append(huff[(1, ta)])
+    reader = _JpegBitReader(b, pos)
+    pred = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if ri and mcu and mcu % ri == 0:
+            reader.restart()
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, dtype=np.float64)
+                    t = reader.decode(dc_tbl[ci])
+                    pred[ci] += _extend(reader.receive(t), t)
+                    blk[0] = pred[ci] * quant[ci][0]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(ac_tbl[ci])
+                        if rs == 0x00:  # EOB
+                            break
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        blk[_ZIGZAG[k]] = (
+                            _extend(reader.receive(s), s) * quant[ci][k]
+                        )
+                        k += 1
+                    spatial = m @ blk.reshape(8, 8) @ m.T + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+        # blk[0] holds the DC in NATURAL position 0 == zigzag 0: quant[ci][k]
+        # above indexes the quant table in ZIGZAG order, matching DQT layout
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:  # sample replication (box) upsample
+            p = p.repeat(fy, axis=0).repeat(fx, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return int(w), int(h), 1, out.tobytes()
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            yy + 1.402 * cr,
+            yy - 0.344136 * cb - 0.714136 * cr,
+            yy + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return int(w), int(h), 3, out.tobytes()
+
+
 def decode_wav(b: bytes) -> tuple[int, int, list]:
     """Pure-stdlib WAV sample decode: chunk walk → LE frames.  Returns
     (sample_rate, n_channels, samples, channel-interleaved).  The whole
@@ -561,15 +850,139 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     raise ValueError(f"WAV PCM bit depth {bits} invalid (8/16/24/32)")
 
 
+# ---- JPEG fixture tables: Annex K luminance DC (multi-length, public
+# spec constants) + a fixed-8-bit canonical AC table over the full
+# (run, size) symbol set — valid DHT payloads the generic decoder reads
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = bytes(range(12))
+_JPEG_AC_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_VALS)] + [0] * 8
+
+
+def _huffman_encode_table(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), inverse of :func:`_build_huffman`."""
+    return {sym: (code, ln) for (ln, code), sym in _build_huffman(bits, vals).items()}
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def flat_gray_jpeg(values, tiles_w: int, tiles_h: int) -> bytes:
+    """A REAL baseline JPEG whose 8x8 tiles are flat gray values — one
+    value per tile, row-major.  Flat tiles are DC-only blocks, which
+    :func:`decode_jpeg` reproduces BIT-EXACTLY (quant table of ones, DC
+    = 8·(v−128), IDCT of a lone DC = DC/8), so the planted pixel source
+    survives the full entropy-decode → IDCT path untouched and a DuckDB
+    twin can recompute stats from the source text."""
+    assert len(values) == tiles_w * tiles_h
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob_code = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00]
+    wtr = _JpegBitWriter()
+    pred = 0
+    for v in values:
+        dc = 8 * (int(v) - 128)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        wtr.put(*dc_enc[t])
+        if t:
+            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wtr.put(*eob_code)
+    entropy = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, tiles_h * 8, tiles_w * 8, 1)
+            + bytes([1, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+JPEG_TILES_W, JPEG_TILES_H = 16, 4  # 128x32 px: 64 tiles = 64 text bytes
+
+
+def attach_real_jpeg(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL baseline JPEG whose 64
+    flat 8x8 tiles carry the doc's first 64 printable-ASCII text bytes
+    space-padded (the same planted-pixel contract as
+    :func:`attach_real_png`, through the JPEG entropy/IDCT path).  The
+    container is built in an Arrow-batched UDF — a Huffman bitstream is
+    a sequential bit fold, not a native-expression shape — but the
+    PIXEL SOURCE stays the text, so the oracle never parses a JPEG."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tiles = JPEG_TILES_W * JPEG_TILES_H
+
+    @pandas_udf("binary")
+    def _jpeg(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        def build(text: str) -> bytes:
+            clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
+            vals = clean[:n_tiles].ljust(n_tiles).encode()
+            return flat_gray_jpeg(list(vals), JPEG_TILES_W, JPEG_TILES_H)
+
+        return texts.map(build)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _jpeg(F.col(text_col)).alias("payload")
+    )
+
+
+def decode_image(b: bytes) -> tuple[int, int, int, bytes]:
+    """Container dispatch for full pixel decode: PNG or baseline JPEG."""
+    if bytes(b[:8]) == _PNG_SIG:
+        return decode_png(b)
+    if bytes(b[:2]) == b"\xff\xd8":
+        return decode_jpeg(b)
+    raise ValueError("unrecognized image container (PNG/JPEG pixel decode)")
+
+
 def decode_payload(payload: bytes, modality: str):
-    """Full pixel/sample decode.  The IMAGE and (PCM) AUDIO paths are
-    real since round 6 — :func:`decode_png` (zlib inflate + scanline
-    unfilter) and :func:`decode_wav` (16-bit PCM frames), both pure
-    stdlib.  Compressed audio and video frame decode still need a codec
-    library (soundfile / av), absent in this environment; those paths
-    stay gated behind an import probe with an actionable error."""
+    """Full pixel/sample decode.  The IMAGE and AUDIO paths are real —
+    :func:`decode_png` (every valid PNG format), :func:`decode_jpeg`
+    (baseline/extended-sequential Huffman) and :func:`decode_wav` (the
+    whole uncompressed family), stdlib + numpy.  Compressed audio and
+    video frame decode still need a codec library (soundfile / av),
+    absent in this environment; those paths stay gated behind an import
+    probe with an actionable error."""
     if modality == "image":
-        return decode_png(bytes(payload))
+        return decode_image(bytes(payload))
     if modality == "audio":
         b = bytes(payload)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -929,7 +1342,7 @@ def image_pixel_stats(
         rows = []
         for p in payloads:
             try:
-                w, h, ch, pix = decode_png(bytes(p))
+                w, h, ch, pix = decode_image(bytes(p))
                 rows.append(
                     (w, h, ch, int(sum(pix)), int(min(pix)), int(max(pix)))
                 )

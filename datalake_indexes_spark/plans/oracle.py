@@ -1947,6 +1947,44 @@ FROM b JOIN s USING (doc_id) GROUP BY b.doc_id, s.nch
 """
 
 
+def multimodal_jpeg_pixel_stats_sql() -> str:
+    """Twin of ``image_pixel_stats(attach_real_jpeg(documents))`` — the
+    engine Huffman-decodes + IDCTs a REAL baseline JPEG whose 64 flat
+    8x8 tiles are the first 64 printable-ASCII text chars; flat tiles
+    decode bit-exactly, so the oracle recomputes the stats straight
+    from ``text``.  Each byte fills a 64-px tile: px_sum = 64·Σv and
+    the mean (64·Σv)/4096 is a dyadic quotient — exact on both
+    engines, no rounding step."""
+    from datalake_indexes_spark.operators.multimodal import (
+        JPEG_TILES_H,
+        JPEG_TILES_W,
+    )
+
+    n_tiles = JPEG_TILES_W * JPEG_TILES_H
+    w, h = JPEG_TILES_W * 8, JPEG_TILES_H * 8
+    n_px = w * h
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         rpad(regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g'),
+              {n_tiles}, ' ') AS px
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ord(c) AS v
+  FROM (SELECT doc_id, unnest(string_split(px, '')) AS c FROM s)
+)
+SELECT doc_id,
+       CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height,
+       CAST({n_px} AS INT) AS n_px,
+       CAST(min(v) AS INT) AS px_min,
+       CAST(max(v) AS INT) AS px_max,
+       CAST(sum(v) * 64 AS DOUBLE) / {n_px} AS px_mean
+FROM b GROUP BY doc_id
+"""
+
+
 def multimodal_sample_stats_sql() -> str:
     """Twin of ``audio_sample_stats(attach_real_wav(documents))`` — the
     engine unpacks real 16-bit PCM frames; the oracle recomputes the

@@ -1299,6 +1299,21 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(gray.unionByName(pal))
 
 
+def q_multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end: every doc gets a genuine baseline
+    JPEG (Huffman entropy coding, DQT/DHT/SOF0/SOS framing) whose 64
+    flat 8x8 tiles are its first 64 text bytes; the engine Huffman-
+    decodes, dequantizes and runs the IDCT with the pure stdlib+numpy
+    :func:`multimodal.decode_jpeg` — flat tiles decode BIT-EXACTLY, so
+    the DuckDB twin recomputes the stats straight from ``text``."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_jpeg,
+        image_pixel_stats,
+    )
+
+    return image_pixel_stats(attach_real_jpeg(_docs(spark, sf_dir)))
+
+
 def q_multimodal_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode end-to-end: every doc gets a genuine 16-bit
     mono WAV whose data chunk is its text bytes; the engine unpacks the
@@ -3322,6 +3337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack": q_corpus_pack,
     "multimodal_features": q_multimodal_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
+    "multimodal_jpeg_pixel_stats": q_multimodal_jpeg_pixel_stats,
     "multimodal_sample_stats": q_multimodal_sample_stats,
     "multimodal_metadata": q_multimodal_metadata,
     "events_window_agg": q_events_window_agg,
@@ -3594,6 +3610,7 @@ WHERE rn = 1
     "corpus_pack": oracle.corpus_pack_sql(token_budget=2048),
     "multimodal_features": oracle.multimodal_features_sql(),
     "multimodal_pixel_stats": oracle.multimodal_pixel_stats_sql(),
+    "multimodal_jpeg_pixel_stats": oracle.multimodal_jpeg_pixel_stats_sql(),
     "multimodal_sample_stats": oracle.multimodal_sample_stats_sql(),
     "multimodal_metadata": oracle.multimodal_metadata_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),

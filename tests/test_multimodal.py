@@ -991,3 +991,284 @@ def test_decode_wav_hypothesis_roundtrip():
         assert decode_wav(buf.getvalue()) == (rate, ch, expect)
 
     check()
+
+
+class TestJpegPixelDecode:
+    """The real baseline JPEG decode path: Huffman entropy decode →
+    dequant → IDCT → upsample → color transform.  The encoder here is an
+    independent implementation (explicit-loop FDCT, its own RLE walk);
+    general blocks compare within ±1 (two float summation orders can
+    round a half-case apart), flat tiles must be bit-exact."""
+
+    @staticmethod
+    def _tables():
+        from datalake_indexes_spark.operators.multimodal import (
+            _JPEG_AC_BITS, _JPEG_AC_VALS, _JPEG_DC_BITS, _JPEG_DC_VALS,
+            _huffman_encode_table,
+        )
+
+        return (
+            _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS),
+            _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS),
+            bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS,
+            bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS,
+        )
+
+    @staticmethod
+    def _fdct_loop(block):
+        """Explicit O(64^2) loop FDCT (independent of the decoder's
+        matrix-product IDCT)."""
+        import math
+
+        out = [[0.0] * 8 for _ in range(8)]
+        for u in range(8):
+            for v in range(8):
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (
+                            block[y][x]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                out[v][u] = s * cu * cv / 4.0
+        return out
+
+    @staticmethod
+    def _idct_loop(coef):
+        import math
+
+        out = [[0.0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * coef[v][u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[y][x] = s / 4.0
+        return out
+
+    @classmethod
+    def _encode(cls, planes, sampling, quant, quant_nat, ri=0):
+        """Encode component planes (lists of rows, already at their
+        subsampled resolutions) as a baseline JPEG.  Returns (jpeg bytes,
+        expected decoded planes at subsampled res from the independent
+        loop IDCT)."""
+        from datalake_indexes_spark.operators.multimodal import (
+            _ZIGZAG, _JpegBitWriter,
+        )
+
+        dc_enc, ac_enc, dht_dc, dht_ac = cls._tables()
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        h, w = len(planes[0]), len(planes[0][0])
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+        padded, expected = [], []
+        for p, (sh, sv) in zip(planes, sampling):
+            ph, pw = mcuy * sv * 8, mcux * sh * 8
+            rows = [list(r) + [r[-1]] * (pw - len(r)) for r in p]
+            rows += [list(rows[-1])] * (ph - len(rows))
+            padded.append(rows)
+            expected.append([[0.0] * pw for _ in range(ph)])
+
+        wtr = _JpegBitWriter()
+        pred = [0] * len(planes)
+        n_mcu = mcux * mcuy
+        entropy_parts = []
+        rst = 0
+        for mcu in range(n_mcu):
+            if ri and mcu and mcu % ri == 0:
+                entropy_parts.append(wtr.flush())
+                entropy_parts.append(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                wtr = _JpegBitWriter()
+                pred = [0] * len(planes)
+            my, mx = divmod(mcu, mcux)
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = [
+                            [padded[ci][y0 + y][x0 + x] - 128.0 for x in range(8)]
+                            for y in range(8)
+                        ]
+                        coef = cls._fdct_loop(blk)
+                        # quantize in natural order, walk zigzag
+                        qnat = [
+                            int(round(coef[k // 8][k % 8] / quant_nat[k]))
+                            for k in range(64)
+                        ]
+                        zz = [qnat[z] for z in _ZIGZAG]
+                        # DC
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        t = abs(diff).bit_length()
+                        wtr.put(*dc_enc[t])
+                        if t:
+                            wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                        # AC run-length
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                wtr.put(*ac_enc[0xF0])
+                                run -= 16
+                            s = abs(zz[k]).bit_length()
+                            wtr.put(*ac_enc[(run << 4) | s])
+                            v = zz[k]
+                            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            wtr.put(*ac_enc[0x00])
+                        # independent expectation: dequant + loop IDCT
+                        deq = [
+                            [qnat[y * 8 + x] * quant_nat[y * 8 + x] for x in range(8)]
+                            for y in range(8)
+                        ]
+                        rec = cls._idct_loop(deq)
+                        for y in range(8):
+                            for x in range(8):
+                                expected[ci][y0 + y][x0 + x] = rec[y][x] + 128.0
+        entropy_parts.append(wtr.flush())
+        entropy = b"".join(entropy_parts)
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+        nc = len(planes)
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        sos = bytes([nc])
+        for ci, (sh, sv) in enumerate(sampling):
+            sof += bytes([ci + 1, (sh << 4) | sv, 0])
+            sos += bytes([ci + 1, 0x00])
+        out = b"\xff\xd8" + seg(0xDB, bytes([0x00]) + bytes(quant))
+        out += seg(0xC0, sof)
+        out += seg(0xC4, bytes([0x00]) + dht_dc)
+        out += seg(0xC4, bytes([0x10]) + dht_ac)
+        if ri:
+            out += seg(0xDD, struct.pack(">H", ri))
+        out += seg(0xDA, sos + bytes([0, 63, 0])) + entropy + b"\xff\xd9"
+        return out, expected
+
+    def test_grayscale_general_blocks(self):
+        """Random non-flat blocks, quality-style quant table: decoder
+        output matches the independent loop FDCT→quant→dequant→IDCT
+        expectation within ±1."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_jpeg
+
+        rng = random.Random(31)
+        w, h = 24, 16
+        plane = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        quant_zig = [1 + (k % 7) for k in range(64)]  # varied, small
+        from datalake_indexes_spark.operators.multimodal import _ZIGZAG
+        quant_nat = [0] * 64
+        for k, z in enumerate(_ZIGZAG):
+            quant_nat[z] = quant_zig[k]
+        jpg, expected = self._encode([plane], [(1, 1)], quant_zig, quant_nat)
+        gw, gh, ch, pix = decode_jpeg(jpg)
+        assert (gw, gh, ch) == (w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                exp = min(255, max(0, round(expected[0][y][x])))
+                assert abs(pix[y * w + x] - exp) <= 1, (x, y)
+
+    def test_color_420_and_restart(self):
+        """3-component 4:2:0 with a restart interval: chroma planes at
+        quarter resolution, RST markers every 2 MCUs; decoded RGB
+        matches the replicate-upsample + BT.601 transform of the
+        independent expectation within ±1."""
+        import random
+
+        from datalake_indexes_spark.operators.multimodal import decode_jpeg, _ZIGZAG
+
+        rng = random.Random(37)
+        w, h = 32, 16  # 2x1 MCUs at 4:2:0
+        quant_zig = [1] * 64
+        quant_nat = [1] * 64
+        luma = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        cb = [[rng.randrange(256) for _ in range(w // 2)] for _ in range(h // 2)]
+        cr = [[rng.randrange(256) for _ in range(w // 2)] for _ in range(h // 2)]
+        jpg, expected = self._encode(
+            [luma, cb, cr], [(2, 2), (1, 1), (1, 1)], quant_zig, quant_nat, ri=1
+        )
+        gw, gh, ch, pix = decode_jpeg(jpg)
+        assert (gw, gh, ch) == (w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                yy = expected[0][y][x]
+                cbv = expected[1][y // 2][x // 2] - 128.0
+                crv = expected[2][y // 2][x // 2] - 128.0
+                exp = [
+                    yy + 1.402 * crv,
+                    yy - 0.344136 * cbv - 0.714136 * crv,
+                    yy + 1.772 * cbv,
+                ]
+                for c in range(3):
+                    e = min(255, max(0, round(exp[c])))
+                    got = pix[(y * w + x) * 3 + c]
+                    assert abs(got - e) <= 1, (x, y, c)
+
+    def test_flat_tiles_bit_exact_and_fixture(self, spark):
+        """Flat tiles through the public fixture: bit-exact text bytes,
+        end-to-end through Spark."""
+        from datalake_indexes_spark.operators.multimodal import (
+            attach_real_jpeg,
+            decode_payload,
+            image_pixel_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "jpeg says hi"), (2, "z" * 200), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               image_pixel_stats(attach_real_jpeg(docs)).collect()}
+        for did, text in [(1, "jpeg says hi"), (2, "z" * 200), (3, "")]:
+            px = (text[:64] + " " * 64)[:64].encode()
+            r = out[did]
+            assert (r.width, r.height, r.n_px) == (128, 32, 4096)
+            assert r.px_min == min(px) and r.px_max == max(px)
+            assert r.px_mean == sum(px) * 64 / 4096
+        payload = attach_real_jpeg(docs).filter("doc_id = 1").collect()[0]["payload"]
+        w, h, ch, pix = decode_payload(bytes(payload), "image")
+        assert (w, h, ch) == (128, 32, 1)
+        exp = ("jpeg says hi" + " " * 64)[:64].encode()
+        assert all(
+            pix[(ty * 8 + yy) * 128 + tx * 8 + xx] == exp[ty * 16 + tx]
+            for ty in range(4) for tx in range(16)
+            for yy in range(8) for xx in range(8)
+        )
+
+    def test_unsupported_sofs_named(self):
+        import pytest
+
+        from datalake_indexes_spark.operators.multimodal import (
+            decode_jpeg, flat_gray_jpeg,
+        )
+
+        jpg = bytearray(flat_gray_jpeg([100] * 64, 16, 4))
+        # find the SOF0 marker and flip it to SOF2 (progressive)
+        sof = jpg.find(b"\xff\xc0")
+        jpg[sof + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(jpg))
+        jpg[sof + 1] = 0xC9  # arithmetic sequential
+        with pytest.raises(NotImplementedError, match="SOF9"):
+            decode_jpeg(bytes(jpg))
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x89PNG")
