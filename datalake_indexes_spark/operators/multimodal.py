@@ -964,6 +964,120 @@ def attach_real_jpeg(
     )
 
 
+MJPEG_FRAMES, MJPEG_TILES = 4, 4  # 4 frames of 4x4 tiles = 32x32 px each
+
+
+def mjpeg_avi(frames: list[bytes], w: int, h: int) -> bytes:
+    """A REAL minimal AVI wrapping MJPEG frames: RIFF(AVI ) → LIST hdrl
+    (avih with dims, LIST strl with a 'vids'/'MJPG' strh + MJPG
+    BITMAPINFOHEADER strf) → LIST movi of ``00dc`` chunks, one complete
+    baseline JPEG each.  ``probe_avi_dims`` reads the avih;
+    :func:`extract_avi_frames` demuxes the movi chunks back out."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", 40_000, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0) + struct.pack("<HH", 0, 0)
+        + struct.pack("<9I", 0, 1, 25, 0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"MJPG" + struct.pack(
+        "<IiiII", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_real_mjpeg(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL MJPEG AVI: 4 frames of
+    4x4 flat 8x8 tiles (32x32 px), carrying the doc's first 64
+    printable-ASCII text bytes space-padded, 16 per frame — the video
+    twin of :func:`attach_real_jpeg`'s planted-pixel contract.  Every
+    frame is a complete baseline JPEG, so the demux → decode path runs
+    with zero codec libraries and flat tiles keep it bit-exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tiles = MJPEG_FRAMES * MJPEG_TILES * MJPEG_TILES
+
+    @pandas_udf("binary")
+    def _avi(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        per_frame = MJPEG_TILES * MJPEG_TILES
+        side = MJPEG_TILES * 8
+
+        def build(text: str) -> bytes:
+            clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
+            vals = clean[:n_tiles].ljust(n_tiles).encode()
+            frames = [
+                flat_gray_jpeg(
+                    list(vals[f * per_frame : (f + 1) * per_frame]),
+                    MJPEG_TILES,
+                    MJPEG_TILES,
+                )
+                for f in range(MJPEG_FRAMES)
+            ]
+            return mjpeg_avi(frames, side, side)
+
+        return texts.map(build)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _avi(F.col(text_col)).alias("payload")
+    )
+
+
+def video_frame_stats(
+    videos: DataFrame, n_frames: int = 4, payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-video pixel statistics through the REAL demux + decode path:
+    :func:`sample_frames` explodes MJPEG frames executor-side, one
+    Arrow-batched UDF decodes each frame (:func:`decode_image`), and a
+    native aggregate folds the per-frame partials back to one row per
+    video — (doc_id, n_frames, n_px, px_min, px_max, px_mean).  The
+    mean is ONE IEEE division of exact longs, bit-stable cross-engine;
+    undecodable frames contribute nothing (NULL partials drop out)."""
+    from pyspark.sql.functions import pandas_udf
+
+    frames = sample_frames(
+        videos.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")),
+        n_frames=n_frames,
+    )
+
+    @pandas_udf("struct<n_px:long,px_sum:long,px_min:int,px_max:int>")
+    def _fx(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            try:
+                _w, _h, _ch, pix = decode_image(bytes(p))
+                rows.append((len(pix), int(sum(pix)), int(min(pix)), int(max(pix))))
+            except (ValueError, NotImplementedError, IndexError):
+                rows.append((None, None, None, None))
+        return pd.DataFrame(rows, columns=["n_px", "px_sum", "px_min", "px_max"])
+
+    per_frame = frames.select("doc_id", _fx(F.col("frame_payload")).alias("s"))
+    return per_frame.groupBy("doc_id").agg(
+        F.count(F.col("s.n_px")).cast("long").alias("n_frames"),
+        F.sum("s.n_px").cast("long").alias("n_px"),
+        F.min("s.px_min").cast("int").alias("px_min"),
+        F.max("s.px_max").cast("int").alias("px_max"),
+        (
+            F.sum("s.px_sum").cast("double") / F.sum("s.n_px").cast("double")
+        ).alias("px_mean"),
+    )
+
+
 def decode_image(b: bytes) -> tuple[int, int, int, bytes]:
     """Container dispatch for full pixel decode: PNG or baseline JPEG."""
     if bytes(b[:8]) == _PNG_SIG:
@@ -1444,22 +1558,61 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def extract_avi_frames(b: bytes) -> list[bytes]:
+    """The per-frame payloads of an AVI's ``movi`` list (``##dc``/``##db``
+    chunks).  For an MJPEG AVI each returned element is a SELF-CONTAINED
+    baseline JPEG — :func:`decode_jpeg` opens it with no codec library.
+    Non-AVI bytes return an empty list."""
+    if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"AVI ":
+        return []
+    frames: list[bytes] = []
+    i = 12
+    while i + 8 <= len(b):
+        cid = bytes(b[i : i + 4])
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"LIST" and bytes(b[i + 8 : i + 12]) == b"movi":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                sub = bytes(b[j : j + 4])
+                ssize = struct.unpack("<I", b[j + 4 : j + 8])[0]
+                if sub[2:4] in (b"dc", b"db"):
+                    frames.append(bytes(b[j + 8 : j + 8 + ssize]))
+                j += 8 + ssize + (ssize & 1)
+        i += 8 + size + (size & 1)
+    return frames
+
+
 def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling — one output row per sampled frame, exploded
     executor-side inside the Arrow batch (never a driver-side explode).
 
-    A real demuxer (``av``) is NOT in this container, so frame extraction
-    is STUBBED deterministically: the payload's data section is split into
-    ``n_frames`` contiguous byte ranges standing in for decoded frames.
-    The distributed shape — binary in, multiple binary rows out, stable
-    ``frame_idx`` ordering — is the real contract a decoder drops into.
+    MJPEG-in-AVI is REAL since round 7: the ``movi`` chunks are demuxed
+    (:func:`extract_avi_frames`) and ``n_frames`` frames are sampled
+    evenly across them — each emitted ``frame_payload`` is a complete
+    baseline JPEG that :func:`decode_jpeg` turns into pixels with no
+    codec library.  Inter-frame codecs (H.264 etc.) still need a real
+    decoder (``av``), absent here, so non-AVI containers keep the
+    deterministic byte-range STUB: the data section split into
+    ``n_frames`` contiguous ranges standing in for decoded frames.  The
+    distributed shape — binary in, multiple binary rows out, stable
+    ``frame_idx`` ordering — is identical either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                body = payload_body(bytes(b), "video")
+                raw = bytes(b)
+                real = extract_avi_frames(raw)
+                if real:
+                    take = min(n_frames, len(real))
+                    for fi in range(take):
+                        ids.append(doc_id)
+                        idxs.append(fi)
+                        frames.append(real[fi * len(real) // take])
+                    continue
+                body = payload_body(raw, "video")
                 if not body:
                     continue
                 step = max(len(body) // n_frames, 1)

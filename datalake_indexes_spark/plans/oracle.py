@@ -1985,6 +1985,40 @@ FROM b GROUP BY doc_id
 """
 
 
+def multimodal_frame_stats_sql() -> str:
+    """Twin of ``video_frame_stats(attach_real_mjpeg(documents))`` — the
+    engine demuxes a REAL MJPEG AVI and JPEG-decodes every frame; flat
+    tiles decode bit-exactly, so the oracle recomputes from ``text``.
+    64 tiles across 4 frames, 64 px per tile: n_px = 4096 and the mean
+    (64·Σv)/4096 is dyadic — exact on both engines."""
+    from datalake_indexes_spark.operators.multimodal import (
+        MJPEG_FRAMES,
+        MJPEG_TILES,
+    )
+
+    n_tiles = MJPEG_FRAMES * MJPEG_TILES * MJPEG_TILES
+    n_px = n_tiles * 64
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         rpad(regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g'),
+              {n_tiles}, ' ') AS px
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ord(c) AS v
+  FROM (SELECT doc_id, unnest(string_split(px, '')) AS c FROM s)
+)
+SELECT doc_id,
+       CAST({MJPEG_FRAMES} AS BIGINT) AS n_frames,
+       CAST({n_px} AS BIGINT) AS n_px,
+       CAST(min(v) AS INT) AS px_min,
+       CAST(max(v) AS INT) AS px_max,
+       CAST(sum(v) * 64 AS DOUBLE) / {n_px} AS px_mean
+FROM b GROUP BY doc_id
+"""
+
+
 def multimodal_sample_stats_sql() -> str:
     """Twin of ``audio_sample_stats(attach_real_wav(documents))`` — the
     engine unpacks real 16-bit PCM frames; the oracle recomputes the

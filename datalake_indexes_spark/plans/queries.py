@@ -1314,6 +1314,20 @@ def q_multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return image_pixel_stats(attach_real_jpeg(_docs(spark, sf_dir)))
 
 
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: every doc gets a genuine MJPEG AVI
+    (4 baseline-JPEG frames of flat tiles carrying its first 64 text
+    bytes); the engine demuxes the movi chunks, Huffman-decodes + IDCTs
+    each frame, and folds per-frame partials natively.  Flat tiles
+    decode bit-exactly, so the DuckDB twin recomputes from ``text``."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_mjpeg,
+        video_frame_stats,
+    )
+
+    return video_frame_stats(attach_real_mjpeg(_docs(spark, sf_dir)))
+
+
 def q_multimodal_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode end-to-end: every doc gets a genuine 16-bit
     mono WAV whose data chunk is its text bytes; the engine unpacks the
@@ -3338,6 +3352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_pixel_stats": q_multimodal_pixel_stats,
     "multimodal_jpeg_pixel_stats": q_multimodal_jpeg_pixel_stats,
+    "multimodal_frame_stats": q_multimodal_frame_stats,
     "multimodal_sample_stats": q_multimodal_sample_stats,
     "multimodal_metadata": q_multimodal_metadata,
     "events_window_agg": q_events_window_agg,
@@ -3611,6 +3626,7 @@ WHERE rn = 1
     "multimodal_features": oracle.multimodal_features_sql(),
     "multimodal_pixel_stats": oracle.multimodal_pixel_stats_sql(),
     "multimodal_jpeg_pixel_stats": oracle.multimodal_jpeg_pixel_stats_sql(),
+    "multimodal_frame_stats": oracle.multimodal_frame_stats_sql(),
     "multimodal_sample_stats": oracle.multimodal_sample_stats_sql(),
     "multimodal_metadata": oracle.multimodal_metadata_sql(),
     "events_window_agg": oracle.events_window_agg_sql(),
