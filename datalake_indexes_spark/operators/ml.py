@@ -250,6 +250,60 @@ def robust_scale(
     return out
 
 
+def cv_folds(
+    df: DataFrame,
+    k: int = 5,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment —
+    (id, stratum, fold) with folds balanced within every stratum.
+
+    ``exact=True`` (the CV contract): rank each stratum by md5(id) — a
+    uniform, engine-exact shuffle of the ids — and assign
+    ``fold = (rank - 1) % k``, so per-stratum fold sizes differ by at
+    most one row.  No RNG: the same corpus yields the same folds on
+    every run, engine, and partitioning, which is what makes a CV score
+    comparable across experiments (and lets a DuckDB twin replay the
+    assignment bit-for-bit).
+
+    ``exact=False`` (the 100-TB tier): ``fold = md5_bucket(id) % k`` —
+    a pure scan-level expression, NO shuffle, balanced in expectation
+    (±O(sqrt(n/k)) per fold).  Use it when strata are petabyte-sized and
+    the window sort below is the bottleneck.
+
+    Scale shape (exact): ONE window partitioned by stratum — the same
+    shape as :func:`..text_analysis.stratified_sample_exact`; per-stratum
+    work is that stratum's row count, and the language histogram is the
+    known skew.  For a pathological mono-stratum corpus flip to
+    ``exact=False``.
+    """
+    from pyspark.sql import Window
+
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    if k < 2:
+        raise ValueError("cv_folds needs k >= 2")
+    stratum = (
+        F.col(stratum_col).cast("string") if stratum_col else F.lit("__all__")
+    )
+    if not exact:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            stratum.alias("stratum"),
+            (md5_bucket(id_col, 10000) % k).cast("int").alias("fold"),
+        )
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        stratum.alias("stratum"),
+        ((F.row_number().over(w) - 1) % k).cast("int").alias("fold"),
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlations of the listed numeric columns in ONE
     aggregation pass — k(k-1)/2 ``corr`` aggregates, all map-side

@@ -80,6 +80,56 @@ def cosine_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.5,
+    k_cap: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine RANGE search: every corpus neighbor with cosine >= threshold
+    for each query — (query_id, neighbor_id, cosine) — the retrieval dual
+    of :func:`cosine_topk` ("all sufficiently-similar", not "the k most
+    similar").  A training pipeline uses it where the neighbor COUNT is
+    the unknown: recall sets for hard-negative mining, near-match audits
+    around a contamination hit, radius probes when calibrating the dedup
+    threshold.
+
+    ``k_cap`` bounds the per-query result (closest first) so one hub
+    query against a dense corpus cannot explode the output — the same
+    discipline as MATE's k_c cap; cap hits are visible because exactly
+    ``k_cap`` rows come back.  Exact scan like the top-k baseline:
+    queries broadcast, corpus scanned once, dot products in codegen
+    (``zip_with``/``aggregate``), the rank window only ever sees rows
+    already past the threshold filter.  The LSH scale path for huge
+    query sets is :func:`hyperplane_lsh_topk`'s bucketing with this
+    threshold filter in place of its rank cut.
+    """
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k_cap)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

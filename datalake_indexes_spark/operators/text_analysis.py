@@ -1529,3 +1529,60 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
         ).alias("fk_grade"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta — (doc_id, status, old_hash, new_hash) with
+    status in {added, removed, changed, unchanged}.  The continuous-
+    pretraining primitive: between crawl v(N) and v(N+1) a pipeline wants
+    exactly the delta (new docs to curate, removed docs to tombstone,
+    changed docs to re-score) instead of re-running curation over the
+    full corpus.
+
+    Content identity is md5(text) — computed in a scan-level projection
+    on EACH side before the join, so only (id, 32-char hash) ever
+    shuffles: at 100 TB the full-outer join moves ~48 bytes/doc, not the
+    documents.  One sort-merge full-outer exchange on doc_id; everything
+    else is codegen.  NULL text hashes to NULL and compares as changed
+    against a non-NULL counterpart (null-safe equality).
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, "doc_id", "full_outer")
+    # presence flags, NOT hash nullness, drive added/removed — a NULL-text
+    # document present on both sides is "unchanged", not "added"
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select("doc_id", status.alias("status"), "old_hash", "new_hash")
+
+
+def snapshot_diff_census(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per diff status: (status, n_docs) — the dashboard rollup
+    over :func:`snapshot_diff` (same plan plus a 4-group aggregate)."""
+    return (
+        snapshot_diff(old, new, id_col=id_col, text_col=text_col)
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -7463,3 +7463,73 @@ SELECT (n - n1) AS n_0,
        END AS z
 FROM s
 """
+
+
+def ml_cv_folds_sql(k: int = 5) -> str:
+    """Twin of :func:`..operators.ml.cv_folds` (exact tier) on the lang
+    strata: same md5-shuffle rank, same ``(rank-1) % k`` assignment."""
+    return f"""
+SELECT doc_id, lang AS stratum,
+       CAST((row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % {k} AS INT)
+         AS fold
+FROM documents
+"""
+
+
+def snapshot_diff_sql(
+    rm_mod: int = 13,
+    rm_res: int = 5,
+    add_mod: int = 11,
+    add_res: int = 3,
+    chg_mod: int = 7,
+    chg_res: int = 2,
+) -> str:
+    """Twin of :func:`..operators.text_analysis.snapshot_diff` over the
+    deterministically derived snapshot pair: old drops doc_id %
+    add_mod == add_res (-> added) and upper-cases doc_id % chg_mod ==
+    chg_res (-> changed); new drops doc_id % rm_mod == rm_res (->
+    removed)."""
+    return f"""
+WITH old_snap AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {chg_mod} = {chg_res} THEN upper(text)
+                  ELSE text END) AS old_hash
+  FROM documents WHERE doc_id % {add_mod} <> {add_res}
+),
+new_snap AS (
+  SELECT doc_id, md5(text) AS new_hash
+  FROM documents WHERE doc_id % {rm_mod} <> {rm_res}
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_hash, n.new_hash
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+"""
+
+
+def ann_range_search_sql(
+    threshold: float = 0.4, k_cap: int = 100, n_queries: int = 10
+) -> str:
+    """Twin of :func:`..operators.similarity.range_search`: all corpus
+    neighbors with cosine >= threshold, closest-first capped at k_cap."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS r
+  FROM scored WHERE c >= {threshold}
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM ranked WHERE r <= {k_cap}
+"""

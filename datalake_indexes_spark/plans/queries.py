@@ -2384,6 +2384,43 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encode(cust, "c_mktsegment", "c_acctbal", "c_custkey")
 
 
+def q_ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 5-fold CV assignment over the lang
+    strata — md5-shuffle rank, (rank-1) % k, balanced within stratum."""
+    from datalake_indexes_spark.operators.ml import cv_folds
+
+    return cv_folds(_docs(spark, sf_dir), k=5, stratum_col="lang")
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta between two deterministically derived corpus
+    versions: old drops doc_id%11==3 (those grade 'added') and
+    upper-cases doc_id%7==2 ('changed'); new drops doc_id%13==5
+    ('removed').  Grades the full-outer hash-compare classification."""
+    from datalake_indexes_spark.operators.text_analysis import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5)
+    return snapshot_diff(old, new)
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (all neighbors >= 0.2, k_cap=100) for the
+    first 10 vectors — the threshold dual of ann_cosine_topk."""
+    from datalake_indexes_spark.operators.similarity import range_search
+
+    emb = _embeddings(spark, sf_dir)
+    return range_search(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.2, k_cap=100
+    )
+
+
 def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style canonicalization over event props (digit/punct-rich):
     the dedup-key normalizer plus its md5 — graded end to end."""
@@ -3479,6 +3516,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_prep_v3": q_corpus_prep_v3,
     "corpus_audit": q_corpus_audit,
     "text_quality_normalized": q_text_quality_normalized,
+    "ml_cv_folds": q_ml_cv_folds,
+    "corpus_diff": q_corpus_diff,
+    "ann_range_search": q_ann_range_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -3744,6 +3784,11 @@ WHERE rn = 1
         quality_min=V3_QUALITY_MIN, logprob_min=V3_LOGPROB_MIN
     ),
     "text_quality_normalized": oracle.text_quality_normalized_sql(),
+    "ml_cv_folds": oracle.ml_cv_folds_sql(k=5),
+    "corpus_diff": oracle.snapshot_diff_sql(),
+    "ann_range_search": oracle.ann_range_search_sql(
+        threshold=0.2, k_cap=100, n_queries=10
+    ),
     "graph_link_prediction": oracle.graph_link_prediction_sql(max_hamming=8),
     "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),
     "column_moments": oracle.column_moments_sql(),

@@ -1,0 +1,144 @@
+"""Round-7 depth operators: stratified CV folds (operators/ml.py),
+corpus snapshot diff (operators/text_analysis.py), and cosine range
+search (operators/similarity.py).
+
+Each test pins the operator's CONTRACT, not just its output shape:
+- cv_folds: per-stratum fold sizes differ by at most one, assignment is
+  deterministic, the hash tier stays scan-level (balanced in
+  expectation) and covers all k folds;
+- snapshot_diff: every status class on a planted fixture, including the
+  NULL-text-on-both-sides row that must grade "unchanged" (presence
+  flags, not hash nullness, drive added/removed);
+- range_search: agrees with the exact brute-force reference, honors the
+  threshold, and the k_cap bound engages closest-first.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.ml import cv_folds
+from datalake_indexes_spark.operators.similarity import cosine_topk, range_search
+from datalake_indexes_spark.operators.text_analysis import snapshot_diff
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"text {i % 7} body", "en" if i % 3 else "de") for i in range(103)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestCvFolds:
+    def test_balanced_within_stratum(self, docs):
+        out = cv_folds(docs, k=5, stratum_col="lang").toPandas()
+        assert len(out) == 103
+        for _, g in out.groupby("stratum"):
+            sizes = g.groupby("fold").size()
+            assert set(sizes.index) == set(range(5))
+            assert sizes.max() - sizes.min() <= 1
+
+    def test_deterministic(self, docs):
+        a = cv_folds(docs, k=4, stratum_col="lang").toPandas().sort_values("doc_id")
+        b = cv_folds(docs, k=4, stratum_col="lang").toPandas().sort_values("doc_id")
+        assert (a["fold"].values == b["fold"].values).all()
+
+    def test_no_stratum_means_single(self, docs):
+        out = cv_folds(docs, k=3).toPandas()
+        assert (out["stratum"] == "__all__").all()
+        sizes = out.groupby("fold").size()
+        assert sizes.max() - sizes.min() <= 1
+
+    def test_hash_tier_covers_all_folds(self, docs):
+        out = cv_folds(docs, k=5, stratum_col="lang", exact=False)
+        folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+        assert folds == set(range(5))
+        # scan-level: no Exchange in the hash tier's plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_k_validation(self, docs):
+        with pytest.raises(ValueError):
+            cv_folds(docs, k=1)
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "old text"), (3, "gone"), (5, None)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "new text"), (4, "fresh"), (5, None)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new).collect()
+        }
+        assert out == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "added",
+            5: "unchanged",  # NULL text on both sides is NOT "added"
+        }
+
+    def test_null_vs_text_is_changed(self, spark):
+        old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "now set")], "doc_id long, text string")
+        (row,) = snapshot_diff(old, new).collect()
+        assert row["status"] == "changed"
+
+    def test_hash_only_shuffles(self, spark):
+        old = spark.createDataFrame([(1, "a" * 1000)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "a" * 1000)], "doc_id long, text string")
+        plan = (
+            snapshot_diff(old, new)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # the text column must be projected away BEFORE the join: only
+        # doc_id + md5 hash may appear in the join inputs
+        assert "md5" in plan.lower()
+
+
+class TestRangeSearch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_matches_bruteforce(self, emb):
+        th = 0.3
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in range_search(emb, emb.filter(F.col("vec_id") < 5), th).collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=40).collect()
+            if r["cosine"] >= th
+        }
+        assert got == want
+
+    def test_threshold_honored(self, emb):
+        out = range_search(emb, emb.filter(F.col("vec_id") < 5), 0.5).toPandas()
+        assert (out["cosine"] >= 0.5).all()
+
+    def test_k_cap_closest_first(self, emb):
+        capped = range_search(
+            emb, emb.filter(F.col("vec_id") == 0), threshold=-1.0, k_cap=3
+        ).toPandas()
+        full = range_search(
+            emb, emb.filter(F.col("vec_id") == 0), threshold=-1.0, k_cap=100
+        ).toPandas()
+        assert len(capped) == 3
+        top3 = full.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(3)
+        assert set(capped["neighbor_id"]) == set(top3["neighbor_id"])
