@@ -888,7 +888,7 @@ def pseudonymize_columns(
     return out
 
 
-def k_anonymity_report(
+def k_anonymity_audit(
     df: DataFrame,
     quasi_cols: list[str],
     k: int = 5,

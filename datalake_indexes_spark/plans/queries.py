@@ -1698,10 +1698,10 @@ def q_governance_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release audit: k-anonymity + l-diversity of customer under the
     (c_nationkey, c_mktsegment) quasi-identifier, c_acctbal sensitive."""
-    from datalake_indexes_spark.operators.discovery import k_anonymity_report
+    from datalake_indexes_spark.operators.discovery import k_anonymity_audit
 
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    return k_anonymity_report(
+    return k_anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal"
     )
 

@@ -552,11 +552,11 @@ class TestJoinPaths:
             join_paths(deps, 0, 1, max_hops=0)
 
 
-class TestKAnonymityReport:
+class TestKAnonymityAudit:
     def test_planted_classes(self, spark):
         """Known equivalence classes: sizes 3/2/1 with a NULL quasi class
         of its own, and one class whose sensitive value never varies."""
-        from datalake_indexes_spark.operators.discovery import k_anonymity_report
+        from datalake_indexes_spark.operators.discovery import k_anonymity_audit
 
         rows = [
             # class (a, x): 3 rows, sensitive {10, 10, 20} -> l = 2
@@ -567,7 +567,7 @@ class TestKAnonymityReport:
             (None, "x", 7),
         ]
         df = spark.createDataFrame(rows, "q1 string, q2 string, s long")
-        r = k_anonymity_report(df, ["q1", "q2"], k=2, sensitive_col="s").collect()[0]
+        r = k_anonymity_audit(df, ["q1", "q2"], k=2, sensitive_col="s").collect()[0]
         assert (r.k_required, r.n_rows, r.n_groups) == (2, 6, 3)
         assert r.k_anonymity == 1          # the NULL singleton class
         assert r.n_rows_below_k == 1
@@ -575,10 +575,10 @@ class TestKAnonymityReport:
         assert r.frac_rows_below_k == 1 / 6
 
     def test_without_sensitive_and_all_safe(self, spark):
-        from datalake_indexes_spark.operators.discovery import k_anonymity_report
+        from datalake_indexes_spark.operators.discovery import k_anonymity_audit
 
         rows = [("a", 1)] * 4 + [("b", 2)] * 5
         df = spark.createDataFrame(rows, "q string, v long")
-        r = k_anonymity_report(df, ["q"], k=3).collect()[0]
+        r = k_anonymity_audit(df, ["q"], k=3).collect()[0]
         assert (r.k_anonymity, r.n_rows_below_k, r.frac_rows_below_k) == (4, 0, 0.0)
         assert "l_diversity" not in r.asDict()
