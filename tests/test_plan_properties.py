@@ -591,3 +591,64 @@ def test_dedup_family_has_no_global_windows(spark):
         rep = plan_report(op(docs))
         assert rep["n_global_windows"] == 0, (op.__name__, rep)
         assert rep["n_nested_loop_joins"] == 0, (op.__name__, rep)
+
+
+def test_snapshot_diff_hashes_before_the_join(spark):
+    """Only (doc_id, md5) may enter the full-outer exchange — the text
+    column must be projected away at scan level, or a 100 TB corpus
+    shuffles its documents twice to learn what changed."""
+    from datalake_indexes_spark.operators.text_analysis import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(20)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(20)], "doc_id long, text string"
+    )
+    df = snapshot_diff(old, new)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    (join_line,) = [ln for ln in lines if "Join FullOuter" in ln]
+    # the join itself sees only doc_id keys, never the text column...
+    assert "text#" not in join_line
+    # ...because BOTH children are scan-level Projects that already
+    # reduced text to its md5
+    md5_projects = [ln for ln in lines if "Project" in ln and "md5(" in ln]
+    assert len(md5_projects) == 2
+    assert "CartesianProduct" not in _plan(df)
+
+
+def test_range_search_broadcasts_queries(spark):
+    """The query side is broadcast (BroadcastNestedLoopJoin over the
+    scored scan is the intended scalar-fan-out); the threshold filter
+    must sit under the rank window so the window never sees sub-threshold
+    rows."""
+    from datalake_indexes_spark.operators.similarity import range_search
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(range_search(emb, emb.limit(3), threshold=0.3))
+    assert "Broadcast" in plan
+    import re
+
+    w = plan.find("Window")
+    f = plan.find("Filter", w)
+    assert w >= 0 and f >= 0  # a Filter below the Window node exists
+
+
+def test_cv_folds_hash_tier_is_scan_level(spark):
+    """exact=False must plan with NO Exchange — pure projection over the
+    scan (the petabyte-stratum escape hatch)."""
+    from datalake_indexes_spark.operators.ml import cv_folds
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(50)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(cv_folds(df, k=5, stratum_col="lang", exact=False))
+    assert "Exchange" not in plan
+    # exact tier: exactly ONE exchange (the stratum window)
+    exact_plan = _plan(cv_folds(df, k=5, stratum_col="lang", exact=True))
+    assert exact_plan.count("Exchange") == 1
