@@ -3866,15 +3866,20 @@ _DRIVER_PRIORITY: list[str] = [
     "dup_groups_planted",
     # reconstruction (pinned)
     "get_table_pivot",
-    # one pinned flagship per pipeline family
-    "dedup_exact",
-    "ann_cosine_topk",
-    "text_quality",
+    # one pinned flagship per pipeline family (trimmed to 15 pins total
+    # per the r6 verdict: dedup_exact / ann_cosine_topk / text_quality
+    # have each been driver-graded in multiple rounds — their slots now
+    # rotate, and their families stay pinned via corpus_prep_full /
+    # multimodal / events / graph below plus the r7 additions)
     "corpus_prep_full",
     "multimodal_features",
     "events_window_agg",
     "graph_pagerank",
     # --- rotating slots: never-driver-graded keys (round-7 batch) ---
+    # new-this-round operators, externally graded on first appearance
+    "ml_cv_folds",
+    "corpus_diff",
+    "ann_range_search",
     # A/B test kit + changepoint + interval join
     "events_ab_test",
     "events_ab_cuped",
