@@ -142,3 +142,63 @@ class TestRangeSearch:
             ["cosine", "neighbor_id"], ascending=[False, True]
         ).head(3)
         assert set(capped["neighbor_id"]) == set(top3["neighbor_id"])
+
+
+def test_snapshot_diff_matches_set_algebra_property(spark):
+    """Against an independent dict-based reference: status must equal
+    pure set algebra over (ids, texts) for randomized snapshot pairs —
+    including id-only overlaps, text collisions, and None texts."""
+    from hypothesis import given, settings, strategies as st
+
+    texts = st.one_of(st.none(), st.text(alphabet="abc", max_size=3))
+    snap = st.dictionaries(st.integers(0, 12), texts, max_size=10)
+
+    @settings(max_examples=12, deadline=None)
+    @given(old=snap, new=snap)
+    def check(old, new):
+        odf = spark.createDataFrame(
+            list(old.items()) or [(None, None)], "doc_id long, text string"
+        ).filter(F.col("doc_id").isNotNull())
+        ndf = spark.createDataFrame(
+            list(new.items()) or [(None, None)], "doc_id long, text string"
+        ).filter(F.col("doc_id").isNotNull())
+        got = {
+            r["doc_id"]: r["status"] for r in snapshot_diff(odf, ndf).collect()
+        }
+        want = {}
+        for i in set(old) | set(new):
+            if i not in old:
+                want[i] = "added"
+            elif i not in new:
+                want[i] = "removed"
+            else:
+                want[i] = "unchanged" if old[i] == new[i] else "changed"
+        assert got == want
+
+    check()
+
+
+def test_cv_folds_balance_property(spark):
+    """For randomized corpora and k: within every stratum the fold sizes
+    differ by at most 1 and every doc appears exactly once."""
+    from hypothesis import given, settings, strategies as st
+
+    corpus = st.lists(
+        st.tuples(st.integers(0, 1000), st.sampled_from(["en", "de", "fr"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=corpus, k=st.integers(2, 7))
+    def check(rows, k):
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = cv_folds(df, k=k, stratum_col="lang").toPandas()
+        assert sorted(out["doc_id"]) == sorted(r[0] for r in rows)
+        for _, g in out.groupby("stratum"):
+            sizes = g.groupby("fold").size()
+            assert sizes.max() - sizes.min() <= 1
+            assert (g["fold"] < k).all() and (g["fold"] >= 0).all()
+
+    check()
