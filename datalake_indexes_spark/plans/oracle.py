@@ -4564,7 +4564,7 @@ WHERE l_orderkey IN (
 
 
 def governance_k_anonymity_sql(k: int = 5) -> str:
-    """Twin of :func:`..operators.discovery.k_anonymity_report` over
+    """Twin of :func:`..operators.discovery.k_anonymity_audit` over
     customer with the (c_nationkey, c_mktsegment) quasi-identifier and
     c_acctbal sensitive.  frac is one IEEE division of exact longs."""
     return f"""
