@@ -386,6 +386,55 @@ def hyperplane_lsh_topk(
     )
 
 
+def range_search_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.5,
+    k_cap: int = 100,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """The LSH scale path for :func:`range_search`: candidates come only
+    from the query's sign bucket (same deterministic hyperplanes as
+    :func:`hyperplane_lsh_topk`), then the exact threshold filter + k_cap
+    closest-first bound run on the bucket — recall < 1 by construction
+    (cross-bucket neighbors are missed; that is the deal), wall-clock
+    O(bucket) per query instead of O(corpus).  At 100 TB the corpus is
+    written bucketed by ``__sig`` so a query probes one partition.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__unit").alias("__cv"),
+        sign_signature(F.col("__unit"), planes).alias("__sig"),
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__unit").alias("__qv"),
+        sign_signature(F.col("__unit"), planes).alias("__sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__cv")))
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k_cap)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

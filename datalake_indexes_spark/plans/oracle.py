@@ -7533,3 +7533,52 @@ ranked AS (
 SELECT query_id, neighbor_id, round(c, 4) AS cosine
 FROM ranked WHERE r <= {k_cap}
 """
+
+
+def ann_range_blocked_sql(
+    threshold: float = 0.2,
+    k_cap: int = 100,
+    n_queries: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    """Twin of :func:`..operators.similarity.range_search_blocked`: same
+    md5-seeded hyperplanes inlined as literals, same sign-bucket join,
+    same threshold + k_cap closest-first bound."""
+    from datalake_indexes_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    sig_bits = " || ".join(
+        "(CASE WHEN list_dot_product(e::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END)".format(
+            arr="[" + ", ".join(repr(w) for w in plane) + "]"
+        )
+        for plane in planes
+    )
+    return f"""
+WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e, {sig_bits} AS sig
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe, sig FROM u WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.e, q.qe) AS c
+  FROM u c JOIN q ON c.sig = q.sig AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS r
+  FROM scored WHERE c >= {threshold}
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM ranked WHERE r <= {k_cap}
+"""
+
+
+def snapshot_diff_census_sql(**kw) -> str:
+    """Rollup twin: one row per diff status over the same snapshot pair."""
+    return (
+        "SELECT status, count(*) AS n_docs FROM ("
+        + snapshot_diff_sql(**kw)
+        + ") GROUP BY status"
+    )

@@ -2421,6 +2421,42 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status rollup over the same derived snapshot pair as corpus_diff —
+    the dashboard row a continuous-pretraining pipeline alerts on."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        snapshot_diff_census,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5)
+    return snapshot_diff_census(old, new)
+
+
+def q_ann_range_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket range search (threshold 0.2, k_cap 100) — the scale
+    path twin of ann_range_search; deterministic planes make the
+    approximation itself the graded contract."""
+    from datalake_indexes_spark.operators.similarity import (
+        range_search_blocked,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    return range_search_blocked(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        threshold=0.2,
+        k_cap=100,
+        dim=64,
+    )
+
+
 def q_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style canonicalization over event props (digit/punct-rich):
     the dedup-key normalizer plus its md5 — graded end to end."""
@@ -3519,6 +3555,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_cv_folds": q_ml_cv_folds,
     "corpus_diff": q_corpus_diff,
     "ann_range_search": q_ann_range_search,
+    "corpus_diff_census": q_corpus_diff_census,
+    "ann_range_blocked": q_ann_range_blocked,
 }
 
 ORACLES: dict[str, str] = {
@@ -3788,6 +3826,10 @@ WHERE rn = 1
     "corpus_diff": oracle.snapshot_diff_sql(),
     "ann_range_search": oracle.ann_range_search_sql(
         threshold=0.2, k_cap=100, n_queries=10
+    ),
+    "corpus_diff_census": oracle.snapshot_diff_census_sql(),
+    "ann_range_blocked": oracle.ann_range_blocked_sql(
+        threshold=0.2, k_cap=100, n_queries=10, n_planes=6, dim=64
     ),
     "graph_link_prediction": oracle.graph_link_prediction_sql(max_hamming=8),
     "graph_kcore": oracle.graph_kcore_sql(k=2, rounds=8, max_hamming=8),

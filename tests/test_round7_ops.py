@@ -202,3 +202,31 @@ def test_cv_folds_balance_property(spark):
             assert (g["fold"] < k).all() and (g["fold"] >= 0).all()
 
     check()
+
+
+def test_range_search_blocked_is_sound_subset(spark):
+    """The LSH-blocked range search may MISS neighbors (recall < 1 is
+    the contract) but must never invent one: every returned pair must
+    appear in the exact range search at the same threshold, with the
+    same cosine."""
+    from datalake_indexes_spark.operators.similarity import (
+        range_search_blocked,
+    )
+
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17) - 8.0 for d in range(16)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in range_search(emb, q, threshold=0.3, k_cap=1000).collect()
+    }
+    blocked = range_search_blocked(
+        emb, q, threshold=0.3, k_cap=1000, dim=16
+    ).collect()
+    assert blocked  # non-vacuous: same-bucket neighbors exist
+    for r in blocked:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and exact[key] == r["cosine"]
