@@ -320,3 +320,102 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "col_1 string, col_2 string, corr double"
     )
+
+
+def hashed_nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, label, pred_label, n_words, correct) — multinomial Naive
+    Bayes over hashed unigram features (the fastText-style hashing trick:
+    a fixed ``n_buckets``-dimensional feature space independent of
+    vocabulary size), trained on the labelled corpus and applied back to
+    every document — the quality/domain/language classifier-inference
+    shape a curation pipeline runs with externally trained weights.
+
+    Training: per-class bucket counts with Laplace ``alpha``; the
+    conditional table is the DENSE classes x buckets grid (missing
+    pairs still contribute the smoothed floor — a sparse join would
+    silently drop those terms).  Scoring: each document's bucket stream
+    joins the broadcast conditional table (one row per class per gram),
+    sums log-conditionals per (doc, class), adds the log prior, and the
+    argmax — rounded to 6 first so both engines decide boundaries
+    identically, ties broken by class name descending — is the
+    prediction.
+
+    Scale shape: the model (classes x n_buckets grid, priors) is
+    model-constant-sized and broadcast; training is one aggregate with
+    map-side combine onto at most classes x n_buckets reduce keys; the
+    per-(doc, class) score re-keys by doc_id immediately.  Zero UDFs,
+    no driver-side loops; the only window partitions by doc_id over
+    |classes| rows.
+    """
+    from pyspark.sql import Window
+
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("__w"),
+    ).select(
+        "doc_id", "label", md5_bucket(F.col("__w"), n_buckets).alias("__b")
+    )
+
+    ndocs = docs.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    tot = ndocs.agg(F.sum("__nd").alias("__td"))
+    priors = ndocs.crossJoin(F.broadcast(tot)).select(
+        "cls", F.log(F.col("__nd") / F.col("__td")).alias("__prior")
+    )
+
+    counts = words.groupBy(F.col("label").alias("cls"), "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cls_tot = counts.groupBy("cls").agg(F.sum("__c").alias("__tc"))
+    grid = ndocs.select("cls").crossJoin(
+        docs.sparkSession.range(n_buckets).select(
+            F.col("id").cast("long").alias("__b")
+        )
+    )
+    cond = (
+        grid.join(F.broadcast(counts), ["cls", "__b"], "left")
+        .join(F.broadcast(cls_tot), "cls")
+        .select(
+            "cls",
+            "__b",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(alpha))
+                / (F.col("__tc") + F.lit(alpha * n_buckets))
+            ).alias("__logp"),
+        )
+    )
+
+    scored = (
+        words.join(F.broadcast(cond), "__b")
+        .groupBy("doc_id", "label", "cls")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__logp").alias("__s"))
+        .join(F.broadcast(priors), "cls")
+        .withColumn("__score", F.round(F.col("__s") + F.col("__prior"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("__score"), F.desc("cls")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "label",
+            F.col("cls").alias("pred_label"),
+            F.col("__n").alias("n_words"),
+            (F.col("cls") == F.col("label")).alias("correct"),
+        )
+    )

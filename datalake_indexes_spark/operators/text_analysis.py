@@ -1586,3 +1586,200 @@ def snapshot_diff_census(
         .groupBy("status")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1),
+# restricted to the rules expressible identically in both regex dialects.
+# Distinct from c4_rule_flags (sentence/boilerplate shape) and
+# repetition_signals (top-gram coverage): these are the word-morphology /
+# line-shape heuristics.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+# Planted fixture variants shared with the DuckDB twin (plans/oracle.py)
+# so both engines derive the test corpus from one constant.
+GOPHER_PLANT_BULLETS: tuple[str, ...] = tuple(f"- li{i}" for i in range(10))
+GOPHER_PLANT_ELLIPSIS: tuple[str, ...] = (
+    "wait for it...", "more soon...", "to be continued...",
+)
+GOPHER_PLANT_SYMBOLS = "# ## ### # ## ### # #"
+GOPHER_PLANT_NUMERIC = "111 222 333 444 555 666 777 888 999 000 121 232 343 454"
+
+
+def gopher_rule_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, n_stopwords, gopher_keep) —
+    the Gopher pretraining quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) as one codegen projection.
+
+    A document keeps iff: word count within [min_words, max_words]; mean
+    word length within [min_mean_word_len, max_mean_word_len]; hash-mark
+    + ellipsis symbols per word <= max_symbol_ratio; at most
+    max_bullet_ratio of non-empty lines start with a bullet and at most
+    max_ellipsis_ratio end with an ellipsis; at least min_alpha_ratio of
+    words contain an alphabetic character; and at least min_stopwords of
+    the canonical eight stop words appear.  Ratios are rounded to 4 (and
+    the ROUNDED value is what each threshold compares, so both engines
+    decide every boundary identically).
+
+    Scale shape: map-only — every signal is an array/string expression
+    over the document row, so the whole operator rides the corpus scan
+    inside whole-stage codegen; no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda w: w != "")
+    n_words = F.size(words)
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.round(sum_len / nw1, 4)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nw1, 4)
+    lines = F.filter(F.split(t, "\n"), lambda ln: ln != "")
+    nl1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("-")
+                | ln.startswith("*")
+                | ln.startswith("•"),
+            )
+        )
+        / nl1,
+        4,
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))) / nl1, 4
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / nw1, 4
+    )
+    n_stop = sum(
+        (F.array_contains(words, s).cast("long") for s in GOPHER_STOPWORDS),
+        start=F.lit(0).cast("long"),
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(doc_id, is_target, n_grams, avg_logratio) — DSIR-style hashed
+    n-gram importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by how target-like its hashed n-gram profile is,
+    the selection signal importance resampling then samples by.
+
+    Features are word unigrams plus adjacent bigrams, hashed into
+    ``n_buckets`` md5 buckets (the hashing trick makes the feature space
+    a fixed-size dense vector at any corpus scale).  The target
+    distribution is estimated from the rows matching ``target`` (default:
+    ``lang = 'en'``), the raw distribution from the whole input; both are
+    Laplace-smoothed with ``alpha``.  A document's weight is the MEAN
+    over its gram occurrences of ln p_target(bucket) - ln p_raw(bucket)
+    (the per-token log importance weight; multiply by n_grams for the
+    document total).  Documents with no grams are omitted.
+
+    Scale shape: gram extraction is an in-array zip (no positional
+    self-join); the bucket distribution is ONE ``n_buckets``-key
+    aggregate with map-side combine (256 reduce keys regardless of
+    corpus size); the log-ratio table is model-constant-sized and
+    broadcast back onto the gram stream, which immediately re-keys by
+    doc_id for the final mean.  Two passes over the gram stream, zero
+    UDFs, no unbounded collects.
+    """
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    if target is None:
+        target = F.col("lang") == "en"
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        F.explode(F.concat(words, bigrams)).alias("__g"),
+    ).select(
+        "doc_id", "is_target", md5_bucket(F.col("__g"), n_buckets).alias("__b")
+    )
+    dist = g.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__raw_c"),
+        F.count_if(F.col("is_target")).alias("__tgt_c"),
+    )
+    tot = dist.agg(
+        F.sum("__raw_c").alias("__raw_t"), F.sum("__tgt_c").alias("__tgt_t")
+    )
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__tgt_c") + F.lit(alpha))
+                / (F.col("__tgt_t") + F.lit(alpha * n_buckets))
+            )
+            - F.log(
+                (F.col("__raw_c") + F.lit(alpha))
+                / (F.col("__raw_t") + F.lit(alpha * n_buckets))
+            )
+        ).alias("__lr"),
+    )
+    return (
+        g.join(F.broadcast(lr), "__b")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            # + 0.0 normalizes IEEE -0.0 (a tiny negative mean rounding
+            # to zero must hash like zero on both engines)
+            (F.round(F.avg("__lr"), 4) + F.lit(0.0)).alias("avg_logratio"),
+        )
+    )

@@ -7582,3 +7582,191 @@ def snapshot_diff_census_sql(**kw) -> str:
         + snapshot_diff_sql(**kw)
         + ") GROUP BY status"
     )
+
+
+def text_gopher_filters_sql(
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 1,
+) -> str:
+    """Twin of :func:`..operators.text_analysis.gopher_rule_flags` over
+    the planted bullet/ellipsis/symbol/numeral fixture (doc_id % 5
+    variants, shared constants)."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        GOPHER_PLANT_BULLETS,
+        GOPHER_PLANT_ELLIPSIS,
+        GOPHER_PLANT_NUMERIC,
+        GOPHER_PLANT_SYMBOLS,
+        GOPHER_STOPWORDS,
+    )
+
+    def nl_append(lines: tuple[str, ...]) -> str:
+        return "text || " + " || ".join(
+            f"chr(10) || '{ln}'" for ln in lines
+        )
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN {nl_append(GOPHER_PLANT_BULLETS)}
+           WHEN 1 THEN {nl_append(GOPHER_PLANT_ELLIPSIS)}
+           WHEN 2 THEN text || ' {GOPHER_PLANT_SYMBOLS}'
+           WHEN 3 THEN text || ' {GOPHER_PLANT_NUMERIC}'
+           ELSE text END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+  FROM planted
+),
+r AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         greatest(len(ws), 1) AS nw1,
+         round(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) * 1.0
+               / greatest(len(ws), 1), 4) AS mean_word_len,
+         round(((len(text) - len(replace(text, '#', '')))
+                + (len(text) - len(replace(text, '...', ''))) / 3.0)
+               / greatest(len(ws), 1), 4) AS symbol_ratio,
+         round(len(list_filter(ls, l -> starts_with(l, '-')
+                                     OR starts_with(l, '*')
+                                     OR starts_with(l, '•'))) * 1.0
+               / greatest(len(ls), 1), 4) AS bullet_line_ratio,
+         round(len(list_filter(ls, l -> ends_with(l, '...'))) * 1.0
+               / greatest(len(ls), 1), 4) AS ellipsis_line_ratio,
+         round(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+               / greatest(len(ws), 1), 4) AS alpha_word_ratio,
+         len(list_filter([{stop_list}], s -> list_contains(ws, s)))
+           AS n_stopwords
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len, symbol_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mean_word_len}
+        AND mean_word_len <= {max_mean_word_len}
+        AND symbol_ratio <= {max_symbol_ratio}
+        AND bullet_line_ratio <= {max_bullet_ratio}
+        AND ellipsis_line_ratio <= {max_ellipsis_ratio}
+        AND alpha_word_ratio >= {min_alpha_ratio}
+        AND n_stopwords >= {min_stopwords}) AS gopher_keep
+FROM r
+"""
+
+
+def text_dsir_weights_sql(n_buckets: int = 256, alpha: float = 0.5) -> str:
+    """Twin of :func:`..operators.text_analysis.dsir_importance_weights`
+    with target = (lang = 'en') — same md5 bucket rule, same Laplace
+    smoothing, same per-gram mean."""
+    ab = alpha * n_buckets
+    return f"""
+WITH ws AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, is_target, unnest(w) AS g FROM ws
+),
+pos AS (
+  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS p,
+         unnest(w) AS g
+  FROM ws
+),
+big AS (
+  SELECT a.doc_id, w2.is_target, a.g || ' ' || b.g AS g
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  JOIN (SELECT doc_id, is_target FROM ws) w2 ON w2.doc_id = a.doc_id
+),
+gb AS (
+  SELECT doc_id, is_target,
+         ('0x' || substring(md5(g), 1, 8))::BIGINT % {n_buckets} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+dist AS (
+  SELECT b, count(*) AS raw_c, count(*) FILTER (is_target) AS tgt_c
+  FROM gb GROUP BY b
+),
+tot AS (SELECT sum(raw_c) AS raw_t, sum(tgt_c) AS tgt_t FROM dist),
+lr AS (
+  SELECT b,
+         ln((tgt_c + {alpha}) / (tgt_t + {ab}))
+           - ln((raw_c + {alpha}) / (raw_t + {ab})) AS l
+  FROM dist, tot
+)
+SELECT doc_id, is_target, count(*) AS n_grams,
+       round(avg(l), 4) + 0.0 AS avg_logratio
+FROM gb JOIN lr USING (b)
+GROUP BY doc_id, is_target
+"""
+
+
+def ml_nb_langid_sql(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    """Twin of :func:`..operators.ml.hashed_nb_classify` over the
+    marker-planted corpus (three ' zz'||lang tokens appended per doc so
+    the classes are separable) — same md5 bucket rule, same dense
+    classes x buckets Laplace grid, same round-to-6 argmax with
+    class-name tie-break."""
+    ab = alpha * n_buckets
+    return f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         text || ' zz' || lang || ' zz' || lang || ' zz' || lang AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, label,
+         ('0x' || substring(md5(g), 1, 8))::BIGINT % {n_buckets} AS b
+  FROM (
+    SELECT doc_id, lang AS label,
+           unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS g
+    FROM planted
+  )
+),
+cls AS (SELECT lang AS cls, count(*) AS nd FROM planted GROUP BY lang),
+tot AS (SELECT sum(nd) AS td FROM cls),
+pri AS (SELECT cls, ln(nd * 1.0 / td) AS prior FROM cls, tot),
+ct AS (SELECT label AS cls, b, count(*) AS c FROM words GROUP BY label, b),
+ctot AS (SELECT cls, sum(c) AS tc FROM ct GROUP BY cls),
+grid AS (
+  SELECT c.cls, g.b
+  FROM (SELECT cls FROM cls) c, (SELECT range AS b FROM range({n_buckets})) g
+),
+cond AS (
+  SELECT grid.cls, grid.b,
+         ln((coalesce(ct.c, 0) + {alpha}) / (ctot.tc + {ab})) AS logp
+  FROM grid
+  LEFT JOIN ct ON ct.cls = grid.cls AND ct.b = grid.b
+  JOIN ctot ON ctot.cls = grid.cls
+),
+sc AS (
+  SELECT w.doc_id, w.label, c.cls,
+         count(*) AS n, sum(c.logp) AS s
+  FROM words w JOIN cond c USING (b)
+  GROUP BY w.doc_id, w.label, c.cls
+),
+fin AS (
+  SELECT doc_id, label, cls, n,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(s + prior, 6) DESC, cls DESC) AS rn
+  FROM sc JOIN pri USING (cls)
+)
+SELECT doc_id, label, cls AS pred_label, CAST(n AS BIGINT) AS n_words,
+       (cls = label) AS correct
+FROM fin WHERE rn = 1
+"""

@@ -1,0 +1,214 @@
+"""Gopher rule flags, DSIR importance weights, and hashed Naive Bayes —
+value checks against hand-computed expectations plus the physical-plan
+properties that make each operator safe at 100 TB (map-only Gopher,
+broadcast model tables for DSIR/NB)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.ml import hashed_nb_classify
+from datalake_indexes_spark.operators.text_analysis import (
+    dsir_importance_weights,
+    gopher_rule_flags,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _bucket(s: str, m: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+
+# ---------------------------------------------------------------- Gopher
+
+
+def _gopher_rows(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rule_flags(df, **kw).collect()
+    }
+
+
+def test_gopher_good_document_keeps(spark):
+    rows = _gopher_rows(
+        spark, ["the data runs well today"], min_words=3, min_stopwords=1
+    )
+    r = rows[0]
+    assert r["n_words"] == 5
+    assert r["mean_word_len"] == pytest.approx(4.0)
+    assert r["symbol_ratio"] == 0.0
+    assert r["bullet_line_ratio"] == 0.0
+    assert r["ellipsis_line_ratio"] == 0.0
+    assert r["alpha_word_ratio"] == 1.0
+    assert r["n_stopwords"] == 1
+    assert r["gopher_keep"] is True
+
+
+def test_gopher_each_rule_fires(spark):
+    bullets = "the good text here\n" + "\n".join(f"- b{i}" for i in range(10))
+    ellipsis = "the words go on...\nmore soon...\nthe end..."
+    symbols = "the data # ## ### # ## ### works"
+    numeric = "the data 111 222 333 444 555 666 777 888"
+    short = "the tiny"
+    rows = _gopher_rows(
+        spark,
+        [bullets, ellipsis, symbols, numeric, short],
+        min_words=3,
+        min_stopwords=1,
+    )
+    # 10 of 11 non-empty lines are bullets: 0.9091 > 0.9
+    assert rows[0]["bullet_line_ratio"] == pytest.approx(0.9091)
+    assert rows[0]["gopher_keep"] is False
+    # all 3 lines end with an ellipsis
+    assert rows[1]["ellipsis_line_ratio"] == 1.0
+    assert rows[1]["gopher_keep"] is False
+    # 12 hash marks over 9 words
+    assert rows[2]["symbol_ratio"] == pytest.approx(round(12 / 9, 4))
+    assert rows[2]["gopher_keep"] is False
+    # 8 of 10 words are pure numerals: alpha ratio 0.2 < 0.8
+    assert rows[3]["alpha_word_ratio"] == pytest.approx(0.2)
+    assert rows[3]["gopher_keep"] is False
+    # below min_words
+    assert rows[4]["n_words"] == 2
+    assert rows[4]["gopher_keep"] is False
+
+
+def test_gopher_stopword_and_word_length_rules(spark):
+    # zero canonical stop words -> fails at min_stopwords=1
+    rows = _gopher_rows(
+        spark, ["data runs quickly onward"], min_words=3, min_stopwords=1
+    )
+    assert rows[0]["n_stopwords"] == 0
+    assert rows[0]["gopher_keep"] is False
+    # mean word length below 3 fails
+    rows = _gopher_rows(
+        spark, ["a b c d e the"], min_words=3, min_stopwords=1
+    )
+    assert rows[0]["mean_word_len"] == pytest.approx(round(8 / 6, 4))
+    assert rows[0]["gopher_keep"] is False
+
+
+def test_gopher_is_map_only(spark):
+    df = spark.createDataFrame([(1, "the a b")], "doc_id long, text string")
+    plan = _plan(gopher_rule_flags(df))
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def test_dsir_hand_computed_minimal_corpus(spark):
+    # doc 0 (target): grams {x, x, "x x"}; doc 1 (raw-only): gram {y}
+    b = 16
+    assert len({_bucket("x", b), _bucket("x x", b), _bucket("y", b)}) == 3
+    df = spark.createDataFrame(
+        [(0, "x x", "en"), (1, "y", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_importance_weights(df, n_buckets=b, alpha=0.5).collect()
+    }
+    # raw_t=4, tgt_t=3; alpha*B = 8
+    # l(x) = ln(2.5/11) - ln(2.5/12) = ln(12/11); same for "x x"
+    assert out[0]["is_target"] is True
+    assert out[0]["n_grams"] == 3
+    assert out[0]["avg_logratio"] == pytest.approx(math.log(12 / 11), abs=1e-4)
+    # l(y) = ln(0.5/11) - ln(1.5/12)
+    assert out[1]["is_target"] is False
+    assert out[1]["n_grams"] == 1
+    assert out[1]["avg_logratio"] == pytest.approx(
+        math.log(0.5 / 11) - math.log(1.5 / 12), abs=1e-4
+    )
+
+
+def test_dsir_separates_target_like_documents(spark):
+    # target docs speak "tgt"; raw docs speak "noise"; a held-out raw doc
+    # written in target vocabulary must outscore its noise peers.
+    rows = [(i, "tgt alpha tgt beta tgt", "en") for i in range(20)]
+    rows += [(100 + i, "noise qq noise zz noise", "de") for i in range(20)]
+    rows += [(999, "tgt alpha tgt beta tgt", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in dsir_importance_weights(df).collect()}
+    assert out[999]["avg_logratio"] > out[100]["avg_logratio"]
+    assert out[999]["avg_logratio"] == pytest.approx(
+        out[0]["avg_logratio"], abs=1e-4
+    )
+
+
+def test_dsir_empty_documents_omitted(spark):
+    df = spark.createDataFrame(
+        [(0, "x y", "en"), (1, "", "en"), (2, "  ", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"] for r in dsir_importance_weights(df).collect()}
+    assert got == {0}
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(i, "w a b", "en" if i % 2 else "de") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(dsir_importance_weights(df))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ Naive Bayes
+
+
+def test_nb_recovers_separable_labels(spark):
+    rows = [(i, "apple banana apple", "fruit") for i in range(10)]
+    rows += [(100 + i, "zebra yak zebra", "animal") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = hashed_nb_classify(df, n_buckets=64).collect()
+    assert len(out) == 20
+    assert all(r["correct"] for r in out)
+    assert all(r["n_words"] == 3 for r in out)
+
+
+def test_nb_classifies_against_its_own_label(spark):
+    # a doc labeled "big" but written in "small" vocabulary must be
+    # PREDICTED small (correct=False) — the classifier scores content,
+    # it does not echo the training label back.
+    rows = [(i, "aaa aaa aaa", "big") for i in range(10)]
+    rows += [(100 + i, "zzz zzz zzz", "small") for i in range(10)]
+    rows += [(999, "zzz zzz zzz", "big")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in hashed_nb_classify(df, n_buckets=64).collect()}
+    assert out[999]["pred_label"] == "small"
+    assert out[999]["correct"] is False
+    assert out[0]["pred_label"] == "big"
+
+
+def test_nb_deterministic_across_runs(spark):
+    rows = [
+        (i, f"t{i % 7} shared vocab", "en" if i % 3 else "fr")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(map(tuple, hashed_nb_classify(df).collect()))
+    b = sorted(map(tuple, hashed_nb_classify(df).collect()))
+    assert a == b
+
+
+def test_nb_model_joins_are_broadcast(spark):
+    df = spark.createDataFrame(
+        [(i, "w a b", "en" if i % 2 else "de") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    plan = _plan(hashed_nb_classify(df, n_buckets=32))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
