@@ -1783,3 +1783,132 @@ def dsir_importance_weights(
             (F.round(F.avg("__lr"), 4) + F.lit(0.0)).alias("avg_logratio"),
         )
     )
+
+
+def harmonic_pack(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    salt_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, size_class, oversize, bin_in_class, bin_slot) —
+    harmonic bin packing of documents into ``token_budget``-token
+    training sequences (Lee & Lee 1985's Harmonic algorithm, the
+    classical bounded-waste online packing): each document lands in size
+    class k = floor(budget / n_tokens), and every bin of class k holds
+    exactly k documents — so no document is ever SPLIT across sequences
+    (the failure mode of concat-then-chunk :func:`pack_sequences`, where
+    truncated fragments hurt the LM: Ding et al. 2024, arXiv:2404.10830),
+    and per-bin waste is bounded by the class geometry.
+
+    Documents longer than the budget get class 1 with ``oversize`` set
+    (a bin of their own; the chunker downstream decides split/truncate).
+    A bin is identified by (size_class, bin_in_class); ``bin_slot`` is
+    the document's position inside its bin.
+
+    Scale shape: NO global window — documents rank within (size_class,
+    md5-salt) local windows; the per-(class, salt) count table (at most
+    |classes| x ``salt_buckets`` rows) cumulates through one tiny window
+    and broadcasts back, the same two-level prefix-sum discipline as
+    :func:`pack_sequences` and functions/ranking.py.  The within-class
+    order is (salt, doc_id) — deterministic and engine-replicable."""
+    from pyspark.sql import Window
+
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    cap = F.greatest(
+        F.floor(
+            F.lit(float(token_budget)) / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    s = t.withColumn("size_class", cap).withColumn(
+        "oversize", F.col("n_tokens") > token_budget
+    ).withColumn("__salt", md5_bucket(F.col("doc_id"), salt_buckets))
+
+    w_local = Window.partitionBy("size_class", "__salt").orderBy("doc_id")
+    local = s.withColumn("__lrn", F.row_number().over(w_local))
+    off = (
+        s.groupBy("size_class", "__salt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.partitionBy("size_class")
+                    .orderBy("__salt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    rank = F.col("__off") + F.col("__lrn")
+    return (
+        local.join(
+            F.broadcast(off.select("size_class", "__salt", "__off")),
+            ["size_class", "__salt"],
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "size_class",
+            "oversize",
+            F.floor((rank - 1) / F.col("size_class"))
+            .cast("long")
+            .alias("bin_in_class"),
+            ((rank - 1) % F.col("size_class")).cast("long").alias("bin_slot"),
+        )
+    )
+
+
+def harmonic_pack_fill(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    salt_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(size_class, n_docs, n_oversize, n_bins, total_tokens,
+    padding_tokens, fill_frac) — the per-class waste census over
+    :func:`harmonic_pack`: how many sequences each size class produces
+    and how much of the token budget they pad away — the number a
+    pipeline owner compares against concat-then-chunk's zero padding
+    (bought at the price of split documents).  ``padding_tokens`` clamps
+    at 0 for the oversize-carrying class, whose bins overflow by
+    design."""
+    packed = harmonic_pack(
+        docs,
+        token_budget=token_budget,
+        salt_buckets=salt_buckets,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    agg = packed.groupBy("size_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("oversize")).alias("n_oversize"),
+        (F.max("bin_in_class") + 1).cast("long").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    budget = F.lit(int(token_budget))
+    return agg.select(
+        "size_class",
+        "n_docs",
+        "n_oversize",
+        "n_bins",
+        "total_tokens",
+        F.greatest(
+            F.col("n_bins") * budget - F.col("total_tokens"),
+            F.lit(0).cast("long"),
+        ).cast("long").alias("padding_tokens"),
+        F.round(
+            F.col("total_tokens") / (F.col("n_bins") * budget), 4
+        ).alias("fill_frac"),
+    )

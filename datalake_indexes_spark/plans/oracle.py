@@ -7770,3 +7770,77 @@ SELECT doc_id, label, cls AS pred_label, CAST(n AS BIGINT) AS n_words,
        (cls = label) AS correct
 FROM fin WHERE rn = 1
 """
+
+
+def _harmonic_pack_cte(token_budget: int, salt_buckets: int) -> str:
+    """Shared per-doc harmonic-pack CTE chain (twin of
+    :func:`..operators.text_analysis.harmonic_pack`): same size-class
+    rule, same (md5-salt, doc_id) within-class order, same two-level
+    offset composition."""
+    return f"""t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         greatest(CAST(floor({token_budget}.0 / greatest(n_tokens, 1))
+                       AS BIGINT), 1) AS size_class,
+         n_tokens > {token_budget} AS oversize,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {salt_buckets} AS salt
+  FROM t
+),
+l AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY size_class, salt ORDER BY doc_id) AS lrn
+  FROM c
+),
+o AS (SELECT size_class, salt, count(*) AS cnt FROM c GROUP BY 1, 2),
+o2 AS (
+  SELECT size_class, salt,
+         coalesce(sum(cnt) OVER (
+           PARTITION BY size_class ORDER BY salt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM o
+),
+packed AS (
+  SELECT l.doc_id, l.n_tokens, l.size_class, l.oversize,
+         CAST(floor((o2.off + l.lrn - 1) * 1.0 / l.size_class)
+              AS BIGINT) AS bin_in_class,
+         CAST((o2.off + l.lrn - 1) % l.size_class AS BIGINT) AS bin_slot
+  FROM l JOIN o2 USING (size_class, salt)
+)"""
+
+
+def corpus_pack_harmonic_sql(
+    token_budget: int = 64, salt_buckets: int = 32
+) -> str:
+    """Per-document harmonic pack assignment."""
+    return (
+        "WITH "
+        + _harmonic_pack_cte(token_budget, salt_buckets)
+        + "\nSELECT * FROM packed"
+    )
+
+
+def corpus_pack_fill_sql(token_budget: int = 64, salt_buckets: int = 32) -> str:
+    """Twin of :func:`..operators.text_analysis.harmonic_pack_fill` —
+    the per-class waste census over the shared packed CTE."""
+    return (
+        "WITH "
+        + _harmonic_pack_cte(token_budget, salt_buckets)
+        + f"""
+SELECT size_class, n_docs, n_oversize, n_bins, total_tokens,
+       CAST(greatest(n_bins * {token_budget} - total_tokens, 0) AS BIGINT)
+         AS padding_tokens,
+       round(total_tokens * 1.0 / (n_bins * {token_budget}), 4) AS fill_frac
+FROM (
+  SELECT size_class, count(*) AS n_docs,
+         count(*) FILTER (oversize) AS n_oversize,
+         CAST(max(bin_in_class) + 1 AS BIGINT) AS n_bins,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM packed GROUP BY size_class
+)"""
+    )

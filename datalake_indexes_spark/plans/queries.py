@@ -3944,6 +3944,32 @@ def q_ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_nb_classify(planted, n_buckets=512, alpha=1.0)
 
 
+def q_corpus_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic bin packing at budget 64 — the synthetic corpus (10-99
+    words/doc) then spans size classes 1-6 plus oversize docs (>64
+    words), exercising the whole class geometry."""
+    from datalake_indexes_spark.operators.text_analysis import harmonic_pack
+
+    return harmonic_pack(_docs(spark, sf_dir), token_budget=64)
+
+
+def q_corpus_pack_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class padding-waste census over the harmonic pack."""
+    from datalake_indexes_spark.operators.text_analysis import (
+        harmonic_pack_fill,
+    )
+
+    return harmonic_pack_fill(_docs(spark, sf_dir), token_budget=64)
+
+
+QUERIES["corpus_pack_harmonic"] = q_corpus_pack_harmonic
+QUERIES["corpus_pack_fill"] = q_corpus_pack_fill
+ORACLES["corpus_pack_harmonic"] = oracle.corpus_pack_harmonic_sql(
+    token_budget=64, salt_buckets=32
+)
+ORACLES["corpus_pack_fill"] = oracle.corpus_pack_fill_sql(
+    token_budget=64, salt_buckets=32
+)
 QUERIES["text_gopher_filters"] = q_text_gopher_filters
 QUERIES["text_dsir_weights"] = q_text_dsir_weights
 QUERIES["ml_nb_langid"] = q_ml_nb_langid
@@ -4009,6 +4035,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_gopher_filters",
     "text_dsir_weights",
     "ml_nb_langid",
+    "corpus_pack_harmonic",
+    "corpus_pack_fill",
     # A/B test kit + changepoint + interval join
     "events_ab_test",
     "events_ab_cuped",
@@ -4026,8 +4054,8 @@ _DRIVER_PRIORITY: list[str] = [
     "column_benford",
     "column_chi2",
     "column_mutual_info",
-    "column_quantile_buckets",
-    "column_histograms",
+    # (column_quantile_buckets / column_histograms moved to a later
+    # rotation batch to make room for the packing keys above)
     # web pipeline family
     "web_canonical_urls",
     "web_domain_stats",

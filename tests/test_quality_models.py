@@ -212,3 +212,87 @@ def test_nb_model_joins_are_broadcast(spark):
     plan = _plan(hashed_nb_classify(df, n_buckets=32))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ harmonic pack
+
+
+def _mk_docs(spark, lens):
+    return spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+
+
+def test_harmonic_pack_class_geometry(spark):
+    from datalake_indexes_spark.operators.text_analysis import harmonic_pack
+
+    # budget 10: len 3 -> class 3, len 5 -> class 2, len 9 -> class 1,
+    # len 12 -> oversize class 1
+    out = {
+        r["doc_id"]: r
+        for r in harmonic_pack(
+            _mk_docs(spark, [3, 5, 9, 12]), token_budget=10
+        ).collect()
+    }
+    assert out[0]["size_class"] == 3 and not out[0]["oversize"]
+    assert out[1]["size_class"] == 2 and not out[1]["oversize"]
+    assert out[2]["size_class"] == 1 and not out[2]["oversize"]
+    assert out[3]["size_class"] == 1 and out[3]["oversize"]
+
+
+def test_harmonic_pack_bins_fill_and_never_split(spark):
+    from datalake_indexes_spark.operators.text_analysis import harmonic_pack
+
+    # 7 docs of 3 tokens at budget 10 -> class 3 -> bins of exactly 3
+    # docs: 3 + 3 + 1
+    rows = harmonic_pack(_mk_docs(spark, [3] * 7), token_budget=10).collect()
+    from collections import Counter
+
+    bins = Counter(r["bin_in_class"] for r in rows)
+    assert sorted(bins.values(), reverse=True) == [3, 3, 1]
+    # slots within each bin are 0..k-1 with no repeats
+    slots = {}
+    for r in rows:
+        slots.setdefault(r["bin_in_class"], set()).add(r["bin_slot"])
+    for b, s in slots.items():
+        assert s == set(range(len(s)))
+    # every bin respects the token budget (the non-oversize guarantee)
+    for b in bins:
+        total = sum(r["n_tokens"] for r in rows if r["bin_in_class"] == b)
+        assert total <= 10
+
+
+def test_harmonic_pack_fill_census_consistency(spark):
+    from datalake_indexes_spark.operators.text_analysis import (
+        harmonic_pack,
+        harmonic_pack_fill,
+    )
+
+    lens = [3, 3, 3, 5, 5, 9, 12, 4, 6, 2, 2, 2, 2]
+    docs = _mk_docs(spark, lens)
+    per_doc = harmonic_pack(docs, token_budget=10).collect()
+    census = {
+        r["size_class"]: r
+        for r in harmonic_pack_fill(docs, token_budget=10).collect()
+    }
+    assert sum(r["n_docs"] for r in census.values()) == len(lens)
+    for k, r in census.items():
+        k_docs = [d for d in per_doc if d["size_class"] == k]
+        assert r["n_docs"] == len(k_docs)
+        assert r["total_tokens"] == sum(d["n_tokens"] for d in k_docs)
+        assert r["n_bins"] == max(d["bin_in_class"] for d in k_docs) + 1
+        if r["n_oversize"] == 0:
+            assert (
+                r["padding_tokens"]
+                == r["n_bins"] * 10 - r["total_tokens"]
+            )
+
+
+def test_harmonic_pack_has_no_global_window(spark):
+    from datalake_indexes_spark.operators.text_analysis import harmonic_pack
+    from datalake_indexes_spark.plans.audit import plan_report
+
+    rep = plan_report(harmonic_pack(_mk_docs(spark, [3] * 50)))
+    assert rep["n_global_windows"] == 0
+    assert rep["n_sortmerge_joins"] == 0
