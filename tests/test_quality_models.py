@@ -296,3 +296,183 @@ def test_harmonic_pack_has_no_global_window(spark):
     rep = plan_report(harmonic_pack(_mk_docs(spark, [3] * 50)))
     assert rep["n_global_windows"] == 0
     assert rep["n_sortmerge_joins"] == 0
+
+
+# ------------------------------------------------------- property tests
+
+
+def test_harmonic_pack_matches_reference_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from datalake_indexes_spark.operators.text_analysis import harmonic_pack
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lens=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+        budget=st.integers(5, 30),
+    )
+    def check(lens, budget):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["size_class"],
+                r["oversize"],
+                r["bin_in_class"],
+                r["bin_slot"],
+            )
+            for r in harmonic_pack(
+                _mk_docs(spark, lens), token_budget=budget
+            ).collect()
+        }
+        # reference: class = max(1, budget // n); within class order by
+        # (md5 salt bucket, doc_id); bin = idx // k, slot = idx % k
+        by_class: dict[int, list[int]] = {}
+        for i, n in enumerate(lens):
+            by_class.setdefault(max(1, budget // n), []).append(i)
+        want = {}
+        for k, ids in by_class.items():
+            ids.sort(key=lambda i: (_bucket(str(i), 32), i))
+            for idx, i in enumerate(ids):
+                want[i] = (lens[i], k, lens[i] > budget, idx // k, idx % k)
+        assert got == want
+        # non-oversize bins respect the budget
+        fills: dict[tuple, int] = {}
+        for i, (n, k, over, b, _s) in got.items():
+            if not over:
+                fills[(k, b)] = fills.get((k, b), 0) + n
+        assert all(v <= budget for v in fills.values())
+
+    check()
+
+
+def test_dsir_matches_reference_property(spark):
+    import math as m
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from datalake_indexes_spark.operators.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.lists(word, min_size=1, max_size=6),
+                st.booleans(),
+            ),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def check(docs):
+        B, alpha = 16, 0.5
+        rows = [
+            (i, " ".join(ws), "en" if tgt else "de")
+            for i, (ws, tgt) in enumerate(docs)
+        ]
+        if not any(tgt for _, tgt in docs):
+            return  # degenerate: empty target corpus
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance_weights(
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, lang string"
+                ),
+                n_buckets=B,
+                alpha=alpha,
+            ).collect()
+        }
+        raw, tgt_c = Counter(), Counter()
+        grams_of = {}
+        for i, (ws, tgt) in enumerate(docs):
+            grams = list(ws) + [
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            ]
+            grams_of[i] = [_bucket(g, B) for g in grams]
+            for b in grams_of[i]:
+                raw[b] += 1
+                if tgt:
+                    tgt_c[b] += 1
+        rt, tt = sum(raw.values()), sum(tgt_c.values())
+        for i, (ws, tgt) in enumerate(docs):
+            ls = [
+                m.log((tgt_c[b] + alpha) / (tt + alpha * B))
+                - m.log((raw[b] + alpha) / (rt + alpha * B))
+                for b in grams_of[i]
+            ]
+            assert out[i]["n_grams"] == len(grams_of[i])
+            assert out[i]["is_target"] is tgt
+            assert out[i]["avg_logratio"] == pytest.approx(
+                sum(ls) / len(ls), abs=1e-4
+            )
+
+    check()
+
+
+def test_nb_matches_reference_property(spark):
+    import math as m
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.lists(word, min_size=1, max_size=5),
+                st.sampled_from(["p", "q"]),
+            ),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def check(docs):
+        B, alpha = 32, 1.0
+        labels = {lbl for _, lbl in docs}
+        rows = [
+            (i, " ".join(ws), lbl) for i, (ws, lbl) in enumerate(docs)
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in hashed_nb_classify(
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, lang string"
+                ),
+                n_buckets=B,
+                alpha=alpha,
+            ).collect()
+        }
+        cnt = {lbl: Counter() for lbl in labels}
+        nd = Counter(lbl for _, lbl in docs)
+        for ws, lbl in docs:
+            for w in ws:
+                cnt[lbl][_bucket(w, B)] += 1
+        scores_of = {}
+        for i, (ws, lbl) in enumerate(docs):
+            scores = {}
+            for c in labels:
+                tc = sum(cnt[c].values())
+                s = m.log(nd[c] / len(docs)) + sum(
+                    m.log((cnt[c][_bucket(w, B)] + alpha) / (tc + alpha * B))
+                    for w in ws
+                )
+                scores[c] = s
+            scores_of[i] = scores
+            best = max(labels, key=lambda c: (round(scores[c], 6), c))
+            margin = (
+                abs(max(scores.values()) - min(scores.values()))
+                if len(labels) > 1
+                else 1.0
+            )
+            assert out[i]["n_words"] == len(ws)
+            if margin > 1e-5:  # skip near-exact ties where float
+                # summation order could legitimately flip the argmax
+                assert out[i]["pred_label"] == best, (i, scores)
+
+    check()
