@@ -1912,3 +1912,46 @@ def harmonic_pack_fill(
             F.col("total_tokens") / (F.col("n_bins") * budget), 4
         ).alias("fill_frac"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    fraction: float = 0.25,
+    target=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(doc_id, avg_logratio, sel_rank) — the selection step over
+    :func:`dsir_importance_weights`: keep the top ``fraction`` of scored
+    documents by importance weight (greedy top-k selection, the
+    rank-based variant of DSIR's importance resampling — deterministic,
+    no RNG, same no-sampling-noise discipline as every selector in this
+    package).  Ties on the rounded weight break by doc_id ascending, so
+    the selected set is reproducible on any engine and partitioning.
+
+    Scale shape: the rank comes from :func:`..functions.ranking.global_rank`
+    (two-level bucket prefix sum — NO single-partition window over the
+    corpus); the selection threshold ceil(fraction * n) is one broadcast
+    scalar.  Everything upstream is the weights operator's own shape.
+    """
+    from datalake_indexes_spark.functions.ranking import global_rank
+
+    scored = dsir_importance_weights(
+        docs,
+        target=target,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    ranked = global_rank(
+        scored, "avg_logratio", "doc_id", ascending=False, out_col="sel_rank"
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("sel_rank") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .select("doc_id", "avg_logratio", F.col("sel_rank").cast("long"))
+    )

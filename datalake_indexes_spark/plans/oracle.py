@@ -7844,3 +7844,22 @@ FROM (
   FROM packed GROUP BY size_class
 )"""
     )
+
+
+def corpus_select_dsir_sql(
+    fraction: float = 0.25, n_buckets: int = 256, alpha: float = 0.5
+) -> str:
+    """Twin of :func:`..operators.text_analysis.dsir_select` — rank over
+    the shared DSIR weights query, threshold at ceil(fraction * n)."""
+    inner = text_dsir_weights_sql(n_buckets=n_buckets, alpha=alpha)
+    return f"""
+WITH scores AS ({inner}),
+r AS (
+  SELECT doc_id, avg_logratio,
+         row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS sel_rank
+  FROM scores
+),
+n AS (SELECT count(*) AS n FROM scores)
+SELECT doc_id, avg_logratio, CAST(sel_rank AS BIGINT) AS sel_rank
+FROM r, n WHERE sel_rank <= ceil(n * {fraction})
+"""

@@ -3962,6 +3962,21 @@ def q_corpus_pack_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_pack_fill(_docs(spark, sf_dir), token_budget=64)
 
 
+def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25% DSIR selection toward the English target — the
+    deterministic rank-based importance-resampling step over the
+    weights key."""
+    from datalake_indexes_spark.operators.text_analysis import dsir_select
+
+    return dsir_select(
+        _docs(spark, sf_dir), fraction=0.25, n_buckets=256, alpha=0.5
+    )
+
+
+QUERIES["corpus_select_dsir"] = q_corpus_select_dsir
+ORACLES["corpus_select_dsir"] = oracle.corpus_select_dsir_sql(
+    fraction=0.25, n_buckets=256, alpha=0.5
+)
 QUERIES["corpus_pack_harmonic"] = q_corpus_pack_harmonic
 QUERIES["corpus_pack_fill"] = q_corpus_pack_fill
 ORACLES["corpus_pack_harmonic"] = oracle.corpus_pack_harmonic_sql(
@@ -4037,6 +4052,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ml_nb_langid",
     "corpus_pack_harmonic",
     "corpus_pack_fill",
+    "corpus_select_dsir",
     # A/B test kit + changepoint + interval join
     "events_ab_test",
     "events_ab_cuped",
@@ -4061,8 +4077,9 @@ _DRIVER_PRIORITY: list[str] = [
     "web_domain_stats",
     "web_blocklist",
     "web_extract_links",
-    "web_link_census",
     "web_domain_cap",
+    # (web_link_census moved to a later rotation batch for
+    # corpus_select_dsir)
     # governance family
     "governance_forget",
     "governance_pseudonymize",

@@ -476,3 +476,35 @@ def test_nb_matches_reference_property(spark):
                 assert out[i]["pred_label"] == best, (i, scores)
 
     check()
+
+
+def test_dsir_select_takes_top_fraction(spark):
+    from datalake_indexes_spark.operators.text_analysis import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+    from datalake_indexes_spark.plans.audit import plan_report
+
+    rows = [(i, "tgt alpha tgt", "en") for i in range(10)]
+    rows += [(100 + i, "noise qq zz", "de") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sel = dsir_select(df, fraction=0.25)
+    got = sorted(r["doc_id"] for r in sel.collect())
+    # ceil(40 * 0.25) = 10 — exactly the ten target-vocabulary docs
+    assert got == list(range(10))
+    # ranks are 1..10 and ordered by weight desc
+    ranks = {r["sel_rank"] for r in sel.collect()}
+    assert ranks == set(range(1, 11))
+    # selected minimum weight >= best unselected weight
+    all_w = {
+        r["doc_id"]: r["avg_logratio"]
+        for r in dsir_importance_weights(df).collect()
+    }
+    sel_min = min(all_w[i] for i in got)
+    rest_max = max(w for i, w in all_w.items() if i not in got)
+    assert sel_min >= rest_max
+    # audit a FRESH plan (post-collect, AdaptiveSparkPlan prints initial
+    # + final and double-counts): the ONE global window is global_rank's
+    # sanctioned bucket-offset cumsum over a <= ~2100-row table — the
+    # corpus itself never crosses an unpartitioned window
+    assert plan_report(dsir_select(df, fraction=0.25))["n_global_windows"] == 1
