@@ -322,6 +322,117 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def nb_token_counts(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """(cls, bucket, cnt) — the trainable half of the hashed Naive Bayes
+    model: per-class hashed-unigram counts.  ADDITIVE over disjoint
+    document sets (sum partials from any split of the corpus and you get
+    the full-corpus model — the property the streaming twin folds on)."""
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    return (
+        docs.select(
+            F.col(label_col).alias("cls"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+            ).alias("__w"),
+        )
+        .select("cls", md5_bucket(F.col("__w"), n_buckets).alias("bucket"))
+        .groupBy("cls", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nb_class_docs(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """(cls, n_docs) — the prior half of the model; additive like
+    :func:`nb_token_counts`."""
+    return docs.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def nb_classify_with_model(
+    docs: DataFrame,
+    token_counts: DataFrame,
+    class_docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score ``docs`` against an externally supplied NB model — the
+    inference-with-shipped-weights shape (see
+    :func:`hashed_nb_classify` for the semantics; that function is this
+    one applied to its own training counts).  The conditional table is
+    densified to the full classes x buckets grid here, so partial count
+    tables (e.g. a streaming fold) still contribute the smoothed floor
+    for never-seen buckets."""
+    from pyspark.sql import Window
+
+    from datalake_indexes_spark.functions.hashes import md5_bucket
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("__w"),
+    ).select(
+        "doc_id", "label", md5_bucket(F.col("__w"), n_buckets).alias("bucket")
+    )
+
+    tot = class_docs.agg(F.sum("n_docs").alias("__td"))
+    priors = class_docs.crossJoin(F.broadcast(tot)).select(
+        "cls", F.log(F.col("n_docs") / F.col("__td")).alias("__prior")
+    )
+
+    cls_tot = token_counts.groupBy("cls").agg(F.sum("cnt").alias("__tc"))
+    grid = class_docs.select("cls").crossJoin(
+        docs.sparkSession.range(n_buckets).select(
+            F.col("id").cast("long").alias("bucket")
+        )
+    )
+    cond = (
+        grid.join(F.broadcast(token_counts), ["cls", "bucket"], "left")
+        .join(F.broadcast(cls_tot), "cls")
+        .select(
+            "cls",
+            "bucket",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.col("__tc") + F.lit(alpha * n_buckets))
+            ).alias("__logp"),
+        )
+    )
+
+    scored = (
+        words.join(F.broadcast(cond), "bucket")
+        .groupBy("doc_id", "label", "cls")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__logp").alias("__s"))
+        .join(F.broadcast(priors), "cls")
+        .withColumn("__score", F.round(F.col("__s") + F.col("__prior"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("__score"), F.desc("cls")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "label",
+            F.col("cls").alias("pred_label"),
+            F.col("__n").alias("n_words"),
+            (F.col("cls") == F.col("label")).alias("correct"),
+        )
+    )
+
+
 def hashed_nb_classify(
     docs: DataFrame,
     label_col: str = "lang",
@@ -354,68 +465,15 @@ def hashed_nb_classify(
     no driver-side loops; the only window partitions by doc_id over
     |classes| rows.
     """
-    from pyspark.sql import Window
-
-    from datalake_indexes_spark.functions.hashes import md5_bucket
-
-    words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).alias("label"),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-        ).alias("__w"),
-    ).select(
-        "doc_id", "label", md5_bucket(F.col("__w"), n_buckets).alias("__b")
-    )
-
-    ndocs = docs.groupBy(F.col(label_col).alias("cls")).agg(
-        F.count(F.lit(1)).alias("__nd")
-    )
-    tot = ndocs.agg(F.sum("__nd").alias("__td"))
-    priors = ndocs.crossJoin(F.broadcast(tot)).select(
-        "cls", F.log(F.col("__nd") / F.col("__td")).alias("__prior")
-    )
-
-    counts = words.groupBy(F.col("label").alias("cls"), "__b").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    cls_tot = counts.groupBy("cls").agg(F.sum("__c").alias("__tc"))
-    grid = ndocs.select("cls").crossJoin(
-        docs.sparkSession.range(n_buckets).select(
-            F.col("id").cast("long").alias("__b")
-        )
-    )
-    cond = (
-        grid.join(F.broadcast(counts), ["cls", "__b"], "left")
-        .join(F.broadcast(cls_tot), "cls")
-        .select(
-            "cls",
-            "__b",
-            F.log(
-                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(alpha))
-                / (F.col("__tc") + F.lit(alpha * n_buckets))
-            ).alias("__logp"),
-        )
-    )
-
-    scored = (
-        words.join(F.broadcast(cond), "__b")
-        .groupBy("doc_id", "label", "cls")
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__logp").alias("__s"))
-        .join(F.broadcast(priors), "cls")
-        .withColumn("__score", F.round(F.col("__s") + F.col("__prior"), 6))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("__score"), F.desc("cls")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "doc_id",
-            "label",
-            F.col("cls").alias("pred_label"),
-            F.col("__n").alias("n_words"),
-            (F.col("cls") == F.col("label")).alias("correct"),
-        )
+    return nb_classify_with_model(
+        docs,
+        nb_token_counts(
+            docs, label_col=label_col, text_col=text_col, n_buckets=n_buckets
+        ),
+        nb_class_docs(docs, label_col=label_col),
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
     )
