@@ -1434,6 +1434,78 @@ def audio_sample_stats(
     )
 
 
+
+def audio_waveform_features(
+    audio: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_samples, rms, mean_crossing_rate, peak_to_peak) —
+    waveform-shape features through the same REAL stdlib PCM decode as
+    :func:`audio_sample_stats`: RMS energy, the rate of crossings of the
+    clip's own amplitude mean (the DC-offset-free twin of zero-crossing
+    rate — the planted ASCII-byte samples are all positive, so literal
+    zero crossings would grade vacuously), and peak-to-peak amplitude.
+
+    Exactness contract: the squared sum and crossing count are exact
+    integers (amplitudes <= 0x7E7E, so sums stay far under 2^53); rms =
+    sqrt(sq_sum / n) and mcr = crossings / (n - 1) are then single IEEE
+    operations on both engines — bit-identical twin, no rounding.
+    A crossing is counted when (a_i < mean) != (a_{i+1} < mean) with the
+    mean itself one IEEE division of the exact integer sum.
+
+    Scale shape: identical to every decode operator here —
+    scan -> project(Arrow UDF) -> project, zero shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<n_samples:int,sq_sum:long,crossings:int,amp_min:int,amp_max:int>"
+    )
+    def _wf(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            try:
+                _rate, _ch, samples = decode_wav(bytes(p))
+                n = len(samples)
+                if n:
+                    mean = sum(samples) / n
+                    lo = [a < mean for a in samples]
+                    crossings = sum(
+                        1 for i in range(n - 1) if lo[i] != lo[i + 1]
+                    )
+                    rows.append(
+                        (
+                            n,
+                            int(sum(a * a for a in samples)),
+                            crossings,
+                            int(min(samples)),
+                            int(max(samples)),
+                        )
+                    )
+                else:
+                    rows.append((0, None, None, None, None))
+            except (ValueError, NotImplementedError, struct.error):
+                rows.append((None, None, None, None, None))
+        return pd.DataFrame(
+            rows,
+            columns=["n_samples", "sq_sum", "crossings", "amp_min", "amp_max"],
+        )
+
+    s = audio.select(F.col(id_col).alias("doc_id"), _wf(F.col(payload_col)).alias("s"))
+    n = F.col("s.n_samples")
+    return s.select(
+        "doc_id",
+        n.alias("n_samples"),
+        F.when(
+            n > 0, F.sqrt(F.col("s.sq_sum").cast("double") / n.cast("double"))
+        ).alias("rms"),
+        F.when(
+            n > 1,
+            F.col("s.crossings").cast("double") / (n - 1).cast("double"),
+        ).alias("mean_crossing_rate"),
+        F.when(n > 0, F.col("s.amp_max") - F.col("s.amp_min")).alias(
+            "peak_to_peak"
+        ),
+    )
+
 def image_pixel_stats(
     images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

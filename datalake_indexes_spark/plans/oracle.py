@@ -7863,3 +7863,50 @@ n AS (SELECT count(*) AS n FROM scores)
 SELECT doc_id, avg_logratio, CAST(sel_rank AS BIGINT) AS sel_rank
 FROM r, n WHERE sel_rank <= ceil(n * {fraction})
 """
+
+
+def multimodal_audio_features_sql() -> str:
+    """Twin of ``audio_waveform_features(attach_real_wav(documents))`` —
+    samples recomputed from consecutive byte pairs of the planted text
+    (the :func:`multimodal_sample_stats_sql` trick); rms and the
+    mean-crossing rate are single IEEE operations over exact integer
+    aggregates, so no rounding is needed."""
+    return """
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g') AS t
+  FROM documents
+),
+p AS (SELECT doc_id, t, CAST(length(t) // 2 AS INT) AS ns FROM s),
+i AS (SELECT doc_id, t, unnest(range(1, ns + 1)) AS k FROM p),
+v AS (
+  SELECT doc_id, k,
+         ord(t[CAST(2 * k - 1 AS INT)]) + 256 * ord(t[CAST(2 * k AS INT)]) AS a
+  FROM i
+),
+m AS (
+  SELECT doc_id,
+         count(*) AS n,
+         CAST(sum(a) AS DOUBLE) / count(*) AS mean,
+         CAST(sum(a * a) AS DOUBLE) AS sq,
+         CAST(max(a) - min(a) AS INT) AS p2p
+  FROM v GROUP BY doc_id
+),
+x AS (
+  SELECT v.doc_id, (v.a < m.mean) AS lo,
+         lead(v.a < m.mean) OVER (PARTITION BY v.doc_id ORDER BY v.k) AS nlo
+  FROM v JOIN m USING (doc_id)
+),
+c AS (
+  SELECT doc_id, CAST(count(*) FILTER (lo <> nlo) AS INT) AS crossings
+  FROM x WHERE nlo IS NOT NULL GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.ns AS INT) AS n_samples,
+       CASE WHEN p.ns > 0 THEN sqrt(m.sq / m.n) END AS rms,
+       CASE WHEN p.ns > 1
+            THEN coalesce(c.crossings, 0) * 1.0 / (p.ns - 1) END
+         AS mean_crossing_rate,
+       CASE WHEN p.ns > 0 THEN m.p2p END AS peak_to_peak
+FROM p LEFT JOIN m USING (doc_id) LEFT JOIN c USING (doc_id)
+"""

@@ -3962,6 +3962,22 @@ def q_corpus_pack_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_pack_fill(_docs(spark, sf_dir), token_budget=64)
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform features (rms / mean-crossing rate / peak-to-peak)
+    through the real stdlib PCM decode; the twin replays the samples
+    from byte pairs of the planted text."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_wav,
+        audio_waveform_features,
+    )
+
+    return audio_waveform_features(attach_real_wav(_docs(spark, sf_dir)))
+
+
+QUERIES["multimodal_audio_features"] = q_multimodal_audio_features
+ORACLES["multimodal_audio_features"] = oracle.multimodal_audio_features_sql()
+
+
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25% DSIR selection toward the English target — the
     deterministic rank-based importance-resampling step over the
@@ -4053,6 +4069,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_pack_harmonic",
     "corpus_pack_fill",
     "corpus_select_dsir",
+    "multimodal_audio_features",
     # A/B test kit + changepoint + interval join
     "events_ab_test",
     "events_ab_cuped",
@@ -4085,7 +4102,8 @@ _DRIVER_PRIORITY: list[str] = [
     "governance_pseudonymize",
     # export family
     "export_shard_manifest",
-    "export_shard_fingerprints",
+    # (export_shard_fingerprints moved to a later rotation batch for
+    # multimodal_audio_features)
     # events depth
     "events_funnel_timing",
     "events_cohort",

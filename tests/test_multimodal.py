@@ -1340,3 +1340,43 @@ class TestMjpegVideo:
             assert (r.n_frames, r.n_px) == (4, 4096)
             assert r.px_min == min(px) and r.px_max == max(px)
             assert r.px_mean == sum(px) * 64 / 4096
+
+
+def test_audio_waveform_features_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_wav,
+        audio_waveform_features,
+    )
+
+    # text "AzAz" -> byte pairs (0x41,0x7A),(0x41,0x7A): two equal
+    # samples a = 0x41 + 256*0x7A = 31297 -> mean = a, no crossings,
+    # rms = a, p2p = 0.  text "Az!!Az" alternates high/low samples.
+    docs = spark.createDataFrame(
+        [(1, "AzAz"), (2, "Az!!Az"), (3, "x")],  # doc 3: half a frame
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in audio_waveform_features(attach_real_wav(docs)).collect()
+    }
+    hi = 0x41 + 256 * 0x7A
+    lo = 0x21 + 256 * 0x21
+    assert out[1]["n_samples"] == 2
+    assert out[1]["rms"] == pytest.approx(float(hi))
+    assert out[1]["mean_crossing_rate"] == 0.0
+    assert out[1]["peak_to_peak"] == 0
+    assert out[2]["n_samples"] == 3
+    assert out[2]["rms"] == pytest.approx(
+        math.sqrt((2 * hi * hi + lo * lo) / 3)
+    )
+    # hi, lo, hi around the mean -> both adjacent pairs cross
+    assert out[2]["mean_crossing_rate"] == 1.0
+    assert out[2]["peak_to_peak"] == hi - lo
+    # a single trailing odd byte is half a frame: zero decodable samples
+    assert out[3]["n_samples"] == 0
+    assert out[3]["rms"] is None
+    assert out[3]["mean_crossing_rate"] is None
