@@ -274,9 +274,61 @@ def _stage_group_split_keep(docs, id_col, text_col, group_col: str = "source",
     return _keep_ids(docs, keep, id_col)
 
 
+def _stage_gopher_rules(docs, id_col, text_col, **kw):
+    """Keep documents passing the Gopher rule set (text_analysis.py
+    gopher_rule_flags); threshold kwargs pass through."""
+    from datalake_indexes_spark.operators.text_analysis import gopher_rule_flags
+
+    flags = gopher_rule_flags(docs, text_col=text_col, id_col=id_col, **kw)
+    keep = flags.filter(F.col("gopher_keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, keep, id_col)
+
+
+def _stage_dsir_top_fraction(docs, id_col, text_col, fraction: float = 0.5,
+                             target_lang: str = "en", n_buckets: int = 256):
+    """Keep the top ``fraction`` of documents by DSIR importance weight
+    toward ``target_lang`` (text_analysis.py dsir_select)."""
+    from datalake_indexes_spark.operators.text_analysis import dsir_select
+
+    keep = dsir_select(
+        docs,
+        fraction=fraction,
+        target=F.col("lang") == target_lang,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+    ).select(F.col("doc_id").alias(id_col))
+    return _keep_ids(docs, keep, id_col)
+
+
+def _stage_nb_langs(docs, id_col, text_col, keep: list[str] = ("en",),
+                    label_col: str = "lang", n_buckets: int = 512):
+    """Keep documents whose TRAINED-classifier prediction is in ``keep``
+    (ml.py hashed_nb_classify) — the learned alternative to the marker
+    heuristic ``langs`` stage."""
+    from datalake_indexes_spark.operators.ml import hashed_nb_classify
+
+    pred = hashed_nb_classify(
+        docs,
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    kept = pred.filter(F.col("pred_label").isin(list(keep))).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return _keep_ids(docs, kept, id_col)
+
+
 STAGES = {
     "quality_min": _stage_quality_min,
     "c4_rules": _stage_c4_rules,
+    "gopher_rules": _stage_gopher_rules,
+    "dsir_top_fraction": _stage_dsir_top_fraction,
+    "nb_langs": _stage_nb_langs,
     "langs": _stage_langs,
     "max_repetition": _stage_max_repetition,
     "pii_scrub": _stage_pii_scrub,

@@ -194,3 +194,42 @@ def test_pipeline_span_dedup_stage(spark):
     assert out[0] == "intro " + s + " tail"       # canonical copy intact
     assert out[1] == "different ending here"       # span cut
     assert out[2].startswith("unrelated")
+
+
+def test_pipeline_new_curation_stages(spark):
+    """gopher_rules, dsir_top_fraction, nb_langs compose in one config
+    (the lang-aware stages need a lang column, provided here)."""
+    rows = [
+        (0, "the data runs well today and the model trains fast", "en"),
+        (1, "the index scans the lake and the join is cheap", "en"),
+        (2, "der see und die daten laufen mit dem modell", "de"),
+        (3, "111 222 333 444 555 666 777 888 999 000", "en"),  # no alpha
+        (4, "el lago y los datos corren con el modelo", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = STAGES["gopher_rules"](docs, "doc_id", "text",
+                                 min_words=3, min_stopwords=1)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 not in kept          # numeral doc fails the alpha rule
+    assert {0, 1} <= kept         # English docs with 'the' pass
+
+    sel = STAGES["dsir_top_fraction"](docs, "doc_id", "text", fraction=0.4)
+    sel_ids = {r["doc_id"] for r in sel.collect()}
+    assert len(sel_ids) == 2      # ceil(5 * 0.4)
+    assert sel.columns == docs.columns
+
+    nb = STAGES["nb_langs"](docs, "doc_id", "text", keep=["en"])
+    nb_ids = {r["doc_id"] for r in nb.collect()}
+    assert nb_ids <= {0, 1, 3}    # only docs the model calls English
+
+    res = run_curation(
+        docs,
+        [
+            {"stage": "gopher_rules", "min_words": 3, "min_stopwords": 1},
+            {"stage": "dsir_top_fraction", "fraction": 0.8},
+        ],
+    )
+    assert res.docs.count() <= 4
+    census = {r["stage"]: r for r in res.census.collect()}
+    assert "gopher_rules" in census and "dsir_top_fraction" in census
