@@ -1719,3 +1719,112 @@ def hard_negatives(
             F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    candidates: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, mmr_rank, cosine, mmr_score) — maximal
+    marginal relevance re-ranking (Carbonell & Goldstein 1998): greedily
+    pick the candidate maximizing  lam * rel - (1 - lam) * max_sim_to_
+    already_selected  — the diversity-aware retrieval a pipeline uses to
+    build eval/few-shot sets that are relevant WITHOUT being k copies of
+    the same near-duplicate.  Ties break by neighbor_id ascending; the
+    first pick's similarity penalty is zero (empty selected set).
+
+    Scale shape: relevance top-``candidates`` and the candidate-pair
+    similarity matrix are fully distributed (broadcast queries, one
+    corpus scan, pair space capped at candidates^2 per query — the same
+    output-cap discipline as MATE's k_c).  Only the greedy selection
+    itself runs on the driver, over the CAPPED per-query candidate
+    set (<= candidates rel rows + candidates^2 sim rows per query — a
+    model-constant-sized collect, never corpus-sized).  The greedy loop
+    is sequential by definition (each pick changes the next scores);
+    k * candidates comparisons on the driver beat k distributed jobs of
+    candidate size at any scale.
+    """
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cv")
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__rel", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__rel"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= candidates)
+        .select("query_id", "neighbor_id", "__rel", "__cv")
+        .persist()
+    )
+    a = cand.select(
+        "query_id", F.col("neighbor_id").alias("__x"), F.col("__cv").alias("__xv")
+    )
+    b = cand.select(
+        "query_id", F.col("neighbor_id").alias("__y"), F.col("__cv").alias("__yv")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("__x") != F.col("__y"))
+        .select(
+            "query_id", "__x", "__y", _dot(F.col("__xv"), F.col("__yv")).alias("__s")
+        )
+    )
+
+    rel_rows = cand.select("query_id", "neighbor_id", "__rel").collect()
+    pair_rows = pairs.collect()
+    cand.unpersist()
+
+    rel: dict = {}
+    for r in rel_rows:
+        rel.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["__rel"]
+    sim: dict = {}
+    for r in pair_rows:
+        sim.setdefault(r["query_id"], {})[(r["__x"], r["__y"])] = r["__s"]
+
+    out = []
+    for qid in sorted(rel):
+        remaining = dict(rel[qid])
+        selected: list = []
+        qsim = sim.get(qid, {})
+        while remaining and len(selected) < k:
+            best = None
+            for nid in sorted(remaining):
+                r = remaining[nid]
+                penalty = (
+                    max(qsim[(nid, s)] for s in selected) if selected else 0.0
+                )
+                score = lam * r - (1.0 - lam) * penalty
+                # argmax with neighbor_id-ascending tie-break: strictly
+                # greater wins; equal keeps the earlier (smaller) id
+                if best is None or score > best[1]:
+                    best = (nid, score, r)
+            selected.append(best[0])
+            out.append((qid, best[0], len(selected), best[2], best[1]))
+            del remaining[best[0]]
+    raw = corpus.sparkSession.createDataFrame(
+        out,
+        "query_id long, neighbor_id long, mmr_rank int, cosine double, "
+        "mmr_score double",
+    )
+    # round through Spark (HALF_UP, matching the DuckDB twin) — Python's
+    # banker's round would diverge at half-boundaries
+    return raw.select(
+        "query_id",
+        "neighbor_id",
+        "mmr_rank",
+        F.round("cosine", 4).alias("cosine"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )

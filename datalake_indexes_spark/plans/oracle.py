@@ -7910,3 +7910,79 @@ SELECT p.doc_id,
        CASE WHEN p.ns > 0 THEN m.p2p END AS peak_to_peak
 FROM p LEFT JOIN m USING (doc_id) LEFT JOIN c USING (doc_id)
 """
+
+
+def ann_mmr_topk_sql(
+    k: int = 8, lam: float = 0.7, candidates: int = 40, n_queries: int = 5
+) -> str:
+    """Twin of :func:`..operators.similarity.mmr_topk` — the greedy MMR
+    selection unrolled into ``k`` materialized steps (the graph_hits
+    unrolled-CTE pattern).  The similarity-penalty coefficient is
+    inlined as repr(1.0 - lam) so both engines subtract the SAME double,
+    not a re-parsed decimal."""
+    oml = repr(1.0 - lam)
+    lam_r = repr(lam)
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS rel
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+    FROM scored) WHERE rk <= {candidates}
+),
+cv AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, c.rel, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS x, b.neighbor_id AS y,
+         list_cosine_similarity(a.v, b.v) AS s
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, rel, {lam_r} * rel AS score, 1 AS mmr_rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY {lam_r} * rel DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn = 1
+),
+acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+sel{i} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, score, {i} AS mmr_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             {lam_r} * c.rel - {oml} * max(p.s) AS score
+      FROM cand c
+      JOIN pairs p ON p.query_id = c.query_id AND p.x = c.neighbor_id
+      JOIN acc{i - 1} sl
+        ON sl.query_id = p.query_id AND sl.neighbor_id = p.y
+      WHERE NOT EXISTS (
+        SELECT 1 FROM acc{i - 1} z
+        WHERE z.query_id = c.query_id AND z.neighbor_id = c.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    )
+  ) WHERE rn = 1
+),
+acc{i} AS MATERIALIZED (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       round(rel, 4) AS cosine, round(score, 4) AS mmr_score
+FROM acc{k}"""
+    )
+    return "".join(parts)

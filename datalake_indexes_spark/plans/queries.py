@@ -3962,6 +3962,24 @@ def q_corpus_pack_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_pack_fill(_docs(spark, sf_dir), token_budget=64)
 
 
+def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR re-rank of the cosine top-40
+    candidates for 5 queries (greedy selection replayed by an unrolled
+    materialized-CTE twin)."""
+    from datalake_indexes_spark.operators.similarity import mmr_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return mmr_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=8, lam=0.7, candidates=40
+    )
+
+
+QUERIES["ann_mmr_topk"] = q_ann_mmr_topk
+ORACLES["ann_mmr_topk"] = oracle.ann_mmr_topk_sql(
+    k=8, lam=0.7, candidates=40, n_queries=5
+)
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waveform features (rms / mean-crossing rate / peak-to-peak)
     through the real stdlib PCM decode; the twin replays the samples
@@ -4070,6 +4088,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_pack_fill",
     "corpus_select_dsir",
     "multimodal_audio_features",
+    "ann_mmr_topk",
     # A/B test kit + changepoint + interval join
     "events_ab_test",
     "events_ab_cuped",
@@ -4107,7 +4126,8 @@ _DRIVER_PRIORITY: list[str] = [
     # events depth
     "events_funnel_timing",
     "events_cohort",
-    "events_attribution",
+    # (events_attribution moved to a later rotation batch for
+    # ann_mmr_topk)
     # (events_anomaly / text_zipf / profile_ks_drift moved to a later
     # rotation batch to make room for the three new-this-session
     # operators above)

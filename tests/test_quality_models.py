@@ -508,3 +508,62 @@ def test_dsir_select_takes_top_fraction(spark):
     # sanctioned bucket-offset cumsum over a <= ~2100-row table — the
     # corpus itself never crosses an unpartitioned window
     assert plan_report(dsir_select(df, fraction=0.25))["n_global_windows"] == 1
+
+
+# -------------------------------------------------------------------- MMR
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from datalake_indexes_spark.operators.similarity import mmr_topk
+
+    # query along x; candidates: three near-copies of the best match and
+    # one slightly-less-relevant but orthogonal-ish vector.  Plain top-3
+    # takes the three copies; MMR at lam=0.5 must pull in the diverse one.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.99, 0.11, 0.0]),
+        (3, [0.99, 0.12, 0.0]),
+        (4, [0.6, 0.0, 0.8]),        # diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(
+        emb, emb.filter("vec_id = 0"), k=3, lam=0.5, candidates=4
+    ).collect()
+    picked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert picked[0] == 1            # most relevant first
+    assert 4 in picked[:3]           # diversity pick beats the third copy
+    ranks = [r["mmr_rank"] for r in out]
+    assert sorted(ranks) == [1, 2, 3]
+
+
+def test_mmr_lam_one_equals_relevance_order(spark):
+    from datalake_indexes_spark.operators.similarity import (
+        cosine_topk,
+        mmr_topk,
+    )
+
+    rows = [(i, [float((i * 7) % 5 + 1), float(i % 3), 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    mmr = mmr_topk(emb, q, k=5, lam=1.0, candidates=10)
+    top = cosine_topk(emb, q, k=5)
+    got = [
+        r["neighbor_id"]
+        for r in sorted(mmr.collect(), key=lambda r: r["mmr_rank"])
+    ]
+    want = [
+        r["neighbor_id"] for r in sorted(top.collect(), key=lambda r: r["rank"])
+    ]
+    assert got == want
+
+
+def test_mmr_deterministic(spark):
+    from datalake_indexes_spark.operators.similarity import mmr_topk
+
+    rows = [(i, [float(i % 4), float(i % 7), 2.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 2")
+    a = sorted(map(tuple, mmr_topk(emb, q, k=4, candidates=8).collect()))
+    b = sorted(map(tuple, mmr_topk(emb, q, k=4, candidates=8).collect()))
+    assert a == b
