@@ -1226,3 +1226,346 @@ def doc_novelty(
             ).alias("novel_frac"),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (PPJoin-style; Xiao et
+    al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW 2008).  Same contract as :func:`ngram_jaccard_pairs` — every pair
+    with n-gram Jaccard >= ``threshold``, exact values — but candidate
+    generation self-joins only each document's PREFIX: its
+    ``|d| - ceil(t·|d|) + 1`` globally *rarest* shingles under a total
+    (document-frequency asc, shingle asc) order.
+
+    Why this is the scale path among the EXACT variants: the full
+    inverted-index self-join pays df² rows per shingle, dominated by hot
+    boilerplate; the ``max_shingle_freq`` cap fixes that by *documenting a
+    recall loss*.  The prefix filter gets the same candidate collapse with
+    ZERO false negatives — two sets with Jaccard >= t must overlap in
+    >= ceil(t/(1+t)·(|x|+|y|)) elements, which forces at least one shared
+    element inside both prefixes under ANY shared total order; hot
+    shingles sort LAST (df desc ordering puts them outside prefixes), so
+    boilerplate never generates candidates unless a pair genuinely has
+    nothing rarer in common.  The exact all-pairs SQL is therefore this
+    operator's oracle VERBATIM (dedup_ngram_jaccard_sql at the same
+    threshold) — the completeness theorem is driver-checked, not claimed.
+
+    Exactness discipline: prefix lengths and the size filter use integer
+    arithmetic (threshold as a num/den fraction, ``ceil(t·n)`` =
+    ``(num·n + den - 1) div den``; size pruning ``min·den >= num·max``) so
+    no float rounding can shorten a prefix or drop a candidate; the final
+    jaccard filter/rounding is shared with every other pair path via
+    :func:`_verify_jaccard`.
+
+    Plan shape: one shuffle keyed by shingle (df counts + the candidate
+    join), one window keyed by doc_id (prefix ranks), verification on the
+    surviving pairs only.  No driver collect, no cartesian step.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    return _verify_jaccard(prefix_candidates(sh, threshold), sh, threshold)
+
+
+def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_id_1, doc_id_2) pairs under the prefix filter —
+    factored out of :func:`prefix_jaccard_pairs` so its candidate-space
+    reduction is directly measurable against the full inverted-index
+    self-join (see test_incremental_dedup.py)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("shingle"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # prefix_len = n - ceil(t*n) + 1, integer-exact via (num*n+den-1) div den
+    prefix = ranked.filter(
+        F.col("__rank")
+        <= F.col("__n")
+        - F.expr(f"(({num} * __n + {den} - 1) div {den})")
+        + F.lit(1)
+    ).select("doc_id", "shingle", "__n")
+    p1, p2 = prefix.alias("p1"), prefix.alias("p2")
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.shingle") == F.col("p2.shingle"))
+            & (F.col("p1.doc_id") < F.col("p2.doc_id"))
+            # size filter, integer-exact: J >= t ⇒ min(|x|,|y|) >= t·max
+            & (
+                F.least(F.col("p1.__n"), F.col("p2.__n")) * den
+                >= num * F.greatest(F.col("p1.__n"), F.col("p2.__n"))
+            ),
+        )
+        .select(
+            F.col("p1.doc_id").alias("doc_id_1"),
+            F.col("p2.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
+def pair_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup aggressiveness curve: one row per candidate threshold —
+    (threshold, n_pairs, n_docs) where n_pairs counts exact-Jaccard pairs
+    >= t and n_docs the distinct documents involved in at least one such
+    pair.  The tuning view a pipeline owner reads BEFORE committing a
+    near-dup threshold to a 100 TB run: the knee of this curve separates
+    template families from genuine re-posts.
+
+    One exact pair computation at min(thresholds) (prefix-filtered, so
+    the loosest threshold still never joins hot shingles), then ONE
+    conditional-aggregation census over that SMALL pair set unpivoted
+    back to rows — the corpus is touched once, the sweep is free.
+    Census conditions compare the ROUNDED jaccard (the operator family's
+    reported value), so both engines decide every boundary identically.
+    """
+    ts = sorted(float(t) for t in thresholds)
+    pairs = prefix_jaccard_pairs(
+        docs, n=n, threshold=ts[0], text_col=text_col, id_col=id_col
+    )
+    pair_row = pairs.agg(
+        *[
+            F.sum((F.col("jaccard") >= t).cast("long")).alias(f"__p{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    ids = pairs.select(F.col("doc_id_1").alias("d"), "jaccard").unionAll(
+        pairs.select(F.col("doc_id_2").alias("d"), "jaccard")
+    )
+    doc_row = ids.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("jaccard") >= t, F.col("d"))
+            ).alias(f"__d{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    cells = ", ".join(
+        f"CAST({t} AS DOUBLE), coalesce(__p{i}, 0L), __d{i}"
+        for i, t in enumerate(ts)
+    )
+    return pair_row.crossJoin(doc_row).select(
+        F.expr(
+            f"stack({len(ts)}, {cells}) AS (threshold, n_pairs, n_docs)"
+        )
+    )
+
+
+# --- incremental (history-aware) exact dedup -------------------------------
+#
+# The ingestion-time question at 100 TB is not "which docs inside this
+# batch duplicate each other" but "which docs of this INCREMENT already
+# exist in the accumulated corpus" — and scanning the accumulated corpus
+# per increment is exactly what a Bloom prefilter amortizes away.  The
+# filter here is a *position-set* Bloom: k md5-derived probe positions per
+# hash (the same "j:item" probe family as functions/hashes.py
+# BloomFilter._positions), with the m-position space encoded as an
+# md5-hex PREFIX (hex_len chars ⇒ m = 16^hex_len).  The history's distinct
+# probe set is bounded by m regardless of corpus size — a broadcastable
+# constant, like a bitset, but replayable verbatim by the DuckDB twin
+# (string set membership, no bit arithmetic to diverge on).
+
+
+def _bloom_probe_array(col, k_hashes: int, hex_len: int):
+    """Array of k probe positions for one hash value: the first
+    ``hex_len`` hex chars of md5("j:" || value), j = 0..k-1."""
+    return F.array(
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, hex_len)
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def incremental_new_docs(
+    history: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_hashes: int = 3,
+    hex_len: int = 4,
+) -> DataFrame:
+    """Exact incremental dedup: the increment's genuinely NEW documents —
+    first occurrence per content hash within the increment, whose hash
+    appears nowhere in ``history``.  Output (doc_id, content_hash,
+    n_copies) with n_copies the within-increment multiplicity.
+
+    Bloom-prefiltered, exactly verified: an increment hash with ANY probe
+    position missing from the history probe set is provably new (Bloom
+    soundness — no false negatives) and skips verification entirely; only
+    the Bloom-positive survivors are checked against history, via a
+    broadcast semi-join that leaves the history scan Exchange-free.  False
+    positives therefore cost one bounded join row, never a wrong answer —
+    the oracle is the plain anti-join semantics with no Bloom in sight.
+
+    Scale shape: history is scanned once, projected to md5(text) at scan
+    level, and NEVER shuffled (probe-set aggregate is a bounded distinct;
+    the verify is history ⋉ broadcast(candidates)).  In steady state the
+    probe set is a persisted artifact maintained additively per increment
+    (set union), so re-ingestion cost is O(increment) + O(matches).
+    """
+    hh = history.select(F.md5(F.col(text_col)).alias("content_hash"))
+    firsts = (
+        increment.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    hist_pos = (
+        hh.select(
+            F.explode(
+                _bloom_probe_array(F.col("content_hash"), k_hashes, hex_len)
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probes = firsts.select(
+        "content_hash",
+        F.explode(
+            _bloom_probe_array(F.col("content_hash"), k_hashes, hex_len)
+        ).alias("p"),
+    )
+    # >=1 missing probe  ⇒  provably new (skips verification)
+    bf_new = (
+        probes.join(F.broadcast(hist_pos), "p", "left_anti")
+        .select("content_hash")
+        .distinct()
+    )
+    candidates = firsts.join(bf_new, "content_hash", "left_anti")
+    # exact verify: history ⋉ broadcast(candidate hashes) — history side
+    # never shuffles; result is bounded by the candidate count
+    confirmed = (
+        hh.join(
+            F.broadcast(candidates.select("content_hash")),
+            "content_hash",
+            "left_semi",
+        )
+        .distinct()
+    )
+    new_from_cand = candidates.join(
+        F.broadcast(confirmed), "content_hash", "left_anti"
+    )
+    return (
+        firsts.join(bf_new, "content_hash", "left_semi")
+        .unionByName(new_from_cand)
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+def incremental_dedup_report(
+    history: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_hashes: int = 3,
+    hex_len: int = 3,
+) -> DataFrame:
+    """One-row meter for the Bloom prefilter in
+    :func:`incremental_new_docs` — the same contract as the dedup-recall
+    and ANN-recall gauges: every number exact and engine-replayable.
+
+    Columns: n_history, n_increment, n_increment_distinct, n_within_dups,
+    n_bf_new (provably new — skipped verification), n_bf_candidates
+    (Bloom-positive), n_history_dups (verified true), n_bf_false_positives
+    (candidates that verification cleared), n_new, fp_rate
+    (false positives / genuinely-new, rounded 6) — the knob-tuning number:
+    it prices verification waste against probe-set size m = 16^hex_len.
+
+    Default hex_len=3 (m=4096) is deliberately small so the gauge is
+    non-vacuous at fixture scale; production uses hex_len>=6 with the
+    same code path.
+    """
+    hh = history.select(F.md5(F.col(text_col)).alias("content_hash"))
+    inc = increment.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    firsts = inc.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    hist_pos = (
+        hh.select(
+            F.explode(
+                _bloom_probe_array(F.col("content_hash"), k_hashes, hex_len)
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probes = firsts.select(
+        "content_hash",
+        F.explode(
+            _bloom_probe_array(F.col("content_hash"), k_hashes, hex_len)
+        ).alias("p"),
+    )
+    bf_new = (
+        probes.join(F.broadcast(hist_pos), "p", "left_anti")
+        .select("content_hash")
+        .distinct()
+    )
+    hist_hashes = hh.distinct()
+    truly_dup = firsts.join(hist_hashes, "content_hash", "left_semi")
+    counts = (
+        firsts.agg(
+            F.count(F.lit(1)).alias("n_increment_distinct"),
+            F.sum("n_copies").alias("n_increment"),
+        )
+        .crossJoin(hh.agg(F.count(F.lit(1)).alias("n_history")))
+        .crossJoin(bf_new.agg(F.count(F.lit(1)).alias("n_bf_new")))
+        .crossJoin(truly_dup.agg(F.count(F.lit(1)).alias("n_history_dups")))
+    )
+    return counts.select(
+        F.col("n_history").cast("long").alias("n_history"),
+        F.col("n_increment").cast("long").alias("n_increment"),
+        F.col("n_increment_distinct").cast("long").alias("n_increment_distinct"),
+        (F.col("n_increment") - F.col("n_increment_distinct"))
+        .cast("long")
+        .alias("n_within_dups"),
+        F.col("n_bf_new").cast("long").alias("n_bf_new"),
+        (F.col("n_increment_distinct") - F.col("n_bf_new"))
+        .cast("long")
+        .alias("n_bf_candidates"),
+        F.col("n_history_dups").cast("long").alias("n_history_dups"),
+        (
+            F.col("n_increment_distinct")
+            - F.col("n_bf_new")
+            - F.col("n_history_dups")
+        )
+        .cast("long")
+        .alias("n_bf_false_positives"),
+        (F.col("n_increment_distinct") - F.col("n_history_dups"))
+        .cast("long")
+        .alias("n_new"),
+        F.round(
+            (
+                F.col("n_increment_distinct")
+                - F.col("n_bf_new")
+                - F.col("n_history_dups")
+            )
+            / F.nullif(
+                F.col("n_increment_distinct") - F.col("n_history_dups"),
+                F.lit(0),
+            ),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -7986,3 +7986,143 @@ SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
 FROM acc{k}"""
     )
     return "".join(parts)
+
+
+# --- incremental / prefix-join dedup twins ---------------------------------
+
+_INCR_SPLIT_CTES = """hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM hist WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+hh AS (SELECT md5(text) AS content_hash FROM hist),
+firsts AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+         count(*) AS n_copies
+  FROM inc GROUP BY 1
+)"""
+
+
+def dedup_incremental_sql() -> str:
+    """Twin of :func:`..operators.dedup.incremental_new_docs` over the
+    registry's planted history/increment split (history = doc_id%5<>0;
+    increment = the %5==0 docs plus re-crawled history copies (%7==1,
+    id+1e6) and within-increment copies (%10==0, id+2e6)).  The Bloom
+    prefilter is exactness-transparent (verified positives, sound
+    negatives), so the twin is the plain first-per-hash anti-join — the
+    whole point of grading this key strictly."""
+    return f"""
+WITH {_INCR_SPLIT_CTES}
+SELECT f.doc_id, f.content_hash, CAST(f.n_copies AS BIGINT) AS n_copies
+FROM firsts f
+LEFT JOIN (SELECT DISTINCT content_hash FROM hh) h USING (content_hash)
+WHERE h.content_hash IS NULL
+"""
+
+
+def dedup_incremental_report_sql(k_hashes: int = 3, hex_len: int = 3) -> str:
+    """Twin of :func:`..operators.dedup.incremental_dedup_report`: the
+    position-set Bloom is replayed verbatim — k probe positions per hash
+    are the first ``hex_len`` hex chars of md5('j:' || hash) (the same
+    probe family as functions/hashes.py BloomFilter), membership is
+    string-set membership, so the false-positive count is deterministic
+    and engine-identical."""
+    return f"""
+WITH {_INCR_SPLIT_CTES},
+hpos AS (
+  SELECT DISTINCT substr(md5(CAST(j AS VARCHAR) || ':' || content_hash),
+                         1, {hex_len}) AS p
+  FROM hh, UNNEST(range({k_hashes})) AS t(j)
+),
+nprobe AS (
+  SELECT f.content_hash,
+         substr(md5(CAST(j AS VARCHAR) || ':' || f.content_hash),
+                1, {hex_len}) AS p
+  FROM firsts f, UNNEST(range({k_hashes})) AS t(j)
+),
+bf_new AS (
+  SELECT DISTINCT content_hash FROM nprobe
+  WHERE p NOT IN (SELECT p FROM hpos)
+),
+truly_dup AS (
+  SELECT f.content_hash FROM firsts f
+  JOIN (SELECT DISTINCT content_hash FROM hh) h USING (content_hash)
+),
+c AS (
+  SELECT (SELECT count(*) FROM hh) AS n_history,
+         (SELECT sum(n_copies) FROM firsts) AS n_increment,
+         (SELECT count(*) FROM firsts) AS n_increment_distinct,
+         (SELECT count(*) FROM bf_new) AS n_bf_new,
+         (SELECT count(*) FROM truly_dup) AS n_history_dups
+)
+SELECT CAST(n_history AS BIGINT) AS n_history,
+       CAST(n_increment AS BIGINT) AS n_increment,
+       CAST(n_increment_distinct AS BIGINT) AS n_increment_distinct,
+       CAST(n_increment - n_increment_distinct AS BIGINT) AS n_within_dups,
+       CAST(n_bf_new AS BIGINT) AS n_bf_new,
+       CAST(n_increment_distinct - n_bf_new AS BIGINT) AS n_bf_candidates,
+       CAST(n_history_dups AS BIGINT) AS n_history_dups,
+       CAST(n_increment_distinct - n_bf_new - n_history_dups AS BIGINT)
+         AS n_bf_false_positives,
+       CAST(n_increment_distinct - n_history_dups AS BIGINT) AS n_new,
+       round(CAST(n_increment_distinct - n_bf_new - n_history_dups AS DOUBLE)
+             / nullif(n_increment_distinct - n_history_dups, 0), 6) AS fp_rate
+FROM c
+"""
+
+
+def dedup_threshold_sweep_sql(
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9), n: int = 3
+) -> str:
+    """Twin of :func:`..operators.dedup.pair_threshold_sweep` over the
+    planted partial-overlap corpus (every %4==0 doc gains a truncated
+    copy at 50/70/90% word length, cycling by (doc_id div 4) % 3 — so the
+    curve actually bends).  Pair set = exact all-pairs jaccard at
+    min(thresholds) with the UNROUNDED filter; census per threshold on
+    the ROUNDED jaccard — identical boundary decisions in both engines."""
+    ts = sorted(float(t) for t in thresholds)
+    lo = ts[0]
+    gram = " || ' ' || ".join(f"w[CAST(i+{j+1} AS INT)]" for j in range(n))
+    vals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in ts)
+    return f"""
+WITH docs_p AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+             CAST(((5 + 2 * ((doc_id // 4) % 3))
+                   * len(string_split(text, ' '))) // 10 AS INT)),
+           ' ') AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+__words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs_p),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM __words, UNNEST(range(greatest(len(w)-{n - 1}, 0))) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+  FROM sh s1 JOIN sh s2
+    ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+),
+{_jaccard_ctes()},
+pairs AS (
+{_jaccard_select(lo)}
+),
+ts(threshold) AS (VALUES {vals})
+SELECT t.threshold,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+        WHERE p.jaccard >= t.threshold) AS n_pairs,
+       (SELECT CAST(count(DISTINCT u.d) AS BIGINT) FROM (
+          SELECT doc_id_1 AS d, jaccard FROM pairs
+          UNION ALL
+          SELECT doc_id_2 AS d, jaccard FROM pairs) u
+        WHERE u.jaccard >= t.threshold) AS n_docs
+FROM ts t
+"""

@@ -4031,6 +4031,100 @@ ORACLES["text_dsir_weights"] = oracle.text_dsir_weights_sql(
 ORACLES["ml_nb_langid"] = oracle.ml_nb_langid_sql(n_buckets=512, alpha=1.0)
 
 
+def _incremental_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Planted history/increment split for the incremental-dedup keys
+    (mirrored by oracle._INCR_SPLIT_CTES): history = doc_id%5<>0;
+    increment = the %5==0 docs, plus re-crawled copies of history
+    (%7==1, id+1e6 — already-ingested content arriving again) and
+    within-increment copies (%10==0, id+2e6)."""
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionAll(
+            hist.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return hist, inc
+
+
+def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard join — the completeness
+    theorem is driver-graded: the oracle is the plain all-pairs SQL at
+    the same threshold, so any prefix too short shows up as a missing
+    pair in the strict hash."""
+    from datalake_indexes_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness curve over a corpus WITH planted
+    partial-overlap copies (every %4==0 doc gains a truncated copy at
+    50/70/90% word length cycling by (doc_id div 4) % 3) — without the
+    plant the synthetic near-dup families are all >=0.9 and the curve is
+    flat."""
+    from datalake_indexes_spark.operators.dedup import pair_threshold_sweep
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    keep = F.expr(
+        "CAST(((5 + 2 * ((doc_id div 4) % 3))"
+        " * size(split(text, ' '))) div 10 AS INT)"
+    )
+    planted = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 1, keep)).alias("text"),
+        )
+    )
+    return pair_threshold_sweep(planted)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup vs the accumulated corpus —
+    exact anti-join semantics (the prefilter is verified, so the driver
+    grades a Bloom implementation against Bloom-free SQL)."""
+    from datalake_indexes_spark.operators.dedup import incremental_new_docs
+
+    hist, inc = _incremental_split(spark, sf_dir)
+    return incremental_new_docs(hist, inc)
+
+
+def q_dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive meter for the position-set Bloom prefilter
+    (hex_len=3 ⇒ m=4096, small enough to be non-vacuous at fixture
+    scale: the sf0.01 split yields 3 real false positives)."""
+    from datalake_indexes_spark.operators.dedup import incremental_dedup_report
+
+    hist, inc = _incremental_split(spark, sf_dir)
+    return incremental_dedup_report(hist, inc, hex_len=3)
+
+
+QUERIES["dedup_prefix_join"] = q_dedup_prefix_join
+QUERIES["dedup_threshold_sweep"] = q_dedup_threshold_sweep
+QUERIES["dedup_incremental"] = q_dedup_incremental
+QUERIES["dedup_incremental_report"] = q_dedup_incremental_report
+# identical contract to the exact inverted-index join — same oracle
+# (that identity IS the prefix-filter completeness proof)
+ORACLES["dedup_prefix_join"] = oracle.dedup_ngram_jaccard_sql(threshold=0.8)
+ORACLES["dedup_threshold_sweep"] = oracle.dedup_threshold_sweep_sql()
+ORACLES["dedup_incremental"] = oracle.dedup_incremental_sql()
+ORACLES["dedup_incremental_report"] = oracle.dedup_incremental_report_sql(
+    k_hashes=3, hex_len=3
+)
+
+
 # The driver's correctness gate grades the FIRST 50 queries() entries
 # (CORRECTNESS_r04 graded exactly QUERIES[:50] in insertion order).  Order
 # both dicts so that window is a representative cross-family sample —
@@ -4078,6 +4172,10 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_pagerank",
     # --- rotating slots: never-driver-graded keys (round-7 batch) ---
     # new-this-round operators, externally graded on first appearance
+    "dedup_prefix_join",
+    "dedup_threshold_sweep",
+    "dedup_incremental",
+    "dedup_incremental_report",
     "ml_cv_folds",
     "corpus_diff",
     "ann_range_search",
@@ -4103,9 +4201,9 @@ _DRIVER_PRIORITY: list[str] = [
     "column_percentiles",
     "column_top_values",
     "column_moments",
-    "column_benford",
+    # (column_benford / column_mutual_info moved to a later rotation
+    # batch for the prefix-join and threshold-sweep keys)
     "column_chi2",
-    "column_mutual_info",
     # (column_quantile_buckets / column_histograms moved to a later
     # rotation batch to make room for the packing keys above)
     # web pipeline family
@@ -4113,7 +4211,8 @@ _DRIVER_PRIORITY: list[str] = [
     "web_domain_stats",
     "web_blocklist",
     "web_extract_links",
-    "web_domain_cap",
+    # (web_domain_cap moved to a later rotation batch for
+    # dedup_incremental)
     # (web_link_census moved to a later rotation batch for
     # corpus_select_dsir)
     # governance family
@@ -4125,7 +4224,8 @@ _DRIVER_PRIORITY: list[str] = [
     # multimodal_audio_features)
     # events depth
     "events_funnel_timing",
-    "events_cohort",
+    # (events_cohort moved to a later rotation batch for
+    # dedup_incremental_report)
     # (events_attribution moved to a later rotation batch for
     # ann_mmr_topk)
     # (events_anomaly / text_zipf / profile_ks_drift moved to a later

@@ -1,0 +1,233 @@
+"""Prefix-filtered exact Jaccard join, the threshold sweep, and the
+Bloom-prefiltered incremental dedup family.
+
+The load-bearing claims under test:
+- prefix filtering is COMPLETE (output identical to the full
+  inverted-index join) while generating strictly fewer candidates on a
+  boilerplate-skewed corpus — the case where the frequency cap
+  documents a recall loss, the prefix filter must not;
+- the Bloom prefilter is exactness-TRANSPARENT: any (k_hashes, hex_len)
+  knob setting — including a saturated 16-position filter where every
+  probe collides — yields byte-identical output to the plain anti-join
+  truth, because positives are verified and negatives are sound;
+- the report's identities hold and its false-positive count is the
+  candidate/verified gap.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from datalake_indexes_spark.operators.dedup import (
+    incremental_dedup_report,
+    incremental_new_docs,
+    ngram_jaccard_pairs,
+    pair_threshold_sweep,
+    prefix_candidates,
+    prefix_jaccard_pairs,
+    word_shingles,
+)
+from datalake_indexes_spark.plans.audit import plan_report
+
+
+def _pairs(df):
+    return {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"] for r in df.collect()}
+
+
+def _boiler_fixture(spark):
+    boiler = "common header text"
+    rows = [
+        (i, f"{boiler} unique filler number {i} for document {i}")
+        for i in range(40)
+    ]
+    rows.append((100, f"{boiler} the quick brown fox jumps over dogs"))
+    rows.append((101, f"{boiler} the quick brown fox jumps over dogs"))
+    # a pair whose ONLY shared content is the boilerplate itself — the
+    # frequency cap misses this one by design; the prefix filter must not
+    rows.append((200, boiler))
+    rows.append((201, boiler))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_join_complete_on_skewed_fixture(spark):
+    docs = _boiler_fixture(spark)
+    exact = _pairs(ngram_jaccard_pairs(docs, n=3, threshold=0.7))
+    pref = _pairs(prefix_jaccard_pairs(docs, n=3, threshold=0.7))
+    assert pref == exact
+    assert (100, 101) in pref and (200, 201) in pref
+
+
+def test_prefix_join_candidate_reduction(spark):
+    docs = _boiler_fixture(spark)
+    sh = word_shingles(docs, n=3)
+    n_pref = prefix_candidates(sh, 0.7).count()
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    n_full = (
+        s1.join(
+            s2,
+            (F.col("s1.shingle") == F.col("s2.shingle"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select("s1.doc_id", "s2.doc_id")
+        .distinct()
+        .count()
+    )
+    # every doc shares the boilerplate shingle → the full join pairs all
+    # 44 docs (C(44,2)=946); prefixes exclude the hot shingle except for
+    # the two docs that have nothing else
+    assert n_full > 900
+    assert n_pref < 50
+
+
+def test_prefix_join_random_parity(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+            for i in range(24)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.5, 0.75, 0.9, 1.0):
+            assert _pairs(prefix_jaccard_pairs(docs, threshold=t)) == _pairs(
+                ngram_jaccard_pairs(docs, threshold=t)
+            ), f"trial={trial} t={t}"
+
+
+def test_prefix_join_plan_shape(spark):
+    docs = _boiler_fixture(spark)
+    rep = plan_report(prefix_jaccard_pairs(docs, threshold=0.8))
+    assert rep["n_nested_loop_joins"] == 0
+    assert rep["n_global_windows"] == 0
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    docs = _boiler_fixture(spark)
+    rows = {
+        r["threshold"]: (r["n_pairs"], r["n_docs"])
+        for r in pair_threshold_sweep(docs, thresholds=(0.5, 0.7, 0.9)).collect()
+    }
+    assert set(rows) == {0.5, 0.7, 0.9}
+    ts = sorted(rows)
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a][0] >= rows[b][0]
+        assert rows[a][1] >= rows[b][1]
+    # census at each t matches an independent pair run filtered there
+    pairs = _pairs(prefix_jaccard_pairs(docs, threshold=0.5))
+    for t in ts:
+        sel = {p for p, j in pairs.items() if j >= t}
+        assert rows[t][0] == len(sel)
+        assert rows[t][1] == len({d for p in sel for d in p})
+
+
+def _incr_fixture(spark):
+    hist_rows = [(i, f"history document number {i} body") for i in range(30)]
+    inc_rows = (
+        # 10 genuinely new
+        [(100 + i, f"fresh increment doc {i} content") for i in range(10)]
+        # 5 re-crawled history docs (dup vs history)
+        + [(200 + i, f"history document number {i} body") for i in range(5)]
+        # one new doc repeated 3 times within the increment
+        + [(300 + i, "repeated within increment body") for i in range(3)]
+    )
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    return hist, inc
+
+
+def _truth(hist_rows, inc_rows):
+    import hashlib
+
+    hh = {hashlib.md5(t.encode()).hexdigest() for _, t in hist_rows}
+    firsts: dict[str, list] = {}
+    for i, t in sorted(inc_rows):
+        h = hashlib.md5(t.encode()).hexdigest()
+        if h in firsts:
+            firsts[h][1] += 1
+        else:
+            firsts[h] = [i, 1]
+    return {
+        (v[0], h, v[1]) for h, v in firsts.items() if h not in hh
+    }
+
+
+def test_incremental_matches_anti_join_truth(spark):
+    hist, inc = _incr_fixture(spark)
+    truth = _truth(
+        [(r["doc_id"], r["text"]) for r in hist.collect()],
+        [(r["doc_id"], r["text"]) for r in inc.collect()],
+    )
+    got = {
+        (r["doc_id"], r["content_hash"], r["n_copies"])
+        for r in incremental_new_docs(hist, inc).collect()
+    }
+    assert got == truth
+    assert len(got) == 11  # 10 fresh + 1 within-increment group
+
+
+def test_incremental_bloom_knobs_are_transparent(spark):
+    """hex_len=1 gives a 16-position filter that SATURATES (every probe
+    collides → everything is a candidate → pure verification); hex_len=8
+    makes false positives essentially impossible (pure Bloom).  Both
+    must equal the default's output exactly."""
+    hist, inc = _incr_fixture(spark)
+    base = sorted(incremental_new_docs(hist, inc).collect())
+    tiny = sorted(incremental_new_docs(hist, inc, hex_len=1).collect())
+    wide = sorted(incremental_new_docs(hist, inc, hex_len=8, k_hashes=5).collect())
+    assert tiny == base
+    assert wide == base
+
+
+def test_incremental_report_identities(spark):
+    hist, inc = _incr_fixture(spark)
+    r = incremental_dedup_report(hist, inc, hex_len=2).collect()[0]
+    assert r["n_history"] == 30
+    assert r["n_increment"] == 18
+    assert r["n_increment_distinct"] == 16
+    assert r["n_within_dups"] == 2
+    assert r["n_history_dups"] == 5
+    assert r["n_new"] == 11
+    assert r["n_bf_new"] + r["n_bf_candidates"] == r["n_increment_distinct"]
+    assert r["n_bf_false_positives"] == r["n_bf_candidates"] - r["n_history_dups"]
+    assert 0 <= r["n_bf_false_positives"] <= r["n_new"]
+    # the meter agrees with the operator it meters
+    assert incremental_new_docs(hist, inc).count() == r["n_new"]
+
+
+def test_incremental_saturated_filter_report(spark):
+    """m=16 saturates: nothing is provably new, every distinct hash
+    becomes a candidate, and fp = candidates - true dups = n_new."""
+    hist, inc = _incr_fixture(spark)
+    r = incremental_dedup_report(hist, inc, hex_len=1).collect()[0]
+    assert r["n_bf_new"] == 0
+    assert r["n_bf_candidates"] == r["n_increment_distinct"]
+    assert r["n_bf_false_positives"] == r["n_new"]
+    assert r["fp_rate"] == 1.0
+
+
+def test_incremental_plan_history_broadcast_verify(spark):
+    """History is reached only through broadcast joins (probe-set anti,
+    verify semi) — the increment-side firsts x bf_new join may legally
+    sort-merge (both sides are increment-keyed and co-partitioned on
+    content_hash), but nothing nested-loops, and every join that touches
+    the history relation builds on a broadcast of the SMALL side.  The
+    history probe-set distinct is map-side partial-deduped (bounded by
+    m = 16^hex_len rows per task before its exchange), so no exchange in
+    this plan carries history-row volume."""
+    hist, inc = _incr_fixture(spark)
+    rep = plan_report(incremental_new_docs(hist, inc))
+    assert rep["n_nested_loop_joins"] == 0
+    assert rep["n_broadcast_joins"] >= 2  # probe-set anti + verify semi
+    plan = (
+        incremental_new_docs(hist, inc)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the history-verify semi must be a BroadcastHashJoin (candidates
+    # broadcast, history streamed); the OTHER semi in this plan
+    # (firsts ⋉ bf_new) is increment-keyed and may legally sort-merge
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert any("BroadcastHashJoin" in ln for ln in semi_lines), semi_lines
