@@ -1569,3 +1569,110 @@ def incremental_dedup_report(
             6,
         ).alias("fp_rate"),
     )
+
+
+def prefix_jaccard_join_ab(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-corpus Jaccard join (R-S form of
+    :func:`prefix_jaccard_pairs`): every (a, b) pair with n-gram Jaccard
+    >= ``threshold`` between the two corpora, exact values — the
+    NEAR-dup completion of the incremental-ingest story
+    (:func:`incremental_new_docs` catches exact re-crawls; this catches
+    the lightly-edited ones against history without ever self-joining
+    history).
+
+    The prefix-filter theorem carries over verbatim provided both sides
+    rank their tokens under ONE shared total order — document frequency
+    over the UNION of the two corpora (df asc, shingle asc), so a token's
+    rank is identical no matter which side it appears on.  Output
+    (doc_id_a, doc_id_b, jaccard); the oracle is the plain all-pairs
+    cross join at the same threshold.
+
+    Scale shape: at steady state the A side (increment) is small and the
+    B side (history) huge; candidates are generated only where prefixes
+    collide, so history rows sharing no rare shingle with the increment
+    never leave their scan.  One shuffle keyed by shingle, one window per
+    side keyed by doc_id, verification on surviving pairs only.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    sh_a = word_shingles(docs_a, n=n, text_col=text_col, id_col=id_col)
+    sh_b = word_shingles(docs_b, n=n, text_col=text_col, id_col=id_col)
+    dfreq = (
+        sh_a.select("shingle")
+        .unionAll(sh_b.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def prefixes(sh: DataFrame) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("shingle"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn("__rank", F.row_number().over(w))
+            .withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+        )
+        return ranked.filter(
+            F.col("__rank")
+            <= F.col("__n")
+            - F.expr(f"(({num} * __n + {den} - 1) div {den})")
+            + F.lit(1)
+        ).select("doc_id", "shingle", "__n")
+
+    pa, pb = prefixes(sh_a).alias("pa"), prefixes(sh_b).alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (
+                F.least(F.col("pa.__n"), F.col("pb.__n")) * den
+                >= num * F.greatest(F.col("pa.__n"), F.col("pb.__n"))
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_id_a"),
+            F.col("pb.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        cand.join(
+            sh_a.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+        )
+        .join(
+            sh_b.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(
+            sizes_a.select(F.col("doc_id").alias("doc_id_a"), F.col("__n").alias("__na")),
+            "doc_id_a",
+        )
+        .join(
+            sizes_b.select(F.col("doc_id").alias("doc_id_b"), F.col("__n").alias("__nb")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "__j",
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(
+            "doc_id_a", "doc_id_b", F.round(F.col("__j"), 4).alias("jaccard")
+        )
+    )

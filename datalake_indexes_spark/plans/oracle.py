@@ -8126,3 +8126,43 @@ SELECT t.threshold,
         WHERE u.jaccard >= t.threshold) AS n_docs
 FROM ts t
 """
+
+
+def dedup_incremental_neardup_sql(threshold: float = 0.7, n: int = 3) -> str:
+    """Twin of :func:`..operators.dedup.prefix_jaccard_join_ab` over the
+    planted history/increment split: plain all-pairs cross-corpus n-gram
+    Jaccard (no prefix filter — its completeness is what the strict hash
+    grades)."""
+    gram = " || ' ' || ".join(f"w[CAST(i+{j+1} AS INT)]" for j in range(n))
+    return f"""
+WITH {_INCR_SPLIT_CTES},
+wa AS (SELECT doc_id, string_split(text, ' ') AS w FROM inc),
+sa AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM wa, UNNEST(range(greatest(len(w)-{n - 1}, 0))) AS t(i)
+),
+wb AS (SELECT doc_id, string_split(text, ' ') AS w FROM hist),
+sb AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM wb, UNNEST(range(greatest(len(w)-{n - 1}, 0))) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_id_a, sb.doc_id AS doc_id_b
+  FROM sa JOIN sb ON sa.shingle = sb.shingle
+),
+na AS (SELECT doc_id, count(*) AS n FROM sa GROUP BY doc_id),
+nb AS (SELECT doc_id, count(*) AS n FROM sb GROUP BY doc_id),
+i AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS o
+  FROM cand c
+  JOIN sa ON sa.doc_id = c.doc_id_a
+  JOIN sb ON sb.doc_id = c.doc_id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       round(i.o * 1.0 / (na.n + nb.n - i.o), 4) AS jaccard
+FROM i
+JOIN na ON na.doc_id = i.doc_id_a
+JOIN nb ON nb.doc_id = i.doc_id_b
+WHERE i.o * 1.0 / (na.n + nb.n - i.o) >= {threshold}
+"""

@@ -4111,6 +4111,22 @@ def q_dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_report(hist, inc, hex_len=3)
 
 
+def q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus (increment vs history) prefix-filtered exact Jaccard
+    join at 0.7 — catches the lightly-edited re-crawls the exact-hash
+    incremental path admits.  Non-vacuous two ways: planted exact
+    re-crawls pair at 1.0, and the corpus's near-dup families straddle
+    the %5 split at their true jaccard."""
+    from datalake_indexes_spark.operators.dedup import prefix_jaccard_join_ab
+
+    hist, inc = _incremental_split(spark, sf_dir)
+    return prefix_jaccard_join_ab(inc, hist, threshold=0.7)
+
+
+QUERIES["dedup_incremental_neardup"] = q_dedup_incremental_neardup
+ORACLES["dedup_incremental_neardup"] = oracle.dedup_incremental_neardup_sql(
+    threshold=0.7
+)
 QUERIES["dedup_prefix_join"] = q_dedup_prefix_join
 QUERIES["dedup_threshold_sweep"] = q_dedup_threshold_sweep
 QUERIES["dedup_incremental"] = q_dedup_incremental
@@ -4176,6 +4192,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_threshold_sweep",
     "dedup_incremental",
     "dedup_incremental_report",
+    "dedup_incremental_neardup",
     "ml_cv_folds",
     "corpus_diff",
     "ann_range_search",
@@ -4217,7 +4234,9 @@ _DRIVER_PRIORITY: list[str] = [
     # corpus_select_dsir)
     # governance family
     "governance_forget",
-    "governance_pseudonymize",
+    # (governance_pseudonymize moved to a later rotation batch for
+    # dedup_incremental_neardup; governance stays represented via
+    # governance_forget)
     # export family
     "export_shard_manifest",
     # (export_shard_fingerprints moved to a later rotation batch for

@@ -231,3 +231,49 @@ def test_incremental_plan_history_broadcast_verify(spark):
     # (firsts ⋉ bf_new) is increment-keyed and may legally sort-merge
     semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert any("BroadcastHashJoin" in ln for ln in semi_lines), semi_lines
+
+
+def test_ab_join_matches_bruteforce(spark):
+    """Cross-corpus prefix join vs a python brute force over shingle
+    sets, on asymmetric corpora (short A docs vs longer B docs) — the
+    regime where per-side prefix lengths differ and a shared token order
+    is load-bearing."""
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(10)]
+    a_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8))))
+        for i in range(12)
+    ]
+    b_rows = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 16))))
+        for i in range(15)
+    ]
+    # plant one exact copy and one superset
+    b_rows.append((200, a_rows[0][1]))
+    b_rows.append((201, a_rows[1][1] + " extra tail words here"))
+    da = spark.createDataFrame(a_rows, "doc_id long, text string")
+    db = spark.createDataFrame(b_rows, "doc_id long, text string")
+
+    def sh(text, n=3):
+        w = text.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    for t in (0.5, 0.7, 0.9):
+        want = set()
+        for ai, at in a_rows:
+            sa = sh(at)
+            for bi, bt in b_rows:
+                sb = sh(bt)
+                if not sa and not sb:
+                    continue
+                u = len(sa | sb)
+                if u and len(sa & sb) / u >= t:
+                    want.add((ai, bi, round(len(sa & sb) / u, 4)))
+        from datalake_indexes_spark.operators.dedup import prefix_jaccard_join_ab
+
+        got = {
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in prefix_jaccard_join_ab(da, db, threshold=t).collect()
+        }
+        assert got == want, f"t={t}"
+    assert any(a == 0 and b == 200 for a, b, _ in got)  # the exact copy at 0.9
