@@ -1828,3 +1828,68 @@ def mmr_topk(
         F.round("cosine", 4).alias("cosine"),
         F.round("mmr_score", 4).alias("mmr_score"),
     )
+
+
+def ivf_pq_refined_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    c_factor: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with an exact re-rank (the FAISS ``refine`` pattern): take
+    the PQ-ESTIMATED top ``k·c_factor`` candidates per query from
+    :func:`ivf_pq_topk`, fetch the true vectors for those candidates
+    only, and re-rank by exact cosine.  Output (query_id, neighbor_id,
+    rank, cosine) — exact similarity values, approximate candidate set:
+    the refine step converts PQ's estimate error into a pure recall
+    question (a candidate PQ under-scored out of the top k·c is still
+    missed; one merely mis-ORDERED inside it is repaired), which is why
+    refine multiplies recall@k at a fixed memory budget.
+
+    Scale shape: the candidate set is queries × k·c_factor rows — tiny —
+    so the true-vector fetch is corpus ⋈ broadcast(candidates) (in a
+    deployed index: a partition-pruned point lookup); the exact rescore
+    and per-query window run on that bounded set.  No new corpus-sized
+    state beyond what :func:`ivf_pq_topk` already touches.
+    """
+    cand = ivf_pq_topk(
+        corpus,
+        queries,
+        k=k * c_factor,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        m=m,
+        ksub=ksub,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    qu = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qu")
+    )
+    cu = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__cu")
+    )
+    exact = (
+        cu.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qu), "query_id")
+        .withColumn("__cos", _dot(F.col("__qu"), F.col("__cu")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("__cos"), 4).alias("cosine"),
+        )
+    )

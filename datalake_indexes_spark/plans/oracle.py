@@ -8166,3 +8166,44 @@ JOIN na ON na.doc_id = i.doc_id_a
 JOIN nb ON nb.doc_id = i.doc_id_b
 WHERE i.o * 1.0 / (na.n + nb.n - i.o) >= {threshold}
 """
+
+
+def ann_ivf_pq_refined_sql(
+    k: int = 5,
+    c_factor: int = 3,
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """Twin of :func:`..operators.similarity.ivf_pq_refined_topk`: the
+    trusted IVF-PQ twin at k·c_factor as a derived table, true-vector
+    exact-cosine rescore, per-query re-rank to k."""
+    inner = ann_ivf_pq_topk_sql(
+        k=k * c_factor,
+        n_queries=n_queries,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+    )
+    return f"""
+WITH cand AS (SELECT query_id, neighbor_id FROM ({inner}) t),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       FROM embeddings WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN qv q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM exact)
+WHERE rank <= {k}
+"""

@@ -4111,6 +4111,24 @@ def q_dedup_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_report(hist, inc, hex_len=3)
 
 
+def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (the FAISS refine pattern): PQ-estimated
+    top k·3 candidates, true-vector exact-cosine rescore, top-k."""
+    from datalake_indexes_spark.operators.similarity import ivf_pq_refined_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_pq_refined_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, c_factor=3, n_centroids=16, n_probe=4, m=4, ksub=16,
+    )
+
+
+QUERIES["ann_ivf_pq_refined"] = q_ann_ivf_pq_refined
+ORACLES["ann_ivf_pq_refined"] = oracle.ann_ivf_pq_refined_sql(
+    k=5, c_factor=3, n_queries=10, n_centroids=16, n_probe=4, m=4, ksub=16
+)
+
+
 def q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus (increment vs history) prefix-filtered exact Jaccard
     join at 0.7 — catches the lightly-edited re-crawls the exact-hash
@@ -4193,6 +4211,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental",
     "dedup_incremental_report",
     "dedup_incremental_neardup",
+    "ann_ivf_pq_refined",
     "ml_cv_folds",
     "corpus_diff",
     "ann_range_search",
@@ -4227,7 +4246,9 @@ _DRIVER_PRIORITY: list[str] = [
     "web_canonical_urls",
     "web_domain_stats",
     "web_blocklist",
-    "web_extract_links",
+    # (web_extract_links moved to a later rotation batch for
+    # ann_ivf_pq_refined; web stays represented via canonical_urls /
+    # domain_stats / blocklist)
     # (web_domain_cap moved to a later rotation batch for
     # dedup_incremental)
     # (web_link_census moved to a later rotation batch for
