@@ -1676,3 +1676,49 @@ def prefix_jaccard_join_ab(
             "doc_id_a", "doc_id_b", F.round(F.col("__j"), 4).alias("jaccard")
         )
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-safe train/val/test split: the md5 split bucket is
+    computed on the NEAR-DUP CLUSTER representative, so every member of
+    a near-duplicate family lands in the same split.  ``group_split``
+    guards against leakage through a shared provenance key (domain,
+    source); this guards against the leak that key cannot see — two
+    lightly-edited copies of one document from DIFFERENT sources landing
+    in train and test, silently inflating eval.
+
+    (doc_id, cluster_root, split); singleton documents are their own
+    root.  Clusters come from the MinHash+LSH pair pipeline + connected
+    components (:func:`minhash_lsh_pairs` → :func:`near_dup_clusters`) —
+    at crawl scale the distributed large-star/small-star path, no
+    driver-side edges; the split itself is a projection of the root, so
+    the incremental cost over plain hash_split is exactly the dedup
+    pipeline a curation run executes anyway (share the pair frame).
+    """
+    from datalake_indexes_spark.operators.text_analysis import group_split
+
+    pairs = minhash_lsh_pairs(
+        docs, n=n, k=k, bands=bands, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    clusters = near_dup_clusters(pairs)
+    roots = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("representative", F.col("doc_id")).alias("cluster_root"),
+        )
+    )
+    return group_split(
+        roots, group_col="cluster_root", weights=weights
+    ).withColumnRenamed("group_key", "cluster_root")

@@ -8207,3 +8207,44 @@ FROM (SELECT *, row_number() OVER (
       FROM exact)
 WHERE rank <= {k}
 """
+
+
+def corpus_cluster_split_sql(
+    train: float = 0.8,
+    val: float = 0.1,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """Twin of :func:`..operators.dedup.cluster_safe_split`: the trusted
+    MinHash-pairs + transitive-closure component chain, split bucket on
+    the cluster root (singletons root at themselves) via the shared md5
+    rule."""
+    t = int(round(train * 10000))
+    v = int(round((train + val) * 10000))
+    root = "coalesce(c.root, d.doc_id)"
+    bucket = (
+        f"CAST(('0x' || substring(md5(CAST({root} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % 10000"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(k, bands, threshold)},
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+  UNION SELECT doc_id_2, doc_id_1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS root
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id, {root} AS cluster_root,
+       CASE WHEN {bucket} < {t} THEN 'train'
+            WHEN {bucket} < {v} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""

@@ -4123,6 +4123,19 @@ def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-safe split: the md5 bucket rides on the cluster
+    representative, so lightly-edited copies can never straddle
+    train/test — the leak a provenance-keyed split cannot see."""
+    from datalake_indexes_spark.operators.dedup import cluster_safe_split
+
+    return cluster_safe_split(_docs(spark, sf_dir), threshold=0.7)
+
+
+QUERIES["corpus_cluster_split"] = q_corpus_cluster_split
+ORACLES["corpus_cluster_split"] = oracle.corpus_cluster_split_sql(
+    train=0.8, val=0.1, threshold=0.7
+)
 QUERIES["ann_ivf_pq_refined"] = q_ann_ivf_pq_refined
 ORACLES["ann_ivf_pq_refined"] = oracle.ann_ivf_pq_refined_sql(
     k=5, c_factor=3, n_queries=10, n_centroids=16, n_probe=4, m=4, ksub=16
@@ -4235,7 +4248,9 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_clustering",
     # column profiling family
     "column_percentiles",
-    "column_top_values",
+    # (column_top_values moved to a later rotation batch for
+    # corpus_cluster_split; column family stays via percentiles /
+    # moments / chi2)
     "column_moments",
     # (column_benford / column_mutual_info moved to a later rotation
     # batch for the prefix-join and threshold-sweep keys)

@@ -277,3 +277,42 @@ def test_ab_join_matches_bruteforce(spark):
         }
         assert got == want, f"t={t}"
     assert any(a == 0 and b == 200 for a, b, _ in got)  # the exact copy at 0.9
+
+
+def test_cluster_safe_split_no_neardup_leakage(spark):
+    """Every near-dup pair lands in ONE split (the guarantee), while a
+    plain per-doc hash split leaks at least one planted family across
+    splits (the problem being solved)."""
+    from datalake_indexes_spark.operators.dedup import (
+        cluster_safe_split,
+        minhash_lsh_pairs,
+    )
+    from datalake_indexes_spark.operators.text_analysis import hash_split
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "far away beyond the hills tonight"
+    )
+    rows = []
+    for fam in range(12):  # 12 near-dup families of 4
+        stem = base.replace("fox", f"fox{fam}")
+        for j in range(4):
+            rows.append((fam * 10 + j, stem + f" tail{j}"))
+    for i in range(200, 230):  # singletons
+        rows.append((i, f"unrelated document {i} about topic {i * 7} entirely"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    split_of = {
+        r["doc_id"]: r["split"] for r in cluster_safe_split(docs).collect()
+    }
+    assert set(split_of) == {d for d, _ in rows}
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).collect()
+    assert len(pairs) >= 12  # families actually pair up
+    for p in pairs:
+        assert split_of[p["doc_id_1"]] == split_of[p["doc_id_2"]], p
+
+    naive = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    leaked = sum(
+        1 for p in pairs if naive[p["doc_id_1"]] != naive[p["doc_id_2"]]
+    )
+    assert leaked > 0  # the per-doc split demonstrably leaks here
