@@ -4225,6 +4225,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental_report",
     "dedup_incremental_neardup",
     "ann_ivf_pq_refined",
+    "corpus_cluster_split",
     "ml_cv_folds",
     "corpus_diff",
     "ann_range_search",
