@@ -316,3 +316,37 @@ def test_cluster_safe_split_no_neardup_leakage(spark):
         1 for p in pairs if naive[p["doc_id_1"]] != naive[p["doc_id_2"]]
     )
     assert leaked > 0  # the per-doc split demonstrably leaks here
+
+
+def test_new_key_plan_pins(spark):
+    """Plan-shape pins for the remaining round-7 keys: the refined ANN
+    re-rank and the cluster-safe split nested-loop only where sanctioned
+    (IVF's broadcast centroid cross join), and the split's window is
+    always partitioned."""
+    import math
+
+    from datalake_indexes_spark.operators.dedup import cluster_safe_split
+    from datalake_indexes_spark.operators.similarity import ivf_pq_refined_topk
+
+    rows = [
+        (i, [math.sin(0.37 * (i % 8 + 1) * (d + 1)) + 0.013 * i for d in range(8)])
+        for i in range(40)
+    ]
+    from datalake_indexes_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_centroids=4, n_probe=2, m=2, ksub=8)
+    q3 = emb.filter(F.col("vec_id") < 3)
+    rep = plan_report(ivf_pq_refined_topk(emb, q3, k=3, c_factor=2, **kw))
+    base = plan_report(ivf_pq_topk(emb, q3, k=6, **kw))
+    # candidate fetch + query join ride broadcasts; the refine stage adds
+    # NO global windows beyond the base IVF-PQ's sanctioned k-bounded
+    # ones (codebook seeding over ksub rows) — its own re-rank window is
+    # partitioned by query_id
+    assert rep["n_broadcast_joins"] >= base["n_broadcast_joins"] + 2
+    assert rep["n_global_windows"] == base["n_global_windows"]
+
+    docs = _boiler_fixture(spark)
+    rep2 = plan_report(cluster_safe_split(docs))
+    assert rep2["n_nested_loop_joins"] == 0
+    assert rep2["n_global_windows"] == 0
