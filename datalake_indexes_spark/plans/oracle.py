@@ -8248,3 +8248,39 @@ SELECT d.doc_id, {root} AS cluster_root,
             ELSE 'test' END AS split
 FROM documents d LEFT JOIN comp c USING (doc_id)
 """
+
+
+def search_proximity_sql(query_terms: list[str], k: int = 10) -> str:
+    """Twin of :func:`..operators.search.proximity_topk`: identical
+    merged-occurrence running-max MinCover (0-based positions, same
+    whitespace tokenization as the BM25 twins)."""
+    terms = sorted(set(query_terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN word = '{t}' THEN pos END) OVER win AS l{i}"
+        for i, t in enumerate(terms)
+    )
+    least = ", ".join(f"l{i}" for i in range(len(terms)))
+    notnull = " AND ".join(f"l{i} IS NOT NULL" for i in range(len(terms)))
+    return f"""
+WITH occ AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i + 1 AS INT)] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(len(w))) AS t(i)
+  WHERE w[CAST(t.i + 1 AS INT)] IN ({in_list})
+),
+m AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM occ
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT doc_id, CAST(min(pos - least({least}) + 1) AS BIGINT) AS min_span
+  FROM m WHERE {notnull} GROUP BY doc_id
+)
+SELECT doc_id, min_span, rank
+FROM (SELECT *, row_number() OVER (ORDER BY min_span, doc_id) AS rank FROM p)
+WHERE rank <= {k}
+"""

@@ -4123,6 +4123,19 @@ def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinCover phrase-proximity top-k for the shared BM25 query terms —
+    conjunctive span ranking (the fixture has 276 docs carrying all
+    three terms at sf0.01, so spans differentiate meaningfully)."""
+    from datalake_indexes_spark.operators.search import proximity_topk
+
+    return proximity_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+QUERIES["search_proximity"] = q_search_proximity
+ORACLES["search_proximity"] = oracle.search_proximity_sql(BM25_QUERY_TERMS, k=10)
+
+
 def q_corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-cluster-safe split: the md5 bucket rides on the cluster
     representative, so lightly-edited copies can never straddle
@@ -4226,6 +4239,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental_neardup",
     "ann_ivf_pq_refined",
     "corpus_cluster_split",
+    "search_proximity",
     "ml_cv_folds",
     "corpus_diff",
     "ann_range_search",
@@ -4246,7 +4260,9 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_label_prop",
     "graph_link_prediction",
     "graph_triangles",
-    "graph_clustering",
+    # (graph_clustering moved to a later rotation batch for
+    # search_proximity — a first in-window search-family rep; graph
+    # stays via pagerank / label_prop / link_prediction / triangles)
     # column profiling family
     "column_percentiles",
     # (column_top_values moved to a later rotation batch for

@@ -350,3 +350,31 @@ def test_new_key_plan_pins(spark):
     rep2 = plan_report(cluster_safe_split(docs))
     assert rep2["n_nested_loop_joins"] == 0
     assert rep2["n_global_windows"] == 0
+
+
+def test_proximity_topk_hand_check(spark):
+    """Explicit MinCover cases: adjacency (span = |terms|), an
+    out-of-order tight cover, a terms-missing doc excluded, and the
+    single-term degenerate."""
+    from datalake_indexes_spark.operators.search import proximity_topk
+
+    rows = [
+        (1, "x a b c y"),                 # a..c adjacent, span 3
+        (2, "c x x a b x"),               # cover a b c = positions 0..4 -> 5? no: c@0,a@3,b@4 -> span 5; but also none tighter
+        (3, "a x x x b x x c"),           # span 8
+        (4, "a b x x x x c a b"),         # tight cover c@6,a@7,b@8 -> 3
+        (5, "a b only two of them x"),    # missing c -> excluded
+        (6, "c b a"),                     # reversed adjacency -> 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["min_span"], r["rank"]) for r in
+           proximity_topk(docs, ["a", "b", "c"], k=10).collect()}
+    assert 5 not in out
+    assert out[1][0] == 3 and out[4][0] == 3 and out[6][0] == 3
+    assert out[2][0] == 5
+    assert out[3][0] == 8
+    assert [d for d, (s, rk) in sorted(out.items(), key=lambda kv: kv[1][1])] == [1, 4, 6, 2, 3]
+
+    single = {r["doc_id"]: r["min_span"] for r in
+              proximity_topk(docs, ["c"], k=10).collect()}
+    assert single == {1: 1, 2: 1, 3: 1, 4: 1, 6: 1}
