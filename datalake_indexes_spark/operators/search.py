@@ -193,6 +193,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int | None = None,
+    positional: bool = False,
 ) -> None:
     """Materialize the document inverted index for repeated keyword
     queries: ``postings`` = (term, doc_id, tf, dl) repartitioned by term
@@ -236,6 +237,27 @@ def build_text_index(
         .parquet(os.path.join(path, "df"))
     )
     stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    if positional:
+        # positional layer for phrase/proximity queries: (term, doc_id,
+        # positions array, dl), same term-sorted row-group discipline as
+        # postings but a SEPARATE file so bag-of-words probes never pay
+        # for position payloads
+        pos = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(F.split(F.col(text_col), " ")).alias(
+                    "pos", "term"
+                ),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        )
+        (
+            pos.repartition(n_part, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "positions"))
+        )
 
 
 def bm25_topk_indexed(
@@ -374,6 +396,73 @@ def proximity_topk(
         F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__word"),
     ).filter(F.array_contains(term_arr, F.col("__word")))
     if len(terms) == 1:  # any occurrence covers the "phrase"
+        per_doc = occ.groupBy("doc_id").agg(
+            F.lit(1).cast("long").alias("min_span")
+        )
+        topk = per_doc.orderBy(F.asc("min_span"), F.asc("doc_id")).limit(k)
+        rw = Window.orderBy(F.asc("min_span"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(rw)).select(
+            "doc_id", "min_span", "rank"
+        )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("__word") == t, F.col("__pos"))).over(w).alias(f"__l{i}")
+        for i, t in enumerate(terms)
+    ]
+    spans = occ.select("doc_id", "__pos", *lasts).withColumn(
+        "__span",
+        F.col("__pos")
+        - F.least(*[F.col(f"__l{i}") for i in range(len(terms))])
+        + F.lit(1),
+    )
+    per_doc = (
+        spans.filter(
+            F.greatest(
+                *[F.col(f"__l{i}").isNull().cast("int") for i in range(len(terms))]
+            )
+            == 0
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__span").cast("long").alias("min_span"))
+    )
+    topk = per_doc.orderBy(F.asc("min_span"), F.asc("doc_id")).limit(k)
+    rw = Window.orderBy(F.asc("min_span"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(rw)).select(
+        "doc_id", "min_span", "rank"
+    )
+
+
+def proximity_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """MinCover proximity against a ``build_text_index(positional=True)``
+    structure — identical results to :func:`proximity_topk` (shares its
+    oracle), but the corpus side is an IN-list probe of the positional
+    parquet (PushedFilters on term; the sorted layout skips every row
+    group outside the probed terms), so query cost scales with the
+    probed terms' posting-list lengths, not corpus size.  The same
+    offline-build / online-probe lifecycle as :func:`bm25_topk_indexed`,
+    extended with positions."""
+    import os
+
+    terms = sorted(set(query_terms))
+    occ = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("term").isin(terms))
+        .select(
+            "doc_id",
+            F.col("term").alias("__word"),
+            F.explode("positions").alias("__pos"),
+        )
+    )
+    if len(terms) == 1:
         per_doc = occ.groupBy("doc_id").agg(
             F.lit(1).cast("long").alias("min_span")
         )

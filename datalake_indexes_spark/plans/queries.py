@@ -4123,6 +4123,31 @@ def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXT_INDEX_POS_DIRS: dict[str, str] = {}
+
+
+def q_search_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED positional-index path: positions written term-sorted
+    (build_text_index(positional=True)), probes push an IN-list filter to
+    the scan — must produce the same rows as the inline proximity_topk,
+    so it shares that oracle."""
+    import tempfile
+
+    from datalake_indexes_spark.operators.search import (
+        build_text_index,
+        proximity_topk_indexed,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _TEXT_INDEX_POS_DIRS:
+        d = tempfile.mkdtemp(prefix="textidxpos_")
+        build_text_index(_docs(spark, sf_dir), d, positional=True)
+        _TEXT_INDEX_POS_DIRS[key] = d
+    return proximity_topk_indexed(
+        spark, _TEXT_INDEX_POS_DIRS[key], BM25_QUERY_TERMS, k=10
+    )
+
+
 def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinCover phrase-proximity top-k for the shared BM25 query terms —
     conjunctive span ranking (the fixture has 276 docs carrying all
@@ -4134,6 +4159,11 @@ def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["search_proximity"] = q_search_proximity
 ORACLES["search_proximity"] = oracle.search_proximity_sql(BM25_QUERY_TERMS, k=10)
+QUERIES["search_proximity_indexed"] = q_search_proximity_indexed
+# identical contract to the inline path — same oracle
+ORACLES["search_proximity_indexed"] = oracle.search_proximity_sql(
+    BM25_QUERY_TERMS, k=10
+)
 
 
 def q_corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4240,6 +4270,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_pq_refined",
     "corpus_cluster_split",
     "search_proximity",
+    "search_proximity_indexed",
     "ml_cv_folds",
     "corpus_diff",
     "ann_range_search",
@@ -4271,7 +4302,9 @@ _DRIVER_PRIORITY: list[str] = [
     "column_moments",
     # (column_benford / column_mutual_info moved to a later rotation
     # batch for the prefix-join and threshold-sweep keys)
-    "column_chi2",
+    # (column_chi2 moved to a later rotation batch for
+    # search_proximity_indexed; column family stays via percentiles /
+    # moments)
     # (column_quantile_buckets / column_histograms moved to a later
     # rotation batch to make room for the packing keys above)
     # web pipeline family

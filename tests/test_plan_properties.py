@@ -652,3 +652,34 @@ def test_cv_folds_hash_tier_is_scan_level(spark):
     # exact tier: exactly ONE exchange (the stratum window)
     exact_plan = _plan(cv_folds(df, k=5, stratum_col="lang", exact=True))
     assert exact_plan.count("Exchange") == 1
+
+
+def test_proximity_indexed_pushes_term_filter(spark, tmp_path):
+    """The positional probe must reach the positions parquet as an
+    IN-list PushedFilter (same layout discipline as the BM25 postings
+    probe), and the indexed path must return exactly the inline
+    operator's rows."""
+    from datalake_indexes_spark.operators.search import (
+        build_text_index,
+        proximity_topk,
+        proximity_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha spark beta join gamma window delta{i % 3} spark window")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "tidxpos")
+    build_text_index(docs, d, positional=True)
+    out = proximity_topk_indexed(spark, d, ["spark", "join", "window"], k=8)
+    plan = _plan(out)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200].replace(" ", "")
+    assert "In(term" in pushed or "EqualTo(term" in pushed
+    inline = proximity_topk(docs, ["spark", "join", "window"], k=8)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
