@@ -1722,3 +1722,95 @@ def cluster_safe_split(
     return group_split(
         roots, group_col="cluster_root", weights=weights
     ).withColumnRenamed("group_key", "cluster_root")
+
+
+def line_census(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """(line_norm, n_docs, n_occurrences) — every whitespace-trimmed,
+    non-empty LINE that appears in at least ``min_docs`` distinct
+    documents: the corpus-frequency boilerplate census (CCNet's
+    paragraph-hash dedup view, Raffel et al.'s "three-sentence spans
+    seen more than once" diagnostic) for newline-delimited corpora.
+    :func:`chunk_dedup` is the delimiter-free cousin; this is the
+    natural-boundary one, and the census (which chunk_dedup never
+    surfaces) is what an operator reviews before committing to a strip
+    threshold.
+
+    Scale shape (100 TB): split + trim ride the scan in codegen; the
+    only shuffle is the per-line doc-frequency aggregate, which
+    partial-aggregates map-side on (line, doc_id) before the exchange.
+    Lines are hashed by their trimmed text; exact distinct-doc counts
+    (the approx tier at extreme scale is ``approx_count_distinct``,
+    same knob contract as the COCOA overlap count).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("__line"),
+    ).select("doc_id", F.trim(F.col("__line")).alias("line_norm"))
+    return (
+        lines.filter(F.col("line_norm") != "")
+        .groupBy("line_norm")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, text_filtered) — strip every line whose
+    trimmed text appears in >= ``min_docs`` distinct documents (the
+    :func:`line_census` set) plus empty/whitespace-only lines, then
+    reassemble each document from its surviving lines in original
+    order.  EVERY input document returns a row (n_kept = 0 and
+    text_filtered = '' when nothing survives) so the lineage census
+    downstream can count fully-boilerplate docs.
+
+    Scale shape: census aggregate as in :func:`line_census` (its
+    df >= min_docs slice is a small fraction of distinct lines, so AQE
+    plans the removal as a broadcast anti-join); reassembly is one
+    groupBy(doc_id) with an in-array sort by original position — the
+    same two-shuffle budget as :func:`chunk_dedup`.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_norm", F.trim(F.col("line")))
+    boiler = line_census(
+        docs, min_docs=min_docs, text_col=text_col, id_col=id_col, sep=sep
+    ).select("line_norm")
+    kept = (
+        base.filter(F.col("line_norm") != "")
+        .join(boiler, "line_norm", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_filtered"),
+        )
+    )
+    totals = base.groupBy("doc_id").agg(F.first("n_lines").alias("n_lines"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_filtered"), F.lit("")).alias("text_filtered"),
+    )

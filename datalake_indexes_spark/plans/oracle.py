@@ -8284,3 +8284,81 @@ SELECT doc_id, min_span, rank
 FROM (SELECT *, row_number() OVER (ORDER BY min_span, doc_id) AS rank FROM p)
 WHERE rank <= {k}
 """
+
+
+# --- corpus-frequency line dedup (CCNet paragraph-hash shape) -------------
+
+# Planted multi-line fixture shared by the line-dedup twins: the base
+# corpus has no newlines, so the registry glue (queries._docs_multiline)
+# wraps every document in frequency-varied boilerplate lines — a header
+# on every 3rd doc, a cookie banner on every 2nd, a whitespace-only line
+# on every 7th, a footer on every 5th.  concat_ws skips the NULL CASE
+# arms identically in both engines.
+LINE_HEADER = "shared site header navigation menu"
+LINE_COOKIE = "cookie consent banner please accept"
+LINE_FOOTER = "shared footer all rights reserved"
+
+_LINE_PLANT_CTE = f"""planted AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 3 = 0 THEN '{LINE_HEADER}' END,
+           CASE WHEN doc_id % 2 = 0 THEN '{LINE_COOKIE}' END,
+           CASE WHEN doc_id % 7 = 0 THEN '   ' END,
+           text,
+           CASE WHEN doc_id % 5 = 0 THEN '{LINE_FOOTER}' END) AS text
+  FROM documents
+)"""
+
+
+def text_boilerplate_lines_sql(min_docs: int = 2) -> str:
+    """Twin of :func:`..operators.dedup.line_census` over the planted
+    multi-line fixture: trimmed non-empty lines appearing in >=
+    ``min_docs`` distinct documents, with doc- and occurrence-counts."""
+    return f"""
+WITH {_LINE_PLANT_CTE},
+lines AS (
+  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line_norm
+  FROM planted
+)
+SELECT line_norm,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM lines WHERE line_norm <> ''
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+"""
+
+
+def text_line_dedup_sql(min_docs: int = 2) -> str:
+    """Twin of :func:`..operators.dedup.line_dedup`: strip census lines
+    plus whitespace-only lines, reassemble surviving lines in original
+    order; every document keeps a row (empty string when nothing
+    survives)."""
+    return f"""
+WITH {_LINE_PLANT_CTE},
+lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+         unnest(l) AS line,
+         trim(unnest(l)) AS line_norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+),
+freq AS (
+  SELECT line_norm FROM lines WHERE line_norm <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_filtered
+  FROM lines
+  WHERE line_norm <> '' AND line_norm NOT IN (SELECT line_norm FROM freq)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+  FROM planted
+)
+SELECT b.doc_id, b.n_lines,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.text_filtered, '') AS text_filtered
+FROM base b LEFT JOIN kept k USING (doc_id)
+"""
