@@ -1893,3 +1893,81 @@ def ivf_pq_refined_topk(
             F.round(F.col("__cos"), 4).alias("cosine"),
         )
     )
+
+
+def margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-criterion pair mining between two embedding sets —
+    (src_id, tgt_id, cosine, margin, mutual) for every src→tgt top-k
+    candidate whose ratio margin clears ``threshold`` (Artetxe &
+    Schwenk 2019, the CCMatrix/LASER bitext-mining rule): margin(x, y)
+    = cos(x, y) / ((avg_k cos(x, NN_k(x, tgt)) + avg_k cos(y,
+    NN_k(y, src))) / 2).  The absolute-threshold rule over-fires on hub
+    vectors whose whole neighborhood is close; the margin normalizes by
+    both points' local densities, so only pairs that stand OUT of their
+    neighborhoods survive.  ``mutual`` flags pairs that are also in the
+    reverse direction's top-k (the strictest standard variant) so the
+    caller can tighten precision without re-mining.
+
+    Determinism contract (strict cross-engine hashes): the margin is
+    computed from the ROUNDED(4) cosines, the per-point averages sum
+    those exact decimals in fixed rank order (rank-pivot, not an
+    unordered SUM), and the reported margin carries the repo's +1e-9
+    half-boundary nudge before round(6).
+
+    Scale shape: two :func:`cosine_topk` passes (each broadcasts its
+    query side — for corpus-scale mining swap in :func:`knn_graph`'s
+    IVF-blocked join, same downstream algebra), two k-row-per-point
+    rank-pivot aggregates, one equi-join per side to attach the
+    averages, and one (src,tgt)-keyed equi-join for the mutual flag —
+    no shuffle carries more than n·k rows.
+    """
+
+    def rank_avg(topk: DataFrame, out_id: str, out_avg: str) -> DataFrame:
+        terms = None
+        for r in range(1, k + 1):
+            t = F.coalesce(
+                F.max(F.when(F.col("rank") == r, F.col("cosine"))), F.lit(0.0)
+            )
+            terms = t if terms is None else terms + t
+        return topk.groupBy(F.col("query_id").alias(out_id)).agg(
+            (terms / F.count(F.lit(1))).alias(out_avg)
+        )
+
+    fwd = cosine_topk(tgt, src, k=k, vec_col=vec_col, id_col=id_col)
+    bwd = cosine_topk(src, tgt, k=k, vec_col=vec_col, id_col=id_col)
+    src_avg = rank_avg(fwd, "src_id", "__src_avg")
+    tgt_avg = rank_avg(bwd, "tgt_id", "__tgt_avg")
+    reverse_hits = bwd.select(
+        F.col("neighbor_id").alias("src_id"),
+        F.col("query_id").alias("tgt_id"),
+        F.lit(True).alias("__rev"),
+    )
+    cand = (
+        fwd.select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            "cosine",
+        )
+        .join(src_avg, "src_id")
+        .join(tgt_avg, "tgt_id")
+        .withColumn(
+            "__margin",
+            F.col("cosine") / ((F.col("__src_avg") + F.col("__tgt_avg")) / F.lit(2.0)),
+        )
+        .filter(F.col("__margin") >= F.lit(float(threshold)))
+        .join(reverse_hits, ["src_id", "tgt_id"], "left")
+    )
+    return cand.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        F.round(F.col("__margin") + F.lit(1e-9), 6).alias("margin"),
+        F.coalesce(F.col("__rev"), F.lit(False)).alias("mutual"),
+    )

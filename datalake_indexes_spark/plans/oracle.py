@@ -8362,3 +8362,43 @@ SELECT b.doc_id, b.n_lines,
        coalesce(k.text_filtered, '') AS text_filtered
 FROM base b LEFT JOIN kept k USING (doc_id)
 """
+
+
+def ann_margin_mining_sql(k: int = 4, threshold: float = 1.1) -> str:
+    """Twin of :func:`..operators.similarity.margin_mining` over the
+    even/odd vec_id split: brute-force both-direction top-k, rank-pivot
+    averages of the ROUNDED(4) cosines in fixed addition order, ratio
+    margin with the +1e-9 half-boundary nudge, reverse-top-k mutual
+    flag."""
+    pivot = " + ".join(
+        f"coalesce(max(CASE WHEN r = {r} THEN c END), 0.0)" for r in range(1, k + 1)
+    )
+    return f"""
+WITH a AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+fwd AS (
+  SELECT a.id AS s, b.id AS t,
+         round(list_cosine_similarity(a.e, b.e), 4) AS c,
+         row_number() OVER (PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.id) AS r
+  FROM a, b),
+bwd AS (
+  SELECT b.id AS s, a.id AS t,
+         round(list_cosine_similarity(a.e, b.e), 4) AS c,
+         row_number() OVER (PARTITION BY b.id
+             ORDER BY list_cosine_similarity(a.e, b.e) DESC, a.id) AS r
+  FROM a, b),
+fa AS (SELECT s, ({pivot}) / count(*) AS av FROM fwd WHERE r <= {k} GROUP BY s),
+ba AS (SELECT s, ({pivot}) / count(*) AS av FROM bwd WHERE r <= {k} GROUP BY s)
+SELECT f.s AS src_id, f.t AS tgt_id, f.c AS cosine,
+       round(f.c / ((fa.av + ba.av) / 2.0) + 1e-9, 6) AS margin,
+       (m.s IS NOT NULL) AS mutual
+FROM fwd f
+JOIN fa ON f.s = fa.s
+JOIN ba ON f.t = ba.s
+LEFT JOIN (SELECT t AS s2, s AS t2, s FROM bwd WHERE r <= {k}) m
+       ON m.s2 = f.s AND m.t2 = f.t
+WHERE f.r <= {k} AND f.c / ((fa.av + ba.av) / 2.0) >= {threshold}
+"""

@@ -4255,6 +4255,24 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_docs_multiline(spark, sf_dir), min_docs=2)
 
 
+def q_ann_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining (the CCMatrix/LASER bitext rule)
+    between the even- and odd-id embedding halves: ratio margin over
+    both-direction top-4 neighborhoods, mutual-NN flag; brute-force
+    replay by the twin."""
+    from datalake_indexes_spark.operators.similarity import margin_mining
+
+    emb = _embeddings(spark, sf_dir)
+    return margin_mining(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.1,
+    )
+
+
+QUERIES["ann_margin_mining"] = q_ann_margin_mining
+ORACLES["ann_margin_mining"] = oracle.ann_margin_mining_sql(k=4, threshold=1.1)
 QUERIES["text_boilerplate_lines"] = q_text_boilerplate_lines
 QUERIES["text_line_dedup"] = q_text_line_dedup
 ORACLES["text_boilerplate_lines"] = oracle.text_boilerplate_lines_sql(min_docs=2)
@@ -4321,7 +4339,9 @@ _DRIVER_PRIORITY: list[str] = [
     "text_line_dedup",
     "ml_cv_folds",
     "corpus_diff",
-    "ann_range_search",
+    "ann_margin_mining",
+    # (ann_range_search moved to a later rotation batch for
+    # ann_margin_mining; ANN stays via ivf_pq_refined / mmr / margin)
     "text_gopher_filters",
     "text_dsir_weights",
     "ml_nb_langid",
