@@ -1971,3 +1971,78 @@ def margin_mining(
         F.round(F.col("__margin") + F.lit(1e-9), 6).alias("margin"),
         F.coalesce(F.col("__rev"), F.lit(False)).alias("mutual"),
     )
+
+
+def nn_descent_round(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One NN-descent refinement round over the IVF-blocked kNN graph
+    (Dong et al. 2011, WWW — "a neighbor of a neighbor is likely a
+    neighbor"): candidates = the :func:`knn_graph` edges ∪ their
+    reversals ∪ all two-hop pairs, exact-cosine rescored and re-cut to
+    top-k per source.  Same (src_id, neighbor_id, rank, cosine) schema
+    as the base graph; recall can only improve because the base edges
+    are themselves in the candidate set (the rescore is exact, so the
+    returned k dominate the base k by cosine — pinned by test).
+
+    Scale shape: the two-hop expansion is an equi-join of the edge list
+    with itself on the middle vertex — at most n·k² candidate rows,
+    shuffled by join key, never by vector payload; vectors attach via
+    two id-keyed equi-joins against the corpus (the deployed layout
+    serves these as point lookups on the id-bucketed index), and the
+    final per-source top-k window sees ≤ k(k+2) rows per source.  No
+    broadcast of anything data-sized; each extra round repeats the same
+    bounded algebra on the refined graph.
+    """
+    base = knn_graph(
+        corpus, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
+    )
+    # The edge list feeds four plan branches (forward, reversed, and both
+    # sides of the two-hop self-join); materialize it once instead of
+    # re-deriving the IVF graph per branch (same localCheckpoint idiom as
+    # operators/graph.py's iteration rounds).
+    edges = base.select("src_id", "neighbor_id").localCheckpoint()
+    rev = edges.select(
+        F.col("neighbor_id").alias("src_id"), F.col("src_id").alias("neighbor_id")
+    )
+    mid = edges.select(
+        F.col("src_id").alias("__mid"), F.col("neighbor_id").alias("neighbor_id")
+    )
+    hop2 = (
+        edges.select("src_id", F.col("neighbor_id").alias("__mid"))
+        .join(mid, "__mid")
+        .select("src_id", "neighbor_id")
+    )
+    cand = (
+        edges.unionByName(rev)
+        .unionByName(hop2)
+        .filter(F.col("src_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    units = with_unit_vec(corpus, vec_col)
+    src_v = units.select(F.col(id_col).alias("src_id"), F.col("__unit").alias("__sv"))
+    nbr_v = units.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__nv")
+    )
+    scored = (
+        cand.join(src_v, "src_id")
+        .join(nbr_v, "neighbor_id")
+        .withColumn("__cos", _dot(F.col("__sv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__cos", 4).alias("cosine"),
+        )
+    )

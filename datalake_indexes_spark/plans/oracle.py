@@ -8402,3 +8402,34 @@ LEFT JOIN (SELECT t AS s2, s AS t2, s FROM bwd WHERE r <= {k}) m
        ON m.s2 = f.s AND m.t2 = f.t
 WHERE f.r <= {k} AND f.c / ((fa.av + ba.av) / 2.0) >= {threshold}
 """
+
+
+def ann_nn_descent_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """Twin of :func:`..operators.similarity.nn_descent_round`: the
+    trusted kNN-graph twin as a derived table, expanded with reversed
+    and two-hop edges, exact-cosine rescored, re-cut to top-k."""
+    return f"""
+WITH e AS (
+  SELECT src_id, neighbor_id FROM ({ann_knn_graph_sql(k, n_centroids, n_probe)}) __g
+),
+cand AS (
+  SELECT src_id, neighbor_id FROM e
+  UNION
+  SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM e
+  UNION
+  SELECT e1.src_id, e2.neighbor_id
+  FROM e e1 JOIN e e2 ON e1.neighbor_id = e2.src_id
+),
+scored AS (
+  SELECT c.src_id, c.neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.src_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+  WHERE c.src_id != c.neighbor_id
+)
+SELECT src_id, neighbor_id, rank, round(cs, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""

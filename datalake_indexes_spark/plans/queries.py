@@ -4273,6 +4273,19 @@ def q_ann_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_margin_mining"] = q_ann_margin_mining
 ORACLES["ann_margin_mining"] = oracle.ann_margin_mining_sql(k=4, threshold=1.1)
+
+
+def q_ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round over the IVF-blocked kNN graph: reversed +
+    two-hop candidate expansion, exact rescore, top-k re-cut — the
+    graph-refinement step between IVF recall and exact truth."""
+    from datalake_indexes_spark.operators.similarity import nn_descent_round
+
+    return nn_descent_round(_embeddings(spark, sf_dir), k=5)
+
+
+QUERIES["ann_nn_descent"] = q_ann_nn_descent
+ORACLES["ann_nn_descent"] = oracle.ann_nn_descent_sql(k=5)
 QUERIES["text_boilerplate_lines"] = q_text_boilerplate_lines
 QUERIES["text_line_dedup"] = q_text_line_dedup
 ORACLES["text_boilerplate_lines"] = oracle.text_boilerplate_lines_sql(min_docs=2)
@@ -4354,7 +4367,10 @@ _DRIVER_PRIORITY: list[str] = [
     "events_ab_test",
     "events_ab_cuped",
     "events_changepoint",
-    "events_range_join",
+    # (events_range_join moved to a later rotation batch for
+    # ann_nn_descent; events stays via ab_test / ab_cuped / changepoint
+    # / funnel_timing plus the pinned window_agg)
+    "ann_nn_descent",
     # graph family beyond pagerank/hits/ppr/kcore/modularity
     "graph_label_prop",
     "graph_link_prediction",
