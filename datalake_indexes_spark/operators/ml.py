@@ -355,7 +355,7 @@ def nb_class_docs(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     )
 
 
-def nb_classify_with_model(
+def nb_scores_with_model(
     docs: DataFrame,
     token_counts: DataFrame,
     class_docs: DataFrame,
@@ -365,15 +365,11 @@ def nb_classify_with_model(
     n_buckets: int = 512,
     alpha: float = 1.0,
 ) -> DataFrame:
-    """Score ``docs`` against an externally supplied NB model — the
-    inference-with-shipped-weights shape (see
-    :func:`hashed_nb_classify` for the semantics; that function is this
-    one applied to its own training counts).  The conditional table is
-    densified to the full classes x buckets grid here, so partial count
-    tables (e.g. a streaming fold) still contribute the smoothed floor
-    for never-seen buckets."""
-    from pyspark.sql import Window
-
+    """The full per-(doc, class) NB score frame — (doc_id, label, cls,
+    __n, __score) with ``__score`` = log-conditional sum + log prior,
+    rounded(6) so both engines decide argmax/margin boundaries
+    identically.  :func:`nb_classify_with_model` cuts this to the
+    argmax; :func:`nb_calibration_report` reads the top-2 margin."""
     from datalake_indexes_spark.functions.hashes import md5_bucket
 
     words = docs.select(
@@ -410,12 +406,44 @@ def nb_classify_with_model(
         )
     )
 
-    scored = (
+    return (
         words.join(F.broadcast(cond), "bucket")
         .groupBy("doc_id", "label", "cls")
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__logp").alias("__s"))
         .join(F.broadcast(priors), "cls")
         .withColumn("__score", F.round(F.col("__s") + F.col("__prior"), 6))
+        .drop("__s", "__prior")
+    )
+
+
+def nb_classify_with_model(
+    docs: DataFrame,
+    token_counts: DataFrame,
+    class_docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score ``docs`` against an externally supplied NB model — the
+    inference-with-shipped-weights shape (see
+    :func:`hashed_nb_classify` for the semantics; that function is this
+    one applied to its own training counts).  The conditional table is
+    densified to the full classes x buckets grid here, so partial count
+    tables (e.g. a streaming fold) still contribute the smoothed floor
+    for never-seen buckets."""
+    from pyspark.sql import Window
+
+    scored = nb_scores_with_model(
+        docs,
+        token_counts,
+        class_docs,
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("__score"), F.desc("cls")
@@ -429,6 +457,87 @@ def nb_classify_with_model(
             F.col("cls").alias("pred_label"),
             F.col("__n").alias("n_words"),
             (F.col("cls") == F.col("label")).alias("correct"),
+        )
+    )
+
+
+def nb_calibration_report(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+    bin_width: float = 2.0,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Reliability report for the hashed-NB classifier — (bin, margin_lo,
+    n_docs, avg_margin, accuracy), one row per occupied confidence bin.
+    Confidence is the top-2 LOG-SCORE MARGIN (best minus runner-up),
+    binned at fixed ``bin_width``, last bin open-ended: a well-behaved
+    classifier shows accuracy rising monotonically with margin, and the
+    selection threshold a curation pipeline applies ("keep docs the
+    quality model is sure about") should sit where this table says
+    accuracy clears the target, not at an arbitrary score.
+
+    The margin deliberately replaces a softmax probability: both
+    engines difference the same rounded(6) scores — exact decimal
+    arithmetic, no cross-engine ``exp`` in sight — so bin edges are
+    decided identically (the floor/least chain is the deterministic
+    part; avg/accuracy carry the +1e-9 rounding nudge).
+
+    Scale shape: rides :func:`nb_scores_with_model` (broadcast model,
+    one doc-keyed aggregate); the top-2 window sees |classes| rows per
+    doc; the report is one groupBy over at most ``n_bins`` keys.
+    """
+    from pyspark.sql import Window
+
+    scored = nb_scores_with_model(
+        docs,
+        nb_token_counts(
+            docs, label_col=label_col, text_col=text_col, n_buckets=n_buckets
+        ),
+        nb_class_docs(docs, label_col=label_col),
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), F.desc("cls"))
+    top2 = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .groupBy("doc_id", "label")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__score"))).alias("__s1"),
+            F.max(F.when(F.col("__rn") == 1, F.col("cls"))).alias("__pred"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__score"))).alias("__s2"),
+        )
+    )
+    margin = F.col("__s1") - F.coalesce(
+        F.col("__s2"), F.col("__s1") - F.lit(bin_width * n_bins)
+    )
+    binned = top2.select(
+        F.least(
+            F.floor(margin / F.lit(bin_width)), F.lit(n_bins - 1)
+        ).cast("long").alias("bin"),
+        margin.alias("__margin"),
+        (F.col("__pred") == F.col("label")).cast("double").alias("__ok"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__margin") + F.lit(1e-9), 6).alias("avg_margin"),
+            F.round(F.avg("__ok") + F.lit(1e-9), 6).alias("accuracy"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * F.lit(bin_width), 6).alias("margin_lo"),
+            "n_docs",
+            "avg_margin",
+            "accuracy",
         )
     )
 

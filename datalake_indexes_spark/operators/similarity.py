@@ -2046,3 +2046,60 @@ def nn_descent_round(
             F.round("__cos", 4).alias("cosine"),
         )
     )
+
+
+def embedding_isotropy_report(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row isotropy diagnostic for an embedding table — (n, dim,
+    avg_norm, mean_vec_norm, avg_pairwise_cosine).  Anisotropic
+    embedding spaces (all vectors crowded into a narrow cone — the
+    well-documented failure mode of contextual encoders, Ethayarajh
+    2019) break cosine-threshold dedup and ANN recall alike, so this is
+    the first gauge to read before trusting any threshold in this
+    module.
+
+    ``avg_pairwise_cosine`` uses the sum-vector identity: for unit
+    vectors, sum_{i != j} u_i . u_j = ||sum_i u_i||^2 - n, so the
+    all-pairs mean needs only the per-dimension component sums — O(n·d)
+    with ONE aggregate, no pairwise join, which is what makes the gauge
+    runnable on the full 100-TB embedding table rather than a sample.
+    ``mean_vec_norm`` (= ||mean(u)||, 0 for perfectly isotropic, 1 for
+    identical vectors) falls out of the same sums.
+
+    Determinism contract: per-dimension sums are rounded(6) before the
+    squared-sum fold (the ml_embedding_cov discipline — both engines
+    then square and sum identical decimals), and every reported metric
+    carries the repo's +1e-9 half-boundary nudge.
+    """
+    units = with_unit_vec(emb, vec_col)
+    per_dim = (
+        units.select(F.posexplode("__unit").alias("dim", "u"))
+        .groupBy("dim")
+        .agg(F.round(F.sum("u") + F.lit(1e-9), 6).alias("s"))
+    )
+    scal = per_dim.agg(
+        F.sum(F.col("s") * F.col("s")).alias("__ssum"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    stats = emb.select(_norm(raw).alias("__norm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__norm") + F.lit(1e-9), 6).alias("avg_norm"),
+    )
+    return stats.crossJoin(scal).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("dim").cast("long").alias("dim"),
+        "avg_norm",
+        F.round(F.sqrt(F.col("__ssum")) / F.col("n") + F.lit(1e-9), 6).alias(
+            "mean_vec_norm"
+        ),
+        F.round(
+            (F.col("__ssum") - F.col("n"))
+            / (F.col("n") * (F.col("n") - F.lit(1.0)))
+            + F.lit(1e-9),
+            6,
+        ).alias("avg_pairwise_cosine"),
+    )

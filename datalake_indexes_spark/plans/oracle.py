@@ -8433,3 +8433,103 @@ FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, neighbo
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+def ml_embedding_isotropy_sql() -> str:
+    """Twin of :func:`..operators.similarity.embedding_isotropy_report`:
+    unit vectors, per-dim sums rounded(6) before the squared-sum fold,
+    sum-vector identity for the all-pairs mean cosine."""
+    return """
+WITH u AS (
+  SELECT list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+  FROM embeddings
+),
+dims AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS uv FROM u),
+per_dim AS (SELECT dim, round(sum(uv) + 1e-9, 6) AS s FROM dims GROUP BY dim),
+scal AS (SELECT sum(s * s) AS ssum, count(*) AS dim FROM per_dim),
+stats AS (
+  SELECT count(*) AS n,
+         round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) + 1e-9, 6) AS avg_norm
+  FROM embeddings
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(dim AS BIGINT) AS dim, avg_norm,
+       round(sqrt(ssum) / n + 1e-9, 6) AS mean_vec_norm,
+       round((ssum - n) / (n * (n - 1.0)) + 1e-9, 6) AS avg_pairwise_cosine
+FROM stats, scal
+"""
+
+
+def ml_nb_calibration_sql(
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+    bin_width: float = 2.0,
+    n_bins: int = 8,
+) -> str:
+    """Twin of :func:`..operators.ml.nb_calibration_report` over the
+    marker-planted corpus: same dense Laplace grid and rounded(6)
+    scores as the langid twin, top-2 margin pivot, fixed-width bins
+    with an open last bin."""
+    ab = alpha * n_buckets
+    return f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         text || ' zz' || lang || ' zz' || lang || ' zz' || lang AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, label,
+         ('0x' || substring(md5(g), 1, 8))::BIGINT % {n_buckets} AS b
+  FROM (
+    SELECT doc_id, lang AS label,
+           unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS g
+    FROM planted
+  )
+),
+cls AS (SELECT lang AS cls, count(*) AS nd FROM planted GROUP BY lang),
+tot AS (SELECT sum(nd) AS td FROM cls),
+pri AS (SELECT cls, ln(nd * 1.0 / td) AS prior FROM cls, tot),
+ct AS (SELECT label AS cls, b, count(*) AS c FROM words GROUP BY label, b),
+ctot AS (SELECT cls, sum(c) AS tc FROM ct GROUP BY cls),
+grid AS (
+  SELECT c.cls, g.b
+  FROM (SELECT cls FROM cls) c, (SELECT range AS b FROM range({n_buckets})) g
+),
+cond AS (
+  SELECT grid.cls, grid.b,
+         ln((coalesce(ct.c, 0) + {alpha}) / (ctot.tc + {ab})) AS logp
+  FROM grid
+  LEFT JOIN ct ON ct.cls = grid.cls AND ct.b = grid.b
+  JOIN ctot ON ctot.cls = grid.cls
+),
+sc AS (
+  SELECT w.doc_id, w.label, c.cls, round(sum(c.logp) + prior, 6) AS score
+  FROM words w JOIN cond c USING (b) JOIN pri ON pri.cls = c.cls
+  GROUP BY w.doc_id, w.label, c.cls, prior
+),
+rk AS (
+  SELECT doc_id, label, cls, score,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cls DESC) AS rn
+  FROM sc
+),
+t2 AS (
+  SELECT doc_id, label,
+         max(CASE WHEN rn = 1 THEN score END) AS s1,
+         max(CASE WHEN rn = 1 THEN cls END) AS pred,
+         max(CASE WHEN rn = 2 THEN score END) AS s2
+  FROM rk WHERE rn <= 2 GROUP BY doc_id, label
+),
+m AS (
+  SELECT least(CAST(floor((s1 - coalesce(s2, s1 - {bin_width * n_bins})) / {bin_width})
+               AS BIGINT), {n_bins - 1}) AS bin,
+         s1 - coalesce(s2, s1 - {bin_width * n_bins}) AS margin,
+         CASE WHEN pred = label THEN 1.0 ELSE 0.0 END AS ok
+  FROM t2
+)
+SELECT bin, round(bin * {bin_width}, 6) AS margin_lo,
+       count(*) AS n_docs,
+       round(avg(margin) + 1e-9, 6) AS avg_margin,
+       round(avg(ok) + 1e-9, 6) AS accuracy
+FROM m GROUP BY bin
+"""

@@ -4286,6 +4286,48 @@ def q_ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_nn_descent"] = q_ann_nn_descent
 ORACLES["ann_nn_descent"] = oracle.ann_nn_descent_sql(k=5)
+
+
+def q_ml_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy gauge for the embedding table (sum-vector identity:
+    all-pairs mean cosine from one O(n·d) aggregate) — the sanity read
+    before trusting any cosine threshold."""
+    from datalake_indexes_spark.operators.similarity import (
+        embedding_isotropy_report,
+    )
+
+    return embedding_isotropy_report(_embeddings(spark, sf_dir))
+
+
+QUERIES["ml_embedding_isotropy"] = q_ml_embedding_isotropy
+ORACLES["ml_embedding_isotropy"] = oracle.ml_embedding_isotropy_sql()
+
+
+def q_ml_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability report for the hashed-NB classifier over the same
+    marker-planted corpus as ml_nb_langid: accuracy per top-2
+    log-score-margin bin — where a curation pipeline reads off its
+    keep-threshold."""
+    from datalake_indexes_spark.operators.ml import nb_calibration_report
+
+    planted = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" zz"), F.col("lang"),
+            F.lit(" zz"), F.col("lang"),
+            F.lit(" zz"), F.col("lang"),
+        ),
+    )
+    return nb_calibration_report(
+        planted, n_buckets=512, alpha=1.0, bin_width=2.0, n_bins=16
+    )
+
+
+QUERIES["ml_nb_calibration"] = q_ml_nb_calibration
+ORACLES["ml_nb_calibration"] = oracle.ml_nb_calibration_sql(
+    n_buckets=512, alpha=1.0, bin_width=2.0, n_bins=16
+)
 QUERIES["text_boilerplate_lines"] = q_text_boilerplate_lines
 QUERIES["text_line_dedup"] = q_text_line_dedup
 ORACLES["text_boilerplate_lines"] = oracle.text_boilerplate_lines_sql(min_docs=2)
@@ -4374,7 +4416,10 @@ _DRIVER_PRIORITY: list[str] = [
     # graph family beyond pagerank/hits/ppr/kcore/modularity
     "graph_label_prop",
     "graph_link_prediction",
-    "graph_triangles",
+    # (graph_triangles moved to a later rotation batch for
+    # ml_embedding_isotropy; graph stays via pagerank / label_prop /
+    # link_prediction)
+    "ml_embedding_isotropy",
     # (graph_clustering moved to a later rotation batch for
     # search_proximity — a first in-window search-family rep; graph
     # stays via pagerank / label_prop / link_prediction / triangles)
@@ -4414,7 +4459,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (export_shard_fingerprints moved to a later rotation batch for
     # multimodal_audio_features)
     # events depth
-    "events_funnel_timing",
+    # (events_funnel_timing moved to a later rotation batch for
+    # ml_nb_calibration; events stays via ab_test / ab_cuped /
+    # changepoint plus the pinned window_agg)
+    "ml_nb_calibration",
     # (events_cohort moved to a later rotation batch for
     # dedup_incremental_report)
     # (events_attribution moved to a later rotation batch for
