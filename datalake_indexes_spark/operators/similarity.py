@@ -1929,6 +1929,19 @@ def margin_mining(
     no shuffle carries more than n·k rows.
     """
 
+    fwd = cosine_topk(tgt, src, k=k, vec_col=vec_col, id_col=id_col)
+    bwd = cosine_topk(src, tgt, k=k, vec_col=vec_col, id_col=id_col)
+    return _margin_from_topk(fwd, bwd, k, threshold)
+
+
+def _margin_from_topk(
+    fwd: DataFrame, bwd: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Shared margin algebra over two (query_id, neighbor_id, rank,
+    cosine) top-k frames — rank-pivot neighborhood averages, ratio
+    margin, reverse-top-k mutual flag (see :func:`margin_mining` for
+    the determinism contract)."""
+
     def rank_avg(topk: DataFrame, out_id: str, out_avg: str) -> DataFrame:
         terms = None
         for r in range(1, k + 1):
@@ -1940,8 +1953,6 @@ def margin_mining(
             (terms / F.count(F.lit(1))).alias(out_avg)
         )
 
-    fwd = cosine_topk(tgt, src, k=k, vec_col=vec_col, id_col=id_col)
-    bwd = cosine_topk(src, tgt, k=k, vec_col=vec_col, id_col=id_col)
     src_avg = rank_avg(fwd, "src_id", "__src_avg")
     tgt_avg = rank_avg(bwd, "tgt_id", "__tgt_avg")
     reverse_hits = bwd.select(
@@ -2103,3 +2114,92 @@ def embedding_isotropy_report(
             6,
         ).alias("avg_pairwise_cosine"),
     )
+
+
+def _ivf_bipartite_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    k: int,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — IVF-blocked top-k where
+    BOTH sides are corpus-sized (the bipartite form of
+    :func:`knn_graph`'s join): queries probe their ``n_probe`` nearest
+    inverted lists, corpus members live in exactly one list, match is a
+    shuffled sort-merge equi-join on the centroid key."""
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, n_best: int) -> DataFrame:
+        scored = (
+            with_unit_vec(df, vec_col)
+            .select(F.col(id_col).alias(id_alias), F.col("__unit").alias(vec_alias))
+            .crossJoin(cents)
+            .withColumn("__sim", _dot(F.col(vec_alias), F.col("__cent_v")))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.asc("centroid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_best)
+            .drop("__cent_v", "__sim", "__r")
+        )
+
+    probes = assign(queries, "query_id", "__qv", n_probe)
+    members = assign(corpus, "neighbor_id", "__nv", 1)
+    scored = (
+        probes.hint("merge")
+        .join(members.hint("merge"), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__cos", _dot(F.col("__qv"), F.col("__nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__cos", 4).alias("cosine"),
+        )
+    )
+
+
+def margin_mining_blocked(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.1,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-blocked :func:`margin_mining` — the corpus-scale path.  The
+    brute variant's cosine_topk passes are quadratic (measured: 6.5 GB
+    of sort spill at 10x fixture scale); here both directions run
+    through :func:`_ivf_bipartite_topk` over ONE shared centroid set
+    trained on the union (so a pair's two directions see consistent
+    blocking), and the margin algebra is shared verbatim.
+
+    Approximation contract: neighborhoods come only from each point's
+    ``n_probe`` nearest inverted lists (same recall trade as
+    :func:`knn_graph`, replicated exactly by the oracle); a candidate
+    pair whose target found no reverse neighborhood in its probed lists
+    is dropped by the inner average-join — both engines agree.  Two
+    measurable consequences, both pinned in tests/test_margin_blocked:
+    recall of brute-mined pairs rises with ``n_probe`` (0.29 at 2/16
+    lists, 0.54 at 6/16 on the fixture), and restricted neighborhoods
+    LOWER the averages, so some margins inflate past the threshold that
+    the brute rule would reject — precision-sensitive callers should
+    re-score survivors with :func:`margin_mining` on the (small) mined
+    set.  Sizing discipline: ``n_centroids`` should grow ~sqrt(n) so
+    inverted lists stay bounded (the 10x exercise pins the
+    fixed-centroid superlinearity this avoids).
+    """
+    union = src.select(id_col, vec_col).unionByName(tgt.select(id_col, vec_col))
+    cents = F.broadcast(_ivf_centroids(union, n_centroids, 0, vec_col, id_col))
+    fwd = _ivf_bipartite_topk(src, tgt, cents, k, n_probe, vec_col, id_col)
+    bwd = _ivf_bipartite_topk(tgt, src, cents, k, n_probe, vec_col, id_col)
+    return _margin_from_topk(fwd, bwd, k, threshold)

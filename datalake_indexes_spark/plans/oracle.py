@@ -8533,3 +8533,69 @@ SELECT bin, round(bin * {bin_width}, 6) AS margin_lo,
        round(avg(ok) + 1e-9, 6) AS accuracy
 FROM m GROUP BY bin
 """
+
+
+def ann_margin_blocked_sql(
+    k: int = 4,
+    threshold: float = 1.1,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> str:
+    """Twin of :func:`..operators.similarity.margin_mining_blocked` over
+    the even/odd split: shared union centroids (vec_id < n_centroids),
+    bipartite probe/member assignment exactly as the kNN-graph twin,
+    then the margin algebra of :func:`ann_margin_mining_sql`."""
+    pivot = " + ".join(
+        f"coalesce(max(CASE WHEN r = {r} THEN c END), 0.0)" for r in range(1, k + 1)
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+a AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+aa AS (
+  SELECT id, e, centroid,
+         row_number() OVER (PARTITION BY id
+             ORDER BY list_cosine_similarity(e, cv) DESC, centroid) AS rk
+  FROM a CROSS JOIN cents
+),
+bb AS (
+  SELECT id, e, centroid,
+         row_number() OVER (PARTITION BY id
+             ORDER BY list_cosine_similarity(e, cv) DESC, centroid) AS rk
+  FROM b CROSS JOIN cents
+),
+fwd AS (
+  SELECT s, t, round(cs, 4) AS c,
+         row_number() OVER (PARTITION BY s ORDER BY cs DESC, t) AS r
+  FROM (
+    SELECT p.id AS s, m.id AS t, list_cosine_similarity(p.e, m.e) AS cs
+    FROM (SELECT * FROM aa WHERE rk <= {n_probe}) p
+    JOIN (SELECT * FROM bb WHERE rk = 1) m USING (centroid)
+  )
+),
+bwd AS (
+  SELECT s, t, round(cs, 4) AS c,
+         row_number() OVER (PARTITION BY s ORDER BY cs DESC, t) AS r
+  FROM (
+    SELECT p.id AS s, m.id AS t, list_cosine_similarity(p.e, m.e) AS cs
+    FROM (SELECT * FROM bb WHERE rk <= {n_probe}) p
+    JOIN (SELECT * FROM aa WHERE rk = 1) m USING (centroid)
+  )
+),
+fa AS (SELECT s, ({pivot}) / count(*) AS av FROM fwd WHERE r <= {k} GROUP BY s),
+ba AS (SELECT s, ({pivot}) / count(*) AS av FROM bwd WHERE r <= {k} GROUP BY s)
+SELECT f.s AS src_id, f.t AS tgt_id, f.c AS cosine,
+       round(f.c / ((fa.av + ba.av) / 2.0) + 1e-9, 6) AS margin,
+       (m.s IS NOT NULL) AS mutual
+FROM fwd f
+JOIN fa ON f.s = fa.s
+JOIN ba ON f.t = ba.s
+LEFT JOIN (SELECT t AS s2, s AS t2, s FROM bwd WHERE r <= {k}) m
+       ON m.s2 = f.s AND m.t2 = f.t
+WHERE f.r <= {k} AND f.c / ((fa.av + ba.av) / 2.0) >= {threshold}
+"""

@@ -4275,6 +4275,28 @@ QUERIES["ann_margin_mining"] = q_ann_margin_mining
 ORACLES["ann_margin_mining"] = oracle.ann_margin_mining_sql(k=4, threshold=1.1)
 
 
+def q_ann_margin_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked margin mining (the corpus-scale path: shared union
+    centroids, bipartite probe/member join, no quadratic cross)."""
+    from datalake_indexes_spark.operators.similarity import margin_mining_blocked
+
+    emb = _embeddings(spark, sf_dir)
+    return margin_mining_blocked(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.1,
+        n_centroids=16,
+        n_probe=2,
+    )
+
+
+QUERIES["ann_margin_blocked"] = q_ann_margin_blocked
+ORACLES["ann_margin_blocked"] = oracle.ann_margin_blocked_sql(
+    k=4, threshold=1.1, n_centroids=16, n_probe=2
+)
+
+
 def q_ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One NN-descent round over the IVF-blocked kNN graph: reversed +
     two-hop candidate expansion, exact rescore, top-k re-cut — the
@@ -4439,7 +4461,9 @@ _DRIVER_PRIORITY: list[str] = [
     # rotation batch to make room for the packing keys above)
     # web pipeline family
     "web_canonical_urls",
-    "web_domain_stats",
+    # (web_domain_stats moved to a later rotation batch for
+    # ann_margin_blocked; web stays via canonical_urls)
+    "ann_margin_blocked",
     # (web_blocklist moved to a later rotation batch for
     # text_line_dedup; web stays via canonical_urls / domain_stats)
     # (web_extract_links moved to a later rotation batch for
