@@ -8404,13 +8404,13 @@ WHERE f.r <= {k} AND f.c / ((fa.av + ba.av) / 2.0) >= {threshold}
 """
 
 
-def ann_nn_descent_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
-    """Twin of :func:`..operators.similarity.nn_descent_round`: the
-    trusted kNN-graph twin as a derived table, expanded with reversed
-    and two-hop edges, exact-cosine rescored, re-cut to top-k."""
+def _nn_expand_sql(edges_select: str, k: int) -> str:
+    """One NN-descent expansion+rescore over an arbitrary edge-producing
+    SELECT — MATERIALIZED so the (possibly nested) edge query evaluates
+    once, not once per candidate branch (the HITS-twin inlining trap)."""
     return f"""
-WITH e AS (
-  SELECT src_id, neighbor_id FROM ({ann_knn_graph_sql(k, n_centroids, n_probe)}) __g
+WITH e AS MATERIALIZED (
+  SELECT src_id, neighbor_id FROM ({edges_select}) __e
 ),
 cand AS (
   SELECT src_id, neighbor_id FROM e
@@ -8433,6 +8433,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, neighbo
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+def ann_nn_descent_sql(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2, rounds: int = 1
+) -> str:
+    """Twin of :func:`..operators.similarity.nn_descent` (and
+    `nn_descent_round` at rounds=1): the trusted kNN-graph twin seeds
+    the chain, then ``rounds`` nested expansion+rescore steps — each
+    level's edges MATERIALIZED exactly like the engine's per-round
+    localCheckpoint."""
+    sql = ann_knn_graph_sql(k, n_centroids, n_probe)
+    for _ in range(max(rounds, 1)):
+        sql = _nn_expand_sql(sql, k)
+    return sql
 
 
 def ml_embedding_isotropy_sql() -> str:

@@ -65,3 +65,31 @@ def test_plan_no_unsanctioned_nested_loop(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iterated_rounds_recall_monotone(spark, sf_dir):
+    from datalake_indexes_spark.operators.similarity import nn_descent
+
+    emb = _emb(spark, sf_dir)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, emb, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["src_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(truth & got) / len(truth)
+
+    r1 = recall(nn_descent(emb, k=5, rounds=1))
+    r2 = recall(nn_descent(emb, k=5, rounds=2))
+    assert r2 >= r1  # per-round dominance compounds (measured 0.49 -> 0.541)
+    # rounds=1 must equal the single-round public entry point
+    one = {
+        (r["src_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in nn_descent_round(emb, k=5).collect()
+    }
+    it1 = {
+        (r["src_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in nn_descent(emb, k=5, rounds=1).collect()
+    }
+    assert one == it1
