@@ -1955,3 +1955,78 @@ def dsir_select(
         .filter(F.col("sel_rank") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .select("doc_id", "avg_logratio", F.col("sel_rank").cast("long"))
     )
+
+
+def kn_logprob_scores(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-probability per document —
+    (doc_id, n_bigrams, avg_logprob_kn) — the standard upgrade over the
+    add-k bigram LM (:func:`bigram_logprob_scores`): absolute
+    discounting plus a CONTINUATION-count backoff, so words that appear
+    in many distinct contexts ("francisco" vs "the") back off
+    correctly and boilerplate-heavy word salads score lower.
+
+    P_KN(w2|w1) = (max(c12 − D, 0) + D·N1+(w1·)·Pcont(w2)) / c1(w1)
+    with Pcont(w2) = N1+(·w2) / |bigram types| and c1 the context's
+    bigram total.  Scoring the training corpus itself means every
+    scored bigram is seen (c12 >= 1), so no unseen-event path is
+    needed — the interpolation term is exercised through the discount
+    mass, not through zeros.  Both engines evaluate the formula in the
+    same literal operand order; documents with fewer than two words are
+    omitted (the bigram-LM contract).
+
+    Scale shape: identical to the add-k bigram — in-array zip for gram
+    extraction, map-side-combinable count aggregates (two extra
+    DISTINCT-counting aggregates for the continuation counts), one
+    Zipf-skewed (w1, w2) join back that immediately re-keys by doc_id.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("__w1"), F.col("g.w2").alias("__w2"))
+
+    bc = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = bc.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.count(F.lit(1)).alias("__n1f"),  # N1+(w1 ·): distinct continuations
+    )
+    cont = bc.groupBy("__w2").agg(
+        F.count(F.lit(1)).alias("__n1r")  # N1+(· w2): distinct contexts
+    )
+    n_types = bc.count()  # |{(w1,w2)}| — model-constant scalar
+
+    d = float(discount)
+    lp = (
+        bc.join(ctx, "__w1")
+        .join(cont, "__w2")
+        .withColumn(
+            "__lp",
+            F.log(
+                (
+                    F.greatest(F.col("__c12") - F.lit(d), F.lit(0.0))
+                    + F.lit(d) * F.col("__n1f") * F.col("__n1r") / F.lit(float(n_types))
+                )
+                / F.col("__c1")
+            ),
+        )
+    )
+    return (
+        bg.join(lp.select("__w1", "__w2", "__lp"), ["__w1", "__w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), 4).alias("avg_logprob_kn"),
+        )
+    )

@@ -8613,3 +8613,33 @@ LEFT JOIN (SELECT t AS s2, s AS t2, s FROM bwd WHERE r <= {k}) m
        ON m.s2 = f.s AND m.t2 = f.t
 WHERE f.r <= {k} AND f.c / ((fa.av + ba.av) / 2.0) >= {threshold}
 """
+
+
+def text_kn_logprob_sql(discount: float = 0.75) -> str:
+    """Twin of :func:`..operators.text_analysis.kn_logprob_scores`:
+    interpolated Kneser-Ney bigram conditionals — absolute discount,
+    continuation-count backoff, identical literal operand order."""
+    d = float(discount)
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (
+  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos, unnest(w) AS word
+  FROM ws
+),
+bg AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM bc GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1r FROM bc GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bc),
+lp AS (
+  SELECT bc.w1, bc.w2,
+         ln((greatest(c12 - {d}, 0.0) + {d} * n1f * n1r / n_types) / c1) AS l
+  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2), t
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(l), 4) AS avg_logprob_kn
+FROM bg JOIN lp USING (w1, w2)
+GROUP BY doc_id
+"""

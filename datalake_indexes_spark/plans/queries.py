@@ -4320,6 +4320,19 @@ def q_ann_nn_descent2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_nn_descent2"] = q_ann_nn_descent2
+
+def q_text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scores per document — absolute
+    discounting + continuation-count backoff (the classic upgrade over
+    the add-k bigram perplexity proxy)."""
+    from datalake_indexes_spark.operators.text_analysis import kn_logprob_scores
+
+    return kn_logprob_scores(_docs(spark, sf_dir), discount=0.75)
+
+
+QUERIES["text_kn_logprob"] = q_text_kn_logprob
+ORACLES["text_kn_logprob"] = oracle.text_kn_logprob_sql(discount=0.75)
+
 ORACLES["ann_nn_descent2"] = oracle.ann_nn_descent_sql(k=5, rounds=2)
 
 

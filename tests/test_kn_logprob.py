@@ -1,0 +1,84 @@
+"""Kneser-Ney bigram scores — exact hand computation on a tiny corpus,
+continuation-count behavior (the "francisco" property), and probability
+mass sanity."""
+
+from __future__ import annotations
+
+import math
+
+from datalake_indexes_spark.operators.text_analysis import (
+    bigram_logprob_scores,
+    kn_logprob_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_hand_computed_tiny_corpus(spark):
+    # corpus: "a b" x2 and "a c" -> bigrams: (a,b):2, (a,c):1
+    # c1(a)=3, N1+(a.)=2, N1+(.b)=1, N1+(.c)=1, T=2, D=0.75
+    # P(b|a) = (max(2-.75,0) + .75*2*(1/2)) / 3 = (1.25 + .75) / 3 = 2/3
+    # P(c|a) = (max(1-.75,0) + .75*2*(1/2)) / 3 = (0.25 + .75) / 3 = 1/3
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob_kn"])
+        for r in kn_logprob_scores(_docs(spark, ["a b", "a b", "a c"])).collect()
+    }
+    assert got[0] == (1, round(math.log(2.0 / 3.0), 4))
+    assert got[1] == got[0]
+    assert got[2] == (1, round(math.log(1.0 / 3.0), 4))
+
+
+def test_short_docs_omitted(spark):
+    got = kn_logprob_scores(_docs(spark, ["single", "two words"])).collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+
+def test_continuation_backoff_distinguishes_contexts(spark):
+    # "b" follows many distinct contexts; "z" always follows the same
+    # one with the same raw count per context.  KN's backoff term gives
+    # the versatile continuation higher probability mass in a NOVEL-ish
+    # low-count context; the add-k model sees only raw counts.
+    rows = ["p b", "q b", "r b", "s b", "x z", "x z", "x z", "x z", "p z"]
+    kn = {
+        r["doc_id"]: r["avg_logprob_kn"]
+        for r in kn_logprob_scores(_docs(spark, rows)).collect()
+    }
+    # both (p,b) and (p,z) have c12=1 and share context p (c1=2):
+    # only the continuation counts differ -> b must beat z after p
+    assert kn[0] > kn[8]
+
+
+def test_conditional_mass_sums_to_one_per_context(spark):
+    # Context a: bigrams (a,b):2, (a,c):1, c1=3, N1+(a.)=2; T=4 types;
+    # Pcont(a,b,c) = 2/4, 1/4, 1/4.  Hand KN:
+    #   P(b|a) = (1.25 + .75*2*(1/4)) / 3 = 13/24
+    #   P(c|a) = (0.25 + .75*2*(1/4)) / 3 =  5/24
+    #   unseen P(a|a) = (.75/3)*2*(2/4)  =  6/24   -> total 1 exactly
+    rows = ["a b", "a b", "a c", "b a", "c a"]
+    got = {r["doc_id"]: r for r in kn_logprob_scores(_docs(spark, rows)).collect()}
+    p_ab = math.exp(got[0]["avg_logprob_kn"])
+    p_ac = math.exp(got[2]["avg_logprob_kn"])
+    assert abs(p_ab - 13 / 24) < 2e-4
+    assert abs(p_ac - 5 / 24) < 2e-4
+    p_unseen_a = (0.75 / 3) * 2 * (2 / 4)
+    assert abs(p_ab + p_ac + p_unseen_a - 1.0) < 4e-4
+
+
+def test_ranks_against_addk_on_salad(spark):
+    # a document chaining words in NEVER-seen-elsewhere order scores
+    # below the repeated natural phrase under both LMs; KN keeps that
+    # ordering (sanity that the upgrade does not break the basic signal)
+    rows = ["the quick fox", "the quick fox", "the quick fox", "fox the quick"]
+    kn = {
+        r["doc_id"]: r["avg_logprob_kn"]
+        for r in kn_logprob_scores(_docs(spark, rows)).collect()
+    }
+    addk = {
+        r["doc_id"]: r["avg_logprob2"]
+        for r in bigram_logprob_scores(_docs(spark, rows)).collect()
+    }
+    assert kn[0] > kn[3] and addk[0] > addk[3]
