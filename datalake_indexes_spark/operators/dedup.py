@@ -1784,17 +1784,31 @@ def line_dedup(
     groupBy(doc_id) with an in-array sort by original position — the
     same two-shuffle budget as :func:`chunk_dedup`.
     """
+    boiler = line_census(
+        docs, min_docs=min_docs, text_col=text_col, id_col=id_col, sep=sep
+    ).select("line_norm")
+    return strip_lines(docs, boiler, text_col=text_col, id_col=id_col, sep=sep)
+
+
+def strip_lines(
+    docs: DataFrame,
+    boiler: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip the ``boiler`` (line_norm) set plus empty/whitespace-only
+    lines from ``docs`` and reassemble in original order — the shared
+    back half of batch :func:`line_dedup` and the streaming line store
+    (``streaming/line_stream.py``)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("line_norm", F.trim(F.col("line")))
-    boiler = line_census(
-        docs, min_docs=min_docs, text_col=text_col, id_col=id_col, sep=sep
-    ).select("line_norm")
     kept = (
         base.filter(F.col("line_norm") != "")
-        .join(boiler, "line_norm", "left_anti")
+        .join(boiler.select("line_norm"), "line_norm", "left_anti")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
