@@ -2030,3 +2030,95 @@ def kn_logprob_scores(
             F.round(F.avg("__lp"), 4).alias("avg_logprob_kn"),
         )
     )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    interval: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth curve in ingestion (doc_id) order — one row per
+    id block of ``interval`` docs: (bucket, docs_cum, tokens_cum,
+    vocab_cum).  The saturation diagnostic a curation pipeline reads
+    before buying more of the same source: if vocab_cum has flattened
+    while tokens_cum climbs, additional data is repeating the
+    vocabulary it already has.
+
+    Every number is an exact integer (strict cross-engine hashes need
+    no rounding): a word's arrival point is its minimum doc_id (one
+    map-side-combinable aggregate), per-block news/tokens/docs are
+    plain counts, and the cumulation runs over the BLOCK table only —
+    ``interval`` is the caller's sampling knob and should be sized so
+    the curve has O(100) points (the window is over sample points,
+    never over documents; same sanctioned-tiny-window discipline as the
+    bucket-offset tables in functions/ranking.py).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    )
+    fd = words.groupBy("__w").agg(F.min("doc_id").alias("__fd"))
+    new_per_bucket = fd.groupBy(
+        F.floor(F.col("__fd") / interval).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("__new"))
+    per_bucket = (
+        docs.select(
+            F.floor(F.col(id_col) / interval).cast("long").alias("bucket"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("__nt"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__docs"), F.sum("__nt").alias("__toks"))
+    )
+    joined = per_bucket.join(new_per_bucket, "bucket", "left").select(
+        "bucket",
+        "__docs",
+        "__toks",
+        F.coalesce(F.col("__new"), F.lit(0)).alias("__new"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.sum("__docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("__toks").over(w).cast("long").alias("tokens_cum"),
+        F.sum("__new").over(w).cast("long").alias("vocab_cum"),
+    )
+
+
+def vocab_heaps_fit(
+    docs: DataFrame,
+    interval: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit V = K·N^beta over the :func:`vocab_growth_curve`
+    sample points — one row (n_points, beta, log_k, r2), the closed-form
+    log-log OLS.  beta well below 1 with high r2 says vocabulary growth
+    is sublinear-but-alive; beta near 0 says the source is exhausted.
+    All inputs to the regression are exact integers, so both engines
+    take ln of identical values; the aggregate means carry the repo's
+    +1e-9 rounding nudge."""
+    curve = vocab_growth_curve(
+        docs, interval=interval, text_col=text_col, id_col=id_col
+    ).select(
+        F.log(F.col("tokens_cum").cast("double")).alias("__x"),
+        F.log(F.col("vocab_cum").cast("double")).alias("__y"),
+    )
+    agg = curve.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.avg(F.col("__x") * F.col("__x")).alias("__mxx"),
+        F.avg(F.col("__y") * F.col("__y")).alias("__myy"),
+        F.avg(F.col("__x") * F.col("__y")).alias("__mxy"),
+    )
+    cov = F.col("__mxy") - F.col("__mx") * F.col("__my")
+    varx = F.col("__mxx") - F.col("__mx") * F.col("__mx")
+    vary = F.col("__myy") - F.col("__my") * F.col("__my")
+    beta = cov / varx
+    return agg.select(
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(beta + F.lit(1e-9), 6).alias("beta"),
+        F.round(F.col("__my") - beta * F.col("__mx") + F.lit(1e-9), 6).alias("log_k"),
+        F.round(cov * cov / (varx * vary) + F.lit(1e-9), 6).alias("r2"),
+    )

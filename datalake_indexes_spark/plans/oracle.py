@@ -8643,3 +8643,61 @@ SELECT doc_id, count(*) AS n_bigrams, round(avg(l), 4) AS avg_logprob_kn
 FROM bg JOIN lp USING (w1, w2)
 GROUP BY doc_id
 """
+
+
+def _vocab_curve_cte(interval: int) -> str:
+    """Shared curve CTE chain for the vocab-growth twins."""
+    return f"""words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+fd AS (SELECT w, min(doc_id) AS fdoc FROM words GROUP BY w),
+nb AS (SELECT CAST(floor(fdoc / {interval}) AS BIGINT) AS bucket,
+              count(*) AS nw FROM fd GROUP BY 1),
+pb AS (
+  SELECT CAST(floor(doc_id / {interval}) AS BIGINT) AS bucket,
+         count(*) AS nd, sum(len(string_split(text, ' '))) AS nt
+  FROM documents GROUP BY 1
+),
+curve AS (
+  SELECT pb.bucket,
+         CAST(sum(nd) OVER win AS BIGINT) AS docs_cum,
+         CAST(sum(nt) OVER win AS BIGINT) AS tokens_cum,
+         CAST(sum(coalesce(nw, 0)) OVER win AS BIGINT) AS vocab_cum
+  FROM pb LEFT JOIN nb USING (bucket)
+  WINDOW win AS (ORDER BY pb.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
+
+
+def vocab_growth_curve_sql(interval: int = 10) -> str:
+    """Twin of :func:`..operators.text_analysis.vocab_growth_curve` —
+    integer-exact cumulative docs/tokens/vocabulary per id block."""
+    return f"""
+WITH {_vocab_curve_cte(interval)}
+SELECT bucket, docs_cum, tokens_cum, vocab_cum FROM curve
+"""
+
+
+def vocab_heaps_fit_sql(interval: int = 10) -> str:
+    """Twin of :func:`..operators.text_analysis.vocab_heaps_fit` —
+    closed-form log-log OLS over the curve points."""
+    return f"""
+WITH {_vocab_curve_cte(interval)},
+pts AS (
+  SELECT ln(CAST(tokens_cum AS DOUBLE)) AS x,
+         ln(CAST(vocab_cum AS DOUBLE)) AS y
+  FROM curve
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         avg(x) AS mx, avg(y) AS my,
+         avg(x * x) AS mxx, avg(y * y) AS myy, avg(x * y) AS mxy
+  FROM pts
+)
+SELECT n_points,
+       round((mxy - mx * my) / (mxx - mx * mx) + 1e-9, 6) AS beta,
+       round(my - (mxy - mx * my) / (mxx - mx * mx) * mx + 1e-9, 6) AS log_k,
+       round((mxy - mx * my) * (mxy - mx * my)
+             / ((mxx - mx * mx) * (myy - my * my)) + 1e-9, 6) AS r2
+FROM agg
+"""

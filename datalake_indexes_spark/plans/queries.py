@@ -4333,6 +4333,28 @@ def q_text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_kn_logprob"] = q_text_kn_logprob
 ORACLES["text_kn_logprob"] = oracle.text_kn_logprob_sql(discount=0.75)
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve in ingestion order (integer-exact
+    cumulative docs/tokens/vocab per 10-doc block) — the source-
+    saturation diagnostic."""
+    from datalake_indexes_spark.operators.text_analysis import vocab_growth_curve
+
+    return vocab_growth_curve(_docs(spark, sf_dir), interval=10)
+
+
+def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law K·N^beta log-log OLS over the growth-curve points."""
+    from datalake_indexes_spark.operators.text_analysis import vocab_heaps_fit
+
+    return vocab_heaps_fit(_docs(spark, sf_dir), interval=10)
+
+
+QUERIES["vocab_growth"] = q_vocab_growth
+QUERIES["vocab_heaps_fit"] = q_vocab_heaps_fit
+ORACLES["vocab_growth"] = oracle.vocab_growth_curve_sql(interval=10)
+ORACLES["vocab_heaps_fit"] = oracle.vocab_heaps_fit_sql(interval=10)
+
+
 ORACLES["ann_nn_descent2"] = oracle.ann_nn_descent_sql(k=5, rounds=2)
 
 
