@@ -1828,3 +1828,54 @@ def strip_lines(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("text_filtered"), F.lit("")).alias("text_filtered"),
     )
+
+
+def boilerplate_by_source(
+    docs: DataFrame,
+    min_docs: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """(source, n_lines, n_boiler, boiler_ratio) — how much of each
+    source's line mass is corpus-level boilerplate (the
+    :func:`line_census` set): the provenance diagnostic that decides
+    which crawl source needs template stripping before it is worth its
+    storage.  Blank lines count toward neither side (same contract as
+    the census).
+
+    Scale shape: the census aggregate plus ONE extra pass — exploded
+    lines left-join the (small) census set and aggregate by source;
+    ratios are exact decimal divisions of integer counts, rounded with
+    the +1e-9 nudge.
+    """
+    boiler = line_census(
+        docs, min_docs=min_docs, text_col=text_col, id_col=id_col, sep=sep
+    ).select("line_norm", F.lit(True).alias("__is_boiler"))
+    lines = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), sep)).alias("__line"),
+        )
+        .select("source", F.trim(F.col("__line")).alias("line_norm"))
+        .filter(F.col("line_norm") != "")
+    )
+    return (
+        lines.join(boiler, "line_norm", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("__is_boiler"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            "source",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.round(
+                F.col("n_boiler") / F.col("n_lines") + F.lit(1e-9), 6
+            ).alias("boiler_ratio"),
+        )
+    )

@@ -8701,3 +8701,33 @@ SELECT n_points,
              / ((mxx - mx * mx) * (myy - my * my)) + 1e-9, 6) AS r2
 FROM agg
 """
+
+
+def corpus_boilerplate_by_source_sql(min_docs: int = 2) -> str:
+    """Twin of :func:`..operators.dedup.boilerplate_by_source` over the
+    planted multi-line fixture."""
+    return f"""
+WITH {_LINE_PLANT_CTE},
+plsrc AS (
+  SELECT p.doc_id, d.source, p.text
+  FROM planted p JOIN documents d USING (doc_id)
+),
+lines AS (
+  SELECT doc_id, source,
+         trim(unnest(string_split(text, chr(10)))) AS line_norm
+  FROM plsrc
+),
+freq AS (
+  SELECT line_norm FROM lines WHERE line_norm <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN line_norm IN (SELECT line_norm FROM freq)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN line_norm IN (SELECT line_norm FROM freq)
+                 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) + 1e-9, 6)
+         AS boiler_ratio
+FROM lines WHERE line_norm <> ''
+GROUP BY source
+"""

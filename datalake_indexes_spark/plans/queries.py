@@ -4354,6 +4354,20 @@ QUERIES["vocab_heaps_fit"] = q_vocab_heaps_fit
 ORACLES["vocab_growth"] = oracle.vocab_growth_curve_sql(interval=10)
 ORACLES["vocab_heaps_fit"] = oracle.vocab_heaps_fit_sql(interval=10)
 
+def q_corpus_boiler_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line mass over the planted multi-line
+    fixture — which crawl source needs template stripping."""
+    from datalake_indexes_spark.operators.dedup import boilerplate_by_source
+
+    return boilerplate_by_source(_docs_multiline(spark, sf_dir), min_docs=2)
+
+
+QUERIES["corpus_boiler_by_source"] = q_corpus_boiler_by_source
+ORACLES["corpus_boiler_by_source"] = oracle.corpus_boilerplate_by_source_sql(
+    min_docs=2
+)
+
+
 
 ORACLES["ann_nn_descent2"] = oracle.ann_nn_descent_sql(k=5, rounds=2)
 

@@ -71,3 +71,21 @@ def test_plan_no_nested_loop(spark):
     plan = line_dedup(_docs(spark), min_docs=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_by_source_truth(spark):
+    from datalake_indexes_spark.operators.dedup import boilerplate_by_source
+
+    rows = [
+        (0, "BANNER\nalpha one", "crawl_a"),
+        (1, "BANNER\nbeta two", "crawl_a"),
+        (2, "gamma three\ndelta four", "crawl_b"),
+        (3, "BANNER", "crawl_b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_lines"], r["n_boiler"], r["boiler_ratio"])
+        for r in boilerplate_by_source(docs, min_docs=2).collect()
+    }
+    assert got["crawl_a"] == (4, 2, 0.5)
+    assert got["crawl_b"] == (3, 1, round(1 / 3 + 1e-9, 6))
