@@ -23,8 +23,22 @@ recompute the same signatures independently.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _split_literal(col, sep: str):
+    """``F.split`` with the separator treated as a LITERAL string.
+
+    Spark's ``F.split`` interprets its pattern as a Java regex; the
+    DuckDB oracle twins and the streaming line store split literally.
+    Escaping here keeps the documented batch/oracle/stream parity
+    contract for regex-special separators (e.g. ``'.'`` or ``'|'``) —
+    the default ``'\\n'`` is unaffected.
+    """
+    return F.split(col, _re.escape(sep))
 
 MINHASH_K = 16          # number of min-hash functions
 MINHASH_BANDS = 4       # bands of k/bands rows each
@@ -1750,7 +1764,7 @@ def line_census(
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), sep)).alias("__line"),
+        F.explode(_split_literal(F.col(text_col), sep)).alias("__line"),
     ).select("doc_id", F.trim(F.col("__line")).alias("line_norm"))
     return (
         lines.filter(F.col("line_norm") != "")
@@ -1803,8 +1817,8 @@ def strip_lines(
     (``streaming/line_stream.py``)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.size(_split_literal(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        F.posexplode(_split_literal(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("line_norm", F.trim(F.col("line")))
     kept = (
         base.filter(F.col("line_norm") != "")
@@ -1856,7 +1870,7 @@ def boilerplate_by_source(
     lines = (
         docs.select(
             F.col(source_col).alias("source"),
-            F.explode(F.split(F.col(text_col), sep)).alias("__line"),
+            F.explode(_split_literal(F.col(text_col), sep)).alias("__line"),
         )
         .select("source", F.trim(F.col("__line")).alias("line_norm"))
         .filter(F.col("line_norm") != "")

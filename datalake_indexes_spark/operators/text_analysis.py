@@ -1979,6 +1979,13 @@ def kn_logprob_scores(
     same literal operand order; documents with fewer than two words are
     omitted (the bigram-LM contract).
 
+    NOTE (eager step): the bigram-type count |{(w1,w2)}| is a model
+    constant that appears as a literal in the plan, so constructing
+    this DataFrame runs ONE Spark count job up front (the bigram
+    aggregate is cached first so the scoring plan reuses it instead of
+    recomputing).  A corpus with zero bigrams (every doc < 2 words)
+    returns the empty result frame directly — no division by zero.
+
     Scale shape: identical to the add-k bigram — in-array zip for gram
     extraction, map-side-combinable count aggregates (two extra
     DISTINCT-counting aggregates for the continuation counts), one
@@ -1997,7 +2004,9 @@ def kn_logprob_scores(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     ).select("doc_id", F.col("g.w1").alias("__w1"), F.col("g.w2").alias("__w2"))
 
-    bc = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    bc = bg.groupBy("__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c12")
+    ).cache()  # reused by ctx/cont/join AND the eager n_types count below
     ctx = bc.groupBy("__w1").agg(
         F.sum("__c12").alias("__c1"),
         F.count(F.lit(1)).alias("__n1f"),  # N1+(w1 ·): distinct continuations
@@ -2005,7 +2014,15 @@ def kn_logprob_scores(
     cont = bc.groupBy("__w2").agg(
         F.count(F.lit(1)).alias("__n1r")  # N1+(· w2): distinct contexts
     )
-    n_types = bc.count()  # |{(w1,w2)}| — model-constant scalar
+    n_types = bc.count()  # |{(w1,w2)}| — model-constant scalar (eager; see note)
+    if n_types == 0:
+        # zero-bigram corpus: the backoff denominator would be 0/0;
+        # the contract already omits <2-word docs, so the result is empty.
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0.0).alias("avg_logprob_kn"),
+        ).limit(0)
 
     d = float(discount)
     lp = (

@@ -82,3 +82,17 @@ def test_ranks_against_addk_on_salad(spark):
         for r in bigram_logprob_scores(_docs(spark, rows)).collect()
     }
     assert kn[0] > kn[3] and addk[0] > addk[3]
+
+
+def test_zero_bigram_corpus_is_empty_not_div_by_zero(spark):
+    # ADVICE r7: every doc < 2 words -> no bigrams -> the backoff
+    # denominator |bigram types| is 0; must return the empty frame with
+    # the contract schema, not raise or divide by zero.
+    from datalake_indexes_spark.operators.text_analysis import kn_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "word"), (2, "")], "doc_id long, text string"
+    )
+    out = kn_logprob_scores(docs)
+    assert out.columns == ["doc_id", "n_bigrams", "avg_logprob_kn"]
+    assert out.count() == 0

@@ -89,3 +89,26 @@ def test_boilerplate_by_source_truth(spark):
     }
     assert got["crawl_a"] == (4, 2, 0.5)
     assert got["crawl_b"] == (3, 1, round(1 / 3 + 1e-9, 6))
+
+
+def test_regex_special_separator_is_literal(spark):
+    # ADVICE r7: sep feeds Spark F.split (a Java regex) while the oracle
+    # twin and the streaming store split literally — '.' must mean the
+    # dot CHARACTER, not match-anything.
+    rows = [
+        (0, "HEADER.alpha one.FOOTER"),
+        (1, "HEADER.beta two.FOOTER"),
+        (2, "gamma three.HEADER"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    census = {
+        r["line_norm"]: (r["n_docs"], r["n_occurrences"])
+        for r in line_census(docs, min_docs=2, sep=".").collect()
+    }
+    assert census == {"HEADER": (3, 3), "FOOTER": (2, 2)}
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_filtered"])
+        for r in line_dedup(docs, min_docs=2, sep=".").collect()
+    }
+    assert out[0] == (3, 1, "alpha one")
+    assert out[2] == (2, 1, "gamma three")

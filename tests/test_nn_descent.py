@@ -93,3 +93,32 @@ def test_iterated_rounds_recall_monotone(spark, sf_dir):
         for r in nn_descent(emb, k=5, rounds=1).collect()
     }
     assert one == it1
+
+
+def test_rounds_zero_returns_seed_graph(spark, sf_dir):
+    # ADVICE r7: rounds=0 used to silently run one refinement round; it
+    # must return the UNREFINED seed graph (the docstring's recall-table
+    # base case) with the same schema as the refined output.
+    from datalake_indexes_spark.operators.similarity import nn_descent
+
+    emb = _emb(spark, sf_dir)
+    seed = {
+        (r["src_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in knn_graph(emb, k=5).collect()
+    }
+    zero = nn_descent(emb, k=5, rounds=0)
+    assert zero.columns == ["src_id", "neighbor_id", "rank", "cosine"]
+    got = {
+        (r["src_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in zero.collect()
+    }
+    assert got == seed
+
+
+def test_negative_rounds_rejected(spark, sf_dir):
+    import pytest
+
+    from datalake_indexes_spark.operators.similarity import nn_descent
+
+    with pytest.raises(ValueError, match="rounds"):
+        nn_descent(_emb(spark, sf_dir), k=5, rounds=-1)

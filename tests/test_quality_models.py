@@ -567,3 +567,23 @@ def test_mmr_deterministic(spark):
     a = sorted(map(tuple, mmr_topk(emb, q, k=4, candidates=8).collect()))
     b = sorted(map(tuple, mmr_topk(emb, q, k=4, candidates=8).collect()))
     assert a == b
+
+
+def test_mmr_greedy_is_executor_side(spark):
+    # r7 verdict task #2: the greedy must run as
+    # groupBy(query_id).applyInPandas on the executors — the plan is one
+    # connected pipeline from the corpus scan through
+    # FlatMapGroupsInPandas, with NO LocalTableScan (the signature of
+    # the old collect()-then-createDataFrame driver round-trip) and no
+    # eager jobs at construction time.
+    from datalake_indexes_spark.operators.similarity import mmr_topk
+
+    rows = [(i, [float(i % 4), float(i % 7), 2.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    df = mmr_topk(emb, emb.filter("vec_id < 2"), k=4, candidates=8)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "mmr_topk construction ran Spark jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LocalTableScan" not in plan
