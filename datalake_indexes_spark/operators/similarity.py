@@ -251,15 +251,33 @@ def _lloyd_refine(corpus_units: DataFrame, cents: DataFrame, iterations: int) ->
     return cents
 
 
+def auto_centroid_count(corpus: DataFrame) -> int:
+    """ceil(sqrt(n)) — the IVF sizing rule the round-7 10x exercise
+    proved necessary: a FIXED centroid count makes expected cluster size
+    n/c grow linearly, so the per-cluster pair/scan work grows
+    quadratically with the corpus (measured 103.7s -> 23.6s at 10x when
+    re-sized).  sqrt(n) centroids keep E[cluster] = sqrt(n), balancing
+    the broadcast centroid table against cluster-local work.  One cheap
+    count job; persisted deployments avoid even that — the centroid
+    table written by :func:`build_ivf_index` caches the choice."""
+    n = corpus.count()
+    return max(1, math.ceil(math.sqrt(n)))
+
+
 def _ivf_centroids(
     corpus: DataFrame,
-    n_centroids: int,
+    n_centroids: "int | None",
     kmeans_iterations: int,
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
     """Deterministic IVF centroids: seed = first ``n_centroids`` corpus
-    vectors by id, optionally refined by spherical Lloyd steps."""
+    vectors by id, optionally refined by spherical Lloyd steps.
+    ``n_centroids=None`` auto-sizes to ceil(sqrt(n)) via
+    :func:`auto_centroid_count` (note: that resolution runs ONE eager
+    count job at plan-construction time)."""
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(corpus)
     cents = with_unit_vec(corpus.filter(F.col(id_col) < n_centroids), vec_col).select(
         F.col(id_col).alias("centroid"), F.col("__unit").alias("__cent_v")
     )
@@ -275,7 +293,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -438,7 +456,7 @@ def range_search_blocked(
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     kmeans_iterations: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -589,7 +607,7 @@ def cosine_topk_quantized(
 
 def semantic_dedup(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -846,7 +864,7 @@ def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 4,
     m: int = 4,
     ksub: int = 16,
@@ -1038,7 +1056,7 @@ def cosine_pairs_multiprobe(
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1380,7 +1398,7 @@ def ann_recall_report(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1479,7 +1497,7 @@ def knn_classify(
 
 def cluster_purity_report(
     emb: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -1849,7 +1867,7 @@ def ivf_pq_refined_topk(
     queries: DataFrame,
     k: int = 5,
     c_factor: int = 3,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 4,
     m: int = 4,
     ksub: int = 16,
@@ -2001,7 +2019,7 @@ def _margin_from_topk(
 def nn_descent_round(
     corpus: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -2078,7 +2096,7 @@ def nn_descent(
     corpus: DataFrame,
     k: int = 5,
     rounds: int = 2,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -2233,7 +2251,7 @@ def margin_mining_blocked(
     tgt: DataFrame,
     k: int = 4,
     threshold: float = 1.1,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

@@ -750,7 +750,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16)
 
 
 def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,7 +759,7 @@ def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't express."""
     from datalake_indexes_spark.operators.similarity import knn_graph
 
-    return knn_graph(_embeddings(spark, sf_dir), k=5)
+    return knn_graph(_embeddings(spark, sf_dir), k=5, n_centroids=16)
 
 
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,7 +767,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.similarity import ann_recall_report
 
     emb = _embeddings(spark, sf_dir)
-    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16)
 
 
 def q_ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4303,7 +4303,7 @@ def q_ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-refinement step between IVF recall and exact truth."""
     from datalake_indexes_spark.operators.similarity import nn_descent_round
 
-    return nn_descent_round(_embeddings(spark, sf_dir), k=5)
+    return nn_descent_round(_embeddings(spark, sf_dir), k=5, n_centroids=16)
 
 
 QUERIES["ann_nn_descent"] = q_ann_nn_descent
@@ -4316,7 +4316,7 @@ def q_ann_nn_descent2(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture for rounds 0/1/2)."""
     from datalake_indexes_spark.operators.similarity import nn_descent
 
-    return nn_descent(_embeddings(spark, sf_dir), k=5, rounds=2)
+    return nn_descent(_embeddings(spark, sf_dir), k=5, rounds=2, n_centroids=16)
 
 
 QUERIES["ann_nn_descent2"] = q_ann_nn_descent2

@@ -144,3 +144,35 @@ def test_knn_graph_pairs_unique_and_probe_bounded(spark):
     for r in out:
         by_src.setdefault(r.src_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_src.values())
+
+
+def test_auto_centroid_default_matches_explicit_sqrt_n(spark, sf_dir):
+    # r7 verdict task #4: n_centroids=None must auto-size to
+    # ceil(sqrt(n)) — the sizing rule the 10x exercise proved necessary
+    # (fixed counts make per-cluster work quadratic) — and produce
+    # EXACTLY the result of passing that count explicitly.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datalake_indexes_spark.operators.similarity import (
+        auto_centroid_count,
+        ivf_topk,
+        knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    n = emb.count()
+    want = max(1, math.ceil(math.sqrt(n)))
+    assert auto_centroid_count(emb) == want
+
+    q = emb.filter(F.col("vec_id") < 5)
+    auto = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    explicit = sorted(map(tuple, ivf_topk(emb, q, k=3, n_centroids=want).collect()))
+    assert auto == explicit and auto
+
+    g_auto = sorted(map(tuple, knn_graph(emb, k=3).collect()))
+    g_exp = sorted(map(tuple, knn_graph(emb, k=3, n_centroids=want).collect()))
+    assert g_auto == g_exp and g_auto
