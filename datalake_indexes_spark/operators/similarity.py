@@ -2255,6 +2255,7 @@ def margin_mining_blocked(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rescore_exact: bool = False,
 ) -> DataFrame:
     """IVF-blocked :func:`margin_mining` — the corpus-scale path.  The
     brute variant's cosine_topk passes are quadratic (measured: 6.5 GB
@@ -2272,14 +2273,128 @@ def margin_mining_blocked(
     recall of brute-mined pairs rises with ``n_probe`` (0.29 at 2/16
     lists, 0.54 at 6/16 on the fixture), and restricted neighborhoods
     LOWER the averages, so some margins inflate past the threshold that
-    the brute rule would reject — precision-sensitive callers should
-    re-score survivors with :func:`margin_mining` on the (small) mined
-    set.  Sizing discipline: ``n_centroids`` should grow ~sqrt(n) so
-    inverted lists stay bounded (the 10x exercise pins the
+    the brute rule would reject — pass ``rescore_exact=True`` to repair
+    precision in-operator: the (small) mined set is re-scored with the
+    BRUTE margin rule (exact top-k neighborhoods of the survivor points
+    against the FULL other side — cheap, because only survivors become
+    queries) and re-filtered at the same threshold.  Since a point's
+    exact neighborhood average does not depend on the blocking, the
+    rescored output is exactly brute ∩ blocked: precision 1.0 against
+    the brute rule by construction (gauged, not assumed, by
+    :func:`margin_rescore_report`), recall still bounded by what the
+    probes surfaced.  Sizing discipline: ``n_centroids`` defaults to
+    the ceil(sqrt(n)) rule over the union (the 10x exercise pins the
     fixed-centroid superlinearity this avoids).
     """
     union = src.select(id_col, vec_col).unionByName(tgt.select(id_col, vec_col))
     cents = F.broadcast(_ivf_centroids(union, n_centroids, 0, vec_col, id_col))
     fwd = _ivf_bipartite_topk(src, tgt, cents, k, n_probe, vec_col, id_col)
     bwd = _ivf_bipartite_topk(tgt, src, cents, k, n_probe, vec_col, id_col)
-    return _margin_from_topk(fwd, bwd, k, threshold)
+    mined = _margin_from_topk(fwd, bwd, k, threshold)
+    if not rescore_exact:
+        return mined
+    return _margin_rescore_exact(src, tgt, mined, k, threshold, vec_col, id_col)
+
+
+def _margin_rescore_exact(
+    src: DataFrame,
+    tgt: DataFrame,
+    mined: DataFrame,
+    k: int,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Re-score a mined (src_id, tgt_id) pair set with the exact margin
+    rule: brute top-k neighborhoods for the SURVIVOR points only (they
+    are the broadcast query side of two :func:`cosine_topk` passes over
+    the full other side), then the shared margin algebra and the same
+    threshold.  Output rows carry the exact cosine/margin/mutual values
+    :func:`margin_mining` would report for those pairs."""
+    pairs = mined.select("src_id", "tgt_id")
+    src_pts = src.join(
+        pairs.select(F.col("src_id").alias(id_col)).distinct(), id_col
+    )
+    tgt_pts = tgt.join(
+        pairs.select(F.col("tgt_id").alias(id_col)).distinct(), id_col
+    )
+    efwd = cosine_topk(tgt, src_pts, k=k, vec_col=vec_col, id_col=id_col)
+    ebwd = cosine_topk(src, tgt_pts, k=k, vec_col=vec_col, id_col=id_col)
+    exact = _margin_from_topk(efwd, ebwd, k, threshold)
+    return exact.join(pairs, ["src_id", "tgt_id"])
+
+
+def margin_rescore_report(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.1,
+    n_centroids: "int | None" = None,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Precision/recall gauge of the blocked margin miner against the
+    brute rule, measured IN-ENGINE (same contract as
+    :func:`ann_recall_report` and the dedup/union gauges) — the
+    tradeoff row an operator reads before trusting ``n_probe``.
+
+    One row: (k, threshold, n_true, n_blocked, n_blocked_true,
+    n_rescored, n_rescored_true, precision_blocked, precision_rescored,
+    recall_blocked, recall_rescored).  ``precision_rescored`` must gauge
+    1.0 — the rescore theorem (exact neighborhood averages don't depend
+    on blocking, so rescored = brute ∩ blocked) measured, not assumed;
+    ``recall_rescored <= recall_blocked`` shows what the threshold
+    repair costs in surfaced-pair mass.  Truth-membership counts are by
+    (src_id, tgt_id) pair key — a blocked pair with an inflated margin
+    still counts as true if the brute rule mines it too.
+
+    Scale shape: one brute pass (the exactness baseline the gauge
+    exists to retire), one blocked pass, one survivor-query rescore,
+    then four scalar aggregates crossJoined into the row.
+    """
+    truth = margin_mining(
+        src, tgt, k=k, threshold=threshold, vec_col=vec_col, id_col=id_col
+    ).select("src_id", "tgt_id")
+    blocked = margin_mining_blocked(
+        src, tgt, k=k, threshold=threshold, n_centroids=n_centroids,
+        n_probe=n_probe, vec_col=vec_col, id_col=id_col,
+    ).select("src_id", "tgt_id")
+    rescored = _margin_rescore_exact(
+        src, tgt, blocked, k, threshold, vec_col, id_col
+    ).select("src_id", "tgt_id")
+
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_blocked = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))
+    n_blocked_true = blocked.join(truth, ["src_id", "tgt_id"]).agg(
+        F.count(F.lit(1)).alias("n_blocked_true")
+    )
+    n_rescored = rescored.agg(F.count(F.lit(1)).alias("n_rescored"))
+    n_rescored_true = rescored.join(truth, ["src_id", "tgt_id"]).agg(
+        F.count(F.lit(1)).alias("n_rescored_true")
+    )
+
+    def ratio(num, den):
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num) / F.col(den), 6)
+        ).otherwise(F.lit(1.0))
+
+    return (
+        n_true.crossJoin(n_blocked)
+        .crossJoin(n_blocked_true)
+        .crossJoin(n_rescored)
+        .crossJoin(n_rescored_true)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(float(threshold)).alias("threshold"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_blocked").cast("long").alias("n_blocked"),
+            F.col("n_blocked_true").cast("long").alias("n_blocked_true"),
+            F.col("n_rescored").cast("long").alias("n_rescored"),
+            F.col("n_rescored_true").cast("long").alias("n_rescored_true"),
+            ratio("n_blocked_true", "n_blocked").alias("precision_blocked"),
+            ratio("n_rescored_true", "n_rescored").alias("precision_rescored"),
+            ratio("n_blocked_true", "n_true").alias("recall_blocked"),
+            ratio("n_rescored_true", "n_true").alias("recall_rescored"),
+        )
+    )

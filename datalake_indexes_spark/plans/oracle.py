@@ -8615,6 +8615,125 @@ WHERE f.r <= {k} AND f.c / ((fa.av + ba.av) / 2.0) >= {threshold}
 """
 
 
+def ann_margin_rescore_sql(
+    k: int = 4,
+    threshold: float = 1.1,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> str:
+    """Twin of :func:`..operators.similarity.margin_rescore_report` over
+    the even/odd split: brute pair set (the :func:`ann_margin_mining_sql`
+    algebra) and blocked pair set (the :func:`ann_margin_blocked_sql`
+    algebra) as CTEs, counts and guarded ratios into one gauge row.
+
+    The rescored set is authored as blocked ∩ brute — the rescore
+    theorem (a survivor point's EXACT neighborhood average does not
+    depend on the blocking, so exact re-scoring blocked survivors at
+    the same threshold reproduces precisely the brute-mined subset).
+    The ENGINE computes it the literal way (two survivor-query
+    cosine_topk passes + the margin algebra), so a strict match here
+    cross-checks the theorem, including precision_rescored = 1.0.
+    """
+    pivot = " + ".join(
+        f"coalesce(max(CASE WHEN r = {r} THEN c END), 0.0)" for r in range(1, k + 1)
+    )
+    return f"""
+WITH a AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+tf AS (
+  SELECT a.id AS s, b.id AS t,
+         round(list_cosine_similarity(a.e, b.e), 4) AS c,
+         row_number() OVER (PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.id) AS r
+  FROM a, b),
+tb AS (
+  SELECT b.id AS s, a.id AS t,
+         round(list_cosine_similarity(a.e, b.e), 4) AS c,
+         row_number() OVER (PARTITION BY b.id
+             ORDER BY list_cosine_similarity(a.e, b.e) DESC, a.id) AS r
+  FROM a, b),
+tfa AS (SELECT s, ({pivot}) / count(*) AS av FROM tf WHERE r <= {k} GROUP BY s),
+tba AS (SELECT s, ({pivot}) / count(*) AS av FROM tb WHERE r <= {k} GROUP BY s),
+truth AS (
+  SELECT f.s AS src_id, f.t AS tgt_id
+  FROM tf f JOIN tfa ON f.s = tfa.s JOIN tba ON f.t = tba.s
+  WHERE f.r <= {k} AND f.c / ((tfa.av + tba.av) / 2.0) >= {threshold}
+),
+cents AS (
+  SELECT vec_id AS centroid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+aa AS (
+  SELECT id, e, centroid,
+         row_number() OVER (PARTITION BY id
+             ORDER BY list_cosine_similarity(e, cv) DESC, centroid) AS rk
+  FROM a CROSS JOIN cents
+),
+bb AS (
+  SELECT id, e, centroid,
+         row_number() OVER (PARTITION BY id
+             ORDER BY list_cosine_similarity(e, cv) DESC, centroid) AS rk
+  FROM b CROSS JOIN cents
+),
+kf AS (
+  SELECT s, t, round(cs, 4) AS c,
+         row_number() OVER (PARTITION BY s ORDER BY cs DESC, t) AS r
+  FROM (
+    SELECT p.id AS s, m.id AS t, list_cosine_similarity(p.e, m.e) AS cs
+    FROM (SELECT * FROM aa WHERE rk <= {n_probe}) p
+    JOIN (SELECT * FROM bb WHERE rk = 1) m USING (centroid)
+  )
+),
+kb AS (
+  SELECT s, t, round(cs, 4) AS c,
+         row_number() OVER (PARTITION BY s ORDER BY cs DESC, t) AS r
+  FROM (
+    SELECT p.id AS s, m.id AS t, list_cosine_similarity(p.e, m.e) AS cs
+    FROM (SELECT * FROM bb WHERE rk <= {n_probe}) p
+    JOIN (SELECT * FROM aa WHERE rk = 1) m USING (centroid)
+  )
+),
+kfa AS (SELECT s, ({pivot}) / count(*) AS av FROM kf WHERE r <= {k} GROUP BY s),
+kba AS (SELECT s, ({pivot}) / count(*) AS av FROM kb WHERE r <= {k} GROUP BY s),
+blocked AS (
+  SELECT f.s AS src_id, f.t AS tgt_id
+  FROM kf f JOIN kfa ON f.s = kfa.s JOIN kba ON f.t = kba.s
+  WHERE f.r <= {k} AND f.c / ((kfa.av + kba.av) / 2.0) >= {threshold}
+),
+resc AS (
+  SELECT src_id, tgt_id FROM blocked JOIN truth USING (src_id, tgt_id)
+),
+c_true AS (SELECT count(*) AS n_true FROM truth),
+c_blk AS (SELECT count(*) AS n_blocked FROM blocked),
+c_blk_t AS (SELECT count(*) AS n_blocked_true
+            FROM blocked JOIN truth USING (src_id, tgt_id)),
+c_res AS (SELECT count(*) AS n_rescored FROM resc),
+c_res_t AS (SELECT count(*) AS n_rescored_true
+            FROM resc JOIN truth USING (src_id, tgt_id))
+SELECT CAST({k} AS BIGINT) AS k, {threshold} AS threshold,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(n_blocked_true AS BIGINT) AS n_blocked_true,
+       CAST(n_rescored AS BIGINT) AS n_rescored,
+       CAST(n_rescored_true AS BIGINT) AS n_rescored_true,
+       CASE WHEN n_blocked > 0
+            THEN round(n_blocked_true * 1.0 / n_blocked, 6) ELSE 1.0
+       END AS precision_blocked,
+       CASE WHEN n_rescored > 0
+            THEN round(n_rescored_true * 1.0 / n_rescored, 6) ELSE 1.0
+       END AS precision_rescored,
+       CASE WHEN n_true > 0
+            THEN round(n_blocked_true * 1.0 / n_true, 6) ELSE 1.0
+       END AS recall_blocked,
+       CASE WHEN n_true > 0
+            THEN round(n_rescored_true * 1.0 / n_true, 6) ELSE 1.0
+       END AS recall_rescored
+FROM c_true, c_blk, c_blk_t, c_res, c_res_t
+"""
+
+
 def text_kn_logprob_sql(discount: float = 0.75) -> str:
     """Twin of :func:`..operators.text_analysis.kn_logprob_scores`:
     interpolated Kneser-Ney bigram conditionals — absolute discount,

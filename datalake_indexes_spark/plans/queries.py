@@ -4297,6 +4297,32 @@ ORACLES["ann_margin_blocked"] = oracle.ann_margin_blocked_sql(
 )
 
 
+def q_ann_margin_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-margin precision/recall gauge (r7 verdict task #5): one
+    row measuring the blocked miner against the brute rule, with the
+    exact-rescore repair — the engine rescores survivors literally
+    (survivor-query cosine_topk passes), the twin authors the rescored
+    set as blocked ∩ brute, so a strict match proves the rescore
+    theorem including precision_rescored = 1.0."""
+    from datalake_indexes_spark.operators.similarity import margin_rescore_report
+
+    emb = _embeddings(spark, sf_dir)
+    return margin_rescore_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.1,
+        n_centroids=16,
+        n_probe=2,
+    )
+
+
+QUERIES["ann_margin_rescore"] = q_ann_margin_rescore
+ORACLES["ann_margin_rescore"] = oracle.ann_margin_rescore_sql(
+    k=4, threshold=1.1, n_centroids=16, n_probe=2
+)
+
+
 def q_ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One NN-descent round over the IVF-blocked kNN graph: reversed +
     two-hop candidate expansion, exact rescore, top-k re-cut — the
