@@ -364,37 +364,10 @@ def tfidf_cosine_pairs(
     )
 
 
-def proximity_topk(
-    docs: DataFrame,
-    query_terms: list[str],
-    k: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Phrase-proximity ranking: among documents containing EVERY query
-    term, the ``k`` with the smallest covering span — the minimum number
-    of consecutive words containing at least one occurrence of each term
-    (the classic MinCover proximity measure; span == |terms| means the
-    terms appear adjacent in some order).  (doc_id, min_span, rank),
-    ties on doc_id.  The conjunctive complement to :func:`bm25_topk`'s
-    bag-of-words scoring: "spark join window" as a phrase-ish query, not
-    three independent signals.
-
-    Min-cover without a UDF: per document, the merged term-occurrence
-    list carries, at each occurrence position p, the LAST occurrence of
-    every individual term at-or-before p (one conditional running max
-    per term over a single ordered window — |terms| is query-sized, so
-    the column count is bounded).  The span ending at p is
-    ``p - least(those) + 1`` once every term has appeared; the document's
-    min over p is exact.  One shuffle keyed by doc_id (the window), one
-    aggregate, then the sanctioned orderBy().limit(k) + k-row rank.
-    """
-    terms = sorted(set(query_terms))
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    occ = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__word"),
-    ).filter(F.array_contains(term_arr, F.col("__word")))
+def _mincover_rank(occ: DataFrame, terms: list[str], k: int) -> DataFrame:
+    """Shared MinCover ranking over an occurrence frame (doc_id, __word,
+    __pos) — the back half of :func:`proximity_topk`, its indexed probe
+    and the streaming twin (``streaming/text_index_stream.py``)."""
     if len(terms) == 1:  # any occurrence covers the "phrase"
         per_doc = occ.groupBy("doc_id").agg(
             F.lit(1).cast("long").alias("min_span")
@@ -436,6 +409,40 @@ def proximity_topk(
     )
 
 
+def proximity_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase-proximity ranking: among documents containing EVERY query
+    term, the ``k`` with the smallest covering span — the minimum number
+    of consecutive words containing at least one occurrence of each term
+    (the classic MinCover proximity measure; span == |terms| means the
+    terms appear adjacent in some order).  (doc_id, min_span, rank),
+    ties on doc_id.  The conjunctive complement to :func:`bm25_topk`'s
+    bag-of-words scoring: "spark join window" as a phrase-ish query, not
+    three independent signals.
+
+    Min-cover without a UDF: per document, the merged term-occurrence
+    list carries, at each occurrence position p, the LAST occurrence of
+    every individual term at-or-before p (one conditional running max
+    per term over a single ordered window — |terms| is query-sized, so
+    the column count is bounded).  The span ending at p is
+    ``p - least(those) + 1`` once every term has appeared; the document's
+    min over p is exact.  One shuffle keyed by doc_id (the window), one
+    aggregate, then the sanctioned orderBy().limit(k) + k-row rank.
+    """
+    terms = sorted(set(query_terms))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__word"),
+    ).filter(F.array_contains(term_arr, F.col("__word")))
+    return _mincover_rank(occ, terms, k)
+
+
 def proximity_topk_indexed(
     spark,
     path: str,
@@ -462,42 +469,4 @@ def proximity_topk_indexed(
             F.explode("positions").alias("__pos"),
         )
     )
-    if len(terms) == 1:
-        per_doc = occ.groupBy("doc_id").agg(
-            F.lit(1).cast("long").alias("min_span")
-        )
-        topk = per_doc.orderBy(F.asc("min_span"), F.asc("doc_id")).limit(k)
-        rw = Window.orderBy(F.asc("min_span"), F.asc("doc_id"))
-        return topk.withColumn("rank", F.row_number().over(rw)).select(
-            "doc_id", "min_span", "rank"
-        )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("__pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lasts = [
-        F.max(F.when(F.col("__word") == t, F.col("__pos"))).over(w).alias(f"__l{i}")
-        for i, t in enumerate(terms)
-    ]
-    spans = occ.select("doc_id", "__pos", *lasts).withColumn(
-        "__span",
-        F.col("__pos")
-        - F.least(*[F.col(f"__l{i}") for i in range(len(terms))])
-        + F.lit(1),
-    )
-    per_doc = (
-        spans.filter(
-            F.greatest(
-                *[F.col(f"__l{i}").isNull().cast("int") for i in range(len(terms))]
-            )
-            == 0
-        )
-        .groupBy("doc_id")
-        .agg(F.min("__span").cast("long").alias("min_span"))
-    )
-    topk = per_doc.orderBy(F.asc("min_span"), F.asc("doc_id")).limit(k)
-    rw = Window.orderBy(F.asc("min_span"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(rw)).select(
-        "doc_id", "min_span", "rank"
-    )
+    return _mincover_rank(occ, terms, k)

@@ -5,7 +5,10 @@ Per micro-batch the arriving documents contribute three ADDITIVE deltas:
 
 - ``postings``  (term, doc_id, tf, dl)   — per-batch leaf, term-sorted,
 - ``df``        (term, df)               — per-batch partial document counts,
-- ``stats``     (n, sum_dl)              — per-batch corpus partials.
+- ``stats``     (n, sum_dl)              — per-batch corpus partials,
+- ``positions`` (term, doc_id, positions) — per-batch leaf (opt-in via
+  ``positional=True``, mirroring the batch builder) for phrase/proximity
+  probes on the live corpus.
 
 Document frequency and corpus statistics are sums over batch partials, so
 the index never rewrites history: query time folds the tiny ``df``/``stats``
@@ -37,6 +40,7 @@ def make_text_index_batch_processor(
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positional: bool = False,
 ):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -82,10 +86,54 @@ def make_text_index_batch_processor(
                 .partitionBy("batch_id")
                 .parquet(os.path.join(index_dir, "stats"))
             )
+            if positional:
+                # positional layer (same lifecycle as the batch
+                # build_text_index(positional=True)): a doc's position
+                # lists are FINAL in its arrival batch — docs arrive
+                # exactly once, so the union of batch leaves IS the
+                # batch-built positions table, and the batch proximity
+                # probe works on a stream-built index unchanged
+                # (partitioned reads ignore batch_id).
+                pos = (
+                    batch_df.select(
+                        F.col(id_col).alias("doc_id"),
+                        F.posexplode(F.split(F.col(text_col), " ")).alias(
+                            "pos", "term"
+                        ),
+                    )
+                    .groupBy("doc_id", "term")
+                    .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                )
+                (
+                    pos.sortWithinPartitions("term")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(os.path.join(index_dir, "positions"))
+                )
         finally:
             tf.unpersist()
 
     return process
+
+
+def proximity_topk_streamed(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """MinCover proximity over everything ingested so far — identical
+    results to the batch :func:`operators.search.proximity_topk` over
+    the union of all ingested batches (parity pinned in
+    ``tests/test_text_index_stream.py``).  Positions are per-(doc,
+    term) facts finalized at arrival, so unlike df/stats there are no
+    partials to fold: this simply probes the accumulated leaves via
+    the batch :func:`operators.search.proximity_topk_indexed`."""
+    from datalake_indexes_spark.operators.search import proximity_topk_indexed
+
+    return proximity_topk_indexed(spark, index_dir, query_terms, k=k)
 
 
 def bm25_topk_streamed(
