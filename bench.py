@@ -77,6 +77,15 @@ def main() -> None:
     runs["index_build"] = [round(t, 3) for t in build_runs]
     timings["index_build"] = round(min(build_runs), 3)
 
+    # Fixed pre-bench warm-up (r7 verdict task #3): one untimed pass of
+    # the first headline query absorbs JIT/codegen warm-up and page-cache
+    # cold starts that otherwise land in the first timed run — the
+    # per-run descent 9.1 -> 4.4s on mate_single was the JIT-warm shape.
+    # Reported as warmup_s so a cold host is visible in the JSON.
+    t0 = time.time()
+    QUERIES["mate_join_search_single"](spark, sf_dir).count()
+    warmup_s = round(time.time() - t0, 3)
+
     # mate_join_search_single bounced 3.9-5.9s across rounds on identical
     # code (host variance on shared hardware); min-of-5 narrows the min's
     # sampling error so a real regression is distinguishable from noise
@@ -98,6 +107,37 @@ def main() -> None:
         timings[name] = round(min(per_run), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-stage execution profiles for the three queries that swung >30%
+    # across rounds on unchanged code (r7 verdict task #3): shuffle
+    # bytes and stage counts are code-determined — if a future bench
+    # total moves while these hold steady, the swing is host state, not
+    # a plan regression.  Profiled AFTER the timed loop (untimed).
+    profile: dict[str, dict] = {}
+    try:
+        from datalake_indexes_spark.plans.runtime import runtime_report_of
+
+        for name in (
+            "mate_join_search_multi",
+            "cocoa_enrich",
+            "dup_table_relations",
+        ):
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            rep = runtime_report_of(lambda: fn(spark, sf_dir), spark, min_stage_ms=50)
+            profile[name] = {
+                "n_jobs": rep.get("n_jobs"),
+                "n_stages": rep.get("n_stages"),
+                "shuffle_read_mb": rep.get("shuffle_read_mb"),
+                "shuffle_write_mb": rep.get("shuffle_write_mb"),
+                "spill_mb": rep.get("spill_mb"),
+                "max_task_skew": rep.get("max_task_skew"),
+                "wall_s": rep.get("wall_s"),
+            }
+    except Exception as exc:  # profiles are diagnostics, never fail the bench
+        profile = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -106,6 +146,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "warmup_s": warmup_s,
+                "profile": profile,
                 "sf": sf,
             }
         )

@@ -43,7 +43,10 @@ def get_spark(
         # right back down) while letting big stages fan out.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(256, shuffle_partitions * 8)),
+            os.environ.get(  # env override for A/B runs (bench pinning)
+                "SPARK_AQE_INITIAL_PARTITIONS",
+                str(max(256, shuffle_partitions * 8)),
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
