@@ -4460,9 +4460,11 @@ ORACLES["text_line_dedup"] = oracle.text_line_dedup_sql(min_docs=2)
 # full-registry sf0.01 sweep and in prior CORRECTNESS_r files.
 #
 # Round 7: pins trimmed 27 -> 18 (per the r6 verdict) to rotate 32
-# never-graded keys: events tests/changepoint/range-join, the rest of the
-# graph family, the column_* profiling family, the web_* family,
-# governance, export shards, and funnel/cohort/anomaly/attribution depth.
+# never-graded keys.  Round 8: 15 pins stay; all 35 rotating slots are
+# never-driver-graded keys (cumulative external coverage 135 -> 170 if
+# the driver grades the window green), drawn from the r7-verdict
+# priority list.  Keys rotated OUT remain strict-green in the
+# full-registry sf0.01 sweep and prior CORRECTNESS_r files.
 _DRIVER_PRIORITY: list[str] = [
     # reference core: cell index (pinned)
     "index_cells",
@@ -4489,99 +4491,52 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_features",
     "events_window_agg",
     "graph_pagerank",
-    # --- rotating slots: never-driver-graded keys (round-7 batch) ---
-    # new-this-round operators, externally graded on first appearance
-    "dedup_prefix_join",
-    "dedup_threshold_sweep",
-    "dedup_incremental",
-    "dedup_incremental_report",
-    "dedup_incremental_neardup",
-    "ann_ivf_pq_refined",
-    "corpus_cluster_split",
-    "search_proximity",
-    "search_proximity_indexed",
-    "text_boilerplate_lines",
-    "text_line_dedup",
-    "ml_cv_folds",
-    "corpus_diff",
-    "ann_margin_mining",
-    # (ann_range_search moved to a later rotation batch for
-    # ann_margin_mining; ANN stays via ivf_pq_refined / mmr / margin)
-    "text_gopher_filters",
-    "text_dsir_weights",
-    "ml_nb_langid",
-    "corpus_pack_harmonic",
-    "corpus_pack_fill",
-    "corpus_select_dsir",
-    "multimodal_audio_features",
-    "ann_mmr_topk",
-    # A/B test kit + changepoint + interval join
-    "events_ab_test",
-    "events_ab_cuped",
-    "events_changepoint",
-    # (events_range_join moved to a later rotation batch for
-    # ann_nn_descent; events stays via ab_test / ab_cuped / changepoint
-    # / funnel_timing plus the pinned window_agg)
-    "ann_nn_descent",
-    # graph family beyond pagerank/hits/ppr/kcore/modularity
-    "graph_label_prop",
-    "graph_link_prediction",
-    # (graph_triangles moved to a later rotation batch for
-    # ml_embedding_isotropy; graph stays via pagerank / label_prop /
-    # link_prediction)
-    "ml_embedding_isotropy",
-    # (graph_clustering moved to a later rotation batch for
-    # search_proximity — a first in-window search-family rep; graph
-    # stays via pagerank / label_prop / link_prediction / triangles)
-    # column profiling family
-    "column_percentiles",
-    # (column_top_values moved to a later rotation batch for
-    # corpus_cluster_split; column family stays via percentiles /
-    # moments / chi2)
-    # (column_moments moved to a later rotation batch for
-    # text_boilerplate_lines; column family stays via percentiles)
-    # (column_benford / column_mutual_info moved to a later rotation
-    # batch for the prefix-join and threshold-sweep keys)
-    # (column_chi2 moved to a later rotation batch for
-    # search_proximity_indexed; column family stays via percentiles /
-    # moments)
-    # (column_quantile_buckets / column_histograms moved to a later
-    # rotation batch to make room for the packing keys above)
-    # web pipeline family
-    "web_canonical_urls",
-    # (web_domain_stats moved to a later rotation batch for
-    # ann_margin_blocked; web stays via canonical_urls)
-    "ann_margin_blocked",
-    # (web_blocklist moved to a later rotation batch for
-    # text_line_dedup; web stays via canonical_urls / domain_stats)
-    # (web_extract_links moved to a later rotation batch for
-    # ann_ivf_pq_refined; web stays represented via canonical_urls /
-    # domain_stats / blocklist)
-    # (web_domain_cap moved to a later rotation batch for
-    # dedup_incremental)
-    # (web_link_census moved to a later rotation batch for
-    # corpus_select_dsir)
-    # governance family
-    "governance_forget",
-    # (governance_pseudonymize moved to a later rotation batch for
-    # dedup_incremental_neardup; governance stays represented via
-    # governance_forget)
-    # export family
-    "export_shard_manifest",
-    # (export_shard_fingerprints moved to a later rotation batch for
-    # multimodal_audio_features)
-    # events depth
-    # (events_funnel_timing moved to a later rotation batch for
-    # ml_nb_calibration; events stays via ab_test / ab_cuped /
-    # changepoint plus the pinned window_agg)
-    "ml_nb_calibration",
-    # (events_cohort moved to a later rotation batch for
-    # dedup_incremental_report)
-    # (events_attribution moved to a later rotation batch for
-    # ann_mmr_topk)
-    # (events_anomaly / text_zipf / profile_ks_drift moved to a later
-    # rotation batch to make room for the three new-this-session
-    # operators above)
+    # --- rotating slots: never-driver-graded keys (round-8 batch) ---
+    # the r7-verdict priority list: keys deferred from earlier rotations
+    # (events/column/web/governance/export depth), the newest arrivals
+    # (kn_logprob, vocab curve, nn_descent2, range_search, boiler census)
+    # and the new-this-round rescore gauge.
+    "ann_margin_rescore",        # new this round: rescore-theorem gauge
+    "ann_nn_descent2",
+    "ann_range_search",
+    "text_kn_logprob",
+    "vocab_growth",
+    "vocab_heaps_fit",
+    "corpus_boiler_by_source",
+    # events depth (deferred from r6/r7 rotations)
+    "events_anomaly",
+    "events_cohort",
+    "events_attribution",
+    "events_funnel_timing",
+    "events_range_join",
+    # profiling family
+    "text_zipf",
+    "profile_ks_drift",
+    "column_quantile_buckets",
+    "column_histograms",
+    "column_benford",
+    "column_mutual_info",
+    "column_top_values",
+    "column_moments",
+    "column_chi2",
+    # web pipeline depth
+    "web_link_census",
+    "web_domain_cap",
+    "web_extract_links",
+    "web_domain_stats",
+    "web_blocklist",
+    # export / governance depth
+    "export_shard_fingerprints",
+    "governance_pseudonymize",
+    # graph depth
+    "graph_clustering",
+    "graph_triangles",
+    # discovery / retrieval / decontamination reps never yet graded
+    "union_search",
+    "union_search_recall",
+    "tfidf_topk",
+    "decontaminate",
+    "multimodal_metadata",
 ]
 
 
