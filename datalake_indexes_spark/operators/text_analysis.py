@@ -2139,3 +2139,55 @@ def vocab_heaps_fit(
         F.round(F.col("__my") - beta * F.col("__mx") + F.lit(1e-9), 6).alias("log_k"),
         F.round(cov * cov / (varx * vary) + F.lit(1e-9), 6).alias("r2"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style per-source LM-score bucketing (Wenzek et al. 2020):
+    rank each source's documents by their Kneser-Ney bigram score
+    (:func:`kn_logprob_scores`) and cut equal-count buckets — bucket 1
+    ("head") is the most-fluent third, bucket ``n_buckets`` ("tail")
+    the least.  (doc_id, source, avg_logprob_kn, bucket, band).  The
+    published pipeline keeps head+middle and drops (or down-samples)
+    the tail PER SOURCE rather than globally, because sources differ in
+    baseline fluency — a global threshold would empty the noisiest
+    source entirely and keep every line of the cleanest.
+
+    Determinism: ntile over (score DESC, doc_id ASC) — the tie order is
+    total, so both engines cut identical buckets; docs with fewer than
+    two words are omitted (the bigram-LM contract upstream).
+
+    Scale shape: the KN aggregates as in :func:`kn_logprob_scores`, one
+    source-keyed window for the ntile (partitioned by source, never
+    global).  At 100 TB swap the exact ntile for two approx-percentile
+    thresholds per source broadcast back — same contract, two numbers
+    per source instead of a per-source sort; the exact tier is the
+    oracle-checkable default.
+    """
+    scores = kn_logprob_scores(
+        docs, discount=discount, text_col=text_col, id_col=id_col
+    )
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    j = scores.join(src, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logprob_kn"), F.asc("doc_id")
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    return j.select(
+        "doc_id",
+        "source",
+        "avg_logprob_kn",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("band"),
+    )

@@ -8764,6 +8764,50 @@ GROUP BY doc_id
 """
 
 
+def text_ppl_buckets_sql(n_buckets: int = 3, discount: float = 0.75) -> str:
+    """Twin of :func:`..operators.text_analysis.ppl_buckets`: the
+    Kneser-Ney per-doc chain of :func:`text_kn_logprob_sql`, joined
+    back to each document's source, equal-count ntile per source over
+    the total (score DESC, doc_id ASC) order, head/middle/tail band."""
+    d = float(discount)
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (
+  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos, unnest(w) AS word
+  FROM ws
+),
+bg AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM bc GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1r FROM bc GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bc),
+lp AS (
+  SELECT bc.w1, bc.w2,
+         ln((greatest(c12 - {d}, 0.0) + {d} * n1f * n1r / n_types) / c1) AS l
+  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2), t
+),
+sc AS (
+  SELECT doc_id, round(avg(l), 4) AS avg_logprob_kn
+  FROM bg JOIN lp USING (w1, w2)
+  GROUP BY doc_id
+),
+bkt AS (
+  SELECT sc.doc_id, d.source, sc.avg_logprob_kn,
+         CAST(ntile({n_buckets}) OVER (PARTITION BY d.source
+             ORDER BY sc.avg_logprob_kn DESC, sc.doc_id) AS BIGINT) AS bucket
+  FROM sc JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, avg_logprob_kn, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = {n_buckets} THEN 'tail'
+            ELSE 'middle' END AS band
+FROM bkt
+"""
+
+
 def _vocab_curve_cte(interval: int) -> str:
     """Shared curve CTE chain for the vocab-growth twins."""
     return f"""words AS (

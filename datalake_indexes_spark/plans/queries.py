@@ -4359,6 +4359,23 @@ def q_text_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_kn_logprob"] = q_text_kn_logprob
 ORACLES["text_kn_logprob"] = oracle.text_kn_logprob_sql(discount=0.75)
 
+
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source LM-score bucketing (Wenzek et al. 2020):
+    equal-count head/middle/tail terciles of the Kneser-Ney score
+    WITHIN each source — the published recipe buckets per source, not
+    globally, so a noisy source keeps its own head instead of losing
+    everything to a global threshold."""
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+
+    return ppl_buckets(_docs(spark, sf_dir), n_buckets=3, discount=0.75)
+
+
+QUERIES["text_ppl_buckets"] = q_text_ppl_buckets
+ORACLES["text_ppl_buckets"] = oracle.text_ppl_buckets_sql(
+    n_buckets=3, discount=0.75
+)
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth curve in ingestion order (integer-exact
     cumulative docs/tokens/vocab per 10-doc block) — the source-

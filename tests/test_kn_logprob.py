@@ -96,3 +96,32 @@ def test_zero_bigram_corpus_is_empty_not_div_by_zero(spark):
     out = kn_logprob_scores(docs)
     assert out.columns == ["doc_id", "n_bigrams", "avg_logprob_kn"]
     assert out.count() == 0
+
+
+def test_ppl_buckets_per_source_bands(spark):
+    # CCNet bucketing is PER SOURCE: each source's docs split into
+    # head/middle/tail by its own score distribution — a fluent doc in
+    # a noisy source must land in that source's head even if its score
+    # would be mid-pack globally.
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+
+    rows = []
+    # source A: three docs built from a repeated fluent phrase (high
+    # bigram scores) with increasing salad; source B: all salad.
+    rows.append((0, "the cat sat the cat sat the cat sat", "A"))
+    rows.append((1, "the cat sat on a mat quite still", "A"))
+    rows.append((2, "zx qv pl mn bb cc dd ee", "A"))
+    rows.append((3, "qq ww ee rr tt yy uu ii", "B"))
+    rows.append((4, "aa ss dd ff gg hh jj kk", "B"))
+    rows.append((5, "zz xx cc vv bb nn mm ll", "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in ppl_buckets(docs, n_buckets=3).collect()}
+    assert len(out) == 6
+    for src in ("A", "B"):
+        bands = sorted(r["band"] for r in out.values() if r["source"] == src)
+        assert bands == ["head", "middle", "tail"]  # one per tercile
+    # within A, the repeated-phrase doc outscores the salad doc
+    assert out[0]["band"] == "head" and out[2]["band"] == "tail"
+    # B has its own head even though every B doc is salad
+    b_head = [d for d, r in out.items() if r["source"] == "B" and r["band"] == "head"]
+    assert len(b_head) == 1
