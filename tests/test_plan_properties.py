@@ -683,3 +683,37 @@ def test_proximity_indexed_pushes_term_filter(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_margin_rescore_plan_no_cartesian_beyond_broadcast(spark):
+    """rescore_exact routes survivors back through cosine_topk's
+    broadcast cross — sanctioned (broadcast of the bounded survivor
+    set), but a CartesianProduct or non-broadcast nested loop would mean
+    the rescore degenerated to corpus x corpus."""
+    from datalake_indexes_spark.operators.similarity import margin_mining_blocked
+
+    rows = [(i, [float(i % 5 + 1), float(i % 3), 1.0]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    plan = _plan(
+        margin_mining_blocked(
+            src, tgt, k=3, threshold=0.5, n_centroids=8, rescore_exact=True
+        )
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_ppl_buckets_window_is_source_partitioned(spark):
+    """The ntile window must be partitioned by source — a global window
+    here would sort the whole corpus on one reducer at 100 TB."""
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+    from datalake_indexes_spark.plans.audit import plan_report
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i % 3} w{i} x{i % 3}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    rep = plan_report(ppl_buckets(docs))
+    assert rep["n_global_windows"] == 0
+    assert rep["n_nested_loop_joins"] == 0
