@@ -777,6 +777,73 @@ def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri):
     return int(w), int(h), 3, out.tobytes()
 
 
+# IMA/DVI ADPCM constants (public spec: IMA Digital Audio Focus Group,
+# "Recommended Practices for Enhancing Digital Audio Compatibility";
+# the same tables every reference decoder ships)
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: nibble -> (new predictor, new index)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_samples(data: bytes, ch: int, block_align: int) -> list:
+    """Decode WAV IMA ADPCM (format code 0x0011) data-chunk bytes to
+    interleaved signed-16-bit samples.  Block layout per the spec: a
+    4-byte state header PER CHANNEL (int16 predictor = the block's
+    first sample, step index, reserved), then nibble words interleaved
+    in 4-byte groups per channel, LOW nibble first within a byte.  A
+    trailing partial block is ignored (the truncation convention the
+    PCM path already uses)."""
+    if block_align < 4 * ch or ch < 1:
+        raise ValueError(f"ADPCM block_align {block_align} invalid for {ch} ch")
+    out: list = []
+    for boff in range(0, len(data) - block_align + 1, block_align):
+        block = data[boff : boff + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            p, ix, _ = struct.unpack_from("<hBB", block, 4 * c)
+            preds.append(p)
+            idxs.append(max(0, min(88, ix)))
+        out.extend(preds)  # header predictor = first sample per channel
+        nib_bytes = block[4 * ch :]
+        n_groups = len(nib_bytes) // (4 * ch)
+        chans: list[list] = [[] for _ in range(ch)]
+        for g in range(n_groups):
+            for c in range(ch):
+                off = (g * ch + c) * 4
+                for byte in nib_bytes[off : off + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+        for frame in zip(*chans):
+            out.extend(frame)
+    return out
+
+
 def decode_wav(b: bytes) -> tuple[int, int, list]:
     """Pure-stdlib WAV sample decode: chunk walk → LE frames.  Returns
     (sample_rate, n_channels, samples, channel-interleaved).  The whole
@@ -792,7 +859,9 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     - WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
       tag to either of the above.
 
-    Truly compressed codings (ADPCM, MP3, …) raise
+    IMA/DVI ADPCM (format code 0x0011) decodes too — the predictor/step
+    tables are public-spec integer math, no codec library needed; other
+    compressed codings (MS-ADPCM, MP3, …) raise
     ``NotImplementedError`` naming the format code.  A trailing partial
     frame is ignored, the standard reader behavior for truncation."""
     if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
@@ -806,6 +875,7 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
         body = b[i + 8 : i + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt_code, ch, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_code == 0xFFFE and len(body) >= 26:
                 # EXTENSIBLE: the real coding is the SubFormat GUID's
@@ -827,10 +897,14 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
             int(ch),
             list(struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * width])),
         )
+    if fmt_code == 0x11:  # IMA/DVI ADPCM — table-driven, no codec library
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM bit depth {bits} invalid (4 only)")
+        return int(rate), int(ch), _ima_adpcm_samples(data, int(ch), block_align)
     if fmt_code != 1:
         raise NotImplementedError(
-            f"WAV format code {fmt_code} (PCM/float only; compressed codings "
-            "need an audio codec library)"
+            f"WAV format code {fmt_code} (PCM/float/IMA-ADPCM only; other "
+            "compressed codings need an audio codec library)"
         )
     if bits == 8:  # unsigned by spec -> recentred signed
         return int(rate), int(ch), [v - 128 for v in data]
