@@ -83,7 +83,9 @@ def main() -> None:
     # per-run descent 9.1 -> 4.4s on mate_single was the JIT-warm shape.
     # Reported as warmup_s so a cold host is visible in the JSON.
     t0 = time.time()
-    QUERIES["mate_join_search_single"](spark, sf_dir).count()
+    warm_fn = QUERIES.get("mate_join_search_single") or QUERIES.get(HEADLINE[0])
+    if warm_fn is not None:
+        warm_fn(spark, sf_dir).count()
     warmup_s = round(time.time() - t0, 3)
 
     # mate_join_search_single bounced 3.9-5.9s across rounds on identical

@@ -868,12 +868,17 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
         raise ValueError("not a RIFF/WAVE file")
     fmt_code = ch = rate = bits = None
     data = None
+    fact_samples = None
     i = 12
     while i + 8 <= len(b):
         cid = bytes(b[i : i + 4])
         size = struct.unpack("<I", b[i + 4 : i + 8])[0]
         body = b[i + 8 : i + 8 + size]
-        if cid == b"fmt " and len(body) >= 16:
+        if cid == b"fact" and len(body) >= 4:
+            # true per-channel sample count — mandatory for compressed
+            # codings, whose last block is PADDED to block_align
+            fact_samples = struct.unpack("<I", body[:4])[0]
+        elif cid == b"fmt " and len(body) >= 16:
             fmt_code, ch, rate = struct.unpack("<HHI", body[:8])
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
@@ -900,7 +905,12 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     if fmt_code == 0x11:  # IMA/DVI ADPCM — table-driven, no codec library
         if bits != 4:
             raise ValueError(f"IMA ADPCM bit depth {bits} invalid (4 only)")
-        return int(rate), int(ch), _ima_adpcm_samples(data, int(ch), block_align)
+        samples = _ima_adpcm_samples(data, int(ch), block_align)
+        if fact_samples is not None:
+            # drop the padding nibbles of the final block: spec encoders
+            # pad to block_align and record the true count in 'fact'
+            samples = samples[: fact_samples * int(ch)]
+        return int(rate), int(ch), samples
     if fmt_code != 1:
         raise NotImplementedError(
             f"WAV format code {fmt_code} (PCM/float/IMA-ADPCM only; other "

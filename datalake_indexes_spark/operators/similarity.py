@@ -2310,8 +2310,14 @@ def _margin_rescore_exact(
     are the broadcast query side of two :func:`cosine_topk` passes over
     the full other side), then the shared margin algebra and the same
     threshold.  Output rows carry the exact cosine/margin/mutual values
-    :func:`margin_mining` would report for those pairs."""
-    pairs = mined.select("src_id", "tgt_id")
+    :func:`margin_mining` would report for those pairs.
+
+    The mined pair set feeds THREE plan branches (both survivor-point
+    extracts and the final pair join); it localCheckpoints first so the
+    blocked-mining subtree executes once, not three times — the same
+    idiom as nn_descent's per-round edge materialization.  Bounded: the
+    checkpoint holds (src_id, tgt_id) pairs only."""
+    pairs = mined.select("src_id", "tgt_id").localCheckpoint()
     src_pts = src.join(
         pairs.select(F.col("src_id").alias(id_col)).distinct(), id_col
     )
@@ -2353,16 +2359,18 @@ def margin_rescore_report(
     exists to retire), one blocked pass, one survivor-query rescore,
     then four scalar aggregates crossJoined into the row.
     """
+    # each pair set feeds 2-3 count/join branches below; checkpoint so
+    # the O(n^2) brute pass and the blocked pass each execute ONCE
     truth = margin_mining(
         src, tgt, k=k, threshold=threshold, vec_col=vec_col, id_col=id_col
-    ).select("src_id", "tgt_id")
+    ).select("src_id", "tgt_id").localCheckpoint()
     blocked = margin_mining_blocked(
         src, tgt, k=k, threshold=threshold, n_centroids=n_centroids,
         n_probe=n_probe, vec_col=vec_col, id_col=id_col,
-    ).select("src_id", "tgt_id")
+    ).select("src_id", "tgt_id").localCheckpoint()
     rescored = _margin_rescore_exact(
         src, tgt, blocked, k, threshold, vec_col, id_col
-    ).select("src_id", "tgt_id")
+    ).select("src_id", "tgt_id").localCheckpoint()
 
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_blocked = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))

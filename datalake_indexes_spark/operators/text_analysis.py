@@ -1981,9 +1981,10 @@ def kn_logprob_scores(
 
     NOTE (eager step): the bigram-type count |{(w1,w2)}| is a model
     constant that appears as a literal in the plan, so constructing
-    this DataFrame runs ONE Spark count job up front (the bigram
-    aggregate is cached first so the scoring plan reuses it instead of
-    recomputing).  A corpus with zero bigrams (every doc < 2 words)
+    this DataFrame runs ONE Spark job up front (the bigram aggregate is
+    localCheckpointed so the scoring plan reuses it instead of
+    recomputing, and storage is reclaimed once the result is
+    unreferenced).  A corpus with zero bigrams (every doc < 2 words)
     returns the empty result frame directly — no division by zero.
 
     Scale shape: identical to the add-k bigram — in-array zip for gram
@@ -2004,9 +2005,13 @@ def kn_logprob_scores(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     ).select("doc_id", F.col("g.w1").alias("__w1"), F.col("g.w2").alias("__w2"))
 
+    # localCheckpoint, not cache(): reused by ctx/cont/join AND the
+    # eager n_types count below, and — unlike a cache-manager entry —
+    # cleaned up by the ContextCleaner once the result is unreferenced,
+    # so repeated invocations don't pin storage for the app lifetime
     bc = bg.groupBy("__w1", "__w2").agg(
         F.count(F.lit(1)).alias("__c12")
-    ).cache()  # reused by ctx/cont/join AND the eager n_types count below
+    ).localCheckpoint()
     ctx = bc.groupBy("__w1").agg(
         F.sum("__c12").alias("__c1"),
         F.count(F.lit(1)).alias("__n1f"),  # N1+(w1 ·): distinct continuations
@@ -2170,6 +2175,8 @@ def ppl_buckets(
     per source instead of a per-source sort; the exact tier is the
     oracle-checkable default.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     scores = kn_logprob_scores(
         docs, discount=discount, text_col=text_col, id_col=id_col
     )

@@ -133,6 +133,11 @@ def proximity_topk_streamed(
     the batch :func:`operators.search.proximity_topk_indexed`."""
     from datalake_indexes_spark.operators.search import proximity_topk_indexed
 
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        raise ValueError(
+            f"no positions layer under {index_dir!r}: the stream must be "
+            "built with make_text_index_batch_processor(..., positional=True)"
+        )
     return proximity_topk_indexed(spark, index_dir, query_terms, k=k)
 
 

@@ -1537,3 +1537,21 @@ def test_unsupported_codec_still_named(spark):
     riff += b"data" + st.pack("<I", 4) + b"\x00" * 4
     with pytest.raises(NotImplementedError, match="85"):
         decode_wav(b"RIFF" + st.pack("<I", len(riff)) + riff)
+
+
+def test_adpcm_fact_chunk_truncates_padding(spark):
+    # spec encoders pad the final block to block_align and record the
+    # TRUE per-channel count in the 'fact' chunk; decode must honor it.
+    import math
+    import struct as st
+
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    src = [int(6000 * math.sin(t / 7)) for t in range(498)]
+    data, block_align = _ima_encode([src])
+    fmt = st.pack("<HHIIHH", 0x11, 1, 8000, 8000 * block_align, block_align, 4)
+    riff = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    riff += b"fact" + st.pack("<I", 4) + st.pack("<I", 490)
+    riff += b"data" + st.pack("<I", len(data)) + data
+    rate, ch, out = decode_wav(b"RIFF" + st.pack("<I", len(riff)) + riff)
+    assert len(out) == 490  # 8 padding samples of the last block dropped
