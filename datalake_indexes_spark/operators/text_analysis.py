@@ -2198,3 +2198,26 @@ def ppl_buckets(
         .otherwise(F.lit("middle"))
         .alias("band"),
     )
+
+
+def ppl_select(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    discount: float = 0.75,
+    keep_tail: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The CCNet selection step over :func:`ppl_buckets`: keep each
+    source's head+middle bands and drop the tail (or keep everything
+    with the band attached when ``keep_tail=True`` — the audit view).
+    (doc_id, source, band): the id list a pipeline joins back against
+    the corpus — selection ships ids, never text."""
+    b = ppl_buckets(
+        docs, n_buckets=n_buckets, discount=discount,
+        text_col=text_col, id_col=id_col, source_col=source_col,
+    )
+    if not keep_tail:
+        b = b.filter(F.col("band") != "tail")
+    return b.select("doc_id", "source", "band")

@@ -8808,6 +8808,15 @@ FROM bkt
 """
 
 
+def corpus_select_ppl_sql(n_buckets: int = 3, discount: float = 0.75) -> str:
+    """Twin of :func:`..operators.text_analysis.ppl_select`: the
+    bucketing chain filtered to head+middle, ids + band only."""
+    inner = text_ppl_buckets_sql(n_buckets=n_buckets, discount=discount)
+    return f"""
+SELECT doc_id, source, band FROM ({inner}) __b WHERE band != 'tail'
+"""
+
+
 def _vocab_curve_cte(interval: int) -> str:
     """Shared curve CTE chain for the vocab-growth twins."""
     return f"""words AS (

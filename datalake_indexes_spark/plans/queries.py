@@ -4371,6 +4371,20 @@ def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets(_docs(spark, sf_dir), n_buckets=3, discount=0.75)
 
 
+def q_corpus_select_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet selection: keep each source's head+middle perplexity bands,
+    drop the tail — selection ships (doc_id, source, band) ids only."""
+    from datalake_indexes_spark.operators.text_analysis import ppl_select
+
+    return ppl_select(_docs(spark, sf_dir), n_buckets=3, discount=0.75)
+
+
+QUERIES["corpus_select_ppl"] = q_corpus_select_ppl
+ORACLES["corpus_select_ppl"] = oracle.corpus_select_ppl_sql(
+    n_buckets=3, discount=0.75
+)
+
+
 QUERIES["text_ppl_buckets"] = q_text_ppl_buckets
 ORACLES["text_ppl_buckets"] = oracle.text_ppl_buckets_sql(
     n_buckets=3, discount=0.75
