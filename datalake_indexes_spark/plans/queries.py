@@ -4555,7 +4555,10 @@ _DRIVER_PRIORITY: list[str] = [
     "web_domain_cap",
     "web_extract_links",
     "web_domain_stats",
-    "web_blocklist",
+    # (web_blocklist moved to the r9 rotation batch for
+    # text_ppl_buckets; web stays via link_census / domain_cap /
+    # extract_links / domain_stats)
+    "text_ppl_buckets",       # new this round: CCNet per-source bands
     # export / governance depth
     "export_shard_fingerprints",
     "governance_pseudonymize",
@@ -4567,7 +4570,10 @@ _DRIVER_PRIORITY: list[str] = [
     "union_search_recall",
     "tfidf_topk",
     "decontaminate",
-    "multimodal_metadata",
+    # (multimodal_metadata moved to the r9 rotation batch for
+    # corpus_select_ppl; multimodal stays via the pinned
+    # multimodal_features plus audio_features graded in r7)
+    "corpus_select_ppl",      # new this round: CCNet selection step
 ]
 
 
