@@ -794,6 +794,32 @@ _IMA_STEP_TABLE = [
 ]
 
 
+def _ulaw_to_linear(b: int) -> int:
+    """ITU-T G.711 mu-law byte -> signed 16-bit sample (the public
+    segment/bias expansion: complement, rebuild mantissa with the 0x84
+    bias, shift by segment, strip the bias)."""
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _alaw_to_linear(b: int) -> int:
+    """ITU-T G.711 A-law byte -> signed 16-bit sample (the public
+    even-bit-inverted segment expansion)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t += 0x108
+        t <<= seg - 1
+    return t if a & 0x80 else -t
+
+
 def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
     """One IMA ADPCM decode step: nibble -> (new predictor, new index)."""
     step = _IMA_STEP_TABLE[idx]
@@ -859,9 +885,10 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     - WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
       tag to either of the above.
 
-    IMA/DVI ADPCM (format code 0x0011) decodes too — the predictor/step
-    tables are public-spec integer math, no codec library needed; other
-    compressed codings (MS-ADPCM, MP3, …) raise
+    IMA/DVI ADPCM (format code 0x0011) and G.711 A-law / mu-law
+    (codes 6 / 7) decode too — predictor/step tables and segment
+    expansions are public-spec integer math, no codec library needed;
+    other compressed codings (MS-ADPCM, MP3, …) raise
     ``NotImplementedError`` naming the format code.  A trailing partial
     frame is ignored, the standard reader behavior for truncation."""
     if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
@@ -902,6 +929,14 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
             int(ch),
             list(struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * width])),
         )
+    if fmt_code in (6, 7):  # G.711 A-law / mu-law — table-free bit math
+        if bits != 8:
+            raise ValueError(f"G.711 bit depth {bits} invalid (8 only)")
+        conv = _alaw_to_linear if fmt_code == 6 else _ulaw_to_linear
+        samples = [conv(v) for v in data]
+        if fact_samples is not None:
+            samples = samples[: fact_samples * int(ch)]
+        return int(rate), int(ch), samples
     if fmt_code == 0x11:  # IMA/DVI ADPCM — table-driven, no codec library
         if bits != 4:
             raise ValueError(f"IMA ADPCM bit depth {bits} invalid (4 only)")
@@ -913,8 +948,8 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
         return int(rate), int(ch), samples
     if fmt_code != 1:
         raise NotImplementedError(
-            f"WAV format code {fmt_code} (PCM/float/IMA-ADPCM only; other "
-            "compressed codings need an audio codec library)"
+            f"WAV format code {fmt_code} (PCM/float/IMA-ADPCM/G.711 only; "
+            "other compressed codings need an audio codec library)"
         )
     if bits == 8:  # unsigned by spec -> recentred signed
         return int(rate), int(ch), [v - 128 for v in data]

@@ -802,9 +802,10 @@ class TestWavSampleDecode:
 
         from datalake_indexes_spark.operators.multimodal import decode_wav
 
-        # mu-law format code stays gated (a real codec)
+        # MS-ADPCM format code stays gated (a real codec; mu-law,
+        # A-law and IMA ADPCM decode as of round 8)
         with pytest.raises(NotImplementedError, match="format code"):
-            decode_wav(self._wav(7, 1, 8000, 16, b""))
+            decode_wav(self._wav(2, 1, 8000, 4, b""))
         # nonsense PCM width is data corruption, not a gate
         with pytest.raises(ValueError, match="bit depth"):
             decode_wav(self._wav(1, 1, 8000, 12, b""))
@@ -1555,3 +1556,47 @@ def test_adpcm_fact_chunk_truncates_padding(spark):
     riff += b"data" + st.pack("<I", len(data)) + data
     rate, ch, out = decode_wav(b"RIFF" + st.pack("<I", len(riff)) + riff)
     assert len(out) == 490  # 8 padding samples of the last block dropped
+
+
+def _wav_g711(payload: bytes, code: int, ch: int = 1, rate: int = 8000) -> bytes:
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", code, ch, rate, rate * ch, ch, 8)
+    riff = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    riff += b"data" + st.pack("<I", len(payload)) + payload
+    return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+
+def test_g711_ulaw_spec_constants(spark):
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    rate, ch, out = decode_wav(_wav_g711(bytes([0xFF, 0x7F, 0x00, 0x80]), 7))
+    assert (rate, ch) == (8000, 1)
+    # published mu-law anchor points: both zero codes decode to 0,
+    # 0x00 is the negative peak -32124, 0x80 the positive peak +32124
+    assert out == [0, 0, -32124, 32124]
+
+
+def test_g711_ulaw_sign_symmetry_and_monotone(spark):
+    from datalake_indexes_spark.operators.multimodal import _ulaw_to_linear
+
+    for b in range(256):
+        assert _ulaw_to_linear(b) == -_ulaw_to_linear(b ^ 0x80)
+    mags = [_ulaw_to_linear(b) for b in range(0x00, 0x80)]  # negative half
+    assert all(a < b for a, b in zip(mags, mags[1:]))  # rises toward 0
+
+
+def test_g711_alaw_spec_constants(spark):
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    rate, ch, out = decode_wav(_wav_g711(bytes([0x55, 0xD5, 0x2A, 0xAA]), 6))
+    # published A-law anchor points: 0x55/0xD5 are the +-minimum codes
+    # (-8/+8), 0x2A/0xAA the -32256/+32256 peaks
+    assert out == [-8, 8, -32256, 32256]
+
+
+def test_g711_alaw_sign_symmetry(spark):
+    from datalake_indexes_spark.operators.multimodal import _alaw_to_linear
+
+    for b in range(256):
+        assert _alaw_to_linear(b) == -_alaw_to_linear(b ^ 0x80)
