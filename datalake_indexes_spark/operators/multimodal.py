@@ -820,6 +820,56 @@ def _alaw_to_linear(b: int) -> int:
     return t if a & 0x80 else -t
 
 
+# MS-ADPCM constants (public Microsoft WAVE spec): the adaptation table
+# and the seven built-in predictor coefficient pairs (files may carry
+# their own table in the fmt extension; decode honors it)
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+
+
+def _ms_adpcm_samples(
+    data: bytes, ch: int, block_align: int, coefs: list
+) -> list:
+    """Decode WAV MS-ADPCM (format code 0x0002) data-chunk bytes to
+    interleaved signed-16-bit samples.  Block layout per the spec:
+    per-channel predictor index (1 byte), initial delta (int16),
+    sample1 and sample2 (int16 each; OUTPUT order is sample2 then
+    sample1 — sample2 is the older), then nibbles HIGH-first, channels
+    alternating within each byte stream.  Python's arithmetic ``>> 8``
+    floors like C's signed shift, so the predictor math is bit-exact."""
+    header = 7 * ch
+    if block_align < header or ch < 1:
+        raise ValueError(f"MS-ADPCM block_align {block_align} invalid for {ch} ch")
+    out: list = []
+    for boff in range(0, len(data) - block_align + 1, block_align):
+        block = data[boff : boff + block_align]
+        preds = [block[c] for c in range(ch)]
+        if any(p >= len(coefs) for p in preds):
+            raise ValueError("MS-ADPCM predictor index out of coef-table range")
+        deltas = list(struct.unpack_from(f"<{ch}h", block, ch))
+        s1 = list(struct.unpack_from(f"<{ch}h", block, 3 * ch))
+        s2 = list(struct.unpack_from(f"<{ch}h", block, 5 * ch))
+        # header carries the first two samples per channel, older first:
+        # one interleaved frame of sample2s, then one of sample1s
+        out.extend(s2)
+        out.extend(s1)
+        c = 0  # channel cursor: nibbles alternate channels, high first
+        for byte in block[header:]:
+            for nib in (byte >> 4, byte & 0xF):
+                c1, c2 = coefs[preds[c]]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                signed = nib - 16 if nib >= 8 else nib
+                pred += signed * deltas[c]
+                pred = max(-32768, min(32767, pred))
+                s2[c], s1[c] = s1[c], pred
+                deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
+                out.append(pred)
+                c = (c + 1) % ch
+    return out
+
+
 def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
     """One IMA ADPCM decode step: nibble -> (new predictor, new index)."""
     step = _IMA_STEP_TABLE[idx]
@@ -885,7 +935,7 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     - WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
       tag to either of the above.
 
-    IMA/DVI ADPCM (format code 0x0011) and G.711 A-law / mu-law
+    IMA/DVI ADPCM (0x0011), MS-ADPCM (0x0002) and G.711 A-law / mu-law
     (codes 6 / 7) decode too — predictor/step tables and segment
     expansions are public-spec integer math, no codec library needed;
     other compressed codings (MS-ADPCM, MP3, …) raise
@@ -896,6 +946,7 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     fmt_code = ch = rate = bits = None
     data = None
     fact_samples = None
+    ms_coefs = list(_MS_COEFS)  # overridden by the fmt extension if present
     i = 12
     while i + 8 <= len(b):
         cid = bytes(b[i : i + 4])
@@ -909,6 +960,15 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
             fmt_code, ch, rate = struct.unpack("<HHI", body[:8])
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code == 2 and len(body) >= 22:
+                # MS-ADPCM fmt extension: samplesPerBlock, numCoef,
+                # then numCoef (coef1, coef2) int16 pairs
+                n_coef = struct.unpack("<H", body[20:22])[0]
+                if len(body) >= 22 + 4 * n_coef and n_coef > 0:
+                    ms_coefs = [
+                        struct.unpack("<hh", body[22 + 4 * j : 26 + 4 * j])
+                        for j in range(n_coef)
+                    ]
             if fmt_code == 0xFFFE and len(body) >= 26:
                 # EXTENSIBLE: the real coding is the SubFormat GUID's
                 # leading 16-bit tag (offset 24 of the fmt body)
@@ -937,6 +997,13 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
         if fact_samples is not None:
             samples = samples[: fact_samples * int(ch)]
         return int(rate), int(ch), samples
+    if fmt_code == 2:  # MS-ADPCM — spec coefficient/adaptation tables
+        if bits != 4:
+            raise ValueError(f"MS-ADPCM bit depth {bits} invalid (4 only)")
+        samples = _ms_adpcm_samples(data, int(ch), block_align, ms_coefs)
+        if fact_samples is not None:
+            samples = samples[: fact_samples * int(ch)]
+        return int(rate), int(ch), samples
     if fmt_code == 0x11:  # IMA/DVI ADPCM — table-driven, no codec library
         if bits != 4:
             raise ValueError(f"IMA ADPCM bit depth {bits} invalid (4 only)")
@@ -948,8 +1015,8 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
         return int(rate), int(ch), samples
     if fmt_code != 1:
         raise NotImplementedError(
-            f"WAV format code {fmt_code} (PCM/float/IMA-ADPCM/G.711 only; "
-            "other compressed codings need an audio codec library)"
+            f"WAV format code {fmt_code} (PCM/float/IMA-ADPCM/MS-ADPCM/G.711 "
+            "only; other compressed codings need an audio codec library)"
         )
     if bits == 8:  # unsigned by spec -> recentred signed
         return int(rate), int(ch), [v - 128 for v in data]

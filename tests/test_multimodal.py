@@ -802,10 +802,10 @@ class TestWavSampleDecode:
 
         from datalake_indexes_spark.operators.multimodal import decode_wav
 
-        # MS-ADPCM format code stays gated (a real codec; mu-law,
-        # A-law and IMA ADPCM decode as of round 8)
+        # MP3-in-WAV stays gated (a real codec; mu-law, A-law, IMA and
+        # MS ADPCM all decode as of round 8)
         with pytest.raises(NotImplementedError, match="format code"):
-            decode_wav(self._wav(2, 1, 8000, 4, b""))
+            decode_wav(self._wav(0x55, 1, 8000, 16, b""))
         # nonsense PCM width is data corruption, not a gate
         with pytest.raises(ValueError, match="bit depth"):
             decode_wav(self._wav(1, 1, 8000, 12, b""))
@@ -1600,3 +1600,101 @@ def test_g711_alaw_sign_symmetry(spark):
 
     for b in range(256):
         assert _alaw_to_linear(b) == -_alaw_to_linear(b ^ 0x80)
+
+
+def _ms_encode(samples_per_ch, block_samples=128, predictor=0):
+    """Minimal spec-faithful MS-ADPCM encoder (test-side twin): fixed
+    predictor choice, initial delta from the early diffs, quantize each
+    residual against the replayed decoder state."""
+    import struct as st
+
+    from datalake_indexes_spark.operators.multimodal import _MS_ADAPT, _MS_COEFS
+
+    ch = len(samples_per_ch)
+    n = len(samples_per_ch[0])
+    c1, c2 = _MS_COEFS[predictor]
+    blocks = b""
+    for start in range(0, n, block_samples):
+        seg = [s[start : start + block_samples] for s in samples_per_ch]
+        if len(seg[0]) < block_samples:
+            break
+        s2 = [seg[c][0] for c in range(ch)]
+        s1 = [seg[c][1] for c in range(ch)]
+        deltas = []
+        for c in range(ch):
+            d = sum(
+                abs(seg[c][i + 1] - seg[c][i]) for i in range(len(seg[c]) - 1)
+            ) // max(1, (len(seg[c]) - 1) * 4)
+            deltas.append(max(16, d))
+        header = bytes([predictor] * ch)
+        header += st.pack(f"<{ch}h", *deltas)
+        header += st.pack(f"<{ch}h", *s1)
+        header += st.pack(f"<{ch}h", *s2)
+        nibs: list[int] = []  # channel-alternating stream, high-first pairs
+        state_s1, state_s2, state_d = list(s1), list(s2), list(deltas)
+        for i in range(2, block_samples):
+            for c in range(ch):
+                pred = (state_s1[c] * c1 + state_s2[c] * c2) >> 8
+                resid = seg[c][i] - pred
+                nib_signed = max(-8, min(7, round(resid / state_d[c])))
+                nib = nib_signed & 0xF
+                rec = pred + nib_signed * state_d[c]
+                rec = max(-32768, min(32767, rec))
+                state_s2[c], state_s1[c] = state_s1[c], rec
+                state_d[c] = max(16, (_MS_ADAPT[nib] * state_d[c]) >> 8)
+                nibs.append(nib)
+        body = bytes(
+            (nibs[j] << 4) | nibs[j + 1] for j in range(0, len(nibs) - 1, 2)
+        )
+        blocks += header + body
+    block_align = 7 * ch + ((block_samples - 2) * ch) // 2
+    return blocks, block_align
+
+
+def _wav_ms(samples_per_ch, rate=8000, block_samples=128):
+    import struct as st
+
+    from datalake_indexes_spark.operators.multimodal import _MS_COEFS
+
+    ch = len(samples_per_ch)
+    data, block_align = _ms_encode(samples_per_ch, block_samples)
+    ext = st.pack("<HH", block_samples, len(_MS_COEFS))
+    for a, b in _MS_COEFS:
+        ext += st.pack("<hh", a, b)
+    fmt = st.pack(
+        "<HHIIHHH", 2, ch, rate, rate * block_align, block_align, 4, len(ext)
+    ) + ext
+    riff = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    riff += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+
+def test_ms_adpcm_roundtrip_mono(spark):
+    import math
+
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    src = [int(11000 * math.sin(2 * math.pi * 300 * t / 8000)) for t in range(256)]
+    rate, ch, out = decode_wav(_wav_ms([src]))
+    assert (rate, ch) == (8000, 1)
+    assert len(out) == 256
+    assert out[0] == src[0] and out[1] == src[1]  # header samples verbatim
+    err = max(abs(a - b) for a, b in zip(out, src))
+    assert err < 1500, err
+
+
+def test_ms_adpcm_roundtrip_stereo_interleaves(spark):
+    import math
+
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    left = [int(7000 * math.sin(2 * math.pi * 150 * t / 8000)) for t in range(128)]
+    right = [int(7000 * math.cos(2 * math.pi * 150 * t / 8000)) for t in range(128)]
+    rate, ch, out = decode_wav(_wav_ms([left, right]))
+    assert (rate, ch) == (8000, 2)
+    assert len(out) == 2 * 128
+    assert out[0] == left[0] and out[1] == right[0]
+    assert out[2] == left[1] and out[3] == right[1]
+    l_out, r_out = out[0::2], out[1::2]
+    assert max(abs(a - b) for a, b in zip(l_out, left)) < 1500
+    assert max(abs(a - b) for a, b in zip(r_out, right)) < 1500
