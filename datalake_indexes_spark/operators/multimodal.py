@@ -829,6 +829,15 @@ _MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
              (240, 0), (460, -208), (392, -232)]
 
 
+def _div256(q: int) -> int:
+    """Integer ``q / 256`` truncating toward zero — the C division the
+    Microsoft spec pseudocode performs on the (possibly negative)
+    predictor sum.  Python's ``>> 8`` floors instead, which differs by 1
+    for negative non-multiples and would let the recursion drift from
+    division-based decoders (e.g. FFmpeg) on real files."""
+    return q // 256 if q >= 0 else -((-q) // 256)
+
+
 def _ms_adpcm_samples(
     data: bytes, ch: int, block_align: int, coefs: list
 ) -> list:
@@ -837,8 +846,10 @@ def _ms_adpcm_samples(
     per-channel predictor index (1 byte), initial delta (int16),
     sample1 and sample2 (int16 each; OUTPUT order is sample2 then
     sample1 — sample2 is the older), then nibbles HIGH-first, channels
-    alternating within each byte stream.  Python's arithmetic ``>> 8``
-    floors like C's signed shift, so the predictor math is bit-exact."""
+    alternating within each byte stream.  The predictor sum divides by
+    256 truncating toward zero (C division, the spec pseudocode's
+    ``/ 256``) — NOT a flooring ``>> 8``, which differs by 1 on negative
+    non-multiples and would drift from division-based decoders."""
     header = 7 * ch
     if block_align < header or ch < 1:
         raise ValueError(f"MS-ADPCM block_align {block_align} invalid for {ch} ch")
@@ -859,7 +870,7 @@ def _ms_adpcm_samples(
         for byte in block[header:]:
             for nib in (byte >> 4, byte & 0xF):
                 c1, c2 = coefs[preds[c]]
-                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                pred = _div256(s1[c] * c1 + s2[c] * c2)
                 signed = nib - 16 if nib >= 8 else nib
                 pred += signed * deltas[c]
                 pred = max(-32768, min(32767, pred))
@@ -938,7 +949,7 @@ def decode_wav(b: bytes) -> tuple[int, int, list]:
     IMA/DVI ADPCM (0x0011), MS-ADPCM (0x0002) and G.711 A-law / mu-law
     (codes 6 / 7) decode too — predictor/step tables and segment
     expansions are public-spec integer math, no codec library needed;
-    other compressed codings (MS-ADPCM, MP3, …) raise
+    other compressed codings (MP3, GSM 6.10, …) raise
     ``NotImplementedError`` naming the format code.  A trailing partial
     frame is ignored, the standard reader behavior for truncation."""
     if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import weakref
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -251,6 +252,9 @@ def _lloyd_refine(corpus_units: DataFrame, cents: DataFrame, iterations: int) ->
     return cents
 
 
+_AUTO_CENTROID_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def auto_centroid_count(corpus: DataFrame) -> int:
     """ceil(sqrt(n)) — the IVF sizing rule the round-7 10x exercise
     proved necessary: a FIXED centroid count makes expected cluster size
@@ -258,9 +262,15 @@ def auto_centroid_count(corpus: DataFrame) -> int:
     quadratically with the corpus (measured 103.7s -> 23.6s at 10x when
     re-sized).  sqrt(n) centroids keep E[cluster] = sqrt(n), balancing
     the broadcast centroid table against cluster-local work.  One cheap
-    count job; persisted deployments avoid even that — the centroid
+    count job — memoized per DataFrame OBJECT (identity, not plan
+    equality, so the memo can never conflate two different corpora): a
+    caller that builds several IVF plans over the same frame pays the
+    count once.  Persisted deployments avoid even that — the centroid
     table written by :func:`build_ivf_index` caches the choice."""
-    n = corpus.count()
+    n = _AUTO_CENTROID_MEMO.get(corpus)
+    if n is None:
+        n = corpus.count()
+        _AUTO_CENTROID_MEMO[corpus] = n
     return max(1, math.ceil(math.sqrt(n)))
 
 

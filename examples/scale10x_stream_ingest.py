@@ -76,11 +76,13 @@ def main() -> None:
         staged = f"{OUT}/staged_{factor}x.parquet"
         docs.write.mode("overwrite").partitionBy("__b").parquet(staged)
         process = make_text_index_batch_processor(idx, positional=True)
-        n_docs = 0
+        # size the batches BEFORE the timer starts — a count() inside the
+        # timed loop is a full extra scan per micro-batch that inflates
+        # ingest_s and distorts docs_per_s (r8 ADVICE)
+        batches = [spark.read.parquet(f"{staged}/__b={b}") for b in range(N_BATCHES)]
+        n_docs = sum(b.count() for b in batches)
         t0 = time.time()
-        for b in range(N_BATCHES):
-            batch = spark.read.parquet(f"{staged}/__b={b}")
-            n_docs += batch.count()
+        for b, batch in enumerate(batches):
             process(batch, b)
         ingest_s = time.time() - t0
         # probe the live index once each way (sanity: it answers)

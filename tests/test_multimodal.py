@@ -1608,7 +1608,11 @@ def _ms_encode(samples_per_ch, block_samples=128, predictor=0):
     residual against the replayed decoder state."""
     import struct as st
 
-    from datalake_indexes_spark.operators.multimodal import _MS_ADAPT, _MS_COEFS
+    from datalake_indexes_spark.operators.multimodal import (
+        _MS_ADAPT,
+        _MS_COEFS,
+        _div256,
+    )
 
     ch = len(samples_per_ch)
     n = len(samples_per_ch[0])
@@ -1634,7 +1638,7 @@ def _ms_encode(samples_per_ch, block_samples=128, predictor=0):
         state_s1, state_s2, state_d = list(s1), list(s2), list(deltas)
         for i in range(2, block_samples):
             for c in range(ch):
-                pred = (state_s1[c] * c1 + state_s2[c] * c2) >> 8
+                pred = _div256(state_s1[c] * c1 + state_s2[c] * c2)
                 resid = seg[c][i] - pred
                 nib_signed = max(-8, min(7, round(resid / state_d[c])))
                 nib = nib_signed & 0xF
@@ -1667,6 +1671,21 @@ def _wav_ms(samples_per_ch, rate=8000, block_samples=128):
     riff = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
     riff += b"data" + st.pack("<I", len(data)) + data
     return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+
+def test_ms_adpcm_div256_truncates_toward_zero(spark):
+    """The spec's ``/ 256`` is C division (truncate toward zero), which a
+    flooring ``>> 8`` gets wrong by 1 on negative non-multiples — the
+    exact drift a round-trip test that replays the same convention on
+    both sides can never see."""
+    from datalake_indexes_spark.operators.multimodal import _div256
+
+    assert _div256(-257) == -1 and (-257 >> 8) == -2  # conventions differ
+    assert _div256(-256) == -1 and _div256(256) == 1
+    assert _div256(-1) == 0 and _div256(255) == 0
+    # matches C division on a sweep, including negative sums
+    for q in range(-1000, 1000, 7):
+        assert _div256(q) == int(q / 256)
 
 
 def test_ms_adpcm_roundtrip_mono(spark):
