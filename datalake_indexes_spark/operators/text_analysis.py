@@ -2153,6 +2153,8 @@ def ppl_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style per-source LM-score bucketing (Wenzek et al. 2020):
     rank each source's documents by their Kneser-Ney bigram score
@@ -2170,10 +2172,17 @@ def ppl_buckets(
 
     Scale shape: the KN aggregates as in :func:`kn_logprob_scores`, one
     source-keyed window for the ntile (partitioned by source, never
-    global).  At 100 TB swap the exact ntile for two approx-percentile
-    thresholds per source broadcast back — same contract, two numbers
-    per source instead of a per-source sort; the exact tier is the
-    oracle-checkable default.
+    global).  ``approx=True`` is the 100-TB tier (mirrors A1's HLL++
+    opt-in): instead of the per-source (doc_id, score) sort it computes
+    ``n_buckets − 1`` Greenwald-Khanna approx-percentile thresholds per
+    source (rank error ≤ n/``approx_accuracy``) and broadcast-joins the
+    tiny (source → thresholds) table back — bucket = 1 + #(thresholds
+    ≥ score), so with exact-rank thresholds, distinct scores and counts
+    divisible by ``n_buckets`` the assignment IS the ntile assignment
+    (pinned by ``test_ppl_buckets_approx_tier``).  Approx differences
+    vs exact: score TIES at a threshold all land in one bucket (ntile
+    splits them by doc_id), and bucket counts are equal only to within
+    the rank error.  The exact tier stays the oracle-checkable default.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -2184,6 +2193,42 @@ def ppl_buckets(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
     j = scores.join(src, "doc_id")
+    if approx:
+        if n_buckets == 1:
+            return j.select(
+                "doc_id", "source", "avg_logprob_kn",
+                F.lit(1).cast("long").alias("bucket"),
+                F.lit("head").alias("band"),
+            )
+        # ascending rank quantiles i/n, i = 1..n-1: GK returns the
+        # smallest value whose rank fraction >= p, so "score <= t_i"
+        # reproduces "rank position <= ceil(i*N/n)" when thresholds are
+        # rank-exact.  The threshold table is one row per source —
+        # broadcast by construction, no per-source sort anywhere.
+        ps = [i / n_buckets for i in range(1, n_buckets)]
+        thresholds = j.groupBy("source").agg(
+            F.percentile_approx(
+                "avg_logprob_kn", F.lit(ps), F.lit(int(approx_accuracy))
+            ).alias("__thr")
+        )
+        score = F.col("avg_logprob_kn")
+        # thresholds ascend with p; the most fluent doc clears them all
+        # (zero thresholds at-or-above it) -> bucket 1 = head
+        n_above = F.size(F.filter("__thr", lambda t: score <= t))
+        bucket = (F.lit(1) + n_above).cast("long")
+        return (
+            j.join(F.broadcast(thresholds), "source")
+            .select(
+                "doc_id",
+                "source",
+                "avg_logprob_kn",
+                bucket.alias("bucket"),
+                F.when(bucket == 1, F.lit("head"))
+                .when(bucket == n_buckets, F.lit("tail"))
+                .otherwise(F.lit("middle"))
+                .alias("band"),
+            )
+        )
     w = Window.partitionBy("source").orderBy(
         F.desc("avg_logprob_kn"), F.asc("doc_id")
     )

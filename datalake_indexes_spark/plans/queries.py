@@ -4522,58 +4522,53 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_features",
     "events_window_agg",
     "graph_pagerank",
-    # --- rotating slots: never-driver-graded keys (round-8 batch) ---
-    # the r7-verdict priority list: keys deferred from earlier rotations
-    # (events/column/web/governance/export depth), the newest arrivals
-    # (kn_logprob, vocab curve, nn_descent2, range_search, boiler census)
-    # and the new-this-round rescore gauge.
-    "ann_margin_rescore",        # new this round: rescore-theorem gauge
-    "ann_nn_descent2",
-    "ann_range_search",
-    "text_kn_logprob",
-    "vocab_growth",
-    "vocab_heaps_fit",
-    "corpus_boiler_by_source",
-    # events depth (deferred from r6/r7 rotations)
-    "events_anomaly",
-    "events_cohort",
-    "events_attribution",
-    "events_funnel_timing",
-    "events_range_join",
-    # profiling family
-    "text_zipf",
-    "profile_ks_drift",
-    "column_quantile_buckets",
-    "column_histograms",
-    "column_benford",
-    "column_mutual_info",
-    "column_top_values",
-    "column_moments",
-    "column_chi2",
-    # web pipeline depth
-    "web_link_census",
-    "web_domain_cap",
-    "web_extract_links",
-    "web_domain_stats",
-    # (web_blocklist moved to the r9 rotation batch for
-    # text_ppl_buckets; web stays via link_census / domain_cap /
-    # extract_links / domain_stats)
-    "text_ppl_buckets",       # new this round: CCNet per-source bands
-    # export / governance depth
-    "export_shard_fingerprints",
-    "governance_pseudonymize",
-    # graph depth
-    "graph_clustering",
-    "graph_triangles",
-    # discovery / retrieval / decontamination reps never yet graded
-    "union_search",
-    "union_search_recall",
-    "tfidf_topk",
-    "decontaminate",
-    # (multimodal_metadata moved to the r9 rotation batch for
-    # corpus_select_ppl; multimodal stays via the pinned
-    # multimodal_features plus audio_features graded in r7)
-    "corpus_select_ppl",      # new this round: CCNet selection step
+    # --- rotating slots: never-driver-graded keys (round-9 batch) ---
+    # the r8-verdict backlog (PLANS.md "Round 9 rotation backlog"): the
+    # ANN/discovery reps, the corpus lifecycle, events depth, the text
+    # quality family, and the multimodal/fk/lake stragglers.  The
+    # backlog named 36 keys for 35 slots; corpus_sample defers to r10
+    # (its family is graded here via _exact and _weighted).  Keys
+    # rotated OUT remain strict-green in the full-registry sf0.01
+    # sweep and prior CORRECTNESS_r files.
+    "ann_knn_classify",
+    "ann_cluster_purity",
+    "ann_ivf_indexed",
+    "ann_quantized_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_centroids",
+    "ann_knn_graph",
+    "ann_recall_report",
+    "ann_range_blocked",
+    "dedup_embedding_multiprobe",
+    # corpus lifecycle
+    "corpus_prep_v2",
+    "corpus_budget_select",
+    "corpus_sample_exact",
+    "corpus_sample_weighted",
+    "corpus_pack",
+    "corpus_chunk",
+    "corpus_split",
+    "corpus_data_card",
+    # events depth
+    "events_seasonality",
+    "events_twap",
+    "events_xcorr",
+    "events_mann_kendall",
+    "events_decay_stats",
+    "events_forecast_backtest",
+    # text quality family
+    "text_repetition",
+    "text_content_type",
+    "text_script_ratios",
+    "text_keywords",
+    "text_entropy",
+    "text_readability",
+    "text_c4_filters",
+    # multimodal / fk / lake stragglers
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_sample_stats",
+    "fk_sample",
+    "lake_validate",
 ]
 
 

@@ -125,3 +125,64 @@ def test_ppl_buckets_per_source_bands(spark):
     # B has its own head even though every B doc is salad
     b_head = [d for d, r in out.items() if r["source"] == "B" and r["band"] == "head"]
     assert len(b_head) == 1
+
+
+def _two_source_corpus(spark, docs_per_source=9):
+    """Distinct-score fixture: per source, doc i repeats a fluent bigram
+    i times then pads with unique salad, so KN scores strictly descend
+    with i within each source — distinct scores and a doc count
+    divisible by 3 are exactly the regime where the approx tier's
+    rank-exact thresholds must reproduce the ntile assignment."""
+    rows = []
+    did = 0
+    for src in ("A", "B"):
+        for i in range(docs_per_source):
+            fluent = "the cat sat " * (docs_per_source - i + 1)
+            salad = " ".join(f"q{src}{i}x{j}" for j in range(i + 2))
+            rows.append((did, (fluent + salad).strip(), src))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_ppl_buckets_approx_tier_equals_exact_on_fixture(spark):
+    # The 100-TB tier (per-source GK thresholds broadcast back) must
+    # agree with the exact per-source ntile wherever its guarantees
+    # hold: rank-exact thresholds (accuracy >> n), distinct scores,
+    # counts divisible by n_buckets.
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+
+    docs = _two_source_corpus(spark)
+    exact = {r["doc_id"]: r for r in ppl_buckets(docs, n_buckets=3).collect()}
+    approx = {
+        r["doc_id"]: r
+        for r in ppl_buckets(docs, n_buckets=3, approx=True).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) == 18
+    # precondition of the equivalence: scores distinct within source
+    for src in ("A", "B"):
+        scores = [r["avg_logprob_kn"] for r in exact.values() if r["source"] == src]
+        assert len(set(scores)) == len(scores)
+    for did, r in exact.items():
+        assert approx[did]["bucket"] == r["bucket"], did
+        assert approx[did]["band"] == r["band"], did
+
+
+def test_ppl_buckets_approx_plan_has_no_source_window(spark):
+    # The approx tier's point: no per-source sort — the plan carries a
+    # broadcast join of the one-row-per-source threshold table and ZERO
+    # window operators.
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+
+    docs = _two_source_corpus(spark)
+    plan = ppl_buckets(docs, n_buckets=3, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ppl_buckets_approx_single_bucket(spark):
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+
+    docs = _two_source_corpus(spark, docs_per_source=3)
+    out = ppl_buckets(docs, n_buckets=1, approx=True).collect()
+    assert len(out) == 6
+    assert all(r["bucket"] == 1 and r["band"] == "head" for r in out)
