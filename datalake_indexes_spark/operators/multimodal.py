@@ -589,14 +589,19 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     row-major interleaved) — the same contract as :func:`decode_png`.
 
     Supports baseline and extended-sequential Huffman JPEG (SOF0/SOF1),
-    grayscale and 3-component YCbCr at any integer sampling ratio
-    (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), 8/16-bit quant tables, restart
-    intervals.  Progressive (SOF2), hierarchical, arithmetic-coded and
-    lossless SOFs, 12-bit precision and 4-component (CMYK) scans raise
-    ``NotImplementedError`` naming the feature.  A DC-only block (flat
-    8x8 tile) decodes BIT-EXACTLY (the IDCT of a lone DC term is the
-    constant DC/8, exact in doubles), which is what lets the planted
-    fixture's DuckDB twin recompute pixel stats straight from text.
+    progressive Huffman JPEG (SOF2: spectral selection + successive
+    approximation per ITU-T T.81 Annex G, including DC/AC refinement
+    scans, EOB runs and restart intervals), multi-scan sequential files
+    (per-component scans), grayscale and 3-component YCbCr at any
+    integer sampling ratio (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), 8/16-bit
+    quant tables, restart intervals.  Hierarchical, arithmetic-coded
+    and lossless SOFs, 12-bit precision and 4-component (CMYK) scans
+    raise ``NotImplementedError`` naming the feature.  A DC-only block
+    (flat 8x8 tile) decodes BIT-EXACTLY (the IDCT of a lone DC term is
+    the constant DC/8, exact in doubles), which is what lets the
+    planted fixture's DuckDB twin recompute pixel stats straight from
+    text — through the progressive path too (successive approximation
+    is exact integer reassembly of the same coefficients).
     """
     import numpy as np
 
@@ -607,6 +612,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     comps: list[dict] | None = None
     w = h = None
     ri = 0
+    progressive = False
+    coefs = None  # per-component raw coefficient grids (multi-scan path)
+    geom = None  # (hmax, vmax, mcux, mcuy)
     i = 2
     while i + 2 <= len(b):
         if b[i] != 0xFF:
@@ -616,7 +624,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
         if i + 4 > len(b):
             break
@@ -634,9 +642,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     vals = list(seg[j : j + 64])
                     j += 64
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1):  # baseline / ext. sequential Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext-seq / progressive
             if seg[0] != 8:
                 raise NotImplementedError(f"JPEG precision {seg[0]} (8 only)")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc not in (1, 3):
@@ -652,11 +661,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 }
                 for c in range(nc)
             ]
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} coding (baseline/ext-sequential only)"
+                f"JPEG SOF{marker - 0xC0} coding "
+                "(baseline/ext-sequential/progressive only)"
             )
         elif marker == 0xC4:  # DHT (one or more tables)
             j = 0
@@ -669,21 +677,269 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 j += 17 + nvals
         elif marker == 0xDD:  # DRI
             ri = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — decode the scan and return
+        elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError("JPEG multi-scan file")
             tabs = {}
+            scomps = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 tabs[cs] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-            return _decode_jpeg_scan(
-                np, b, i + 2 + seglen, w, h, comps, tabs, qt, huff, ri
+                scomps.append(
+                    next(k for k, cc in enumerate(comps) if cc["id"] == cs)
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not progressive and ns == len(comps) and coefs is None:
+                # single-scan sequential: the original streaming fast path
+                return _decode_jpeg_scan(
+                    np, b, i + 2 + seglen, w, h, comps, tabs, qt, huff, ri
+                )
+            # progressive or per-component sequential: accumulate raw
+            # coefficients across scans, render at EOI
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                for c in comps:
+                    if hmax % c["h"] or vmax % c["v"]:
+                        raise NotImplementedError(
+                            "JPEG non-integer chroma sampling ratio"
+                        )
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                geom = (hmax, vmax, mcux, mcuy)
+                coefs = [
+                    np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                ]
+            i = _decode_scan_coefs(
+                b, i + 2 + seglen, coefs, comps, scomps, tabs, huff, ri,
+                ss, se, ah, al, progressive, w, h, geom,
             )
+            continue
         i += 2 + seglen
+    if coefs is not None:
+        return _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom)
     raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan_coefs(
+    b, pos, coefs, comps, scomps, tabs, huff, ri, ss, se, ah, al,
+    progressive, w, h, geom,
+):
+    """One scan of a multi-scan JPEG decoded into raw coefficient grids
+    (ITU-T T.81 Annex G for the four progressive scan kinds; F.2 block
+    decode for per-component sequential scans).  Coefficients stay RAW
+    (un-dequantized) because successive-approximation refinement edits
+    their bits; :func:`_render_jpeg_coefs` dequantizes at the end.
+    Returns the byte offset just past the scan's entropy data."""
+    hmax, vmax, mcux, mcuy = geom
+    reader = _JpegBitReader(b, pos)
+    dc_tbl = {}
+    ac_tbl = {}
+    for ci in scomps:
+        td, ta = tabs[comps[ci]["id"]]
+        dc_tbl[ci] = huff.get((0, td))
+        ac_tbl[ci] = huff.get((1, ta))
+    pred = {ci: 0 for ci in scomps}
+    state = {"eobrun": 0}
+
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        if ss > 0 and ah == 0 and ac_tbl[scomps[0]] is None:
+            raise ValueError("JPEG missing Huffman table")
+        if ss == 0 and ah == 0 and any(dc_tbl[ci] is None for ci in scomps):
+            raise ValueError("JPEG missing Huffman table")
+
+    def block_full(ci, blk):
+        # per-component sequential scan: full F.2 block decode, raw coefs
+        t = reader.decode(dc_tbl[ci])
+        pred[ci] += _extend(reader.receive(t), t)
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = reader.decode(ac_tbl[ci])
+            if rs == 0x00:  # EOB
+                break
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overrun")
+            blk[_ZIGZAG[k]] = _extend(reader.receive(s), s)
+            k += 1
+
+    def dc_first(ci, blk):
+        t = reader.decode(dc_tbl[ci])
+        pred[ci] += _extend(reader.receive(t), t)
+        blk[0] = pred[ci] << al
+
+    def dc_refine(ci, blk):
+        # append one magnitude bit: OR works on the two's-complement
+        # value because bit Al is zero until this scan delivers it
+        if reader.bit():
+            blk[0] |= 1 << al
+
+    def ac_first(ci, blk):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac_tbl[ci])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + ext blocks ends HERE
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient overrun")
+            blk[_ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def _refine_one(blk, z, p1):
+        v = int(blk[z])
+        if reader.bit() and not (v & p1):
+            blk[z] = v + (p1 if v > 0 else -p1)
+
+    def ac_refine(ci, blk):
+        # T.81 G.1.2.3: corrections for already-nonzero coefficients are
+        # interleaved positionally with runs/new ±1 coefficients
+        p1 = 1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode(ac_tbl[ci])
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOBn: rest of THIS block still refines
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    # ZRL: pass 16 zero-history slots (refining on the way)
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    newval = p1 if reader.bit() else -p1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    if blk[z]:
+                        _refine_one(blk, z, p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[_ZIGZAG[k]] = newval
+                k += 1
+        if state["eobrun"]:
+            while k <= se:
+                z = _ZIGZAG[k]
+                if blk[z]:
+                    _refine_one(blk, z, p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if not progressive:
+        if any(dc_tbl[ci] is None or ac_tbl[ci] is None for ci in scomps):
+            raise ValueError("JPEG missing Huffman table")
+        unit = block_full
+    elif ss == 0:
+        unit = dc_first if ah == 0 else dc_refine
+    else:
+        unit = ac_first if ah == 0 else ac_refine
+
+    def do_restart():
+        reader.restart()
+        for ci in scomps:
+            pred[ci] = 0
+        state["eobrun"] = 0
+
+    if len(scomps) > 1:  # interleaved: MCU order
+        for mcu in range(mcux * mcuy):
+            if ri and mcu and mcu % ri == 0:
+                do_restart()
+            my, mx = divmod(mcu, mcux)
+            for ci in scomps:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit(ci, coefs[ci][my * c["v"] + by, mx * c["h"] + bx])
+    else:  # non-interleaved: the component's own block grid (T.81 A.2.2)
+        ci = scomps[0]
+        c = comps[ci]
+        bw = (-(-(w * c["h"]) // hmax) + 7) // 8
+        bh = (-(-(h * c["v"]) // vmax) + 7) // 8
+        for u in range(bw * bh):
+            if ri and u and u % ri == 0:
+                do_restart()
+            by, bx = divmod(u, bw)
+            unit(ci, coefs[ci][by, bx])
+    return reader.i
+
+
+def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficient grids — batched numpy (one matmul triple-product over
+    all blocks), same math as the streaming baseline path."""
+    hmax, vmax, _mcux, _mcuy = geom
+    u = np.arange(8)
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    m[:, 0] *= 1 / np.sqrt(2.0)
+    full = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing quantization table")
+        q = qt[c["tq"]]
+        qnat = np.zeros(64)
+        for k in range(64):  # DQT is zigzag-ordered; coefs are natural
+            qnat[_ZIGZAG[k]] = q[k]
+        arr = coefs[ci].astype(np.float64) * qnat
+        bh, bw = arr.shape[:2]
+        blocks = arr.reshape(bh * bw, 8, 8)
+        spatial = np.matmul(np.matmul(m, blocks), m.T) + 128.0
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:  # sample replication (box) upsample
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return int(w), int(h), 1, out.tobytes()
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            yy + 1.402 * cr,
+            yy - 0.344136 * cb - 0.714136 * cr,
+            yy + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return int(w), int(h), 3, out.tobytes()
 
 
 def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri):
@@ -1128,6 +1384,75 @@ def flat_gray_jpeg(values, tiles_w: int, tiles_h: int) -> bytes:
     )
 
 
+# AC table holding only the EOBn symbols (r<<4, r=0..14) a progressive
+# encoder needs for an all-zero-AC spectral band: 15 length-4 codes
+_JPEG_EOBN_VALS = bytes(r << 4 for r in range(15))
+_JPEG_EOBN_BITS = [0, 0, 0, 15] + [0] * 12
+
+
+def flat_gray_jpeg_progressive(values, tiles_w: int, tiles_h: int) -> bytes:
+    """Progressive (SOF2) twin of :func:`flat_gray_jpeg` — IDENTICAL
+    pixels through three spectral-selection / successive-approximation
+    scans (ITU-T T.81 Annex G): DC first at Al=1 (diffs of the
+    point-transformed dc>>1), a DC refinement scan delivering bit 0,
+    and an AC 1..63 first scan that is pure EOB runs (flat tiles have
+    no AC energy).  Successive approximation reassembles the exact DC
+    integers, so the decoded tiles stay bit-exact and the same DuckDB
+    text twin covers both encodings."""
+    assert len(values) == tiles_w * tiles_h
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dcs = [8 * (int(v) - 128) for v in values]
+
+    w1 = _JpegBitWriter()  # scan 1: DC first, Ah=0 Al=1
+    pred = 0
+    for dc in dcs:
+        t1 = dc >> 1  # the spec's DC point transform (arithmetic shift)
+        diff = t1 - pred
+        pred = t1
+        t = abs(diff).bit_length()
+        w1.put(*dc_enc[t])
+        if t:
+            w1.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    w2 = _JpegBitWriter()  # scan 2: DC refinement, Ah=1 Al=0 — raw bits
+    for dc in dcs:
+        w2.put(dc & 1, 1)
+
+    w3 = _JpegBitWriter()  # scan 3: AC 1..63 first, all-EOB runs
+    eob_enc = _huffman_encode_table(_JPEG_EOBN_BITS, _JPEG_EOBN_VALS)
+    n = len(dcs)
+    while n:
+        r = min(14, n.bit_length() - 1)
+        take = min(n, (1 << r) + ((1 << r) - 1))
+        r = take.bit_length() - 1
+        w3.put(*eob_enc[r << 4])
+        if r:
+            w3.put(take - (1 << r), r)
+        n -= take
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(
+            0xC2,
+            struct.pack(">BHHB", 8, tiles_h * 8, tiles_w * 8, 1)
+            + bytes([1, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first Al=1
+        + w1.flush()
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine Ah=1
+        + w2.flush()
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_EOBN_BITS) + _JPEG_EOBN_VALS)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC first
+        + w3.flush()
+        + b"\xff\xd9"
+    )
+
+
 JPEG_TILES_W, JPEG_TILES_H = 16, 4  # 128x32 px: 64 tiles = 64 text bytes
 
 
@@ -1140,24 +1465,38 @@ def attach_real_jpeg(
     :func:`attach_real_png`, through the JPEG entropy/IDCT path).  The
     container is built in an Arrow-batched UDF — a Huffman bitstream is
     a sequential bit fold, not a native-expression shape — but the
-    PIXEL SOURCE stays the text, so the oracle never parses a JPEG."""
+    PIXEL SOURCE stays the text, so the oracle never parses a JPEG.
+
+    Odd ``doc_id`` rows get the PROGRESSIVE (SOF2) encoding of the SAME
+    tiles (:func:`flat_gray_jpeg_progressive`) — byte-different
+    container, bit-identical pixels — so every stats query over this
+    fixture grades the progressive decode path against the unchanged
+    text oracle."""
     from pyspark.sql.functions import pandas_udf
 
     n_tiles = JPEG_TILES_W * JPEG_TILES_H
 
-    @pandas_udf("binary")
-    def _jpeg(texts: pd.Series) -> pd.Series:
-        import re as _re
+    def _maker(encoder):
+        @pandas_udf("binary")
+        def _jpeg(texts: pd.Series) -> pd.Series:
+            import re as _re
 
-        def build(text: str) -> bytes:
-            clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
-            vals = clean[:n_tiles].ljust(n_tiles).encode()
-            return flat_gray_jpeg(list(vals), JPEG_TILES_W, JPEG_TILES_H)
+            def build(text: str) -> bytes:
+                clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
+                vals = clean[:n_tiles].ljust(n_tiles).encode()
+                return encoder(list(vals), JPEG_TILES_W, JPEG_TILES_H)
 
-        return texts.map(build)
+            return texts.map(build)
 
+        return _jpeg
+
+    base_udf = _maker(flat_gray_jpeg)
+    prog_udf = _maker(flat_gray_jpeg_progressive)
     return docs.select(
-        F.col(id_col).alias("doc_id"), _jpeg(F.col(text_col)).alias("payload")
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(id_col) % 2 == 1, prog_udf(F.col(text_col)))
+        .otherwise(base_udf(F.col(text_col)))
+        .alias("payload"),
     )
 
 

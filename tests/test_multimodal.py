@@ -1263,10 +1263,12 @@ class TestJpegPixelDecode:
         )
 
         jpg = bytearray(flat_gray_jpeg([100] * 64, 16, 4))
-        # find the SOF0 marker and flip it to SOF2 (progressive)
         sof = jpg.find(b"\xff\xc0")
+        # SOF2 decodes now (round 9) — but a baseline full-band scan
+        # relabelled progressive violates the Annex-G DC-scan constraint
+        # (Ss=0 requires Se=0), a malformed-stream ValueError
         jpg[sof + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="Se"):
             decode_jpeg(bytes(jpg))
         jpg[sof + 1] = 0xC9  # arithmetic sequential
         with pytest.raises(NotImplementedError, match="SOF9"):
@@ -1671,6 +1673,451 @@ def _wav_ms(samples_per_ch, rate=8000, block_samples=128):
     riff = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
     riff += b"data" + st.pack("<I", len(data)) + data
     return b"RIFF" + st.pack("<I", len(riff)) + riff
+
+
+def _jpeg_seg(marker, payload):
+    import struct as st
+
+    return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+
+def _coef_tables():
+    """Test-side Huffman tables: DC standard; AC = EOBn (r<<4) + ZRL +
+    every (r<<4)|s for s=1..10, all at length 8 like the module's flat
+    table."""
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _huffman_encode_table,
+    )
+
+    ac_vals = bytes(
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+    return (
+        _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        _huffman_encode_table(ac_bits, bytes(ac_vals)),
+        ac_bits,
+        ac_vals,
+    )
+
+
+def _put_coded(wtr, v):
+    t = abs(v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _coef_jpeg_baseline(blocks, bw, bh):
+    """Sequential gray JPEG from natural-order 64-coef blocks (quant=1)."""
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _ZIGZAG,
+        _JpegBitWriter,
+    )
+    import struct as st
+
+    dc_enc, ac_enc, ac_bits, ac_vals = _coef_tables()
+    wtr = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        t, bitsv = _put_coded(wtr, blk[0] - pred)
+        pred = blk[0]
+        wtr.put(*dc_enc[t])
+        if t:
+            wtr.put(bitsv, t)
+        r = 0
+        for k in range(1, 64):
+            v = blk[_ZIGZAG[k]]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                wtr.put(*ac_enc[0xF0])
+                r -= 16
+            s, bitsv = _put_coded(wtr, v)
+            wtr.put(*ac_enc[(r << 4) | s])
+            wtr.put(bitsv, s)
+            r = 0
+        if r:
+            wtr.put(*ac_enc[0x00])
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(
+            0xC0, st.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0])
+        )
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + wtr.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _coef_jpeg_progressive(blocks, bw, bh):
+    """Progressive gray JPEG of the SAME blocks: DC first(Al=1)/refine,
+    AC 1..63 first(Al=1) then AC refinement(Ah=1,Al=0) — the encoder
+    side of T.81 G.1.2.2/G.1.2.3 with per-block EOB, interleaving
+    correction bits positionally exactly as the decoder consumes them."""
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _ZIGZAG,
+        _JpegBitWriter,
+    )
+    import struct as st
+
+    dc_enc, ac_enc, ac_bits, ac_vals = _coef_tables()
+
+    w1 = _JpegBitWriter()  # DC first, Al=1
+    pred = 0
+    for blk in blocks:
+        t1 = blk[0] >> 1
+        t, bitsv = _put_coded(w1, t1 - pred)
+        pred = t1
+        w1.put(*dc_enc[t])
+        if t:
+            w1.put(bitsv, t)
+
+    w2 = _JpegBitWriter()  # DC refine, Al=0
+    for blk in blocks:
+        w2.put(blk[0] & 1, 1)
+
+    w3 = _JpegBitWriter()  # AC first, Al=1: coefficients' a>>1 magnitudes
+    for blk in blocks:
+        r = 0
+        for k in range(1, 64):
+            v = blk[_ZIGZAG[k]]
+            t = abs(v) >> 1
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                w3.put(*ac_enc[0xF0])
+                r -= 16
+            s = t.bit_length()
+            w3.put(*ac_enc[(r << 4) | s])
+            sv = t if v > 0 else -t
+            w3.put(sv if sv >= 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            w3.put(*ac_enc[0x00])
+
+    w4 = _JpegBitWriter()  # AC refine, Ah=1 Al=0
+    for blk in blocks:
+        corr = []
+        r = 0
+        for k in range(1, 64):
+            v = blk[_ZIGZAG[k]]
+            a = abs(v)
+            if a >> 1:  # history nonzero at the previous precision
+                corr.append(a & 1)
+            elif a:  # newly significant: must be exactly +-1
+                w4.put(*ac_enc[(r << 4) | 1])
+                w4.put(1 if v > 0 else 0, 1)
+                for bit in corr:
+                    w4.put(bit, 1)
+                corr = []
+                r = 0
+            else:
+                r += 1
+                if r == 16:
+                    w4.put(*ac_enc[0xF0])
+                    for bit in corr:
+                        w4.put(bit, 1)
+                    corr = []
+                    r = 0
+        if r or corr:
+            w4.put(*ac_enc[0x00])  # EOB run of 1 covers the block's tail
+            for bit in corr:
+                w4.put(bit, 1)
+
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(
+            0xC2, st.pack(">BHHB", 8, bh * 8, bw * 8, 1) + bytes([1, 0x11, 0])
+        )
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + w1.flush()
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + w2.flush()
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + w3.flush()
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + w4.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _lcg_blocks(n_blocks, seed=12345):
+    """Deterministic coefficient blocks: sparse AC, values spanning the
+    refine-relevant range (zeros, +-1 'newly significant', larger evens
+    and odds so correction bits go both ways), DC up to +-1000."""
+    state = seed
+    blocks = []
+    for _ in range(n_blocks):
+        blk = [0] * 64
+        state = (1103515245 * state + 12345) % (1 << 31)
+        blk[0] = (state % 2001) - 1000
+        for k in range(1, 64):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            roll = state % 100
+            if roll < 60:
+                continue  # zero
+            elif roll < 75:
+                blk[k] = 1 if state & 1 else -1
+            else:
+                blk[k] = ((state >> 8) % 79) - 39 or 3
+        blocks.append(blk)
+    return blocks
+
+
+def test_progressive_jpeg_equals_baseline_on_general_coefficients(spark):
+    """The full Annex-G surface in one equivalence: the SAME coefficient
+    blocks encoded sequentially and progressively (DC first+refine, AC
+    first+refine with EOB/ZRL/newly-significant/correction bits) must
+    decode to IDENTICAL pixels."""
+    from datalake_indexes_spark.operators.multimodal import decode_jpeg
+
+    # 64 ordered by zigzag — note _lcg_blocks indexes blk[k] naturally;
+    # both encoders read via _ZIGZAG consistently so layouts agree
+    blocks = _lcg_blocks(12)
+    base = _coef_jpeg_baseline(blocks, 4, 3)
+    prog = _coef_jpeg_progressive(blocks, 4, 3)
+    wb, hb, cb, pb = decode_jpeg(base)
+    wp, hp, cp, pp = decode_jpeg(prog)
+    assert (wb, hb, cb) == (wp, hp, cp) == (32, 24, 1)
+    assert pb == pp
+
+
+def test_progressive_flat_tiles_bit_exact(spark):
+    """flat_gray_jpeg_progressive: same planted bytes as the baseline
+    twin, through DC successive approximation + EOB-run AC scan."""
+    import numpy as np
+
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_gray_jpeg,
+        flat_gray_jpeg_progressive,
+    )
+
+    vals = [(i * 37 + 5) % 256 for i in range(64)]
+    w, h, c, px = decode_jpeg(flat_gray_jpeg_progressive(vals, 16, 4))
+    assert (w, h, c) == (128, 32, 1)
+    assert px == decode_jpeg(flat_gray_jpeg(vals, 16, 4))[3]
+    a = np.frombuffer(px, dtype=np.uint8).reshape(32, 128)
+    got = [int(a[ty * 8, tx * 8]) for ty in range(4) for tx in range(16)]
+    assert got == vals
+
+
+def _ac_scan_writer(blocks, ac_enc):
+    """Entropy bits for one non-interleaved AC 1..63 first scan (Al=0)."""
+    from datalake_indexes_spark.operators.multimodal import (
+        _ZIGZAG,
+        _JpegBitWriter,
+    )
+
+    wtr = _JpegBitWriter()
+    for blk in blocks:
+        r = 0
+        for k in range(1, 64):
+            v = blk[_ZIGZAG[k]]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                wtr.put(*ac_enc[0xF0])
+                r -= 16
+            s = abs(v).bit_length()
+            wtr.put(*ac_enc[(r << 4) | s])
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r:
+            wtr.put(*ac_enc[0x00])
+    return wtr
+
+
+def test_progressive_color_420_subsampled_grids(spark):
+    """4:2:0 color progressive: interleaved DC first+refine over MCUs
+    (4 Y + 1 Cb + 1 Cr), then per-component non-interleaved AC scans
+    whose block grids DIFFER (Y 4x4, chroma 2x2) — the geometry where
+    grid bugs hide.  Expected pixels come from the shared render over
+    hand-built coefficient grids, so this pins exactly the entropy +
+    scan-geometry layer."""
+    import struct as st
+
+    import numpy as np
+
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _render_jpeg_coefs,
+        decode_jpeg,
+    )
+
+    dc_enc, ac_enc, ac_bits, ac_vals = _coef_tables()
+    ybl = _lcg_blocks(16, seed=77)
+    cb_bl = [[0] * 64 for _ in range(4)]
+    cr_bl = [[0] * 64 for _ in range(4)]
+    for i in range(4):
+        cb_bl[i][0] = 100 + 2 * i
+        cr_bl[i][0] = -81 + 3 * i  # odd negatives: DC refine on negatives
+    comps_blocks = [ybl, cb_bl, cr_bl]
+
+    order = []  # MCU-interleaved (ci, block_index): 4 Y, 1 Cb, 1 Cr
+    for mcu in range(4):
+        my, mx = divmod(mcu, 2)
+        for by in range(2):
+            for bx in range(2):
+                order.append((0, (my * 2 + by) * 4 + (mx * 2 + bx)))
+        order.append((1, my * 2 + mx))
+        order.append((2, my * 2 + mx))
+
+    w1 = _JpegBitWriter()  # DC first, Al=1
+    preds = [0, 0, 0]
+    for ci, bi in order:
+        t1 = comps_blocks[ci][bi][0] >> 1
+        diff = t1 - preds[ci]
+        preds[ci] = t1
+        t = abs(diff).bit_length()
+        w1.put(*dc_enc[t])
+        if t:
+            w1.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w2 = _JpegBitWriter()  # DC refine
+    for ci, bi in order:
+        w2.put(comps_blocks[ci][bi][0] & 1, 1)
+    w3 = _ac_scan_writer(ybl, ac_enc)
+    w4 = _ac_scan_writer(cb_bl, ac_enc)
+    w5 = _ac_scan_writer(cr_bl, ac_enc)
+
+    sof = st.pack(">BHHB", 8, 32, 32, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dc3 = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+    file = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(0xC2, sof)
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _jpeg_seg(0xDA, dc3 + bytes([0, 0, 0x01]))
+        + w1.flush()
+        + _jpeg_seg(0xDA, dc3 + bytes([0, 0, 0x10]))
+        + w2.flush()
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + w3.flush()
+        + _jpeg_seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0x00]))
+        + w4.flush()
+        + _jpeg_seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0x00]))
+        + w5.flush()
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(file)
+
+    coefs = [
+        np.zeros((4, 4, 64), np.int32),
+        np.zeros((2, 2, 64), np.int32),
+        np.zeros((2, 2, 64), np.int32),
+    ]
+    for ci, blocks, bw2 in ((0, ybl, 4), (1, cb_bl, 2), (2, cr_bl, 2)):
+        for bi, blk in enumerate(blocks):
+            coefs[ci][bi // bw2, bi % bw2] = blk
+    comps = [
+        {"id": 1, "h": 2, "v": 2, "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 0},
+        {"id": 3, "h": 1, "v": 1, "tq": 0},
+    ]
+    exp = _render_jpeg_coefs(np, coefs, comps, {0: [1] * 64}, 32, 32, (2, 2, 2, 2))
+    assert got == exp
+
+
+def test_sequential_per_component_scans_decode(spark):
+    """A sequential (SOF0) file with THREE scans, one component each —
+    the exact shape the former 'JPEG multi-scan file'
+    NotImplementedError rejected.  4:4:4 so every grid matches; expected
+    pixels from the shared render over the same coefficient grids."""
+    import struct as st
+
+    import numpy as np
+
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _ZIGZAG,
+        _JpegBitWriter,
+        _render_jpeg_coefs,
+        decode_jpeg,
+    )
+
+    dc_enc, ac_enc, ac_bits, ac_vals = _coef_tables()
+    ybl = _lcg_blocks(4, seed=31)
+    cb_bl = _lcg_blocks(4, seed=32)
+    cr_bl = _lcg_blocks(4, seed=33)
+
+    def full_scan(blocks):
+        wtr = _JpegBitWriter()
+        pred = 0
+        for blk in blocks:
+            t, bitsv = _put_coded(wtr, blk[0] - pred)
+            pred = blk[0]
+            wtr.put(*dc_enc[t])
+            if t:
+                wtr.put(bitsv, t)
+            r = 0
+            for k in range(1, 64):
+                v = blk[_ZIGZAG[k]]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    wtr.put(*ac_enc[0xF0])
+                    r -= 16
+                s = abs(v).bit_length()
+                wtr.put(*ac_enc[(r << 4) | s])
+                wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if r:
+                wtr.put(*ac_enc[0x00])
+        return wtr
+
+    sof = st.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    file = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + full_scan(ybl).flush()
+        + _jpeg_seg(0xDA, bytes([1, 2, 0x00, 0, 63, 0]))
+        + full_scan(cb_bl).flush()
+        + _jpeg_seg(0xDA, bytes([1, 3, 0x00, 0, 63, 0]))
+        + full_scan(cr_bl).flush()
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(file)
+
+    coefs = [np.zeros((2, 2, 64), np.int32) for _ in range(3)]
+    for ci, blocks in enumerate((ybl, cb_bl, cr_bl)):
+        for bi, blk in enumerate(blocks):
+            coefs[ci][bi // 2, bi % 2] = blk
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 0},
+        {"id": 3, "h": 1, "v": 1, "tq": 0},
+    ]
+    exp = _render_jpeg_coefs(np, coefs, comps, {0: [1] * 64}, 16, 16, (1, 1, 2, 2))
+    assert got == exp
 
 
 def test_ms_adpcm_div256_truncates_toward_zero(spark):
