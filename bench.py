@@ -35,6 +35,19 @@ HEADLINE = [
     "text_quality",
 ]
 
+# Second tier (round 9): the LLM-pipeline headliners.  The headline set
+# is reference-parity only; these pin the extension surface's envelope
+# with the same min-of-N + profile discipline.  Their times go in
+# "extension"/"extension_total", NOT in "value", so the primary metric
+# stays comparable to BASELINE and earlier rounds.
+EXTENSION = [
+    "dedup_prefix_join",
+    "text_kn_logprob",
+    "text_ppl_buckets",
+    "ann_ivf_topk",
+    "corpus_prep_full",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,6 +123,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # extension tier: min-of-2 against the same warm session
+    ext_timings: dict[str, float] = {}
+    ext_runs: dict[str, list[float]] = {}
+    for name in EXTENSION:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        per_run = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            per_run.append(time.time() - t0)
+        ext_runs[name] = [round(t, 3) for t in per_run]
+        ext_timings[name] = round(min(per_run), 3)
+    ext_total = round(sum(ext_timings.values()), 3)
+
     # Per-stage execution profiles for the three queries that swung >30%
     # across rounds on unchanged code (r7 verdict task #3): shuffle
     # bytes and stage counts are code-determined — if a future bench
@@ -119,16 +148,9 @@ def main() -> None:
     try:
         from datalake_indexes_spark.plans.runtime import runtime_report_of
 
-        for name in (
-            "mate_join_search_multi",
-            "cocoa_enrich",
-            "dup_table_relations",
-        ):
-            fn = QUERIES.get(name)
-            if fn is None:
-                continue
+        def _prof(fn):
             rep = runtime_report_of(lambda: fn(spark, sf_dir), spark, min_stage_ms=50)
-            profile[name] = {
+            return {
                 "n_jobs": rep.get("n_jobs"),
                 "n_stages": rep.get("n_stages"),
                 "shuffle_read_mb": rep.get("shuffle_read_mb"),
@@ -137,6 +159,19 @@ def main() -> None:
                 "max_task_skew": rep.get("max_task_skew"),
                 "wall_s": rep.get("wall_s"),
             }
+
+        for name in (
+            "mate_join_search_multi",
+            "cocoa_enrich",
+            "dup_table_relations",
+        ):
+            fn = QUERIES.get(name)
+            if fn is not None:
+                profile[name] = _prof(fn)
+        for name in EXTENSION:  # extension tier: every key gets a profile
+            fn = QUERIES.get(name)
+            if fn is not None:
+                profile[name] = _prof(fn)
     except Exception as exc:  # profiles are diagnostics, never fail the bench
         profile = {"error": str(exc)[:200]}
 
@@ -148,6 +183,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "extension": ext_timings,
+                "extension_runs": ext_runs,
+                "extension_total": ext_total,
                 "warmup_s": warmup_s,
                 "profile": profile,
                 "sf": sf,
