@@ -2039,6 +2039,99 @@ def test_progressive_color_420_subsampled_grids(spark):
     assert got == exp
 
 
+def test_progressive_restart_intervals(spark):
+    """DRI in a progressive file: every scan's entropy data is split by
+    RSTn markers each `ri` units, resetting DC predictors and EOB runs.
+    Flat tiles (known pixels) with ri=5 over 64 blocks — 12 restarts per
+    scan, predictors re-based at each."""
+    import struct as st
+
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_EOBN_BITS,
+        _JPEG_EOBN_VALS,
+        _JpegBitWriter,
+        _huffman_encode_table,
+        decode_jpeg,
+        flat_gray_jpeg,
+    )
+
+    vals = [(i * 53 + 11) % 256 for i in range(64)]
+    dcs = [8 * (v - 128) for v in vals]
+    ri = 5
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob_enc = _huffman_encode_table(_JPEG_EOBN_BITS, _JPEG_EOBN_VALS)
+
+    def rst_join(chunks):
+        out = b""
+        for n, c in enumerate(chunks):
+            if n:
+                out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+            out += c
+        return out
+
+    def chunked(encode_chunk):
+        return rst_join(
+            [encode_chunk(dcs[i : i + ri]) for i in range(0, len(dcs), ri)]
+        )
+
+    def dc_first_chunk(seg_dcs):
+        wtr = _JpegBitWriter()
+        pred = 0  # predictor resets at every restart
+        for dc in seg_dcs:
+            t1 = dc >> 1
+            diff = t1 - pred
+            pred = t1
+            t = abs(diff).bit_length()
+            wtr.put(*dc_enc[t])
+            if t:
+                wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return wtr.flush()
+
+    def dc_refine_chunk(seg_dcs):
+        wtr = _JpegBitWriter()
+        for dc in seg_dcs:
+            wtr.put(dc & 1, 1)
+        return wtr.flush()
+
+    def ac_eob_chunk(seg_dcs):
+        wtr = _JpegBitWriter()
+        n = len(seg_dcs)  # EOB runs reset at restarts: re-issue per chunk
+        while n:
+            r = min(14, n.bit_length() - 1)
+            take = min(n, (1 << r) + ((1 << r) - 1))
+            r = take.bit_length() - 1
+            wtr.put(*eob_enc[r << 4])
+            if r:
+                wtr.put(take - (1 << r), r)
+            n -= take
+        return wtr.flush()
+
+    file = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(
+            0xC2, st.pack(">BHHB", 8, 32, 128, 1) + bytes([1, 0x11, 0])
+        )
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + _jpeg_seg(0xDD, st.pack(">H", ri))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + chunked(dc_first_chunk)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + chunked(dc_refine_chunk)
+        + _jpeg_seg(
+            0xC4, bytes([0x10]) + bytes(_JPEG_EOBN_BITS) + _JPEG_EOBN_VALS
+        )
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + chunked(ac_eob_chunk)
+        + b"\xff\xd9"
+    )
+    w, h, c, px = decode_jpeg(file)
+    assert (w, h, c) == (128, 32, 1)
+    assert px == decode_jpeg(flat_gray_jpeg(vals, 16, 4))[3]
+
+
 def test_sequential_per_component_scans_decode(spark):
     """A sequential (SOF0) file with THREE scans, one component each —
     the exact shape the former 'JPEG multi-scan file'
