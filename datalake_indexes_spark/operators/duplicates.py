@@ -89,22 +89,36 @@ class DuplicateDetection:
         the skewed-duplicate pathological case (e.g. a lake full of
         all-empty rows) stays linear.  :meth:`duplicate_rows` keeps the
         pair-level join for J5, whose OUTPUT is inherently pairwise.
+
+        The fingerprint is md5 of the JSON-encoded sorted row multiset —
+        unambiguous (JSON escaping), 128-bit (the same collision
+        convention :func:`dedup.exact_duplicates` rests on), and 16
+        bytes on the wire instead of the full value array, which halves
+        the second shuffle.  The fingerprint-count frame is
+        localCheckpointed before the self-join: Spark plans the two join
+        branches as independent subtrees, so without it the whole
+        cells-wide aggregation runs TWICE (measured: the two duplicated
+        53 MB shuffle stages dominated the bench profile at sf0.1).
         """
         sizes = self.index.table_info.select(
             "table_id", (F.col("max_row_id") + 1).alias("n_rows"), (F.col("max_col_id") + 1).alias("n_cols")
         )
         fp_counts = (
             self.index.cells.groupBy("table_id", "row_id")
-            .agg(F.sort_array(F.collect_list("tokenized")).alias("row_values"))
-            .groupBy("table_id", "row_values")
+            .agg(
+                F.md5(
+                    F.to_json(F.sort_array(F.collect_list("tokenized")))
+                ).alias("row_fp")
+            )
+            .groupBy("table_id", "row_fp")
             .agg(F.count(F.lit(1)).alias("__cnt"))
-        )
+        ).localCheckpoint(eager=False)
         a = fp_counts.alias("a")
         b = fp_counts.alias("b")
         counts = (
             a.join(
                 b,
-                (F.col("a.row_values") == F.col("b.row_values"))
+                (F.col("a.row_fp") == F.col("b.row_fp"))
                 & (F.col("a.table_id") < F.col("b.table_id")),
             )
             .groupBy(
