@@ -49,9 +49,12 @@ class DuplicateDetection:
 
         Returns (table_id_1, row_id_1, table_id_2, row_id_2), each unordered
         pair once.  Super-key equality prunes the self-join; sorted value
-        arrays verify (hash collisions drop out).
+        arrays verify (hash collisions drop out) — the arrays stay exact
+        (J5's verify contract), but the fingerprint frame is
+        localCheckpointed so the cells-wide aggregation feeds both
+        self-join branches instead of running twice.
         """
-        fp = row_fingerprints(self.index)
+        fp = row_fingerprints(self.index).localCheckpoint(eager=False)
         a = fp.alias("a")
         b = fp.alias("b")
         pair_order = (F.col("a.table_id") < F.col("b.table_id")) | (
