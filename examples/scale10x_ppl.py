@@ -53,12 +53,68 @@ def scaled_docs(spark, factor: int):
     return df
 
 
+def bucketing_only(spark, n_rows: int, n_sources: int = 8):
+    """Isolate the BUCKETING stage (both tiers share the KN scoring
+    prefix, which dominates end-to-end at sf0.1 scale): a synthetic
+    pre-scored (doc_id, source, score) frame, exact per-source ntile vs
+    GK thresholds + broadcast join, timed separately."""
+    from pyspark.sql import Window
+
+    scored = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % n_sources)).alias("source"),
+        (F.sin(F.col("id").cast("double")) * 7.0).alias("score"),
+    ).localCheckpoint()
+    scored.count()
+
+    def exact():
+        w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+        return scored.select("doc_id", F.ntile(3).over(w).alias("b"))
+
+    def approx():
+        thr = scored.groupBy("source").agg(
+            F.percentile_approx("score", F.lit([1 / 3, 2 / 3]), F.lit(10000)).alias("__t")
+        )
+        s = F.col("score")
+        return scored.join(F.broadcast(thr), "source").select(
+            "doc_id",
+            (F.lit(1) + F.size(F.filter("__t", lambda t: s <= t))).alias("b"),
+        )
+
+    def force(df):
+        # count() would let Catalyst PRUNE the bucket column (and with it
+        # the whole window) — aggregate over it so the work is real
+        return df.agg(F.sum("b")).collect()[0][0]
+
+    walls = {}
+    for label, fn in (("exact", exact), ("approx", approx)):
+        force(fn())  # warm
+        t0 = time.time()
+        force(fn())
+        walls[label] = round(time.time() - t0, 2)
+    return walls
+
+
 def main() -> None:
     from datalake_indexes_spark.operators.text_analysis import ppl_buckets
     from datalake_indexes_spark.session import get_spark
 
     spark = get_spark("scale10x-ppl")
     spark.sparkContext.setLogLevel("ERROR")
+
+    for n in (500_000, 5_000_000, 50_000_000):
+        w = bucketing_only(spark, n)
+        print(
+            json.dumps(
+                {
+                    "stage": "bucketing_only",
+                    "n_rows": n,
+                    "exact_s": w["exact"],
+                    "approx_s": w["approx"],
+                    "speedup": round(w["exact"] / max(w["approx"], 1e-9), 2),
+                }
+            )
+        )
 
     for factor in (1, 10):
         docs = scaled_docs(spark, factor)
