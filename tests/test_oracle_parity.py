@@ -1,28 +1,32 @@
-"""Driver-gate replica: every queries()/oracle_sql() pair must hash-match the
-DuckDB oracle at sf0.001 (the driver runs the same comparison at sf0.01)."""
+"""Driver-gate replica, shard 0 of 4 (see tests/_oracle_parity_common.py):
+every queries()/oracle_sql() pair must hash-match the DuckDB oracle at
+sf0.001 (the driver runs the same comparison at sf0.01).  Shards 1-3
+live in test_oracle_parity_s{1,2,3}.py; this shard also carries the
+entry smoke and the shards-cover-the-registry guard."""
 
 from __future__ import annotations
 
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.oracle_compare import compare
-
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+from tests._oracle_parity_common import (
+    N_SHARDS,
+    QUERIES,
+    check_parity,
+    shard_names,
+)
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", shard_names(0))
 def test_query_matches_oracle(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    if name not in ORACLES:
-        assert df.count() >= 0  # weaker rows-only check (non-SQL-expressible)
-        return
-    res = compare(df, ORACLES[name], sf_dir, name=name)
-    assert res["cols_match"], res
-    assert res["rows_match"], res
-    assert res["values_match"], res
+    check_parity(spark, sf_dir, name)
+
+
+def test_shards_cover_registry():
+    covered = [n for k in range(N_SHARDS) for n in shard_names(k)]
+    assert sorted(covered) == sorted(QUERIES)
+    assert len(covered) == len(set(covered))
 
 
 def test_entry_smoke(spark):
