@@ -49,6 +49,18 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing is byte-aware but CPU-blind: with the default
+        # 1 MB minPartitionSize it shrank the XASH Arrow-UDF stage to 10
+        # tasks on 32 cores (1.3 MB of shuffled cells carrying 33 s of
+        # hashing CPU).  parallelismFirst=true already prefers cluster
+        # parallelism over the advisory size when coalescing — a 64 KB
+        # floor lets small-byte/heavy-CPU stages actually reach it, while
+        # large stages are untouched (the floor only binds when
+        # partitions would drop below it).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
