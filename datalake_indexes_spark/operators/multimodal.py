@@ -507,6 +507,8 @@ _ZIGZAG = _zigzag_order()
 
 def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
     """Canonical JPEG Huffman table: (code_length, code) -> symbol."""
+    if sum(bits) > len(vals):
+        raise ValueError("JPEG truncated Huffman table")
     table = {}
     code = 0
     k = 0
@@ -635,6 +637,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 15
                 j += 1
+                if j + (128 if pq else 64) > len(seg):
+                    raise ValueError("JPEG truncated DQT")
                 if pq:  # 16-bit table
                     vals = list(struct.unpack(">64H", seg[j : j + 128]))
                     j += 128
@@ -643,6 +647,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     j += 64
                 qt[tq] = vals
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext-seq / progressive
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("JPEG truncated SOF")
             if seg[0] != 8:
                 raise NotImplementedError(f"JPEG precision {seg[0]} (8 only)")
             progressive = marker == 0xC2
@@ -676,21 +682,28 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 j += 17 + nvals
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("JPEG truncated DRI")
             ri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("JPEG truncated SOS")
             ns = seg[0]
             tabs = {}
             scomps = []
+            by_id = {cc["id"]: k for k, cc in enumerate(comps)}
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 tabs[cs] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                scomps.append(
-                    next(k for k, cc in enumerate(comps) if cc["id"] == cs)
-                )
+                if cs not in by_id:
+                    raise ValueError(f"JPEG SOS references unknown component {cs}")
+                scomps.append(by_id[cs])
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if ss > 63 or se > 63:
+                raise ValueError(f"JPEG invalid spectral band {ss}..{se}")
             if not progressive and ns == len(comps) and coefs is None:
                 # single-scan sequential: the original streaming fast path
                 return _decode_jpeg_scan(
@@ -710,8 +723,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 mcuy = (h + 8 * vmax - 1) // (8 * vmax)
                 geom = (hmax, vmax, mcux, mcuy)
                 coefs = [
+                    # int64: a corrupt stream can legally-shaped-ly feed
+                    # huge DC sums / large Al shifts; the decoder must
+                    # raise or decode, never overflow a C long
                     np.zeros(
-                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
                     )
                     for c in comps
                 ]
@@ -760,6 +776,8 @@ def _decode_scan_coefs(
     def block_full(ci, blk):
         # per-component sequential scan: full F.2 block decode, raw coefs
         t = reader.decode(dc_tbl[ci])
+        if t > 16:
+            raise ValueError(f"JPEG invalid DC category {t}")
         pred[ci] += _extend(reader.receive(t), t)
         blk[0] = pred[ci]
         k = 1
@@ -781,6 +799,8 @@ def _decode_scan_coefs(
 
     def dc_first(ci, blk):
         t = reader.decode(dc_tbl[ci])
+        if t > 16:  # DC categories are 0..16; a corrupt table can hand
+            raise ValueError(f"JPEG invalid DC category {t}")  # back any byte
         pred[ci] += _extend(reader.receive(t), t)
         blk[0] = pred[ci] << al
 
@@ -984,6 +1004,8 @@ def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri):
                 for bx in range(c["h"]):
                     blk = np.zeros(64, dtype=np.float64)
                     t = reader.decode(dc_tbl[ci])
+                    if t > 16:  # categories are 0..16; corrupt tables
+                        raise ValueError(f"JPEG invalid DC category {t}")
                     pred[ci] += _extend(reader.receive(t), t)
                     blk[0] = pred[ci] * quant[ci][0]
                     k = 1

@@ -2213,6 +2213,59 @@ def test_sequential_per_component_scans_decode(spark):
     assert got == exp
 
 
+def test_progressive_jpeg_mutation_robustness(spark):
+    """Byte-mutation fuzz over a valid progressive file: every mutant
+    must either decode or raise a clean ValueError /
+    NotImplementedError / struct.error — never hang, never crash the
+    interpreter, never IndexError out of the coefficient machinery.
+    Deterministic LCG positions; entropy, marker and header bytes all
+    get hit."""
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_gray_jpeg_progressive,
+    )
+
+    base = bytearray(
+        flat_gray_jpeg_progressive([(i * 31) % 256 for i in range(64)], 16, 4)
+    )
+    state = 424242
+    outcomes = {"ok": 0, "raised": 0}
+    for trial in range(300):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        pos = 2 + state % (len(base) - 2)  # keep the SOI so it IS a JPEG
+        state = (1103515245 * state + 12345) % (1 << 31)
+        mut = bytearray(base)
+        mut[pos] ^= 1 + (state % 255)
+        try:
+            w, h, c, px = decode_jpeg(bytes(mut))
+            assert len(px) == w * h * c
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["raised"] += 1
+    # both outcomes must occur: some mutations are benign (pad bits,
+    # magnitude bits), some corrupt structure — a fuzz that only ever
+    # raises would mean the decoder rejects valid-ish streams
+    assert outcomes["ok"] > 0 and outcomes["raised"] > 0, outcomes
+
+
+def test_progressive_jpeg_truncation_robustness(spark):
+    """Every truncation point of a progressive file raises cleanly or
+    decodes (EOI-less tails render what accumulated) — no hangs, no
+    uncontrolled exceptions from half-read scans."""
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_gray_jpeg_progressive,
+    )
+
+    full = flat_gray_jpeg_progressive([(i * 13) % 256 for i in range(16)], 4, 4)
+    for cut in range(2, len(full), 7):
+        try:
+            w, h, c, px = decode_jpeg(full[:cut])
+            assert len(px) == w * h * c
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_ms_adpcm_div256_truncates_toward_zero(spark):
     """The spec's ``/ 256`` is C division (truncate toward zero), which a
     flooring ``>> 8`` gets wrong by 1 on negative non-multiples — the
