@@ -596,9 +596,12 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     scans, EOB runs and restart intervals), multi-scan sequential files
     (per-component scans), grayscale and 3-component YCbCr at any
     integer sampling ratio (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), 8/16-bit
-    quant tables, restart intervals.  Hierarchical, arithmetic-coded
-    and lossless SOFs, 12-bit precision and 4-component (CMYK) scans
-    raise ``NotImplementedError`` naming the feature.  A DC-only block
+    quant tables, restart intervals, and 4-component Adobe CMYK / YCCK
+    (APP14 transform 2 undoes the YCbCr step on the CMY planes; values
+    return AS STORED, channels=4 — the Adobe inverted-ink convention is
+    the caller's, mirroring libjpeg).  Hierarchical, arithmetic-coded
+    and lossless SOFs and 12-bit precision raise
+    ``NotImplementedError`` naming the feature.  A DC-only block
     (flat 8x8 tile) decodes BIT-EXACTLY (the IDCT of a lone DC term is
     the constant DC/8, exact in doubles), which is what lets the
     planted fixture's DuckDB twin recompute pixel stats straight from
@@ -615,6 +618,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     w = h = None
     ri = 0
     progressive = False
+    adobe_transform = 0  # APP14 flag: 2 = YCCK (CMY ran through YCbCr)
     coefs = None  # per-component raw coefficient grids (multi-scan path)
     geom = None  # (hmax, vmax, mcux, mcuy)
     i = 2
@@ -654,9 +658,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"JPEG {nc}-component scan (grayscale/YCbCr only)"
+                    f"JPEG {nc}-component scan (grayscale/YCbCr/CMYK only)"
                 )
             comps = [
                 {
@@ -685,6 +689,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 2:
                 raise ValueError("JPEG truncated DRI")
             ri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE:  # APP14 — Adobe color-transform flag
+            if len(seg) >= 12 and bytes(seg[:5]) == b"Adobe":
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -707,7 +714,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             if not progressive and ns == len(comps) and coefs is None:
                 # single-scan sequential: the original streaming fast path
                 return _decode_jpeg_scan(
-                    np, b, i + 2 + seglen, w, h, comps, tabs, qt, huff, ri
+                    np, b, i + 2 + seglen, w, h, comps, tabs, qt, huff, ri,
+                    adobe_transform,
                 )
             # progressive or per-component sequential: accumulate raw
             # coefficients across scans, render at EOI
@@ -738,7 +746,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             continue
         i += 2 + seglen
     if coefs is not None:
-        return _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom)
+        return _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom, adobe_transform)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -916,7 +924,42 @@ def _decode_scan_coefs(
     return reader.i
 
 
-def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom):
+def _jpeg_color_out(np, full, w, h, adobe_transform=0):
+    """Shared color-convert tail: component planes -> interleaved pixel
+    bytes.  1 = grayscale, 3 = JFIF YCbCr->RGB, 4 = Adobe CMYK/YCCK
+    (APP14 transform 2 undoes the YCbCr step on the CMY planes, K
+    passes through; values stay AS STORED — the Adobe inverted-ink
+    convention is the caller's to undo, mirroring libjpeg)."""
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return int(w), int(h), 1, out.tobytes()
+    if len(full) == 4:
+        if adobe_transform == 2:  # YCCK: invert the YCbCr transform on CMY
+            yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            chans = [
+                yy + 1.402 * cr,
+                yy - 0.344136 * cb - 0.714136 * cr,
+                yy + 1.772 * cb,
+                full[3],
+            ]
+        else:
+            chans = full
+        out = np.clip(np.rint(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
+        return int(w), int(h), 4, out.tobytes()
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            yy + 1.402 * cr,
+            yy - 0.344136 * cb - 0.714136 * cr,
+            yy + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return int(w), int(h), 3, out.tobytes()
+
+
+def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom, adobe_transform=0):
     """Dequantize + IDCT + upsample + color-convert the accumulated
     coefficient grids — batched numpy (one matmul triple-product over
     all blocks), same math as the streaming baseline path."""
@@ -946,23 +989,10 @@ def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom):
         if fy > 1 or fx > 1:  # sample replication (box) upsample
             plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
         full.append(plane[:h, :w])
-    if len(comps) == 1:
-        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return int(w), int(h), 1, out.tobytes()
-    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [
-            yy + 1.402 * cr,
-            yy - 0.344136 * cb - 0.714136 * cr,
-            yy + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    return int(w), int(h), 3, out.tobytes()
+    return _jpeg_color_out(np, full, w, h, adobe_transform)
 
 
-def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri):
+def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri, adobe_transform=0):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -1039,20 +1069,7 @@ def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri):
         if fy > 1 or fx > 1:  # sample replication (box) upsample
             p = p.repeat(fy, axis=0).repeat(fx, axis=1)
         full.append(p[:h, :w])
-    if len(comps) == 1:
-        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return int(w), int(h), 1, out.tobytes()
-    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [
-            yy + 1.402 * cr,
-            yy - 0.344136 * cb - 0.714136 * cr,
-            yy + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    return int(w), int(h), 3, out.tobytes()
+    return _jpeg_color_out(np, full, w, h, adobe_transform)
 
 
 # IMA/DVI ADPCM constants (public spec: IMA Digital Audio Focus Group,
@@ -1471,6 +1488,75 @@ def flat_gray_jpeg_progressive(values, tiles_w: int, tiles_h: int) -> bytes:
         + seg(0xC4, bytes([0x10]) + bytes(_JPEG_EOBN_BITS) + _JPEG_EOBN_VALS)
         + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC first
         + w3.flush()
+        + b"\xff\xd9"
+    )
+
+
+def flat_cmyk_jpeg(
+    channel_values, tiles_w: int, tiles_h: int, ycck: bool = False
+) -> bytes:
+    """A REAL 4-component Adobe JPEG whose 8x8 tiles are flat per-channel
+    values — ``channel_values`` is four equal-length streams (C, M, Y, K
+    as stored), one value per tile, row-major.  All components sample
+    1:1, one interleaved baseline scan, quant table of ones, so every
+    tile decodes BIT-EXACTLY like :func:`flat_gray_jpeg`'s.  An APP14
+    'Adobe' segment carries transform 0 (raw CMYK) or 2 (YCCK,
+    ``ycck=True`` — the channel values are then what the DECODER should
+    OUTPUT; the encoder applies the forward YCbCr transform to the
+    first three so the round trip lands back on them)."""
+    assert len(channel_values) == 4
+    assert all(len(ch) == tiles_w * tiles_h for ch in channel_values)
+    chans = [list(map(float, ch)) for ch in channel_values]
+    if ycck:
+        # forward transform (JFIF RGB->YCbCr) over the first three
+        # channels; flat tiles stay flat so DC-only encoding still holds
+        fwd = []
+        for r, g, bl in zip(*chans[:3]):
+            fwd.append((
+                0.299 * r + 0.587 * g + 0.114 * bl,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl,
+            ))
+        chans = [
+            [round(v[0]) for v in fwd],
+            [round(v[1]) for v in fwd],
+            [round(v[2]) for v in fwd],
+            chans[3],
+        ]
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob_code = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00]
+    wtr = _JpegBitWriter()
+    preds = [0, 0, 0, 0]
+    for t in range(tiles_w * tiles_h):
+        for ci in range(4):
+            dc = 8 * (int(chans[ci][t]) - 128)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            tt = abs(diff).bit_length()
+            wtr.put(*dc_enc[tt])
+            if tt:
+                wtr.put(diff if diff >= 0 else diff + (1 << tt) - 1, tt)
+            wtr.put(*eob_code)
+    entropy = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # 'Adobe' + version(2) + flags0(2) + flags1(2) + transform(1) = 12 bytes
+    app14 = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0)
+    sof = struct.pack(">BHHB", 8, tiles_h * 8, tiles_w * 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    sos = bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xEE, app14)
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, sof)
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS)
+        + seg(0xDA, sos)
+        + entropy
         + b"\xff\xd9"
     )
 
@@ -2063,6 +2149,89 @@ def audio_waveform_features(
             "peak_to_peak"
         ),
     )
+
+CMYK_TILES_W, CMYK_TILES_H = 8, 8  # 64x64 px: 64 tiles/channel = 64 text bytes
+
+
+def attach_real_cmyk(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL 4-component Adobe CMYK
+    JPEG (APP14 transform 0) whose flat 8x8 tiles derive all four
+    channels from the doc's first 64 printable-ASCII bytes ``b``:
+    C = b, M = 255−b, Y = (b+64) mod 256, K = (2b) mod 256 — four
+    SQL-recomputable streams through the genuine 4-component entropy
+    decode, each bit-exact (transform 0 applies no color math)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tiles = CMYK_TILES_W * CMYK_TILES_H
+
+    @pandas_udf("binary")
+    def _cmyk(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        def build(text: str) -> bytes:
+            clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
+            vals = clean[:n_tiles].ljust(n_tiles).encode()
+            chans = [
+                list(vals),
+                [255 - v for v in vals],
+                [(v + 64) % 256 for v in vals],
+                [(2 * v) % 256 for v in vals],
+            ]
+            return flat_cmyk_jpeg(chans, CMYK_TILES_W, CMYK_TILES_H)
+
+        return texts.map(build)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _cmyk(F.col(text_col)).alias("payload")
+    )
+
+
+def cmyk_channel_stats(
+    images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-channel means of 4-component images through the real decode:
+    (doc_id, width, height, c_mean, m_mean, y_mean, k_mean).  The means
+    are exact dyadic quotients on the tile fixtures (64-px tiles, power-
+    of-two pixel counts), so a DuckDB twin recomputes them from text
+    with no rounding step.  Non-4-channel or undecodable payloads yield
+    NULL stats (crawl corpora contain garbage)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<width:int,height:int,c_sum:long,m_sum:long,y_sum:long,k_sum:long>"
+    )
+    def _px(payloads: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for p in payloads:
+            try:
+                w, h, ch, pix = decode_image(bytes(p))
+                if ch != 4:
+                    raise ValueError("not 4-channel")
+                a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 4)
+                s = a.sum(axis=0, dtype=np.int64)
+                rows.append((w, h, int(s[0]), int(s[1]), int(s[2]), int(s[3])))
+            except (ValueError, NotImplementedError, IndexError):
+                rows.append((None, None, None, None, None, None))
+        return pd.DataFrame(
+            rows, columns=["width", "height", "c_sum", "m_sum", "y_sum", "k_sum"]
+        )
+
+    s = images.select(F.col(id_col).alias("doc_id"), _px(F.col(payload_col)).alias("s"))
+    n = (F.col("s.width") * F.col("s.height")).cast("double")
+    return s.select(
+        "doc_id",
+        F.col("s.width").alias("width"),
+        F.col("s.height").alias("height"),
+        (F.col("s.c_sum").cast("double") / n).alias("c_mean"),
+        (F.col("s.m_sum").cast("double") / n).alias("m_mean"),
+        (F.col("s.y_sum").cast("double") / n).alias("y_mean"),
+        (F.col("s.k_sum").cast("double") / n).alias("k_mean"),
+    )
+
 
 def image_pixel_stats(
     images: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"

@@ -263,3 +263,38 @@ FROM p LEFT JOIN m USING (doc_id) LEFT JOIN c USING (doc_id)
 """
 
 
+
+def multimodal_cmyk_pixel_stats_sql() -> str:
+    """Twin of ``cmyk_channel_stats(attach_real_cmyk(documents))`` — the
+    engine decodes a REAL 4-component Adobe JPEG (transform 0 = no color
+    math) whose channels derive from the first 64 printable-ASCII text
+    bytes b as C=b, M=255-b, Y=(b+64) mod 256, K=(2b) mod 256, one flat
+    64-px tile per byte.  Channel mean = 64*sum/4096 = sum/64, a dyadic
+    quotient — exact on both engines."""
+    from datalake_indexes_spark.operators.multimodal import (
+        CMYK_TILES_H,
+        CMYK_TILES_W,
+    )
+
+    n_tiles = CMYK_TILES_W * CMYK_TILES_H
+    w, h = CMYK_TILES_W * 8, CMYK_TILES_H * 8
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         rpad(regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', ' ', 'g'),
+              {n_tiles}, ' ') AS px
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ord(c) AS v
+  FROM (SELECT doc_id, unnest(string_split(px, '')) AS c FROM s)
+)
+SELECT doc_id,
+       CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height,
+       CAST(sum(v) AS DOUBLE) / {n_tiles} AS c_mean,
+       CAST(sum(255 - v) AS DOUBLE) / {n_tiles} AS m_mean,
+       CAST(sum((v + 64) % 256) AS DOUBLE) / {n_tiles} AS y_mean,
+       CAST(sum((2 * v) % 256) AS DOUBLE) / {n_tiles} AS k_mean
+FROM b GROUP BY doc_id
+"""

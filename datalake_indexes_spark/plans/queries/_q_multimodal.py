@@ -116,3 +116,18 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_waveform_features(attach_real_wav(_docs(spark, sf_dir)))
 
 
+
+def q_multimodal_cmyk_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4-component Adobe CMYK decode end-to-end (round 9): every
+    doc gets a genuine interleaved 4-component baseline JPEG (APP14
+    transform 0) whose flat tiles derive all four channels from its
+    first 64 text bytes; the engine entropy-decodes all four planes
+    with :func:`multimodal.decode_jpeg` — transform 0 applies no color
+    math, so each channel is bit-exact and the DuckDB twin recomputes
+    the per-channel means straight from ``text``."""
+    from datalake_indexes_spark.operators.multimodal import (
+        attach_real_cmyk,
+        cmyk_channel_stats,
+    )
+
+    return cmyk_channel_stats(attach_real_cmyk(_docs(spark, sf_dir)))

@@ -1177,6 +1177,14 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
+from datalake_indexes_spark.plans.queries._q_multimodal import (  # noqa: E402
+    q_multimodal_cmyk_pixel_stats,
+)
+
+QUERIES["multimodal_cmyk_pixel_stats"] = q_multimodal_cmyk_pixel_stats
+ORACLES["multimodal_cmyk_pixel_stats"] = oracle.multimodal_cmyk_pixel_stats_sql()
+
+
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
     return head | {k: v for k, v in d.items() if k not in head}

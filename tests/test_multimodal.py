@@ -2213,6 +2213,62 @@ def test_sequential_per_component_scans_decode(spark):
     assert got == exp
 
 
+def test_cmyk_jpeg_raw_transform_bit_exact(spark):
+    """4-component Adobe CMYK (APP14 transform 0): no color math, each
+    channel's flat tiles must come back byte-exact, channels=4
+    interleaved."""
+    import numpy as np
+
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_cmyk_jpeg,
+    )
+
+    n = 12
+    chans = [
+        [(i * 17 + 3) % 256 for i in range(n)],
+        [(i * 31 + 7) % 256 for i in range(n)],
+        [(i * 53 + 11) % 256 for i in range(n)],
+        [(i * 97 + 13) % 256 for i in range(n)],
+    ]
+    w, h, c, px = decode_jpeg(flat_cmyk_jpeg(chans, 4, 3))
+    assert (w, h, c) == (32, 24, 4)
+    a = np.frombuffer(px, dtype=np.uint8).reshape(24, 32, 4)
+    for ci in range(4):
+        got = [int(a[ty * 8, tx * 8, ci]) for ty in range(3) for tx in range(4)]
+        assert got == chans[ci], (ci, got)
+
+
+def test_ycck_jpeg_transform_roundtrip(spark):
+    """APP14 transform 2 (YCCK): the encoder runs the forward YCbCr
+    transform over the CMY planes, the decoder must undo it — within
+    the +-2 a rounded forward/float inverse pair can differ; K passes
+    through untouched, so it stays exact."""
+    import numpy as np
+
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_cmyk_jpeg,
+    )
+
+    n = 12
+    chans = [
+        [(i * 19 + 40) % 200 + 20 for i in range(n)],
+        [(i * 23 + 60) % 200 + 20 for i in range(n)],
+        [(i * 29 + 80) % 200 + 20 for i in range(n)],
+        [(i * 41 + 5) % 256 for i in range(n)],
+    ]
+    w, h, c, px = decode_jpeg(flat_cmyk_jpeg(chans, 4, 3, ycck=True))
+    assert (w, h, c) == (32, 24, 4)
+    a = np.frombuffer(px, dtype=np.uint8).reshape(24, 32, 4)
+    for ci in range(4):
+        got = [int(a[ty * 8, tx * 8, ci]) for ty in range(3) for tx in range(4)]
+        tol = 0 if ci == 3 else 2
+        assert all(abs(g - v) <= tol for g, v in zip(got, chans[ci])), (
+            ci, got, chans[ci],
+        )
+
+
 def test_progressive_jpeg_mutation_robustness(spark):
     """Byte-mutation fuzz over a valid progressive file: every mutant
     must either decode or raise a clean ValueError /
