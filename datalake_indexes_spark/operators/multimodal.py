@@ -367,6 +367,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         ctype = bytes(b[i + 4 : i + 8])
         data = b[i + 8 : i + 8 + clen]
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("PNG truncated IHDR")
             w, h = struct.unpack(">II", data[:8])
             bd, ct, interlace = data[8], data[9], data[12]
         elif ctype == b"PLTE":
@@ -391,7 +393,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
-    raw = zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]))
+    try:
+        raw = zlib.decompressobj(wbits=-15).decompress(bytes(idat[2:]))
+    except zlib.error as exc:  # corrupt deflate stream -> clean contract
+        raise ValueError(f"PNG corrupt IDAT stream: {exc}") from exc
     scale = 255 // ((1 << bd) - 1) if (bd < 8 and ct == 0) else 1
 
     def decode_pass(pos: int, pw: int, ph: int) -> tuple[list[bytes], int]:

@@ -2322,6 +2322,88 @@ def test_progressive_jpeg_truncation_robustness(spark):
             pass
 
 
+def _fuzz_decoder(blob, fn, seed, trials=300, step=5):
+    """Shared mutation+truncation fuzz driver: every mutant/prefix must
+    decode or raise ValueError/NotImplementedError — the per-payload
+    contract the mapInPandas stats operators rely on at crawl scale
+    (one uncaught exception class fails the whole job, not the row)."""
+    state = seed
+    outcomes = {"ok": 0, "raised": 0}
+    for _ in range(trials):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        pos = state % len(blob)
+        state = (1103515245 * state + 12345) % (1 << 31)
+        mut = bytearray(blob)
+        mut[pos] ^= 1 + (state % 255)
+        try:
+            fn(bytes(mut))
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["raised"] += 1
+    for cut in range(1, len(blob), step):
+        try:
+            fn(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    return outcomes
+
+
+def test_png_decoder_fuzz_contract(spark):
+    import struct as st
+    import zlib
+
+    from datalake_indexes_spark.operators.multimodal import decode_png
+
+    def chunk(tag, body):
+        return (
+            st.pack(">I", len(body)) + tag + body
+            + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w, h = 16, 8
+    raw = b"".join(
+        b"\x00" + bytes((x * 7 + y * 3) % 256 for x in range(w))
+        for y in range(h)
+    )
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    )
+    out = _fuzz_decoder(png, decode_png, seed=777)
+    assert out["raised"] > 0  # corrupt IDAT/IHDR must raise cleanly
+
+
+def test_wav_decoder_fuzz_contract(spark):
+    import math
+    import struct as st
+
+    from datalake_indexes_spark.operators.multimodal import decode_wav
+
+    samples = b"".join(
+        st.pack("<h", int(8000 * math.sin(i / 10))) for i in range(200)
+    )
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + st.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16) + fmt
+        + b"data" + st.pack("<I", len(samples)) + samples
+    )
+    out = _fuzz_decoder(wav, decode_wav, seed=888)
+    assert out["ok"] > 0  # sample-byte mutations still decode
+
+
+def test_avi_demux_fuzz_contract(spark):
+    from datalake_indexes_spark.operators.multimodal import (
+        extract_avi_frames,
+        flat_gray_jpeg,
+        mjpeg_avi,
+    )
+
+    avi = mjpeg_avi([flat_gray_jpeg([100] * 16, 4, 4)] * 2, 32, 32)
+    _fuzz_decoder(avi, extract_avi_frames, seed=999, trials=200, step=11)
+
+
 def test_ms_adpcm_div256_truncates_toward_zero(spark):
     """The spec's ``/ 256`` is C division (truncate toward zero), which a
     flooring ``>> 8`` gets wrong by 1 on negative non-multiples — the
