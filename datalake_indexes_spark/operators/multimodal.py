@@ -623,7 +623,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     w = h = None
     ri = 0
     progressive = False
-    adobe_transform = 0  # APP14 flag: 2 = YCCK (CMY ran through YCbCr)
+    # APP14 flag: None = no Adobe marker (JFIF conventions); 0 = Adobe
+    # untransformed (3-comp = RGB stored directly, 4-comp = raw CMYK);
+    # 1 = YCbCr; 2 = YCCK (CMY ran through YCbCr)
+    adobe_transform = None
     coefs = None  # per-component raw coefficient grids (multi-scan path)
     geom = None  # (hmax, vmax, mcux, mcuy)
     i = 2
@@ -676,6 +679,12 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 }
                 for c in range(nc)
             ]
+            for c in comps:  # T.81 B.2.2: sampling factors are 1..4; a
+                # corrupt 0 nibble would ZeroDivisionError the geometry
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                    raise ValueError(
+                        f"JPEG invalid sampling factor {c['h']}x{c['v']}"
+                    )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} coding "
@@ -703,6 +712,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("JPEG truncated SOS")
             ns = seg[0]
+            if not 1 <= ns <= 4:
+                raise ValueError(f"JPEG SOS with {ns} components")
             tabs = {}
             scomps = []
             by_id = {cc["id"]: k for k, cc in enumerate(comps)}
@@ -712,6 +723,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 if cs not in by_id:
                     raise ValueError(f"JPEG SOS references unknown component {cs}")
                 scomps.append(by_id[cs])
+            if len(set(scomps)) != ns:  # duplicate ids would alias tabs
+                raise ValueError("JPEG SOS lists a component twice")
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             if ss > 63 or se > 63:
@@ -781,7 +794,9 @@ def _decode_scan_coefs(
             raise ValueError("JPEG progressive DC scan with Se != 0")
         if ss > 0 and len(scomps) != 1:
             raise ValueError("JPEG progressive AC scan must be single-component")
-        if ss > 0 and ah == 0 and ac_tbl[scomps[0]] is None:
+        # AC REFINEMENT also Huffman-decodes run/size symbols, so the
+        # table is required for ah>0 too, not just first scans
+        if ss > 0 and ac_tbl[scomps[0]] is None:
             raise ValueError("JPEG missing Huffman table")
         if ss == 0 and ah == 0 and any(dc_tbl[ci] is None for ci in scomps):
             raise ValueError("JPEG missing Huffman table")
@@ -929,15 +944,20 @@ def _decode_scan_coefs(
     return reader.i
 
 
-def _jpeg_color_out(np, full, w, h, adobe_transform=0):
+def _jpeg_color_out(np, full, w, h, adobe_transform=None):
     """Shared color-convert tail: component planes -> interleaved pixel
-    bytes.  1 = grayscale, 3 = JFIF YCbCr->RGB, 4 = Adobe CMYK/YCCK
-    (APP14 transform 2 undoes the YCbCr step on the CMY planes, K
-    passes through; values stay AS STORED — the Adobe inverted-ink
-    convention is the caller's to undo, mirroring libjpeg)."""
+    bytes.  1 = grayscale; 3 = YCbCr->RGB, UNLESS an Adobe APP14 marker
+    said transform 0 (Adobe stores RGB directly then — libjpeg's rule);
+    4 = Adobe CMYK/YCCK (APP14 transform 2 undoes the YCbCr step on the
+    CMY planes, K passes through; values stay AS STORED — the Adobe
+    inverted-ink convention is the caller's to undo, mirroring
+    libjpeg).  ``adobe_transform=None`` means no Adobe marker."""
     if len(full) == 1:
         out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return int(w), int(h), 1, out.tobytes()
+    if len(full) == 3 and adobe_transform == 0:  # Adobe RGB: no transform
+        out = np.clip(np.rint(np.stack(full, axis=-1)), 0, 255).astype(np.uint8)
+        return int(w), int(h), 3, out.tobytes()
     if len(full) == 4:
         if adobe_transform == 2:  # YCCK: invert the YCbCr transform on CMY
             yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -964,7 +984,7 @@ def _jpeg_color_out(np, full, w, h, adobe_transform=0):
     return int(w), int(h), 3, out.tobytes()
 
 
-def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom, adobe_transform=0):
+def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom, adobe_transform=None):
     """Dequantize + IDCT + upsample + color-convert the accumulated
     coefficient grids — batched numpy (one matmul triple-product over
     all blocks), same math as the streaming baseline path."""
@@ -997,7 +1017,7 @@ def _render_jpeg_coefs(np, coefs, comps, qt, w, h, geom, adobe_transform=0):
     return _jpeg_color_out(np, full, w, h, adobe_transform)
 
 
-def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri, adobe_transform=0):
+def _decode_jpeg_scan(np, b, pos, w, h, comps, tabs, qt, huff, ri, adobe_transform=None):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -1589,27 +1609,31 @@ def attach_real_jpeg(
 
     n_tiles = JPEG_TILES_W * JPEG_TILES_H
 
-    def _maker(encoder):
-        @pandas_udf("binary")
-        def _jpeg(texts: pd.Series) -> pd.Series:
-            import re as _re
+    @pandas_udf("binary")
+    def _jpeg(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        # ONE udf choosing the encoder per row: a F.when over two pandas
+        # UDFs would evaluate BOTH (Spark hoists them out of the
+        # conditional into unconditional ArrowEvalPython nodes) and
+        # double the fixture-build CPU
+        import re as _re
 
-            def build(text: str) -> bytes:
-                clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
-                vals = clean[:n_tiles].ljust(n_tiles).encode()
-                return encoder(list(vals), JPEG_TILES_W, JPEG_TILES_H)
+        def build(doc_id, text) -> bytes:
+            clean = _re.sub(r"[^\x20-\x7E]", " ", text or "")
+            vals = list(clean[:n_tiles].ljust(n_tiles).encode())
+            enc = (
+                flat_gray_jpeg_progressive
+                if int(doc_id) % 2 == 1
+                else flat_gray_jpeg
+            )
+            return enc(vals, JPEG_TILES_W, JPEG_TILES_H)
 
-            return texts.map(build)
+        return pd.Series(
+            [build(i, t) for i, t in zip(ids, texts)], dtype=object
+        )
 
-        return _jpeg
-
-    base_udf = _maker(flat_gray_jpeg)
-    prog_udf = _maker(flat_gray_jpeg_progressive)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.col(id_col) % 2 == 1, prog_udf(F.col(text_col)))
-        .otherwise(base_udf(F.col(text_col)))
-        .alias("payload"),
+        _jpeg(F.col(id_col), F.col(text_col)).alias("payload"),
     )
 
 

@@ -2210,14 +2210,20 @@ def ppl_buckets(
             F.percentile_approx(
                 "avg_logprob_kn", F.lit(ps), F.lit(int(approx_accuracy))
             ).alias("__thr")
-        )
+        ).withColumnRenamed("source", "__thr_source")
         score = F.col("avg_logprob_kn")
         # thresholds ascend with p; the most fluent doc clears them all
         # (zero thresholds at-or-above it) -> bucket 1 = head
         n_above = F.size(F.filter("__thr", lambda t: score <= t))
         bucket = (F.lit(1) + n_above).cast("long")
         return (
-            j.join(F.broadcast(thresholds), "source")
+            # null-safe join: groupBy keeps a NULL-source group (and the
+            # exact tier's window buckets those docs), so a plain
+            # equi-join would silently DROP every NULL-source doc
+            j.join(
+                F.broadcast(thresholds),
+                F.col("source").eqNullSafe(F.col("__thr_source")),
+            )
             .select(
                 "doc_id",
                 "source",

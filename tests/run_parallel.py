@@ -83,14 +83,6 @@ def main() -> int:
 
     results: dict[str, tuple[int, float, str]] = {}
     lock = threading.Lock()
-    counts = {"passed": 0, "failed": 0, "skipped": 0}
-    import re as _re
-
-    def tally(out: str) -> None:
-        for n, what in _re.findall(r"(\d+) (passed|failed|skipped|error)", out):
-            counts[{"error": "failed"}.get(what, what)] = (
-                counts.get({"error": "failed"}.get(what, what), 0) + int(n)
-            )
 
     def worker() -> None:
         while True:
@@ -109,7 +101,6 @@ def main() -> int:
             out = p.stdout + p.stderr
             with lock:
                 results[os.path.basename(f)] = (p.returncode, dt, out)
-                tally(p.stdout)
                 status = "ok" if p.returncode in (0, 5) else "FAIL"
                 print(f"[{len(results):>3}/{len(files)}] {status:4} "
                       f"{os.path.basename(f):44} {dt:7.1f}s", flush=True)
@@ -150,8 +141,21 @@ def main() -> int:
             failed.remove(f)
             retried_ok.append(f)
             print(f"--- {f}: PASSED on serial retry (parallel-run flake)")
-        else:
-            results[f] = (p.returncode, results[f][1], p.stdout + p.stderr)
+        # keep the FINAL run's output either way, so the tally below
+        # reflects post-retry suite health, not the flaky first attempt
+        results[f] = (p.returncode, results[f][1], p.stdout + p.stderr)
+
+    # tally from the final per-file outputs (post-retry), not the
+    # parallel phase — a retried-green file must not leave stale
+    # failure counts in the summary
+    import re as _re
+
+    counts = {"passed": 0, "failed": 0, "skipped": 0}
+    for _code, _dt, out in results.values():
+        for n, what in _re.findall(r"(\d+) (passed|failed|skipped|error)", out):
+            key = {"error": "failed"}.get(what, what)
+            counts[key] = counts.get(key, 0) + int(n)
+
     for f in failed:
         print(f"\n===== {f} output =====")
         print(results[f][2][-12000:])

@@ -179,6 +179,28 @@ def test_ppl_buckets_approx_plan_has_no_source_window(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_ppl_buckets_approx_keeps_null_source_docs(spark):
+    # Real crawl corpora carry NULL sources; the exact tier's window
+    # buckets them as their own partition, and the approx tier's
+    # threshold join must be null-safe or those docs silently vanish.
+    from pyspark.sql import functions as F
+
+    from datalake_indexes_spark.operators.text_analysis import ppl_buckets
+
+    docs = _two_source_corpus(spark, docs_per_source=3).withColumn(
+        "source",
+        F.when(F.col("source") == "B", F.lit(None).cast("string")).otherwise(
+            F.col("source")
+        ),
+    )
+    exact = ppl_buckets(docs, n_buckets=3).collect()
+    approx = ppl_buckets(docs, n_buckets=3, approx=True).collect()
+    assert len(exact) == len(approx) == 6
+    null_rows = [r for r in approx if r["source"] is None]
+    assert len(null_rows) == 3
+    assert sorted(r["bucket"] for r in null_rows) == [1, 2, 3]
+
+
 def test_ppl_buckets_approx_single_bucket(spark):
     from datalake_indexes_spark.operators.text_analysis import ppl_buckets
 

@@ -2326,15 +2326,21 @@ def _fuzz_decoder(blob, fn, seed, trials=300, step=5):
     """Shared mutation+truncation fuzz driver: every mutant/prefix must
     decode or raise ValueError/NotImplementedError — the per-payload
     contract the mapInPandas stats operators rely on at crawl scale
-    (one uncaught exception class fails the whole job, not the row)."""
+    (one uncaught exception class fails the whole job, not the row).
+    Mutates 1-4 bytes per trial: several of the round-9 review's
+    reproductions (zero sampling factors, duplicated SOS ids, refine
+    scans pointing at missing tables) need coordinated multi-byte
+    corruption a single-flip fuzz can never reach."""
     state = seed
     outcomes = {"ok": 0, "raised": 0}
     for _ in range(trials):
-        state = (1103515245 * state + 12345) % (1 << 31)
-        pos = state % len(blob)
-        state = (1103515245 * state + 12345) % (1 << 31)
         mut = bytearray(blob)
-        mut[pos] ^= 1 + (state % 255)
+        state = (1103515245 * state + 12345) % (1 << 31)
+        for _flip in range(1 + state % 4):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            pos = state % len(blob)
+            state = (1103515245 * state + 12345) % (1 << 31)
+            mut[pos] ^= 1 + (state % 255)
         try:
             fn(bytes(mut))
             outcomes["ok"] += 1
@@ -2346,6 +2352,118 @@ def _fuzz_decoder(blob, fn, seed, trials=300, step=5):
         except (ValueError, NotImplementedError):
             pass
     return outcomes
+
+
+def test_jpeg_corrupt_structure_raises_cleanly(spark):
+    """The round-9 review's four reproductions, pinned: refine scan
+    with a missing AC table, zero sampling factor, duplicated SOS
+    component id, and a zero-component SOS must all raise ValueError —
+    not AttributeError/ZeroDivisionError/KeyError/IndexError."""
+    import pytest
+
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_cmyk_jpeg,
+        flat_gray_jpeg,
+        flat_gray_jpeg_progressive,
+    )
+
+    prog = bytearray(flat_gray_jpeg_progressive([100] * 16, 4, 4))
+    # DC-refine scan (Ss=0,Se=0,AhAl=0x10) retargeted to an AC band with
+    # a table id that has no DHT: payload [1, 1, 0x01, 1, 63, 0x10]
+    sos2 = prog.find(bytes([1, 1, 0x00, 0, 0, 0x10]))
+    assert sos2 > 0
+    prog[sos2 + 2] = 0x01  # ta=1: undefined AC table
+    prog[sos2 + 3] = 1
+    prog[sos2 + 4] = 63
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(bytes(prog))
+
+    base = bytearray(flat_gray_jpeg([100] * 16, 4, 4))
+    sof = base.find(b"\xff\xc0")
+    # FF C0 len(2) prec(1) h(2) w(2) nc(1) id(1) -> hv byte at sof+11
+    base[sof + 11] = 0x01  # component h=0 v=1
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(base))
+
+    chans = [[100] * 4, [90] * 4, [80] * 4, [70] * 4]
+    cmyk = bytearray(flat_cmyk_jpeg(chans, 2, 2))
+    sos = cmyk.find(bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00]))
+    assert sos > 0
+    cmyk[sos + 3] = 1  # component 2 relabelled 1: duplicate
+    with pytest.raises(ValueError, match="twice"):
+        decode_jpeg(bytes(cmyk))
+
+    base2 = bytearray(flat_gray_jpeg([100] * 16, 4, 4))
+    sos = base2.find(bytes([1, 1, 0x00, 0, 63, 0]))
+    assert sos > 0
+    base2[sos] = 0  # ns=0
+    with pytest.raises(ValueError, match="components"):
+        decode_jpeg(bytes(base2))
+
+
+def test_adobe_rgb_transform0_is_passthrough(spark):
+    """3-component Adobe JPEG with APP14 transform 0 stores RGB planes
+    directly — libjpeg passes them through, and so must we (previously
+    they got a spurious YCbCr inverse).  Flat per-channel tiles, quant
+    1: channels must come back bit-exact; without APP14 the same bytes
+    must be YCbCr-converted (different pixels)."""
+    import struct as st
+
+    import numpy as np
+
+    from datalake_indexes_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _huffman_encode_table,
+        decode_jpeg,
+    )
+
+    chans = [[120, 10, 200, 60], [30, 140, 90, 250], [5, 75, 180, 220]]
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00]
+    wtr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for t in range(4):
+        for ci in range(3):
+            dc = 8 * (chans[ci][t] - 128)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            tt = abs(diff).bit_length()
+            wtr.put(*dc_enc[tt])
+            if tt:
+                wtr.put(diff if diff >= 0 else diff + (1 << tt) - 1, tt)
+            wtr.put(*eob)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    app14 = seg(0xEE, b"Adobe" + st.pack(">HHHB", 100, 0, 0, 0))
+    body = (
+        seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(
+            0xC0,
+            st.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS)
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS)
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + wtr.flush()
+        + b"\xff\xd9"
+    )
+    w, h, c, px = decode_jpeg(b"\xff\xd8" + app14 + body)
+    assert (w, h, c) == (16, 16, 3)
+    a = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    for ci in range(3):
+        got = [int(a[(t // 2) * 8, (t % 2) * 8, ci]) for t in range(4)]
+        assert got == chans[ci], (ci, got)
+    # same stream WITHOUT the Adobe marker: JFIF default = YCbCr convert
+    _, _, _, px2 = decode_jpeg(b"\xff\xd8" + body)
+    assert px2 != px
 
 
 def test_png_decoder_fuzz_contract(spark):
