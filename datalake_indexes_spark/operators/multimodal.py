@@ -1735,7 +1735,7 @@ def video_frame_stats(
             try:
                 _w, _h, _ch, pix = decode_image(bytes(p))
                 rows.append((len(pix), int(sum(pix)), int(min(pix)), int(max(pix))))
-            except (ValueError, NotImplementedError, IndexError):
+            except (ValueError, NotImplementedError, IndexError, struct.error):
                 rows.append((None, None, None, None))
         return pd.DataFrame(rows, columns=["n_px", "px_sum", "px_min", "px_max"])
 
@@ -2087,7 +2087,7 @@ def audio_sample_stats(
                     )
                 else:
                     rows.append((rate, 0, None, None, None))
-            except (ValueError, NotImplementedError, struct.error):
+            except (ValueError, NotImplementedError, IndexError, struct.error):
                 rows.append((None, None, None, None, None))
         return pd.DataFrame(
             rows, columns=["sample_rate", "n_samples", "amp_sum", "amp_min", "amp_max"]
@@ -2155,7 +2155,7 @@ def audio_waveform_features(
                     )
                 else:
                     rows.append((0, None, None, None, None))
-            except (ValueError, NotImplementedError, struct.error):
+            except (ValueError, NotImplementedError, IndexError, struct.error):
                 rows.append((None, None, None, None, None))
         return pd.DataFrame(
             rows,
@@ -2243,7 +2243,7 @@ def cmyk_channel_stats(
                 a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 4)
                 s = a.sum(axis=0, dtype=np.int64)
                 rows.append((w, h, int(s[0]), int(s[1]), int(s[2]), int(s[3])))
-            except (ValueError, NotImplementedError, IndexError):
+            except (ValueError, NotImplementedError, IndexError, struct.error):
                 rows.append((None, None, None, None, None, None))
         return pd.DataFrame(
             rows, columns=["width", "height", "c_sum", "m_sum", "y_sum", "k_sum"]
@@ -2288,7 +2288,7 @@ def image_pixel_stats(
                 rows.append(
                     (w, h, ch, int(sum(pix)), int(min(pix)), int(max(pix)))
                 )
-            except (ValueError, NotImplementedError, IndexError):
+            except (ValueError, NotImplementedError, IndexError, struct.error):
                 rows.append((None, None, None, None, None, None))
         return pd.DataFrame(
             rows,
