@@ -182,6 +182,14 @@ class COCOA:
             .join(F.broadcast(pairs), ["table_id", "ext_row_id"], "inner")
             .join(F.broadcast(input_ranks), "input_row_id", "inner")
             .join(F.broadcast(numeric), ["table_id", "col_id"], "inner")
+            # matched is bounded by the user input (pairs x candidate
+            # columns), but broadcast joins inherit the lake cache's
+            # partitioning (554 partitions at sf0.1) and every
+            # downstream branch re-launched 554-task jobs over
+            # kilobytes.  Repartition the bounded frame to cluster
+            # parallelism before persisting: measured idle-host A/B
+            # below.
+            .repartition(cells.sparkSession.sparkContext.defaultParallelism)
         ).persist()  # consumed by both the numeric and categorical paths
 
         # ---------------- numeric path: Spearman via ranks ----------------
