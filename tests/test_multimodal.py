@@ -2466,6 +2466,21 @@ def test_adobe_rgb_transform0_is_passthrough(spark):
     assert px2 != px
 
 
+def test_cmyk_jpeg_fuzz_contract(spark):
+    """The 4-component decode path under the same mutation+truncation
+    contract as the grayscale/progressive paths."""
+    from datalake_indexes_spark.operators.multimodal import (
+        decode_jpeg,
+        flat_cmyk_jpeg,
+    )
+
+    chans = [[(i * k + 7 * k) % 256 for i in range(16)] for k in (17, 31, 53, 97)]
+    for ycck in (False, True):
+        blob = flat_cmyk_jpeg(chans, 4, 4, ycck=ycck)
+        out = _fuzz_decoder(blob, decode_jpeg, seed=4242 + ycck, trials=250)
+        assert out["raised"] > 0
+
+
 def test_png_decoder_fuzz_contract(spark):
     import struct as st
     import zlib
