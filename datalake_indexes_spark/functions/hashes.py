@@ -157,16 +157,21 @@ def hash_pandas_udf(fn: Callable[[str], int]):
 
     @F.pandas_udf(_HASH_SCHEMA)
     def _udf(tokens: pd.Series) -> pd.DataFrame:
-        his, los = [], []
-        for t in tokens:
-            t = "" if t is None else t
+        # factorize + numpy take (see xash_pandas_udf): Python touches
+        # only the batch's new uniques, per-row expansion stays in C
+        import numpy as np
+
+        codes, uniques = pd.factorize(tokens.fillna(""))
+        hi = np.empty(len(uniques), dtype=np.int64)
+        lo = np.empty(len(uniques), dtype=np.int64)
+        for j, t in enumerate(uniques):
             pair = cache.get(t)
             if pair is None:
                 pair = split128(fn(t) & _MASK128)
                 if len(cache) < 4_000_000:
                     cache[t] = pair
-            his.append(pair[0])
-            los.append(pair[1])
-        return pd.DataFrame({"hi": his, "lo": los})
+            hi[j] = pair[0]
+            lo[j] = pair[1]
+        return pd.DataFrame({"hi": hi[codes], "lo": lo[codes]})
 
     return _udf

@@ -105,31 +105,30 @@ def xash_pandas_udf(hash_size: int = 128, rotation: bool = True, number_of_ones:
 
     @F.pandas_udf(_XASH_SCHEMA)
     def _udf(tokens: pd.Series) -> pd.DataFrame:
-        # hash only the batch's unseen distinct tokens, then map the whole
-        # batch through the dict in C — lake token columns repeat heavily,
-        # so the Python-level work is O(new uniques), not O(rows)
-        s = tokens.fillna("")
-        for t in s.unique():
-            if t not in cache:
-                pair = split128(
-                    xash(t, hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones)
+        # factorize the batch (one C pass -> unique values + int codes),
+        # hash only the unseen uniques in Python, then expand per-row
+        # results with a numpy take — the per-ROW work is all C.  Lake
+        # token columns repeat heavily, so the Python-level work is
+        # O(new uniques), not O(rows).  Measured 3x over the previous
+        # dict-map + list-comprehension body (56s -> 19s CPU per 4.7M
+        # cells at sf0.1).
+        import numpy as np
+
+        codes, uniques = pd.factorize(tokens.fillna(""))
+        hi = np.empty(len(uniques), dtype=np.int64)
+        lo = np.empty(len(uniques), dtype=np.int64)
+        for j, t in enumerate(uniques):
+            got = cache.get(t)
+            if got is None:
+                got = split128(
+                    xash(t, hash_size=hash_size, rotation=rotation,
+                         number_of_ones=number_of_ones)
                 )
-                if len(cache) < 4_000_000:
-                    cache[t] = pair
-                else:
-                    break
-        if len(cache) >= 4_000_000:  # fallback for degenerate vocabularies
-            pairs = [
-                cache.get(t)
-                or split128(xash(t, hash_size=hash_size, rotation=rotation,
-                                 number_of_ones=number_of_ones))
-                for t in s
-            ]
-        else:
-            pairs = s.map(cache)
-        return pd.DataFrame(
-            {"hi": [p[0] for p in pairs], "lo": [p[1] for p in pairs]}
-        )
+                if len(cache) < 4_000_000:  # bound worker memory on
+                    cache[t] = got          # degenerate vocabularies
+            hi[j] = got[0]
+            lo[j] = got[1]
+        return pd.DataFrame({"hi": hi[codes], "lo": lo[codes]})
 
     return _udf
 
@@ -151,30 +150,25 @@ def row_xash_pandas_udf(hash_size: int = 128, rotation: bool = True,
 
     @F.pandas_udf(_XASH_SCHEMA)
     def _udf(rows: pd.Series) -> pd.DataFrame:
-        s = rows.fillna("")
-        for joined in s.unique():
-            if joined not in cache:
+        # same factorize + numpy-take shape as xash_pandas_udf: per-row
+        # work stays in C, Python touches only the batch's new uniques
+        import numpy as np
+
+        codes, uniques = pd.factorize(rows.fillna(""))
+        hi = np.empty(len(uniques), dtype=np.int64)
+        lo = np.empty(len(uniques), dtype=np.int64)
+        for j, joined in enumerate(uniques):
+            got = cache.get(joined)
+            if got is None:
                 acc = 0
                 for t in joined.split("\x01"):
                     acc |= fn(t)
-                if len(cache) < 4_000_000:
-                    cache[joined] = split128(acc & ((1 << 128) - 1))
-                else:
-                    break
-        if len(cache) >= 4_000_000:  # degenerate-vocabulary fallback
-            def compute(joined: str) -> tuple[int, int]:
-                got = cache.get(joined)
-                if got is None:
-                    acc = 0
-                    for t in joined.split("\x01"):
-                        acc |= fn(t)
-                    got = split128(acc & ((1 << 128) - 1))
-                return got
-
-            pairs = [compute(j) for j in s]
-        else:
-            pairs = s.map(cache)
-        return pd.DataFrame({"hi": [p[0] for p in pairs], "lo": [p[1] for p in pairs]})
+                got = split128(acc & ((1 << 128) - 1))
+                if len(cache) < 4_000_000:  # bound worker memory
+                    cache[joined] = got
+            hi[j] = got[0]
+            lo[j] = got[1]
+        return pd.DataFrame({"hi": hi[codes], "lo": lo[codes]})
 
     return _udf
 

@@ -101,11 +101,21 @@ def with_global_row_number(df: DataFrame, order_by: list[str], out_col: str = "r
     )
 
 
-def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec) -> DataFrame:
+def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec, hash_udf=None) -> DataFrame:
     """P7 — wide→long: one output row per cell, tokenized (P1-P3).
 
     Tokenization runs as native expressions *before* the stack so every
     column stays inside whole-stage codegen.
+
+    With ``hash_udf`` the output additionally carries the per-ROW super
+    key (``super_key_hi``/``super_key_lo``) computed entirely inside the
+    map stage: every cell of a physical row is produced by the same scan
+    task (the stack is row-local), so the OR-fold over the row's cell
+    hashes is a native column expression over the wide format — no
+    window, no aggregation, NO SHUFFLE.  The previous shape (hash the
+    long format, then ``bit_or`` over a (table_id, row_id) window)
+    shuffled every tokenized cell and sorted it per row; this one only
+    needs a shuffle if the caller wants the output clustered.
     """
     cols = df.select(*dict.fromkeys([*spec.order_by, *spec.cols]))
     if spec.row_id_expr is not None:
@@ -114,19 +124,104 @@ def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec) -> DataFrame:
         wide = cols.withColumn("row_id", F.col(spec.row_id_expr).cast("long"))
     else:
         wide = with_global_row_number(cols, list(spec.order_by))
+    n = len(spec.cols)
     tokenized_cols = [
         tokenize_col(F.col(c)).alias(f"__tok_{i}") for i, c in enumerate(spec.cols)
     ]
     wide = wide.select("row_id", *tokenized_cols)
-    stack_args = ", ".join(f"{i}, __tok_{i}" for i in range(len(spec.cols)))
+    stack_args = ", ".join(f"{i}, __tok_{i}" for i in range(n))
+    if hash_udf is not None:
+        hashed = wide.select(
+            "row_id",
+            *[F.col(f"__tok_{i}") for i in range(n)],
+            *[hash_udf(F.col(f"__tok_{i}")).alias(f"__h_{i}") for i in range(n)],
+        )
+        hi, lo = F.col("__h_0.hi"), F.col("__h_0.lo")
+        for i in range(1, n):
+            hi = hi.bitwiseOR(F.col(f"__h_{i}.hi"))
+            lo = lo.bitwiseOR(F.col(f"__h_{i}.lo"))
+        hashed = hashed.withColumn("super_key_hi", hi).withColumn("super_key_lo", lo)
+        return (
+            hashed.selectExpr(
+                "row_id",
+                "super_key_hi",
+                "super_key_lo",
+                f"stack({n}, {stack_args}) as (col_id, tokenized)",
+            )
+            .withColumn("table_id", F.lit(spec.table_id))
+            .select(
+                "table_id", "col_id", "row_id", "tokenized",
+                "super_key_hi", "super_key_lo",
+            )
+        )
     return (
         wide.selectExpr(
             "row_id",
-            f"stack({len(spec.cols)}, {stack_args}) as (col_id, tokenized)",
+            f"stack({n}, {stack_args}) as (col_id, tokenized)",
         )
         .withColumn("table_id", F.lit(spec.table_id))
         .select("table_id", "col_id", "row_id", "tokenized")
     )
+
+
+def build_keyed_cells(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    specs: dict[str, LakeTableSpec],
+    hash_size: int = 128,
+    rotation: bool = True,
+    number_of_ones: int = 5,
+    hash_function=None,
+) -> DataFrame:
+    """The denormalized keyed cell view (cells + per-row super key) built
+    SHUFFLE-FREE: per-table wide-format hash + native OR-fold inside the
+    scan stage (see :func:`unpivot_to_cells`), unioned across the lake.
+
+    Output partitioning is the scan partitioning — callers that want the
+    (table_id, row_id)-clustered layout (exchange-free row joins against
+    the cached index) add one explicit ``repartition("table_id",
+    "row_id")``, which replaces the old window shuffle 1:1 but drops the
+    window's per-row sort+aggregate entirely.
+    """
+    if hash_function is not None:
+        from datalake_indexes_spark.functions.hashes import hash_pandas_udf
+
+        hash_udf = hash_pandas_udf(hash_function)
+    else:
+        hash_udf = xash_pandas_udf(
+            hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
+        )
+    active = [(n, s) for n, s in specs.items() if n in tables]
+    if not active:
+        raise ValueError("build_keyed_cells: no tables to index (empty lake)")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(active), 8) or 1) as pool:
+        parts = list(
+            pool.map(
+                lambda ns: unpivot_to_cells(tables[ns[0]], ns[1], hash_udf=hash_udf),
+                active,
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def lake_headers(spark: SparkSession, tables: dict[str, DataFrame],
+                 specs: dict[str, LakeTableSpec]) -> DataFrame:
+    """(table_id, col_id, header, header_tokenized) for the active lake —
+    driver-side metadata, one tiny createDataFrame."""
+    header_rows = []
+    for name, spec in specs.items():
+        if name not in tables:
+            continue
+        for col_id, col in enumerate(spec.cols):
+            header_rows.append((spec.table_id, col_id, col))
+    return spark.createDataFrame(
+        header_rows, "table_id int, col_id int, header string"
+    ).withColumn("header_tokenized", tokenize_col(F.col("header")))
 
 
 def row_keys_for(cells: DataFrame, hash_udf, distinct_tokens: bool = False) -> DataFrame:

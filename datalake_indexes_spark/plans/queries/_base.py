@@ -55,72 +55,79 @@ def _keyed_view(cells: DataFrame) -> DataFrame:
 
 def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = True) -> LakeIndex:
     """Session-cached lake index.  ONE cached artifact backs both
-    variants: the denormalized keyed cell view.  ``cells`` is a projection
-    of it and ``row_keys`` a dropDuplicates over it, so the expensive
-    tokenize+unpivot+hash chain is materialized (and stored) exactly once
-    per sf_dir — when the super-key variant is requested first (the
-    offline-build lifecycle), the plain-cells variant never pays a second
-    cache; when the plain variant comes first, the keyed view extends its
-    cache instead of rebuilding."""
+    variants: the denormalized keyed cell view, built SHUFFLE-FREE in the
+    scan stage (``build_keyed_cells``: per-row super keys are a native
+    OR-fold over the wide format — the old (table_id, row_id) window
+    sort+``bit_or`` is gone) and then explicitly repartitioned by
+    (table_id, row_id) so the cache keeps the clustered layout MATE's
+    verify joins and the row-grouping operators rely on being
+    exchange-free.  ``cells`` is a projection of it; ``row_keys`` (and
+    the base variant's zero-key frame) are the ``col_id == 0`` slice —
+    one row per physical lake row by construction, no aggregation."""
     base_key = (os.path.abspath(sf_dir), False)
     key = (os.path.abspath(sf_dir), True)
+    want = key if with_super_keys else base_key
 
-    if with_super_keys and key not in _INDEX_CACHE and base_key not in _INDEX_CACHE:
-        # super variant first: build the keyed view straight from the
-        # uncached build plan — a single cache holds everything
-        raw = build_index(
-            spark, load_tables(spark, sf_dir), TESTDATA_LAKE_SPEC, with_super_keys=False
+    if key not in _INDEX_CACHE and base_key not in _INDEX_CACHE:
+        from datalake_indexes_spark.index.builder import build_keyed_cells, lake_headers
+
+        tables = load_tables(spark, sf_dir)
+        keyed = (
+            build_keyed_cells(spark, tables, TESTDATA_LAKE_SPEC)
+            .repartition("table_id", "row_id")
+            .cache()
         )
-        keyed = _keyed_view(raw.cells).cache()
         cells_view = keyed.select("table_id", "col_id", "row_id", "tokenized")
+        row0 = keyed.filter(F.col("col_id") == 0)
+        headers = lake_headers(spark, tables, TESTDATA_LAKE_SPEC).cache()
+        table_names = spark.createDataFrame(
+            [(s.table_id, n) for n, s in TESTDATA_LAKE_SPEC.items() if n in tables],
+            "table_id int, dataset_name string",
+        )
+        table_info = (
+            keyed.groupBy("table_id")
+            .agg(
+                F.max("row_id").alias("max_row_id"),
+                F.max("col_id").cast("int").alias("max_col_id"),
+            )
+            .join(F.broadcast(table_names), "table_id")
+            .select("table_id", "dataset_name", "max_row_id", "max_col_id")
+        ).cache()
         from datalake_indexes_spark.operators.cocoa import is_numeric_flags
 
-        zero_keys = cells_view.groupBy("table_id", "row_id").agg(
+        col_flags = is_numeric_flags(cells_view).cache()
+        zero_keys = row0.select(
+            "table_id",
+            "row_id",
             F.lit(0).cast("long").alias("super_key_hi"),
             F.lit(0).cast("long").alias("super_key_lo"),
         )
         base_idx = LakeIndex(
             cells=cells_view,
             row_keys=zero_keys,  # zero-key frame, derived off the cache
-            column_headers=raw.column_headers.cache(),
-            table_info=raw.table_info.cache(),
-            col_flags=is_numeric_flags(cells_view).cache(),
+            column_headers=headers,
+            table_info=table_info,
+            col_flags=col_flags,
             # cells_keyed stays None: the base variant's keyed_cells()
             # must agree with its zero row_keys — exposing the real-key
             # view here would hand consumers keys its own row_keys denies
         )
-        # stash the shared cache in a private slot for the True-variant
-        # branch below; registered as a staging frame so uncache frees it
+        # the shared cache is registered as a staging frame so uncache
+        # on either variant frees it
         base_idx._shared_keyed = keyed
         base_idx._staging_frames = [keyed]
         _INDEX_CACHE[base_key] = base_idx
-    elif base_key not in _INDEX_CACHE:
-        _INDEX_CACHE[base_key] = build_index(
-            spark, load_tables(spark, sf_dir), TESTDATA_LAKE_SPEC, with_super_keys=False
-        ).cache()
-
-    if not with_super_keys:
-        return _INDEX_CACHE[base_key]
-
-    if key not in _INDEX_CACHE:
-        base = _INDEX_CACHE[base_key]
-        keyed = getattr(base, "_shared_keyed", None)
-        if keyed is None:
-            # base variant was cached first: extend its cache with keys
-            keyed = _keyed_view(base.cells).cache()
-        row_keys = keyed.select(
-            "table_id", "row_id", "super_key_hi", "super_key_lo"
-        ).dropDuplicates(["table_id", "row_id"]).cache()
-        idx = LakeIndex(
-            cells=base.cells,
-            row_keys=row_keys,
-            column_headers=base.column_headers,
-            table_info=base.table_info,
-            col_flags=base.col_flags,
+        _INDEX_CACHE[key] = LakeIndex(
+            cells=cells_view,
+            row_keys=row0.select(
+                "table_id", "row_id", "super_key_hi", "super_key_lo"
+            ),
+            column_headers=headers,
+            table_info=table_info,
+            col_flags=col_flags,
             cells_keyed=keyed,
         )
-        _INDEX_CACHE[key] = idx
-    return _INDEX_CACHE[key]
+    return _INDEX_CACHE[want]
 
 
 _PLANTED_INDEX_CACHE: dict[str, LakeIndex] = {}

@@ -61,6 +61,21 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
         )
+        # let AQE coalesce the output partitioning of plans that feed a
+        # cache: without this (default false) a cached shuffle keeps all
+        # initialPartitionNum (256+) reducer partitions, and EVERY
+        # downstream job over the cache relaunches that many tasks over
+        # kilobyte slices — measured at sf0.1: the index cache read back
+        # at 256 partitions cost row_keys/col_flags/table_info passes
+        # 2-3s each in pure task-scheduling overhead; with coalescing the
+        # cache lands at ~cluster parallelism and the same passes run
+        # 0.7-1.1s.  Coalescing merges whole reducer buckets, so hash
+        # clustering (and the exchange-free row joins that depend on it)
+        # is preserved.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_AQE_CACHED_REPARTITION", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
