@@ -147,6 +147,19 @@ def row_xash_pandas_udf(hash_size: int = 128, rotation: bool = True,
                        number_of_ones=number_of_ones)
     )
     cache: dict[str, tuple[int, int]] = {}
+    tok_cache: dict[str, int] = {}
+
+    def _tok_hash(t: str) -> int:
+        # token-level memo UNDER the row-level one: distinct rows share
+        # tokens heavily (a 600k-row composite-key probe has ~170k
+        # distinct tokens), so most per-row work is two dict hits even
+        # when every row key is unique
+        v = tok_cache.get(t)
+        if v is None:
+            v = fn(t)
+            if len(tok_cache) < 4_000_000:
+                tok_cache[t] = v
+        return v
 
     @F.pandas_udf(_XASH_SCHEMA)
     def _udf(rows: pd.Series) -> pd.DataFrame:
@@ -162,7 +175,7 @@ def row_xash_pandas_udf(hash_size: int = 128, rotation: bool = True,
             if got is None:
                 acc = 0
                 for t in joined.split("\x01"):
-                    acc |= fn(t)
+                    acc |= _tok_hash(t)
                 got = split128(acc & ((1 << 128) - 1))
                 if len(cache) < 4_000_000:  # bound worker memory
                     cache[joined] = got
