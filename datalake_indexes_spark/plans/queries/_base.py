@@ -72,8 +72,21 @@ def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = Tru
         from datalake_indexes_spark.index.builder import build_keyed_cells, lake_headers
 
         tables = load_tables(spark, sf_dir)
+        # localCheckpoint BEFORE the repartition+cache truncates the cached
+        # plan's lineage to a single Scan ExistingRDD leaf.  Without it every
+        # query that touches the index re-ANALYZES the full 10-table
+        # union+UDF build plan (measured: cocoa_enrich spent 5.4s of its
+        # 8.7s wall in a zero-jobs-running gap, jstack pinned in
+        # Analyzer$ResolveReferences); with it the same query plans in
+        # ~0.1s and runs 3.3-4.0s.  The repartition+cache ON TOP keeps the
+        # columnar cache and its recognized (table_id, row_id) hash
+        # partitioning, so aggregation/join plans are unchanged — only the
+        # logical leaf under them shrank.  At cluster scale the equivalent
+        # shape is writing the built index to a bucketed table and reading
+        # it back (the S7 sink); localCheckpoint is the in-session twin.
         keyed = (
             build_keyed_cells(spark, tables, TESTDATA_LAKE_SPEC)
+            .localCheckpoint(eager=True)
             .repartition("table_id", "row_id")
             .cache()
         )
