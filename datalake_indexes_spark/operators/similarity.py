@@ -36,6 +36,22 @@ def _dot(a, b) -> "F.Column":
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _ordered_sum(order_col: str, val_col: str) -> "F.Column":
+    """Aggregate expression: sum ``val_col`` across the group's rows in
+    ascending ``order_col`` order, independent of partitioning.  Plain
+    ``F.sum`` accumulates doubles in row-arrival order, so two groups
+    holding the SAME values (e.g. two PQ neighbors with identical code
+    words) can come out bit-different when a repartition changes which
+    task sees which row first — and a rank over that estimate then
+    breaks the tie differently from the oracle.  Folding a sorted
+    (order, value) array pins one summation order for every group."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(order_col, val_col))),
+        F.lit(0.0),
+        lambda acc, s: acc + s[val_col],
+    )
+
+
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "__unit") -> DataFrame:
     """L2-normalize once up front; cosine becomes a plain dot product."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -855,7 +871,7 @@ def pq_topk(
         codes.join(F.broadcast(lut), ["j", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("__p").alias("__est"))
+        .agg(_ordered_sum("j", "__p").alias("__est"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__est"), F.asc("neighbor_id"))
     return (
@@ -987,7 +1003,7 @@ def ivf_pq_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(lut, ["query_id", "j", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg((F.first("__qc") + F.sum("__p")).alias("__est"))
+        .agg((F.first("__qc") + _ordered_sum("j", "__p")).alias("__est"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__est"), F.asc("neighbor_id"))
     return (

@@ -204,3 +204,23 @@ def test_ivf_pq_refined_recall_dominates_and_exact_values(spark):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_adc_topk_partition_invariant(spark, emb):
+    """The ADC estimate sums m LUT entries across rows; the sum is folded
+    in j-order (similarity._ordered_sum), so ranks — including ties
+    between neighbors with identical code words — must not depend on how
+    the corpus/query input happens to be partitioned."""
+    q = emb.filter(F.col("vec_id") < 5)
+    base = sorted(
+        tuple(r) for r in pq_topk(emb, q, k=3, m=M, ksub=KSUB).collect()
+    )
+    for n_parts in (1, 7):
+        shuffled = emb.repartition(n_parts)
+        got = sorted(
+            tuple(r)
+            for r in pq_topk(
+                shuffled, shuffled.filter(F.col("vec_id") < 5), k=3, m=M, ksub=KSUB
+            ).collect()
+        )
+        assert got == base
