@@ -24,7 +24,7 @@ from collections import Counter
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _CHARS = " 0123456789abcdefghijklmnopqrstuvwxyz"
 _CHAR_INDEX = {c: i for i, c in enumerate(_CHARS)}
@@ -182,6 +182,66 @@ def row_xash_pandas_udf(hash_size: int = 128, rotation: bool = True,
             hi[j] = got[0]
             lo[j] = got[1]
         return pd.DataFrame({"hi": hi[codes], "lo": lo[codes]})
+
+    return _udf
+
+
+_TOK_XASH_SCHEMA = StructType(
+    [
+        StructField("tok", StringType(), False),
+        StructField("hi", LongType(), False),
+        StructField("lo", LongType(), False),
+    ]
+)
+
+
+def tokenize_xash_pandas_udf(hash_size: int = 128, rotation: bool = True,
+                             number_of_ones: int = 5):
+    """Arrow-batched pandas UDF fusing tokenize + XASH: raw CAST-to-string
+    cell -> struct(tok string, hi long, lo long).
+
+    The index build previously ran the 4-regex tokenizer chain in the JVM
+    over EVERY cell (no way to deduplicate inside codegen) and then paid a
+    second Arrow crossing to hash the tokenized strings.  Lake columns are
+    keys and enums — a batch's *unique* raw values are a small fraction of
+    its rows — so this fusion factorizes the raw batch once (C), tokenizes
+    only the uniques through the RE2-vectorized :func:`tokenize_arrow`
+    (bit-identical to ``tokenize_col``, see its parity note), XASHes only
+    the unique tokens (memoized), and expands both with numpy takes.  One
+    Python crossing per column instead of regex-per-cell + crossing.
+
+    The cast to string MUST stay in the JVM (callers pass
+    ``col.cast("string")``): Spark's cast formatting (e.g. ``1.0E7`` for
+    doubles) is part of the indexed token contract and is not replicated
+    here."""
+    cache: dict[str, tuple[int, int]] = {}
+
+    @F.pandas_udf(_TOK_XASH_SCHEMA)
+    def _udf(raw: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        import pyarrow as pa
+
+        from datalake_indexes_spark.functions.text import tokenize_arrow
+
+        codes, uniques = pd.factorize(raw.fillna(""))
+        toks = np.asarray(
+            tokenize_arrow(pa.array(uniques, type=pa.string())).to_pylist(),
+            dtype=object,
+        )
+        hi = np.empty(len(uniques), dtype=np.int64)
+        lo = np.empty(len(uniques), dtype=np.int64)
+        for j, t in enumerate(toks):
+            got = cache.get(t)
+            if got is None:
+                got = split128(
+                    xash(t, hash_size=hash_size, rotation=rotation,
+                         number_of_ones=number_of_ones)
+                )
+                if len(cache) < 4_000_000:  # bound worker memory
+                    cache[t] = got
+            hi[j] = got[0]
+            lo[j] = got[1]
+        return pd.DataFrame({"tok": toks[codes], "hi": hi[codes], "lo": lo[codes]})
 
     return _udf
 

@@ -101,7 +101,9 @@ def with_global_row_number(df: DataFrame, order_by: list[str], out_col: str = "r
     )
 
 
-def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec, hash_udf=None) -> DataFrame:
+def unpivot_to_cells(
+    df: DataFrame, spec: LakeTableSpec, hash_udf=None, tok_hash_udf=None
+) -> DataFrame:
     """P7 — wide→long: one output row per cell, tokenized (P1-P3).
 
     Tokenization runs as native expressions *before* the stack so every
@@ -125,6 +127,38 @@ def unpivot_to_cells(df: DataFrame, spec: LakeTableSpec, hash_udf=None) -> DataF
     else:
         wide = with_global_row_number(cols, list(spec.order_by))
     n = len(spec.cols)
+    if tok_hash_udf is not None:
+        # fused tokenize+hash (guide §4.2): one Arrow crossing per column;
+        # tokenization and hashing run only over each batch's unique raw
+        # values inside the UDF.  The JVM keeps the cast (its string
+        # formatting is part of the token contract).
+        wide = wide.select(
+            "row_id",
+            *[
+                tok_hash_udf(F.col(c).cast("string")).alias(f"__s_{i}")
+                for i, c in enumerate(spec.cols)
+            ],
+        )
+        hi, lo = F.col("__s_0.hi"), F.col("__s_0.lo")
+        for i in range(1, n):
+            hi = hi.bitwiseOR(F.col(f"__s_{i}.hi"))
+            lo = lo.bitwiseOR(F.col(f"__s_{i}.lo"))
+        stack_args = ", ".join(f"{i}, __s_{i}.tok" for i in range(n))
+        return (
+            wide.withColumn("super_key_hi", hi)
+            .withColumn("super_key_lo", lo)
+            .selectExpr(
+                "row_id",
+                "super_key_hi",
+                "super_key_lo",
+                f"stack({n}, {stack_args}) as (col_id, tokenized)",
+            )
+            .withColumn("table_id", F.lit(spec.table_id))
+            .select(
+                "table_id", "col_id", "row_id", "tokenized",
+                "super_key_hi", "super_key_lo",
+            )
+        )
     tokenized_cols = [
         tokenize_col(F.col(c)).alias(f"__tok_{i}") for i, c in enumerate(spec.cols)
     ]
@@ -183,12 +217,16 @@ def build_keyed_cells(
     "row_id")``, which replaces the old window shuffle 1:1 but drops the
     window's per-row sort+aggregate entirely.
     """
+    hash_udf = None
+    tok_hash_udf = None
     if hash_function is not None:
         from datalake_indexes_spark.functions.hashes import hash_pandas_udf
 
         hash_udf = hash_pandas_udf(hash_function)
     else:
-        hash_udf = xash_pandas_udf(
+        from datalake_indexes_spark.functions.xash import tokenize_xash_pandas_udf
+
+        tok_hash_udf = tokenize_xash_pandas_udf(
             hash_size=hash_size, rotation=rotation, number_of_ones=number_of_ones
         )
     active = [(n, s) for n, s in specs.items() if n in tables]
@@ -199,7 +237,10 @@ def build_keyed_cells(
     with ThreadPoolExecutor(max_workers=min(len(active), 8) or 1) as pool:
         parts = list(
             pool.map(
-                lambda ns: unpivot_to_cells(tables[ns[0]], ns[1], hash_udf=hash_udf),
+                lambda ns: unpivot_to_cells(
+                    tables[ns[0]], ns[1], hash_udf=hash_udf,
+                    tok_hash_udf=tok_hash_udf,
+                ),
                 active,
             )
         )

@@ -28,9 +28,24 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Raw lake tables, with scan parallelism spread to the cluster
+    (:func:`_spread_scan`): the testdata files are single row-group
+    parquet, so without the spread each table's ENTIRE per-cell index
+    work (cast, tokenize, XASH, stack) runs as one scan task — measured:
+    the sf0.1 build's materialization job spent its 8.5s critical path
+    in single-task unions.  Every per-row value (row_id from
+    row_id_expr or the value-bucketed global row number, tokenization,
+    hashes, the within-row super-key fold) is placement-independent, so
+    results are unchanged."""
     _ensure_session_confs(spark)
     names = names or ALL_TABLE_NAMES
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        out[n] = _spread_scan(
+            spark.read.parquet(path), key=path, target_bytes=512 * 1024
+        )
+    return out
 
 
 _INDEX_CACHE: dict[tuple[str, bool], LakeIndex] = {}
@@ -178,7 +193,9 @@ def _planted_dup_index(spark: SparkSession, sf_dir: str) -> LakeIndex:
 _BLOOM_KEYS_CACHE: dict[str, "DataFrame"] = {}
 
 
-def _spread_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+def _spread_scan(
+    df: DataFrame, key: str | None = None, target_bytes: int | None = None
+) -> DataFrame:
     """Scale-adaptive scan parallelism: the testdata corpora are single
     row-group parquet files, so Spark plans ONE scan task and every
     per-row-heavy operator downstream (shingling, 16-way MinHash, regex
@@ -190,16 +207,30 @@ def _spread_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     are unchanged — only their placement moves (sortBeforeRepartition
     keeps the assignment deterministic under retries).  The scan's
     partition count is memoized per file (``key``) so the ~100 registry
-    queries over the same corpus pay the planning probe once."""
+    queries over the same corpus pay the planning probe once.
+
+    ``target_bytes`` switches the fan-out from "all cores" to
+    work-proportional: one partition per ``target_bytes`` of on-disk
+    file size (still capped at cluster parallelism).  Full fan-out is
+    right when per-row CPU dwarfs the per-task cost (regex/shingling
+    over text, vector math); the proportional form is for consumers
+    whose stages carry a fixed per-task price — the index build runs an
+    ArrowEvalPython projection over ten unioned tables, where 32
+    partitions per tiny table meant 318 tasks each paying the Python
+    round-trip and re-hashing its slice's token uniques (measured 9.5s;
+    ~35 size-proportional tasks: 4.2s, flat 1 task/table: 5.9s)."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
+    want = n
+    if target_bytes is not None and key is not None and os.path.exists(key):
+        want = max(1, min(n, round(os.path.getsize(key) / target_bytes)))
     parts = _SCAN_PARTS.get(key) if key is not None else None
     if parts is None:
         parts = df.rdd.getNumPartitions()
         if key is not None:
             _SCAN_PARTS[key] = parts
-    if parts < n:
-        return df.repartition(n)
+    if parts < want:
+        return df.repartition(want)
     return df
 
 

@@ -116,3 +116,38 @@ def test_sql_view_surface(spark):
     assert [(r["row_id"], r["header"]) for r in rows] == [(0, "name"), (2, "name")]
     sql_keys = spark.sql("SELECT count(*) AS n FROM tv_row_keys").collect()[0]["n"]
     assert sql_keys == idx.row_keys.count() == 3
+
+
+def test_fused_tokenize_hash_matches_unfused(spark):
+    """The fused tokenize+XASH Arrow UDF path produces bit-identical keyed
+    cells (tokens AND super keys) to the legacy tokenize-in-JVM +
+    hash-UDF path, across mixed types, nulls, floats (JVM cast
+    formatting), unicode and >200-char strings."""
+    from pyspark.sql import functions as F
+
+    from datalake_indexes_spark.functions.xash import (
+        tokenize_xash_pandas_udf,
+        xash_pandas_udf,
+    )
+    from datalake_indexes_spark.index.builder import unpivot_to_cells
+    from datalake_indexes_spark.sources.catalog import LakeTableSpec
+
+    rows = [
+        (0, "Hello, World!", 1.0e7, None),
+        (1, None, 3.14159, "the United  States"),
+        (2, "CAFÉ au lait — déjà vu", -0.001, "x" * 300),
+        (3, "42", None, "tab\tand\nnewline"),
+        (4, "a the of on in", 123456789.0, ""),
+    ]
+    df = spark.createDataFrame(rows, "rid int, s string, d double, t string")
+    spec = LakeTableSpec("fuz", 7, ("s", "d", "t"), ("rid",), "rid")
+
+    fused = unpivot_to_cells(df, spec, tok_hash_udf=tokenize_xash_pandas_udf())
+    legacy = unpivot_to_cells(df, spec, hash_udf=xash_pandas_udf())
+    key = ["table_id", "col_id", "row_id"]
+    a = {tuple(r[k] for k in key): (r["tokenized"], r["super_key_hi"], r["super_key_lo"])
+         for r in fused.collect()}
+    b = {tuple(r[k] for k in key): (r["tokenized"], r["super_key_hi"], r["super_key_lo"])
+         for r in legacy.collect()}
+    assert a == b
+    assert len(a) == len(rows) * 3

@@ -167,3 +167,40 @@ def test_canonicalize_text_accents_digits_punct(spark):
     assert got[0] == "cafe 00 resume"
     assert got[1] == "k 00"
     assert got[2] == "a b"
+
+
+def test_tokenize_arrow_matches_python():
+    """The RE2-vectorized pyarrow chain (the fused index-build UDF's
+    tokenizer) agrees with the Python twin on every golden, sample and
+    adversarial stopword-run case, plus None."""
+    import pyarrow as pa
+
+    from datalake_indexes_spark.functions.text import tokenize_arrow
+
+    raws = (
+        [case["raw"] for case in GOLDEN["tokenizer"]]
+        + SAMPLES
+        + [r for r, _, _ in STOPWORD_RUN_CASES]
+        + [None]
+    )
+    got = tokenize_arrow(pa.array(raws, type=pa.string())).to_pylist()
+    want = [tokenize_py(s if s is not None else "") for s in raws]
+    assert got == want
+
+
+def test_tokenize_arrow_random_property():
+    """Random ASCII/punct/unicode soup: arrow chain == Python twin."""
+    import random
+
+    import pyarrow as pa
+
+    from datalake_indexes_spark.functions.text import tokenize_arrow
+
+    rng = random.Random(1234)
+    alphabet = "abcZ 019 .,;!-_\t\né中\U0001f389the of a is"
+    raws = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(2000)
+    ]
+    got = tokenize_arrow(pa.array(raws, type=pa.string())).to_pylist()
+    assert got == [tokenize_py(s) for s in raws]
