@@ -278,6 +278,66 @@ class MATE:
                 n_salt=n_salt,
             )
 
+        # 5'. degree-1 fast path: the hits ARE the verification evidence.
+        # The degree-1 quirk re-verifies the single query column, so a
+        # pair's matched-column set __m0 is exactly {col_id : the row's
+        # cell token == this pair's __q0} — and every hit row of that
+        # (ext_row, mate_row) pair is one such cell (token equality is the
+        # join condition).  The generic path below would re-scan the lake
+        # for row_cells, shuffle-join it against pairs and run a
+        # collect_set keyed per PAIR (duplicating each row's aggregate
+        # once per hit column); here one aggregate keyed per ROW builds
+        # __m0 directly from hits and the pair set is its explode.
+        # Measured at sf0.1 (customer/c_custkey): 3 full cache scans +
+        # 74 MB shuffle into a 35s-CPU ObjectHashAggregate became 1 scan +
+        # an EXCHANGE-FREE aggregate (hits keep the cache's (table_id,
+        # row_id) clustering, a subset of the grouping key).
+        if degree == 1:
+            row_m = (
+                hits.select(
+                    "table_id",
+                    F.col("row_id").alias("ext_row_id"),
+                    "mate_row_id",
+                    "col_id",
+                )
+                .groupBy("table_id", "ext_row_id", "mate_row_id")
+                .agg(F.sort_array(F.collect_set("col_id")).alias("__m0"))
+                .persist()
+            )
+            # candidate cap on the SAME hit counts as the generic path:
+            # one hit row per (cell, input) match = sum of the per-row
+            # matched-column set sizes
+            table_hits = row_m.groupBy(F.col("table_id").alias("__t")).agg(
+                F.sum(F.size("__m0")).alias("count")
+            )
+            if min_join_ratio > 0:
+                table_hits = table_hits.filter(F.col("count") >= min_join_ratio)
+            cand_tables = (
+                table_hits.orderBy(F.desc("count"), F.asc("__t"))
+                .limit(k_c)
+                .select(F.col("__t").alias("table_id"))
+            )
+            capped = row_m.join(F.broadcast(cand_tables), "table_id", "inner")
+            pairs = capped.select(
+                "table_id",
+                "ext_row_id",
+                F.explode("__m0").alias("hit_col_id"),
+                "mate_row_id",
+                "__m0",
+            )
+            combo = F.concat_ws(
+                "_",
+                F.col("hit_col_id").cast("string"),
+                F.array_join(
+                    F.transform(F.col("__m0"), lambda c: c.cast("string")), "_"
+                ),
+            )
+            # __m0 is non-empty by construction (it contains hit_col_id),
+            # so every pair verifies — same as the generic degree-1 path
+            matches = pairs.withColumn("column_combination", combo).drop("__m0")
+            pairs = pairs.drop("__m0")
+            return self._score_and_finish(matches, pairs, k=k, stats=stats)
+
         # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
         #    min_join_ratio drops small posting lists (mate.py:325-326)
         table_hits = hits.groupBy(F.col("table_id").alias("__t")).count()
@@ -315,11 +375,10 @@ class MATE:
 
         # 5. verification (mate.py:94-123 evaluate_rows, 443-455):
         # every query column after the first must appear among the row's
-        # cells; matched col-ids are appended in ascending order.  The
-        # degree-1 quirk ([-0:] slices the whole array) re-verifies the
-        # single query column, so verification columns are [q0] for
-        # degree 1, else q1..qd-1.
-        verify_idx = [0] if degree == 1 else list(range(1, degree))
+        # cells; matched col-ids are appended in ascending order.  (The
+        # degree-1 quirk — [-0:] slices the whole array, re-verifying the
+        # single query column — is served by the fast path above.)
+        verify_idx = list(range(1, degree))
 
         # Only cells whose token equals SOME verify-column value can ever
         # enter a collect_set below — semi-filter the lake by the distinct
@@ -372,7 +431,18 @@ class MATE:
             ],
         )
         matches = verified.filter(F.col("__match")).withColumn("column_combination", combo)
+        return self._score_and_finish(matches, pairs, k=k, stats=stats)
 
+    # ------------------------------------------------------------------
+    def _score_and_finish(
+        self,
+        matches: DataFrame,
+        pairs: DataFrame,
+        k: int,
+        stats: dict | None,
+    ) -> MateResult:
+        """Steps 6-7 + A12 stats, shared by the degree-1 fast path and the
+        generic verification path (identical inputs -> identical result)."""
         # 6. scoring: count per (table, combination) (mate.py:457-470);
         # best combination per table; reported score = count - 1
         combo_counts = matches.groupBy("table_id", "column_combination").agg(

@@ -82,7 +82,9 @@ def get_spark(
         # (nanos since epoch) and convert explicitly where needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # env override so profiling runs can read stage metrics over the
+        # UI REST API; off by default (bench/tests unchanged)
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
