@@ -338,6 +338,23 @@ class MATE:
             pairs = pairs.drop("__m0")
             return self._score_and_finish(matches, pairs, k=k, stats=stats)
 
+        # The candidate-cap count below and the pair set both consume
+        # `hits`, and the broadcast(cand_tables) makes them SEQUENTIAL
+        # jobs — unpersisted, the second job re-scans the whole keyed cell
+        # cache and re-probes the input broadcast hash (measured at sf0.1,
+        # 600k-row lineitem probe: ~16s of task CPU per pass).  Persist a
+        # slim projection once: the cap job materializes it, the pair job
+        # reads it back.  (The same frame the old shape computed twice;
+        # MEMORY_AND_DISK, evicted under pressure.)
+        hits = hits.select(
+            "table_id",
+            "row_id",
+            "col_id",
+            "mate_row_id",
+            *[f"__q{i}" for i in range(degree)],
+            *(["__q_hi", "__q_lo", "super_key_hi", "super_key_lo"] if prefilter else []),
+        ).persist()
+
         # 3. candidate cap: top k_c tables by hit count (mate.py:313-314);
         #    min_join_ratio drops small posting lists (mate.py:325-326)
         table_hits = hits.groupBy(F.col("table_id").alias("__t")).count()
