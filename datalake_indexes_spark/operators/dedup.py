@@ -114,7 +114,14 @@ def minhash_lsh_pairs(
     verification joins shingles only for candidates.
     """
     rows = k // bands
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # the shingle frame feeds FOUR consumers (the signatures, the per-doc
+    # sizes and both sides of the verification join); unpinned, each one
+    # re-runs the regex shingling over the whole corpus (measured at
+    # sf0.1: 4 stages x ~4s task CPU re-computing the same rows).  A lazy
+    # localCheckpoint materializes it once on first use.
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     mh = minhash_signatures(sh, k=k)
 
     band_structs = [
@@ -169,7 +176,10 @@ def ngram_jaccard_pairs(
     boilerplate, so small caps (100-1000) trade negligible recall for a
     quadratic join-size reduction.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # multi-consumer shingle frame — pin it once (see minhash_lsh_pairs)
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     if max_shingle_freq is not None:
         rare = sh.join(
             sh.groupBy("shingle")
@@ -1281,7 +1291,10 @@ def prefix_jaccard_pairs(
     join), one window keyed by doc_id (prefix ranks), verification on the
     surviving pairs only.  No driver collect, no cartesian step.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # multi-consumer shingle frame — pin it once (see minhash_lsh_pairs)
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     return _verify_jaccard(prefix_candidates(sh, threshold), sh, threshold)
 
 

@@ -327,6 +327,13 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
+    # the bounds action below otherwise re-runs t's ENTIRE upstream (for
+    # corpus_prep_full that is the whole quality/repetition/dedup/scrub
+    # pipeline — measured at sf0.1: the full ~8s-CPU curation ran twice,
+    # once for bounds and once for the output).  t is two narrow columns;
+    # the lazy checkpoint materializes it during the bounds job and the
+    # output job reads it back.
+    t = t.localCheckpoint(eager=False)
     bounds = t.agg(F.min("doc_id"), F.max("doc_id")).first()
     if bounds[0] is None:
         return t.withColumn("pack_id", F.lit(0).cast("long")).withColumn(
