@@ -42,9 +42,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
-        out[n] = _spread_scan(
-            spark.read.parquet(path), key=path, target_bytes=512 * 1024
-        )
+        df = spark.read.parquet(path)
+        spec = TESTDATA_LAKE_SPEC.get(n)
+        # Spread ONLY tables whose row_id is a verified dense-key
+        # PROJECTION (spec.row_id_expr): for those, every downstream value
+        # is a pure per-row function and placement cannot matter.  Tables
+        # row-numbered by with_global_row_number (lineitem) must keep the
+        # single-partition scan: their order key is NOT unique in this
+        # testdata ((l_orderkey, l_linenumber) covers 45832 of 60000 rows
+        # at sf0.01), so row_number ties break by arrival order == file
+        # order — the contract the DuckDB oracle twin pins.  Spreading the
+        # scan reorders tie rows and was caught as an index_cells value
+        # mismatch at sf0.01.  Parallelism is not lost: the row-numbering
+        # window itself redistributes across its value buckets before any
+        # per-cell work runs.
+        if spec is not None and spec.row_id_expr is not None:
+            df = _spread_scan(df, key=path, target_bytes=512 * 1024)
+        out[n] = df
     return out
 
 
@@ -99,9 +113,15 @@ def testdata_index(spark: SparkSession, sf_dir: str, with_super_keys: bool = Tru
         # logical leaf under them shrank.  At cluster scale the equivalent
         # shape is writing the built index to a bucketed table and reading
         # it back (the S7 sink); localCheckpoint is the in-session twin.
+        # eager=False: the plan is truncated at localCheckpoint-call time
+        # either way (the returned frame wraps a LogicalRDD), but the lazy
+        # form materializes the checkpoint blocks during the cache's own
+        # first pass instead of running a separate compute job first —
+        # measured A/B at sf0.1: 7.75/6.61s eager vs 6.94/6.44s lazy, same
+        # row count, same downstream plan (exchange-free cache aggregates).
         keyed = (
             build_keyed_cells(spark, tables, TESTDATA_LAKE_SPEC)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
             .repartition("table_id", "row_id")
             .cache()
         )

@@ -76,8 +76,11 @@ def compare(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
         la = canonical_rows([tuple(r) for r in sp_rows], sp_cols, strict=False)
         lb = canonical_rows(dk_rows, dk_cols, strict=False)
         result["loose_match"] = la == lb
-        diff_a = [x for x in a if x not in set(b)][:5]
-        diff_b = [x for x in b if x not in set(a)][:5]
+        # hoist the sets: inside the comprehension's filter they would be
+        # rebuilt per element (O(n²) — a 469k-row mismatch burned hours)
+        set_a, set_b = set(a), set(b)
+        diff_a = [x for x in a if x not in set_b][:5]
+        diff_b = [x for x in b if x not in set_a][:5]
         result["spark_only"] = diff_a
         result["duck_only"] = diff_b
     return result
