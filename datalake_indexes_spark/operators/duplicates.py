@@ -106,6 +106,15 @@ class DuplicateDetection:
         sizes = self.index.table_info.select(
             "table_id", (F.col("max_row_id") + 1).alias("n_rows"), (F.col("max_col_id") + 1).alias("n_cols")
         )
+        # One shuffle serves everything downstream: the fingerprint rows
+        # are repartitioned by row_fp alone, so the (table_id, row_fp)
+        # count is exchange-free (partitioning is a subset of the group
+        # key) AND both self-join branches are already clustered on the
+        # join key.  persist() — not localCheckpoint, which erases
+        # outputPartitioning and would force the join to re-shuffle both
+        # sides (measured at sf0.1: 33 MB + 34 MB shuffle writes and a
+        # 67 MB join read collapse to the single 33 MB repartition) —
+        # still dedupes the cells-wide aggregation across the branches.
         fp_counts = (
             self.index.cells.groupBy("table_id", "row_id")
             .agg(
@@ -113,9 +122,10 @@ class DuplicateDetection:
                     F.to_json(F.sort_array(F.collect_list("tokenized")))
                 ).alias("row_fp")
             )
+            .repartition("row_fp")
             .groupBy("table_id", "row_fp")
             .agg(F.count(F.lit(1)).alias("__cnt"))
-        ).localCheckpoint(eager=False)
+        ).persist()
         a = fp_counts.alias("a")
         b = fp_counts.alias("b")
         counts = (
