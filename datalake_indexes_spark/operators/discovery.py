@@ -285,7 +285,7 @@ def union_search_approx(
     sigs = (
         column_minhash_signatures(index, k=sig_k, max_token_cols=max_token_cols)
         .filter(F.col("n_distinct") >= min_distinct)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     banded = sigs.select(
         "table_id",
@@ -422,9 +422,9 @@ def domain_clusters(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = index.cells.select(F.col("table_id")).distinct().localCheckpoint()
+    nodes = index.cells.select(F.col("table_id")).distinct().localCheckpoint(eager=False)
     labels = nodes.withColumn("domain", F.col("table_id"))
     for _ in range(rounds):
         nbr = (
@@ -440,7 +440,7 @@ def domain_clusters(
                     "domain"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -1513,10 +1513,16 @@ def join_paths(
     """
     if max_hops < 1:
         raise ValueError("join_paths: max_hops must be >= 1")
+    # the edge list is referenced once per hop plus the seed frontier —
+    # unpinned, EVERY reference re-runs the whole upstream dependency
+    # mining (an all-pairs token join over the lake; measured at sf0.01:
+    # 164 jobs / 18.7s warm for a 4-hop query, ~5x the one-pass cost).
+    # Catalog-sized, so the checkpoint is pennies.
     edges = (
         deps.filter(F.col("containment") >= min_containment)
         .select("table_a", "col_a", "table_b", "col_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     step = F.format_string(
         "%d.%d>%d.%d",

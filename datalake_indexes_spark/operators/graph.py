@@ -167,7 +167,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -176,12 +176,12 @@ def pagerank(
     # against it — without this the upstream edge pipeline re-executes
     # every round
     out_deg = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint(eager=False)
     )
     # (src, dst, 1/deg) — static per-edge weight, checkpointed once
     w = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
@@ -210,7 +210,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -239,7 +239,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()  # consumed by the degree count AND the orientation join
+        .localCheckpoint(eager=False)  # consumed by the degree count AND the orientation join
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -259,7 +259,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     oriented = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     wedges = oriented.join(
         oriented.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
     )
@@ -316,7 +316,7 @@ def link_prediction(
     map-side-combinable aggregates, and the degree table is
     vocabulary-sized (node count), broadcast onto the wedge output.
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -387,7 +387,7 @@ def k_core(
     skewed key.  Round count is bounded by the graph's degeneracy
     ordering depth, O(log n) on similarity graphs in practice.
     """
-    cur = _canonical_edges(edges, src, dst).localCheckpoint()
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
 
     def _degrees(e: DataFrame) -> DataFrame:
         return (
@@ -405,7 +405,7 @@ def k_core(
         cur = (
             cur.join(F.broadcast(low.select(F.col("node").alias("u"))), "u", "left_anti")
             .join(F.broadcast(low.select(F.col("node").alias("v"))), "v", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if rounds is not None:
             if i >= rounds:
@@ -454,13 +454,13 @@ def label_propagation(
     ``localCheckpoint`` truncates lineage per round.  No driver-side
     graph state.
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = sym.select("node").distinct().select(
         "node", F.col("node").alias("label")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def _fp(lab: DataFrame) -> tuple[int, int]:
         row = lab.agg(
@@ -482,7 +482,7 @@ def label_propagation(
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if rounds is None:
             fp = _fp(labels)
@@ -597,13 +597,13 @@ def hits(
             F.col(dst_col).cast("string").alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
     for _ in range(iters):
@@ -635,7 +635,7 @@ def hits(
         hub = h_raw.crossJoin(h_tot).select(
             "node", (F.col("__v") / F.col("__t")).alias("hub")
         )
-        scores = hub.join(auth, "node").localCheckpoint()
+        scores = hub.join(auth, "node").localCheckpoint(eager=False)
     return scores.select("node", "hub", F.col("auth").alias("authority"))
 
 
@@ -671,7 +671,7 @@ def personalized_pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if nodes.count() == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -683,13 +683,13 @@ def personalized_pagerank(
         raise ValueError(
             f"personalized_pagerank: no seed nodes (node % {seed_modulus} == 0)"
         )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint(eager=False)
     w = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     p0 = F.when(is_seed, F.lit(1.0) / F.col("__ns")).otherwise(F.lit(0.0))
-    ranks = nodes.crossJoin(n_seeds).select("node", p0.alias("rank")).localCheckpoint()
+    ranks = nodes.crossJoin(n_seeds).select("node", p0.alias("rank")).localCheckpoint(eager=False)
     d = float(damping)
     for _ in range(iters):
         contrib = (
@@ -714,7 +714,7 @@ def personalized_pagerank(
                     + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
