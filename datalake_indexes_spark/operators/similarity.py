@@ -743,7 +743,7 @@ def pq_codebooks(
             F.posexplode(
                 F.array(*[F.slice("__v", sub * j + 1, sub) for j in range(m)])
             ).alias("j", "__sv"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         dist = F.aggregate(
             F.zip_with(
                 F.col("__sv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
@@ -784,7 +784,7 @@ def pq_codebooks(
                 .select(
                     "j", "code", F.coalesce("n.centroid", "o.centroid").alias("centroid")
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return out
 
@@ -932,7 +932,7 @@ def ivf_pq_topk(
             "centroid",
             F.zip_with("__u", "__cent_v", lambda a, b: a - b).alias("__r"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # residual codebooks: subvectors of the first ksub vectors' residuals
@@ -2155,13 +2155,13 @@ def nn_descent(
         # the edge list feeds four plan branches per round (forward,
         # reversed, both sides of the two-hop self-join); materialize it
         # once instead of re-deriving the graph per branch
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     refined = None
     for i in range(rounds):
         refined = _nn_expand_rescore(corpus, edges, k, vec_col, id_col)
         if i < rounds - 1:
-            edges = refined.select("src_id", "neighbor_id").localCheckpoint()
+            edges = refined.select("src_id", "neighbor_id").localCheckpoint(eager=False)
     return refined
 
 
@@ -2343,7 +2343,7 @@ def _margin_rescore_exact(
     blocked-mining subtree executes once, not three times — the same
     idiom as nn_descent's per-round edge materialization.  Bounded: the
     checkpoint holds (src_id, tgt_id) pairs only."""
-    pairs = mined.select("src_id", "tgt_id").localCheckpoint()
+    pairs = mined.select("src_id", "tgt_id").localCheckpoint(eager=False)
     src_pts = src.join(
         pairs.select(F.col("src_id").alias(id_col)).distinct(), id_col
     )
@@ -2389,14 +2389,14 @@ def margin_rescore_report(
     # the O(n^2) brute pass and the blocked pass each execute ONCE
     truth = margin_mining(
         src, tgt, k=k, threshold=threshold, vec_col=vec_col, id_col=id_col
-    ).select("src_id", "tgt_id").localCheckpoint()
+    ).select("src_id", "tgt_id").localCheckpoint(eager=False)
     blocked = margin_mining_blocked(
         src, tgt, k=k, threshold=threshold, n_centroids=n_centroids,
         n_probe=n_probe, vec_col=vec_col, id_col=id_col,
-    ).select("src_id", "tgt_id").localCheckpoint()
+    ).select("src_id", "tgt_id").localCheckpoint(eager=False)
     rescored = _margin_rescore_exact(
         src, tgt, blocked, k, threshold, vec_col, id_col
-    ).select("src_id", "tgt_id").localCheckpoint()
+    ).select("src_id", "tgt_id").localCheckpoint(eager=False)
 
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_blocked = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))
