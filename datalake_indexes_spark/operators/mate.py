@@ -586,84 +586,148 @@ class MATE:
             prepared, probe_cells["tokenized"] == prepared["__q0"], "inner"
         )
 
-        # per-query candidate cap: the window partitions BY QUERY, so each
-        # query keeps its own top-k_c tables and no query's hot tables
-        # crowd out another's
-        table_hits = hits.groupBy("__query_id", F.col("table_id").alias("__t")).count()
-        cap_w = Window.partitionBy("__query_id").orderBy(
-            F.desc("count"), F.asc("__t")
-        )
-        cand = (
-            table_hits.withColumn("__rk", F.row_number().over(cap_w))
-            .filter(F.col("__rk") <= k_c)
-            .select("__query_id", F.col("__t").alias("table_id"))
-        )
-        hits = hits.join(F.broadcast(cand), ["__query_id", "table_id"], "inner")
-
-        if prefilter:
-            hits = hits.filter(
-                superkey_contains(
-                    F.col("__q_hi"), F.col("__q_lo"),
-                    F.col("super_key_hi"), F.col("super_key_lo"),
+        if degree == 1:
+            # Degree-1 fast path, the batch twin of join_search's (same
+            # equality argument with __query_id prepended to every key):
+            # the degree-1 quirk re-verifies the single query column, so a
+            # pair's matched-column set __m0 is exactly the hit cells of
+            # its (__query_id, ext_row, mate_row) triple — token equality
+            # is both the join condition and the verification predicate.
+            # One aggregate keyed per (query, row) replaces the generic
+            # path's second lake scan + pair-keyed verification shuffle;
+            # the grouping key contains the cache's (table_id, row_id)
+            # clustering, so the aggregate is exchange-free.
+            row_m = (
+                hits.select(
+                    "__query_id",
+                    "table_id",
+                    F.col("row_id").alias("ext_row_id"),
+                    "mate_row_id",
+                    "col_id",
                 )
+                .groupBy("__query_id", "table_id", "ext_row_id", "mate_row_id")
+                .agg(F.sort_array(F.collect_set("col_id")).alias("__m0"))
+                .persist()  # cap job + pair job both consume it
             )
+            # per-query candidate cap on the SAME hit counts as the
+            # generic path: one hit row per (cell, input) match = the sum
+            # of per-row matched-column set sizes
+            table_hits = row_m.groupBy(
+                "__query_id", F.col("table_id").alias("__t")
+            ).agg(F.sum(F.size("__m0")).alias("count"))
+            cap_w = Window.partitionBy("__query_id").orderBy(
+                F.desc("count"), F.asc("__t")
+            )
+            cand = (
+                table_hits.withColumn("__rk", F.row_number().over(cap_w))
+                .filter(F.col("__rk") <= k_c)
+                .select("__query_id", F.col("__t").alias("table_id"))
+            )
+            capped = row_m.join(
+                F.broadcast(cand), ["__query_id", "table_id"], "inner"
+            )
+            combo = F.concat_ws(
+                "_",
+                F.col("hit_col_id").cast("string"),
+                F.array_join(
+                    F.transform(F.col("__m0"), lambda c: c.cast("string")), "_"
+                ),
+            )
+            # __m0 is non-empty by construction (it contains hit_col_id),
+            # so every pair verifies — same as the generic degree-1 path
+            matches = (
+                capped.select(
+                    "__query_id",
+                    "table_id",
+                    "ext_row_id",
+                    F.explode("__m0").alias("hit_col_id"),
+                    "mate_row_id",
+                    "__m0",
+                )
+                .withColumn("column_combination", combo)
+                .drop("__m0")
+            )
+        else:
+            # per-query candidate cap: the window partitions BY QUERY, so
+            # each query keeps its own top-k_c tables and no query's hot
+            # tables crowd out another's
+            table_hits = hits.groupBy(
+                "__query_id", F.col("table_id").alias("__t")
+            ).count()
+            cap_w = Window.partitionBy("__query_id").orderBy(
+                F.desc("count"), F.asc("__t")
+            )
+            cand = (
+                table_hits.withColumn("__rk", F.row_number().over(cap_w))
+                .filter(F.col("__rk") <= k_c)
+                .select("__query_id", F.col("__t").alias("table_id"))
+            )
+            hits = hits.join(F.broadcast(cand), ["__query_id", "table_id"], "inner")
 
-        pairs = hits.select(
-            "__query_id",
-            "table_id",
-            F.col("row_id").alias("ext_row_id"),
-            F.col("col_id").alias("hit_col_id"),
-            "mate_row_id",
-            *[f"__q{i}" for i in range(degree)],
-        )
-
-        verify_idx = [0] if degree == 1 else list(range(1, degree))
-        # one global verify-token semi-filter for the whole batch: a
-        # superset of each query's filter, so per-pair equality below is
-        # untouched — correctness per query, one lake pass for all
-        verify_tokens = F.broadcast(
-            prepared.select(
-                F.explode(
-                    F.array(*[F.col(f"__q{i}") for i in verify_idx])
-                ).alias("__cell_tok")
-            ).distinct()
-        )
-        row_cells = self.index.cells.select(
-            "table_id",
-            F.col("row_id").alias("ext_row_id"),
-            F.col("col_id").alias("__cell_col"),
-            F.col("tokenized").alias("__cell_tok"),
-        ).join(verify_tokens, "__cell_tok", "leftsemi")
-        joined = pairs.join(row_cells, ["table_id", "ext_row_id"], "inner")
-
-        agg_exprs = [
-            F.sort_array(
-                F.collect_set(
-                    F.when(
-                        F.col("__cell_tok") == F.col(f"__q{i}"), F.col("__cell_col")
+            if prefilter:
+                hits = hits.filter(
+                    superkey_contains(
+                        F.col("__q_hi"), F.col("__q_lo"),
+                        F.col("super_key_hi"), F.col("super_key_lo"),
                     )
                 )
-            ).alias(f"__m{i}")
-            for i in verify_idx
-        ]
-        verified = joined.groupBy(
-            "__query_id", "table_id", "ext_row_id", "hit_col_id", "mate_row_id"
-        ).agg(*agg_exprs)
 
-        is_match = F.lit(True)
-        for i in verify_idx:
-            is_match = is_match & (F.size(F.col(f"__m{i}")) > 0)
-        combo = F.concat_ws(
-            "_",
-            F.col("hit_col_id").cast("string"),
-            *[
-                F.array_join(
-                    F.transform(F.col(f"__m{i}"), lambda c: c.cast("string")), "_"
-                )
+            pairs = hits.select(
+                "__query_id",
+                "table_id",
+                F.col("row_id").alias("ext_row_id"),
+                F.col("col_id").alias("hit_col_id"),
+                "mate_row_id",
+                *[f"__q{i}" for i in range(degree)],
+            )
+
+            verify_idx = list(range(1, degree))
+            # one global verify-token semi-filter for the whole batch: a
+            # superset of each query's filter, so per-pair equality below is
+            # untouched — correctness per query, one lake pass for all
+            verify_tokens = F.broadcast(
+                prepared.select(
+                    F.explode(
+                        F.array(*[F.col(f"__q{i}") for i in verify_idx])
+                    ).alias("__cell_tok")
+                ).distinct()
+            )
+            row_cells = self.index.cells.select(
+                "table_id",
+                F.col("row_id").alias("ext_row_id"),
+                F.col("col_id").alias("__cell_col"),
+                F.col("tokenized").alias("__cell_tok"),
+            ).join(verify_tokens, "__cell_tok", "leftsemi")
+            joined = pairs.join(row_cells, ["table_id", "ext_row_id"], "inner")
+
+            agg_exprs = [
+                F.sort_array(
+                    F.collect_set(
+                        F.when(
+                            F.col("__cell_tok") == F.col(f"__q{i}"), F.col("__cell_col")
+                        )
+                    )
+                ).alias(f"__m{i}")
                 for i in verify_idx
-            ],
-        )
-        matches = verified.filter(is_match).withColumn("column_combination", combo)
+            ]
+            verified = joined.groupBy(
+                "__query_id", "table_id", "ext_row_id", "hit_col_id", "mate_row_id"
+            ).agg(*agg_exprs)
+
+            is_match = F.lit(True)
+            for i in verify_idx:
+                is_match = is_match & (F.size(F.col(f"__m{i}")) > 0)
+            combo = F.concat_ws(
+                "_",
+                F.col("hit_col_id").cast("string"),
+                *[
+                    F.array_join(
+                        F.transform(F.col(f"__m{i}"), lambda c: c.cast("string")), "_"
+                    )
+                    for i in verify_idx
+                ],
+            )
+            matches = verified.filter(is_match).withColumn("column_combination", combo)
 
         combo_counts = matches.groupBy(
             "__query_id", "table_id", "column_combination"

@@ -717,3 +717,21 @@ def test_ppl_buckets_window_is_source_partitioned(spark):
     rep = plan_report(ppl_buckets(docs))
     assert rep["n_global_windows"] == 0
     assert rep["n_nested_loop_joins"] == 0
+
+
+def test_mate_batch_degree1_skips_verification_scan(planted):
+    """The degree-1 batch fast path must derive verification evidence
+    from the hits aggregate alone — the generic path's second lake pass
+    joins a `__cell_tok` projection of cells against every pair, and its
+    reappearance in a degree-1 plan means the fast path regressed.
+    Degree-2 batches legitimately keep it (sanity-checked below)."""
+    from datalake_indexes_spark.operators.mate import MATE
+
+    mate = MATE(planted["index"])
+    inp = planted["input"]
+    d1 = mate.join_search_batch({"q": (inp, ["director_name"], None)}, k=3)
+    assert "__cell_tok" not in _plan(d1)
+    d2 = mate.join_search_batch(
+        {"q": (inp, ["director_name", "movie_title"], None)}, k=3
+    )
+    assert "__cell_tok" in _plan(d2)
