@@ -67,18 +67,28 @@ def enrich_dataset(
     if remove_duplicates:
         relations = DuplicateDetection(index).get_relations()
         top_k = DuplicateDetection.remove_duplicate_tables(top_k, relations)
-    top_k = top_k.persist()
+    # localCheckpoint truncates the lineage at this k-row frame: every
+    # downstream consumer (the COCOA exclude set, the join-map semi-filter,
+    # the materialization pivot) otherwise re-embeds the ENTIRE MATE
+    # probe/verify plan once per reference, and the composed correlations
+    # plan grows multiplicatively — big enough that building its
+    # plan-description string OOMed an 8 GB driver heap (the round-9 red
+    # test).  eager=False: the count() below materializes it.
+    top_k = top_k.localCheckpoint(eager=False)
     stats["joinable_tables"] = top_k.count()
     stats["mate_runtime"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     cocoa = COCOA(index)
-    # persisted: the join maps feed BOTH the correlation job and the
-    # materialization pivot — without the cache each action re-executes
-    # the entire MATE probe/verify pipeline upstream of the pairs
+    # checkpointed (it persists like the old .persist(), plus lineage
+    # truncation): the join maps feed BOTH the correlation job and the
+    # materialization pivot — without the blocks each action re-executes
+    # the entire MATE probe/verify pipeline upstream of the pairs, and
+    # without the truncation each reference re-embeds that plan (see the
+    # top_k comment above)
     surviving_pairs = mate_res.join_pairs.join(
         F.broadcast(top_k.select("table_id")), "table_id", "leftsemi"
-    ).persist()
+    ).localCheckpoint(eager=False)
     pruned_res = type(mate_res)(top_k=top_k, join_pairs=surviving_pairs)
     correlations = cocoa.enrich_multicolumn(
         inp_ids, pruned_res, k_c=k_features, target_column=target_column

@@ -82,6 +82,18 @@ def get_spark(
         # (nanos since epoch) and convert explicitly where needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Every action builds the plan-description string for the SQL
+        # execution event (even with the UI off).  Unbounded (the default,
+        # ~2^31 chars), a deeply composed pipeline whose consumers each
+        # re-embed a big upstream subtree (enrichment: COCOA branches x the
+        # MATE probe/verify plan) OOMed an 8 GB driver heap inside
+        # QueryExecution.explainString — reproduced as the round-9
+        # test_enrich_dataset_end_to_end failure.  8M chars is far more
+        # than any debugging read needs and caps the allocation.
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("SPARK_MAX_PLAN_STRING_LENGTH", "8388608"),
+        )
         # env override so profiling runs can read stage metrics over the
         # UI REST API; off by default (bench/tests unchanged)
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
