@@ -257,10 +257,22 @@ def _spread_scan(
 _SCAN_PARTS: dict[str, int] = {}
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """Corpus scan.  ``spread=False`` opts a consumer out of the
+    :func:`_spread_scan` fan-out: for cheap single-pass native pipelines
+    (one codegen projection/aggregate over the scan — dedup_exact's
+    md5+groupBy, text_quality's word gauges) the round-robin exchange
+    ships the whole text column to buy parallelism the stage doesn't
+    need, and the round-9 driver measured both DOUBLING at sf0.1 (and
+    running faster at 8 cores than 32 — the signature of an exchange
+    that costs more than it buys).  At real scale the spread is a no-op
+    either way (the scan already carries cluster parallelism), so the
+    flag only controls the small-file shape.  Rows are identical with
+    and without (placement-only)."""
     _ensure_session_confs(spark)
     path = os.path.join(sf_dir, "documents.parquet")
-    return _spread_scan(spark.read.parquet(path), key=path)
+    df = spark.read.parquet(path)
+    return _spread_scan(df, key=path) if spread else df
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,7 +23,10 @@ from datalake_indexes_spark.plans.queries._base import DECONTAM_MODULUS, REPEAT_
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.dedup import exact_duplicate_groups
 
-    return exact_duplicate_groups(_docs(spark, sf_dir))
+    # spread=False: one md5+groupBy over the scan — the spread exchange
+    # doubled this query at sf0.1 (r9 driver: 0.165 -> 0.338s) while the
+    # md5 work itself is trivial; see _docs
+    return exact_duplicate_groups(_docs(spark, sf_dir, spread=False))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,10 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.operators.text_analysis import quality_scores
 
-    return quality_scores(_docs(spark, sf_dir))
+    # spread=False: one codegen projection over the scan — the spread
+    # exchange doubled this query at sf0.1 (r9 driver: 0.173 -> 0.426s);
+    # see _docs
+    return quality_scores(_docs(spark, sf_dir, spread=False))
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for the bench queries -> plans/r09/<q>_<tag>.txt.
+"""Capture .explain("formatted") for the bench queries -> plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<tag>.txt (default r10).
 
 Usage: python scripts/capture_plans.py <before|after> [query1,query2,...]
 
@@ -48,7 +48,7 @@ def main() -> None:
     # warm the index like the bench does, so query plans read the cache
     testdata_index(spark, sf_dir, with_super_keys=True)
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = QUERIES.get(name)
