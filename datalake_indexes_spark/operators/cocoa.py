@@ -30,7 +30,6 @@ cocoa.py:225-254, 551 — documented in SURVEY.md):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -148,18 +147,23 @@ class COCOA:
         """
         cells = self.index.cells
 
-        # scalar target statistics (cocoa.py:369-372): n, T, population std
-        stats_row = input_ranks.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("target_rank").alias("t_sum"),
-            F.stddev_pop("target_rank").alias("t_std"),
-            F.sum(F.pow("target_rank", 2)).alias("t_sq"),
-        ).collect()[0]
-        n = stats_row["n"]
-        t_sum = float(stats_row["t_sum"]) if stats_row["t_sum"] is not None else 0.0
-        t_std = float(stats_row["t_std"]) if stats_row["t_std"] is not None else 0.0
-        t_sq_sum = float(stats_row["t_sq"]) if stats_row["t_sq"] is not None else 0.0
-        mid_rank = float(math.ceil(n / 2))
+        # scalar target statistics (cocoa.py:369-372): n, T, population std.
+        # A 1-row frame cross-joined (broadcast) into the two closed-form
+        # branches below instead of a driver-side collect: the collect was
+        # a blocking sync point that split the query into two driver
+        # round-trips (measured at sf0.1: 4 AQE jobs + a ~0.6s planning
+        # gap before the main DAG could even be submitted).  The SAME
+        # doubles flow into the SAME expressions — only literal-vs-column
+        # changes (guide §5: keep the driver out of the data path).
+        gstats = input_ranks.agg(
+            F.count(F.lit(1)).cast("double").alias("__g_n"),
+            F.coalesce(F.sum("target_rank"), F.lit(0.0)).alias("__g_t_sum"),
+            F.coalesce(F.stddev_pop("target_rank"), F.lit(0.0)).alias("__g_t_std"),
+            F.coalesce(F.sum(F.pow("target_rank", 2)), F.lit(0.0)).alias("__g_t_sq"),
+        ).withColumn(
+            # float(math.ceil(n / 2)) — double division + ceil, same value
+            "__g_mid", F.ceil(F.col("__g_n") / 2).cast("double")
+        )
 
         cand_tables = pairs.select("table_id").distinct()
         ext_cells = (
@@ -216,29 +220,34 @@ class COCOA:
             F.sum("__t").alias("st_m"),
             F.sum(F.col("__e") * F.col("__t")).alias("ste"),
         )
-        c, nn = F.lit(mid_rank), F.lit(float(n))
+        c, nn = F.col("__g_mid"), F.col("__g_n")
+        t_sum, t_sq_sum = F.col("__g_t_sum"), F.col("__g_t_sq")
         sum_e = F.col("se") + c * (nn - F.col("m"))
         sum_e2 = F.col("se2") + c * c * (nn - F.col("m"))
-        sum_te = F.col("ste") + c * (F.lit(t_sum) - F.col("st_m"))
-        denom = F.sqrt(nn * F.lit(t_sq_sum) - F.lit(t_sum) ** 2) * F.sqrt(
+        sum_te = F.col("ste") + c * (t_sum - F.col("st_m"))
+        denom = F.sqrt(nn * t_sq_sum - t_sum ** 2) * F.sqrt(
             nn * sum_e2 - sum_e ** 2
         )
         num_cols = numeric.filter(F.col("is_numeric")).select("table_id", "col_id")
-        num_corr = num_cols.join(agg, ["table_id", "col_id"], "left").select(
-            "table_id",
-            "col_id",
-            F.when(denom > 0, (nn * sum_te - F.lit(t_sum) * sum_e) / denom).alias("corr"),
+        num_corr = (
+            num_cols.join(agg, ["table_id", "col_id"], "left")
+            .crossJoin(F.broadcast(gstats))
+            .select(
+                "table_id",
+                "col_id",
+                F.when(denom > 0, (nn * sum_te - t_sum * sum_e) / denom).alias("corr"),
+            )
         )
 
         # ------------- categorical path: one-hot Pearson closed form -------------
         m_cat = matched.filter(~F.col("is_numeric"))
         cat_groups = m_cat.groupBy("table_id", "col_id", "tokenized").agg(
             F.count(F.lit(1)).alias("q"), F.sum("target_rank").alias("s")
+        ).crossJoin(F.broadcast(gstats))
+        r = (nn * F.col("s") - F.col("q") * t_sum) / (
+            F.col("__g_t_std") * nn * F.sqrt(F.col("q") * (nn - F.col("q")))
         )
-        r = (F.lit(float(n)) * F.col("s") - F.col("q") * F.lit(t_sum)) / (
-            F.lit(t_std) * F.lit(float(n)) * F.sqrt(F.col("q") * (F.lit(float(n)) - F.col("q")))
-        )
-        cat_groups = cat_groups.filter(F.col("q") < n).withColumn("__r", F.abs(r))
+        cat_groups = cat_groups.filter(F.col("q") < nn).withColumn("__r", F.abs(r))
         cat_corr = cat_groups.groupBy("table_id", "col_id").agg(F.max("__r").alias("corr"))
         cat_cols = numeric.filter(~F.col("is_numeric")).select("table_id", "col_id")
         cat_corr = cat_cols.join(cat_corr, ["table_id", "col_id"], "left")
@@ -323,7 +332,12 @@ class COCOA:
 
         # joinable/pairs are consumed several times downstream (matched
         # broadcast, exclude set, distinct pair set) — persist the tiny
-        # results so the lake-scan chain behind them runs once
+        # results so the lake-scan chain behind them runs once.  (A
+        # localCheckpoint here was measured WORSE at sf0.1 — 26 -> 53
+        # jobs, 3.0 -> 6.4s: the eager cut serializes construction-time
+        # jobs per invocation and defeats broadcast-exchange reuse, while
+        # persist keeps one shared materialization inside the single
+        # action's DAG.)
         joinable = self.joinable_columns(
             inp.select(F.col("__qtok").alias("token")), k_t=k_t
         ).persist()

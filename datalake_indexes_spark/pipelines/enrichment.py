@@ -49,7 +49,12 @@ def enrich_dataset(
     — demo:516-587 J4)."""
     stats: dict = {}
     order = input_order_by or query_columns
-    inp_ids = with_global_row_number(input_df, list(order), out_col="mate_row_id")
+    if "mate_row_id" in input_df.columns:
+        # caller-supplied ids (same contract as MATE.prepare_input):
+        # catalog-vouched dense keys skip the numbering window entirely
+        inp_ids = input_df
+    else:
+        inp_ids = with_global_row_number(input_df, list(order), out_col="mate_row_id")
 
     t0 = time.time()
     mate = MATE(index)

@@ -62,6 +62,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return out
 
 
+def _numbered_probe(
+    spark: SparkSession, sf_dir: str, name: str, out_col: str
+) -> DataFrame:
+    """Probe table with its MATE/COCOA row id attached as a projection.
+
+    The catalog vouches the table's order key is dense 0..n-1 at every SF
+    (TESTDATA_LAKE_SPEC ``row_id_expr`` — the same contract the index
+    build's ``unpivot_to_cells`` uses), so ``with_global_row_number`` over
+    that key IS the key itself: numbering becomes a cast instead of two
+    eager driver jobs (min/max scan) plus a bucketed window per query
+    construction.  Only valid for catalog tables with ``row_id_expr``
+    (lineitem keeps the window — its order key is composite/non-dense)."""
+    spec = TESTDATA_LAKE_SPEC[name]
+    assert spec.row_id_expr is not None, f"{name} has no dense key"
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df.withColumn(out_col, F.col(spec.row_id_expr).cast("long"))
+
+
 _INDEX_CACHE: dict[tuple[str, bool], LakeIndex] = {}
 
 

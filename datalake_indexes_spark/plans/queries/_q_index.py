@@ -18,7 +18,7 @@ from datalake_indexes_spark.plans import oracle
 from datalake_indexes_spark.functions.text import tokenize_col
 from datalake_indexes_spark.sources.catalog import ALL_TABLE_NAMES, TESTDATA_LAKE_SPEC
 
-from datalake_indexes_spark.plans.queries._base import HEADER_SEARCH_QUERY, load_tables, search_columns_by_header, testdata_index
+from datalake_indexes_spark.plans.queries._base import HEADER_SEARCH_QUERY, _numbered_probe, load_tables, search_columns_by_header, testdata_index
 
 def q_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S7/P1-P4/P7 — the tokenized cell index itself."""
@@ -96,7 +96,9 @@ def q_enrichment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_indexes_spark.pipelines.enrichment import enrich_dataset
 
     idx = testdata_index(spark, sf_dir)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    # mate_row_id preset from the catalog-vouched dense key — numbering is
+    # a projection, not an eager min/max + window (see _numbered_probe)
+    customer = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
     res = enrich_dataset(
         idx,
         customer,

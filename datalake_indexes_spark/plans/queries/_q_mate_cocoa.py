@@ -18,13 +18,15 @@ from datalake_indexes_spark.plans import oracle
 from datalake_indexes_spark.functions.text import tokenize_col
 from datalake_indexes_spark.sources.catalog import ALL_TABLE_NAMES, TESTDATA_LAKE_SPEC
 
-from datalake_indexes_spark.plans.queries._base import _BLOOM_KEYS_CACHE, testdata_index
+from datalake_indexes_spark.plans.queries._base import _BLOOM_KEYS_CACHE, _numbered_probe, testdata_index
 
 def q_mate_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (degree 1) — top joinable tables for customer on c_custkey."""
     idx = testdata_index(spark, sf_dir)
     mate = MATE(idx)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    # mate_row_id preset from the catalog-vouched dense key: numbering is
+    # a projection, not an eager min/max + window (see _numbered_probe)
+    customer = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
     return mate.join_search(
         customer, ["c_custkey"], k=10, k_c=500, input_order_by=["c_custkey"]
     ).top_k
@@ -64,7 +66,7 @@ def q_mate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor before verification (mate.py:325-326)."""
     idx = testdata_index(spark, sf_dir)
     mate = MATE(idx)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    customer = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
     return mate.join_search(
         customer, ["c_custkey"], k=10, k_c=500, min_join_ratio=50,
         input_order_by=["c_custkey"],
@@ -76,8 +78,8 @@ def q_cocoa_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer.c_custkey -> correlations against c_acctbal."""
     idx = testdata_index(spark, sf_dir, with_super_keys=False)
     cocoa = COCOA(idx)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    inp = with_global_row_number(customer, ["c_custkey"], out_col="input_row_id")
+    # input_row_id from the catalog-vouched dense key (see _numbered_probe)
+    inp = _numbered_probe(spark, sf_dir, "customer", "input_row_id")
     out = cocoa.enrich(
         inp, k_c=20, k_t=5, query_column="c_custkey", target_column="c_acctbal"
     )
@@ -90,8 +92,7 @@ def q_cocoa_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables correlated against c_acctbal."""
     idx = testdata_index(spark, sf_dir)
     mate = MATE(idx)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    inp_ids = with_global_row_number(customer, ["c_custkey"], out_col="mate_row_id")
+    inp_ids = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
     # stats= persists MATE's shared verification output, so the top-k
     # branch and the join maps both reuse ONE probe/verify execution
     res = mate.join_search(
@@ -113,7 +114,7 @@ def q_mate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared."""
     idx = testdata_index(spark, sf_dir, with_super_keys=False)
     mate = MATE(idx)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    customer = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
     return mate.join_search(
         customer, ["c_custkey"], k=10, k_c=500,
         use_hash_optimization=False, input_order_by=["c_custkey"],
@@ -141,7 +142,9 @@ def q_mate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_info=base.table_info,
     )
     mate = MATE(idx, hash_function=bloom128)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    # mate_row_id preset from the catalog-vouched dense key: numbering is
+    # a projection, not an eager min/max + window (see _numbered_probe)
+    customer = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
     return mate.join_search(
         customer, ["c_custkey"], k=10, k_c=500, input_order_by=["c_custkey"]
     ).top_k
@@ -151,8 +154,8 @@ def q_mate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched MATE: two degree-1 joinability searches in ONE job."""
     idx = testdata_index(spark, sf_dir)
     mate = MATE(idx)
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = _numbered_probe(spark, sf_dir, "customer", "mate_row_id")
+    orders = _numbered_probe(spark, sf_dir, "orders", "mate_row_id")
     return mate.join_search_batch(
         {
             "cust": (customer, ["c_custkey"], ["c_custkey"]),
