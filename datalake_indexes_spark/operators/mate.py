@@ -204,6 +204,13 @@ class MATE:
         # map-side before the exchange (guide §2.3 "aggregate before you
         # shuffle"; measured same-session at sf0.1: 8.9s vs 14.8s for the
         # 600k-row lineitem probe, exceptAll empty both directions).
+        # CONTRACT: mate_row_id must be non-null.  Both producers satisfy
+        # it (with_global_row_number assigns every row; _numbered_probe
+        # casts a catalog-vouched dense key), and a NULL id would also
+        # break the join maps downstream.  Note min() IGNORES nulls while
+        # the old nulls-first window KEPT the null-id row — if an external
+        # caller ever supplies a nullable mate_row_id, pre-filter or
+        # surrogate it first.
         df = df.groupBy(*[F.col(q) for q in query_columns]).agg(
             F.min("mate_row_id").alias("mate_row_id")
         )
@@ -607,7 +614,13 @@ class MATE:
                 )
                 .groupBy("__query_id", "table_id", "ext_row_id", "mate_row_id")
                 .agg(F.sort_array(F.collect_set("col_id")).alias("__m0"))
-                .persist()  # cap job + pair job both consume it
+                # cap job + pair job both consume it; left persisted for
+                # the returned DataFrame's lifetime (same trade-off as
+                # join_search's stats persists: the result is lazy, so
+                # there is no post-consumption hook to unpersist on —
+                # MEMORY_AND_DISK, evicted under pressure, dropped with
+                # the session)
+                .persist()
             )
             # per-query candidate cap on the SAME hit counts as the
             # generic path: one hit row per (cell, input) match = the sum
